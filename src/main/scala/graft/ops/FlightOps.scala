@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproduction layer: the reference's full operator surface re-expressed as
+  * declarative Spark plans over the `events` fixture (flight-analog mapping in
+  * FIXTURES.md §3: carrier→event_type, month→month(ts), delay→value,
+  * cancelled/diverted→predicates on the `props` JSON field `k`).
+  *
+  * Reference semantics reproduced (citations into /root/reference/):
+  *  - Year-equality filter: `HCompute/src/main/java/org/northeastern/Main.java:109-111`
+  *  - Successful-flight filter (not cancelled AND not diverted, float-parse
+  *    then int-cast): `HCompute/...Main.java:118-120`
+  *  - Group-by carrier+month with SUM/COUNT accumulators:
+  *    `HCompute/...Main.java:131-142`
+  *  - Non-standard rounding `Math.round(sum/count + 0.5f)` == floor(avg)+1,
+  *    empty month → 0: `HCompute/...Main.java:143-146`
+  *  - Month pivot into one row per carrier: `HCompute/...Main.java:132-148`
+  *  - `AIR-<carrier> TAB , (1,d1)…(12,d12)` report format:
+  *    `HCompute/...Main.java:151-161`
+  *  - Explicit 10-way hash partitioning + key sort (Secondary module):
+  *    `Secondary/src/main/java/org/northeastern/Main.java:196-198,42-60`
+  *  - HBase populate stage (UUID row key, blob store, read-back):
+  *    `HPopulate/src/main/java/org/northeastern/Main.java:54-73,97-100`
+  *
+  * Scale notes: each query is a pure Catalyst plan — filters and column
+  * pruning reach the parquet scan; the two-level aggregate runs as partial
+  * (map-side) HashAggregate → single shuffle on the group keys → final
+  * HashAggregate, which is strictly better than the reference's
+  * combiner-less MapReduce (full shuffle volume, SURVEY.md §4). The pivot
+  * groups by carrier only (low cardinality), so the final exchange is tiny
+  * regardless of input scale.
+  */
+object FlightOps {
+  val TargetYear = 2024 // fixture analog of TARGET_YEAR=2008 (HCompute/...Main.java:75)
+
+  /** Flight-analog projection of `events` (FIXTURES.md §3). `k` is extracted
+    * from the JSON `props`; cancelled-analog = k%7==0, diverted-analog =
+    * k%11==0 — deterministic stand-ins for the "1.00"-flag columns.
+    */
+  private def flights(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir).select(
+      col("event_type").as("carrier"),
+      year(col("ts")).as("year"),
+      month(col("ts")).as("month"),
+      col("value").as("delay"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  private def successful(df: DataFrame): DataFrame =
+    df.filter(col("year") === TargetYear &&
+      col("k") % 7 =!= 0 && col("k") % 11 =!= 0)
+
+  /** A4 rounding: floor(avg)+1 (exact equivalent of the reference's
+    * `Math.round(sum/count + 0.5f)` for finite averages — SURVEY.md §2.4).
+    */
+  private def roundedAvg(c: Column): Column = (floor(avg(c)) + 1).cast("int")
+
+  /** Flagship query (M0): filtered scan → (carrier, month) avg with floor+1
+    * rounding → 12-month pivot with 0-fill for empty months → formatted
+    * `AIR-…` report line. One shuffle for the partial/final aggregate, one
+    * tiny one for the carrier pivot.
+    */
+  def qFlightReport(spark: SparkSession, dir: String): DataFrame = {
+    val agg = successful(flights(spark, dir))
+      .groupBy(col("carrier"), col("month"))
+      .agg(roundedAvg(col("delay")).as("d"))
+    val pivoted = agg.groupBy(col("carrier"))
+      .pivot("month", 1 to 12)
+      .agg(first(col("d")))
+      .na.fill(0)
+    val renamed = (1 to 12).foldLeft(pivoted) { (df, m) =>
+      df.withColumnRenamed(m.toString, s"m$m")
+    }
+    val monthParts = (1 to 12).map(m =>
+      format_string(", (%d,%d)", lit(m), col(s"m$m")))
+    renamed
+      .withColumn("report",
+        concat(concat(lit("AIR-"), col("carrier"), lit("\t")) +: monthParts: _*))
+      .orderBy(col("carrier"))
+  }
+
+  /** Populate stage (S3/S4/S7): events → surrogate `uuid()` row key →
+    * parquet table (the keyed blob store, minus HBase's per-record RPC
+    * bottleneck — `HPopulate/...Main.java:100`) → read back and count.
+    * The nondeterministic key is excluded from the verified output
+    * (SURVEY.md §7.4).
+    */
+  def qPopulate(spark: SparkSession, dir: String): DataFrame = {
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_populate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Tables.events(spark, dir)
+      .withColumn("row_key", expr("uuid()"))
+      .write.mode("overwrite").parquet(target)
+    val back = spark.read.parquet(target)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("row_key")).as("n_keys"),
+      round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Secondary module: identical aggregation but with the explicit 10-way
+    * hash partitioning on the carrier key + within-partition key sort
+    * (`Secondary/...Main.java:198` numReduceTasks(10); key sort from the
+    * WritableComparable contract, `:42-47`). Long-format output.
+    */
+  def qSecondary(spark: SparkSession, dir: String): DataFrame =
+    successful(flights(spark, dir))
+      .repartition(10, col("carrier"))
+      .sortWithinPartitions(col("carrier"))
+      .groupBy(col("carrier"), col("month"))
+      .agg(roundedAvg(col("delay")).as("d"))
+      .orderBy(col("carrier"), col("month"))
+
+  /** F1 in isolation: year-equality filter (`HCompute/...Main.java:109-111`). */
+  def qFilterYear(spark: SparkSession, dir: String): DataFrame =
+    flights(spark, dir)
+      .filter(col("year") === TargetYear)
+      .select(col("carrier"), col("month"), col("delay"))
+      .orderBy(col("carrier"), col("month"), col("delay"))
+
+  /** F2 in isolation: successful-flight conjunction
+    * (`HCompute/...Main.java:118-120`): keeps records whose flag-analogs are
+    * both != the "1" value (values like 2 pass, as in the reference).
+    */
+  def qFilterSuccessful(spark: SparkSession, dir: String): DataFrame =
+    successful(flights(spark, dir))
+      .groupBy(col("carrier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("delay")), 2).as("total_delay"))
+      .orderBy(col("carrier"))
+
+  /** A2/A3 in isolation: per-(carrier,month) SUM and COUNT — the reference's
+    * twin 12-slot accumulators (`HCompute/...Main.java:132-142`).
+    */
+  def qGroupMonthSumCount(spark: SparkSession, dir: String): DataFrame =
+    successful(flights(spark, dir))
+      .groupBy(col("carrier"), col("month"))
+      .agg(round(sum(col("delay")), 2).as("sum_delay"),
+           count(lit(1)).as("n_flights"))
+      .orderBy(col("carrier"), col("month"))
+}
