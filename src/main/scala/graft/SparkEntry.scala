@@ -25,10 +25,35 @@ object SparkEntry {
     "q_filter_year" -> (ops.FlightOps.qFilterYear _),
     "q_filter_successful" -> (ops.FlightOps.qFilterSuccessful _),
     "q_group_month_sum_count" -> (ops.FlightOps.qGroupMonthSumCount _),
+    // Extension layer: relational operators (SURVEY.md §2.6 gaps)
+    "q_join_broadcast" -> (ops.RelationalOps.qJoinBroadcast _),
+    "q_join_sortmerge" -> (ops.RelationalOps.qJoinSortMerge _),
+    "q_join_semi" -> (ops.RelationalOps.qJoinSemi _),
+    "q_join_anti" -> (ops.RelationalOps.qJoinAnti _),
+    "q_join_range" -> (ops.RelationalOps.qJoinRange _),
+    "q_topk_per_group" -> (ops.RelationalOps.qTopkPerGroup _),
+    "q_window_running" -> (ops.RelationalOps.qWindowRunning _),
+    "q_window_analytics" -> (ops.RelationalOps.qWindowAnalytics _),
+    "q_rollup" -> (ops.RelationalOps.qRollup _),
+    "q_cube" -> (ops.RelationalOps.qCube _),
+    "q_distinct" -> (ops.RelationalOps.qDistinct _),
+    "q_set_ops" -> (ops.RelationalOps.qSetOps _),
+    "q_sort_limit" -> (ops.RelationalOps.qSortLimit _),
+    "q_scalar_string_math" -> (ops.RelationalOps.qScalarStringMath _),
+    "q_scalar_date" -> (ops.RelationalOps.qScalarDate _),
+    "q_json_extract" -> (ops.RelationalOps.qJsonExtract _),
+    "q_array_funcs" -> (ops.RelationalOps.qArrayFuncs _),
+    "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
+    "q_group_having" -> (ops.RelationalOps.qGroupHaving _),
+    // Extension layer: event-time processing
+    "q_events_tumbling" -> (ops.EventOps.qEventsTumbling _),
+    "q_events_sliding" -> (ops.EventOps.qEventsSliding _),
+    "q_events_session" -> (ops.EventOps.qEventsSession _),
+    "q_events_asof" -> (ops.EventOps.qEventsAsof _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.FlightOracles.all
+    ops.FlightOracles.all ++ ops.RelationalOracles.all ++ ops.EventOracles.all
 }

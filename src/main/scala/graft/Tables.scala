@@ -29,7 +29,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's 2^53
+      // integer range, so float division is off by ±1 microsecond.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

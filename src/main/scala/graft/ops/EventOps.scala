@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time processing over the `events` table — the streaming-style
+  * capability the reference lacks (SURVEY.md §2.6: no streaming, no
+  * windows). All four queries run the *batch* forms of Spark's event-time
+  * primitives (`window`, `session_window`, as-of ordering), which share
+  * semantics with their Structured Streaming counterparts in
+  * [[graft.streaming.EventStream]]; batch keeps them DuckDB-oracle-checkable.
+  *
+  * Timestamps are emitted as `unix_micros` BIGINTs: integer event-time
+  * microseconds are exactly representable on both engines, so no
+  * tz/precision skew can enter the hash compare.
+  *
+  * Scale: every query shuffles once on a bounded or high-cardinality key
+  * (window bucket, user_id); session windows use Spark's native
+  * SessionWindow node (sort within user partition), not a driver-side loop.
+  */
+object EventOps {
+  import graft.Tables._
+
+  /** Tumbling 1-hour event-time windows: count + sum per (window, type). */
+  def qEventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Sliding windows (1 hour long, every 30 minutes): each event lands in
+    * exactly two windows.
+    */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws"), col("n"), col("sum_value"))
+      .orderBy(col("ws"))
+
+  /** Session windows per user with a 1-hour inactivity gap. A new session
+    * starts when the gap from the previous event is >= the gap duration
+    * (Spark session window is [start, last_event + gap)).
+    */
+  def qEventsSession(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+              col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** As-of join: for each 'error' event, the most recent 'click' by the
+    * same user at-or-before it. Implemented scalably as a union + single
+    * per-user event-time sort with a running `last(click_ts)` — one shuffle
+    * on user_id, no per-row probe. (`kind` orders clicks before errors at
+    * equal timestamps, matching ASOF's ts_click <= ts_error.)
+    */
+  def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+              lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+              col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_click", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              coalesce(unix_micros(col("last_click")), lit(-1L)).as("click_ts_us"))
+      .orderBy(col("event_id"))
+  }
+}

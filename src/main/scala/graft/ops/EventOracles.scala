@@ -1,0 +1,54 @@
+package graft.ops
+
+/** DuckDB oracles for [[EventOps]]. Window starts are reconstructed with
+  * integer microsecond bucket arithmetic (`epoch_us // width * width`) —
+  * exactly Spark's window-start formula for UTC-aligned windows. Session
+  * boundaries use the gaps-and-islands lag/sum rewrite with the same
+  * `diff >= gap` new-session rule as Spark's session_window.
+  */
+object EventOracles {
+  private val H = 3600000000L  // 1 hour in microseconds
+  private val HH = 1800000000L // 30 min in microseconds
+
+  val all: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      s"""SELECT (epoch_us(ts) // $H) * $H AS ws, event_type,
+         |       count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "q_events_sliding" ->
+      s"""WITH win AS (
+         |  SELECT (epoch_us(ts) // $HH) * $HH AS ws, value FROM events
+         |  UNION ALL
+         |  SELECT (epoch_us(ts) // $HH) * $HH - $HH AS ws, value FROM events
+         |)
+         |SELECT ws, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM win GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "q_events_session" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |                (PARTITION BY user_id ORDER BY ts) >= $H
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |), s AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g
+         |)
+         |SELECT user_id, min(epoch_us(ts)) AS session_start,
+         |       count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_events_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |       coalesce(epoch_us(c.ts), -1) AS click_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}
