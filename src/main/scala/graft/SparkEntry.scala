@@ -50,10 +50,26 @@ object SparkEntry {
     "q_events_sliding" -> (ops.EventOps.qEventsSliding _),
     "q_events_session" -> (ops.EventOps.qEventsSession _),
     "q_events_asof" -> (ops.EventOps.qEventsAsof _),
+    // Extension layer: text analysis
+    "q_text_quality" -> (ops.TextOps.qTextQuality _),
+    "q_lang_id" -> (ops.TextOps.qLangId _),
+    "q_token_topk" -> (ops.TextOps.qTokenTopk _),
+    "q_doc_fingerprint" -> (ops.TextOps.qDocFingerprint _),
+    "q_bpe_token_count" -> (ops.TextOps.qBpeTokenCount _),
+    // Extension layer: deduplication
+    "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (ops.DedupOps.qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
+    "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
+    // Extension layer: similarity search
+    "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
+    "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.FlightOracles.all ++ ops.RelationalOracles.all ++ ops.EventOracles.all
+    ops.FlightOracles.all ++ ops.RelationalOracles.all ++
+      ops.EventOracles.all ++ ops.PipelineOracles.all
 }

@@ -1,0 +1,209 @@
+package graft.ops
+
+/** DuckDB oracles for [[TextOps]], [[DedupOps]] and [[SimilarityOps]].
+  *
+  * The md5-derived 60-bit hash is `CAST('0x' || substr(md5(s),1,15) AS
+  * BIGINT)` — the exact value Spark computes via `conv(_,16,10)`. MinHash
+  * permutation params are generated from the same closed-form
+  * `(j*1103515245+12345) % P` / `(j*134775813+1) % P` formulas, so the
+  * whole LSH pipeline is replicated stage by stage in SQL.
+  */
+object PipelineOracles {
+  private val P = "2147483647"
+
+  /** doc → distinct word-3-shingle CTE fragment (lang-carrying).
+    * Scalar `range()` + `list_transform` + `unnest` — DuckDB 1.0 does not
+    * allow column arguments to the generate_series table function.
+    */
+  private val SH =
+    """WITH toksrc AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |  FROM toksrc
+      |)""".stripMargin
+
+  private val JACCARD_TAIL =
+    """, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |j AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |         round(i.c::DOUBLE / (sa.n + sb.n - i.c), 6) AS jaccard
+      |  FROM inter i
+      |  JOIN sz sa ON sa.doc_id = i.doc_a
+      |  JOIN sz sb ON sb.doc_id = i.doc_b
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Map[String, String] = Map(
+    // ---- TextOps ----
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+        |  round(len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks), 6) AS stop_ratio,
+        |  round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 6) AS avg_token_len,
+        |  round((len(list_distinct(toks))::DOUBLE / len(toks)) *
+        |        (1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a'))::DOUBLE / len(toks)), 6) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS en_hits,
+        |    len(list_filter(toks, x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS de_hits,
+        |    len(list_filter(toks, x -> x = 'le' OR x = 'la' OR x = 'et')) AS fr_hits,
+        |    len(list_filter(toks, x -> x = 'el' OR x = 'los' OR x = 'y')) AS es_hits
+        |  FROM t)
+        |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_token_topk" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  md5(text) AS fp_md5,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60,
+        |  CAST(('0x' || substr(md5(array_to_string(toks[1:8], ' ')), 1, 15)) AS BIGINT) AS prefix_fp60
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ---- DedupOps ----
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""$SH, inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)$JACCARD_TAIL""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""$SH, hs AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $P AS h
+         |  FROM sh
+         |), sig AS (
+         |  SELECT doc_id, lang, j,
+         |         min((((j::BIGINT * 1103515245 + 12345) % $P) * h +
+         |              ((j::BIGINT * 134775813 + 1) % $P)) % $P) AS mh
+         |  FROM hs, generate_series(1, 32) t(j)
+         |  GROUP BY 1, 2, 3
+         |), bands AS (
+         |  SELECT doc_id, lang, (j - 1) // 4 AS band_id,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+         |  FROM sig GROUP BY 1, 2, 3
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.lang = b.lang AND a.band_id = b.band_id
+         |   AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2
+         |)$JACCARD_TAIL""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang, tok, count(*) AS c FROM
+        |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2, 3
+        |), th AS (
+        |  SELECT doc_id, lang, c,
+        |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM tc
+        |), bsum AS (
+        |  SELECT doc_id, lang, j,
+        |         sum(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS s
+        |  FROM th, generate_series(0, 59) t(j)
+        |  GROUP BY 1, 2, 3
+        |), fp AS (
+        |  SELECT doc_id, lang,
+        |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+        |  FROM bsum GROUP BY 1, 2
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_dot_product(a.v, b.v) / (sqrt(a.nrm) * sqrt(b.nrm)), 3) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (sqrt(a.nrm) * sqrt(b.nrm)), 3) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // ---- SimilarityOps ----
+    "q_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
+        |                    e.vec_id ASC) AS rank
+        |  FROM q JOIN e ON e.vec_id <> q.q_id)
+        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0),
+        |vc AS (
+        |  SELECT e.vec_id, e.v, e.nrm, cent.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assign AS (SELECT vec_id AS m_id, v AS mv, nrm AS mn, c_id FROM vc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.m_id,
+        |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
+        |         row_number() OVER (PARTITION BY p.q_id
+        |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
+        |                    a.m_id ASC) AS rank
+        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
+        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the text-analysis and dedup layers.
+  *
+  * All hashing is md5-derived so the DuckDB oracle can reproduce values
+  * bit-for-bit: `hash60` is the first 15 hex chars of md5 as a 60-bit
+  * BIGINT (Spark `conv(_,16,10)` == DuckDB `CAST('0x'||_ AS BIGINT)`).
+  * Everything here is pure Catalyst expressions — codegen-friendly, no
+  * UDFs, no driver-side loops.
+  */
+object TextFns {
+  /** Whitespace tokens of `text` (fixture docs are single-space separated). */
+  val toks: Column = split(col("text"), " ")
+
+  /** 60-bit deterministic hash of a string column, oracle-reproducible. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word-3-shingles of a pre-split `toks` column (docs with
+    * fewer than 3 tokens are excluded by callers on both sides).
+    */
+  val shingles: Column = expr(
+    "array_distinct(transform(sequence(0, size(toks) - 3), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
+}
+
+/** Text-analysis operators over `documents` — the language-ID / quality /
+  * token-statistics layer a training-data pipeline runs before filtering.
+  * Reference has no scalar-function surface at all (SURVEY.md §2.6); these
+  * are all single-pass, shuffle-free projections (plus one top-k agg),
+  * embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+  import graft.Tables._
+
+  /** Quality scoring: token counts, type-token ratio, stopword ratio,
+    * average token length, and a composite score. All ratios are exact
+    * rationals of small ints — bit-identical on both engines.
+    */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("toks", TextFns.toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("ttr"),
+        round(expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").cast("double")
+                / size(col("toks")), 6).as("stop_ratio"),
+        round((length(col("text")) - size(col("toks")) + 1).cast("double")
+                / size(col("toks")), 6).as("avg_token_len"),
+        round((size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) *
+                (lit(1.0) - expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").cast("double")
+                   / size(col("toks"))), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID by stopword-marker voting (n-gram-lexicon heuristic).
+    * Deterministic CASE cascade — ties resolve in en>de>fr>es order on
+    * both engines.
+    */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("toks", TextFns.toks)
+      .select(
+        col("doc_id"), col("lang"),
+        expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").as("en_hits"),
+        expr("size(filter(toks, t -> t = 'der' OR t = 'die' OR t = 'das' OR t = 'und'))").as("de_hits"),
+        expr("size(filter(toks, t -> t = 'le' OR t = 'la' OR t = 'et'))").as("fr_hits"),
+        expr("size(filter(toks, t -> t = 'el' OR t = 'los' OR t = 'y'))").as("es_hits"))
+      .withColumn("pred_lang", expr(
+        """CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+          |     WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+          |     WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+          |     WHEN es_hits > 0 THEN 'es'
+          |     ELSE 'und' END""".stripMargin))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level term frequencies, top 20 (count desc, token asc). */
+  def qTokenTopk(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(TextFns.toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  /** Document fingerprinting: full-text md5, 60-bit content hash, and a
+    * prefix (first-8-token) hash for fast prefix-blocking.
+    */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("toks", TextFns.toks)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        TextFns.hash60(col("text")).as("fp60"),
+        TextFns.hash60(concat_ws(" ", slice(col("toks"), 1, 8))).as("prefix_fp60"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
+    * runs, single punctuation) plus alpha-char mass.
+    */
+  def qBpeTokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_bpe_tokens"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
+      .orderBy(col("doc_id"))
+}
