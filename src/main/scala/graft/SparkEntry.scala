@@ -25,6 +25,7 @@ object SparkEntry {
     "q_filter_year" -> (ops.FlightOps.qFilterYear _),
     "q_filter_successful" -> (ops.FlightOps.qFilterSuccessful _),
     "q_group_month_sum_count" -> (ops.FlightOps.qGroupMonthSumCount _),
+    "q_flight_aggregator" -> (ops.FlightOps.qFlightAggregator _),
     // Extension layer: relational operators (SURVEY.md §2.6 gaps)
     "q_join_broadcast" -> (ops.RelationalOps.qJoinBroadcast _),
     "q_join_sortmerge" -> (ops.RelationalOps.qJoinSortMerge _),
@@ -65,6 +66,9 @@ object SparkEntry {
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),
+    // Extension layer: multimodal binary columns
+    "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),
+    "q_image_features" -> (ops.MultimodalOps.qImageFeatures _), // rows-only (stubbed decode)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -128,6 +128,23 @@ object FlightOps {
       .agg(count(lit(1)).as("n"), round(sum(col("delay")), 2).as("total_delay"))
       .orderBy(col("carrier"))
 
+  /** The 12-slot reducer as a typed Aggregator (SURVEY.md §7.2 M4): same
+    * result as [[qSecondary]] but computed by
+    * [[graft.functions.FlightDelayAgg]] — a custom partial-merge aggregate
+    * with the reference's accumulator layout (`HCompute/...Main.java:131-146`),
+    * emitting all 12 months including empty → 0.
+    */
+  def qFlightAggregator(spark: SparkSession, dir: String): DataFrame = {
+    val agg = udaf(graft.functions.FlightDelayAgg)
+    successful(flights(spark, dir))
+      .groupBy(col("carrier"))
+      .agg(agg(col("month"), col("delay")).as("ds"))
+      .select(col("carrier"), posexplode(col("ds")))
+      .select(col("carrier"), (col("pos") + 1).cast("int").as("month"),
+              col("col").cast("int").as("d"))
+      .orderBy(col("carrier"), col("month"))
+  }
+
   /** A2/A3 in isolation: per-(carrier,month) SUM and COUNT — the reference's
     * twin 12-slot accumulators (`HCompute/...Main.java:132-142`).
     */

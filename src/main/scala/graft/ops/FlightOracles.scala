@@ -42,6 +42,16 @@ object FlightOracles {
         |       round(sum(value), 2) AS sum_value
         |FROM events""".stripMargin,
 
+    "q_flight_aggregator" ->
+      s"""$F, a AS (
+         |  SELECT carrier, m, CAST(FLOOR(AVG(delay)) + 1 AS INT) AS d
+         |  FROM s GROUP BY carrier, m
+         |), c AS (SELECT DISTINCT carrier FROM s)
+         |SELECT c.carrier, g.m AS month, COALESCE(a.d, 0) AS d
+         |FROM c CROSS JOIN generate_series(1, 12) g(m)
+         |LEFT JOIN a ON a.carrier = c.carrier AND a.m = g.m
+         |ORDER BY c.carrier, month""".stripMargin,
+
     "q_secondary" ->
       s"""$F
          |SELECT carrier, m AS month, CAST(FLOOR(AVG(delay)) + 1 AS INT) AS d

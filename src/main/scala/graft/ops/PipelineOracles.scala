@@ -165,6 +165,12 @@ object PipelineOracles {
         |WHERE round(list_dot_product(a.v, b.v) / (sqrt(a.nrm) * sqrt(b.nrm)), 3) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // ---- MultimodalOps ---- (q_image_features is rows-only: stub decode)
+    "q_multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS blob_md5,
+        |       md5(substr(text, 1, 64)) AS head_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // ---- SimilarityOps ----
     "q_ann_bruteforce" ->
       """WITH e AS (

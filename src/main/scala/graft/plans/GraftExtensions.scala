@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.functions.CosineDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: fuse the declarative float-array dot-product fold
+  *
+  *   aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, (acc,v) -> acc+v)
+  *   aggregate(v, 0d, (acc,x) -> acc + double(x)*double(x))        (self-dot)
+  *
+  * into the native [[CosineDot]] expression. Semantics are identical
+  * (sequential double accumulation, null-element → null), but the fused
+  * form skips the intermediate zipped array allocation and stays inside
+  * whole-stage codegen — this is the hot inner loop of every similarity /
+  * ANN / embedding-dedup query, executed O(n·k) times at scale.
+  *
+  * Correctness never depends on this rule firing: the declarative fold
+  * computes the same values if the pattern drifts.
+  */
+object FuseDotProduct extends Rule[LogicalPlan] {
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isDoubleCastOf(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case c: Cast => c.dataType == DoubleType && (c.child match {
+      case u: NamedLambdaVariable => u.exprId == v.exprId
+      case _ => false
+    })
+    case _ => false
+  }
+
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case u: NamedLambdaVariable => u.exprId == v.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // zip_with form: dot(a, b)
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(mul: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0d, DoubleType),
+          LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
+        if isFloatArray(a) && isFloatArray(b) &&
+           isDoubleCastOf(mul.left, x) && isDoubleCastOf(mul.right, y) &&
+           isVar(add.left, acc) && isVar(add.right, v) && isVar(fin, facc) =>
+      CosineDot(a, b)
+    // self-dot form: aggregate(v, 0d, (acc,x) -> acc + double(x)*double(x))
+    case ArrayAggregate(
+          arr,
+          Literal(0.0d, DoubleType),
+          LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
+        if isFloatArray(arr) && isVar(add.left, acc) && isVar(fin, facc) &&
+           (add.right match {
+             case m: Multiply => isDoubleCastOf(m.left, x) && isDoubleCastOf(m.right, x)
+             case _ => false
+           }) =>
+      CosineDot(arr, arr)
+  }
+}
+
+/** Session extensions: registers the `cosine_dot` SQL function and the
+  * [[FuseDotProduct]] optimizer rule. Installed by Verify/Bench/tests via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` — the
+  * Spark-native analog of the reference's "custom machinery" surface
+  * (SURVEY.md §7.2 M4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_dot"),
+      new ExpressionInfo(classOf[CosineDot].getName, "cosine_dot"),
+      (exprs: Seq[Expression]) => CosineDot(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => FuseDotProduct)
+  }
+}
