@@ -20,7 +20,11 @@ object EventStream {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(batchSchema).parquet(s"$dir/events.parquet")
+    // File-source basePath must be a directory; the fixture table is a
+    // single file, so stream the directory with a name filter.
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

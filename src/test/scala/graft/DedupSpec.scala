@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-layer behavior on the fixtures: the planted near-duplicate pairs
+  * must be found by every near-dup method, and the sub-quadratic LSH path
+  * must agree with the exact all-pairs path.
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ngramPairs =
+    ops.DedupOps.qDedupNgramJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup: fixture has no exact duplicates (identity)") {
+    val df = ops.DedupOps.qDedupExact(spark, Sf)
+    val total = graft.Tables.documents(spark, Sf).count()
+    assert(df.count() == total)
+    assert(df.filter("n_copies > 1").count() == 0)
+  }
+
+  /** Independent driver-side recomputation of lang-blocked 3-shingle
+    * Jaccard pairs at a threshold (plain Scala, no Spark).
+    */
+  private def expectedPairs(minJ: Double): Set[(Long, Long)] = {
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val byLang = docs.toSeq.groupBy(_._2)
+    byLang.values.flatMap { ds =>
+      for {
+        (a, _, ta) <- ds
+        (b, _, tb) <- ds if a < b
+        sa = sh(ta); sb = sh(tb)
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= minJ
+      } yield (a, b)
+    }.toSet
+  }
+
+  test("ngram jaccard equals an independent driver-side recomputation") {
+    assert(ngramPairs.nonEmpty, "fixtures should contain planted near-dups")
+    assert(ngramPairs == expectedPairs(0.8))
+  }
+
+  test("minhash LSH candidates exactly reproduce the all-pairs jaccard result") {
+    val lsh = ops.DedupOps.qDedupMinhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == ngramPairs) // 100% recall on fixtures, verified candidates
+  }
+
+  test("simhash pairs (hamming <= 4) cover the very-near duplicates") {
+    // SimHash is a coarser signal than shingle Jaccard: hamming <= 4
+    // reliably captures J >= 0.95 twins; 0.8-0.95 pairs may land above it.
+    val sim = ops.DedupOps.qDedupSimhash(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val veryNear = expectedPairs(0.95)
+    assert(veryNear.nonEmpty)
+    assert(veryNear.subsetOf(sim), s"missing: ${veryNear.diff(sim)}")
+  }
+
+  test("embedding cosine near-dup: pairs ordered, cos >= 0.45, within label") {
+    val rows = ops.DedupOps.qDedupEmbeddingCosine(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getDouble(3) >= 0.45)
+    }
+  }
+}

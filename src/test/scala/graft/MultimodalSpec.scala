@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.MultimodalOps.FakeDecode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary-column plumbing: deterministic stub decode, feature schema, and
+  * full-table coverage of the mapPartitions path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("FakeDecode is deterministic and shape-correct") {
+    val bytes = "hello world, a fake image payload".getBytes("UTF-8")
+    val px1 = FakeDecode.decode(bytes)
+    val px2 = FakeDecode.decode(bytes)
+    assert(px1.map(_.toSeq).toSeq == px2.map(_.toSeq).toSeq)
+    assert(px1.length == 16 && px1.forall(_.length == 16))
+    val feats = FakeDecode.quadrantMeans(px1)
+    assert(feats.length == 4)
+    assert(feats.forall(f => f >= 0 && f <= 255))
+    // short payloads zero-pad
+    assert(FakeDecode.decode(Array.emptyByteArray).flatten.forall(_ == 0))
+  }
+
+  test("qImageFeatures covers every document with a 4-dim feature vector") {
+    val df = ops.MultimodalOps.qImageFeatures(spark, Sf)
+    val n = graft.Tables.documents(spark, Sf).count()
+    assert(df.count() == n)
+    val row = df.head()
+    assert(row.getInt(1) == 16 && row.getInt(2) == 16)
+    assert(row.getSeq[Double](4).length == 4)
+  }
+
+  test("qMultimodalMeta digests match driver-side md5") {
+    val row = ops.MultimodalOps.qMultimodalMeta(spark, Sf).head()
+    val doc = graft.Tables.documents(spark, Sf)
+      .filter(s"doc_id = ${row.getLong(0)}").head().getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("blob_md5") == md)
+    assert(row.getAs[Int]("n_bytes") == doc.getBytes("UTF-8").length)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN correctness + the custom CosineDot expression / FuseDotProduct rule. */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("brute-force top-1 matches a driver-side recomputation") {
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 5L).foreach { q =>
+      val expect = vecs.keys.filter(_ != q)
+        .maxBy(id => (cos(vecs(q), vecs(id)), -id.toDouble))
+      assert(top1(q) == expect, s"query $q")
+    }
+  }
+
+  test("IVF recall@10 vs brute force is high on fixtures") {
+    val bf = ops.SimilarityOps.qAnnBruteforce(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = ops.SimilarityOps.qAnnIvf(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = bf.keys.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / bf(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // Fixture embeddings are near-uniform (no cluster structure), the worst
+    // case for IVF: probing 2 of 10 cells still beats the 0.2 random-probe
+    // baseline by >2x. Real clustered data recalls far higher.
+    assert(mean >= 0.3, s"mean IVF recall@10 too low: $mean (probing 2/10 cells)")
+  }
+
+  test("CosineDot expression equals the declarative fold (interpreted + codegen)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val fold = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"))
+      .head().getDouble(0)
+    val native = df.select(VectorFunctions.cosineDot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(fold == 32.0 && native == 32.0)
+    // null element → null (fold semantics preserved)
+    val withNull = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineDot(
+        expr("array(cast(1.0 as float), cast(null as float))"), col("b")))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("FuseDotProduct rewrites the fold into cosine_dot in the optimized plan") {
+    val e = graft.Tables.embeddings(spark, Sf).limit(10)
+    val df = e.select(expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)").as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_dot"), s"rule did not fire:\n$optimized")
+    // and the fused plan computes the same values as the unfused fold
+    val selfDot = e.select(VectorFunctions.cosineDot(col("embedding"), col("embedding")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+           selfDot.collect().map(_.getDouble(0)).toSeq)
+  }
+}
