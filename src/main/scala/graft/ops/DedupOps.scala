@@ -74,42 +74,45 @@ object DedupOps {
     * are exact-Jaccard-verified at ≥ 0.8.
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Signature columns sig1..sig32: min over shingle hashes of (a*h+b) % P.
-    // a,b < P and h < P so a*h+b < 2^62 — no Long overflow.
-    val base = documents(spark, dir)
-      .withColumn("toks", TextFns.toks)
-      .filter(size(col("toks")) >= 3)
-      .withColumn("hs", expr(
-        s"transform(array_distinct(transform(sequence(0, size(toks) - 3), " +
-          s"i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))), " +
-          s"s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % ${P}L)"))
-    val withSig = (1 to NumPerms).foldLeft(base) { (df, j) =>
+    // Signature columns sig1..sig32: min over shingle hashes of (a*h+b) % P,
+    // a,b < P and h < P so a*h+b < 2^62 — no Long overflow. Computed as 32
+    // min-aggregates over the exploded shingle-hash relation: the md5 runs
+    // ONCE per (doc, shingle), partial aggregation collapses map-side, and
+    // one shuffle on doc_id carries only 32 longs per doc. (The tempting
+    // 32-withColumn form re-inlines the hash array into every projection —
+    // Catalyst's CollapseProject would recompute all md5s 32×.)
+    val hs = shingleIndex(spark, dir)
+      .withColumn("h", TextFns.hash60(col("s")) % P)
+    val sigAggs = (1 to NumPerms).map { j =>
       val a = (j.toLong * 1103515245L + 12345L) % P
       val b = (j.toLong * 134775813L + 1L) % P
-      df.withColumn(s"sig$j",
-        expr(s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))"))
+      min(expr(s"(${a}L * h + ${b}L) % ${P}L")).as(s"sig$j")
+    } :+ count(lit(1)).as("n") // set size rides along in the same pass
+    val withSig = hs.groupBy(col("doc_id"), col("lang"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    // One row per (doc, band) via posexplode of the 8 band keys — a single
+    // pass over the signature relation, NOT 8 unioned re-aggregations.
+    val bandKeys = (0 until NumPerms / BandRows).map { k =>
+      concat_ws(",", (1 to BandRows).map(r => col(s"sig${k * BandRows + r}")): _*)
     }
-    val bands = (0 until NumPerms / BandRows).map { k =>
-      val cols = (1 to BandRows).map(r => s"sig${k * BandRows + r}")
-      withSig.select(col("doc_id"), col("lang"), lit(k).as("band_id"),
-                     concat_ws(",", cols.map(col): _*).as("band_key"))
-    }.reduce(_ union _)
+    val bands = withSig
+      .select(col("doc_id"), col("lang"), col("n"),
+              posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
     val cand = bands.as("a")
       .join(bands.as("b"),
             col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
               col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
-    // Exact verification of candidates via the shingle index.
-    val sh = shingleIndex(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Exact verification on shingle STRINGS (hash collisions must not be
+    // able to inflate the intersection vs the string-equality oracle).
+    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("s"))
     cand
       .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
       .join(sh.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -121,19 +124,23 @@ object DedupOps {
     * ≤ 4; unrelated docs ≥ 5 on the fixtures).
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // One aggregation pass: 60 per-bit signed sums as parallel aggregate
+    // columns over the (doc, token, count) relation — no 60× bit explode.
     val tc = documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(TextFns.toks).as("tok"))
       .groupBy(col("doc_id"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .withColumn("h", TextFns.hash60(col("tok")))
+    val bitSums = (0 until 60).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN c ELSE -c END")).as(s"s$j")
+    }
     val fp = tc
-      .select(col("doc_id"), col("lang"), col("c"), col("h"),
-              explode(expr("sequence(0, 59)")).as("j"))
-      .withColumn("v", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN c ELSE -c END"))
-      .groupBy(col("doc_id"), col("lang"), col("j"))
-      .agg(sum(col("v")).as("s"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END")).as("fp"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("lang"),
+              (0 until 60).map(j =>
+                when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+                .reduce(_ + _).as("fp"))
     fp.as("a")
       .join(fp.as("b"), col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming", expr("bit_count(a.fp ^ b.fp)"))

@@ -70,8 +70,10 @@ object EventOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("kind").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Running max == most recent click (ts ascending within the frame);
+    // max is incrementally maintained, unlike last(_, ignoreNulls).
     clicks.unionByName(errors)
-      .withColumn("last_click", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_click", max(col("click_ts")).over(w))
       .filter(col("kind") === 1)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
               coalesce(unix_micros(col("last_click")), lit(-1L)).as("click_ts_us"))
