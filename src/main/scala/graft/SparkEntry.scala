@@ -66,6 +66,11 @@ object SparkEntry {
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),
+    // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
+    "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
+    "q_text_report" -> (ops.SourceSinkOps.qTextReport _),
+    "q_skew_salted_agg" -> (ops.SourceSinkOps.qSkewSaltedAgg _),
+    "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),
     "q_image_features" -> (ops.MultimodalOps.qImageFeatures _), // rows-only (stubbed decode)
@@ -75,5 +80,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.FlightOracles.all ++ ops.RelationalOracles.all ++
-      ops.EventOracles.all ++ ops.PipelineOracles.all
+      ops.EventOracles.all ++ ops.PipelineOracles.all ++
+      ops.SourceSinkOracles.all
 }

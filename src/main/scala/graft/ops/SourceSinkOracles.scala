@@ -1,0 +1,56 @@
+package graft.ops
+
+/** DuckDB oracles for [[SourceSinkOps]]. The CSV/text queries are
+  * round-trips on the Spark side; the oracle computes the same aggregate
+  * straight from the parquet fixture — equality proves the encode/decode
+  * path is lossless.
+  */
+object SourceSinkOracles {
+  /** Must stay in sync with FlightOracles.F / the report expression. */
+  private val REPORT =
+    """WITH f AS (
+      |  SELECT event_type AS carrier, year(ts) AS y, month(ts) AS m,
+      |         value AS delay,
+      |         CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |), s AS (
+      |  SELECT * FROM f WHERE y = 2024 AND k % 7 <> 0 AND k % 11 <> 0
+      |), a AS (
+      |  SELECT carrier, m, CAST(FLOOR(AVG(delay)) + 1 AS INT) AS d
+      |  FROM s GROUP BY carrier, m
+      |), p AS (
+      |  SELECT carrier, """.stripMargin +
+      (1 to 12).map(m => s"COALESCE(MAX(CASE WHEN m = $m THEN d END), 0) AS m$m")
+        .mkString(", ") +
+      """ FROM a GROUP BY carrier
+      |), lines AS (
+      |  SELECT 'AIR-' || carrier || chr(9) || """.stripMargin +
+      (1 to 12).map(m => s"printf(', ($m,%d)', m$m)").mkString(" || ") +
+      """ AS line FROM p
+      |)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q_csv_ingest" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_text_report" ->
+      s"""$REPORT
+         |SELECT count(*) AS n_lines, sum(length(line)) AS total_chars,
+         |       min(substr(line, 1, 10)) AS first_prefix
+         |FROM lines""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical/optimized plan shape assertions — the 100 TB design contracts:
+  * dimension joins broadcast, filters and projections reach the parquet
+  * scan, the dot-product rule fuses the ANN inner loop, and hot paths stay
+  * inside whole-stage codegen.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = physical(ops.RelationalOps.qJoinBroadcast(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("merge-hinted fact-fact join uses sort-merge") {
+    val p = physical(ops.RelationalOps.qJoinSortMerge(spark, Sf))
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = physical(ops.RelationalOps.qPricingSummary(spark, Sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      p.take(3000))
+  }
+
+  test("projection pruning: filter query reads only needed columns") {
+    val p = physical(ops.FlightOps.qFilterYear(spark, Sf))
+    assert(p.contains("ReadSchema"), p.take(2000))
+    assert(!p.contains("props"), "unused events.props column must be pruned")
+  }
+
+  test("FuseDotProduct fires inside the real ANN query") {
+    val opt = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("cosine_dot"), opt.take(3000))
+  }
+
+  test("flagship aggregation runs partial -> final HashAggregate (map-side combine)") {
+    // The reference ships every (month,delay) pair across the shuffle (no
+    // combiner, SURVEY.md §4); Spark's partial_sum proves map-side combine.
+    val p = physical(ops.FlightOps.qGroupMonthSumCount(spark, Sf))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("hot paths compile to whole-stage codegen") {
+    val df = ops.FlightOps.qGroupMonthSumCount(spark, Sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // WholeStageCodegen stages print as "*(n)" in the simple plan string.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(3000))
+  }
+}
