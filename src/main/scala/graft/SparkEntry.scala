@@ -33,6 +33,7 @@ object SparkEntry {
     "q_join_anti" -> (ops.RelationalOps.qJoinAnti _),
     "q_join_range" -> (ops.RelationalOps.qJoinRange _),
     "q_topk_per_group" -> (ops.RelationalOps.qTopkPerGroup _),
+    "q_topk_custom" -> (ops.RelationalOps.qTopkCustom _),
     "q_window_running" -> (ops.RelationalOps.qWindowRunning _),
     "q_window_analytics" -> (ops.RelationalOps.qWindowAnalytics _),
     "q_rollup" -> (ops.RelationalOps.qRollup _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "q_array_funcs" -> (ops.RelationalOps.qArrayFuncs _),
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_group_having" -> (ops.RelationalOps.qGroupHaving _),
+    "q_stats_agg" -> (ops.RelationalOps.qStatsAgg _),
     // Extension layer: event-time processing
     "q_events_tumbling" -> (ops.EventOps.qEventsTumbling _),
     "q_events_sliding" -> (ops.EventOps.qEventsSliding _),

@@ -106,6 +106,20 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Same top-3-per-customer result computed by the custom [[graft.plans.TopKPerKey]]
+    * operator (marker function → optimizer rewrite → two-phase physical
+    * plan with map-side bounded heaps). Oracle-equal to the window form —
+    * but the exchange carries ≤ k rows per (key, partition) instead of
+    * every row.
+    */
+  def qTopkCustom(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .filter(call_function("graft_topk",
+        col("o_custkey"), col("o_totalprice"), col("o_orderkey"), lit(3)))
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+
   /** Running (cumulative) sum with an explicit frame spec — per-customer
     * order history. Sequential in-partition summation is order-identical to
     * the oracle, so values are bit-exact.
@@ -270,6 +284,21 @@ object RelationalOps {
         round(avg(col("l_discount")), 2).as("avg_disc"),
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Statistical aggregate battery: stddev/variance/correlation/covariance
+    * and exact interpolated median in one grouped pass.
+    */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(var_samp(col("l_quantity")), 6).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_median"))
+      .orderBy(col("l_returnflag"))
 
   /** GROUP BY + HAVING (post-aggregation filter). */
   def qGroupHaving(spark: SparkSession, dir: String): DataFrame =

@@ -54,6 +54,14 @@ object RelationalOracles {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    "q_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey""".stripMargin,
+
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |       round(sum(o_totalprice) OVER (
@@ -159,6 +167,15 @@ object RelationalOracles {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+        |  round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 6) AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_group_having" ->
       """SELECT o_custkey, count(*) AS n_orders,

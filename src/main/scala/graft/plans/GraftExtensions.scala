@@ -4,9 +4,10 @@ import graft.functions.CosineDot
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 /** Optimizer rule: fuse the declarative float-array dot-product fold
   *
@@ -67,8 +68,34 @@ object FuseDotProduct extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: registers the `cosine_dot` SQL function and the
-  * [[FuseDotProduct]] optimizer rule. Installed by Verify/Bench/tests via
+/** Rewrites `Filter(graft_topk(key, order, tiebreak, k), child)` into the
+  * [[TopKPerKey]] logical operator (the marker-function route is the
+  * public-API way to introduce a custom node into an existing Dataset's
+  * plan).
+  */
+object RewriteTopKMarker extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Filter(TopKMarker(Seq(key, order, tiebreak, Literal(k: Int, IntegerType))), child) =>
+      TopKPerKey(key, order, tiebreak, k, child)
+  }
+}
+
+/** Plans [[TopKPerKey]] as partial (map-side bounded heaps) → exchange on
+  * key (from FinalTopKExec's required distribution) → final exact top-k.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(key, order, tiebreak, k, child) =>
+      FinalTopKExec(key, order, tiebreak, k,
+        PartialTopKExec(key, order, tiebreak, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Session extensions: registers the `cosine_dot` SQL function, the
+  * `graft_topk` marker, the [[FuseDotProduct]]/[[RewriteTopKMarker]]
+  * optimizer rules, and the [[TopKStrategy]] planner strategy. Installed
+  * by Verify/Bench/tests via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` — the
   * Spark-native analog of the reference's "custom machinery" surface
   * (SURVEY.md §7.2 M4).
@@ -79,6 +106,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_dot"),
       new ExpressionInfo(classOf[CosineDot].getName, "cosine_dot"),
       (exprs: Seq[Expression]) => CosineDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKMarker(exprs)))
     ext.injectOptimizerRule(_ => FuseDotProduct)
+    ext.injectOptimizerRule(_ => RewriteTopKMarker)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
