@@ -68,6 +68,7 @@ object SparkEntry {
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),
+    "q_ann_lsh" -> (ops.SimilarityOps.qAnnLsh _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

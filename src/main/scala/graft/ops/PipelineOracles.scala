@@ -188,6 +188,34 @@ object PipelineOracles {
         |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
         |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    "q_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT j, list_transform(range(1, 65), i ->
+        |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
+        |  FROM generate_series(0, 3) t(j)
+        |), e0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT e0.vec_id,
+        |         sum(CASE WHEN list_dot_product(e0.v, p.w) > 0
+        |                  THEN (1 << p.j) ELSE 0 END) AS bucket
+        |  FROM e0 CROSS JOIN planes p GROUP BY e0.vec_id
+        |), e AS (
+        |  SELECT e0.vec_id, b.bucket, e0.v, e0.nrm
+        |  FROM e0 JOIN b ON b.vec_id = e0.vec_id
+        |), q AS (SELECT vec_id AS q_id, bucket, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
+        |                    e.vec_id ASC) AS rank
+        |  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -49,6 +49,42 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Sign-LSH bucketed ANN: 4 deterministic hyperplanes (integer weights
+    * derived from md5 of "j_i", so the oracle reproduces them exactly);
+    * bucket = 4 sign bits; queries search only their own bucket. At scale
+    * the bucket id becomes the partition key — a probe touches ~1/2^planes
+    * of the data, trading recall for a bounded candidate set (plane count
+    * scales with corpus size; 4 keeps fixture buckets populated).
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    // planes[j][i] ∈ [-1000, 1000]; constant-folded once by Catalyst.
+    val planes = expr(
+      "transform(sequence(0, 3), j -> transform(sequence(1, 64), " +
+        "i -> cast(conv(substr(md5(concat(cast(j as string), '_', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000))")
+    val e = embeddings(spark, dir)
+      .withColumn("planes", planes)
+      .withColumn("bucket", expr(
+        """aggregate(transform(sequence(0, 3), j ->
+          |  CASE WHEN aggregate(zip_with(embedding, planes[j],
+          |         (x, w) -> cast(x as double) * cast(w as double)),
+          |       cast(0 as double), (acc, v) -> acc + v) > 0
+          |  THEN shiftleft(1, j) ELSE 0 END), 0, (acc, b) -> acc + b)""".stripMargin))
+      .select(col("vec_id"), col("bucket"), col("embedding"), norm2("embedding").as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+              col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 3).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVF ANN: centroids = vec_id % 50 == 0; assign all vectors to the
     * nearest centroid; queries (vec_id < 5) probe their 2 nearest cells
     * and take cosine top-10 among the cells' members.

@@ -63,6 +63,68 @@ object EventStream {
       }
   }
 
+  /** Streaming deduplication: drop duplicate event_ids within the
+    * watermark horizon — the streaming form of exact dedup (state store
+    * keeps one key per id, expired by the watermark at scale).
+    */
+  def dedupedCounts(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState: event-time sessions
+    * with a 1-hour gap, emitted when the watermark passes the session end
+    * (same semantics as EventOps.qEventsSession's session_window).
+    */
+  def userSessions(spark: SparkSession, dir: String): Dataset[Session] = {
+    import spark.implicits._
+    val GapUs = 3600000000L
+    // The watermarked ts column must reach the stateful operator; convert
+    // to micros inside the function (Instant keeps microsecond precision).
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as[Long], col("ts").as[java.time.Instant])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rowsI: Iterator[(Long, java.time.Instant)], state: GroupState[Session]) =>
+          val rows = rowsI.map { case (u, i) =>
+            (u, i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          }
+          // A session closed by a newer one emits immediately; only the
+          // open tail session waits in state (flushed by event-time
+          // timeout once the watermark passes it).
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(_._2).toList.sorted
+            var open = state.getOption
+            val closed = List.newBuilder[Session]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t < s.end_us + GapUs =>
+                  open = Some(s.copy(end_us = math.max(s.end_us, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += s
+                  open = Some(Session(uid, t, t, 1L))
+                case None =>
+                  open = Some(Session(uid, t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_us / 1000 + GapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

@@ -22,6 +22,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup-by-id preserves per-type counts (ids unique in fixture)") {
+    val streamed = EventStream.runToMemory(
+      spark, EventStream.dedupedCounts(spark, Sf), "t_dedup",
+      OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.Tables.events(spark, Sf)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessions == batch session_window (closed sessions)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventStream.runToMemory(
+      spark, EventStream.userSessions(spark, Sf).toDF(), "t_sessions",
+      OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // Driver-side replay of the emission contract: a session emits if a
+    // newer session superseded it, or if its event-time timeout (end+gap)
+    // is at or before the final watermark (max ts - 2h).
+    val GapUs = 3600000000L
+    val events = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wmUs = events.map(_._2).max - 7200000000L
+    val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Long)]) { // (start, end, n)
+        case ((s, e, n) :: tail, t) if t < e + GapUs => (s, math.max(e, t), n + 1) :: tail
+        case (acc, t) => (t, t, 1L) :: acc
+      }.reverse
+      val emitted = sessions.dropRight(1) ++ // superseded
+        sessions.lastOption.filter { case (_, e, _) => e + GapUs <= wmUs } // timed out
+      emitted.map { case (s, _, n) => (u, s, n) }
+    }.toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty, "fixture should emit at least one session")
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",
