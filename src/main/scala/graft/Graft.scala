@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Public library facade — the operators a training-data pipeline calls
+  * directly, decoupled from the driver's fixture contract. All functions
+  * take DataFrames with documented column expectations and return
+  * deterministic, sorted results. Install [[plans.GraftExtensions]] on the
+  * session (`SparkSession.builder.withExtensions(new GraftExtensions)`) to
+  * enable the native cosine_dot fusion and the graft_topk operator.
+  *
+  * Corpus DataFrames: `doc_id: LONG`, `lang: STRING` (block key),
+  * `text: STRING`. Embedding DataFrames: `vec_id: LONG`,
+  * `embedding: ARRAY<FLOAT>`, optional `label: INT` (block key).
+  */
+object Graft {
+  // dedup
+  def exactDedup(docs: DataFrame): DataFrame = ops.DedupOps.exactDedup(docs)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    ops.DedupOps.ngramJaccardPairs(docs, threshold)
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
+                      numPerms: Int = 32, bandRows: Int = 4): DataFrame =
+    ops.DedupOps.minhashLshPairs(docs, threshold, numPerms, bandRows)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    ops.DedupOps.simhashPairs(docs, maxHamming)
+  def embeddingCosinePairs(embs: DataFrame, threshold: Double = 0.45): DataFrame =
+    ops.DedupOps.embeddingCosinePairs(embs, threshold)
+
+  // similarity search
+  def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
+    ops.SimilarityOps.annBruteforce(embs, queryPred, k)
+  def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame =
+    ops.SimilarityOps.annLsh(embs, queryPred, planes, k)
+  def annIvf(embs: DataFrame, queryPred: Column, stride: Int = 50,
+             nprobe: Int = 2, k: Int = 10): DataFrame =
+    ops.SimilarityOps.annIvf(embs, queryPred, stride, nprobe, k)
+
+  // per-key top-k via the custom physical operator (requires extensions)
+  def topKPerKey(df: DataFrame, key: Column, order: Column,
+                 tiebreak: Column, k: Int): DataFrame =
+    df.filter(org.apache.spark.sql.functions.call_function(
+      "graft_topk", key, order, tiebreak, org.apache.spark.sql.functions.lit(k)))
+
+  // flight-report reproduction surface (events-shaped input, FIXTURES.md §3)
+  def flightReport(spark: SparkSession, dir: String): DataFrame =
+    ops.FlightOps.qFlightReport(spark, dir)
+}

@@ -4,24 +4,29 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Approximate-nearest-neighbor search over the `embeddings` table
-  * (`ArrayType(FloatType)`, 64-dim).
+/** Approximate-nearest-neighbor search over an embedding table
+  * (`vec_id: LONG`, `embedding: ARRAY<FLOAT>`). Parameterized library
+  * functions; the `q*` wrappers pin the oracle-checked defaults.
   *
-  * Two paths:
+  * Three paths:
   *  - Brute-force cosine top-k — the exactness baseline. The (small) query
   *    set is broadcast against the full vector table, so the scan is one
   *    pass over the big side: linear, partition-parallel, no shuffle until
   *    the per-query top-k (tiny).
-  *  - IVF (inverted-file) — the scale path: a deterministic strided sample
-  *    of vectors acts as the centroid codebook (k ≈ n/50); every vector is
-  *    assigned to its nearest centroid (one broadcast join), queries probe
-  *    only the 2 nearest cells. At 100 TB the assignment becomes the
-  *    partitioning key, so a probe touches ~2/k of the data.
+  *  - Sign-LSH buckets — deterministic random-projection planes (integer
+  *    weights from md5, oracle-reproducible); queries probe one bucket,
+  *    ~1/2^planes of the data.
+  *  - IVF (inverted-file) — a deterministic strided sample of vectors acts
+  *    as the centroid codebook (k ≈ n/stride); every vector is assigned to
+  *    its nearest centroid (one broadcast join), queries probe the nprobe
+  *    nearest cells. At 100 TB the assignment becomes the partitioning
+  *    key, so a probe touches ~nprobe/k of the data.
   *
   * Cosine is computed in double with a sequential left-to-right fold
-  * (`aggregate`/`zip_with`) — the exact summation order DuckDB's
-  * `list_dot_product` uses on DOUBLE[], so oracle values match to the ulp;
-  * output similarity is rounded to 3dp and ranking tie-breaks on vec_id.
+  * (`aggregate`/`zip_with` — fused to the native CosineDot expression by
+  * [[graft.plans.FuseDotProduct]]), the exact summation order DuckDB's
+  * `list_dot_product` uses on DOUBLE[]; output similarity is rounded to
+  * 3dp and ranking tie-breaks on vec_id.
   */
 object SimilarityOps {
   import graft.Tables._
@@ -32,70 +37,66 @@ object SimilarityOps {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
 
-  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
-  def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
-    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      .filter(col("q_id") < 5)
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-              round(col("cos"), 3).as("cos"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), round(col("cos"), 3).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Sign-LSH bucketed ANN: 4 deterministic hyperplanes (integer weights
-    * derived from md5 of "j_i", so the oracle reproduces them exactly);
-    * bucket = 4 sign bits; queries search only their own bucket. At scale
-    * the bucket id becomes the partition key — a probe touches ~1/2^planes
-    * of the data, trading recall for a bounded candidate set (plane count
-    * scales with corpus size; 4 keeps fixture buckets populated).
+  /** Brute-force cosine top-k for the query rows selected by queryPred. */
+  def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .filter(queryPred)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    topK(scored, k)
+  }
+
+  /** Sign-LSH bucketed ANN: `planes` deterministic hyperplanes (integer
+    * weights derived from md5 of "j_i", so the oracle reproduces them
+    * exactly); bucket = sign bits; queries search only their own bucket.
+    * Plane count scales with corpus size (recall/candidate-set tradeoff).
     */
-  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame = {
     // planes[j][i] ∈ [-1000, 1000]; constant-folded once by Catalyst.
-    val planes = expr(
-      "transform(sequence(0, 3), j -> transform(sequence(1, 64), " +
+    val planesExpr = expr(
+      s"transform(sequence(0, ${planes - 1}), j -> transform(sequence(1, 64), " +
         "i -> cast(conv(substr(md5(concat(cast(j as string), '_', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000))")
-    val e = embeddings(spark, dir)
-      .withColumn("planes", planes)
+    val e = embs
+      .withColumn("planes", planesExpr)
       .withColumn("bucket", expr(
-        """aggregate(transform(sequence(0, 3), j ->
+        s"""aggregate(transform(sequence(0, ${planes - 1}), j ->
           |  CASE WHEN aggregate(zip_with(embedding, planes[j],
           |         (x, w) -> cast(x as double) * cast(w as double)),
           |       cast(0 as double), (acc, v) -> acc + v) > 0
           |  THEN shiftleft(1, j) ELSE 0 END), 0, (acc, b) -> acc + b)""".stripMargin))
       .select(col("vec_id"), col("bucket"), col("embedding"), norm2("embedding").as("nrm"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("bucket"),
               col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-              round(col("cos"), 3).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    topK(scored, k)
   }
 
-  /** IVF ANN: centroids = vec_id % 50 == 0; assign all vectors to the
-    * nearest centroid; queries (vec_id < 5) probe their 2 nearest cells
-    * and take cosine top-10 among the cells' members.
+  /** IVF ANN: centroids = vec_id % stride == 0; assign all vectors to the
+    * nearest centroid; queries probe their nprobe nearest cells and take
+    * cosine top-k among the cells' members.
     */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
-    val cent = e.filter(col("vec_id") % 50 === 0)
+  def annIvf(embs: DataFrame, queryPred: Column, stride: Int = 50,
+             nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
+    val cent = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     // Nearest-centroid relation for every vector (rn = 1) and the probe
-    // list for queries (rn <= 2). One broadcast join computes both.
+    // list for queries (rn <= nprobe). One broadcast join computes both.
     val vc = e.join(broadcast(cent), lit(true))
       .withColumn("c_cos", dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
       .withColumn("rn", row_number().over(
@@ -103,18 +104,24 @@ object SimilarityOps {
     val assign = vc.filter(col("rn") === 1)
       .select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
               col("nrm").as("m_nrm"), col("c_id"))
-    val probes = vc.filter(col("vec_id") < 5 && col("rn") <= 2)
+    val probes = vc.filter(queryPred && col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"), col("c_id"))
     val scored = probes.join(assign, Seq("c_id"))
       .filter(col("m_id") =!= col("q_id"))
       .withColumn("cos", dot("q_emb", "m_emb") / (sqrt(col("q_nrm")) * sqrt(col("m_nrm"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("m_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("rank"), col("m_id").as("neighbor_id"),
-              round(col("cos"), 3).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .withColumnRenamed("m_id", "neighbor_id")
+    topK(scored, k)
   }
+
+  // ---- driver-contract wrappers (oracle-pinned defaults) ----
+
+  def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame =
+    annBruteforce(embeddings(spark, dir), col("q_id") < 5)
+
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(embeddings(spark, dir), col("vec_id") < 5)
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(embeddings(spark, dir), col("vec_id") < 5)
 }
