@@ -54,6 +54,22 @@ object MultimodalOps {
         s.toDouble / (h * h)
       }).toArray
     }
+    /** 2× box-filter downsample (the resize step of a real image op). */
+    def resizeHalf(px: Array[Array[Int]]): Array[Array[Int]] = {
+      val half = px.length / 2
+      Array.tabulate(half, half) { (r, c) =>
+        (px(2 * r)(2 * c) + px(2 * r)(2 * c + 1) +
+          px(2 * r + 1)(2 * c) + px(2 * r + 1)(2 * c + 1)) / 4
+      }
+    }
+    /** Frame sampling for a fake "video": the payload split into 64-byte
+      * frames, keeping every `stride`-th frame's mean byte value.
+      */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Array[Double] =
+      bytes.grouped(64).zipWithIndex.collect {
+        case (frame, i) if i % stride == 0 && frame.nonEmpty =>
+          frame.map(_ & 0xff).sum.toDouble / frame.length
+      }.toArray
   }
 
   /** Feature extraction over the binary column via `mapPartitions` — the
@@ -71,11 +87,15 @@ object MultimodalOps {
         // Per-partition init would go here (codec/model handle).
         it.map { b =>
           val px = FakeDecode.decode(b.payload)
-          val feats = FakeDecode.quadrantMeans(px)
-          (b.doc_id, FakeDecode.Side, FakeDecode.Side, b.payload.length, feats)
+          val resized = FakeDecode.resizeHalf(px)
+          val feats = FakeDecode.quadrantMeans(px) ++
+            resized.flatten.take(4).map(_.toDouble)
+          val frames = FakeDecode.sampleFrames(b.payload, stride = 2)
+          (b.doc_id, FakeDecode.Side, FakeDecode.Side, b.payload.length,
+            feats, frames)
         }
       }
-      .toDF("doc_id", "width", "height", "n_bytes", "features")
+      .toDF("doc_id", "width", "height", "n_bytes", "features", "frame_means")
       .orderBy(col("doc_id"))
   }
 }

@@ -22,13 +22,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(FakeDecode.decode(Array.emptyByteArray).flatten.forall(_ == 0))
   }
 
-  test("qImageFeatures covers every document with a 4-dim feature vector") {
+  test("qImageFeatures covers every document with features and frame samples") {
     val df = ops.MultimodalOps.qImageFeatures(spark, Sf)
     val n = graft.Tables.documents(spark, Sf).count()
     assert(df.count() == n)
     val row = df.head()
     assert(row.getInt(1) == 16 && row.getInt(2) == 16)
-    assert(row.getSeq[Double](4).length == 4)
+    assert(row.getSeq[Double](4).length == 8) // 4 quadrant means + 4 resized px
+    assert(row.getSeq[Double](5).nonEmpty)    // sampled frame means
+  }
+
+  test("resize and frame-sample stubs behave deterministically") {
+    val px = FakeDecode.decode(("x" * 300).getBytes("UTF-8"))
+    val half = FakeDecode.resizeHalf(px)
+    assert(half.length == 8 && half.forall(_.length == 8))
+    assert(half(0)(0) == 'x'.toInt) // uniform payload -> uniform downsample
+    val frames = FakeDecode.sampleFrames(("ab" * 200).getBytes("UTF-8"), 2)
+    assert(frames.length == 4) // 400 bytes = 7 frames (6 full + remainder), every 2nd
   }
 
   test("qMultimodalMeta digests match driver-side md5") {

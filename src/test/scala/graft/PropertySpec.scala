@@ -1,0 +1,38 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties (SURVEY.md §5.3): the A4 rounding identity over
+  * random float averages and a parse-back round-trip of the report
+  * formatter.
+  */
+class PropertySpec extends AnyFunSuite {
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: floor(x)+1 == Math.round(x + 0.5f) for all finite float averages") {
+    check(Prop.forAll(Gen.chooseNum(-1e6f, 1e6f)) { x =>
+      (math.floor(x.toDouble) + 1).toInt == Math.round(x + 0.5f)
+    })
+  }
+
+  test("property: report line formats and parses back to the same months") {
+    val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
+    val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
+    check(Prop.forAll(carrier, monthVals) { (c, ds) =>
+      // format exactly as FlightOps/A6: AIR-<c>\t, (1,d1), ..., (12,d12)
+      val line = s"AIR-$c\t" + (1 to 12).map(m => s", ($m,${ds(m - 1)})").mkString
+      val re = """AIR-(\w+)\t((?:, \(\d+,-?\d+\)){12})""".r
+      line match {
+        case re(pc, months) =>
+          val parsed = """\((\d+),(-?\d+)\)""".r.findAllMatchIn(months)
+            .map(m => (m.group(1).toInt, m.group(2).toInt)).toList
+          pc == c && parsed.map(_._1) == (1 to 12).toList && parsed.map(_._2) == ds
+        case _ => false
+      }
+    })
+  }
+}
