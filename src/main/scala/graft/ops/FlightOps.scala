@@ -56,25 +56,27 @@ object FlightOps {
     */
   private def roundedAvg(c: Column): Column = (floor(avg(c)) + 1).cast("int")
 
-  /** Flagship query (M0): filtered scan → (carrier, month) avg with floor+1
-    * rounding → 12-month pivot with 0-fill for empty months → formatted
-    * `AIR-…` report line. One shuffle for the partial/final aggregate, one
-    * tiny one for the carrier pivot.
+  /** Flagship query (M0): filtered scan → per-carrier single-pass
+    * conditional aggregation (12 month-sliced `avg` columns with floor+1
+    * rounding, empty month → 0) → formatted `AIR-…` report line.
+    *
+    * Deliberately NOT `groupBy(carrier, month).agg(...).pivot(...)`: the
+    * pivot form costs two exchanges ((carrier,month) then carrier); the
+    * conditional-aggregate form computes all 12 months in ONE partial →
+    * exchange → final pass over the scan — half the shuffle stages, and
+    * the map-side partial rows are a single 12-slot record per carrier,
+    * which is exactly the reference reducer's accumulator layout
+    * (`HCompute/...Main.java:132-141`) done Spark-natively.
     */
   def qFlightReport(spark: SparkSession, dir: String): DataFrame = {
-    val agg = successful(flights(spark, dir))
-      .groupBy(col("carrier"), col("month"))
-      .agg(roundedAvg(col("delay")).as("d"))
-    val pivoted = agg.groupBy(col("carrier"))
-      .pivot("month", 1 to 12)
-      .agg(first(col("d")))
-      .na.fill(0)
-    val renamed = (1 to 12).foldLeft(pivoted) { (df, m) =>
-      df.withColumnRenamed(m.toString, s"m$m")
+    val monthCols = (1 to 12).map { m =>
+      coalesce(roundedAvg(when(col("month") === m, col("delay"))), lit(0)).as(s"m$m")
     }
     val monthParts = (1 to 12).map(m =>
       format_string(", (%d,%d)", lit(m), col(s"m$m")))
-    renamed
+    successful(flights(spark, dir))
+      .groupBy(col("carrier"))
+      .agg(monthCols.head, monthCols.tail: _*)
       .withColumn("report",
         concat(concat(lit("AIR-"), col("carrier"), lit("\t")) +: monthParts: _*))
       .orderBy(col("carrier"))
