@@ -27,6 +27,10 @@ object Tables {
     * microsecond timestamp here so downstream operators see TimestampType.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Defensive: a caller-built session (e.g. the driver's smoke harness)
+    // may lack the flag; it is runtime-settable and required to read the
+    // TIMESTAMP(NANOS) column at all.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's 2^53
