@@ -40,6 +40,8 @@ object SparkEntry {
     "q_cube" -> (ops.RelationalOps.qCube _),
     "q_distinct" -> (ops.RelationalOps.qDistinct _),
     "q_set_ops" -> (ops.RelationalOps.qSetOps _),
+    "q_set_ops_all" -> (ops.RelationalOps.qSetOpsAll _),
+    "q_unpivot" -> (ops.RelationalOps.qUnpivot _),
     "q_sort_limit" -> (ops.RelationalOps.qSortLimit _),
     "q_scalar_string_math" -> (ops.RelationalOps.qScalarStringMath _),
     "q_scalar_date" -> (ops.RelationalOps.qScalarDate _),

@@ -200,6 +200,39 @@ object RelationalOps {
     u.union(i).union(e).select(col("op"), col("key")).orderBy(col("op"), col("key"))
   }
 
+  /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL preserve
+    * duplicate cardinality, unlike their distinct-semantics counterparts
+    * in [[qSetOps]].
+    */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val open = orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("key"))
+    val highPri = orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("key"))
+    val ea = open.exceptAll(highPri).withColumn("op", lit("except_all"))
+    val ia = open.intersectAll(highPri).withColumn("op", lit("intersect_all"))
+    ea.union(ia)
+      .groupBy(col("op"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("key"))
+  }
+
+  /** Unpivot (melt): the three lineitem charge components as long-format
+    * (measure, value) rows — the inverse of the A5 pivot.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("measure"))
+
   /** Global sort + limit (top-k): 20 most expensive orders. Spark runs this
     * as TakeOrderedAndProject — no full global sort materialization.
     */

@@ -112,6 +112,24 @@ object RelationalOracles {
         |SELECT 'except' AS op, key FROM (SELECT key FROM rich EXCEPT SELECT key FROM fin)
         |ORDER BY op, key""".stripMargin,
 
+    "q_set_ops_all" ->
+      """WITH open AS (SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'),
+        |     hp AS (SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |     tagged AS (
+        |       SELECT 'except_all' AS op, key FROM (SELECT key FROM open EXCEPT ALL SELECT key FROM hp)
+        |       UNION ALL
+        |       SELECT 'intersect_all' AS op, key FROM (SELECT key FROM open INTERSECT ALL SELECT key FROM hp))
+        |SELECT op, key, count(*) AS n FROM tagged GROUP BY op, key
+        |ORDER BY op, key""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+
     "q_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
