@@ -125,6 +125,21 @@ object EventStream {
       }
   }
 
+  /** Stream-static join: enrich the event stream with a static per-user
+    * profile (historical mean value computed batch-side). The static side
+    * is broadcast into every micro-batch — the standard dimension-
+    * enrichment shape of an ingest pipeline.
+    */
+  def enrichedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val profile = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(avg(col("value")).as("user_mean"))
+    eventsStream(spark, dir)
+      .join(broadcast(profile), Seq("user_id"))
+      .withColumn("above_mean", col("value") > col("user_mean"))
+      .groupBy(col("event_type"), col("above_mean"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

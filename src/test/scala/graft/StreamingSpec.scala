@@ -62,6 +62,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture should emit at least one session")
   }
 
+  test("stream-static broadcast join == batch join after drain") {
+    val streamed = EventStream.runToMemory(
+      spark, EventStream.enrichedCounts(spark, Sf), "t_enriched",
+      OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    val ev = graft.Tables.events(spark, Sf)
+    val profile = ev.groupBy("user_id").agg(avg("value").as("user_mean"))
+    val batch = ev.join(profile, Seq("user_id"))
+      .withColumn("above_mean", col("value") > col("user_mean"))
+      .groupBy("event_type", "above_mean").count()
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",
