@@ -78,6 +78,33 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Hive-style partitioned write + partition-pruned read: the layout that
+    * makes per-key scans touch only their directory at scale. Returns the
+    * per-partition counts read back through a pruning filter.
+    */
+  def partitionedRoundTrip(spark: SparkSession, dir: String,
+                           keep: Seq[String]): DataFrame = {
+    val target = tmp(dir, "part")
+    events(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(target)
+    spark.read.parquet(target)
+      .filter(col("event_type").isin(keep: _*)) // prunes to keep.size dirs
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Small-files compaction: rewrite a directory into ~targetFiles files
+    * (sorted within partitions for locality). The maintenance op every
+    * long-running ingest pipeline needs.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFiles: Int, sortCol: String): Unit =
+    spark.read.parquet(inDir)
+      .repartition(targetFiles)
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(outDir)
+
   /** GROUPING SETS over (status, priority) — finer control than cube:
     * only the two single-dimension granularities.
     */
