@@ -61,6 +61,7 @@ object SparkEntry {
     "q_token_topk" -> (ops.TextOps.qTokenTopk _),
     "q_doc_fingerprint" -> (ops.TextOps.qDocFingerprint _),
     "q_bpe_token_count" -> (ops.TextOps.qBpeTokenCount _),
+    "q_corpus_clean" -> (ops.TextOps.qCorpusClean _),
     // Extension layer: deduplication
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),

@@ -88,6 +88,34 @@ object PipelineOracles {
         |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_corpus_clean" ->
+      s"""$SH, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b
+         |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), drops AS (
+         |  SELECT DISTINCT i.doc_b AS doc_id
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.doc_a
+         |  JOIN sz sb ON sb.doc_id = i.doc_b
+         |  WHERE round(i.c::DOUBLE / (sa.n + sb.n - i.c), 6) >= 0.8
+         |), scored AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         (len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' '))) *
+         |         (1.0 - len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))::DOUBLE
+         |                / len(string_split(text, ' '))) AS quality
+         |  FROM documents
+         |)
+         |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |       round(avg(quality), 6) AS avg_quality
+         |FROM scored
+         |WHERE n_tokens >= 20 AND quality >= 0.3
+         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ---- DedupOps ----
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

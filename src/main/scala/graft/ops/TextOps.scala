@@ -100,6 +100,35 @@ object TextOps {
         TextFns.hash60(concat_ws(" ", slice(col("toks"), 1, 8))).as("prefix_fp60"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus cleaning — the training-data pipeline in one plan:
+    * quality gate (≥20 tokens, quality score ≥ 0.3) → near-dedup (n-gram
+    * Jaccard ≥ 0.8, lang-blocked) with a deterministic keep-min policy
+    * (any doc appearing as the greater id of a near-dup pair is dropped)
+    * → per-language corpus statistics. Composes the library operators
+    * [[DedupOps.ngramJaccardPairs]] and the quality formula of
+    * [[qTextQuality]]; every stage mirrors exactly in the oracle.
+    */
+  def qCorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val scored = docs
+      .withColumn("toks", TextFns.toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("quality",
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) *
+          (lit(1.0) - expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").cast("double")
+             / size(col("toks"))))
+      .filter(col("n_tokens") >= 20 && col("quality") >= 0.3)
+    val drops = DedupOps.ngramJaccardPairs(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    scored
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */
