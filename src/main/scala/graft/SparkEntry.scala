@@ -55,6 +55,7 @@ object SparkEntry {
     "q_events_sliding" -> (ops.EventOps.qEventsSliding _),
     "q_events_session" -> (ops.EventOps.qEventsSession _),
     "q_events_asof" -> (ops.EventOps.qEventsAsof _),
+    "q_events_interarrival" -> (ops.EventOps.qEventsInterarrival _),
     // Extension layer: text analysis
     "q_text_quality" -> (ops.TextOps.qTextQuality _),
     "q_lang_id" -> (ops.TextOps.qLangId _),

@@ -53,6 +53,22 @@ object EventOps {
               col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Inter-arrival analysis: per-user event gaps via event-time lag, then
+    * per-user mean/max gap seconds — the sessionization precursor stat.
+    */
+  def qEventsInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", (unix_micros(col("ts")) - col("prev_us")).cast("double") / 1e6)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+           round(avg(col("gap_s")), 2).as("avg_gap_s"),
+           round(max(col("gap_s")), 2).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
   /** As-of join: for each 'error' event, the most recent 'click' by the
     * same user at-or-before it. Implemented scalably as a union + single
     * per-user event-time sort with a running `last(click_ts)` — one shuffle

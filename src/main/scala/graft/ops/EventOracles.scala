@@ -43,6 +43,18 @@ object EventOracles {
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
 
+    "q_events_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |       round(avg(gap_us::DOUBLE / 1e6), 2) AS avg_gap_s,
+        |       round(max(gap_us::DOUBLE / 1e6), 2) AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_events_asof" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |       coalesce(epoch_us(c.ts), -1) AS click_ts_us
