@@ -16,24 +16,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Graft {
   // dedup
   def exactDedup(docs: DataFrame): DataFrame = ops.DedupOps.exactDedup(docs)
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    ops.DedupOps.ngramJaccardPairs(docs, threshold)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                        dfCap: Int = 50): DataFrame =
+    ops.DedupOps.ngramJaccardPairs(docs, threshold, dfCap)
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       numPerms: Int = 32, bandRows: Int = 4): DataFrame =
     ops.DedupOps.minhashLshPairs(docs, threshold, numPerms, bandRows)
   def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
     ops.DedupOps.simhashPairs(docs, maxHamming)
-  def embeddingCosinePairs(embs: DataFrame, threshold: Double = 0.45): DataFrame =
-    ops.DedupOps.embeddingCosinePairs(embs, threshold)
+  def embeddingCosinePairs(embs: DataFrame, threshold: Double = 0.45,
+                           bands: Int = 4, planesPerBand: Int = 2): DataFrame =
+    ops.DedupOps.embeddingCosinePairs(embs, threshold, bands, planesPerBand)
 
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
     ops.SimilarityOps.annBruteforce(embs, queryPred, k)
   def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame =
     ops.SimilarityOps.annLsh(embs, queryPred, planes, k)
-  def annIvf(embs: DataFrame, queryPred: Column, stride: Int = 50,
+  def annIvf(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
              nprobe: Int = 2, k: Int = 10): DataFrame =
-    ops.SimilarityOps.annIvf(embs, queryPred, stride, nprobe, k)
+    ops.SimilarityOps.annIvf(embs, queryPred, numCentroids, nprobe, k)
 
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,

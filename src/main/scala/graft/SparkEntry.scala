@@ -75,6 +75,8 @@ object SparkEntry {
     "q_ann_lsh" -> (ops.SimilarityOps.qAnnLsh _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
+    "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
+    "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),
     "q_skew_salted_agg" -> (ops.SourceSinkOps.qSkewSaltedAgg _),
     "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),

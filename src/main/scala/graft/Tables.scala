@@ -38,6 +38,21 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  /** Like [[events]] but retains the raw TIMESTAMP(NANOS) value as
+    * `ts_nanos: LONG` — a pure alias of the physical column, so range
+    * predicates on it reach the parquet scan as PushedFilters (min/max
+    * row-group pruning), which `year(ts)` over the derived timestamp can
+    * never do. Callers project `ts_nanos` away after filtering.
+    */
+  def eventsWithRawTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts_nanos", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

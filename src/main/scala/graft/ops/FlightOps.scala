@@ -40,15 +40,29 @@ object FlightOps {
     * k%11==0 — deterministic stand-ins for the "1.00"-flag columns.
     */
   private def flights(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.events(spark, dir).select(
+    graft.Tables.eventsWithRawTs(spark, dir).select(
       col("event_type").as("carrier"),
       year(col("ts")).as("year"),
       month(col("ts")).as("month"),
       col("value").as("delay"),
-      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      col("ts_nanos"))
+
+  /** Pushable twin of `year = y` (session timezone is UTC): `year()` over
+    * the derived timestamp cannot reach the parquet scan, but this raw
+    * epoch-nano range on the physical column does — row-group min/max
+    * statistics then skip every other year's data, which at 100 TB is the
+    * difference between scanning one year and scanning all of them.
+    */
+  private def tsNanosInYear(y: Int): Column = {
+    def nanos(year: Int): Long =
+      java.time.LocalDate.of(year, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toEpochSecond * 1000000000L
+    col("ts_nanos") >= nanos(y) && col("ts_nanos") < nanos(y + 1)
+  }
 
   private def successful(df: DataFrame): DataFrame =
-    df.filter(col("year") === TargetYear &&
+    df.filter(tsNanosInYear(TargetYear) && col("year") === TargetYear &&
       col("k") % 7 =!= 0 && col("k") % 11 =!= 0)
 
   /** A4 rounding: floor(avg)+1 (exact equivalent of the reference's
@@ -68,13 +82,21 @@ object FlightOps {
     * which is exactly the reference reducer's accumulator layout
     * (`HCompute/...Main.java:132-141`) done Spark-natively.
     */
-  def qFlightReport(spark: SparkSession, dir: String): DataFrame = {
+  def qFlightReport(spark: SparkSession, dir: String): DataFrame =
+    reportOf(successful(flights(spark, dir)))
+
+  /** Report body over an already-filtered flights relation with columns
+    * (carrier, month, delay) — shared by the parquet path above and the
+    * wide positional CSV path ([[SourceSinkOps.qWideCsvReport]]); the two
+    * must produce identical results (WideCsvSpec golden).
+    */
+  private[ops] def reportOf(flights: DataFrame): DataFrame = {
     val monthCols = (1 to 12).map { m =>
       coalesce(roundedAvg(when(col("month") === m, col("delay"))), lit(0)).as(s"m$m")
     }
     val monthParts = (1 to 12).map(m =>
       format_string(", (%d,%d)", lit(m), col(s"m$m")))
-    successful(flights(spark, dir))
+    flights
       .groupBy(col("carrier"))
       .agg(monthCols.head, monthCols.tail: _*)
       .withColumn("report",
@@ -116,7 +138,7 @@ object FlightOps {
   /** F1 in isolation: year-equality filter (`HCompute/...Main.java:109-111`). */
   def qFilterYear(spark: SparkSession, dir: String): DataFrame =
     flights(spark, dir)
-      .filter(col("year") === TargetYear)
+      .filter(tsNanosInYear(TargetYear) && col("year") === TargetYear)
       .select(col("carrier"), col("month"), col("delay"))
       .orderBy(col("carrier"), col("month"), col("delay"))
 

@@ -76,7 +76,9 @@ object MultimodalOps {
     * per-partition batch shape a real decoder needs (amortize model/codec
     * init per partition, stream rows). No oracle (byte-level decode is not
     * SQL-expressible); driver records a rows-only check, semantics are
-    * unit-tested in MultimodalSpec.
+    * unit-tested in MultimodalSpec. Output is all scalar columns (rounded
+    * quadrant/resized means + an md5 digest of the frame-mean list) so the
+    * driver's pandas compare can sort/hash every column.
     */
   def qImageFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -84,18 +86,26 @@ object MultimodalOps {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[Blob]
       .mapPartitions { it =>
-        // Per-partition init would go here (codec/model handle).
+        // Per-partition init goes here (codec/model handle) — one
+        // MessageDigest per partition, reset per row.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
         it.map { b =>
           val px = FakeDecode.decode(b.payload)
-          val resized = FakeDecode.resizeHalf(px)
-          val feats = FakeDecode.quadrantMeans(px) ++
-            resized.flatten.take(4).map(_.toDouble)
+          val q = FakeDecode.quadrantMeans(px).map(r6)
+          val rz = FakeDecode.resizeHalf(px).flatten.take(4)
           val frames = FakeDecode.sampleFrames(b.payload, stride = 2)
+          md.reset()
+          val framesMd5 = md.digest(frames.map(f => f"$f%.6f").mkString(",")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
           (b.doc_id, FakeDecode.Side, FakeDecode.Side, b.payload.length,
-            feats, frames)
+            q(0), q(1), q(2), q(3), rz(0), rz(1), rz(2), rz(3),
+            frames.length, framesMd5)
         }
       }
-      .toDF("doc_id", "width", "height", "n_bytes", "features", "frame_means")
+      .toDF("doc_id", "width", "height", "n_bytes",
+            "q1_mean", "q2_mean", "q3_mean", "q4_mean",
+            "rz1", "rz2", "rz3", "rz4", "n_frames", "frames_md5")
       .orderBy(col("doc_id"))
   }
 }

@@ -26,6 +26,29 @@ object PipelineOracles {
       |  FROM toksrc
       |)""".stripMargin
 
+  /** Mirror of DedupOps.ngramJaccardPairs' df-capped candidate generation
+    * + exact-verify recount: candidates come from rare shingles only
+    * (document frequency ≤ 50 within a lang block), the intersection is
+    * recounted over the FULL shingle relation.
+    */
+  private val CAND_INTER =
+    """, df AS (
+      |  SELECT lang, s FROM sh GROUP BY lang, s HAVING count(*) <= 50
+      |), rare AS (
+      |  SELECT sh.doc_id, sh.lang, sh.s
+      |  FROM sh JOIN df ON df.lang = sh.lang AND df.s = sh.s
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b
+      |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS c
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   private val JACCARD_TAIL =
     """, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |j AS (
@@ -89,13 +112,9 @@ object PipelineOracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_corpus_clean" ->
-      s"""$SH, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |  FROM sh a JOIN sh b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |), drops AS (
+      s"""$SH$CAND_INTER,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |drops AS (
          |  SELECT DISTINCT i.doc_b AS doc_id
          |  FROM inter i
          |  JOIN sz sa ON sa.doc_id = i.doc_a
@@ -109,7 +128,7 @@ object PipelineOracles {
          |                / len(string_split(text, ' '))) AS quality
          |  FROM documents
          |)
-         |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |       round(avg(quality), 6) AS avg_quality
          |FROM scored
          |WHERE n_tokens >= 20 AND quality >= 0.3
@@ -122,12 +141,7 @@ object PipelineOracles {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""$SH, inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |  FROM sh a JOIN sh b
-         |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)$JACCARD_TAIL""".stripMargin,
+      s"$SH$CAND_INTER$JACCARD_TAIL",
 
     "q_dedup_minhash_lsh" ->
       s"""$SH, hs AS (
@@ -182,15 +196,39 @@ object PipelineOracles {
         |WHERE bit_count(xor(a.fp, b.fp)) <= 4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Mirrors DedupOps.embeddingCosinePairs: 8 md5-derived planes → 4
+    // bands of 2 sign bits; candidates share a (label, band) bucket, then
+    // exact cosine verify at the 3dp-rounded threshold.
     "q_dedup_embedding_cosine" ->
-      """WITH e AS (
+      """WITH planes AS (
+        |  SELECT j, list_transform(range(1, 65), i ->
+        |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
+        |  FROM generate_series(0, 7) t(j)
+        |), e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
         |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
-        |  FROM embeddings)
-        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_dot_product(a.v, b.v) / (sqrt(a.nrm) * sqrt(b.nrm)), 3) AS cos
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) / (sqrt(a.nrm) * sqrt(b.nrm)), 3) >= 0.45
+        |  FROM embeddings
+        |), bk AS (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+        |                  THEN (1 << p.j) ELSE 0 END) AS bucket
+        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+        |), banded AS (
+        |  SELECT e.vec_id, e.label, t.j AS band_id,
+        |         (bk.bucket >> (2 * t.j)) & 3 AS band_val
+        |  FROM e JOIN bk ON bk.vec_id = e.vec_id, generate_series(0, 3) t(j)
+        |), cand AS (
+        |  SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM banded a JOIN banded b
+        |    ON a.label = b.label AND a.band_id = b.band_id
+        |   AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+        |)
+        |SELECT c.label, c.vec_a, c.vec_b,
+        |       round(list_dot_product(x.v, y.v) / (sqrt(x.nrm) * sqrt(y.nrm)), 3) AS cos
+        |FROM cand c
+        |JOIN e x ON x.vec_id = c.vec_a
+        |JOIN e y ON y.vec_id = c.vec_b
+        |WHERE round(list_dot_product(x.v, y.v) / (sqrt(x.nrm) * sqrt(y.nrm)), 3) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // ---- MultimodalOps ---- (q_image_features is rows-only: stub decode)
@@ -249,7 +287,8 @@ object PipelineOracles {
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
         |  FROM embeddings),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
         |vc AS (
         |  SELECT e.vec_id, e.v, e.nrm, cent.c_id,
         |         row_number() OVER (PARTITION BY e.vec_id

@@ -31,11 +31,31 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
   import graft.Tables._
 
-  private def norm2(v: String): Column =
+  private[ops] def norm2(v: String): Column =
     expr(s"aggregate($v, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
 
-  private def dot(a: String, b: String): Column =
+  private[ops] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+
+  /** `planes` deterministic hyperplanes with integer weights in
+    * [-1000, 1000], derived from md5 of "j_i" so the DuckDB oracle
+    * reproduces them exactly. Constant in the data → Catalyst folds it to
+    * a literal array once per plan. Shared by [[annLsh]] and
+    * [[DedupOps.embeddingCosinePairs]].
+    */
+  private[ops] def planesExpr(planes: Int): Column = expr(
+    s"transform(sequence(0, ${planes - 1}), j -> transform(sequence(1, 64), " +
+      "i -> cast(conv(substr(md5(concat(cast(j as string), '_', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000))")
+
+  /** Sign-bit bucket of `embedding` against a pre-materialized `planes`
+    * column: bit j set iff embedding · planes[j] > 0.
+    */
+  private[ops] def bucketExpr(planes: Int): Column = expr(
+    s"""aggregate(transform(sequence(0, ${planes - 1}), j ->
+      |  CASE WHEN aggregate(zip_with(embedding, planes[j],
+      |         (x, w) -> cast(x as double) * cast(w as double)),
+      |       cast(0 as double), (acc, v) -> acc + v) > 0
+      |  THEN shiftleft(1, j) ELSE 0 END), 0, (acc, b) -> acc + b)""".stripMargin)
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -63,18 +83,9 @@ object SimilarityOps {
     * Plane count scales with corpus size (recall/candidate-set tradeoff).
     */
   def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame = {
-    // planes[j][i] ∈ [-1000, 1000]; constant-folded once by Catalyst.
-    val planesExpr = expr(
-      s"transform(sequence(0, ${planes - 1}), j -> transform(sequence(1, 64), " +
-        "i -> cast(conv(substr(md5(concat(cast(j as string), '_', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000))")
     val e = embs
-      .withColumn("planes", planesExpr)
-      .withColumn("bucket", expr(
-        s"""aggregate(transform(sequence(0, ${planes - 1}), j ->
-          |  CASE WHEN aggregate(zip_with(embedding, planes[j],
-          |         (x, w) -> cast(x as double) * cast(w as double)),
-          |       cast(0 as double), (acc, v) -> acc + v) > 0
-          |  THEN shiftleft(1, j) ELSE 0 END), 0, (acc, b) -> acc + b)""".stripMargin))
+      .withColumn("planes", planesExpr(planes))
+      .withColumn("bucket", bucketExpr(planes))
       .select(col("vec_id"), col("bucket"), col("embedding"), norm2("embedding").as("nrm"))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("bucket"),
@@ -86,25 +97,40 @@ object SimilarityOps {
     topK(scored, k)
   }
 
-  /** IVF ANN: centroids = vec_id % stride == 0; assign all vectors to the
-    * nearest centroid; queries probe their nprobe nearest cells and take
-    * cosine top-k among the cells' members.
+  /** IVF ANN: a FIXED-k deterministic codebook (the numCentroids vectors
+    * with the smallest md5(vec_id) — a uniform pseudo-random sample whose
+    * size does NOT grow with n, computed as a TakeOrdered, never a full
+    * sort); assign all vectors to the nearest centroid via a broadcast of
+    * just the k centroids; queries probe their nprobe nearest cells and
+    * take cosine top-k among the cells' members.
+    *
+    * Assignment is a map-side `max_by` aggregation, not a window: the
+    * n×k broadcast-nested-loop rows partial-aggregate to one row per
+    * vector BEFORE the exchange, so the shuffle carries n rows, not n×k.
     */
-  def annIvf(embs: DataFrame, queryPred: Column, stride: Int = 50,
+  def annIvf(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
              nprobe: Int = 2, k: Int = 10): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
-    val cent = e.filter(col("vec_id") % stride === 0)
+    val cent = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    // Nearest-centroid relation for every vector (rn = 1) and the probe
-    // list for queries (rn <= nprobe). One broadcast join computes both.
-    val vc = e.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+    def withCentCos(df: DataFrame): DataFrame =
+      df.join(broadcast(cent), lit(true))
+        .withColumn("c_cos", dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+    // Nearest centroid per vector: max c_cos, ties to the lowest c_id —
+    // identical semantics to row_number(... ORDER BY c_cos DESC, c_id ASC) = 1.
+    val assign = withCentCos(e)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("m_emb"), first(col("nrm")).as("m_nrm"),
+           max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("c_id"))
+      .select(col("vec_id").as("m_id"), col("m_emb"), col("m_nrm"), col("c_id"))
+    // Probe list only for the (tiny) query set — the window runs over
+    // |queries|·k rows, never over the full corpus.
+    val probes = withCentCos(e.filter(queryPred))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
-    val assign = vc.filter(col("rn") === 1)
-      .select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
-              col("nrm").as("m_nrm"), col("c_id"))
-    val probes = vc.filter(queryPred && col("rn") <= nprobe)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"), col("c_id"))
     val scored = probes.join(assign, Seq("c_id"))

@@ -62,6 +62,97 @@ object SourceSinkOps {
            min(substring(col("value"), 1, 10)).as("first_prefix"))
   }
 
+  /** The number of columns in the reference's wide positional BTS file
+    * (~110 on-time-performance columns, addressed only by ordinal).
+    */
+  val WideCsvCols = 110
+
+  /** S1/S2 full fidelity: read a headerless ~110-column positional CSV by
+    * ordinal — the reference's ingest shape, where the schema is six
+    * ordinal constants into an unnamed record
+    * (`HCompute/src/main/java/org/northeastern/Main.java:76-81`) and the
+    * cancelled/diverted flags are float-strings parsed
+    * `(int) Float.parseFloat(...) != 1` (`:118-120`). All columns read as
+    * strings (positional schema-on-read); only the six used ordinals are
+    * projected, so Catalyst prunes the other ~104 at the scan.
+    */
+  def widePositionalFlights(spark: SparkSession, path: String,
+                            nCols: Int = WideCsvCols): DataFrame = {
+    val schema = StructType((0 until nCols).map(i => StructField(s"_c$i", StringType)))
+    spark.read.schema(schema).option("header", "false")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(path)
+      .select(
+        col("_c0").cast("int").as("year"),
+        col("_c2").cast("int").as("month"),
+        col("_c6").as("carrier"),
+        col("_c37").cast("double").as("delay"),
+        col("_c41").cast("float").cast("int").as("cancelled"),
+        col("_c43").cast("float").cast("int").as("diverted"))
+  }
+
+  /** Round-trip driver for [[widePositionalFlights]]: materialize the
+    * events fixture AS the wide positional file (year/month/carrier/delay
+    * at ordinals 0/2/6/37, the k%7 / k%11 flag analogs rendered as the
+    * BTS-style float-strings "1.00"/"0.00" at 41/43, filler elsewhere),
+    * read it back by ordinal, apply the reference's filter semantics, and
+    * emit the flagship report — which must equal the parquet-path
+    * q_flight_report bit-for-bit.
+    */
+  def qWideCsvReport(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmp(dir, "widecsv")
+    val base = events(spark, dir).select(
+      year(col("ts")).as("y"), month(col("ts")).as("m"),
+      col("event_type").as("carrier"), col("value").as("delay"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    def flag(pred: org.apache.spark.sql.Column) =
+      when(col("k").isNull, lit(null)).when(pred, lit("1.00")).otherwise(lit("0.00"))
+    val wideCols = (0 until WideCsvCols).map {
+      case 0  => col("y").cast("string").as("c0")
+      case 2  => col("m").cast("string").as("c2")
+      case 6  => col("carrier").as("c6")
+      case 37 => col("delay").cast("string").as("c37")
+      case 41 => flag(col("k") % 7 === 0).as("c41")
+      case 43 => flag(col("k") % 11 === 0).as("c43")
+      case i  => lit(s"x$i").as(s"c$i") // filler for the unused BTS columns
+    }
+    base.select(wideCols: _*)
+      .write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\\").option("header", "false")
+      .csv(target)
+    FlightOps.reportOf(
+      widePositionalFlights(spark, target)
+        .filter(col("year") === FlightOps.TargetYear &&
+                col("cancelled") =!= 1 && col("diverted") =!= 1)
+        .select(col("carrier"), col("month"), col("delay")))
+  }
+
+  /** Keyed point-lookup — the HBase get-by-row-key analog
+    * (`HPopulate/src/main/java/org/northeastern/Main.java:97-100`). The
+    * table is stored range-partitioned AND sorted by a deterministic md5
+    * surrogate key (the parquet analog of HBase's key-ordered regions):
+    * a batch-get becomes an IN predicate that pushes into the scan, and
+    * because the files are key-sorted, row-group min/max statistics skip
+    * everything but the matching key ranges — a point read touches O(1)
+    * row groups regardless of table size.
+    */
+  def qKeyedLookup(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmp(dir, "keyed")
+    events(spark, dir)
+      .withColumn("row_key", md5(col("event_id").cast("string")))
+      .select(col("row_key"), col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("row_key"))
+      .sortWithinPartitions(col("row_key"))
+      .write.mode("overwrite").parquet(target)
+    val keys = Seq(10L, 20L, 30L, 40L, 50L).map { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    spark.read.parquet(target)
+      .filter(col("row_key").isin(keys: _*))
+      .orderBy(col("event_id"))
+  }
+
   /** Skew-resistant aggregation: salt the (low-cardinality, hot) group key
     * across 16 sub-keys, partially aggregate, then combine. Result is
     * bit-identical to the direct aggregate — the oracle is the PLAIN

@@ -32,14 +32,23 @@ object SourceSinkOracles {
   val all: Map[String, String] = Map(
     "q_csv_ingest" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_text_report" ->
       s"""$REPORT
-         |SELECT count(*) AS n_lines, sum(length(line)) AS total_chars,
+         |SELECT count(*) AS n_lines, CAST(sum(length(line)) AS BIGINT) AS total_chars,
          |       min(substr(line, 1, 10)) AS first_prefix
          |FROM lines""".stripMargin,
+
+    // Wide positional CSV path must equal the parquet-path flagship.
+    "q_wide_csv_report" -> FlightOracles.all("q_flight_report"),
+
+    "q_keyed_lookup" ->
+      """SELECT md5(CAST(event_id AS VARCHAR)) AS row_key,
+        |       event_id, event_type, value
+        |FROM events WHERE event_id IN (10, 20, 30, 40, 50)
+        |ORDER BY event_id""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -23,6 +23,11 @@ import scala.collection.mutable
   * Spark's TakeOrderedAndProject, generalized per key.)
   *
   * Ordering: `order` DESC, then `tiebreak` ASC — fully deterministic.
+  *
+  * Null contract: rows whose `order` or `tiebreak` evaluates to null are
+  * SKIPPED (they can never beat a non-null entry under DESC-first ranking).
+  * This differs from `row_number().over(...)`, which ranks null rows; use
+  * `graft_topk` only on non-null ranking columns (as `q_topk_custom` does).
   */
 
 /** Boolean marker predicate: `graft_topk(key, order, tiebreak, k)`.
@@ -62,13 +67,17 @@ object TopKExec {
         case s: UTF8String => s.copy()
         case other => other
       }
-      val v = ordE.eval(row).asInstanceOf[Number].doubleValue()
-      val tb = tbE.eval(row).asInstanceOf[Number].longValue()
-      val heap = heaps.getOrElseUpdate(key, mutable.PriorityQueue.empty(heapOrd.reverse))
-      if (heap.size < k) heap.enqueue((v, tb, row.copy()))
-      else {
-        val (wv, wtb, _) = heap.head
-        if (v > wv || (v == wv && tb < wtb)) { heap.dequeue(); heap.enqueue((v, tb, row.copy())) }
+      val vRaw = ordE.eval(row)
+      val tbRaw = tbE.eval(row)
+      if (vRaw != null && tbRaw != null) { // null order/tiebreak: skip (see contract)
+        val v = vRaw.asInstanceOf[Number].doubleValue()
+        val tb = tbRaw.asInstanceOf[Number].longValue()
+        val heap = heaps.getOrElseUpdate(key, mutable.PriorityQueue.empty(heapOrd.reverse))
+        if (heap.size < k) heap.enqueue((v, tb, row.copy()))
+        else {
+          val (wv, wtb, _) = heap.head
+          if (v > wv || (v == wv && tb < wtb)) { heap.dequeue(); heap.enqueue((v, tb, row.copy())) }
+        }
       }
     }
     heaps.valuesIterator.flatMap(_.iterator.map(_._3))

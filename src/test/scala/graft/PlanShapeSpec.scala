@@ -36,6 +36,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("props"), "unused events.props column must be pruned")
   }
 
+  test("flagship year filter pushes a raw ts range into the parquet scan") {
+    // year(derived ts) is not pushable; the raw epoch-nano range twin must
+    // appear as PushedFilters so row-group min/max stats prune other years.
+    Seq(ops.FlightOps.qFlightReport(spark, Sf),
+        ops.FlightOps.qFilterYear(spark, Sf)).foreach { df =>
+      val p = physical(df)
+      assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+        p.take(3000))
+    }
+  }
+
   test("FuseDotProduct fires inside the real ANN query") {
     val opt = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
       .queryExecution.optimizedPlan.toString
