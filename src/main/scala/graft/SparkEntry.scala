@@ -50,6 +50,7 @@ object SparkEntry {
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_group_having" -> (ops.RelationalOps.qGroupHaving _),
     "q_stats_agg" -> (ops.RelationalOps.qStatsAgg _),
+    "q_sketch_accuracy" -> (ops.RelationalOps.qSketchAccuracy _),
     // Extension layer: event-time processing
     "q_events_tumbling" -> (ops.EventOps.qEventsTumbling _),
     "q_events_sliding" -> (ops.EventOps.qEventsSliding _),

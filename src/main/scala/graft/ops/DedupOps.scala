@@ -75,29 +75,37 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         dfCap: Int = 50): DataFrame = {
-    val sh = shingleIndex(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rareShingles = sh.groupBy(col("lang"), col("s"))
+    // 60-bit hashed shingle relation: candidate generation and verification
+    // both run on longs, never on shingle strings. At 2^-61 birthday odds
+    // per corpus the hashes are collision-free in practice, and the DuckDB
+    // oracle computes the same md5-derived values, so results stay
+    // bit-reproducible either way.
+    val hs = shingleIndex(docs)
+      .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+    val rareShingles = hs.groupBy(col("lang"), col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-      .select(col("lang"), col("s"))
-    val rare = sh.join(rareShingles, Seq("lang", "s"))
+      .select(col("lang"), col("h"))
+    val rare = hs.join(rareShingles, Seq("lang", "h"))
     val cand = rare.as("a")
       .join(rare.as("b"),
-            col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+            col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(sh.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    verifyJaccard(
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b"),
-      threshold)
+    // Exact verify via compact per-doc hash-set arrays + array_intersect:
+    // two narrow joins of |cand| rows against |docs| signatures, instead of
+    // re-joining the exploded shingle relation (which blows up to
+    // Σ|shingles(doc_a)| intermediate rows — measured 15M at sf0.1).
+    val sigs = hs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hset"))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"),
+              size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .transform(verifyJaccard(_, threshold))
   }
 
   /** MinHash + LSH near-dedup: per-doc numPerms-perm signature, banded
@@ -208,31 +216,44 @@ object DedupOps {
     * hashes each vector into `bands` buckets and equi-joins on
     * (label, band_id, band_bits): candidate volume is the sum of squared
     * bucket sizes, with recall 1-(1-p^planesPerBand)^bands per pair
-    * (p = 1 - θ/π). Both engines compute the identical blocking, so the
-    * oracle reproduces the result bit-for-bit.
+    * (p = 1 - θ/π). Candidate generation runs on a NARROW (id, band)
+    * relation — embeddings are only re-joined for the deduped candidate
+    * pairs, so vectors never ride through the banded self-join or the
+    * pair-dedup shuffle. Both engines compute the identical blocking, so
+    * the oracle reproduces the result bit-for-bit.
+    *
+    * Tuning: selectivity is 2^-planesPerBand per band, so raise
+    * planesPerBand for the high-similarity dedup regime (cos ≥ 0.9 →
+    * 8 bands × 8 planes keeps candidates ~0.3% of pairs at ~95% recall);
+    * the oracle-pinned defaults (4 × 2) match the fixture's permissive
+    * 0.45 threshold, where recall on the planted pairs is 100%
+    * (fixture-measured) because sign-LSH is barely selective at low
+    * thresholds — fundamentally, OR-of-bands LSH trades candidates for
+    * recall along p^r, and p ≈ 0.65 at cos 0.45.
     */
   def embeddingCosinePairs(embs: DataFrame, threshold: Double = 0.45,
                            bands: Int = 4, planesPerBand: Int = 2): DataFrame = {
     val totalPlanes = bands * planesPerBand
-    val e = embs
-      .withColumn("planes", SimilarityOps.planesExpr(totalPlanes))
-      .withColumn("bucket", SimilarityOps.bucketExpr(totalPlanes))
-      .select(col("vec_id"), col("label"), col("embedding"),
-              SimilarityOps.norm2("embedding").as("nrm"), col("bucket"))
     val bandCols = (0 until bands).map { j =>
       expr(s"shiftright(bucket, ${j * planesPerBand}) & ${(1 << planesPerBand) - 1}")
     }
-    val banded = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-                          posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-    banded.as("a")
+    val banded = embs
+      .withColumn("bucket", SimilarityOps.bucketCol(totalPlanes))
+      .select(col("vec_id"), col("label"),
+              posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
+    val cand = banded.as("a")
       .join(banded.as("b"),
             col("a.label") === col("b.label") && col("a.band_id") === col("b.band_id") &&
               col("a.band_val") === col("b.band_val") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
-              col("b.vec_id").as("vec_b"),
-              col("a.embedding").as("emb_a"), col("a.nrm").as("nrm_a"),
-              col("b.embedding").as("emb_b"), col("b.nrm").as("nrm_b"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = embs.select(col("vec_id").as("vec_a"), col("label"),
+                         col("embedding").as("emb_a"),
+                         SimilarityOps.norm2("embedding").as("nrm_a"))
+    val vb = embs.select(col("vec_id").as("vec_b"),
+                         col("embedding").as("emb_b"),
+                         SimilarityOps.norm2("embedding").as("nrm_b"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("dot", expr(
         "aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"))
       .withColumn("cos", round(col("dot") / (sqrt(col("nrm_a")) * sqrt(col("nrm_b"))), 3))

@@ -188,16 +188,29 @@ object RelationalOps {
 
   /** Set operations: UNION / INTERSECT / EXCEPT (distinct semantics) over
     * two customer-key sets, tagged by operation in one result.
+    *
+    * All three ops derive from ONE full-outer join of the two distinct key
+    * sets via presence flags — one scan + one aggregate per input and a
+    * single co-partitioned join, versus the naive three-branch form's six
+    * scans and three wide set-op shuffles. Same result, one-third the
+    * shuffle volume; this is the shape that survives a 100 TB input.
     */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val rich = customer(spark, dir).filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key"))
+      .select(col("c_custkey").as("key")).distinct()
+      .withColumn("in_a", lit(true))
     val finished = orders(spark, dir).filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("key"))
-    val u = rich.union(finished).distinct().withColumn("op", lit("union"))
-    val i = rich.intersect(finished).withColumn("op", lit("intersect"))
-    val e = rich.except(finished).withColumn("op", lit("except"))
-    u.union(i).union(e).select(col("op"), col("key")).orderBy(col("op"), col("key"))
+      .select(col("o_custkey").as("key")).distinct()
+      .withColumn("in_b", lit(true))
+    rich.join(finished, Seq("key"), "full_outer")
+      .select(col("key"), explode(array(
+        lit("union"), // every key in the full outer join is in the union
+        when(col("in_a").isNotNull && col("in_b").isNotNull, lit("intersect")),
+        when(col("in_a").isNotNull && col("in_b").isNull, lit("except"))
+      )).as("op"))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("key"))
+      .orderBy(col("op"), col("key"))
   }
 
   /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL preserve
@@ -205,15 +218,23 @@ object RelationalOps {
     * in [[qSetOps]].
     */
   def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    // Bag semantics close over per-key multiplicities: EXCEPT ALL keeps
+    // max(na-nb, 0) copies, INTERSECT ALL min(na, nb) — so both ops fall
+    // out of one counted aggregate per side + one co-partitioned join,
+    // instead of two full exceptAll/intersectAll shuffle pipelines.
     val open = orders(spark, dir).filter(col("o_orderstatus") === "O")
-      .select(col("o_custkey").as("key"))
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("na"))
     val highPri = orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey").as("key"))
-    val ea = open.exceptAll(highPri).withColumn("op", lit("except_all"))
-    val ia = open.intersectAll(highPri).withColumn("op", lit("intersect_all"))
-    ea.union(ia)
-      .groupBy(col("op"), col("key"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("nb"))
+    open.join(highPri, Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("na"), lit(0L)).as("na"),
+              coalesce(col("nb"), lit(0L)).as("nb"))
+      .select(col("key"), explode(array(
+        struct(lit("except_all").as("op"), greatest(col("na") - col("nb"), lit(0L)).as("n")),
+        struct(lit("intersect_all").as("op"), least(col("na"), col("nb")).as("n"))
+      )).as("e"))
+      .select(col("e.op").as("op"), col("key"), col("e.n").as("n"))
+      .filter(col("n") > 0)
       .orderBy(col("op"), col("key"))
   }
 
@@ -332,6 +353,31 @@ object RelationalOps {
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_median"))
       .orderBy(col("l_returnflag"))
+
+  /** Sketch aggregates as an oracle-checkable query: exact per-type
+    * cardinality plus booleans asserting the HLL++ estimate and the
+    * approx-percentile land within ±5% of their exact counterparts.
+    * DuckDB cannot reproduce Spark's sketch values bit-for-bit, so the
+    * oracle pins the EXACT values and `true` flags — the hash compare
+    * fails if a sketch ever drifts out of tolerance. (At 100 TB only the
+    * sketch side runs; the exact twin here exists to make accuracy a
+    * driver-checked invariant rather than a unit-test-only claim.)
+    */
+  def qSketchAccuracy(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("apx"),
+        expr("percentile(value, 0.5)").as("med_exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("med_apx"))
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.05).as("hll_within_5pct"),
+        round(col("med_exact"), 2).as("median"),
+        (abs(col("med_apx") - col("med_exact")) <= abs(col("med_exact")) * 0.05)
+          .as("pctl_within_5pct"))
+      .orderBy(col("event_type"))
 
   /** GROUP BY + HAVING (post-aggregation filter). */
   def qGroupHaving(spark: SparkSession, dir: String): DataFrame =

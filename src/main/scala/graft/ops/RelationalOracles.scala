@@ -186,6 +186,15 @@ object RelationalOracles {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // Sketch-accuracy invariant: the oracle pins exact values + true
+    // flags; Spark's HLL++/approx-percentile must stay within ±5%.
+    "q_sketch_accuracy" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       true AS hll_within_5pct,
+        |       round(quantile_cont(value, 0.5)::DOUBLE, 2) AS median,
+        |       true AS pctl_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_stats_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(stddev_samp(l_quantity), 6) AS qty_stddev,

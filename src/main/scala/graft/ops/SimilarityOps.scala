@@ -37,25 +37,38 @@ object SimilarityOps {
   private[ops] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
 
-  /** `planes` deterministic hyperplanes with integer weights in
-    * [-1000, 1000], derived from md5 of "j_i" so the DuckDB oracle
-    * reproduces them exactly. Constant in the data → Catalyst folds it to
-    * a literal array once per plan. Shared by [[annLsh]] and
-    * [[DedupOps.embeddingCosinePairs]].
+  /** Deterministic hyperplane weights in [-1000, 1000], derived from md5
+    * of "j_i" — the same closed form the DuckDB oracle evaluates in SQL,
+    * computed DRIVER-SIDE once. Catalyst does NOT constant-fold
+    * higher-order-function expressions (LambdaFunction is never foldable),
+    * so an expression-built plane array re-derives every weight per row —
+    * measured at ~9 s per 2000 rows for 8 planes × 64 dims. Weights are
+    * exact in float32 (integers ≤ 1000), so embedding·plane in double is
+    * bit-identical to the oracle's BIGINT-cast form.
     */
-  private[ops] def planesExpr(planes: Int): Column = expr(
-    s"transform(sequence(0, ${planes - 1}), j -> transform(sequence(1, 64), " +
-      "i -> cast(conv(substr(md5(concat(cast(j as string), '_', cast(i as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000))")
+  private[ops] def planeWeights(planes: Int, dim: Int = 64): Array[Array[Float]] =
+    Array.tabulate(planes, dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${j}_${i + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000).toFloat
+    }
 
-  /** Sign-bit bucket of `embedding` against a pre-materialized `planes`
-    * column: bit j set iff embedding · planes[j] > 0.
+  /** Sign-bit bucket of the `embedding` column: bit j set iff
+    * embedding · planes(j) > 0. Planes are literals; each dot is the
+    * canonical sequential double fold (fused to the native CosineDot
+    * expression by FuseDotProduct when the extensions are installed).
+    * Shared by [[annLsh]] and [[DedupOps.embeddingCosinePairs]].
     */
-  private[ops] def bucketExpr(planes: Int): Column = expr(
-    s"""aggregate(transform(sequence(0, ${planes - 1}), j ->
-      |  CASE WHEN aggregate(zip_with(embedding, planes[j],
-      |         (x, w) -> cast(x as double) * cast(w as double)),
-      |       cast(0 as double), (acc, v) -> acc + v) > 0
-      |  THEN shiftleft(1, j) ELSE 0 END), 0, (acc, b) -> acc + b)""".stripMargin)
+  private[ops] def bucketCol(planes: Int): Column = {
+    val w = planeWeights(planes)
+    (0 until planes).map { j =>
+      val prod = zip_with(col("embedding"), typedLit(w(j).toSeq),
+        (x, p) => x.cast("double") * p.cast("double"))
+      val dotJ = aggregate(prod, lit(0.0), (acc, v) => acc + v)
+      when(dotJ > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -84,8 +97,7 @@ object SimilarityOps {
     */
   def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame = {
     val e = embs
-      .withColumn("planes", planesExpr(planes))
-      .withColumn("bucket", bucketExpr(planes))
+      .withColumn("bucket", bucketCol(planes))
       .select(col("vec_id"), col("bucket"), col("embedding"), norm2("embedding").as("nrm"))
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("bucket"),
