@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the whole point at 100 TB):
   *  - Exact dedup is a hash groupBy — one shuffle on a 128-bit digest.
-  *  - N-gram Jaccard uses a shingle inverted-index self-join (shuffle on
-  *    shingle), never an O(n²) cross join: candidate pairs are only docs
-  *    sharing ≥1 shingle, intersections arrive pre-counted from the join.
+  *  - N-gram Jaccard uses a df-capped shingle inverted-index self-join
+  *    (shuffle on 60-bit shingle hash), never an O(n²) cross join:
+  *    candidate pairs are docs sharing ≥1 RARE shingle (bounded fan-out),
+  *    then exact-verified against compact per-doc hash-set signatures.
   *  - MinHash signatures are computed as numPerms parallel min-aggregates
   *    over the exploded shingle-hash relation (one md5 per shingle,
   *    map-side combine; NOT stacked projections — CollapseProject would
@@ -23,8 +24,8 @@ import org.apache.spark.sql.functions._
   *    perms / 8 bands × 4 rows, P(candidate) > 0.999 at J≥0.9, and
   *    candidates are exact-verified so false positives never surface.
   *  - SimHash reduces each doc to one 60-bit fingerprint via 60 parallel
-  *    aggregate columns; pairing compares fingerprints with xor/popcount
-  *    inside a block.
+  *    aggregate columns; pairing is pigeonhole Hamming-band LSH (never
+  *    all-pairs), with xor/popcount as the exact check.
   *  - All hashing derives from md5 (TextFns.hash60) so every stage is
   *    bit-reproducible in the DuckDB oracle.
   */
@@ -57,6 +58,29 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Per-doc sorted distinct 60-bit shingle-hash sets (doc_id, hset). */
+  private def hashSetSigs(hs: DataFrame): DataFrame =
+    hs.groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("hset"))
+
+  /** Exact Jaccard verify of candidate (doc_a, doc_b) pairs against the
+    * per-doc hash-set signatures via array_intersect: two narrow joins of
+    * |cand| rows against |docs| signature rows, instead of re-joining the
+    * exploded shingle relation (which blows up to Σ|shingles(doc_a)|
+    * intermediate rows — measured 15M at sf0.1). 60-bit hashes are
+    * collision-free in practice (birthday odds ~2^-61 per corpus), and
+    * the DuckDB oracle derives the same md5 values, so results stay
+    * bit-reproducible either way.
+    */
+  private def verifyByHashSets(cand: DataFrame, sigs: DataFrame,
+                               threshold: Double): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"),
+              size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .transform(verifyJaccard(_, threshold))
+
   /** Near-dedup by exact n-gram (word-3-shingle) Jaccard ≥ threshold
     * within a `lang` block, via inverted-index join.
     *
@@ -76,10 +100,8 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         dfCap: Int = 50): DataFrame = {
     // 60-bit hashed shingle relation: candidate generation and verification
-    // both run on longs, never on shingle strings. At 2^-61 birthday odds
-    // per corpus the hashes are collision-free in practice, and the DuckDB
-    // oracle computes the same md5-derived values, so results stay
-    // bit-reproducible either way.
+    // both run on longs, never on shingle strings (see verifyByHashSets on
+    // why this is exact in practice and oracle-reproducible).
     val hs = shingleIndex(docs)
       .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
     val rareShingles = hs.groupBy(col("lang"), col("h"))
@@ -93,19 +115,7 @@ object DedupOps {
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact verify via compact per-doc hash-set arrays + array_intersect:
-    // two narrow joins of |cand| rows against |docs| signatures, instead of
-    // re-joining the exploded shingle relation (which blows up to
-    // Σ|shingles(doc_a)| intermediate rows — measured 15M at sf0.1).
-    val sigs = hs.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("hset"))
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-              size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"),
-              size(col("ha")).as("na"), size(col("hb")).as("nb"))
-      .transform(verifyJaccard(_, threshold))
+    verifyByHashSets(cand, hashSetSigs(hs), threshold)
   }
 
   /** MinHash + LSH near-dedup: per-doc numPerms-perm signature, banded
@@ -115,14 +125,18 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       numPerms: Int = 32, bandRows: Int = 4): DataFrame = {
     require(numPerms % bandRows == 0, "numPerms must be a multiple of bandRows")
-    // a,b < P and h < P so a*h+b < 2^62 — no Long overflow.
-    val hs = shingleIndex(docs)
-      .withColumn("h", TextFns.hash60(col("s")) % P)
+    val hsFull = shingleIndex(docs)
+      .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+    // Perm hashes reduce mod P; a,b < P and h < P so a*h+b < 2^62 — no
+    // Long overflow. (Verification uses the FULL 60-bit hashes: the %P
+    // reduction is fine for min-hashing but would collide too often for
+    // exact intersection counting.)
+    val hs = hsFull.withColumn("h", col("h") % P)
     val sigAggs = (1 to numPerms).map { j =>
       val a = (j.toLong * 1103515245L + 12345L) % P
       val b = (j.toLong * 134775813L + 1L) % P
       min(expr(s"(${a}L * h + ${b}L) % ${P}L")).as(s"sig$j")
-    } :+ count(lit(1)).as("n") // set size rides along in the same pass
+    }
     val withSig = hs.groupBy(col("doc_id"), col("lang"))
       .agg(sigAggs.head, sigAggs.tail: _*)
     // One row per (doc, band) via posexplode of the band keys — a single
@@ -131,25 +145,15 @@ object DedupOps {
       concat_ws(",", (1 to bandRows).map(r => col(s"sig${k * bandRows + r}")): _*)
     }
     val bands = withSig
-      .select(col("doc_id"), col("lang"), col("n"),
+      .select(col("doc_id"), col("lang"),
               posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
     val cand = bands.as("a")
       .join(bands.as("b"),
             col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
               col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.n").as("na"), col("b.n").as("nb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact verification on shingle STRINGS (hash collisions must not be
-    // able to inflate the intersection vs the string-equality oracle).
-    val sh = shingleIndex(docs).select(col("doc_id"), col("s"))
-    verifyJaccard(
-      cand
-        .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
-        .join(sh.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("c")),
-      threshold)
+    verifyByHashSets(cand, hashSetSigs(hsFull), threshold)
   }
 
   /** SimHash near-dedup: 60-bit count-weighted fingerprints; pairs within
