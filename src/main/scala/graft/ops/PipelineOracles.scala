@@ -26,27 +26,37 @@ object PipelineOracles {
       |  FROM toksrc
       |)""".stripMargin
 
-  /** Mirror of DedupOps.ngramJaccardPairs' df-capped candidate generation
-    * + exact-verify recount: candidates come from rare shingles only
-    * (document frequency ≤ 50 within a lang block), the intersection is
-    * recounted over the FULL shingle relation.
+  /** Mirror of DedupOps.ngramJaccardPairs: 60-bit hashed shingle sets,
+    * prefix-filtered (|A|-⌈0.8|A|⌉+1 smallest hashes; 1e-9 slack keeps
+    * ceil off IEEE equality edges, identical on both engines) + df-capped
+    * (≤ 50) candidate generation, exact-verified via list_intersect of
+    * the full hash sets. Produces a `jac(doc_a, doc_b, jaccard)` CTE.
     */
-  private val CAND_INTER =
-    """, df AS (
-      |  SELECT lang, s FROM sh GROUP BY lang, s HAVING count(*) <= 50
+  private val HASHJ =
+    """, hsig AS (
+      |  SELECT doc_id, lang,
+      |         list_sort(list_distinct(list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hset
+      |  FROM sh GROUP BY doc_id, lang
+      |), pfx AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_slice(hset, 1, CAST(len(hset) - ceil(len(hset) * 0.8 - 1e-9) + 1 AS INT))) AS h
+      |  FROM hsig
+      |), pdf AS (
+      |  SELECT lang, h FROM pfx GROUP BY lang, h HAVING count(*) <= 50
       |), rare AS (
-      |  SELECT sh.doc_id, sh.lang, sh.s
-      |  FROM sh JOIN df ON df.lang = sh.lang AND df.s = sh.s
+      |  SELECT p.doc_id, p.lang, p.h
+      |  FROM pfx p JOIN pdf ON pdf.lang = p.lang AND pdf.h = p.h
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM rare a JOIN rare b
-      |    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
-      |), inter AS (
-      |  SELECT c.doc_a, c.doc_b, count(*) AS c
+      |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |), jac AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         round(len(list_intersect(sa.hset, sb.hset))::DOUBLE /
+      |               (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))), 6) AS jaccard
       |  FROM cand c
-      |  JOIN sh x ON x.doc_id = c.doc_a
-      |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-      |  GROUP BY 1, 2
+      |  JOIN hsig sa ON sa.doc_id = c.doc_a
+      |  JOIN hsig sb ON sb.doc_id = c.doc_b
       |)""".stripMargin
 
   private val JACCARD_TAIL =
@@ -112,14 +122,9 @@ object PipelineOracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_corpus_clean" ->
-      s"""$SH$CAND_INTER,
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      s"""$SH$HASHJ,
          |drops AS (
-         |  SELECT DISTINCT i.doc_b AS doc_id
-         |  FROM inter i
-         |  JOIN sz sa ON sa.doc_id = i.doc_a
-         |  JOIN sz sb ON sb.doc_id = i.doc_b
-         |  WHERE round(i.c::DOUBLE / (sa.n + sb.n - i.c), 6) >= 0.8
+         |  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.8
          |), scored AS (
          |  SELECT doc_id, lang, n_chars,
          |         len(string_split(text, ' ')) AS n_tokens,
@@ -141,7 +146,9 @@ object PipelineOracles {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"$SH$CAND_INTER$JACCARD_TAIL",
+      s"""$SH$HASHJ
+         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       s"""$SH, hs AS (

@@ -47,6 +47,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup pair generators are equi-joins — no cartesian/all-pairs remains") {
+    Seq("simhash" -> ops.DedupOps.qDedupSimhash(spark, Sf),
+        "embedding_cosine" -> ops.DedupOps.qDedupEmbeddingCosine(spark, Sf),
+        "ngram_jaccard" -> ops.DedupOps.qDedupNgramJaccard(spark, Sf),
+        "minhash_lsh" -> ops.DedupOps.qDedupMinhashLsh(spark, Sf)).foreach {
+      case (name, df) =>
+        val p = physical(df)
+        assert(!p.contains("CartesianProduct"), s"$name has a cartesian join")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
+
   test("FuseDotProduct fires inside the real ANN query") {
     val opt = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
       .queryExecution.optimizedPlan.toString
