@@ -71,4 +71,28 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.45)
     }
   }
+
+  test("embedding cosine LSH blocking has full recall vs all-pairs on fixtures") {
+    // Driver-side ground truth: all same-label pairs with 3dp-rounded
+    // cosine >= 0.45 (the exact semantics of the pre-LSH round-1 query).
+    // sf0.01: the sf0.001 embeddings table has no qualifying pair.
+    val sf01 = "/root/testdata/sf0.01"
+    val vecs = graft.Tables.embeddings(spark, sf01)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val truth = (for {
+      (ia, la, va) <- vecs
+      (ib, lb, vb) <- vecs
+      if la == lb && ia < ib
+      cos = BigDecimal(dot(va, vb) / math.sqrt(dot(va, va) * dot(vb, vb)))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.45
+    } yield (ia, ib)).toSet
+    val lsh = ops.DedupOps.qDedupEmbeddingCosine(spark, sf01).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(truth.nonEmpty)
+    assert(lsh == truth, s"missing: ${truth.diff(lsh)}, extra: ${lsh.diff(truth)}")
+  }
 }

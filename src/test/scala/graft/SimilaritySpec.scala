@@ -64,6 +64,13 @@ class SimilaritySpec extends AnyFunSuite {
       .select(VectorFunctions.cosineDot(
         expr("array(cast(1.0 as float), cast(null as float))"), col("b")))
     assert(withNull.head().isNullAt(0))
+    // ragged arrays → null, matching the fold (zip_with pads with nulls),
+    // so FuseDotProduct cannot change results on unequal lengths
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
+    val raggedFold = ragged.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"))
+    val raggedNative = ragged.select(VectorFunctions.cosineDot(col("a"), col("b")))
+    assert(raggedFold.head().isNullAt(0) && raggedNative.head().isNullAt(0))
   }
 
   test("FuseDotProduct rewrites the fold into cosine_dot in the optimized plan") {

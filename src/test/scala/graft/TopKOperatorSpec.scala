@@ -35,4 +35,13 @@ class TopKOperatorSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(got == Set(100L, 101L), s"got $got") // equal v -> lowest ids win
   }
+
+  test("rows with null order values are skipped, not NPE'd (documented contract)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10.0), 100L), (1L, None, 101L), (1L, Some(5.0), 102L))
+      .toDF("k", "v", "id")
+    val got = df.filter(call_function("graft_topk", col("k"), col("v"), col("id"), lit(2)))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(100L, 102L), s"got $got") // the null-v row never ranks
+  }
 }
