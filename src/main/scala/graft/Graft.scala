@@ -28,6 +28,12 @@ object Graft {
                            bands: Int = 4, planesPerBand: Int = 2): DataFrame =
     ops.DedupOps.embeddingCosinePairs(embs, threshold, bands, planesPerBand)
 
+  // corpus hygiene
+  def decontaminate(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame =
+    ops.TextOps.decontaminate(docs, benchPred, n)
+  def deterministicSample(docs: DataFrame, pct: Int = 10): DataFrame =
+    ops.TextOps.deterministicSample(docs, pct)
+
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
     ops.SimilarityOps.annBruteforce(embs, queryPred, k)

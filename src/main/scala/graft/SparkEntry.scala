@@ -64,6 +64,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> (ops.TextOps.qDocFingerprint _),
     "q_bpe_token_count" -> (ops.TextOps.qBpeTokenCount _),
     "q_corpus_clean" -> (ops.TextOps.qCorpusClean _),
+    "q_decontaminate" -> (ops.TextOps.qDecontaminate _),
+    "q_sample_deterministic" -> (ops.TextOps.qSampleDeterministic _),
     // Extension layer: deduplication
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),

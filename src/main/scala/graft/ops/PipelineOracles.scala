@@ -121,6 +121,22 @@ object PipelineOracles {
         |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+        |      FROM t),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        |FROM g JOIN bench USING (g) WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_sample_deterministic" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
     "q_corpus_clean" ->
       s"""$SH$HASHJ,
          |drops AS (

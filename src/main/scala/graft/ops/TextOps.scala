@@ -19,12 +19,15 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word-3-shingles of a pre-split `toks` column (docs with
-    * fewer than 3 tokens are excluded by callers on both sides).
+  /** Distinct word-k-grams of a pre-split `toks` column (docs with fewer
+    * than k tokens are excluded by callers on both sides).
     */
-  val shingles: Column = expr(
-    "array_distinct(transform(sequence(0, size(toks) - 3), " +
-      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
+  def kgrams(k: Int): Column = expr(
+    s"array_distinct(transform(sequence(0, size(toks) - $k), " +
+      s"i -> concat_ws(' ', ${(0 until k).map(j => s"toks[i+$j]").mkString(", ")})))")
+
+  /** Word-3-shingles — the dedup family's unit. */
+  val shingles: Column = kgrams(3)
 }
 
 /** Text-analysis operators over `documents` — the language-ID / quality /
@@ -128,6 +131,45 @@ object TextOps {
            round(avg(col("quality")), 6).as("avg_quality"))
       .orderBy(col("lang"))
   }
+
+  /** Benchmark decontamination — the training-pipeline step that flags
+    * corpus documents leaking evaluation content: any non-benchmark
+    * document sharing ≥ 1 distinct word-n-gram (n = 5) with a benchmark
+    * document, with the hit count. The benchmark n-gram set is small by
+    * construction, so it broadcasts and the corpus side is one linear
+    * pass — no shuffle of the big side at any scale.
+    */
+  def decontaminate(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame = {
+    val grams = docs
+      .withColumn("toks", TextFns.toks)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(TextFns.kgrams(n)).as("g"))
+    val bench = grams.filter(benchPred).select(col("g")).distinct()
+    grams.filter(!benchPred)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(documents(spark, dir), col("doc_id") < 10)
+
+  /** Deterministic reproducible sampling — the training-mix primitive:
+    * keep ≈pct% of documents by thresholding a content-stable hash of the
+    * key (md5 of doc_id). A pure filter: no RNG state, no shuffle,
+    * identical output under any partitioning or cluster size, and
+    * proportional per stratum in expectation; the oracle reproduces the
+    * exact same sample from the same md5 closed form.
+    */
+  def deterministicSample(docs: DataFrame, pct: Int = 10): DataFrame =
+    docs
+      .filter(pmod(TextFns.hash60(col("doc_id").cast("string")), lit(100)) < pct)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  def qSampleDeterministic(spark: SparkSession, dir: String): DataFrame =
+    deterministicSample(documents(spark, dir))
 
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
