@@ -19,6 +19,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: prefix-filtered Jaccard pairs == brute force on random corpora") {
+    import TestSpark.spark
+    import spark.implicits._
+    // Small vocab so shingles collide across docs and near-dup pairs occur;
+    // exercises the prefix-length ceil edge (doc sizes where n*0.8 is
+    // integral) and the df-cap path together.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(6, 16).flatMap(n => Gen.listOfN(n, doc))
+    val p = Prop.forAll(corpus) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+      val df = rows.toDF("doc_id", "lang", "text")
+      val got = ops.DedupOps.ngramJaccardPairs(df, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      }
+      val want = (for {
+        (a, _, ta) <- rows; (b, _, tb) <- rows
+        if a < b
+        sa = sh(ta); sb = sh(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        // mirror the 6dp rounding the operator applies before thresholding
+        if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8
+      } yield (a, b)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
