@@ -77,7 +77,8 @@ object DedupOps {
       .join(sigs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-              size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"),
+              graft.functions.SetFunctions
+                .sortedIntersectCount(col("ha"), col("hb")).cast("long").as("c"),
               size(col("ha")).as("na"), size(col("hb")).as("nb"))
       .transform(verifyJaccard(_, threshold))
 

@@ -72,6 +72,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on random sorted sets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      def set() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong).distinct.sorted
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.SetFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+    // null array -> null, like the built-in
+    val withNull = Seq((Seq(1L, 2L), null: Seq[Long])).toDF("a", "b")
+      .select(graft.functions.SetFunctions.sortedIntersectCount(col("a"), col("b")))
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("embedding cosine LSH blocking has full recall vs all-pairs on fixtures") {
     // Driver-side ground truth: all same-label pairs with 3dp-rounded
     // cosine >= 0.45 (the exact semantics of the pre-LSH round-1 query).
