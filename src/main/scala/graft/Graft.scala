@@ -33,6 +33,8 @@ object Graft {
     ops.TextOps.decontaminate(docs, benchPred, n)
   def deterministicSample(docs: DataFrame, pct: Int = 10): DataFrame =
     ops.TextOps.deterministicSample(docs, pct)
+  def chunkDocuments(docs: DataFrame, window: Int = 20, stride: Int = 15): DataFrame =
+    ops.TextOps.chunkDocuments(docs, window, stride)
 
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_corpus_clean" -> (ops.TextOps.qCorpusClean _),
     "q_decontaminate" -> (ops.TextOps.qDecontaminate _),
     "q_sample_deterministic" -> (ops.TextOps.qSampleDeterministic _),
+    "q_chunk_documents" -> (ops.TextOps.qChunkDocuments _),
     // Extension layer: deduplication
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),

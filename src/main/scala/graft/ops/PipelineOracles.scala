@@ -132,6 +132,22 @@ object PipelineOracles {
         |FROM g JOIN bench USING (g) WHERE g.doc_id >= 10
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
+    // Chunk windows mirror Spark's transform(sequence(...)): DuckDB list
+    // slicing w[a:b] is 1-based end-inclusive == Spark slice(toks, a, 20).
+    "q_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, greatest(CAST(ceil((len(w) - 20) / 15.0) AS INT), 0) + 1),
+        |           i -> struct_pack(chunk_id := i,
+        |                            chunk := array_to_string(w[i*15+1 : i*15+20], ' ')))) AS s
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(s.chunk_id AS INT) AS chunk_id,
+        |       len(string_split(s.chunk, ' ')) AS n_tokens,
+        |       md5(s.chunk) AS chunk_md5
+        |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q_sample_deterministic" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10

@@ -171,6 +171,31 @@ object TextOps {
   def qSampleDeterministic(spark: SparkSession, dir: String): DataFrame =
     deterministicSample(documents(spark, dir))
 
+  /** Context-window chunking — split each document into fixed-size token
+    * windows with overlap (the sequence-preparation stage before
+    * tokenization/packing). One `posexplode` per row over a transform of
+    * window offsets: embarrassingly parallel, no shuffle except the
+    * output ordering. Chunk count is ceil((n-window)/stride)+1 (≥ 1), so
+    * every token is covered and consecutive chunks overlap by
+    * window-stride tokens.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 20, stride: Int = 15): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .withColumn("toks", TextFns.toks)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil((size(toks) - $window) / cast($stride as double)) as int), 0)), " +
+          s"i -> concat_ws(' ', slice(toks, i * $stride + 1, $window)))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+              size(split(col("chunk"), " ")).as("n_tokens"),
+              md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def qChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(documents(spark, dir))
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */
