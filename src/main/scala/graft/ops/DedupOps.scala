@@ -96,10 +96,16 @@ object DedupOps {
     *  2. DF-CAP (worst-case bound): a shingle appearing in k prefixes
     *     yields k² join rows, so prefix entries with document frequency >
     *     dfCap are dropped — boilerplate cannot make the join quadratic
-    *     (48% of the round-1 bench was exactly that blowup). Heuristic:
-    *     a pair whose every shared prefix shingle is boilerplate is
-    *     unfindable, which real near-dup text never exhibits (DedupSpec
-    *     checks recall == 100% vs an independent all-pairs recomputation).
+    *     (48% of the round-1 bench was exactly that blowup). CONTRACT:
+    *     recall intentionally DEGRADES for pairs whose shared prefix
+    *     shingles all exceed the cap — the extreme being a cluster of
+    *     > dfCap near-identical copies of one document. That regime
+    *     belongs to the cheaper stages of the dedup family: exact copies
+    *     to [[exactDedup]], mass near-dup clusters to
+    *     [[minhashLshPairs]] (fixed-size signatures, no df sensitivity) —
+    *     the standard pipeline composition; DedupSpec pins both the
+    *     degraded ngram recall and the minhash catch on a 55-copy
+    *     cluster.
     * Candidates are then exact-verified against the full hash-set
     * signatures, so a surfaced pair's Jaccard is always the true value.
     */
@@ -198,11 +204,15 @@ object DedupOps {
               (0 until 60).map(j =>
                 when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
                 .reduce(_ + _).as("fp"))
+    // Distribute the 60 bits as evenly as possible so every band has
+    // width >= 1 for any maxHamming < 60 (a fixed ceil-width split left
+    // zero-width bands for e.g. maxHamming = 10 — a constant join key,
+    // i.e. an accidental per-lang all-pairs join).
     val nBands = maxHamming + 1
-    val bandBits = (60 + nBands - 1) / nBands // last band may be narrower
+    val widths = (0 until nBands).map(j => 60 / nBands + (if (j < 60 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nBands).map { j =>
-      val width = math.min(bandBits, 60 - j * bandBits)
-      expr(s"shiftright(fp, ${j * bandBits}) & ${(1L << width) - 1}L")
+      expr(s"shiftright(fp, ${offsets(j)}) & ${(1L << widths(j)) - 1}L")
     }
     val bands = fp.select(col("doc_id"), col("lang"), col("fp"),
                           posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))

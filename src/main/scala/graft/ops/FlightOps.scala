@@ -48,21 +48,24 @@ object FlightOps {
       get_json_object(col("props"), "$.k").cast("int").as("k"),
       col("ts_nanos"))
 
-  /** Pushable twin of `year = y` (session timezone is UTC): `year()` over
-    * the derived timestamp cannot reach the parquet scan, but this raw
-    * epoch-nano range on the physical column does — row-group min/max
-    * statistics then skip every other year's data, which at 100 TB is the
-    * difference between scanning one year and scanning all of them.
+  /** Pushable twin of `year = y`: `year()` over the derived timestamp
+    * cannot reach the parquet scan, but this raw epoch-nano range on the
+    * physical column does — row-group min/max statistics then skip every
+    * other year's data, which at 100 TB is the difference between
+    * scanning one year and scanning all of them. Bounds derive from the
+    * SESSION timezone (the same zone `year(ts)` evaluates in), so the
+    * twin stays consistent on caller-built non-UTC sessions.
     */
-  private def tsNanosInYear(y: Int): Column = {
+  private def tsNanosInYear(spark: SparkSession, y: Int): Column = {
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
     def nanos(year: Int): Long =
-      java.time.LocalDate.of(year, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+      java.time.LocalDate.of(year, 1, 1).atStartOfDay(zone)
         .toEpochSecond * 1000000000L
     col("ts_nanos") >= nanos(y) && col("ts_nanos") < nanos(y + 1)
   }
 
-  private def successful(df: DataFrame): DataFrame =
-    df.filter(tsNanosInYear(TargetYear) && col("year") === TargetYear &&
+  private def successful(spark: SparkSession, df: DataFrame): DataFrame =
+    df.filter(tsNanosInYear(spark, TargetYear) && col("year") === TargetYear &&
       col("k") % 7 =!= 0 && col("k") % 11 =!= 0)
 
   /** A4 rounding: floor(avg)+1 (exact equivalent of the reference's
@@ -83,7 +86,7 @@ object FlightOps {
     * (`HCompute/...Main.java:132-141`) done Spark-natively.
     */
   def qFlightReport(spark: SparkSession, dir: String): DataFrame =
-    reportOf(successful(flights(spark, dir)))
+    reportOf(successful(spark, flights(spark, dir)))
 
   /** Report body over an already-filtered flights relation with columns
     * (carrier, month, delay) — shared by the parquet path above and the
@@ -128,7 +131,7 @@ object FlightOps {
     * WritableComparable contract, `:42-47`). Long-format output.
     */
   def qSecondary(spark: SparkSession, dir: String): DataFrame =
-    successful(flights(spark, dir))
+    successful(spark, flights(spark, dir))
       .repartition(10, col("carrier"))
       .sortWithinPartitions(col("carrier"))
       .groupBy(col("carrier"), col("month"))
@@ -138,7 +141,7 @@ object FlightOps {
   /** F1 in isolation: year-equality filter (`HCompute/...Main.java:109-111`). */
   def qFilterYear(spark: SparkSession, dir: String): DataFrame =
     flights(spark, dir)
-      .filter(tsNanosInYear(TargetYear) && col("year") === TargetYear)
+      .filter(tsNanosInYear(spark, TargetYear) && col("year") === TargetYear)
       .select(col("carrier"), col("month"), col("delay"))
       .orderBy(col("carrier"), col("month"), col("delay"))
 
@@ -147,7 +150,7 @@ object FlightOps {
     * both != the "1" value (values like 2 pass, as in the reference).
     */
   def qFilterSuccessful(spark: SparkSession, dir: String): DataFrame =
-    successful(flights(spark, dir))
+    successful(spark, flights(spark, dir))
       .groupBy(col("carrier"))
       .agg(count(lit(1)).as("n"), round(sum(col("delay")), 2).as("total_delay"))
       .orderBy(col("carrier"))
@@ -160,7 +163,7 @@ object FlightOps {
     */
   def qFlightAggregator(spark: SparkSession, dir: String): DataFrame = {
     val agg = udaf(graft.functions.FlightDelayAgg)
-    successful(flights(spark, dir))
+    successful(spark, flights(spark, dir))
       .groupBy(col("carrier"))
       .agg(agg(col("month"), col("delay")).as("ds"))
       .select(col("carrier"), posexplode(col("ds")))
@@ -173,7 +176,7 @@ object FlightOps {
     * twin 12-slot accumulators (`HCompute/...Main.java:132-142`).
     */
   def qGroupMonthSumCount(spark: SparkSession, dir: String): DataFrame =
-    successful(flights(spark, dir))
+    successful(spark, flights(spark, dir))
       .groupBy(col("carrier"), col("month"))
       .agg(round(sum(col("delay")), 2).as("sum_delay"),
            count(lit(1)).as("n_flights"))

@@ -96,8 +96,11 @@ object MultimodalOps {
           val rz = FakeDecode.resizeHalf(px).flatten.take(4)
           val frames = FakeDecode.sampleFrames(b.payload, stride = 2)
           md.reset()
-          val framesMd5 = md.digest(frames.map(f => f"$f%.6f").mkString(",")
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+          // Locale.ROOT: executor JVMs with e.g. a comma-decimal default
+          // locale must not change the digest.
+          val framesMd5 = md.digest(frames
+            .map(f => String.format(java.util.Locale.ROOT, "%.6f", Double.box(f)))
+            .mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
           (b.doc_id, FakeDecode.Side, FakeDecode.Side, b.payload.length,
             q(0), q(1), q(2), q(3), rz(0), rz(1), rz(2), rz(3),
             frames.length, framesMd5)

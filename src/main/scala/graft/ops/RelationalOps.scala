@@ -196,14 +196,16 @@ object RelationalOps {
     * shuffle volume; this is the shape that survives a 100 TB input.
     */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    // <=> join: Spark's set operators use null-safe equality (a null key
+    // on both sides intersects), so the join-based rewrite must too.
     val rich = customer(spark, dir).filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("key")).distinct()
+      .select(col("c_custkey").as("ka")).distinct()
       .withColumn("in_a", lit(true))
     val finished = orders(spark, dir).filter(col("o_orderstatus") === "F")
-      .select(col("o_custkey").as("key")).distinct()
+      .select(col("o_custkey").as("kb")).distinct()
       .withColumn("in_b", lit(true))
-    rich.join(finished, Seq("key"), "full_outer")
-      .select(col("key"), explode(array(
+    rich.join(finished, col("ka") <=> col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("key"), explode(array(
         lit("union"), // every key in the full outer join is in the union
         when(col("in_a").isNotNull && col("in_b").isNotNull, lit("intersect")),
         when(col("in_a").isNotNull && col("in_b").isNull, lit("except"))
@@ -223,11 +225,12 @@ object RelationalOps {
     // out of one counted aggregate per side + one co-partitioned join,
     // instead of two full exceptAll/intersectAll shuffle pipelines.
     val open = orders(spark, dir).filter(col("o_orderstatus") === "O")
-      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("na"))
+      .groupBy(col("o_custkey").as("ka")).agg(count(lit(1)).as("na"))
     val highPri = orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
-      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("nb"))
-    open.join(highPri, Seq("key"), "full_outer")
-      .select(col("key"), coalesce(col("na"), lit(0L)).as("na"),
+      .groupBy(col("o_custkey").as("kb")).agg(count(lit(1)).as("nb"))
+    open.join(highPri, col("ka") <=> col("kb"), "full_outer") // null-safe: see qSetOps
+      .select(coalesce(col("ka"), col("kb")).as("key"),
+              coalesce(col("na"), lit(0L)).as("na"),
               coalesce(col("nb"), lit(0L)).as("nb"))
       .select(col("key"), explode(array(
         struct(lit("except_all").as("op"), greatest(col("na") - col("nb"), lit(0L)).as("n")),

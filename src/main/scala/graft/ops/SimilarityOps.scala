@@ -48,9 +48,7 @@ object SimilarityOps {
     */
   private[ops] def planeWeights(planes: Int, dim: Int = 64): Array[Array[Float]] =
     Array.tabulate(planes, dim) { (j, i) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${j}_${i + 1}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      val hex = TextFns.md5Hex(s"${j}_${i + 1}")
       (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000).toFloat
     }
 

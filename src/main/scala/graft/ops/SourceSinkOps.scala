@@ -144,10 +144,7 @@ object SourceSinkOps {
       .repartitionByRange(8, col("row_key"))
       .sortWithinPartitions(col("row_key"))
       .write.mode("overwrite").parquet(target)
-    val keys = Seq(10L, 20L, 30L, 40L, 50L).map { id =>
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+    val keys = Seq(10L, 20L, 30L, 40L, 50L).map(id => TextFns.md5Hex(id.toString))
     spark.read.parquet(target)
       .filter(col("row_key").isin(keys: _*))
       .orderBy(col("event_id"))

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * UDFs, no driver-side loops.
   */
 object TextFns {
+  /** Driver-side md5 hex digest — the Scala twin of the engines' md5()
+    * SQL function, shared by every driver-side hash derivation (LSH plane
+    * weights, keyed-lookup keys, frame digests) so all call sites stay
+    * bit-identical to the oracle's closed form by construction.
+    */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Whitespace tokens of `text` (fixture docs are single-space separated). */
   val toks: Column = split(col("text"), " ")
 
@@ -181,6 +190,7 @@ object TextOps {
     */
   def chunkDocuments(docs: DataFrame, window: Int = 20, stride: Int = 15): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    require(stride <= window, "stride > window would leave uncovered token gaps")
     docs
       .withColumn("toks", TextFns.toks)
       .select(col("doc_id"), posexplode(expr(

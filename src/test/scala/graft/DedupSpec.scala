@@ -72,6 +72,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("df-cap contract: mass-dup clusters are ngram-missed but caught downstream") {
+    import spark.implicits._
+    // 55 near-identical copies (> dfCap=50): most shared prefix shingles
+    // exceed the cap, so ngram recall DEGRADES (only pairs still sharing
+    // an under-cap prefix shingle survive — 1081 of 1485 here, via the
+    // shingle whose prefix-df dropped to 47 by displacement). The cluster
+    // regime belongs to the other stages: minhash-LSH (df-insensitive
+    // signatures) finds the pairs, and exact dedup collapses fully
+    // identical copies.
+    val base = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 55).map(i => (i.toLong, "en", s"$base extra$i"))
+      .toDF("doc_id", "lang", "text")
+    val ngramFound = ops.DedupOps.ngramJaccardPairs(near, 0.8).count()
+    assert(ngramFound < 1485, "above-cap cluster must show degraded ngram recall")
+    val mh = ops.DedupOps.minhashLshPairs(near, 0.8).collect()
+    assert(mh.length > 1400, s"minhash found ${mh.length} of 1485 pairs")
+    mh.foreach(r => assert(r.getDouble(2) == 0.92)) // J = 23/25 exactly
+    val ident = (0 until 55).map(i => (i.toLong, "en", base))
+      .toDF("doc_id", "lang", "text")
+    val ex = ops.DedupOps.exactDedup(ident).head()
+    assert(ex.getLong(1) == 55) // one digest group holding every copy
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on random sorted sets") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -22,9 +22,11 @@ class PropertySpec extends AnyFunSuite {
   test("property: prefix-filtered Jaccard pairs == brute force on random corpora") {
     import TestSpark.spark
     import spark.implicits._
-    // Small vocab so shingles collide across docs and near-dup pairs occur;
-    // exercises the prefix-length ceil edge (doc sizes where n*0.8 is
-    // integral) and the df-cap path together.
+    // Small vocab so shingles collide across docs and near-dup pairs
+    // occur; exercises the prefix-length ceil edge (doc sizes where n*0.8
+    // is integral). Corpora stay under dfCap, so this property is the
+    // EXACT-recall regime; the deliberate above-cap miss is pinned
+    // separately in DedupSpec's mass-dup contract test.
     val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
     val doc = Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
     val corpus = Gen.chooseNum(6, 16).flatMap(n => Gen.listOfN(n, doc))
