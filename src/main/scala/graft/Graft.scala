@@ -27,6 +27,8 @@ object Graft {
   def embeddingCosinePairs(embs: DataFrame, threshold: Double = 0.45,
                            bands: Int = 4, planesPerBand: Int = 2): DataFrame =
     ops.DedupOps.embeddingCosinePairs(embs, threshold, bands, planesPerBand)
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    ops.DedupOps.dedupClusters(pairs, maxIters)
 
   // corpus hygiene
   def decontaminate(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame =

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (ops.DedupOps.qDedupMinhashLsh _),
     "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
+    "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),

@@ -287,6 +287,52 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components over an undirected near-dup pair relation —
+    * the step that turns pairwise matches into dedup clusters (keep the
+    * min-id doc per cluster, drop the rest). Pregel-style min-label
+    * propagation: each round every vertex adopts the smallest label among
+    * itself and its neighbors, converging in O(component diameter)
+    * rounds. Driver-COORDINATED but never driver-computed: each round is
+    * one co-partitioned join + aggregate over the edge relation, with the
+    * label set persisted between rounds to cut lineage — the GraphX-free
+    * Spark shape of iterative graph fixpoints. Near-dup components are
+    * shallow (near-duplicates of a doc are near-duplicates of each
+    * other), so rounds stay in single digits at any corpus size.
+    *
+    * Input: (doc_a, doc_b [, ...]) pairs. Output: (doc_id, cluster_id =
+    * min doc_id of the component) for every doc appearing in ≥ 1 pair.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -303,4 +349,7 @@ object DedupOps {
 
   def qDedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     embeddingCosinePairs(embeddings(spark, dir))
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(ngramJaccardPairs(documents(spark, dir)))
 }

@@ -182,6 +182,21 @@ object PipelineOracles {
          |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Connected components of the near-dup pair graph via a recursive
+    // reachability closure (tiny: closure is per-component quadratic and
+    // dedup components are small); cluster id = min reachable doc_id.
+    "q_dedup_clusters" ->
+      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")}$HASHJ,
+         |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+         |)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "q_dedup_minhash_lsh" ->
       s"""$SH, hs AS (
          |  SELECT doc_id, lang,

@@ -64,6 +64,15 @@ class DedupSpec extends AnyFunSuite {
     assert(veryNear.subsetOf(sim), s"missing: ${veryNear.diff(sim)}")
   }
 
+  test("dedupClusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // chain 1-2-3 (diameter 2, needs >1 round), pair 5-6, plus 8-9 via 9-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 8L)).toDF("doc_a", "doc_b")
+    val got = ops.DedupOps.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("embedding cosine near-dup: pairs ordered, cos >= 0.45, within label") {
     val rows = ops.DedupOps.qDedupEmbeddingCosine(spark, Sf).collect()
     rows.foreach { r =>
