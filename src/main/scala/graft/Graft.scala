@@ -29,6 +29,8 @@ object Graft {
     ops.DedupOps.embeddingCosinePairs(embs, threshold, bands, planesPerBand)
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     ops.DedupOps.dedupClusters(pairs, maxIters)
+  def dedupApply(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    ops.DedupOps.dedupApply(docs, pairs, maxIters)
 
   // corpus hygiene
   def decontaminate(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame =
@@ -37,6 +39,12 @@ object Graft {
     ops.TextOps.deterministicSample(docs, pct)
   def chunkDocuments(docs: DataFrame, window: Int = 20, stride: Int = 15): DataFrame =
     ops.TextOps.chunkDocuments(docs, window, stride)
+  def repetitionScore(docs: DataFrame): DataFrame =
+    ops.TextOps.repetitionScore(docs)
+  def quotaSample(docs: DataFrame, quota: Int = 40): DataFrame =
+    ops.TextOps.quotaSample(docs, quota)
+  def packShards(docs: DataFrame, budgetChars: Long = 20000L, bucketSize: Int = 256): DataFrame =
+    ops.TextOps.packShards(docs, budgetChars, bucketSize)
 
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =

@@ -67,6 +67,9 @@ object SparkEntry {
     "q_decontaminate" -> (ops.TextOps.qDecontaminate _),
     "q_sample_deterministic" -> (ops.TextOps.qSampleDeterministic _),
     "q_chunk_documents" -> (ops.TextOps.qChunkDocuments _),
+    "q_repetition_score" -> (ops.TextOps.qRepetitionScore _),
+    "q_quota_sample" -> (ops.TextOps.qQuotaSample _),
+    "q_shard_pack" -> (ops.TextOps.qShardPack _),
     // Extension layer: deduplication
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),
@@ -74,6 +77,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),
+    "q_dedup_apply" -> (ops.DedupOps.qDedupApply _),
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),

@@ -333,6 +333,21 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Apply near-dup clusters to the corpus: keep one canonical document
+    * (the min-id member) per cluster, drop the rest. The dropped set is
+    * a vanishing fraction of the corpus (only non-canonical members of
+    * multi-doc clusters), so the anti-join broadcasts it and the corpus
+    * side never shuffles — one linear pass at any scale.
+    */
+  def dedupApply(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val dropped = dedupClusters(pairs, maxIters)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -352,4 +367,7 @@ object DedupOps {
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(documents(spark, dir)))
+
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupApply(documents(spark, dir), ngramJaccardPairs(documents(spark, dir)))
 }

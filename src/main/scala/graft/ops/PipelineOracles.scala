@@ -153,6 +153,43 @@ object PipelineOracles {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.repetitionScore: dup ratio = 1 - distinct/total for
+    // words and word-2/3-grams (range(1,n) is end-exclusive, so counts
+    // match Spark's size(toks)-k+1 totals exactly).
+    "q_repetition_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id,
+        |  round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_ratio,
+        |  round(1.0 - len(list_distinct(list_transform(range(1, len(w)),
+        |          i -> w[i] || ' ' || w[i+1])))::DOUBLE / (len(w) - 1), 6) AS dup_2gram_ratio,
+        |  round(1.0 - len(list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))::DOUBLE / (len(w) - 2), 6) AS dup_3gram_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.quotaSample (graft_topk ranks rscore DESC, doc_id ASC).
+    "q_quota_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS rscore
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, rscore,
+        |         row_number() OVER (PARTITION BY lang ORDER BY rscore DESC, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, rscore FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
+    // n_chars in doc_id order / 20000). The oracle's single global window
+    // is fine at oracle scale; the Spark side computes the same prefix
+    // sum distributed (bucketed two-phase).
+    "q_shard_pack" ->
+      """SELECT doc_id, n_chars,
+        |  CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - n_chars) // 20000 AS BIGINT) AS shard_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_corpus_clean" ->
       s"""$SH$HASHJ,
          |drops AS (
@@ -196,6 +233,24 @@ object PipelineOracles {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM r GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // Mirrors DedupOps.dedupApply: drop every non-canonical (≠ min-id)
+    // member of each near-dup component, keep the rest of the corpus.
+    "q_dedup_apply" ->
+      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")}$HASHJ,
+         |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+         |),
+         |dropped AS (
+         |  SELECT a AS doc_id FROM r GROUP BY a HAVING a > least(a, min(b))
+         |)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
       s"""$SH, hs AS (

@@ -206,6 +206,93 @@ object TextOps {
   def qChunkDocuments(spark: SparkSession, dir: String): DataFrame =
     chunkDocuments(documents(spark, dir))
 
+  /** Repetition scoring (Gopher-style quality filter): the fraction of
+    * duplicated words / 2-grams / 3-grams per document. Boilerplate and
+    * templated spam score high; prose scores low. Pure projection over the
+    * existing k-gram primitives (`kgrams` is distinct by construction, so
+    * dup ratio = 1 - distinct/total) — shuffle-free, embarrassingly
+    * parallel at 100 TB. Ratios are exact small-int rationals rounded to
+    * 6dp, bit-identical on both engines.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextFns.toks)
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+                / size(col("toks")), 6).as("dup_word_ratio"),
+        round(lit(1.0) - size(TextFns.kgrams(2)).cast("double")
+                / (size(col("toks")) - 1), 6).as("dup_2gram_ratio"),
+        round(lit(1.0) - size(TextFns.kgrams(3)).cast("double")
+                / (size(col("toks")) - 2), 6).as("dup_3gram_ratio"))
+      .orderBy(col("doc_id"))
+
+  def qRepetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScore(documents(spark, dir))
+
+  /** Per-language quota sampling — the training-mix primitive that caps
+    * each stratum at `quota` documents, chosen by a content-stable
+    * pseudo-random rank (md5 of doc_id mod 1e6, exactly representable in
+    * double so the physical operator's double-keyed heap is exact).
+    * Runs on the custom `graft_topk` operator: bounded k-row map-side
+    * heaps mean the exchange carries ≤ quota·|langs| rows per input
+    * partition — at 100 TB the shuffle is tiny regardless of corpus
+    * size, where the `row_number().over(lang)` form would sort every
+    * row of every language partition (and skew on the dominant
+    * language). Ties (hash collisions in the 1e6 space) break on
+    * doc_id, mirroring the oracle's ORDER BY rank DESC, doc_id ASC.
+    */
+  def quotaSample(docs: DataFrame, quota: Int = 40): DataFrame =
+    docs
+      .withColumn("rscore", pmod(TextFns.hash60(col("doc_id").cast("string")), lit(1000000L)))
+      .filter(call_function("graft_topk",
+        col("lang"), col("rscore"), col("doc_id"), lit(quota)))
+      .select(col("doc_id"), col("lang"), col("rscore"))
+      .orderBy(col("doc_id"))
+
+  def qQuotaSample(spark: SparkSession, dir: String): DataFrame =
+    quotaSample(documents(spark, dir))
+
+  /** Token-budget shard packing — assign documents (in doc_id order) to
+    * consecutive output shards of ≈`budgetChars` characters: the step
+    * that turns a cleaned corpus into training shards. shard_id =
+    * floor(exclusive-prefix-sum(n_chars) / budget), computed as a
+    * DISTRIBUTED two-phase prefix sum: (1) a window cumsum WITHIN each
+    * `doc_id div bucketSize` bucket (parallel across buckets), (2)
+    * bucket totals cumsummed on the tiny n/bucketSize-row relation and
+    * broadcast back as offsets. Nothing global is single-partition
+    * except the bucket-totals pass, which is bucketSize× smaller than
+    * the input (recurse the same construction for another bucketSize×
+    * if n/bucketSize is ever itself too large). The naive
+    * `sum().over(Window.orderBy(doc_id))` would serialize the entire
+    * corpus through ONE partition — the classic global-window trap.
+    */
+  def packShards(docs: DataFrame, budgetChars: Long = 20000L,
+                 bucketSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val within = b.withColumn("pfx_within",
+      sum(col("n_chars")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_chars"))
+    val offsets = b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("btot"))
+      .withColumn("offset", coalesce(
+        sum(col("btot")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("offset"))
+    within.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_chars"),
+              expr(s"(offset + pfx_within) div $budgetChars").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qShardPack(spark: SparkSession, dir: String): DataFrame =
+    packShards(documents(spark, dir))
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */

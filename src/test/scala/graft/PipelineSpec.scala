@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-pipeline stage behavior: shard packing, quota sampling,
+  * repetition scoring, and cluster-apply dedup.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("packShards: distributed two-phase prefix sum == global-window form") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val got = ops.TextOps.packShards(docs, budgetChars = 20000L, bucketSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("pfx", sum(col("n_chars")).over(w))
+      .selectExpr("doc_id", "(pfx - n_chars) div 20000 as shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+  }
+
+  test("packShards: shards are contiguous and stay within budget + one doc") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val rows = ops.TextOps.packShards(docs, budgetChars = 20000L, bucketSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxDoc = rows.map(_._2).max
+    val byShard = rows.groupBy(_._3)
+    val ids = byShard.keySet
+    assert(ids == (0L until ids.size).toSet, "shard ids must be dense from 0")
+    byShard.foreach { case (sid, ds) =>
+      val tot = ds.map(_._2).sum
+      assert(tot < 20000L + maxDoc, s"shard $sid overflows: $tot chars")
+    }
+    // doc order is preserved: each shard's doc_id range is disjoint & ordered
+    val ranges = byShard.toSeq.sortBy(_._1).map { case (_, ds) =>
+      (ds.map(_._1).min, ds.map(_._1).max)
+    }
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+  }
+
+  test("quotaSample: per-lang counts capped at quota, equals window form") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val got = ops.TextOps.quotaSample(docs, quota = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val perLang = got.groupBy(_._2).view.mapValues(_.size)
+    val langTotals = docs.groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    langTotals.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(40L, n),
+        s"lang $lang: got ${perLang.getOrElse(lang, 0)} of $n")
+    }
+    val w = Window.partitionBy("lang").orderBy(col("rscore").desc, col("doc_id"))
+    val ref = docs
+      .withColumn("rscore", pmod(ops.TextFns.hash60(col("doc_id").cast("string")), lit(1000000L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 40)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+    assert(got == ref)
+  }
+
+  test("repetitionScore: hand-computed ratios on crafted docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "x y x y x"))
+      .toDF("doc_id", "text")
+    val got = ops.TextOps.repetitionScore(docs).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: words 4→1 distinct; 2-grams 3→1; 3-grams 2→1
+    assert(got(1L) == ((0.75, 0.666667, 0.5)))
+    // doc 2: no repetition anywhere
+    assert(got(2L) == ((0.0, 0.0, 0.0)))
+    // doc 3: words 5→2; 2-grams 4→2 ("x y","y x"); 3-grams 3→2
+    assert(got(3L) == ((0.6, 0.5, 0.333333)))
+  }
+
+  test("dedupApply: keeps min-id member per cluster, all singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 11L), (3L, "en", 12L),
+      (4L, "de", 13L), (5L, "de", 14L), (6L, "de", 15L))
+      .toDF("doc_id", "lang", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = ops.DedupOps.dedupApply(docs, pairs).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+}
