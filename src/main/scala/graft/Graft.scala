@@ -41,6 +41,8 @@ object Graft {
     ops.TextOps.chunkDocuments(docs, window, stride)
   def repetitionScore(docs: DataFrame): DataFrame =
     ops.TextOps.repetitionScore(docs)
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    ops.TextOps.tfidfTopTerms(docs, k)
   def quotaSample(docs: DataFrame, quota: Int = 40): DataFrame =
     ops.TextOps.quotaSample(docs, quota)
   def packShards(docs: DataFrame, budgetChars: Long = 20000L, bucketSize: Int = 256): DataFrame =
@@ -54,6 +56,8 @@ object Graft {
   def annIvf(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
              nprobe: Int = 2, k: Int = 10): DataFrame =
     ops.SimilarityOps.annIvf(embs, queryPred, numCentroids, nprobe, k)
+  def quantizeEmbeddings(embs: DataFrame): DataFrame =
+    ops.SimilarityOps.quantizeEmbeddings(embs)
 
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,

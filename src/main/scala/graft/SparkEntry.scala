@@ -68,6 +68,7 @@ object SparkEntry {
     "q_sample_deterministic" -> (ops.TextOps.qSampleDeterministic _),
     "q_chunk_documents" -> (ops.TextOps.qChunkDocuments _),
     "q_repetition_score" -> (ops.TextOps.qRepetitionScore _),
+    "q_tfidf_topterms" -> (ops.TextOps.qTfidfTopTerms _),
     "q_quota_sample" -> (ops.TextOps.qQuotaSample _),
     "q_shard_pack" -> (ops.TextOps.qShardPack _),
     // Extension layer: deduplication
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),
     "q_ann_lsh" -> (ops.SimilarityOps.qAnnLsh _),
+    "q_embed_quantize" -> (ops.SimilarityOps.qEmbedQuantize _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),

@@ -180,6 +180,39 @@ object PipelineOracles {
         |)
         |SELECT doc_id, lang, rscore FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.tfidfTopTerms: exact-integer tf/df, idf = ln(N/df),
+    // ranking on the ROUNDED score (ties on token) so rank order is
+    // engine-independent.
+    "q_tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rk
+        |  FROM s
+        |)
+        |SELECT doc_id, tok, tfidf, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    // Mirrors SimilarityOps.quantizeEmbeddings: int8 symmetric quantization
+    // with integer outputs (round-half-away-from-zero on both engines).
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |q AS (SELECT vec_id, amax,
+        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS INT)) AS qv
+        |      FROM m WHERE amax > 0)
+        |SELECT vec_id, round(amax, 6) AS amax,
+        |       list_min(qv) AS qmin, list_max(qv) AS qmax,
+        |       CAST(list_sum(qv) AS BIGINT) AS qsum
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
     // is fine at oracle scale; the Spark side computes the same prefix

@@ -150,7 +150,31 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth-reduction step before ANN serving (4× smaller than float32).
+    * Per vector: scale = max|x|/127, q_i = round(x_i·127/max|x|). A pure
+    * projection (transform/aggregate HOFs) — shuffle-free, embarrassingly
+    * parallel. Outputs are exact integers (plus the 6dp-rounded max), so
+    * the oracle compare is bit-stable: Spark round() and DuckDB round()
+    * both round half away from zero, and the float→double widening and
+    * `x*127.0/amax` evaluation order are identical on both engines.
+    * Zero vectors (amax = 0) are excluded on both sides.
+    */
+  def quantizeEmbeddings(embs: DataFrame): DataFrame =
+    embs
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("amax", expr("aggregate(v, cast(0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("qv", expr("transform(v, x -> cast(round(x * 127.0 / amax) as int))"))
+      .select(col("vec_id"), round(col("amax"), 6).as("amax"),
+              expr("array_min(qv)").as("qmin"), expr("array_max(qv)").as("qmax"),
+              expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("qsum"))
+      .orderBy(col("vec_id"))
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
+
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(embeddings(spark, dir))
 
   def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame =
     annBruteforce(embeddings(spark, dir), col("q_id") < 5)

@@ -293,6 +293,36 @@ object TextOps {
   def qShardPack(spark: SparkSession, dir: String): DataFrame =
     packShards(documents(spark, dir))
 
+  /** TF-IDF top terms — the per-document salient-term extraction stage
+    * (keyword indexing / topic features). tf and df are exact-integer
+    * aggregates over one exploded token relation; idf = ln(N/df) with N
+    * delivered by a broadcast 1-row aggregate (NOT `count().over()`, which
+    * would funnel every row through one window partition). Ranking uses
+    * the ROUNDED score on both engines so tie order is identical. Two
+    * hash aggregations + one broadcast join + a per-doc window whose
+    * partitions are documents — nothing global, balanced at any corpus
+    * size.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(TextFns.toks).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  def qTfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(documents(spark, dir))
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */

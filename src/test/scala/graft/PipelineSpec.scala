@@ -78,6 +78,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0.6, 0.5, 0.333333)))
   }
 
+  test("tfidfTopTerms: hand-computed scores and ranks on crafted corpus") {
+    import spark.implicits._
+    // N=3. "cat" in 1 doc, "dog" in 2, "the" in all 3 (idf 0 → never top)
+    val docs = Seq(
+      (1L, "the cat cat dog"), (2L, "the dog"), (3L, "the the the"))
+      .toDF("doc_id", "text")
+    val got = ops.TextOps.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getString(1), r.getDouble(2)))).toMap
+    val ln3 = math.log(3.0)
+    val ln15 = math.log(1.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 1)) == (("cat", r6(2 * ln3))))
+    assert(got((1L, 2)) == (("dog", r6(ln15))))
+    assert(got((2L, 1)) == (("dog", r6(ln15))))
+    // doc 2 rank 2 and doc 3 rank 1: "the" with idf ln(1) = 0
+    assert(got((2L, 2)) == (("the", 0.0)))
+    assert(got((3L, 1)) == (("the", 0.0)))
+  }
+
+  test("quantizeEmbeddings: int8 range, extremum hits ±127, exact on a known vector") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),   // amax 1.0 → q = (64, -127, 32)
+      (2L, Array(2.0f, 1.0f, -0.5f)))    // amax 2.0 → q = (127, 64, -32)
+      .toDF("vec_id", "embedding")
+    val got = ops.SimilarityOps.quantizeEmbeddings(embs).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((1.0, -127, 64, -31L)))
+    assert(got(2L) == ((2.0, -32, 127, 159L)))
+    // fixture-wide invariants: every vector's extremum quantizes to ±127
+    val fix = ops.SimilarityOps.qEmbedQuantize(spark, Sf).collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      val (qmin, qmax) = (r.getInt(2), r.getInt(3))
+      assert(qmin >= -127 && qmax <= 127)
+      assert(qmax == 127 || qmin == -127)
+    }
+  }
+
   test("dedupApply: keeps min-id member per cluster, all singletons") {
     import spark.implicits._
     val docs = Seq(
