@@ -58,6 +58,8 @@ object Graft {
     ops.SimilarityOps.annIvf(embs, queryPred, numCentroids, nprobe, k)
   def quantizeEmbeddings(embs: DataFrame): DataFrame =
     ops.SimilarityOps.quantizeEmbeddings(embs)
+  def kmeansTwoRound(embs: DataFrame, k: Int = 8): DataFrame =
+    ops.SimilarityOps.kmeansTwoRound(embs, k)
 
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,

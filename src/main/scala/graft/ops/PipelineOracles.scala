@@ -213,6 +213,46 @@ object PipelineOracles {
         |       CAST(list_sum(qv) AS BIGINT) AS qsum
         |FROM q ORDER BY vec_id""".stripMargin,
 
+    // Mirrors SimilarityOps.kmeansTwoRound: md5-seeded codebook, argmin
+    // assignment (|v|²-2v·c+|c|² with list_dot_product = Spark's fold),
+    // exact integer micro-unit mean update, re-assign, report sizes+norms.
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ew AS (SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e),
+        |c0 AS (SELECT * FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS ck FROM e)
+        |       ORDER BY ck LIMIT 8),
+        |cw AS (SELECT CAST(row_number() OVER (ORDER BY ck) - 1 AS BIGINT) AS c_id, v AS cv,
+        |              list_dot_product(v, v) AS nc FROM c0),
+        |a1 AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT ew.vec_id, ew.v, cw.c_id,
+        |           row_number() OVER (PARTITION BY ew.vec_id
+        |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw.cv) + cw.nc, cw.c_id) AS rn
+        |    FROM ew CROSS JOIN cw) WHERE rn = 1
+        |),
+        |dims AS (
+        |  SELECT c_id, j AS pos, SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+        |  FROM a1, generate_series(1, 64) t(j) GROUP BY 1, 2
+        |),
+        |cm AS (SELECT c_id, pos, CAST(floor(s / (n::DOUBLE) + 0.5) AS BIGINT) AS cm FROM dims),
+        |c1 AS (
+        |  SELECT c_id, list(cm::DOUBLE / 1000000.0 ORDER BY pos) AS cv,
+        |         round(CAST(SUM(cm * cm) AS DOUBLE) / 1000000000000.0, 6) AS cnorm
+        |  FROM cm GROUP BY c_id
+        |),
+        |cw2 AS (SELECT c_id, cv, cnorm, list_dot_product(cv, cv) AS nc FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT ew.vec_id, cw2.c_id,
+        |           row_number() OVER (PARTITION BY ew.vec_id
+        |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw2.cv) + cw2.nc, cw2.c_id) AS rn
+        |    FROM ew CROSS JOIN cw2) WHERE rn = 1
+        |)
+        |SELECT a2.c_id, count(*) AS n_members, cw2.cnorm
+        |FROM a2 JOIN cw2 ON cw2.c_id = a2.c_id
+        |GROUP BY a2.c_id, cw2.cnorm
+        |ORDER BY a2.c_id""".stripMargin,
+
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
     // is fine at oracle scale; the Spark side computes the same prefix

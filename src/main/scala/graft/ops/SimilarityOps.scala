@@ -171,7 +171,72 @@ object SimilarityOps {
               expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("qsum"))
       .orderBy(col("vec_id"))
 
+  /** Nearest-centroid assignment: broadcast the k centroids, one linear
+    * pass over the vectors. Distance = |v|² - 2·v·c + |c|² from the same
+    * left-to-right folds the ANN oracles bit-match; argmin ties resolve
+    * to the lowest c_id via the lexicographic `min_by` struct. The
+    * partial aggregation collapses the k candidate rows per vector
+    * map-side, so the exchange carries n rows, not n·k.
+    */
+  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
+    e.withColumn("nrm_v", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+      .crossJoin(broadcast(cents.withColumn("nrm_c",
+        expr("aggregate(cv, cast(0 as double), (a, x) -> a + x * x)"))))
+      .withColumn("dist", expr(
+        "nrm_v - 2 * aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0 as double), (a, z) -> a + z) + nrm_c"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c_id"), col("v")), struct(col("dist"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("c_id"), col("m.v").as("v"))
+
+  /** Two-round distributed k-means (Lloyd): seed → assign → exact-mean
+    * update → re-assign, reporting per-cluster sizes and centroid norms.
+    * The codebook-refinement step for IVF: a few Lloyd rounds over a
+    * deterministic seed sample cut intra-cell variance far below the raw
+    * sample's.
+    *
+    * Every step is deterministic AND order-independent, so the result is
+    * oracle-checkable bit-for-bit — the part naive float k-means gets
+    * wrong on a cluster (double summation order varies by partitioning):
+    *  - seeds: the k vectors with smallest md5(vec_id) (same closed form
+    *    as the IVF codebook), c_id in digest order;
+    *  - mean update in exact integer micro-units: per (cluster, dim),
+    *    S = Σ round(x·1e6) as BIGINT (exact), centroid dim =
+    *    floor(S/n + 0.5)/1e6 — IEEE division of exact ints is identically
+    *    rounded on both engines, so no float-sum nondeterminism anywhere;
+    *  - centroid norm from the integer dims: Σ cm² ≤ 64·(1.1e6)² < 2⁵³,
+    *    exact in BIGINT, reported as round(Σcm²/1e12, 6).
+    * Cost per round: one broadcast + one n-row exchange for assignment,
+    * one (k·dim)-group aggregate for the update — the update explodes to
+    * n·dim rows but partial aggregation collapses them map-side to
+    * k·dim per partition before the exchange.
+    */
+  def kmeansTwoRound(embs: DataFrame, k: Int = 8): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cent0 = e.withColumn("ckey", md5(col("vec_id").cast("string")))
+      .orderBy(col("ckey")).limit(k)
+      .withColumn("c_id", (row_number().over(Window.orderBy(col("ckey"))) - 1).cast("long"))
+      .select(col("c_id"), col("v").as("cv"))
+    val a1 = assignNearest(e, cent0)
+    val dims = a1.select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(expr("cast(round(x * 1000000.0) as bigint)")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cm", expr("cast(floor(s / cast(n as double) + 0.5) as bigint)"))
+    val cent1 = dims.groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pcs"))
+      .select(col("c_id"),
+        expr("transform(pcs, p -> cast(p.cm as double) / 1000000.0)").as("cv"),
+        expr("round(cast(aggregate(pcs, cast(0 as bigint), (a, p) -> a + p.cm * p.cm) as double) / 1000000000000.0, 6)").as("cnorm"))
+    assignNearest(e, cent1.select(col("c_id"), col("cv")))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+      .join(cent1.select(col("c_id"), col("cnorm")), Seq("c_id"))
+      .orderBy(col("c_id"))
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
+
+  def qKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansTwoRound(embeddings(spark, dir))
 
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     quantizeEmbeddings(embeddings(spark, dir))

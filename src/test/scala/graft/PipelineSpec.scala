@@ -117,6 +117,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansTwoRound: bit-exact vs a driver-side reference implementation") {
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def md5hex(s: String) = ops.TextFns.md5Hex(s)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fold2(v: Array[Double], c: Array[Double]) = {
+      val nv = v.foldLeft(0.0)((a, x) => a + x * x)
+      val nc = c.foldLeft(0.0)((a, x) => a + x * x)
+      val dot = v.zip(c).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      nv - 2 * dot + nc
+    }
+    def assign(cents: Seq[(Long, Array[Double])]) = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (fold2(v, cv), cid) }.min
+      (id, best._2, v)
+    }
+    val seeds = vecs.sortBy { case (id, _) => md5hex(id.toString) }.take(8)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    val a1 = assign(seeds)
+    val cent1 = a1.groupBy(_._2).map { case (cid, members) =>
+      val n = members.length
+      val cm = Array.tabulate(64) { j =>
+        val s = members.map(m =>
+          BigDecimal(m._3(j) * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+        math.floor(s / n.toDouble + 0.5).toLong
+      }
+      (cid, cm.map(_ / 1000000.0), r6(cm.map(c => c * c).sum / 1e12))
+    }.toSeq
+    val a2 = assign(cent1.map(c => (c._1, c._2)))
+    val expected = a2.groupBy(_._2).map { case (cid, ms) =>
+      (cid, (ms.length.toLong, cent1.find(_._1 == cid).get._3))
+    }
+    val got = ops.SimilarityOps.qKmeans(spark, Sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == vecs.length)
+  }
+
   test("dedupApply: keeps min-id member per cluster, all singletons") {
     import spark.implicits._
     val docs = Seq(
