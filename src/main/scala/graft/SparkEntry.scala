@@ -87,6 +87,7 @@ object SparkEntry {
     "q_kmeans" -> (ops.SimilarityOps.qKmeans _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
+    "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

@@ -48,6 +48,32 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** JSON-lines sink + schema-on-read ingest (the third interchange
+    * format after CSV and text): events → .json() → read back with a
+    * declared schema → the same checksum aggregate as the CSV path.
+    * Spark's JSON writer emits shortest-round-trip doubles and escapes
+    * the nested-JSON `props` string, so the read-back is value-exact and
+    * the parquet-direct oracle applies unchanged. Schema-on-read skips
+    * inference (a full extra pass at 100 TB).
+    */
+  def qJsonIngest(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmp(dir, "json")
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("props"))
+      .write.mode("overwrite").json(target)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.read.schema(schema).json(target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("sum_value"),
+           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** S6: the flagship report as `AIR-<carrier> TAB <months>` text lines →
     * TextOutputFormat-style sink → read back → line statistics.
     */

@@ -35,6 +35,12 @@ object SourceSinkOracles {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // JSON round-trip preserves values exactly → same parquet-direct oracle.
+    "q_json_ingest" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_text_report" ->
       s"""$REPORT
          |SELECT count(*) AS n_lines, CAST(sum(length(line)) AS BIGINT) AS total_chars,
