@@ -307,9 +307,12 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Initialization already folds in round 0: label = min(id, neighbors).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .persist()
+    var persisted = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -317,15 +320,18 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // Carry the previous label alongside so convergence is a filter on
+      // the already-materialized relation, not another join.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+                col("label").as("prev"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     edges.unpersist()
