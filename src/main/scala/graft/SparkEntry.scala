@@ -92,6 +92,7 @@ object SparkEntry {
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),
     "q_skew_salted_agg" -> (ops.SourceSinkOps.qSkewSaltedAgg _),
+    "q_skew_salted_join" -> (ops.SourceSinkOps.qSkewSaltedJoin _),
     "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),

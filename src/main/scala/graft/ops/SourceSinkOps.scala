@@ -192,6 +192,31 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Skew-salted JOIN (the join-side twin of [[qSkewSaltedAgg]]): when
+    * both sides are large and the key distribution has heavy hitters, a
+    * plain shuffle join lands each hot key on ONE reducer. Salting
+    * spreads it: the fact side derives salt = event_id % S (uniform,
+    * content-stable), the build side is replicated ×S via explode, and
+    * the join key becomes (key, salt) — each hot key now occupies S
+    * reducers at the cost of an S× blowup of the (much smaller) build
+    * side. The merge hint forces the shuffle join so the salted path is
+    * what actually executes, even at fixture scale where broadcast would
+    * win. AQE's skew-join split handles moderate skew automatically;
+    * explicit salting is the deterministic fallback for extreme keys.
+    */
+  def qSkewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
+    val dimSalted = dim.withColumn("salt", explode(lit((0 until S).toArray)))
+    val factSalted = ev.withColumn("salt", (col("event_id") % S).cast("int"))
+    factSalted.hint("merge").join(dimSalted, Seq("user_id", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("user_n")).as("sum_user_n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hive-style partitioned write + partition-pruned read: the layout that
     * makes per-key scans touch only their directory at scale. Returns the
     * per-partition counts read back through a pruning filter.

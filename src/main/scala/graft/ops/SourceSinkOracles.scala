@@ -60,6 +60,14 @@ object SourceSinkOracles {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // The salt is join-semantics-neutral: the oracle is the unsalted join.
+    "q_skew_salted_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(d.user_n) AS BIGINT) AS sum_user_n
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

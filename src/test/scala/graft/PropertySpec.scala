@@ -54,6 +54,39 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: dedupClusters == union-find on random graphs") {
+    import TestSpark.spark
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (a.toLong, b.toLong))
+    } yield es
+    val p = Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val got = ops.DedupOps.dedupClusters(es.toDF("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // driver-side union-find with min-id roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p0 = parent.getOrElseUpdate(x, x)
+          if (p0 == x) x else { val r = find(p0); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => (v, find(v))).toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
