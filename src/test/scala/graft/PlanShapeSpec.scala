@@ -73,6 +73,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(2000))
   }
 
+  test("quota sample runs on the custom TopKPerKey operator, not a window sort") {
+    val p = physical(ops.TextOps.qQuotaSample(spark, Sf))
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"), p.take(3000))
+    assert(!p.contains("Window"), "quota path must not fall back to a window sort")
+  }
+
+  test("shard packing windows are bucket-partitioned (no full-corpus window)") {
+    val plan = ops.TextOps.qShardPack(spark, Sf).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    // The doc-level window (over the full corpus) must be partitioned by
+    // bucket; only the bucket-totals window (bucketSize× smaller input)
+    // may be global.
+    val docLevel = windows.filter(_.windowExpressions.toString.contains("n_chars"))
+    assert(docLevel.nonEmpty && docLevel.forall(_.partitionSpec.nonEmpty),
+      windows.map(w => w.partitionSpec).mkString("; "))
+  }
+
+  test("kmeans assignment broadcasts the centroids; fact side never shuffles for the join") {
+    val p = physical(ops.SimilarityOps.qKmeans(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
+  test("salted join executes as a shuffle join on the salted key") {
+    val p = physical(ops.SourceSinkOps.qSkewSaltedJoin(spark, Sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("hot paths compile to whole-stage codegen") {
     val df = ops.FlightOps.qGroupMonthSumCount(spark, Sf)
     df.collect() // materialize so AQE finalizes the plan
