@@ -47,6 +47,8 @@ object Graft {
     ops.TextOps.quotaSample(docs, quota)
   def packShards(docs: DataFrame, budgetChars: Long = 20000L, bucketSize: Int = 256): DataFrame =
     ops.TextOps.packShards(docs, budgetChars, bucketSize)
+  def trainSplit(docs: DataFrame): DataFrame =
+    ops.TextOps.trainSplit(docs)
 
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =

@@ -153,6 +153,18 @@ object PipelineOracles {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.trainSplit: md5-threshold 80/10/10 assignment.
+    "q_train_split" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
     // Mirrors TextOps.repetitionScore: dup ratio = 1 - distinct/total for
     // words and word-2/3-grams (range(1,n) is end-exclusive, so counts
     // match Spark's size(toks)-k+1 totals exactly).

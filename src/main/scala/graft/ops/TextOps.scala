@@ -293,6 +293,27 @@ object TextOps {
   def qShardPack(spark: SparkSession, dir: String): DataFrame =
     packShards(documents(spark, dir))
 
+  /** Deterministic train/val/test split — hash-threshold assignment
+    * (train 80 / val 10 / test 10 by md5(doc_id) mod 100), reported as
+    * per-(lang, split) counts. Content-stable: a document keeps its
+    * split under any repartitioning, re-run, or corpus growth — the
+    * property RNG-based splits lose. One narrow aggregation; the split
+    * column itself is a pure projection usable as a partition key for
+    * the output write.
+    */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", pmod(TextFns.hash60(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("h") < 80, lit("train")).when(col("h") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    trainSplit(documents(spark, dir))
+
   /** TF-IDF top terms — the per-document salient-term extraction stage
     * (keyword indexing / topic features). tf and df are exact-integer
     * aggregates over one exploded token relation; idf = ln(N/df) with N
