@@ -331,14 +331,18 @@ object DedupOps {
       // Pointer jumping: label ← label(label). Composed with the 1-hop
       // neighbor step this halves the remaining propagation depth each
       // round, so convergence is O(log diameter) instead of O(diameter)
-      // — the difference between 6 and 10⁶ rounds on a long chain.
-      val ptr = stepped.select(col("id").as("label"), col("label").as("gl"))
-      val next = stepped
-        .join(ptr, Seq("label"), "left")
-        .select(col("id"),
-                least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
-                col("prev"))
-        .persist()
+      // — the difference between 6 and 10⁶ rounds on a long chain. Near-dup
+      // components are near-cliques that converge in round 0, so the jump
+      // join (pure overhead there) only engages once a second round proves
+      // the graph has actual depth.
+      val next = (if (iter == 0) stepped else {
+        val ptr = stepped.select(col("id").as("label"), col("label").as("gl"))
+        stepped
+          .join(ptr, Seq("label"), "left")
+          .select(col("id"),
+                  least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
+                  col("prev"))
+      }).persist()
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       persisted.unpersist()
       persisted = next
