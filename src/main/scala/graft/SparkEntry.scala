@@ -72,6 +72,7 @@ object SparkEntry {
     "q_quota_sample" -> (ops.TextOps.qQuotaSample _),
     "q_shard_pack" -> (ops.TextOps.qShardPack _),
     "q_train_split" -> (ops.TextOps.qTrainSplit _),
+    "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
     // Extension layer: deduplication
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),

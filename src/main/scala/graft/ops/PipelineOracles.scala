@@ -153,6 +153,48 @@ object PipelineOracles {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
+    // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →
+    // prefix-sum shard packing → per-shard manifest.
+    "q_pipeline_e2e" ->
+      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")}$HASHJ,
+         |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+         |),
+         |dropped AS (
+         |  SELECT a AS doc_id FROM r GROUP BY a HAVING a > least(a, min(b))
+         |),
+         |scored AS (
+         |  SELECT doc_id, lang, n_chars FROM (
+         |    SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 20
+         |    AND (len(list_distinct(w))::DOUBLE / len(w)) *
+         |        (1.0 - len(list_filter(w, x -> x = 'the' OR x = 'a'))::DOUBLE / len(w)) >= 0.3
+         |),
+         |surv AS (
+         |  SELECT * FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |),
+         |samp AS (
+         |  SELECT doc_id, lang, n_chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY
+         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 DESC,
+         |      doc_id) AS rn
+         |    FROM surv) WHERE rn <= 40
+         |),
+         |packed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - n_chars) // 20000 AS BIGINT) AS shard_id
+         |  FROM samp
+         |)
+         |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       count(DISTINCT lang) AS n_langs
+         |FROM packed GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
     // Mirrors TextOps.trainSplit: md5-threshold 80/10/10 assignment.
     "q_train_split" ->
       """WITH h AS (

@@ -314,6 +314,41 @@ object TextOps {
   def qTrainSplit(spark: SparkSession, dir: String): DataFrame =
     trainSplit(documents(spark, dir))
 
+  /** The capstone: the full training-data pipeline as ONE composed plan —
+    * quality gate → near-dup cluster removal → per-language quota →
+    * token-budget shard packing → per-shard manifest. Every stage is the
+    * oracle-checked operator above; composition adds nothing driver-side,
+    * so Catalyst still sees one tree (common scan reuse, pushdown through
+    * the whole chain). This is the query a user of the library actually
+    * ships.
+    */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val scored = docs
+      .withColumn("toks", TextFns.toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("quality",
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))) *
+          (lit(1.0) - expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").cast("double")
+             / size(col("toks"))))
+      .filter(col("n_tokens") >= 20 && col("quality") >= 0.3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val dropped = DedupOps.dedupClusters(DedupOps.ngramJaccardPairs(docs))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val survivors = scored.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    val sampled = survivors
+      .withColumn("rscore", pmod(TextFns.hash60(col("doc_id").cast("string")), lit(1000000L)))
+      .filter(call_function("graft_topk",
+        col("lang"), col("rscore"), col("doc_id"), lit(40)))
+    val packed = packShards(sampled.select(col("doc_id"), col("n_chars")))
+    packed.join(sampled.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+           countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("shard_id"))
+  }
+
   /** TF-IDF top terms — the per-document salient-term extraction stage
     * (keyword indexing / topic features). tf and df are exact-integer
     * aggregates over one exploded token relation; idf = ln(N/df) with N
