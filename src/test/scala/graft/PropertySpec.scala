@@ -87,6 +87,56 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: packShards == sequential greedy packing on random corpora") {
+    import TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(1L, 900L))
+      budget <- Gen.chooseNum(100L, 2000L)
+    } yield (sizes, budget)
+    val p = Prop.forAll(gen) { case (sizes, budget) =>
+      val docs = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "n_chars")
+      // small bucket so multiple buckets + offsets actually engage
+      val got = ops.TextOps.packShards(docs, budgetChars = budget, bucketSize = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sorted
+      var cum = 0L
+      val want = sizes.zipWithIndex.map { case (s, i) =>
+        val shard = cum / budget; cum += s; (i.toLong, shard)
+      }.toList
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: int8 quantization error is bounded by scale/2") {
+    import TestSpark.spark
+    import spark.implicits._
+    val vec = Gen.chooseNum(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-100f, 100f)).suchThat(_.exists(_ != 0f)))
+    val p = Prop.forAll(Gen.listOfN(5, vec)) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val rows = ops.SimilarityOps.quantizeEmbeddings(df).collect()
+      rows.forall { r =>
+        val id = r.getLong(0).toInt
+        val v = vs(id).map(_.toDouble)
+        val amax = v.map(math.abs).max
+        val scale = amax / 127.0
+        // reconstruct from the same rounding and check the bound per dim
+        v.forall { x =>
+          val q = BigDecimal(x * 127.0 / amax)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+          math.abs(x - q * scale) <= scale / 2 + 1e-9
+        } && r.getInt(2) >= -127 && r.getInt(3) <= 127
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
