@@ -140,6 +140,31 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming corpus ingest — the text layer's hygiene stages running
+    * incrementally: quality-score each arriving document, drop exact
+    * duplicates by content digest (state-store keyed dedup, the streaming
+    * form of DedupOps.exactDedup), aggregate per language. At scale this
+    * is how a crawl feed enters the pipeline: stateless projections stay
+    * stateless, and only the digest key lives in state.
+    */
+  def docQualityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    docQualityCountsOf(docs)
+  }
+
+  /** Shape shared by the stream and its batch twin (StreamingSpec). */
+  def docQualityCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicates("digest")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(sum(col("quality")), 4).as("sum_q"))
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

@@ -22,6 +22,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming corpus ingest (quality + digest dedup) == batch twin") {
+    val streamed = EventStream.runToMemory(
+      spark, EventStream.docQualityCounts(spark, Sf), "t_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = EventStream.docQualityCountsOf(
+      graft.Tables.documents(spark, Sf))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup-by-id preserves per-type counts (ids unique in fixture)") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.dedupedCounts(spark, Sf), "t_dedup",
