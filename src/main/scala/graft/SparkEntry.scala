@@ -73,6 +73,7 @@ object SparkEntry {
     "q_shard_pack" -> (ops.TextOps.qShardPack _),
     "q_train_split" -> (ops.TextOps.qTrainSplit _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
+    "q_text_normalize" -> (ops.TextOps.qTextNormalize _),
     // Extension layer: deduplication
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),

@@ -234,6 +234,15 @@ object PipelineOracles {
         |)
         |SELECT doc_id, lang, rscore FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.qTextNormalize (regexes in the Java∩RE2 dialect).
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                                  '  +', ' ', 'g'))) AS norm_len,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                               '  +', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Mirrors TextOps.tfidfTopTerms: exact-integer tf/df, idf = ln(N/df),
     // ranking on the ROUNDED score (ties on token) so rank order is
     // engine-independent.

@@ -349,6 +349,21 @@ object TextOps {
       .orderBy(col("shard_id"))
   }
 
+  /** Text normalization — the canonicalization stage before hashing/
+    * dedup: lowercase, strip non-alphanumerics, collapse whitespace,
+    * trim. Pure projection; the digest of the normalized form is what
+    * URL/content-level dedup keys on. Regex classes are kept to the
+    * dialect intersection (no shorthand escapes), so Java regex and RE2
+    * agree byte-for-byte.
+    */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")))
+      .select(col("doc_id"), length(col("norm")).as("norm_len"),
+              md5(col("norm")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF top terms — the per-document salient-term extraction stage
     * (keyword indexing / topic features). tf and df are exact-integer
     * aggregates over one exploded token relation; idf = ln(N/df) with N
