@@ -63,6 +63,10 @@ object Graft {
   def kmeansTwoRound(embs: DataFrame, k: Int = 8): DataFrame =
     ops.SimilarityOps.kmeansTwoRound(embs, k)
 
+  // layout: Z-order interleave key (native codegen expression)
+  def mortonZ(a: Column, b: Column): Column =
+    functions.LayoutFunctions.mortonInterleave(a, b)
+
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,
                  tiebreak: Column, k: Int): DataFrame =

@@ -96,6 +96,7 @@ object SparkEntry {
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),
     "q_skew_salted_agg" -> (ops.SourceSinkOps.qSkewSaltedAgg _),
     "q_skew_salted_join" -> (ops.SourceSinkOps.qSkewSaltedJoin _),
+    "q_zorder_key" -> (ops.SourceSinkOps.qZorderKey _),
     "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),

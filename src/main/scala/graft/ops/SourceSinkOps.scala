@@ -217,6 +217,24 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Z-order (Morton) layout key — bucket two dimensions to 10 bits each
+    * and interleave via the native [[graft.functions.MortonInterleave]]
+    * expression. Sorting a write by `z` gives narrow min-max ranges in
+    * BOTH dimensions per row group, so predicates on either column prune
+    * (LayoutSpec proves the locality win over single-column sorting).
+    * This query exposes the code itself for oracle verification; the
+    * layout use is `df.repartitionByRange(col("z")).sortWithinPartitions
+    * (col("z")).write.parquet(...)`.
+    */
+  def qZorderKey(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_id") < 200)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("u"),
+        pmod(expr("cast(floor(value) as bigint)"), lit(1024L)).as("w"))
+      .withColumn("z", graft.functions.LayoutFunctions.mortonInterleave(col("u"), col("w")))
+      .orderBy(col("event_id"))
+
   /** Hive-style partitioned write + partition-pruned read: the layout that
     * makes per-key scans touch only their directory at scale. Returns the
     * per-partition counts read back through a pruning filter.

@@ -68,6 +68,21 @@ object SourceSinkOracles {
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Mirrors SourceSinkOps.qZorderKey: bit interleave as a sum over bit
+    // positions (both engines use arithmetic shifts on BIGINT).
+    "q_zorder_key" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id % 1024 AS u,
+        |         ((CAST(floor(value) AS BIGINT) % 1024) + 1024) % 1024 AS w
+        |  FROM events WHERE event_id < 200
+        |)
+        |SELECT b.event_id, b.u, b.w,
+        |       CAST(SUM((((b.u >> t.j) & 1) << (2 * t.j)) +
+        |                (((b.w >> t.j) & 1) << (2 * t.j + 1))) AS BIGINT) AS z
+        |FROM b, generate_series(0, 20) t(j)
+        |GROUP BY b.event_id, b.u, b.w
+        |ORDER BY b.event_id""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -113,6 +113,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.SortedIntersectCount(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[graft.functions.MortonInterleave].getName,
+        "morton_interleave"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MortonInterleave(exprs.head, exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))

@@ -27,6 +27,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("morton_interleave matches a driver-side bit-interleave reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextLong().abs % (1L << 21), rnd.nextLong().abs % (1L << 21)))
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.LayoutFunctions.mortonInterleave(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = pairs.map { case (a, b) =>
+      (0 until 21).foldLeft(0L) { (z, j) =>
+        z | (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))
+      }
+    }
+    assert(got == want)
+  }
+
+  test("z-order sort clusters BOTH dimensions; single-column sort only one") {
+    val rows = graft.Tables.events(spark, Sf)
+      .selectExpr("pmod(user_id, 1024) as u",
+                  "pmod(cast(floor(value) as bigint), 1024) as w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def morton(a: Long, b: Long): Long =
+      (0 until 21).foldLeft(0L) { (z, j) =>
+        z | (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))
+      }
+    // mean per-chunk span of each dimension for a given ordering = the
+    // min-max range a row group would carry under that layout
+    def meanSpans(sorted: Seq[(Long, Long)]): (Double, Double) = {
+      val chunks = sorted.grouped(64).filter(_.size > 1).toSeq
+      (chunks.map(c => (c.map(_._1).max - c.map(_._1).min).toDouble).sum / chunks.size,
+       chunks.map(c => (c.map(_._2).max - c.map(_._2).min).toDouble).sum / chunks.size)
+    }
+    val (zu, zw) = meanSpans(rows.sortBy { case (u, w) => morton(u, w) }.toSeq)
+    val (su, sw) = meanSpans(rows.sortBy(_._1).toSeq)
+    assert(su < zu, "single-column sort should cluster its own dimension tightest")
+    assert(zw < sw * 0.6, s"z-order must shrink the second dimension's span: $zw vs $sw")
+    assert(zu < 1024 * 0.6, s"z-order must still cluster the first dimension: $zu")
+  }
+
   test("compaction rewrites many small files into the target file count") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val fragmented = s"$base/in"
