@@ -62,6 +62,9 @@ object Graft {
     ops.SimilarityOps.quantizeEmbeddings(embs)
   def kmeansTwoRound(embs: DataFrame, k: Int = 8): DataFrame =
     ops.SimilarityOps.kmeansTwoRound(embs, k)
+  def annIvfKmeans(embs: DataFrame, queryPred: Column, numCentroids: Int = 8,
+                   nprobe: Int = 2, k: Int = 10): DataFrame =
+    ops.SimilarityOps.annIvfKmeans(embs, queryPred, numCentroids, nprobe, k)
 
   // layout: Z-order interleave key (native codegen expression)
   def mortonZ(a: Column, b: Column): Column =

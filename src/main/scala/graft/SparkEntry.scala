@@ -88,6 +88,7 @@ object SparkEntry {
     "q_ann_lsh" -> (ops.SimilarityOps.qAnnLsh _),
     "q_embed_quantize" -> (ops.SimilarityOps.qEmbedQuantize _),
     "q_kmeans" -> (ops.SimilarityOps.qKmeans _),
+    "q_ann_ivf_kmeans" -> (ops.SimilarityOps.qAnnIvfKmeans _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

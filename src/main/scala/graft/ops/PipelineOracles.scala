@@ -316,6 +316,47 @@ object PipelineOracles {
         |GROUP BY a2.c_id, cw2.cnorm
         |ORDER BY a2.c_id""".stripMargin,
 
+    // Mirrors SimilarityOps.annIvfKmeans: the q_kmeans centroid CTEs
+    // produce the codebook, then the q_ann_ivf probe pattern runs on it.
+    "q_ann_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ew AS (SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e),
+        |c0 AS (SELECT * FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS ck FROM e)
+        |       ORDER BY ck LIMIT 8),
+        |cw AS (SELECT CAST(row_number() OVER (ORDER BY ck) - 1 AS BIGINT) AS c_id, v AS cv,
+        |              list_dot_product(v, v) AS nc FROM c0),
+        |a1 AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT ew.vec_id, ew.v, cw.c_id,
+        |           row_number() OVER (PARTITION BY ew.vec_id
+        |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw.cv) + cw.nc, cw.c_id) AS rn
+        |    FROM ew CROSS JOIN cw) WHERE rn = 1
+        |),
+        |dims AS (
+        |  SELECT c_id, j AS pos, SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+        |  FROM a1, generate_series(1, 64) t(j) GROUP BY 1, 2
+        |),
+        |cm AS (SELECT c_id, pos, CAST(floor(s / (n::DOUBLE) + 0.5) AS BIGINT) AS cm FROM dims),
+        |c1 AS (SELECT c_id, list(cm::DOUBLE / 1000000.0 ORDER BY pos) AS cv FROM cm GROUP BY c_id),
+        |cent AS (SELECT c_id, cv, list_dot_product(cv, cv) AS cn FROM c1),
+        |vc AS (
+        |  SELECT ew.vec_id, ew.v, ew.nv, cent.c_id,
+        |         row_number() OVER (PARTITION BY ew.vec_id
+        |           ORDER BY list_dot_product(ew.v, cent.cv) / (sqrt(ew.nv) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM ew CROSS JOIN cent),
+        |assign AS (SELECT vec_id AS m_id, v AS mv, nv AS mn, c_id FROM vc WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nv AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.m_id,
+        |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
+        |         row_number() OVER (PARTITION BY p.q_id
+        |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
+        |                    a.m_id ASC) AS rank
+        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
+        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
     // is fine at oracle scale; the Spark side computes the same prefix

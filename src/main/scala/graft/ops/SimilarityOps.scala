@@ -213,6 +213,20 @@ object SimilarityOps {
   def kmeansTwoRound(embs: DataFrame, k: Int = 8): DataFrame = {
     val e = embs.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cent1 = kmeansCentroids(embs, k)
+    assignNearest(e, cent1.select(col("c_id"), col("cv")))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+      .join(cent1.select(col("c_id"), col("cnorm")), Seq("c_id"))
+      .orderBy(col("c_id"))
+  }
+
+  /** The round-1 Lloyd centroids (c_id, cv, cnorm) — also the refined IVF
+    * codebook ([[annIvfKmeans]]). See [[kmeansTwoRound]] for why every
+    * step is order-independent and bit-reproducible.
+    */
+  def kmeansCentroids(embs: DataFrame, k: Int = 8): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
     val cent0 = e.withColumn("ckey", md5(col("vec_id").cast("string")))
       .orderBy(col("ckey")).limit(k)
       .withColumn("c_id", (row_number().over(Window.orderBy(col("ckey"))) - 1).cast("long"))
@@ -222,21 +236,55 @@ object SimilarityOps {
       .groupBy(col("c_id"), col("pos"))
       .agg(sum(expr("cast(round(x * 1000000.0) as bigint)")).as("s"), count(lit(1)).as("n"))
       .withColumn("cm", expr("cast(floor(s / cast(n as double) + 0.5) as bigint)"))
-    val cent1 = dims.groupBy(col("c_id"))
+    dims.groupBy(col("c_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pcs"))
       .select(col("c_id"),
         expr("transform(pcs, p -> cast(p.cm as double) / 1000000.0)").as("cv"),
         expr("round(cast(aggregate(pcs, cast(0 as bigint), (a, p) -> a + p.cm * p.cm) as double) / 1000000000000.0, 6)").as("cnorm"))
-    assignNearest(e, cent1.select(col("c_id"), col("cv")))
-      .groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
-      .join(cent1.select(col("c_id"), col("cnorm")), Seq("c_id"))
-      .orderBy(col("c_id"))
+  }
+
+  /** IVF probing over the kmeans-refined codebook — the production ANN
+    * shape: deterministic seed sample → one exact-arithmetic Lloyd round →
+    * inverted-file assignment and nprobe probing. Identical probe plan to
+    * [[annIvf]] (broadcast codebook, map-side argmax assignment, window
+    * only over the query set), but the Lloyd-refined cells have lower
+    * intra-cell variance, so recall at fixed nprobe improves over the raw
+    * sample codebook.
+    */
+  def annIvfKmeans(embs: DataFrame, queryPred: Column, numCentroids: Int = 8,
+                   nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val cent = kmeansCentroids(embs, numCentroids)
+      .withColumn("c_nrm", expr("aggregate(cv, cast(0 as double), (a, x) -> a + x * x)"))
+      .select(col("c_id"), col("cv"), col("c_nrm"))
+    val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
+    def withCentCos(df: DataFrame): DataFrame =
+      df.join(broadcast(cent), lit(true))
+        .withColumn("c_cos", dot("embedding", "cv") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+    val assign = withCentCos(e)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("m_emb"), first(col("nrm")).as("m_nrm"),
+           max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("c_id"))
+      .select(col("vec_id").as("m_id"), col("m_emb"), col("m_nrm"), col("c_id"))
+    val probes = withCentCos(e.filter(queryPred))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"), col("c_id"))
+    val scored = probes.join(assign, Seq("c_id"))
+      .filter(col("m_id") =!= col("q_id"))
+      .withColumn("cos", dot("q_emb", "m_emb") / (sqrt(col("q_nrm")) * sqrt(col("m_nrm"))))
+      .withColumnRenamed("m_id", "neighbor_id")
+    topK(scored, k)
   }
 
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
 
   def qKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansTwoRound(embeddings(spark, dir))
+
+  def qAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    annIvfKmeans(embeddings(spark, dir), col("vec_id") < 5)
 
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     quantizeEmbeddings(embeddings(spark, dir))
