@@ -41,8 +41,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
+    // Printed LAST (after file write + session stop) so a tail-capture
+    // parser always sees the complete line as the final stdout line.
+    println(line)
   }
 }

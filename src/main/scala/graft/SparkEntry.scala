@@ -99,9 +99,17 @@ object SparkEntry {
     "q_skew_salted_join" -> (ops.SourceSinkOps.qSkewSaltedJoin _),
     "q_zorder_key" -> (ops.SourceSinkOps.qZorderKey _),
     "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),
+    // Layout/maintenance surface (partition pruning, compaction, DPP)
+    "q_partition_prune" -> (ops.SourceSinkOps.qPartitionPrune _),
+    "q_compact" -> (ops.SourceSinkOps.qCompact _),
+    "q_dpp_prune" -> (ops.SourceSinkOps.qDppPrune _),
+    // Approximate-search quality as a driver invariant
+    "q_ann_recall" -> (ops.SimilarityOps.qAnnRecall _),
+    // Structured Streaming, driver-checked via an AvailableNow drain
+    "q_stream_ingest" -> (streaming.EventStream.qStreamIngest _),
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),
-    "q_image_features" -> (ops.MultimodalOps.qImageFeatures _), // rows-only (stubbed decode)
+    "q_image_features" -> (ops.MultimodalOps.qImageFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

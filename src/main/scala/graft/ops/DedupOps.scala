@@ -350,8 +350,20 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // Truncated propagation would silently return wrong clusters — fail
+    // loudly instead (O(log diameter) convergence makes maxIters=20 cover
+    // graphs up to ~2^20 hops deep; hitting this is a real defect).
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters: label propagation did not converge in $maxIters iterations")
+    // Materialize off the cached lineage and release the last iteration's
+    // cache — callers (and Bench's repeated runs) must not accumulate
+    // executor storage across invocations.
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    persisted.unpersist()
+    out
   }
 
   /** Apply near-dup clusters to the corpus: keep one canonical document
@@ -389,6 +401,18 @@ object DedupOps {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(documents(spark, dir)))
 
-  def qDedupApply(spark: SparkSession, dir: String): DataFrame =
-    dedupApply(documents(spark, dir), ngramJaccardPairs(documents(spark, dir)))
+  /** The documents scan feeds BOTH the pair-generation branch and the
+    * anti-join branch; persisting at the composition point halves the
+    * heaviest scan (all four columns are live: text for shingles, the
+    * rest for output). The result is materialized (localCheckpoint) so
+    * the cache can be released before returning — no storage handoff to
+    * the caller. At 100 TB the same composition holds with the persist
+    * replaced by a columnar re-read (two pruned scans beat caching the
+    * corpus); here the fixture-scale win is measurable.
+    */
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).persist()
+    try dedupApply(docs, ngramJaccardPairs(docs)).localCheckpoint(true)
+    finally docs.unpersist()
+  }
 }

@@ -74,11 +74,20 @@ object MultimodalOps {
 
   /** Feature extraction over the binary column via `mapPartitions` — the
     * per-partition batch shape a real decoder needs (amortize model/codec
-    * init per partition, stream rows). No oracle (byte-level decode is not
-    * SQL-expressible); driver records a rows-only check, semantics are
-    * unit-tested in MultimodalSpec. Output is all scalar columns (rounded
-    * quadrant/resized means + an md5 digest of the frame-mean list) so the
-    * driver's pandas compare can sort/hash every column.
+    * init per partition, stream rows). Output is all scalar columns
+    * (quadrant/resized means + an md5 digest of the frame-mean list) so
+    * the driver's pandas compare can sort/hash every column.
+    *
+    * Oracle-checked byte-for-byte (PipelineOracles): fixture text is pure
+    * ASCII, so the DuckDB twin reads payload bytes as codepoints. The two
+    * float surfaces are safe by construction: quadrant means are integer
+    * sums / 64.0 (power of two — exact in IEEE double on both engines,
+    * and r6's rint is a no-op on s*15625), and the %.6f frame-mean
+    * formatting cannot hit a decimal tie — a tie at 1e-7 requires the
+    * double to equal odd/2^7 exactly, but a correctly-rounded s/len
+    * (integer s ≤ 16320, len ≤ 64) differs from any odd/128 by at least
+    * 1/(128·64) ≫ ulp, so Java's HALF_UP and C printf's half-even agree
+    * on every value.
     */
   def qImageFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

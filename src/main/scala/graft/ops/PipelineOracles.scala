@@ -11,6 +11,117 @@ package graft.ops
 object PipelineOracles {
   private val P = "2147483647"
 
+  /** The four ANN oracle queries, as vals so q_ann_recall can compose
+    * them as subqueries (the recall twin stays in sync by construction).
+    */
+  private val ANN_BF =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
+      |         row_number() OVER (PARTITION BY q.q_id
+      |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
+      |                    e.vec_id ASC) AS rank
+      |  FROM q JOIN e ON e.vec_id <> q.q_id)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
+      |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  private val ANN_LSH =
+    """WITH planes AS (
+      |  SELECT j, list_transform(range(1, 65), i ->
+      |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
+      |  FROM generate_series(0, 3) t(j)
+      |), e0 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+      |  FROM embeddings
+      |), b AS (
+      |  SELECT e0.vec_id,
+      |         sum(CASE WHEN list_dot_product(e0.v, p.w) > 0
+      |                  THEN (1 << p.j) ELSE 0 END) AS bucket
+      |  FROM e0 CROSS JOIN planes p GROUP BY e0.vec_id
+      |), e AS (
+      |  SELECT e0.vec_id, b.bucket, e0.v, e0.nrm
+      |  FROM e0 JOIN b ON b.vec_id = e0.vec_id
+      |), q AS (SELECT vec_id AS q_id, bucket, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
+      |         row_number() OVER (PARTITION BY q.q_id
+      |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
+      |                    e.vec_id ASC) AS rank
+      |  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
+      |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  private val ANN_IVF =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+      |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |vc AS (
+      |  SELECT e.vec_id, e.v, e.nrm, cent.c_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+      |                    cent.c_id ASC) AS rn
+      |  FROM e CROSS JOIN cent),
+      |assign AS (SELECT vec_id AS m_id, v AS mv, nrm AS mn, c_id FROM vc WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.m_id,
+      |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
+      |         row_number() OVER (PARTITION BY p.q_id
+      |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
+      |                    a.m_id ASC) AS rank
+      |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
+      |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+      |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  private val ANN_IVF_KMEANS =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ew AS (SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e),
+      |c0 AS (SELECT * FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS ck FROM e)
+      |       ORDER BY ck LIMIT 8),
+      |cw AS (SELECT CAST(row_number() OVER (ORDER BY ck) - 1 AS BIGINT) AS c_id, v AS cv,
+      |              list_dot_product(v, v) AS nc FROM c0),
+      |a1 AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT ew.vec_id, ew.v, cw.c_id,
+      |           row_number() OVER (PARTITION BY ew.vec_id
+      |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw.cv) + cw.nc, cw.c_id) AS rn
+      |    FROM ew CROSS JOIN cw) WHERE rn = 1
+      |),
+      |dims AS (
+      |  SELECT c_id, j AS pos, SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+      |  FROM a1, generate_series(1, 64) t(j) GROUP BY 1, 2
+      |),
+      |cm AS (SELECT c_id, pos, CAST(floor(s / (n::DOUBLE) + 0.5) AS BIGINT) AS cm FROM dims),
+      |c1 AS (SELECT c_id, list(cm::DOUBLE / 1000000.0 ORDER BY pos) AS cv FROM cm GROUP BY c_id),
+      |cent AS (SELECT c_id, cv, list_dot_product(cv, cv) AS cn FROM c1),
+      |vc AS (
+      |  SELECT ew.vec_id, ew.v, ew.nv, cent.c_id,
+      |         row_number() OVER (PARTITION BY ew.vec_id
+      |           ORDER BY list_dot_product(ew.v, cent.cv) / (sqrt(ew.nv) * sqrt(cent.cn)) DESC,
+      |                    cent.c_id ASC) AS rn
+      |  FROM ew CROSS JOIN cent),
+      |assign AS (SELECT vec_id AS m_id, v AS mv, nv AS mn, c_id FROM vc WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, v AS qv, nv AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.m_id,
+      |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
+      |         row_number() OVER (PARTITION BY p.q_id
+      |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
+      |                    a.m_id ASC) AS rank
+      |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
+      |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+      |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** doc → distinct word-3-shingle CTE fragment (lang-carrying).
     * Scalar `range()` + `list_transform` + `unnest` — DuckDB 1.0 does not
     * allow column arguments to the generate_series table function.
@@ -318,44 +429,7 @@ object PipelineOracles {
 
     // Mirrors SimilarityOps.annIvfKmeans: the q_kmeans centroid CTEs
     // produce the codebook, then the q_ann_ivf probe pattern runs on it.
-    "q_ann_ivf_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |ew AS (SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e),
-        |c0 AS (SELECT * FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS ck FROM e)
-        |       ORDER BY ck LIMIT 8),
-        |cw AS (SELECT CAST(row_number() OVER (ORDER BY ck) - 1 AS BIGINT) AS c_id, v AS cv,
-        |              list_dot_product(v, v) AS nc FROM c0),
-        |a1 AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT ew.vec_id, ew.v, cw.c_id,
-        |           row_number() OVER (PARTITION BY ew.vec_id
-        |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw.cv) + cw.nc, cw.c_id) AS rn
-        |    FROM ew CROSS JOIN cw) WHERE rn = 1
-        |),
-        |dims AS (
-        |  SELECT c_id, j AS pos, SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
-        |  FROM a1, generate_series(1, 64) t(j) GROUP BY 1, 2
-        |),
-        |cm AS (SELECT c_id, pos, CAST(floor(s / (n::DOUBLE) + 0.5) AS BIGINT) AS cm FROM dims),
-        |c1 AS (SELECT c_id, list(cm::DOUBLE / 1000000.0 ORDER BY pos) AS cv FROM cm GROUP BY c_id),
-        |cent AS (SELECT c_id, cv, list_dot_product(cv, cv) AS cn FROM c1),
-        |vc AS (
-        |  SELECT ew.vec_id, ew.v, ew.nv, cent.c_id,
-        |         row_number() OVER (PARTITION BY ew.vec_id
-        |           ORDER BY list_dot_product(ew.v, cent.cv) / (sqrt(ew.nv) * sqrt(cent.cn)) DESC,
-        |                    cent.c_id ASC) AS rn
-        |  FROM ew CROSS JOIN cent),
-        |assign AS (SELECT vec_id AS m_id, v AS mv, nv AS mn, c_id FROM vc WHERE rn = 1),
-        |probes AS (SELECT vec_id AS q_id, v AS qv, nv AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
-        |scored AS (
-        |  SELECT p.q_id, a.m_id,
-        |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
-        |         row_number() OVER (PARTITION BY p.q_id
-        |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
-        |                    a.m_id ASC) AS rank
-        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
-        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
-        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf_kmeans" -> ANN_IVF_KMEANS,
 
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
@@ -429,6 +503,12 @@ object PipelineOracles {
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
 
+    // NOTE (intentional asymmetry): the Spark side verifies candidate
+    // pairs on 60-bit hash-set intersections (verifyByHashSets), while
+    // this oracle intersects the shingle STRINGS — so a 60-bit collision
+    // inflating an intersection count would surface as a hash mismatch
+    // here instead of passing silently (risk ~2^-60 per pair; the
+    // asymmetry is the guard, matching HASHJ's hashed form for ngram).
     "q_dedup_minhash_lsh" ->
       s"""$SH, hs AS (
          |  SELECT doc_id, lang,
@@ -517,80 +597,119 @@ object PipelineOracles {
         |WHERE round(list_dot_product(x.v, y.v) / (sqrt(x.nrm) * sqrt(y.nrm)), 3) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // ---- MultimodalOps ---- (q_image_features is rows-only: stub decode)
+    // ---- MultimodalOps ----
+    // Byte-level twin of MultimodalOps.FakeDecode: fixture text is pure
+    // ASCII (strlen == length for every doc), so byte i of the UTF-8
+    // payload is unicode(substr(text, i+1, 1)). Quadrant means are exact
+    // (integer sum / 64.0, a power of two — no float rounding anywhere);
+    // resize cells are integer division; frame means are formatted %.6f,
+    // where C printf (DuckDB) and Java String.format agree because a
+    // decimal tie at 1e-7 would require the double to equal odd/128,
+    // impossible for s/len with len ≤ 64 (see the derivation in
+    // MultimodalOps).
+    "q_image_features" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i < len THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END AS v
+        |  FROM d, generate_series(0, 255) t(i)
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN i // 16 < 8 AND i % 16 < 8 THEN v ELSE 0 END) AS BIGINT) / 64.0 AS q1_mean,
+        |    CAST(SUM(CASE WHEN i // 16 < 8 AND i % 16 >= 8 THEN v ELSE 0 END) AS BIGINT) / 64.0 AS q2_mean,
+        |    CAST(SUM(CASE WHEN i // 16 >= 8 AND i % 16 < 8 THEN v ELSE 0 END) AS BIGINT) / 64.0 AS q3_mean,
+        |    CAST(SUM(CASE WHEN i // 16 >= 8 AND i % 16 >= 8 THEN v ELSE 0 END) AS BIGINT) / 64.0 AS q4_mean
+        |  FROM b GROUP BY doc_id
+        |),
+        |rz AS (
+        |  SELECT doc_id,
+        |    CAST((max(CASE WHEN i = 0 THEN v END) + max(CASE WHEN i = 1 THEN v END)
+        |        + max(CASE WHEN i = 16 THEN v END) + max(CASE WHEN i = 17 THEN v END)) // 4 AS INT) AS rz1,
+        |    CAST((max(CASE WHEN i = 2 THEN v END) + max(CASE WHEN i = 3 THEN v END)
+        |        + max(CASE WHEN i = 18 THEN v END) + max(CASE WHEN i = 19 THEN v END)) // 4 AS INT) AS rz2,
+        |    CAST((max(CASE WHEN i = 4 THEN v END) + max(CASE WHEN i = 5 THEN v END)
+        |        + max(CASE WHEN i = 20 THEN v END) + max(CASE WHEN i = 21 THEN v END)) // 4 AS INT) AS rz3,
+        |    CAST((max(CASE WHEN i = 6 THEN v END) + max(CASE WHEN i = 7 THEN v END)
+        |        + max(CASE WHEN i = 22 THEN v END) + max(CASE WHEN i = 23 THEN v END)) // 4 AS INT) AS rz4
+        |  FROM b WHERE i < 24 GROUP BY doc_id
+        |),
+        |fm AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      range(0, (len + 63) // 64, 2),
+        |      fi -> CAST(list_sum(list_transform(range(fi * 64, least(fi * 64 + 64, len)),
+        |                   bi -> unicode(substr(text, CAST(bi + 1 AS INT), 1)))) AS BIGINT)::DOUBLE
+        |            / least(64, len - fi * 64)) AS means
+        |  FROM d
+        |)
+        |SELECT d.doc_id, 16 AS width, 16 AS height, d.len AS n_bytes,
+        |       q.q1_mean, q.q2_mean, q.q3_mean, q.q4_mean,
+        |       rz.rz1, rz.rz2, rz.rz3, rz.rz4,
+        |       len(fm.means) AS n_frames,
+        |       md5(array_to_string(list_transform(fm.means, m -> printf('%.6f', m)), ',')) AS frames_md5
+        |FROM d JOIN q USING (doc_id) JOIN rz USING (doc_id) JOIN fm USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS blob_md5,
         |       md5(substr(text, 1, 64)) AS head_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ---- EventStream (batch twin of the AvailableNow drain) ----
+    // Mirrors EventStream.ingestStatsOf: content-dedup then per-lang
+    // exact-integer stats. The stream's dropDuplicates keeps the first
+    // arrival per digest; the twin keeps min doc_id — equivalent on any
+    // fixture without content-identical docs carrying conflicting lang
+    // labels (true at the sf0.01 gate: 500 rows, 500 distinct digests,
+    // verified; at sf0.1 seven label-conflicted dup pairs exist as
+    // fixture noise, documented in qStreamIngest).
+    "q_stream_ingest" ->
+      """WITH u AS (
+        |  SELECT lang, n_chars, string_split(text, ' ') AS toks,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CAST(round(len(list_distinct(toks))::DOUBLE / len(toks) * 1000000)
+        |                     AS BIGINT)) AS BIGINT) AS q_micro,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM u WHERE rn = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // ---- SimilarityOps ----
-    "q_ann_bruteforce" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id,
-        |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
-        |         row_number() OVER (PARTITION BY q.q_id
-        |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
-        |                    e.vec_id ASC) AS rank
-        |  FROM q JOIN e ON e.vec_id <> q.q_id)
-        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
-        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_bruteforce" -> ANN_BF,
 
-    "q_ann_lsh" ->
-      """WITH planes AS (
-        |  SELECT j, list_transform(range(1, 65), i ->
-        |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
-        |  FROM generate_series(0, 3) t(j)
-        |), e0 AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
-        |  FROM embeddings
-        |), b AS (
-        |  SELECT e0.vec_id,
-        |         sum(CASE WHEN list_dot_product(e0.v, p.w) > 0
-        |                  THEN (1 << p.j) ELSE 0 END) AS bucket
-        |  FROM e0 CROSS JOIN planes p GROUP BY e0.vec_id
-        |), e AS (
-        |  SELECT e0.vec_id, b.bucket, e0.v, e0.nrm
-        |  FROM e0 JOIN b ON b.vec_id = e0.vec_id
-        |), q AS (SELECT vec_id AS q_id, bucket, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id,
-        |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
-        |         row_number() OVER (PARTITION BY q.q_id
-        |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
-        |                    e.vec_id ASC) AS rank
-        |  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
-        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
-        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_lsh" -> ANN_LSH,
 
-    "q_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
-        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |vc AS (
-        |  SELECT e.vec_id, e.v, e.nrm, cent.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
-        |                    cent.c_id ASC) AS rn
-        |  FROM e CROSS JOIN cent),
-        |assign AS (SELECT vec_id AS m_id, v AS mv, nrm AS mn, c_id FROM vc WHERE rn = 1),
-        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
-        |scored AS (
-        |  SELECT p.q_id, a.m_id,
-        |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
-        |         row_number() OVER (PARTITION BY p.q_id
-        |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
-        |                    a.m_id ASC) AS rank
-        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
-        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
-        |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf" -> ANN_IVF,
+
+    // Mirrors SimilarityOps.qAnnRecall: the four ANN oracles as
+    // subqueries (per-pair left joins are ≤1:1, so count(*) stays k);
+    // recall values are exact integer hit counts over one shared IEEE
+    // division. The mean-recall floors are pinned as literal `true` —
+    // a Spark-side recall regression below the floor fails the hash.
+    "q_ann_recall" ->
+      s"""WITH bf AS (SELECT q_id, neighbor_id FROM ($ANN_BF)),
+         |ivf AS (SELECT q_id, neighbor_id FROM ($ANN_IVF)),
+         |lsh AS (SELECT q_id, neighbor_id FROM ($ANN_LSH)),
+         |ivfk AS (SELECT q_id, neighbor_id FROM ($ANN_IVF_KMEANS)),
+         |h AS (
+         |  SELECT bf.q_id, count(*) AS n_exact,
+         |         CAST(count(i.neighbor_id) AS BIGINT) AS h_ivf,
+         |         CAST(count(l.neighbor_id) AS BIGINT) AS h_lsh,
+         |         CAST(count(k.neighbor_id) AS BIGINT) AS h_ivfk
+         |  FROM bf
+         |  LEFT JOIN ivf i ON i.q_id = bf.q_id AND i.neighbor_id = bf.neighbor_id
+         |  LEFT JOIN lsh l ON l.q_id = bf.q_id AND l.neighbor_id = bf.neighbor_id
+         |  LEFT JOIN ivfk k ON k.q_id = bf.q_id AND k.neighbor_id = bf.neighbor_id
+         |  GROUP BY bf.q_id
+         |)
+         |SELECT q_id, n_exact,
+         |       round(CAST(h_ivf AS DOUBLE) / n_exact, 3) AS recall_ivf,
+         |       round(CAST(h_lsh AS DOUBLE) / n_exact, 3) AS recall_lsh,
+         |       round(CAST(h_ivfk AS DOUBLE) / n_exact, 3) AS recall_ivf_kmeans,
+         |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok
+         |FROM h ORDER BY q_id""".stripMargin,
   )
 }

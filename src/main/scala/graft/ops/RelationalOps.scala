@@ -378,7 +378,11 @@ object RelationalOps {
         col("event_type"), col("n_exact"),
         (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.05).as("hll_within_5pct"),
         round(col("med_exact"), 2).as("median"),
-        (abs(col("med_apx") - col("med_exact")) <= abs(col("med_exact")) * 0.05)
+        // Relative-plus-absolute tolerance: a pure relative bound
+        // degenerates to exact-equality when the exact median is ~0
+        // (latent flake if the fixture or approx_percentile changes).
+        (abs(col("med_apx") - col("med_exact")) <=
+          greatest(abs(col("med_exact")) * 0.05, lit(0.01)))
           .as("pctl_within_5pct"))
       .orderBy(col("event_type"))
 

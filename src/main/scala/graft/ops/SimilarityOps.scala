@@ -278,6 +278,46 @@ object SimilarityOps {
     topK(scored, k)
   }
 
+  /** ANN recall as a driver-checked invariant (the q_sketch_accuracy
+    * pattern): brute-force top-k is ground truth; each approximate path
+    * (raw-sample IVF, sign-LSH, kmeans-refined IVF) reports per-query
+    * recall@k, plus corpus-level mean-recall floors pinned as literal
+    * `true` in the oracle — if a code change ever degrades recall below
+    * the floor, the hash compare fails. All recall arithmetic is exact
+    * (integer hit counts; one IEEE division both engines share), so the
+    * per-query values are hash-pinned too: recall cannot drift AT ALL
+    * without failing, the flags just encode the tolerable floor if the
+    * defaults are retuned. Floors hold at sf0.001/0.01/0.1 (measured:
+    * mean recall ≥ 0.30/0.14/0.40 across SFs for ivf/lsh/ivf_kmeans).
+    */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val embs = embeddings(spark, dir)
+    val bf = annBruteforce(embs, col("q_id") < 5).select(col("q_id"), col("neighbor_id"))
+    def hits(apx: DataFrame, name: String): DataFrame =
+      bf.join(apx.select(col("q_id"), col("neighbor_id")), Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    val per = bf.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits(annIvf(embs, col("vec_id") < 5), "h_ivf"), Seq("q_id"), "left")
+      .join(hits(annLsh(embs, col("vec_id") < 5), "h_lsh"), Seq("q_id"), "left")
+      .join(hits(annIvfKmeans(embs, col("vec_id") < 5), "h_ivfk"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("h_ivf"), lit(0L)).as("h_ivf"),
+        coalesce(col("h_lsh"), lit(0L)).as("h_lsh"),
+        coalesce(col("h_ivfk"), lit(0L)).as("h_ivfk"))
+    // Mean recall from exact integer totals (sum of hits / sum of k) —
+    // order-independent, unlike avg() over per-query doubles.
+    val flags = per.agg(
+      (sum(col("h_ivf")).cast("double") / sum(col("n_exact")) >= 0.25).as("ivf_mean_ok"),
+      (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.10).as("lsh_mean_ok"),
+      (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.30).as("ivf_kmeans_mean_ok"))
+    per.select(col("q_id"), col("n_exact"),
+        round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),
+        round(col("h_lsh").cast("double") / col("n_exact"), 3).as("recall_lsh"),
+        round(col("h_ivfk").cast("double") / col("n_exact"), 3).as("recall_ivf_kmeans"))
+      .crossJoin(broadcast(flags))
+      .orderBy(col("q_id"))
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
 
   def qKmeans(spark: SparkSession, dir: String): DataFrame =

@@ -251,6 +251,13 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Driver-checked partition pruning: the HBase-region-scan analog — a
+    * keyed read touches only its directories (PlanShapeSpec asserts the
+    * scan's PartitionFilters are non-empty).
+    */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame =
+    partitionedRoundTrip(spark, dir, Seq("click", "purchase"))
+
   /** Small-files compaction: rewrite a directory into ~targetFiles files
     * (sorted within partitions for locality). The maintenance op every
     * long-running ingest pipeline needs.
@@ -261,6 +268,74 @@ object SourceSinkOps {
       .repartition(targetFiles)
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(outDir)
+
+  private def parquetFileCount(path: String): Int = {
+    val fs = new java.io.File(path).listFiles()
+    if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+  }
+
+  /** Compaction as a driver-checked invariant: fragment the events table
+    * into 64 small files (round-robin, so every partition is non-empty
+    * at any fixture SF), [[compact]] to 4, and report file counts plus
+    * content checksums of the compacted copy. The oracle pins the exact
+    * file counts (64 → 4: repartition produces exactly its partition
+    * count for non-empty data) and the checksums straight from the
+    * fixture — equality proves compaction is lossless. Checksums are
+    * exact integers (micro-unit value sum), so no float-order noise.
+    */
+  def qCompact(spark: SparkSession, dir: String): DataFrame = {
+    val smallDir = tmp(dir, "small")
+    val outDir = tmp(dir, "compacted")
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(smallDir)
+    compact(spark, smallDir, outDir, targetFiles = 4, sortCol = "event_id")
+    spark.read.parquet(outDir)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("event_id")).as("id_sum"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"))
+      .select(lit(parquetFileCount(smallDir)).as("n_files_before"),
+              lit(parquetFileCount(outDir)).as("n_files_after"),
+              col("n_rows"), col("id_sum"), col("value_centi"))
+  }
+
+  /** Dynamic partition pruning — the runtime half of the 100 TB pruning
+    * story (static pushdown covers literal predicates; DPP covers the
+    * fact⋈dim case where the partition keys to keep are only known after
+    * filtering the dimension). The fact table is written partitioned by
+    * event_type; the dimension carries a non-partition-column predicate
+    * (`is_hot`: above-average type frequency, an exact integer compare),
+    * so Catalyst cannot prune statically — instead the broadcast of the
+    * filtered dim is reused as a dynamic partition filter on the fact
+    * scan (PlanShapeSpec asserts the `dynamicpruning` subquery). At scale
+    * this is the difference between scanning all partitions and scanning
+    * the qualifying ones only.
+    */
+  def qDppPrune(spark: SparkSession, dir: String): DataFrame = {
+    val factDir = tmp(dir, "dppfact")
+    val dimDir = tmp(dir, "dppdim")
+    val ev = events(spark, dir)
+    ev.select(col("event_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(factDir)
+    // hot_margin = n_type*5 - n_total: the above-average predicate as a
+    // NUMERIC comparison (`> 0`) — Spark's DPP insertion requires the dim
+    // filter to be "likely selective" (BinaryComparison/In/Like...); a
+    // bare boolean attribute is not on that list and suppresses the
+    // dynamic filter entirely.
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_total"))))
+      .withColumn("hot_margin", col("n_type") * 5 - col("n_total"))
+      .select(col("event_type"), col("n_type"), col("hot_margin"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("hot_margin") > 0)
+    fact.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"))
+      .orderBy(col("event_type"))
+  }
 
   /** GROUPING SETS over (status, priority) — finer control than cube:
     * only the two single-dimension granularities.

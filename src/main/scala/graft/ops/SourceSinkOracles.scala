@@ -68,11 +68,41 @@ object SourceSinkOracles {
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Partition-pruned read equals the plain filtered aggregate (the
+    // pruning is a layout optimization, not a semantic change).
+    "q_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Compaction invariant: 64 fragments → 4 files with content preserved
+    // (row count + exact integer checksums straight from the fixture).
+    "q_compact" ->
+      """SELECT 64 AS n_files_before, 4 AS n_files_after,
+        |       count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+        |FROM events""".stripMargin,
+
+    // DPP is a scan optimization; the oracle is the plain join with the
+    // same above-average-frequency dimension predicate (exact integer
+    // compare: n_type * 5 > total).
+    "q_dpp_prune" ->
+      """WITH dim AS (SELECT event_type, count(*) AS n_type FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM events)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+        |FROM events e JOIN dim d USING (event_type) CROSS JOIN tot
+        |WHERE d.n_type * 5 > tot.n_total
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     // Mirrors SourceSinkOps.qZorderKey: bit interleave as a sum over bit
-    // positions (both engines use arithmetic shifts on BIGINT).
+    // positions (both engines use arithmetic shifts on BIGINT). Both
+    // dimensions get the same sign normalization as Spark's pmod, so the
+    // twin holds for any fixture (negative keys included).
     "q_zorder_key" ->
       """WITH b AS (
-        |  SELECT event_id, user_id % 1024 AS u,
+        |  SELECT event_id, ((user_id % 1024) + 1024) % 1024 AS u,
         |         ((CAST(floor(value) AS BIGINT) % 1024) + 1024) % 1024 AS w
         |  FROM events WHERE event_id < 200
         |)

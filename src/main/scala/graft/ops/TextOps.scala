@@ -254,19 +254,57 @@ object TextOps {
   def qQuotaSample(spark: SparkSession, dir: String): DataFrame =
     quotaSample(documents(spark, dir))
 
+  /** Exclusive prefix sum of `tot` in `key` order over a (key, tot)
+    * relation, fully distributed: cumsum within `key div bucketSize`
+    * super-buckets (parallel), super-bucket totals offset by RECURSING
+    * the same construction — each level is bucketSize× smaller, so the
+    * single-partition base-case window only ever runs once the relation
+    * has ≤ bucketSize rows. The level count comes from a count() of the
+    * (already bucketSize×-reduced) totals relation — a tiny aggregate
+    * next to the data pass, and the price of never serializing more
+    * than bucketSize rows through one task at ANY input size.
+    *
+    * The offsets join is deliberately un-hinted: the window output is
+    * already hash-partitioned by the join key, so at scale only the
+    * (bucketSize×-smaller) offsets side shuffles, while AQE converts it
+    * to a broadcast at fixture scale.
+    */
+  private def exclusiveOffsets(totals: DataFrame, bucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (totals.count() <= bucketSize) {
+      totals.withColumn("offset", coalesce(
+        sum(col("tot")).over(
+          Window.orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+        .select(col("key"), col("offset"))
+    } else {
+      val b = totals.withColumn("sb", expr(s"key div $bucketSize"))
+      val within = b.withColumn("pfx", coalesce(
+        sum(col("tot")).over(
+          Window.partitionBy(col("sb")).orderBy(col("key"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      val supTotals = b.groupBy(col("sb")).agg(sum(col("tot")).as("tot"))
+        .select(col("sb").as("key"), col("tot"))
+      val supOffsets = exclusiveOffsets(supTotals, bucketSize)
+        .select(col("key").as("sb"), col("offset").as("sb_offset"))
+      within.join(supOffsets, Seq("sb"))
+        .select(col("key"), (col("sb_offset") + col("pfx")).as("offset"))
+    }
+  }
+
   /** Token-budget shard packing — assign documents (in doc_id order) to
     * consecutive output shards of ≈`budgetChars` characters: the step
     * that turns a cleaned corpus into training shards. shard_id =
     * floor(exclusive-prefix-sum(n_chars) / budget), computed as a
-    * DISTRIBUTED two-phase prefix sum: (1) a window cumsum WITHIN each
-    * `doc_id div bucketSize` bucket (parallel across buckets), (2)
-    * bucket totals cumsummed on the tiny n/bucketSize-row relation and
-    * broadcast back as offsets. Nothing global is single-partition
-    * except the bucket-totals pass, which is bucketSize× smaller than
-    * the input (recurse the same construction for another bucketSize×
-    * if n/bucketSize is ever itself too large). The naive
-    * `sum().over(Window.orderBy(doc_id))` would serialize the entire
-    * corpus through ONE partition — the classic global-window trap.
+    * DISTRIBUTED prefix sum: a window cumsum WITHIN each `doc_id div
+    * bucketSize` bucket (parallel across buckets), with bucket totals
+    * turned into offsets by [[exclusiveOffsets]] — the recursive
+    * bucket-of-buckets construction, so NO window at ANY level runs
+    * unpartitioned over more than bucketSize rows (PlanShapeSpec pins
+    * the contract). The naive `sum().over(Window.orderBy(doc_id))`
+    * would serialize the entire corpus through ONE partition — the
+    * classic global-window trap.
     */
   def packShards(docs: DataFrame, budgetChars: Long = 20000L,
                  bucketSize: Int = 256): DataFrame = {
@@ -278,13 +316,12 @@ object TextOps {
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - col("n_chars"))
-    val offsets = b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("btot"))
-      .withColumn("offset", coalesce(
-        sum(col("btot")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("bucket"), col("offset"))
-    within.join(broadcast(offsets), Seq("bucket"))
+    val offsets = exclusiveOffsets(
+      b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("tot"))
+        .select(col("bucket").as("key"), col("tot")),
+      bucketSize)
+      .select(col("key").as("bucket"), col("offset"))
+    within.join(offsets, Seq("bucket"))
       .select(col("doc_id"), col("n_chars"),
               expr(s"(offset + pfx_within) div $budgetChars").as("shard_id"))
       .orderBy(col("doc_id"))
@@ -323,7 +360,15 @@ object TextOps {
     * ships.
     */
   def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    // One persisted scan feeds the quality branch AND the near-dup pair
+    // branch (the two heaviest consumers); the tiny shard manifest is
+    // materialized so the cache is released before returning.
+    val docs = documents(spark, dir).persist()
+    try qPipelineE2eOn(docs).localCheckpoint(true)
+    finally docs.unpersist()
+  }
+
+  private def qPipelineE2eOn(docs: DataFrame): DataFrame = {
     val scored = docs
       .withColumn("toks", TextFns.toks)
       .withColumn("n_tokens", size(col("toks")))

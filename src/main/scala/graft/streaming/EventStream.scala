@@ -165,6 +165,47 @@ object EventStream {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), round(sum(col("quality")), 4).as("sum_q"))
 
+  /** Per-language corpus-ingest statistics — the aggregate shared by the
+    * stream and its batch twin (which is also the DuckDB oracle form, so
+    * the streaming path is driver-correctness-checked end to end). All
+    * measures are exact integers (count, micro-unit quality sum, char
+    * sum) — order-independent, so the incremental computation is
+    * hash-identical to the batch one.
+    */
+  def ingestStatsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicates("digest")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("quality",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(expr("cast(round(quality * 1000000) as bigint)")).as("q_micro"),
+           sum(col("n_chars")).as("total_chars"))
+
+  /** Driver-checked streaming row: drain the corpus-ingest stream with
+    * Trigger.AvailableNow into a memory sink, return the drained table —
+    * the oracle is the batch-twin SQL, so CORRECTNESS covers streaming
+    * (not just the StreamingSpec equivalence tests). Complete output
+    * mode: the memory sink holds exactly the final aggregate state.
+    *
+    * Determinism caveat: dropDuplicates keeps the FIRST arrival per
+    * digest (standard streaming dedup semantics); that choice is only
+    * observable if content-identical docs carry conflicting lang labels.
+    * The sf0.01 gate fixture has zero duplicate texts (500 distinct
+    * digests, verified), so stream, batch twin, and oracle agree
+    * exactly; at sf0.1 seven label-conflicted dup pairs exist as fixture
+    * noise (bench-only, values unchecked there).
+    */
+  def qStreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToMemory(spark, ingestStatsOf(docs), "graft_stream_ingest")
+      .orderBy(col("lang"))
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

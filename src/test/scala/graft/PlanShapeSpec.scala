@@ -92,6 +92,36 @@ class PlanShapeSpec extends AnyFunSuite {
       windows.map(w => w.partitionSpec).mkString("; "))
   }
 
+  test("fact scan carries a dynamic partition pruning subquery from the dim filter") {
+    // The dim predicate (above-average frequency) is not a literal, so
+    // static pruning can't fire; the broadcast of the filtered dim must be
+    // reused as a runtime partition filter on the fact scan.
+    val p = physical(ops.SourceSinkOps.qDppPrune(spark, Sf))
+    assert(p.contains("dynamicpruning"), p.take(4000))
+  }
+
+  test("partition-pruned layout read keeps PartitionFilters in the driver query") {
+    val df = ops.SourceSinkOps.qPartitionPrune(spark, Sf)
+    val p = physical(df)
+    assert(p.contains("PartitionFilters: [") && p.contains("event_type#"), p.take(3000))
+  }
+
+  test("prefix-sum recursion: no window at any level is global over >bucketSize rows") {
+    // bucketSize=4 over ~500 docs forces 3+ recursion levels; every window
+    // except the final <=bucketSize base case must be bucket-partitioned,
+    // and the deep recursion must agree with the single-level default.
+    val docs = graft.Tables.documents(spark, Sf)
+    val deep = ops.TextOps.packShards(docs, bucketSize = 4)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = deep.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size >= 4, s"expected a multi-level recursion, got ${windows.size} windows")
+    assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+      "only the <=bucketSize base case may run as a global window")
+    val wide = ops.TextOps.packShards(docs)
+    assert(deep.collect().toSeq == wide.collect().toSeq,
+      "recursion depth must not change shard assignment")
+  }
+
   test("kmeans assignment broadcasts the centroids; fact side never shuffles for the join") {
     val p = physical(ops.SimilarityOps.qKmeans(spark, Sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -33,6 +33,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("driver-checked ingest drain == batch twin (exact-integer stats)") {
+    val streamed = streaming.EventStream.qStreamIngest(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = streaming.EventStream.ingestStatsOf(graft.Tables.documents(spark, Sf))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup-by-id preserves per-type counts (ids unique in fixture)") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.dedupedCounts(spark, Sf), "t_dedup",
