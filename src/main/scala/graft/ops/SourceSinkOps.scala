@@ -337,6 +337,82 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Bucketed co-located join — the 100 TB repeated-join strategy: both
+    * fact tables pre-hash-partitioned AND pre-sorted on the join key at
+    * write time (8 buckets), so the sort-merge join at read time needs
+    * NO exchange and NO sort on either side — the cost moves to the
+    * one-time write, amortized over every subsequent join. The HBase
+    * analog would be aligning the region splits of two tables; the
+    * reference never does it. `hint("merge")` pins SMJ (a broadcast
+    * would bypass the bucket layout and prove nothing) without mutating
+    * session conf — the hint travels with the plan, so the shape holds
+    * no matter when the query is executed. PlanShapeSpec asserts
+    * `Bucketed: true` and no exchange on either join key.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS gb_orders_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS gb_lineitem_$tag")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", tmp(dir, "borders"))
+      .mode("overwrite").saveAsTable(s"gb_orders_$tag")
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", tmp(dir, "blineitem"))
+      .mode("overwrite").saveAsTable(s"gb_lineitem_$tag")
+    spark.table(s"gb_orders_$tag").hint("merge")
+      .join(spark.table(s"gb_lineitem_$tag"),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("price_centi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Keyed MERGE (upsert/CDC apply) — the HBase put/delete analog done
+    * Spark-first as a copy-on-write rewrite: base rows whose key is
+    * untouched survive via an anti-join, updates replace, inserts
+    * append, deletes vanish — one shuffle-side pass, with the (small)
+    * change set broadcast so the base never shuffles. This is the
+    * MERGE INTO pattern of the lakehouse formats, minus the format.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    base.join(broadcast(changes.select(col(key))), Seq(key), "left_anti")
+      .unionByName(changes.filter(col("op") =!= lit("D")).drop("op"))
+
+  /** Driver-checked MERGE over orders: deterministic change set derived
+    * from the base (updates +50 on keys ≡ 0 mod 100, deletes keys ≡ 7,
+    * inserts re-keyed +10⁷ copies of keys ≡ 13 with status 'N'), then
+    * the merged table itself — row-level proof that update/delete/insert
+    * all landed.
+    */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes =
+      base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+                (col("o_totalprice") + 50.0).as("o_totalprice"))
+      .unionByName(
+        base.filter(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey"), lit("D").as("op"), col("o_orderstatus"),
+                  col("o_totalprice")))
+      .unionByName(
+        base.filter(col("o_orderkey") % 100 === 13)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+                  lit("I").as("op"), lit("N").as("o_orderstatus"),
+                  col("o_totalprice")))
+    mergeUpsert(base, changes.select(col("o_orderkey"), col("op"),
+                                     col("o_orderstatus"), col("o_totalprice")),
+                "o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** GROUPING SETS over (status, priority) — finer control than cube:
     * only the two single-dimension granularities.
     */

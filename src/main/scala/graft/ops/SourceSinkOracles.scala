@@ -68,6 +68,36 @@ object SourceSinkOracles {
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // Bucketing is a layout optimization: the co-located SMJ must equal
+    // the plain join.
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_centi
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Mirrors SourceSinkOps.qUpsert: untouched base survives, updates
+    // replace, inserts append, deletes vanish.
+    "q_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'U' AS op, o_orderstatus,
+        |         o_totalprice + 50.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 13
+        |)
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price FROM (
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op <> 'D'
+        |) ORDER BY o_orderkey""".stripMargin,
+
     // Partition-pruned read equals the plain filtered aggregate (the
     // pruning is a layout optimization, not a semantic change).
     "q_partition_prune" ->

@@ -257,21 +257,25 @@ object TextOps {
   /** Exclusive prefix sum of `tot` in `key` order over a (key, tot)
     * relation, fully distributed: cumsum within `key div bucketSize`
     * super-buckets (parallel), super-bucket totals offset by RECURSING
-    * the same construction — each level is bucketSize× smaller, so the
-    * single-partition base-case window only ever runs once the relation
-    * has ≤ bucketSize rows. The level count comes from a count() of the
-    * (already bucketSize×-reduced) totals relation — a tiny aggregate
-    * next to the data pass, and the price of never serializing more
-    * than bucketSize rows through one task at ANY input size.
+    * the same construction — each level is bucketSize× smaller. The
+    * recursion depth is STRUCTURAL (fixed `levels`, no data-dependent
+    * count): a count() here would eagerly re-execute the entire upstream
+    * pipeline when composed (measured 5× on the e2e capstone), while a
+    * fixed depth just adds a few lazily-planned tiny aggregates. The
+    * base-case global window after `levels` recursions sees at most
+    * n / bucketSize^levels rows — with the defaults (256, 3) that's
+    * ≤ 256 rows for anything up to 256⁴ ≈ 4·10⁹ input rows, i.e. ~10¹²
+    * documents through [[packShards]]; bump `levels` for more.
     *
     * The offsets join is deliberately un-hinted: the window output is
     * already hash-partitioned by the join key, so at scale only the
     * (bucketSize×-smaller) offsets side shuffles, while AQE converts it
     * to a broadcast at fixture scale.
     */
-  private def exclusiveOffsets(totals: DataFrame, bucketSize: Int): DataFrame = {
+  private def exclusiveOffsets(totals: DataFrame, bucketSize: Int,
+                               levels: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    if (totals.count() <= bucketSize) {
+    if (levels <= 0) {
       totals.withColumn("offset", coalesce(
         sum(col("tot")).over(
           Window.orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -286,7 +290,7 @@ object TextOps {
         lit(0L)))
       val supTotals = b.groupBy(col("sb")).agg(sum(col("tot")).as("tot"))
         .select(col("sb").as("key"), col("tot"))
-      val supOffsets = exclusiveOffsets(supTotals, bucketSize)
+      val supOffsets = exclusiveOffsets(supTotals, bucketSize, levels - 1)
         .select(col("key").as("sb"), col("offset").as("sb_offset"))
       within.join(supOffsets, Seq("sb"))
         .select(col("key"), (col("sb_offset") + col("pfx")).as("offset"))
@@ -300,14 +304,15 @@ object TextOps {
     * DISTRIBUTED prefix sum: a window cumsum WITHIN each `doc_id div
     * bucketSize` bucket (parallel across buckets), with bucket totals
     * turned into offsets by [[exclusiveOffsets]] — the recursive
-    * bucket-of-buckets construction, so NO window at ANY level runs
-    * unpartitioned over more than bucketSize rows (PlanShapeSpec pins
-    * the contract). The naive `sum().over(Window.orderBy(doc_id))`
-    * would serialize the entire corpus through ONE partition — the
-    * classic global-window trap.
+    * bucket-of-buckets construction, so no window before the fixed-depth
+    * base case runs unpartitioned, and the base case sees at most
+    * n / bucketSize^(levels+1) rows (≤ bucketSize up to ~10¹² docs at
+    * the defaults; PlanShapeSpec pins the contract). The naive
+    * `sum().over(Window.orderBy(doc_id))` would serialize the entire
+    * corpus through ONE partition — the classic global-window trap.
     */
   def packShards(docs: DataFrame, budgetChars: Long = 20000L,
-                 bucketSize: Int = 256): DataFrame = {
+                 bucketSize: Int = 256, levels: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = docs.select(col("doc_id"), col("n_chars"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
@@ -319,7 +324,7 @@ object TextOps {
     val offsets = exclusiveOffsets(
       b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("tot"))
         .select(col("bucket").as("key"), col("tot")),
-      bucketSize)
+      bucketSize, levels)
       .select(col("key").as("bucket"), col("offset"))
     within.join(offsets, Seq("bucket"))
       .select(col("doc_id"), col("n_chars"),
@@ -360,15 +365,13 @@ object TextOps {
     * ships.
     */
   def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    // One persisted scan feeds the quality branch AND the near-dup pair
-    // branch (the two heaviest consumers); the tiny shard manifest is
-    // materialized so the cache is released before returning.
-    val docs = documents(spark, dir).persist()
-    try qPipelineE2eOn(docs).localCheckpoint(true)
-    finally docs.unpersist()
-  }
-
-  private def qPipelineE2eOn(docs: DataFrame): DataFrame = {
+    // Deliberately NOT persisting the shared documents scan: measured at
+    // sf0.1, caching the text column costs more than the second parquet
+    // read it saves (the duplicated work is the cheap columnar scan, not
+    // the shingle/join stages) — and at 100 TB one never caches the
+    // corpus. Lazy composition keeps the whole pipeline one Catalyst
+    // tree.
+    val docs = documents(spark, dir)
     val scored = docs
       .withColumn("toks", TextFns.toks)
       .withColumn("n_tokens", size(col("toks")))

@@ -122,6 +122,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "recursion depth must not change shard assignment")
   }
 
+  test("bucketed join reads Bucketed: true and shuffles neither side") {
+    val df = ops.SourceSinkOps.qBucketedJoin(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+           !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles:\n${p.take(3000)}")
+  }
+
+  test("merge-upsert broadcasts the touched-key set; the base never shuffles") {
+    val p = physical(ops.SourceSinkOps.qUpsert(spark, Sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+  }
+
   test("kmeans assignment broadcasts the centroids; fact side never shuffles for the join") {
     val p = physical(ops.SimilarityOps.qKmeans(spark, Sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
