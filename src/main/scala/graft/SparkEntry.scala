@@ -92,6 +92,7 @@ object SparkEntry {
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),
+    "q_orc_ingest" -> (ops.SourceSinkOps.qOrcIngest _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

@@ -74,6 +74,27 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** ORC round-trip — the second columnar interchange format (built into
+    * Spark; the other engine a lakehouse team actually meets). Same
+    * write → schema-on-read → checksum shape as the CSV/JSON ingests,
+    * with exact-integer checksums so the twin is hash-stable under any
+    * partition order.
+    */
+  def qOrcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmp(dir, "orc")
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("props"))
+      .write.mode("overwrite").orc(target)
+    spark.read.orc(target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("event_id")).as("id_sum"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"),
+           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** S6: the flagship report as `AIR-<carrier> TAB <months>` text lines →
     * TextOutputFormat-style sink → read back → line statistics.
     */

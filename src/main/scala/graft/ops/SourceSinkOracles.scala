@@ -41,6 +41,15 @@ object SourceSinkOracles {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // ORC round-trip is lossless, so the oracle aggregates the original
+    // parquet fixture directly.
+    "q_orc_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_text_report" ->
       s"""$REPORT
          |SELECT count(*) AS n_lines, CAST(sum(length(line)) AS BIGINT) AS total_chars,
