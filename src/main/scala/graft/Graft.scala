@@ -45,8 +45,9 @@ object Graft {
     ops.TextOps.tfidfTopTerms(docs, k)
   def quotaSample(docs: DataFrame, quota: Int = 40): DataFrame =
     ops.TextOps.quotaSample(docs, quota)
-  def packShards(docs: DataFrame, budgetChars: Long = 20000L, bucketSize: Int = 256): DataFrame =
-    ops.TextOps.packShards(docs, budgetChars, bucketSize)
+  def packShards(docs: DataFrame, budgetChars: Long = 20000L,
+                 bucketSize: Int = 256, levels: Int = 3): DataFrame =
+    ops.TextOps.packShards(docs, budgetChars, bucketSize, levels)
   def trainSplit(docs: DataFrame): DataFrame =
     ops.TextOps.trainSplit(docs)
 
@@ -66,9 +67,19 @@ object Graft {
                    nprobe: Int = 2, k: Int = 10): DataFrame =
     ops.SimilarityOps.annIvfKmeans(embs, queryPred, numCentroids, nprobe, k)
 
-  // layout: Z-order interleave key (native codegen expression)
+  // layout / maintenance
   def mortonZ(a: Column, b: Column): Column =
     functions.LayoutFunctions.mortonInterleave(a, b)
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFiles: Int, sortCol: String): Unit =
+    ops.SourceSinkOps.compact(spark, inDir, outDir, targetFiles, sortCol)
+
+  /** Keyed MERGE / CDC apply. `changes` columns: the key, `op` ∈
+    * {"U","I","D"}, plus the full payload (U replaces, I appends, D
+    * drops); untouched base rows survive via a broadcast anti-join.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    ops.SourceSinkOps.mergeUpsert(base, changes, key)
 
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,

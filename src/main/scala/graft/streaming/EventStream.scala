@@ -202,8 +202,17 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    runToMemory(spark, ingestStatsOf(docs), "graft_stream_ingest")
+    // State-store count is fixed by shuffle partitions at the stream's
+    // first start: size it to the stream's volume, not the batch
+    // session's width (two stateful operators × N partitions of
+    // checkpoint IO per micro-batch dominate a small drain; a real
+    // deployment sizes this to peak keys/sec). Restored right after the
+    // drain — batch queries plan lazily and never see the override.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runToMemory(spark, ingestStatsOf(docs), "graft_stream_ingest")
       .orderBy(col("lang"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Convenience runner for tests: drain the stream with AvailableNow into

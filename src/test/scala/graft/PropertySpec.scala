@@ -111,6 +111,41 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: mergeUpsert == driver-side map merge; delete-then-same-merge is idempotent") {
+    import TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      baseVals <- Gen.listOfN(n, Gen.chooseNum(0, 999))
+      nc <- Gen.chooseNum(0, 30)
+      cdc <- Gen.listOfN(nc, for {
+        k <- Gen.chooseNum(0L, 80L) // overlaps base keys AND new keys
+        op <- Gen.oneOf("U", "I", "D")
+        v <- Gen.chooseNum(0, 999)
+      } yield (k, op, v))
+    } yield (baseVals, cdc)
+    val p = Prop.forAll(gen) { case (baseVals, rawOps) =>
+      val base = baseVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      // one op per key (MERGE's precondition, as in any CDC compaction)
+      val chg = rawOps.groupBy(_._1).map(_._2.head).toList
+      val baseDf = base.toDF("k", "v")
+      val chgDf = chg.map { case (k, o, v) => (k, o, v) }.toDF("k", "op", "v")
+      val got = ops.SourceSinkOps.mergeUpsert(baseDf, chgDf, "k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toList.sorted
+      val touched = chg.map(_._1).toSet
+      val want = (base.filterNot { case (k, _) => touched.contains(k) } ++
+        chg.collect { case (k, o, v) if o != "D" => (k, v) }).sorted
+      // applying the SAME change set to the merged result changes nothing
+      // (U/I converge to the new value, D stays deleted)
+      val again = ops.SourceSinkOps.mergeUpsert(
+          got.toDF("k", "v"), chgDf, "k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toList.sorted
+      got == want && again == got
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: int8 quantization error is bounded by scale/2") {
     import TestSpark.spark
     import spark.implicits._
