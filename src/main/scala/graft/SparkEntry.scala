@@ -93,6 +93,8 @@ object SparkEntry {
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),
     "q_orc_ingest" -> (ops.SourceSinkOps.qOrcIngest _),
+    "q_csv_malformed" -> (ops.SourceSinkOps.qCsvMalformed _),
+    "q_schema_evolution" -> (ops.SourceSinkOps.qSchemaEvolution _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

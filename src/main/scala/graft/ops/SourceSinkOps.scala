@@ -74,6 +74,75 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Malformed-record handling — the ingestion-robustness contract a real
+    * crawl/log pipeline needs: PERMISSIVE parse with the corrupt raw line
+    * captured in a side column, so bad rows are COUNTED AND KEPT for
+    * forensics instead of killing the job (FAILFAST) or vanishing
+    * silently (DROPMALFORMED). The malformed lines are constructed
+    * deterministically (every event_id ≡ 3 mod 50 gets a non-numeric
+    * value field), so the oracle knows exactly which rows must land on
+    * each side — including that the bad rows' ids remain recoverable
+    * from the captured raw text.
+    */
+  def qCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmp(dir, "badcsv")
+    // The value field travels as exact integer centi-units (no float
+    // formatting anywhere in the round-trip).
+    events(spark, dir)
+      .select(concat_ws(",",
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 50 === 3, lit("notanumber"))
+          .otherwise(expr("cast(round(value * 100) as bigint)").cast("string")))
+        .as("value"))
+      .write.mode("overwrite").text(target)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value_centi", LongType),
+      StructField("_corrupt", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(target)
+    // NOTE: the aggregate must REFERENCE value_centi — Spark's CSV column
+    // pruning otherwise skips parsing it, the failing conversion never
+    // runs, and no record is ever marked corrupt. The good-rows checksum
+    // keeps the column load-bearing (and is the natural output anyway).
+    parsed.agg(
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt").isNull, col("event_id"))).as("good_id_sum"),
+        sum(when(col("_corrupt").isNull, col("value_centi"))).as("good_value_centi"),
+        // corrupt rows keep their raw line: the key is still recoverable
+        sum(when(col("_corrupt").isNotNull,
+          split(col("_corrupt"), ",").getItem(0).cast("long"))).as("corrupt_id_sum"))
+  }
+
+  /** Schema evolution — heterogeneous parquet under one path: an old
+    * writer (3 columns) and a new writer (adds `score`) share a dataset;
+    * `mergeSchema` reconciles them and the legacy half surfaces NULL for
+    * the new column. The everyday lakehouse migration nobody gets to
+    * skip: columns are added without rewriting history.
+    */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmp(dir, "evolve")
+    val ev = events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$target/v1")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+              (col("value") * 2).as("score"))
+      .write.mode("overwrite").parquet(s"$target/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$target/v1", s"$target/v2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("score").isNull.cast("long")).as("n_legacy"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"),
+           sum(expr("cast(round(coalesce(score, 0.0) * 100) as bigint)")).as("score_centi"))
+      .orderBy(col("event_type"))
+  }
+
   /** ORC round-trip — the second columnar interchange format (built into
     * Spark; the other engine a lakehouse team actually meets). Same
     * write → schema-on-read → checksum shape as the CSV/JSON ingests,

@@ -41,6 +41,31 @@ object SourceSinkOracles {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Mirrors SourceSinkOps.qCsvMalformed: the corrupt set is exactly
+    // the rows we made unparseable (event_id ≡ 3 mod 50), so the oracle
+    // derives both sides straight from the fixture.
+    "q_csv_malformed" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN event_id % 50 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN event_id % 50 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN event_id % 50 <> 3 THEN event_id END) AS BIGINT) AS good_id_sum,
+        |  CAST(sum(CASE WHEN event_id % 50 <> 3
+        |                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS good_value_centi,
+        |  CAST(sum(CASE WHEN event_id % 50 = 3 THEN event_id END) AS BIGINT) AS corrupt_id_sum
+        |FROM events""".stripMargin,
+
+    // Mirrors SourceSinkOps.qSchemaEvolution: even ids were written
+    // without `score` (the legacy half → NULL after mergeSchema), odd
+    // ids carry score = value * 2.
+    "q_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi,
+        |       CAST(sum(CASE WHEN event_id % 2 = 1
+        |                     THEN CAST(round(value * 2 * 100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS score_centi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // ORC round-trip is lossless, so the oracle aggregates the original
     // parquet fixture directly.
     "q_orc_ingest" ->
