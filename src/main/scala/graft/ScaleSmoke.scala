@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: weak-scaling smoke for the heavy operator families.
+  *
+  * Builds a FACTOR×-sf0.1 corpus in /tmp by unioning FACTOR copies with
+  * per-copy word remapping (`w -> w_c`): shingle/token spaces are disjoint
+  * across copies, so each copy keeps exactly sf0.1's near-dup structure
+  * and the corpus-wide candidate volume scales linearly — an honest weak-
+  * scaling setup (no cross-copy mega-clusters, no artificial dedup).
+  * Embeddings union with vec_id offsets. Prints per-operator wall times
+  * at 1× and FACTOR×; results recorded in ROUND3_NOTES.md.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs = Tables.documents(spark, base)
+    val nDocs = docs.count()
+    val embs = Tables.embeddings(spark, base)
+    val nVecs = embs.count()
+    (0 until factor).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
+        col("lang"), col("n_chars"),
+        (if (c == 0) col("text")
+         else array_join(transform(split(col("text"), " "),
+           w => concat(w, lit(s"_$c"))), " ")).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+    (0 until factor).map { c =>
+      embs.select((col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
+                  col("embedding"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+    println(s"SCALE corpus ${nDocs * factor} docs / ${nVecs * factor} vecs at $scaled")
+
+    def time(name: String, dir: String)(f: String => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = f(dir).count()
+      println(f"SCALE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+    Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
+      println(s"SCALE ---- $tag ($dir)")
+      time(s"ngram_pairs_$tag", dir)(d => ops.DedupOps.qDedupNgramJaccard(spark, d))
+      time(s"minhash_pairs_$tag", dir)(d => ops.DedupOps.qDedupMinhashLsh(spark, d))
+      time(s"simhash_pairs_$tag", dir)(d => ops.DedupOps.qDedupSimhash(spark, d))
+      time(s"clusters_$tag", dir)(d => ops.DedupOps.qDedupClusters(spark, d))
+      time(s"pipeline_e2e_$tag", dir)(d => ops.TextOps.qPipelineE2e(spark, d))
+      time(s"shard_pack_$tag", dir)(d => ops.TextOps.qShardPack(spark, d))
+      time(s"ann_ivf_$tag", dir)(d => ops.SimilarityOps.qAnnIvf(spark, d))
+      time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
+      time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
+    }
+    spark.stop()
+  }
+}

@@ -304,10 +304,17 @@ object DedupOps {
     * min doc_id of the component) for every doc appearing in ≥ 1 pair.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Persist the INPUT pairs before symmetrizing: the union's two
+    // branches would otherwise each execute the (expensive) pair-
+    // generation pipeline — 2× the heaviest stage for free. Released as
+    // soon as the symmetric edge set is materialized.
+    val p = pairs.persist()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
+    edges.count() // materialize every partition, then drop the pairs cache
+    p.unpersist()
     // Initialization already folds in round 0: label = min(id, neighbors).
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
@@ -343,6 +350,13 @@ object DedupOps {
                   least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
                   col("prev"))
       }).persist()
+      // count() materializes EVERY partition of the new cache before the
+      // previous one is released. The convergence probe alone (isEmpty =
+      // take(1)) may touch only some partitions; unpersisting the parent
+      // then forces the next iteration to recompute the missing ones
+      // through the whole unpersisted lineage — O(iters²) recomputation
+      // that the 10× weak-scaling smoke exposed (68 s → ~8 s for CC).
+      next.count()
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       persisted.unpersist()
       persisted = next
