@@ -116,6 +116,15 @@ object SparkEntry {
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),
     "q_image_features" -> (ops.MultimodalOps.qImageFeatures _),
+    "q_audio_frames" -> (ops.MultimodalOps.qAudioFrames _),
+    // Multi-join decision-support (TPC-H Q3/Q5 shapes, exact-integer money)
+    "q_top_orders" -> (ops.AnalyticsOps.qTopOrders _),
+    "q_region_volume" -> (ops.AnalyticsOps.qRegionVolume _),
+    "q_value_histogram" -> (ops.AnalyticsOps.qValueHistogram _),
+    // Corpus scrubbing: PII redaction, domain blocklist, paragraph dedup
+    "q_pii_redact" -> (ops.ScrubOps.qPiiRedact _),
+    "q_url_filter" -> (ops.ScrubOps.qUrlFilter _),
+    "q_paragraph_dedup" -> (ops.ScrubOps.qParagraphDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +132,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.FlightOracles.all ++ ops.RelationalOracles.all ++
       ops.EventOracles.all ++ ops.PipelineOracles.all ++
-      ops.SourceSinkOracles.all
+      ops.SourceSinkOracles.all ++ ops.AnalyticsOracles.all ++
+      ops.ScrubOracles.all
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-join decision-support queries — the TPC-H Q3/Q5 shapes a user of
+  * an analytics engine runs daily, expressed the way they should be run on
+  * a 1000-executor cluster:
+  *
+  *  - Selective dimension filters reduce BEFORE the join (Catalyst pushes
+  *    them into the parquet scan — PushedFilters on `c_mktsegment` /
+  *    `o_orderdate` / `l_shipdate`).
+  *  - The filtered customer side is explicitly `broadcast()` — at SF 100k
+  *    one market segment is still ≪ the fact tables, and broadcasting it
+  *    removes a full shuffle of orders.
+  *  - The one unavoidable fact-fact join (orders ⋈ lineitem) is pinned to
+  *    sort-merge (`hint("merge")`) so both sides co-partition on the order
+  *    key once and stream — the only shape that survives 100 TB.
+  *
+  * Money is aggregated in EXACT INTEGER 10⁻⁴-dollar units
+  * ([[AnalyticsOps.revenueUnits]]): `l_extendedprice` and `l_discount` are
+  * 2-decimal fixtures, so `round(price·100)·(100 − round(disc·100))` is an
+  * exact long and the SUM is order-independent — bit-reproducible under any
+  * partial-aggregation schedule and any cluster size, where a double sum
+  * would depend on partition order. The top-N ordering keys on the exact
+  * integer, never on a rounded double.
+  */
+object AnalyticsOps {
+  import graft.Tables._
+
+  /** Revenue of one line item in exact 10⁻⁴-dollar units (long). */
+  private def revenueUnits: Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** Shipping-priority top orders (TPC-H Q3 shape): the 10 highest-revenue
+    * urgent orders — orders from one market segment placed before the
+    * cutoff with line items still shipping after it. Broadcast the filtered
+    * segment, merge-join the facts, TakeOrdered the exact-integer revenue.
+    */
+  def qTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-06-01"))
+    val building = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+      .hint("merge")
+      .join(lineitem(spark, dir).filter(col("l_shipdate") > cutoff),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenueUnits).as("rev_u"), count(lit(1)).as("n_items"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"), col("n_items"), col("rev_u"),
+        round(col("rev_u") / 10000.0, 2).as("revenue"))
+      .orderBy(col("rev_u").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Local-supplier volume (TPC-H Q5 shape): revenue per nation within one
+    * region for one order-year, counting only line items whose supplier
+    * sits in the customer's own nation (the c_nationkey = s_nationkey theta
+    * condition). region/nation/supplier broadcast at any SF; customer ⋈
+    * orders and orders ⋈ lineitem are the co-partitioned fact joins.
+    */
+  def qRegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val yr0 = to_timestamp(lit("1996-01-01"))
+    val yr1 = to_timestamp(lit("1997-01-01"))
+    lineitem(spark, dir)
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .hint("merge")
+      .join(orders(spark, dir)
+              .filter(col("o_orderdate") >= yr0 && col("o_orderdate") < yr1),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(revenueUnits).as("rev_u"))
+      .select(col("n_name"), col("n_items"), col("rev_u"),
+              round(col("rev_u") / 10000.0, 2).as("revenue"))
+      .orderBy(col("rev_u").desc, col("n_name").asc)
+  }
+
+  /** Value-band histogram of event values: fixed-width buckets computed as
+    * a pure projection (`floor(value / width)`) then one hash aggregate —
+    * the shuffle carries one row per bucket, not per event. Bounds are
+    * exact-integer; the double `value` only ever feeds `floor`, which both
+    * engines evaluate identically on identical doubles.
+    */
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("bucket"), (col("bucket") * 10.0).as("lo"),
+              ((col("bucket") + 1) * 10.0).as("hi"), col("n_events"))
+      .orderBy(col("bucket"))
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+/** DuckDB twins for [[AnalyticsOps]]. Revenue mirrors the exact
+  * 10⁻⁴-dollar integer arithmetic (`round(price·100)·(100−round(disc·100))`
+  * summed as BIGINT) so the aggregate — and therefore the top-N ordering —
+  * is bit-identical regardless of either engine's summation order.
+  */
+object AnalyticsOracles {
+  private val revU =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  val all: Map[String, String] = Map(
+    "q_top_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority, n_items, rev_u, round(rev_u / 10000.0, 2) AS revenue
+        |FROM (
+        |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |         CAST(SUM($revU) AS BIGINT) AS rev_u, count(*) AS n_items
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY rev_u DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_region_volume" ->
+      s"""SELECT n_name, n_items, rev_u, round(rev_u / 10000.0, 2) AS revenue
+        |FROM (
+        |  SELECT n.n_name, count(*) AS n_items, CAST(SUM($revU) AS BIGINT) AS rev_u
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |                 AND c.c_nationkey = s.s_nationkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |ORDER BY rev_u DESC, n_name ASC""".stripMargin,
+
+    "q_value_histogram" ->
+      """SELECT bucket, bucket * 10.0 AS lo, (bucket + 1) * 10.0 AS hi,
+        |       n_events
+        |FROM (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |ORDER BY bucket""".stripMargin,
+  )
+}

@@ -120,4 +120,61 @@ object MultimodalOps {
             "rz1", "rz2", "rz3", "rz4", "n_frames", "frames_md5")
       .orderBy(col("doc_id"))
   }
+
+  /** STUB — deterministic fake audio decoder: the payload bytes are
+    * treated as a PCM-ish sample stream centered at 100 (the fixture is
+    * ASCII text, so letters sit above and spaces/digits below the
+    * center). A real pipeline would decode an audio codec here; the
+    * Spark-side plumbing — per-partition batch iteration, 256-sample
+    * framing, feature schema — is the real deliverable.
+    *
+    * Every feature is an EXACT INTEGER (energy = Σ(b−100)², mean
+    * crossings, per-frame sums digested as decimal strings), so the
+    * DuckDB oracle matches bit-for-bit with no float-formatting caveats
+    * at all — simpler than the image twin by design.
+    */
+  object FakeAudio {
+    val FrameLen = 256
+    val Center = 100
+    def centered(bytes: Array[Byte]): Array[Int] =
+      bytes.map(b => (b & 0xff) - Center)
+    def energy(c: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < c.length) { s += c(i).toLong * c(i); i += 1 }
+      s
+    }
+    def meanCrossings(c: Array[Int]): Long = {
+      var n = 0L; var i = 0
+      while (i < c.length - 1) { if (c(i).toLong * c(i + 1) < 0) n += 1; i += 1 }
+      n
+    }
+    def frameSums(c: Array[Int]): Array[Long] =
+      c.grouped(FrameLen).map(_.foldLeft(0L)(_ + _)).toArray
+  }
+
+  /** Audio feature extraction over the binary column — same
+    * `mapPartitions` batch shape as [[qImageFeatures]] (amortized codec
+    * init per partition), second modality of the multimodal surface.
+    */
+  def qAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { b =>
+          val c = FakeAudio.centered(b.payload)
+          val sums = FakeAudio.frameSums(c)
+          md.reset()
+          val framesMd5 = md.digest(sums.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (b.doc_id, b.payload.length.toLong, sums.length.toLong,
+            FakeAudio.energy(c), FakeAudio.meanCrossings(c), framesMd5)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_frames", "energy_u", "mean_cross",
+            "frames_md5")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -607,6 +607,27 @@ object PipelineOracles {
     // decimal tie at 1e-7 would require the double to equal odd/128,
     // impossible for s/len with len ≤ 64 (see the derivation in
     // MultimodalOps).
+    // Byte-level twin of MultimodalOps.FakeAudio: all features are exact
+    // integers (centered-byte energy, mean crossings, per-frame sums
+    // digested as decimal strings), so no float formatting is involved
+    // anywhere. 1-based list slices clamp like Spark's grouped().
+    "q_audio_frames" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+        |s AS (
+        |  SELECT doc_id, len,
+        |    list_transform(range(1, len + 1),
+        |      i -> unicode(substr(text, CAST(i AS INT), 1)) - 100) AS c
+        |  FROM d)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_samples,
+        |  CAST(ceil(len / 256.0) AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS energy_u,
+        |  CAST(len(list_filter(range(1, len), i -> c[CAST(i AS INT)] * c[CAST(i + 1 AS INT)] < 0)) AS BIGINT) AS mean_cross,
+        |  md5(array_to_string(
+        |    list_transform(range(0, CAST(ceil(len / 256.0) AS BIGINT)),
+        |      f -> CAST(list_sum(c[CAST(f * 256 + 1 AS INT):CAST(f * 256 + 256 AS INT)]) AS BIGINT)),
+        |    ',')) AS frames_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_image_features" ->
       """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
         |b AS (

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus scrubbing — the privacy / provenance stages of a training-data
+  * pipeline: PII redaction, URL/domain blocklist filtering, and
+  * sub-document (paragraph-level) exact dedup.
+  *
+  * All three are shuffle-light by construction: redaction is a pure
+  * projection (regex engines run inside whole-stage codegen); the domain
+  * filter is a broadcast anti-join against a tiny blocklist; paragraph
+  * dedup shuffles only (digest, doc_id, pid) triples — never text.
+  *
+  * The fixture `documents.text` contains no PII, so the PII queries build
+  * a deterministic `raw` column (text + synthetic contact strings derived
+  * from `doc_id`) identically on both engines; the operator under test is
+  * the extraction/redaction logic, not the synthesis. Regex patterns stay
+  * in the Java-regex ∩ RE2 dialect intersection (character classes,
+  * bounded repetition — no shorthand escapes, no backrefs) so Spark and
+  * DuckDB match byte-for-byte.
+  */
+object ScrubOps {
+  import graft.Tables._
+
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** The synthetic raw column: every doc gets one email + one phone;
+    * even doc_ids get a second email, so counts vary across rows.
+    */
+  private def rawWithPii =
+    concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+           concat(lit(" alt z"), col("doc_id").cast("string"), lit("@alt.net")))
+        .otherwise(lit("")))
+
+  /** PII redaction: count email/phone occurrences, then rewrite them to
+    * `<EMAIL>` / `<PHONE>` placeholders; emit the digest + length of the
+    * redacted text so the oracle pins the exact rewritten bytes, not just
+    * the counts. Single projection — embarrassingly parallel at 100 TB.
+    */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(rawWithPii, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(rawWithPii, lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(rawWithPii, lit(PhonePat), lit(0))).as("n_phones"),
+        length(redacted).as("redacted_len"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain blocklist filter: derive each document's source URL, extract
+    * the domain, drop blocklisted domains via a broadcast anti-join (the
+    * blocklist is tiny at any corpus size — the corpus side never
+    * shuffles for the filter), then per-domain survivor stats.
+    */
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = Seq("src0.example.org", "src7.example.org", "src13.example.org")
+      .toDF("bad_domain")
+    documents(spark, dir)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/d/"),
+               col("doc_id").cast("string")))
+      .withColumn("domain", regexp_extract(col("url"), "https://([a-z0-9.]+)/", 1))
+      .join(broadcast(blocklist), col("domain") === col("bad_domain"), "left_anti")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("domain"))
+  }
+
+  /** Non-overlapping `window`-token paragraphs of each document (the
+    * sub-document unit for paragraph-level dedup). ceil(n/window) slices;
+    * the last may be short. Shares [[TextFns.toks]] with the text layer.
+    */
+  def paragraphs(docs: DataFrame, window: Int = 10): DataFrame =
+    docs
+      .withColumn("toks", TextFns.toks)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $window.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $window + 1, $window)))"))
+        .as(Seq("pid", "para")))
+
+  /** Paragraph-level exact dedup: a paragraph is a duplicate if the same
+    * token sequence appeared earlier in the corpus (first occurrence by
+    * (doc_id, pid) wins — the deterministic keep-first policy). The
+    * ranking window partitions on the paragraph digest — high cardinality,
+    * so no partition is ever larger than one paragraph's occurrence count
+    * — and only (digest, doc_id, pid) triples shuffle, never text.
+    * Output: per-document paragraph counts + duplicate mass.
+    */
+  def qParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("para_md5")).orderBy(col("doc_id"), col("pid"))
+    paragraphs(documents(spark, dir))
+      .select(col("doc_id"), col("pid"), md5(col("para")).as("para_md5"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+              round((col("n_paras") - col("n_dup_paras")).cast("double")
+                      / col("n_paras"), 6).as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
+}

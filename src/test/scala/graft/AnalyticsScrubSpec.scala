@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-join analytics (AnalyticsOps) + corpus scrubbing (ScrubOps) +
+  * the audio multimodal twin. Correctness here is invariants and
+  * driver-side recomputation; exact-value equality is the DuckDB gate.
+  */
+class AnalyticsScrubSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("top-orders: capped at 10, revenue descending, broadcast + merge join planned") {
+    val df = ops.AnalyticsOps.qTopOrders(spark, Sf)
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("rev_u"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "segment dim should broadcast")
+    assert(plan.contains("SortMergeJoin"), "fact-fact join should sort-merge")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("region-volume: every nation reported is in ASIA and revenue matches a recomputation") {
+    val df = ops.AnalyticsOps.qRegionVolume(spark, Sf)
+    val out = df.collect().map(r => r.getAs[String]("n_name") -> r.getAs[Long]("rev_u")).toMap
+    // Driver-side recomputation from the raw fixtures (small SF only).
+    def l(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case x: Long => x; case x: Int => x.toLong
+      case x => sys.error(s"unexpected key type $x")
+    }
+    val nat = Tables.nation(spark, Sf).collect()
+      .map(r => l(r, 0) -> (r.getString(1), l(r, 2))).toMap
+    val asiaKey = Tables.region(spark, Sf).collect()
+      .collectFirst { case r if r.getString(1) == "ASIA" => l(r, 0) }.get
+    val sup = Tables.supplier(spark, Sf).collect()
+      .map(r => l(r, 0) -> l(r, 2)).toMap
+    val cust = Tables.customer(spark, Sf).collect()
+      .map(r => l(r, 0) -> l(r, 2)).toMap
+    val ord = Tables.orders(spark, Sf).collect()
+      .filter { r =>
+        val d = r.getAs[Any]("o_orderdate") match {
+          case t: java.sql.Timestamp => t.toInstant
+          case t: java.time.LocalDateTime => t.toInstant(java.time.ZoneOffset.UTC)
+          case t: java.time.Instant => t
+        }
+        !d.isBefore(java.time.Instant.parse("1996-01-01T00:00:00Z")) &&
+          d.isBefore(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+      }
+      .map(r => l(r, 0) -> l(r, 1)).toMap
+    val expect = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Tables.lineitem(spark, Sf).collect().foreach { r =>
+      val ok = r.getLong(0)
+      ord.get(ok).foreach { custkey =>
+        val sNat = sup(r.getLong(2))
+        if (cust(custkey) == sNat && nat(sNat)._2 == asiaKey) {
+          val price = math.round(r.getAs[Double]("l_extendedprice") * 100)
+          val disc = math.round(r.getAs[Double]("l_discount") * 100)
+          expect(nat(sNat)._1) += price * (100 - disc)
+        }
+      }
+    }
+    assert(out == expect.toMap, s"spark=$out expected=$expect")
+  }
+
+  test("value histogram covers every event exactly once") {
+    val total = ops.AnalyticsOps.qValueHistogram(spark, Sf)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, Sf).count())
+  }
+
+  test("pii redact: counts follow the synthesis parity and redaction removes every match") {
+    val rows = ops.ScrubOps.qPiiRedact(spark, Sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expectEmails = if (id % 2 == 0) 2 else 1
+      assert(r.getAs[Int]("n_emails") == expectEmails, s"doc $id")
+      assert(r.getAs[Int]("n_phones") == 1, s"doc $id")
+    }
+    // Redaction must leave no residual match: recompute one doc's redacted
+    // text via the same expressions and scan it.
+    val probe = Tables.documents(spark, Sf).limit(3)
+      .withColumn("raw", concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("raw"), "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+        "\\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+      .select("red").collect().map(_.getString(0))
+    probe.foreach { s =>
+      assert(!s.contains("@") || s.contains("<EMAIL>"))
+      assert(!s.matches(".*\\+1-[0-9]{3}-[0-9]{4}.*"))
+    }
+  }
+
+  test("url filter drops exactly the blocklisted domains") {
+    val domains = ops.ScrubOps.qUrlFilter(spark, Sf).collect()
+      .map(_.getAs[String]("domain")).toSet
+    assert(!domains.exists(Set("src0.example.org", "src7.example.org", "src13.example.org")))
+    assert(domains.forall(_.endsWith(".example.org")))
+    assert(domains.nonEmpty)
+  }
+
+  test("paragraph dedup: paragraph counts match ceil(tokens/10) and dup mass is sane") {
+    val out = ops.ScrubOps.qParagraphDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val nToks = text.split(" ").length
+      val (nParas, nDup) = out(id)
+      assert(nParas == math.ceil(nToks / 10.0).toLong, s"doc $id")
+      assert(nDup >= 0 && nDup <= nParas)
+    }
+    // Global first-occurrence invariant: total distinct paragraphs ==
+    // total paragraphs - total duplicates.
+    val totalParas = out.values.map(_._1).sum
+    val totalDups = out.values.map(_._2).sum
+    val distinctParas = docs.values.flatMap { t =>
+      val toks = t.split(" ")
+      toks.grouped(10).map(_.mkString(" "))
+    }.toSet.size
+    assert(totalParas - totalDups == distinctParas)
+  }
+
+  test("audio frames match a driver-side recomputation") {
+    val out = ops.MultimodalOps.qAudioFrames(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Tables.documents(spark, Sf).limit(5).collect().foreach { r =>
+      val id = r.getLong(0)
+      val c = r.getString(1).getBytes("UTF-8").map(b => (b & 0xff) - 100)
+      val row = out(id)
+      assert(row.getAs[Long]("n_samples") == c.length)
+      assert(row.getAs[Long]("n_frames") == math.ceil(c.length / 256.0).toLong)
+      assert(row.getAs[Long]("energy_u") == c.map(x => x.toLong * x).sum)
+      val crossings = c.zip(c.tail).count { case (a, b) => a.toLong * b < 0 }
+      assert(row.getAs[Long]("mean_cross") == crossings)
+    }
+  }
+}
