@@ -113,6 +113,9 @@ object SparkEntry {
     "q_ann_recall" -> (ops.SimilarityOps.qAnnRecall _),
     // Structured Streaming, driver-checked via an AvailableNow drain
     "q_stream_ingest" -> (streaming.EventStream.qStreamIngest _),
+    "q_stream_window" -> (streaming.EventStream.qStreamWindow _),
+    // Count-min sketch heavy hitters (estimates hash-pinned + invariants)
+    "q_heavy_hitters" -> (ops.TextOps.qHeavyHitters _),
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),
     "q_image_features" -> (ops.MultimodalOps.qImageFeatures _),

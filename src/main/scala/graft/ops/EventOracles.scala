@@ -11,6 +11,14 @@ object EventOracles {
   private val HH = 1800000000L // 30 min in microseconds
 
   val all: Map[String, String] = Map(
+    // Batch twin of the AvailableNow windowed-state drain: exact
+    // centi-unit integer sums, so incremental state == batch bit-for-bit.
+    "q_stream_window" ->
+      s"""SELECT (epoch_us(ts) // $H) * $H AS ws, event_type,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
     "q_events_tumbling" ->
       s"""SELECT (epoch_us(ts) // $H) * $H AS ws, event_type,
          |       count(*) AS n, round(sum(value), 2) AS sum_value

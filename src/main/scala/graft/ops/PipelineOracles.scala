@@ -213,6 +213,36 @@ object PipelineOracles {
         |       ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Count-min sketch twin: buckets are the shared md5-derived hash60
+    // mod 1024, so the ESTIMATES are deterministic and hash-pinned, not
+    // just the invariant flags. Integer `/ 100` divides to DOUBLE on both
+    // engines (values far below 2^53 — exact).
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cells AS (SELECT seed, token FROM toks, unnest([0, 1, 2, 3]) AS s(seed)),
+        |sketch AS (
+        |  SELECT seed,
+        |    CAST(('0x' || substr(md5('cms' || seed || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        |    count(*) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
+        |  ORDER BY exact_cnt DESC, token ASC LIMIT 20),
+        |total AS (SELECT count(*) AS n_total FROM toks),
+        |probes AS (
+        |  SELECT token, exact_cnt, seed,
+        |    CAST(('0x' || substr(md5('cms' || seed || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM exact, unnest([0, 1, 2, 3]) AS s(seed)),
+        |est AS (
+        |  SELECT token, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
+        |  FROM probes JOIN sketch USING (seed, bucket) GROUP BY 1, 2)
+        |SELECT token, exact_cnt, cms_est,
+        |  cms_est >= exact_cnt AS no_undercount,
+        |  cms_est <= exact_cnt + n_total / 100 AS within_1pct_n
+        |FROM est, total
+        |ORDER BY exact_cnt DESC, token ASC""".stripMargin,
+
     "q_token_topk" ->
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -442,6 +442,47 @@ object TextOps {
   def qTfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(documents(spark, dir))
 
+  /** Heavy hitters via a count-min sketch, with the exact counts beside
+    * the estimates — the streaming-friendly frequency structure at 100 TB:
+    * the sketch is D·W = 4096 counters regardless of corpus size (map-side
+    * partial aggregation collapses each input partition to ≤ D·W rows
+    * before the shuffle, so the exchange is O(D·W·partitions), never
+    * O(tokens)). Buckets are md5-derived, so the estimates — not just the
+    * flags — are deterministic and hash-pinned by the oracle. The CMS
+    * guarantee (estimate never undercounts; overcount ≤ εN w.h.p.) is
+    * emitted as boolean invariant columns, `q_sketch_accuracy`-style.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1024
+    val D = 4
+    val seeds = array((0 until D).map(lit): _*)
+    def bucket(seedCol: Column, tok: Column): Column =
+      pmod(TextFns.hash60(concat(lit("cms"), seedCol, lit(":"), tok)), lit(W))
+
+    val toks = documents(spark, dir).select(explode(TextFns.toks).as("token"))
+    // One pass: each token feeds D (seed, bucket) cells.
+    val sketch = toks
+      .select(explode(seeds).as("seed"), col("token"))
+      .groupBy(col("seed"), bucket(col("seed"), col("token")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc).limit(20)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val probes = exact
+      .select(col("token"), col("exact_cnt"), explode(seeds).as("seed"))
+      .withColumn("bucket", bucket(col("seed"), col("token")))
+    probes
+      .join(broadcast(sketch), Seq("seed", "bucket"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+              (col("cms_est") >= col("exact_cnt")).as("no_undercount"),
+              (col("cms_est") <= col("exact_cnt") + col("n_total") / 100)
+                .as("within_1pct_n"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+  }
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */

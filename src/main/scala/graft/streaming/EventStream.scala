@@ -215,6 +215,34 @@ object EventStream {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Exact-integer tumbling-window stats — the shape shared by the stream
+    * and its batch twin (= the DuckDB oracle). `value` is summed in
+    * centi-units so the incremental aggregation is order-independent and
+    * hash-identical to batch.
+    */
+  def windowStatsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_c"))
+      .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
+              col("n"), col("value_c"))
+
+  /** Second driver-checked streaming row: watermarked tumbling-window
+    * aggregation drained with AvailableNow — the windowed-state path of
+    * the streaming engine (the ingest row covers keyed-dedup state).
+    * Complete mode: the sink holds the final state of every window, which
+    * for a bounded drain equals the batch aggregate exactly.
+    */
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val st = eventsStream(spark, dir).withWatermark("ts", "2 hours")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runToMemory(spark, windowStatsOf(st), "graft_stream_window")
+      .orderBy(col("ws"), col("event_type"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

@@ -124,6 +124,18 @@ class AnalyticsScrubSpec extends AnyFunSuite {
     assert(totalParas - totalDups == distinctParas)
   }
 
+  test("count-min sketch never undercounts and stays within the error bound") {
+    val rows = ops.TextOps.qHeavyHitters(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // The oracle computes the same sketch, so these invariants would
+    // hash-match even if violated — they must be asserted independently.
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_undercount"), r.getAs[String]("token"))
+      assert(r.getAs[Boolean]("within_1pct_n"), r.getAs[String]("token"))
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+  }
+
   test("audio frames match a driver-side recomputation") {
     val out = ops.MultimodalOps.qAudioFrames(spark, Sf).collect()
       .map(r => r.getLong(0) -> r).toMap
