@@ -57,6 +57,7 @@ object SparkEntry {
     "q_events_session" -> (ops.EventOps.qEventsSession _),
     "q_events_asof" -> (ops.EventOps.qEventsAsof _),
     "q_events_interarrival" -> (ops.EventOps.qEventsInterarrival _),
+    "q_events_timerange" -> (ops.EventOps.qEventsTimeRange _),
     // Extension layer: text analysis
     "q_text_quality" -> (ops.TextOps.qTextQuality _),
     "q_lang_id" -> (ops.TextOps.qLangId _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_orc_ingest" -> (ops.SourceSinkOps.qOrcIngest _),
     "q_csv_malformed" -> (ops.SourceSinkOps.qCsvMalformed _),
     "q_schema_evolution" -> (ops.SourceSinkOps.qSchemaEvolution _),
+    "q_federated_join" -> (ops.SourceSinkOps.qFederatedJoin _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

@@ -29,7 +29,7 @@ object AnalyticsOps {
   import graft.Tables._
 
   /** Revenue of one line item in exact 10⁻⁴-dollar units (long). */
-  private def revenueUnits: Column =
+  private[ops] def revenueUnits: Column =
     round(col("l_extendedprice") * 100).cast("long") *
       (lit(100L) - round(col("l_discount") * 100).cast("long"))
 

@@ -95,4 +95,26 @@ object EventOps {
               coalesce(unix_micros(col("last_click")), lit(-1L)).as("click_ts_us"))
       .orderBy(col("event_id"))
   }
+
+  /** Trailing time-RANGE window: per-user rolling count and exact
+    * centi-unit sum over the preceding hour of EVENT TIME (a value-offset
+    * frame, not a row-count frame — the feature-engineering primitive
+    * "activity in the last hour at each event"). The window partitions on
+    * user_id (high cardinality, skew-free) and the frame bound is integer
+    * microseconds, so peers and bounds are engine-independent.
+    */
+  def qEventsTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_c_1h", sum(col("value_c")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              col("n_1h"), col("sum_c_1h"))
+      .orderBy(col("event_id"))
+  }
 }

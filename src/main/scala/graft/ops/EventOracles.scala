@@ -19,6 +19,20 @@ object EventOracles {
          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
+    // Value-offset (RANGE) frame: bounds are integer microseconds, peers
+    // group identically on both engines.
+    "q_events_timerange" ->
+      s"""SELECT event_id, user_id, ts_us,
+         |  count(*) OVER w AS n_1h,
+         |  CAST(sum(value_c) OVER w AS BIGINT) AS sum_c_1h
+         |FROM (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |         CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+         |             RANGE BETWEEN $H PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
     "q_events_tumbling" ->
       s"""SELECT (epoch_us(ts) // $H) * $H AS ws, event_type,
          |       count(*) AS n, round(sum(value), 2) AS sum_value

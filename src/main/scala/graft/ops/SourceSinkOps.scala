@@ -266,6 +266,37 @@ object SourceSinkOps {
       .orderBy(col("event_id"))
   }
 
+  /** Federated multi-format join — the "data lake in three formats"
+    * shape: the orders keys round-trip through headerless CSV, the
+    * customer dimension through JSON-lines, and both join the parquet
+    * lineitem fact in ONE plan. Only integer keys and plain strings
+    * cross the text formats (lossless by construction), so the
+    * parquet-direct oracle applies unchanged; revenue is the exact-cents
+    * integer of [[AnalyticsOps.revenueUnits]]. The JSON dim broadcasts;
+    * the CSV keys merge-join the fact on the order key.
+    */
+  def qFederatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val csvT = tmp(dir, "fedcsv")
+    val jsonT = tmp(dir, "fedjson")
+    orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").option("header", "false").csv(csvT)
+    customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").json(jsonT)
+    val ordersCsv = spark.read.schema(StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType))))
+      .option("header", "false").csv(csvT)
+    val custJson = spark.read.schema(StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_mktsegment", StringType))))
+      .json(jsonT)
+    lineitem(spark, dir)
+      .hint("merge")
+      .join(ordersCsv, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custJson), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_items"), sum(AnalyticsOps.revenueUnits).as("rev_u"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Skew-resistant aggregation: salt the (low-cardinality, hot) group key
     * across 16 sub-keys, partially aggregate, then combine. Result is
     * bit-identical to the direct aggregate — the oracle is the PLAIN

@@ -30,6 +30,18 @@ object SourceSinkOracles {
       |)""".stripMargin
 
   val all: Map[String, String] = Map(
+    // Federated CSV/JSON/parquet join: the text-format round trips are
+    // lossless (integer keys, plain strings), so the oracle reads the
+    // original parquet tables directly.
+    "q_federated_join" ->
+      """SELECT c_mktsegment, count(*) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_u
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_csv_ingest" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
