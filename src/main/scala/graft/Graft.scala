@@ -50,6 +50,16 @@ object Graft {
     ops.TextOps.packShards(docs, budgetChars, bucketSize, levels)
   def trainSplit(docs: DataFrame): DataFrame =
     ops.TextOps.trainSplit(docs)
+  def heavyHitters(docs: DataFrame, k: Int = 20, width: Int = 1024,
+                   depth: Int = 4): DataFrame =
+    ops.TextOps.heavyHitters(docs, k, width, depth)
+
+  // scrubbing
+  /** Adds `n_emails`/`n_phones`/`redacted` columns for `text`. */
+  def redactPii(df: DataFrame, text: Column): DataFrame =
+    ops.ScrubOps.redactPii(df, text)
+  def paragraphDedup(docs: DataFrame, window: Int = 10): DataFrame =
+    ops.ScrubOps.paragraphDedup(docs, window)
 
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =

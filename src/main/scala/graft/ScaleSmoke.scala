@@ -68,6 +68,9 @@ object ScaleSmoke {
       time(s"ann_ivf_$tag", dir)(d => ops.SimilarityOps.qAnnIvf(spark, d))
       time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
+      time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
+      time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))
+      time(s"pii_redact_$tag", dir)(d => ops.ScrubOps.qPiiRedact(spark, d))
     }
     spark.stop()
   }

@@ -38,23 +38,27 @@ object ScrubOps {
            concat(lit(" alt z"), col("doc_id").cast("string"), lit("@alt.net")))
         .otherwise(lit("")))
 
+  /** Library form: add `n_emails` / `n_phones` / `redacted` columns for an
+    * arbitrary text column. Pure projection — embarrassingly parallel.
+    */
+  def redactPii(df: DataFrame, text: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailPat), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhonePat), lit(0))))
+      .withColumn("redacted", regexp_replace(
+        regexp_replace(text, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"))
+
   /** PII redaction: count email/phone occurrences, then rewrite them to
     * `<EMAIL>` / `<PHONE>` placeholders; emit the digest + length of the
     * redacted text so the oracle pins the exact rewritten bytes, not just
     * the counts. Single projection — embarrassingly parallel at 100 TB.
     */
-  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(rawWithPii, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
-    documents(spark, dir)
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    redactPii(documents(spark, dir), rawWithPii)
       .select(
-        col("doc_id"),
-        size(regexp_extract_all(rawWithPii, lit(EmailPat), lit(0))).as("n_emails"),
-        size(regexp_extract_all(rawWithPii, lit(PhonePat), lit(0))).as("n_phones"),
-        length(redacted).as("redacted_len"),
-        md5(redacted).as("redacted_md5"))
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("redacted")).as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
       .orderBy(col("doc_id"))
-  }
 
   /** Domain blocklist filter: derive each document's source URL, extract
     * the domain, drop blocklisted domains via a broadcast anti-join (the
@@ -96,10 +100,10 @@ object ScrubOps {
     * — and only (digest, doc_id, pid) triples shuffle, never text.
     * Output: per-document paragraph counts + duplicate mass.
     */
-  def qParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+  def paragraphDedup(docs: DataFrame, window: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("para_md5")).orderBy(col("doc_id"), col("pid"))
-    paragraphs(documents(spark, dir))
+    paragraphs(docs, window)
       .select(col("doc_id"), col("pid"), md5(col("para")).as("para_md5"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))
@@ -110,4 +114,7 @@ object ScrubOps {
                       / col("n_paras"), 6).as("kept_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  def qParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(documents(spark, dir))
 }

@@ -452,21 +452,20 @@ object TextOps {
     * guarantee (estimate never undercounts; overcount ≤ εN w.h.p.) is
     * emitted as boolean invariant columns, `q_sketch_accuracy`-style.
     */
-  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val W = 1024
-    val D = 4
+  def heavyHitters(docs: DataFrame, k: Int = 20, W: Int = 1024,
+                   D: Int = 4): DataFrame = {
     val seeds = array((0 until D).map(lit): _*)
     def bucket(seedCol: Column, tok: Column): Column =
       pmod(TextFns.hash60(concat(lit("cms"), seedCol, lit(":"), tok)), lit(W))
 
-    val toks = documents(spark, dir).select(explode(TextFns.toks).as("token"))
+    val toks = docs.select(explode(TextFns.toks).as("token"))
     // One pass: each token feeds D (seed, bucket) cells.
     val sketch = toks
       .select(explode(seeds).as("seed"), col("token"))
       .groupBy(col("seed"), bucket(col("seed"), col("token")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token").asc).limit(20)
+      .orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
     val total = toks.agg(count(lit(1)).as("n_total"))
     val probes = exact
       .select(col("token"), col("exact_cnt"), explode(seeds).as("seed"))
@@ -482,6 +481,9 @@ object TextOps {
                 .as("within_1pct_n"))
       .orderBy(col("exact_cnt").desc, col("token").asc)
   }
+
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(documents(spark, dir))
 
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
