@@ -54,6 +54,11 @@ object Graft {
                    depth: Int = 4): DataFrame =
     ops.TextOps.heavyHitters(docs, k, width, depth)
 
+  // graph analytics
+  /** Integer micro-unit damped PageRank over `(src, dst, wgt)` edges. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
+    ops.GraphOps.pageRank(edges, iters)
+
   // scrubbing
   /** Adds `n_emails`/`n_phones`/`redacted` columns for `text`. */
   def redactPii(df: DataFrame, text: Column): DataFrame =

@@ -58,6 +58,8 @@ object SparkEntry {
     "q_events_asof" -> (ops.EventOps.qEventsAsof _),
     "q_events_interarrival" -> (ops.EventOps.qEventsInterarrival _),
     "q_events_timerange" -> (ops.EventOps.qEventsTimeRange _),
+    // Graph analytics: integer micro-unit PageRank over transition edges
+    "q_pagerank" -> (ops.GraphOps.qPagerank _),
     // Extension layer: text analysis
     "q_text_quality" -> (ops.TextOps.qTextQuality _),
     "q_lang_id" -> (ops.TextOps.qLangId _),
@@ -118,6 +120,7 @@ object SparkEntry {
     "q_stream_window" -> (streaming.EventStream.qStreamWindow _),
     // Count-min sketch heavy hitters (estimates hash-pinned + invariants)
     "q_heavy_hitters" -> (ops.TextOps.qHeavyHitters _),
+    "q_bigram_lm" -> (ops.TextOps.qBigramLm _),
     // Extension layer: multimodal binary columns
     "q_multimodal_meta" -> (ops.MultimodalOps.qMultimodalMeta _),
     "q_image_features" -> (ops.MultimodalOps.qImageFeatures _),

@@ -19,6 +19,46 @@ object EventOracles {
          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
+    // Integer micro-unit PageRank, 3 unrolled iterations. `//` is
+    // DuckDB's truncating integer division = Spark's `div`, and * / //
+    // associate left on both engines, so every intermediate is the same
+    // exact BIGINT.
+    "q_pagerank" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dst
+        |  FROM ev),
+        |edges AS (SELECT src, dst, count(*) AS wgt FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(sum(wgt) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1000000 // n AS pr FROM nodes, nn),
+        |pr1 AS (
+        |  SELECT nodes.node,
+        |    (SELECT 150000 // n FROM nn) + (850000 * coalesce(c.in_c, 0)) // 1000000 AS pr
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr * e.wgt // o.out_w) AS BIGINT) AS in_c
+        |    FROM edges e JOIN pr0 p ON e.src = p.node JOIN outw o ON e.src = o.src
+        |    GROUP BY 1) c ON nodes.node = c.node),
+        |pr2 AS (
+        |  SELECT nodes.node,
+        |    (SELECT 150000 // n FROM nn) + (850000 * coalesce(c.in_c, 0)) // 1000000 AS pr
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr * e.wgt // o.out_w) AS BIGINT) AS in_c
+        |    FROM edges e JOIN pr1 p ON e.src = p.node JOIN outw o ON e.src = o.src
+        |    GROUP BY 1) c ON nodes.node = c.node),
+        |pr3 AS (
+        |  SELECT nodes.node,
+        |    (SELECT 150000 // n FROM nn) + (850000 * coalesce(c.in_c, 0)) // 1000000 AS pr
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.pr * e.wgt // o.out_w) AS BIGINT) AS in_c
+        |    FROM edges e JOIN pr2 p ON e.src = p.node JOIN outw o ON e.src = o.src
+        |    GROUP BY 1) c ON nodes.node = c.node)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3
+        |ORDER BY pr DESC, node""".stripMargin,
+
     // Value-offset (RANGE) frame: bounds are integer microseconds, peers
     // group identically on both engines.
     "q_events_timerange" ->

@@ -243,6 +243,19 @@ object PipelineOracles {
         |FROM est, total
         |ORDER BY exact_cnt DESC, token ASC""".stripMargin,
 
+    "q_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT toks[CAST(i + 1 AS INT)] AS w1, toks[CAST(i + 2 AS INT)] AS w2
+        |  FROM t, unnest(range(0, len(toks) - 1)) u(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT w1, w2, c12, c1, round(c12 / CAST(c1 AS DOUBLE), 6) AS p_cond
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
     "q_token_topk" ->
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -485,6 +485,33 @@ object TextOps {
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(documents(spark, dir))
 
+  /** Bigram language-model statistics: the top-k corpus bigrams with
+    * their conditional probability p(w2|w1) = c(w1,w2)/c(w1·) — the
+    * n-gram LM estimation pass of a text pipeline. One exploded bigram
+    * relation feeds both counts (two hash aggregations, co-partitioned
+    * join on w1); ties at the top-k boundary break on (w1, w2) so the
+    * selected set is engine-independent.
+    */
+  def bigramLm(docs: DataFrame, k: Int = 20): DataFrame = {
+    val bg = docs
+      .withColumn("toks", TextFns.toks)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+              round(col("c12") / col("c1"), 6).as("p_cond"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(documents(spark, dir))
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */

@@ -136,6 +136,30 @@ class AnalyticsScrubSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: rank mass conserved up to truncation, deterministic across runs") {
+    val rows = ops.GraphOps.qPagerank(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("pr")).sum
+    val n = rows.length
+    // Each of the 3+1 rounds can lose < 1 unit per node per div (3 divs
+    // per round); mass never exceeds 1e6 and stays within the loss bound.
+    assert(total <= 1000000L)
+    assert(total >= 1000000L - 16L * n, s"total=$total n=$n")
+    val again = ops.GraphOps.qPagerank(spark, Sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+           again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("bigram LM: conditional probabilities are in (0,1] and c12 <= c1") {
+    val rows = ops.TextOps.qBigramLm(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_cond")
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("c12") <= r.getAs[Long]("c1"))
+    }
+  }
+
   test("audio frames match a driver-side recomputation") {
     val out = ops.MultimodalOps.qAudioFrames(spark, Sf).collect()
       .map(r => r.getLong(0) -> r).toMap
