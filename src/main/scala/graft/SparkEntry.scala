@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_exact" -> (ops.DedupOps.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (ops.DedupOps.qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (ops.DedupOps.qDedupMinhashLsh _),
+    "q_minhash_estimate" -> (ops.DedupOps.qMinhashEstimate _),
     "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),
@@ -118,6 +119,7 @@ object SparkEntry {
     // Structured Streaming, driver-checked via an AvailableNow drain
     "q_stream_ingest" -> (streaming.EventStream.qStreamIngest _),
     "q_stream_window" -> (streaming.EventStream.qStreamWindow _),
+    "q_stream_join" -> (streaming.EventStream.qStreamJoin _),
     // Count-min sketch heavy hitters (estimates hash-pinned + invariants)
     "q_heavy_hitters" -> (ops.TextOps.qHeavyHitters _),
     "q_bigram_lm" -> (ops.TextOps.qBigramLm _),

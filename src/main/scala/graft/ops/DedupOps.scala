@@ -173,6 +173,69 @@ object DedupOps {
     verifyByHashSets(cand, hashSetSigs(hsFull), threshold)
   }
 
+  /** MinHash accuracy as a driver invariant (the `q_ann_recall` pattern
+    * for the dedup family): for every LSH candidate pair, the signature
+    * Jaccard estimate (agreeing components / numPerms) beside the exact
+    * hash-set Jaccard, with a pinned ±0.35 tolerance flag (≈4σ of the
+    * 32-perm estimator). Estimates are md5-derived, so the VALUES are
+    * hash-pinned by the oracle, and the flag is additionally asserted in
+    * DedupSpec (the oracle mirrors the computation, so the flag alone
+    * could not catch an estimator regression).
+    */
+  def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val numPerms = 32
+    val bandRows = 4
+    val hsFull = shingleIndex(documents(spark, dir))
+      .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+    val hs = hsFull.withColumn("h", col("h") % P)
+    val sigAggs = (1 to numPerms).map { j =>
+      val a = (j.toLong * 1103515245L + 12345L) % P
+      val b = (j.toLong * 134775813L + 1L) % P
+      min(expr(s"(${a}L * h + ${b}L) % ${P}L")).as(s"sig$j")
+    }
+    val withSig = hs.groupBy(col("doc_id"), col("lang"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandKeys = (0 until numPerms / bandRows).map { k =>
+      concat_ws(",", (1 to bandRows).map(r => col(s"sig${k * bandRows + r}")): _*)
+    }
+    val bands = withSig
+      .select(col("doc_id"), col("lang"),
+              posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+            col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sigLong = withSig.select(col("doc_id"),
+      posexplode(array((1 to numPerms).map(j => col(s"sig$j")): _*))
+        .as(Seq("j", "mh")))
+    val agree = cand
+      .join(sigLong.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sigLong.as("sb"),
+            col("sb.doc_id") === col("doc_b") && col("sa.j") === col("sb.j"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("sa.mh") === col("sb.mh"), 1L).otherwise(0L)).as("n_agree"))
+    val sets = hashSetSigs(hsFull)
+    val exact = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              graft.functions.SetFunctions
+                .sortedIntersectCount(col("ha"), col("hb")).cast("long").as("c"),
+              size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .withColumn("exact_jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .select(col("doc_a"), col("doc_b"), col("exact_jaccard"))
+    agree.join(exact, Seq("doc_a", "doc_b"))
+      .withColumn("est_jaccard", round(col("n_agree") / lit(32.0), 6))
+      .withColumn("within_tol",
+        abs(col("est_jaccard") - col("exact_jaccard")) <= 0.35)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+              col("est_jaccard"), col("exact_jaccard"), col("within_tol"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-dedup: 60-bit count-weighted fingerprints; pairs within
     * a `lang` block at Hamming distance ≤ maxHamming.
     *

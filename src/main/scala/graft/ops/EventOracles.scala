@@ -19,6 +19,18 @@ object EventOracles {
          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
+    // Batch twin of the stream-stream interval join drain.
+    "q_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |       CAST(sum(c.event_id + e.event_id) AS BIGINT) AS id_sum
+        |FROM events c
+        |JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts >= c.ts - INTERVAL 30 MINUTE
+        | AND e.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
     // Integer micro-unit PageRank, 3 unrolled iterations. `//` is
     // DuckDB's truncating integer division = Spark's `div`, and * / //
     // associate left on both engines, so every intermediate is the same

@@ -552,6 +552,58 @@ object PipelineOracles {
     // inflating an intersection count would surface as a hash mismatch
     // here instead of passing silently (risk ~2^-60 per pair; the
     // asymmetry is the guard, matching HASHJ's hashed form for ngram).
+    // MinHash estimator accuracy: same signature/band pipeline as
+    // q_dedup_minhash_lsh, but emitting est vs exact Jaccard per LSH
+    // candidate with the ±0.35 tolerance flag. Pairs with zero true
+    // intersection (band collisions) survive via the LEFT JOIN.
+    "q_minhash_estimate" ->
+      s"""$SH, hs AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $P AS h
+         |  FROM sh
+         |), sig AS (
+         |  SELECT doc_id, lang, j,
+         |         min((((j::BIGINT * 1103515245 + 12345) % $P) * h +
+         |              ((j::BIGINT * 134775813 + 1) % $P)) % $P) AS mh
+         |  FROM hs, generate_series(1, 32) t(j)
+         |  GROUP BY 1, 2, 3
+         |), bands AS (
+         |  SELECT doc_id, lang, (j - 1) // 4 AS band_id,
+         |         string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+         |  FROM sig GROUP BY 1, 2, 3
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.lang = b.lang AND a.band_id = b.band_id
+         |   AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |), agree AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+         |  GROUP BY 1, 2
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |res AS (
+         |  SELECT a.doc_a, a.doc_b, a.n_agree,
+         |         round(a.n_agree / 32.0, 6) AS est_jaccard,
+         |         round(coalesce(i.c, 0)::DOUBLE /
+         |               (sa.n + sb.n - coalesce(i.c, 0)), 6) AS exact_jaccard
+         |  FROM agree a
+         |  LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+         |  JOIN sz sa ON sa.doc_id = a.doc_a
+         |  JOIN sz sb ON sb.doc_id = a.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_agree, est_jaccard, exact_jaccard,
+         |       abs(est_jaccard - exact_jaccard) <= 0.35 AS within_tol
+         |FROM res ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_dedup_minhash_lsh" ->
       s"""$SH, hs AS (
          |  SELECT doc_id, lang,

@@ -243,6 +243,41 @@ object EventStream {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Third driver-checked streaming row — stream-STREAM interval join:
+    * click events matched to error events of the same user within ±30
+    * minutes of EVENT time. Exercises two-sided join state (each side
+    * buffers rows until the other side's watermark passes the interval
+    * bound — the state shape the windowed/keyed rows don't cover). The
+    * drained append output is aggregated in batch with exact-integer
+    * checksums; the oracle is the equivalent batch interval join.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+    val errors = eventsStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+              col("event_id").as("e_id"))
+    val joined = clicks.join(errors, expr(
+      "c_user = e_user AND " +
+        "e_ts >= c_ts - interval 30 minutes AND " +
+        "e_ts <= c_ts + interval 30 minutes"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runToMemory(spark,
+        joined.select(col("c_user").as("user_id"), col("c_id"), col("e_id")),
+        "graft_stream_join", OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("c_id") + col("e_id")).as("id_sum"))
+      .orderBy(col("user_id"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

@@ -146,4 +146,19 @@ class DedupSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
     assert(lsh == truth, s"missing: ${truth.diff(lsh)}, extra: ${lsh.diff(truth)}")
   }
+
+  test("minhash estimate tracks exact jaccard within the 4-sigma tolerance") {
+    val rows = ops.DedupOps.qMinhashEstimate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // Independent of the oracle (which mirrors the computation): the
+    // estimator must actually be close to the true Jaccard.
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_tol"),
+        s"${r.getLong(0)}-${r.getLong(1)}: est=${r.getAs[Double]("est_jaccard")} " +
+          s"exact=${r.getAs[Double]("exact_jaccard")}")
+    }
+    val mae = rows.map(r => math.abs(
+      r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard"))).sum / rows.length
+    assert(mae <= 0.15, s"mean abs error $mae")
+  }
 }
