@@ -229,7 +229,7 @@ object PipelineOracles {
         |exact AS (
         |  SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
         |  ORDER BY exact_cnt DESC, token ASC LIMIT 20),
-        |total AS (SELECT count(*) AS n_total FROM toks),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM sketch WHERE seed = 0),
         |probes AS (
         |  SELECT token, exact_cnt, seed,
         |    CAST(('0x' || substr(md5('cms' || seed || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket

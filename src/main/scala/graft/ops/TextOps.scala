@@ -466,7 +466,10 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // N falls out of the sketch itself (each seed row partitions all
+    // tokens across its buckets) — no third pass over the corpus.
+    val total = sketch.filter(col("seed") === 0)
+      .agg(sum(col("cnt")).as("n_total"))
     val probes = exact
       .select(col("token"), col("exact_cnt"), explode(seeds).as("seed"))
       .withColumn("bucket", bucket(col("seed"), col("token")))
