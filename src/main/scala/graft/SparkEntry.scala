@@ -100,6 +100,7 @@ object SparkEntry {
     "q_csv_malformed" -> (ops.SourceSinkOps.qCsvMalformed _),
     "q_schema_evolution" -> (ops.SourceSinkOps.qSchemaEvolution _),
     "q_federated_join" -> (ops.SourceSinkOps.qFederatedJoin _),
+    "q_sql_surface" -> (ops.SourceSinkOps.qSqlSurface _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

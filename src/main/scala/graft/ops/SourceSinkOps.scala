@@ -266,6 +266,26 @@ object SourceSinkOps {
       .orderBy(col("event_id"))
   }
 
+  /** Pure-SQL surface parity: the same engine driven through
+    * `spark.sql(...)` text over registered temp views instead of the
+    * DataFrame API — both front-ends produce identical Catalyst plans,
+    * so a SQL-first user gets the same operators, pushdowns, and exact
+    * integer arithmetic. The statement exercises joins, lateral-style
+    * array functions, grouping, and micro-unit aggregation in one text.
+    */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT d.lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |       sum(CAST(round(size(array_distinct(split(d.text, ' '))) * 1000000
+        |                     / CAST(size(split(d.text, ' ')) AS DOUBLE)) AS BIGINT)) AS ttr_micro
+        |FROM documents_v d
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin)
+  }
+
   /** Federated multi-format join — the "data lake in three formats"
     * shape: the orders keys round-trip through headerless CSV, the
     * customer dimension through JSON-lines, and both join the parquet

@@ -33,6 +33,14 @@ object SourceSinkOracles {
     // Federated CSV/JSON/parquet join: the text-format round trips are
     // lossless (integer keys, plain strings), so the oracle reads the
     // original parquet tables directly.
+    // The SQL-text front-end twin: identical aggregate in DuckDB SQL.
+    "q_sql_surface" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(round(len(list_distinct(string_split(text, ' '))) * 1000000
+        |                / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ttr_micro
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_federated_join" ->
       """SELECT c_mktsegment, count(*) AS n_items,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
