@@ -149,6 +149,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("paragraph dedup windows see only digests — text never shuffles") {
+    val df = ops.ScrubOps.qParagraphDedup(spark, Sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    // The digest-partitioned rank's exchange carries the window child's
+    // columns; paragraph/text payloads must be projected away below it.
+    windows.foreach { w =>
+      val names = w.child.output.map(_.name).toSet
+      assert(!names.contains("para") && !names.contains("text"),
+        s"window input carries text payload: $names")
+    }
+  }
+
+  test("pagerank rounds are equi-joins — no cartesian blowup across iterations") {
+    val df = ops.GraphOps.qPagerank(spark, Sf)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("count-min sketch aggregates partially before the exchange") {
+    val p = physical(ops.TextOps.qHeavyHitters(spark, Sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("federated join broadcasts the JSON dim and merge-joins the CSV keys") {
+    val df = ops.SourceSinkOps.qFederatedJoin(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("hot paths compile to whole-stage codegen") {
     val df = ops.FlightOps.qGroupMonthSumCount(spark, Sf)
     df.collect() // materialize so AQE finalizes the plan
