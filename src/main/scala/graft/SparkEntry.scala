@@ -132,6 +132,7 @@ object SparkEntry {
     "q_top_orders" -> (ops.AnalyticsOps.qTopOrders _),
     "q_region_volume" -> (ops.AnalyticsOps.qRegionVolume _),
     "q_value_histogram" -> (ops.AnalyticsOps.qValueHistogram _),
+    "q_data_quality" -> (ops.AnalyticsOps.qDataQuality _),
     // Corpus scrubbing: PII redaction, domain blocklist, paragraph dedup
     "q_pii_redact" -> (ops.ScrubOps.qPiiRedact _),
     "q_url_filter" -> (ops.ScrubOps.qUrlFilter _),

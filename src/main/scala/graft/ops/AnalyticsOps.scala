@@ -88,6 +88,33 @@ object AnalyticsOps {
       .orderBy(col("rev_u").desc, col("n_name").asc)
   }
 
+  /** Data-quality constraint battery (the Deequ-style validation pass a
+    * pipeline runs before publishing a table): key uniqueness, null
+    * counts, domain membership, and range violations for `orders`, all in
+    * ONE aggregation pass (the distinct-count adds Spark's standard
+    * expand, still a single scan). Violation counts are exact integers;
+    * pass/fail booleans are emitted beside them so the driver pins both.
+    */
+  def qDataQuality(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpos_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("n_bad_status"),
+        sum(when(col("o_orderdate") < to_timestamp(lit("1990-01-01")) ||
+                   col("o_orderdate") >= to_timestamp(lit("2010-01-01")), 1L)
+              .otherwise(0L)).as("n_date_oob"))
+      .select(
+        col("n_rows"), col("n_keys"),
+        (col("n_keys") === col("n_rows")).as("key_unique"),
+        col("n_null_cust"), col("n_nonpos_price"), col("n_bad_status"),
+        col("n_date_oob"),
+        (col("n_null_cust") + col("n_nonpos_price") + col("n_bad_status") +
+          col("n_date_oob") === 0).as("all_pass"))
+
   /** Value-band histogram of event values: fixed-width buckets computed as
     * a pure projection (`floor(value / width)`) then one hash aggregate —
     * the shuffle carries one row per bucket, not per event. Bounds are

@@ -44,6 +44,20 @@ object AnalyticsOracles {
         |  GROUP BY 1)
         |ORDER BY rev_u DESC, n_name ASC""".stripMargin,
 
+    "q_data_quality" ->
+      """SELECT n_rows, n_keys, n_keys = n_rows AS key_unique,
+        |  n_null_cust, n_nonpos_price, n_bad_status, n_date_oob,
+        |  n_null_cust + n_nonpos_price + n_bad_status + n_date_oob = 0 AS all_pass
+        |FROM (
+        |  SELECT count(*) AS n_rows,
+        |    count(DISTINCT o_orderkey) AS n_keys,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos_price,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |                    OR o_orderdate >= TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_date_oob
+        |  FROM orders)""".stripMargin,
+
     "q_value_histogram" ->
       """SELECT bucket, bucket * 10.0 AS lo, (bucket + 1) * 10.0 AS hi,
         |       n_events
