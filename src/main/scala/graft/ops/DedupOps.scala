@@ -173,6 +173,46 @@ object DedupOps {
     verifyByHashSets(cand, hashSetSigs(hsFull), threshold)
   }
 
+  /** Fuzzy term matching (FastSS-style): all term pairs within edit
+    * distance 1, found by equi-joining DELETION NEIGHBORHOODS — every
+    * term emits itself plus each single-character deletion; two terms at
+    * distance ≤ 1 (substitution, insertion, or deletion) necessarily
+    * share a variant, so the candidate join is an equi-join on the
+    * variant string (sub-quadratic: |vocab|·(len+1) index rows hashed
+    * across variants), and `levenshtein` exact-verifies. The shape that
+    * replaces the O(n²) all-pairs edit-distance scan at any vocabulary
+    * size.
+    */
+  def fuzzyTermPairs(terms: DataFrame): DataFrame = {
+    val variants = terms.select(col("tok"), explode(expr(
+      "array_union(array(tok), transform(sequence(1, length(tok)), " +
+        "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok) - i))))"))
+      .as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+            col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  /** Driver row: typo-tolerant vocabulary matching. The fixture vocab has
+    * no natural distance-1 pairs (verified), so a deterministic typo set
+    * (drop the 2nd character of every token of length ≥ 4) is unioned in
+    * on both engines — the operator under test is the deletion-
+    * neighborhood join, not the typo synthesis.
+    */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(explode(TextFns.toks).as("tok")).distinct()
+    val typos = vocab.filter(length(col("tok")) >= 4)
+      .select(concat(substring(col("tok"), 1, 1),
+                     expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
+    fuzzyTermPairs(vocab.union(typos).distinct())
+  }
+
   /** MinHash accuracy as a driver invariant (the `q_ann_recall` pattern
     * for the dedup family): for every LSH candidate pair, the signature
     * Jaccard estimate (agreeing components / numPerms) beside the exact

@@ -552,6 +552,29 @@ object PipelineOracles {
     // inflating an intersection count would surface as a hash mismatch
     // here instead of passing silently (risk ~2^-60 per pair; the
     // asymmetry is the guard, matching HASHJ's hashed form for ngram).
+    // Deletion-neighborhood fuzzy match twin. substr length args clamp
+    // the same way on both engines; the typo synthesis is mirrored.
+    "q_fuzzy_match" ->
+      """WITH vocab0 AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |typos AS (
+        |  SELECT substr(tok, 1, 1) || substr(tok, 3, CAST(strlen(tok) - 2 AS INT)) AS tok
+        |  FROM vocab0 WHERE strlen(tok) >= 4),
+        |vocab AS (SELECT DISTINCT tok FROM (SELECT tok FROM vocab0 UNION ALL SELECT tok FROM typos)),
+        |var AS (
+        |  SELECT tok, unnest(list_distinct(list_append(
+        |    list_transform(range(1, strlen(tok) + 1),
+        |      i -> substr(tok, 1, CAST(i - 1 AS INT)) ||
+        |           substr(tok, CAST(i + 1 AS INT), CAST(strlen(tok) - i AS INT))),
+        |    tok))) AS v
+        |  FROM vocab),
+        |cand AS (
+        |  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+        |  FROM var a JOIN var b ON a.v = b.v AND a.tok < b.tok)
+        |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+        |FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+        |ORDER BY tok_a, tok_b""".stripMargin,
+
     // MinHash estimator accuracy: same signature/band pipeline as
     // q_dedup_minhash_lsh, but emitting est vs exact Jaccard per LSH
     // candidate with the ±0.35 tolerance flag. Pairs with zero true

@@ -147,6 +147,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == truth, s"missing: ${truth.diff(lsh)}, extra: ${lsh.diff(truth)}")
   }
 
+  test("fuzzy match finds exactly the distance-1 pairs (brute-force truth)") {
+    val got = ops.DedupOps.qFuzzyMatch(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val words = graft.Tables.documents(spark, Sf).collect()
+      .flatMap(_.getString(1).split(" ")).toSet
+    val typos = words.filter(_.length >= 4).map(t => t.take(1) + t.drop(2))
+    val vocab = (words ++ typos).toSeq.sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for { a <- vocab; b <- vocab if a < b && lev(a, b) <= 1 }
+      yield (a, b)).toSet
+    assert(truth.nonEmpty)
+    assert(got == truth, s"missing=${truth.diff(got)} extra=${got.diff(truth)}")
+  }
+
   test("minhash estimate tracks exact jaccard within the 4-sigma tolerance") {
     val rows = ops.DedupOps.qMinhashEstimate(spark, Sf).collect()
     assert(rows.nonEmpty)
