@@ -31,6 +31,10 @@ object Graft {
     ops.DedupOps.dedupClusters(pairs, maxIters)
   def dedupApply(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame =
     ops.DedupOps.dedupApply(docs, pairs, maxIters)
+  /** Edit-distance-1 term pairs via deletion-neighborhood equi-join.
+    * `terms`: one `tok: STRING` column. */
+  def fuzzyTermPairs(terms: DataFrame): DataFrame =
+    ops.DedupOps.fuzzyTermPairs(terms)
 
   // corpus hygiene
   def decontaminate(docs: DataFrame, benchPred: Column, n: Int = 5): DataFrame =
