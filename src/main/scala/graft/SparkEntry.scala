@@ -134,6 +134,8 @@ object SparkEntry {
     "q_region_volume" -> (ops.AnalyticsOps.qRegionVolume _),
     "q_value_histogram" -> (ops.AnalyticsOps.qValueHistogram _),
     "q_data_quality" -> (ops.AnalyticsOps.qDataQuality _),
+    "q_funnel" -> (ops.AnalyticsOps.qFunnel _),
+    "q_cohort_retention" -> (ops.AnalyticsOps.qCohortRetention _),
     // Corpus scrubbing: PII redaction, domain blocklist, paragraph dedup
     "q_pii_redact" -> (ops.ScrubOps.qPiiRedact _),
     "q_url_filter" -> (ops.ScrubOps.qUrlFilter _),

@@ -115,6 +115,53 @@ object AnalyticsOps {
         (col("n_null_cust") + col("n_nonpos_price") + col("n_bad_status") +
           col("n_date_oob") === 0).as("all_pass"))
 
+  /** Ordered funnel analysis: view → click → purchase, each stage
+    * strictly after the user's FIRST occurrence of the previous stage.
+    * Three conditional min-aggregates chained by co-partitioned joins on
+    * user_id (high cardinality — no skew, no global state); the final
+    * row is the classic funnel report. All stage times are exact integer
+    * microseconds.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+           count(col("t_click")).as("n_view_click"),
+           count(col("t_purchase")).as("n_view_click_purchase"))
+  }
+
+  /** Weekly cohort retention: users grouped by first-activity epoch-week,
+    * reported as distinct active users per (cohort_week, age_weeks).
+    * Integer `div` bucketing; one narrow self-join on user_id against the
+    * first-activity aggregate.
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L // 7 * 86400e6
+    val ev = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t0"))
+      .select(col("user_id"), expr(s"t0 div $weekUs").as("cohort_week"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+              (expr(s"ts_us div $weekUs") - col("cohort_week")).as("age_weeks"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   /** Value-band histogram of event values: fixed-width buckets computed as
     * a pure projection (`floor(value / width)`) then one hash aggregate —
     * the shuffle carries one row per bucket, not per event. Bounds are

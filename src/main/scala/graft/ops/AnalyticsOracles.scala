@@ -44,6 +44,35 @@ object AnalyticsOracles {
         |  GROUP BY 1)
         |ORDER BY rev_u DESC, n_name ASC""".stripMargin,
 
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click GROUP BY 1)
+        |SELECT count(v.t_view) AS n_view,
+        |       count(c.t_click) AS n_view_click,
+        |       count(p.t_purchase) AS n_view_click_purchase
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |fw AS (
+        |  SELECT user_id, min(ts_us) // 604800000000 AS cohort_week
+        |  FROM ev GROUP BY 1)
+        |SELECT f.cohort_week,
+        |       (e.ts_us // 604800000000) - f.cohort_week AS age_weeks,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM ev e JOIN fw f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_data_quality" ->
       """SELECT n_rows, n_keys, n_keys = n_rows AS key_unique,
         |  n_null_cust, n_nonpos_price, n_bad_status, n_date_oob,

@@ -172,6 +172,40 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: pageRank equals a driver-side reference on random graphs") {
+    import TestSpark.spark
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 6)
+      m <- Gen.chooseNum(1, 12)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+        w <- Gen.chooseNum(1, 5)
+      } yield (s.toString, d.toString, w.toLong))
+    } yield es
+    val p = Prop.forAll(edgeGen) { es =>
+      // collapse duplicate edges like the operator's input contract
+      val edges = es.groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toList
+      val df = edges.toDF("src", "dst", "wgt")
+      val got = ops.GraphOps.pageRank(df, iters = 3).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // driver-side reference: same integer div arithmetic
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.length.toLong
+      val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var pr = nodes.map(_ -> 1000000L / n).toMap
+      (1 to 3).foreach { _ =>
+        val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        edges.foreach { case (s, d, w) => in(d) += pr(s) * w / outW(s) }
+        pr = nodes.map(v => v -> (150000L / n + 850000L * in(v) / 1000000L)).toMap
+      }
+      got == pr
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
