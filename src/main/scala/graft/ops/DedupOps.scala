@@ -141,6 +141,16 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       numPerms: Int = 32, bandRows: Int = 4): DataFrame = {
+    val (hsFull, _, cand) = minhashCore(docs, numPerms, bandRows)
+    verifyByHashSets(cand, hashSetSigs(hsFull), threshold)
+  }
+
+  /** Shared MinHash pipeline (also feeds [[qMinhashEstimate]]): the full
+    * 60-bit shingle-hash relation, the per-doc signature (numPerms affine
+    * min-hashes mod P), and the LSH band-join candidate pairs.
+    */
+  private def minhashCore(docs: DataFrame, numPerms: Int, bandRows: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(numPerms % bandRows == 0, "numPerms must be a multiple of bandRows")
     val hsFull = shingleIndex(docs)
       .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
@@ -170,7 +180,7 @@ object DedupOps {
               col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyByHashSets(cand, hashSetSigs(hsFull), threshold)
+    (hsFull, withSig, cand)
   }
 
   /** Fuzzy term matching (FastSS-style): all term pairs within edit
@@ -224,29 +234,7 @@ object DedupOps {
     */
   def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val numPerms = 32
-    val bandRows = 4
-    val hsFull = shingleIndex(documents(spark, dir))
-      .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
-    val hs = hsFull.withColumn("h", col("h") % P)
-    val sigAggs = (1 to numPerms).map { j =>
-      val a = (j.toLong * 1103515245L + 12345L) % P
-      val b = (j.toLong * 134775813L + 1L) % P
-      min(expr(s"(${a}L * h + ${b}L) % ${P}L")).as(s"sig$j")
-    }
-    val withSig = hs.groupBy(col("doc_id"), col("lang"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
-    val bandKeys = (0 until numPerms / bandRows).map { k =>
-      concat_ws(",", (1 to bandRows).map(r => col(s"sig${k * bandRows + r}")): _*)
-    }
-    val bands = withSig
-      .select(col("doc_id"), col("lang"),
-              posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-            col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
-              col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val (hsFull, withSig, cand) = minhashCore(documents(spark, dir), numPerms, 4)
     val sigLong = withSig.select(col("doc_id"),
       posexplode(array((1 to numPerms).map(j => col(s"sig$j")): _*))
         .as(Seq("j", "mh")))
