@@ -31,6 +31,7 @@ object SparkEntry {
     "q_join_sortmerge" -> (ops.RelationalOps.qJoinSortMerge _),
     "q_join_semi" -> (ops.RelationalOps.qJoinSemi _),
     "q_join_anti" -> (ops.RelationalOps.qJoinAnti _),
+    "q_join_outer" -> (ops.RelationalOps.qJoinOuter _),
     "q_join_range" -> (ops.RelationalOps.qJoinRange _),
     "q_topk_per_group" -> (ops.RelationalOps.qTopkPerGroup _),
     "q_topk_custom" -> (ops.RelationalOps.qTopkCustom _),

@@ -75,6 +75,22 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
+  /** Full-outer join: customers ⟗ orders, reporting per-segment order
+    * counts plus the unmatched mass on BOTH sides (customers with no
+    * orders surface as null-order rows; orders with no customer would
+    * land in the NO_CUSTOMER segment). Completes the join matrix next to
+    * inner/semi/anti/range/broadcast/SMJ.
+    */
+  def qJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           countDistinct(col("c_custkey")).as("n_customers"),
+           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+             .as("n_customers_no_orders"))
+      .orderBy(col("segment"))
+
   /** Non-equi (range/theta) join: lineitem quantity banded against an
     * in-memory band dimension. Broadcast nested-loop with a range predicate
     * — the broadcast keeps it linear in the fact side at any scale.

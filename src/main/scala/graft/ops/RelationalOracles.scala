@@ -172,6 +172,14 @@ object RelationalOracles {
         |  list_sort(toks)[1] AS min_token
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q_join_outer" ->
+      """SELECT coalesce(c_mktsegment, 'NO_CUSTOMER') AS segment,
+        |  count(o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_no_orders
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
