@@ -75,6 +75,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> (ops.TextOps.qTfidfTopTerms _),
     "q_quota_sample" -> (ops.TextOps.qQuotaSample _),
     "q_shard_pack" -> (ops.TextOps.qShardPack _),
+    "q_shard_publish" -> (ops.TextOps.qShardPublish _),
     "q_train_split" -> (ops.TextOps.qTrainSplit _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
     "q_text_normalize" -> (ops.TextOps.qTextNormalize _),

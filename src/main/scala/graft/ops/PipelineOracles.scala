@@ -484,6 +484,19 @@ object PipelineOracles {
         |        - n_chars) // 20000 AS BIGINT) AS shard_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The publish round trip is lossless, so the manifest oracle derives
+    // the same shard assignment directly from the base table.
+    "q_shard_publish" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars, lang,
+        |    CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_chars) // 20000 AS BIGINT) AS shard_id
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
     "q_corpus_clean" ->
       s"""$SH$HASHJ,
          |drops AS (

@@ -335,6 +335,27 @@ object TextOps {
   def qShardPack(spark: SparkSession, dir: String): DataFrame =
     packShards(documents(spark, dir))
 
+  /** The publish step: documents written as a parquet dataset PARTITIONED
+    * BY shard_id (one directory per training shard — the layout a data
+    * loader consumes), then the manifest recomputed from the READ-BACK
+    * data, so the oracle pins the whole write→read round trip. Partition
+    * columns come back type-inferred; the cast pins the comparison type.
+    */
+  def qShardPublish(spark: SparkSession, dir: String): DataFrame = {
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = documents(spark, dir)
+    packShards(docs.select(col("doc_id"), col("n_chars")))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(target)
+    spark.read.parquet(target)
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_chars"), col("lang"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+           countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Deterministic train/val/test split — hash-threshold assignment
     * (train 80 / val 10 / test 10 by md5(doc_id) mod 100), reported as
     * per-(lang, split) counts. Content-stable: a document keeps its
