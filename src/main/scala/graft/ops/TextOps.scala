@@ -347,6 +347,10 @@ object TextOps {
     val docs = documents(spark, dir)
     packShards(docs.select(col("doc_id"), col("n_chars")))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // Co-locate each shard in one task before partitionBy: one output
+      // file per shard instead of (tasks × shards) small files. At real
+      // scale add maxRecordsPerFile to re-split oversized shards.
+      .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(target)
     spark.read.parquet(target)
       .select(col("shard_id").cast("long").as("shard_id"), col("n_chars"), col("lang"))
