@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    // Optional second arg: comma list of op-name substrings to run
+    // (focused re-probe of one family without the full battery).
+    val onlyOps = args.drop(1).headOption.map(_.split(",").toSet)
+    def wanted(name: String): Boolean =
+      onlyOps.forall(_.exists(name.contains))
     val base = "/root/testdata/sf0.1"
     val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
     val spark = SparkSession.builder()
@@ -52,11 +57,12 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
     println(s"SCALE corpus ${nDocs * factor} docs / ${nVecs * factor} vecs at $scaled")
 
-    def time(name: String, dir: String)(f: String => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = f(dir).count()
-      println(f"SCALE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
-    }
+    def time(name: String, dir: String)(f: String => DataFrame): Unit =
+      if (wanted(name)) {
+        val t0 = System.nanoTime()
+        val n = f(dir).count()
+        println(f"SCALE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      }
     Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
       println(s"SCALE ---- $tag ($dir)")
       time(s"ngram_pairs_$tag", dir)(d => ops.DedupOps.qDedupNgramJaccard(spark, d))
