@@ -51,6 +51,7 @@ object SparkEntry {
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_group_having" -> (ops.RelationalOps.qGroupHaving _),
     "q_stats_agg" -> (ops.RelationalOps.qStatsAgg _),
+    "q_null_semantics" -> (ops.RelationalOps.qNullSemantics _),
     "q_sketch_accuracy" -> (ops.RelationalOps.qSketchAccuracy _),
     // Extension layer: event-time processing
     "q_events_tumbling" -> (ops.EventOps.qEventsTumbling _),

@@ -358,6 +358,38 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** ANSI three-valued-logic conformance battery: a synthesized nullable
+    * column (every third row NULL) pushed through the aggregate/predicate
+    * surfaces where engines classically diverge — `count(*)` vs
+    * `count(col)`, null-skipping sum/avg/min/max, `count(DISTINCT)`,
+    * NULL in `IN`-lists, null-safe equality (`<=>` / IS NOT DISTINCT
+    * FROM), and COALESCE fallback. One row out; every cell exact.
+    */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .withColumn("nullable",
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+    o.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("nullable")).as("n_nonnull"),
+      round(sum(col("nullable")), 2).as("sum_skipna"),
+      round(avg(col("nullable")), 2).as("avg_skipna"),
+      round(min(col("nullable")), 2).as("min_skipna"),
+      round(max(col("nullable")), 2).as("max_skipna"),
+      countDistinct(col("o_orderstatus")).as("n_status"),
+      // NULL = NULL is UNKNOWN → filtered; null-safe <=> keeps it.
+      sum(when(col("nullable") === col("nullable"), 1L).otherwise(0L))
+        .as("n_eq_self"),
+      sum(when(col("nullable") <=> col("nullable"), 1L).otherwise(0L))
+        .as("n_nullsafe_eq_self"),
+      // x IN (...) over a NULL x is UNKNOWN, never TRUE.
+      sum(when(col("nullable").isin(1.0, 2.0), 1L).otherwise(0L))
+        .as("n_in_list"),
+      sum(when(coalesce(col("nullable"), lit(-1.0)) === -1.0, 1L)
+            .otherwise(0L)).as("n_coalesced"))
+  }
+
   /** Statistical aggregate battery: stddev/variance/correlation/covariance
     * and exact interpolated median in one grouped pass.
     */

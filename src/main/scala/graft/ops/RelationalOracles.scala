@@ -203,6 +203,26 @@ object RelationalOracles {
         |       true AS pctl_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Three-valued-logic twin: DuckDB's IS NOT DISTINCT FROM is Spark's
+    // null-safe <=>; the rest is shared ANSI semantics.
+    "q_null_semantics" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |              ELSE o_totalprice END AS nullable, o_orderstatus
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  count(nullable) AS n_nonnull,
+        |  round(sum(nullable), 2) AS sum_skipna,
+        |  round(avg(nullable), 2) AS avg_skipna,
+        |  round(min(nullable), 2) AS min_skipna,
+        |  round(max(nullable), 2) AS max_skipna,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  CAST(sum(CASE WHEN nullable = nullable THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_self,
+        |  CAST(sum(CASE WHEN nullable IS NOT DISTINCT FROM nullable THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_self,
+        |  CAST(sum(CASE WHEN nullable IN (1.0, 2.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_list,
+        |  CAST(sum(CASE WHEN coalesce(nullable, -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced
+        |FROM o""".stripMargin,
+
     "q_stats_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
