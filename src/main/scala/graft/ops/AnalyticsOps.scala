@@ -122,9 +122,12 @@ object AnalyticsOps {
     * row is the classic funnel report. All stage times are exact integer
     * microseconds.
     */
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")))
+
+  /** Library form over a (user_id, event_type, ts_us) relation. */
+  def funnelStages(ev: DataFrame): DataFrame = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
     val c = ev.filter(col("event_type") === "click")

@@ -206,6 +206,42 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: funnel stage counts equal a driver-side reference on random event sets") {
+    import TestSpark.spark
+    import spark.implicits._
+    val evGen = for {
+      n <- Gen.chooseNum(5, 60)
+      es <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(0L, 5L)
+        t <- Gen.oneOf("view", "click", "purchase", "error")
+        ts <- Gen.chooseNum(0L, 50L)
+      } yield (u, t, ts))
+    } yield es
+    val p = Prop.forAll(evGen) { es =>
+      val df = es.toDF("user_id", "event_type", "ts_us")
+      val row = ops.AnalyticsOps.funnelStages(df).collect()(0)
+      val byUser = es.groupBy(_._1)
+      def firstAfter(u: Long, t: String, after: Long): Option[Long] = {
+        val c = byUser(u).filter(e => e._2 == t && e._3 > after).map(_._3)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      var nV = 0L; var nC = 0L; var nP = 0L
+      byUser.keys.foreach { u =>
+        val vs = byUser(u).filter(_._2 == "view").map(_._3)
+        if (vs.nonEmpty) {
+          nV += 1
+          firstAfter(u, "click", vs.min).foreach { tc =>
+            nC += 1
+            if (firstAfter(u, "purchase", tc).nonEmpty) nP += 1
+          }
+        }
+      }
+      row.getLong(0) == nV && row.getLong(1) == nC && row.getLong(2) == nP
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
