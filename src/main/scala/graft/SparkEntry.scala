@@ -105,6 +105,7 @@ object SparkEntry {
     "q_schema_evolution" -> (ops.SourceSinkOps.qSchemaEvolution _),
     "q_federated_join" -> (ops.SourceSinkOps.qFederatedJoin _),
     "q_sql_surface" -> (ops.SourceSinkOps.qSqlSurface _),
+    "q_managed_table" -> (ops.SourceSinkOps.qManagedTable _),
     "q_wide_csv_report" -> (ops.SourceSinkOps.qWideCsvReport _),
     "q_keyed_lookup" -> (ops.SourceSinkOps.qKeyedLookup _),
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),

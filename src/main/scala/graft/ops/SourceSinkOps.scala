@@ -266,6 +266,23 @@ object SourceSinkOps {
       .orderBy(col("event_id"))
   }
 
+  /** Managed-table surface: the catalog path (`saveAsTable` →
+    * `spark.table`) instead of direct parquet paths — the API a
+    * warehouse-style deployment uses. The round trip is lossless, so the
+    * oracle aggregates the base table directly.
+    */
+  def qManagedTable(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_orders_summary_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("price_c"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    spark.table(tbl)
+      .select(col("o_orderpriority"), col("n_orders"), col("price_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Pure-SQL surface parity: the same engine driven through
     * `spark.sql(...)` text over registered temp views instead of the
     * DataFrame API — both front-ends produce identical Catalyst plans,

@@ -33,6 +33,12 @@ object SourceSinkOracles {
     // Federated CSV/JSON/parquet join: the text-format round trips are
     // lossless (integer keys, plain strings), so the oracle reads the
     // original parquet tables directly.
+    // Managed-table round trip is lossless; aggregate the base directly.
+    "q_managed_table" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // The SQL-text front-end twin: identical aggregate in DuckDB SQL.
     "q_sql_surface" ->
       """SELECT lang, count(*) AS n_docs,
