@@ -78,6 +78,32 @@ object ScaleSmoke {
       time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))
       time(s"pii_redact_$tag", dir)(d => ops.ScrubOps.qPiiRedact(spark, d))
     }
+
+    // dedupApply under HIGH duplication: real web corpora shed 30–80% of
+    // documents at dedup, so the drop set is corpus-scale, not "vanishing".
+    // Build a corpus where every base doc has a near-identical twin (≥50%
+    // drop rate), force autoBroadcastJoinThreshold=-1 so the anti-join MUST
+    // take the shuffled path, and verify it completes linearly — the probe
+    // that proves removing the forced broadcast(dropped) was safe.
+    if (wanted("dedup_apply_highdup")) {
+      val hd = s"${System.getProperty("java.io.tmpdir")}/graft_scale_highdup"
+      val twin = docs
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        // drop the first word: same shingle set minus a few → near-dup twin
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      docs.unionByName(twin).repartition(32)
+        .write.mode("overwrite").parquet(s"$hd/documents.parquet")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val t0 = System.nanoTime()
+        val docs2 = Tables.documents(spark, hd)
+        val kept = ops.DedupOps.dedupApply(docs2, ops.DedupOps.ngramJaccardPairs(docs2)).count()
+        val total = nDocs * 2
+        println(f"SCALE dedup_apply_highdup  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+          f"   kept=$kept/$total (dropped ${100.0 * (total - kept) / total}%.1f%%, no broadcast)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
     spark.stop()
   }
 }

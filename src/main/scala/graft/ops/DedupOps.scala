@@ -474,16 +474,24 @@ object DedupOps {
   }
 
   /** Apply near-dup clusters to the corpus: keep one canonical document
-    * (the min-id member) per cluster, drop the rest. The dropped set is
-    * a vanishing fraction of the corpus (only non-canonical members of
-    * multi-doc clusters), so the anti-join broadcasts it and the corpus
-    * side never shuffles — one linear pass at any scale.
+    * (the min-id member) per cluster, drop the rest.
+    *
+    * The drop set is NOT assumed small: real web corpora shed 30–80% of
+    * documents at dedup, so at 100 TB `dropped` is billions of ids and a
+    * forced broadcast OOMs the driver. The anti-join is left unhinted —
+    * AQE sees the materialized (localCheckpoint'd) drop-set size at
+    * runtime and picks broadcast only when it actually fits
+    * (spark.sql.autoBroadcastJoinThreshold); otherwise both sides
+    * shuffle on doc_id, which is the correct linear-in-corpus plan for a
+    * high-duplication corpus. Validated by ScaleSmoke's "dedupApply
+    * high-dup" probe (≥50% duplicate corpus, broadcast threshold forced
+    * to -1 so the shuffled path itself is what's measured).
     */
   def dedupApply(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val dropped = dedupClusters(pairs, maxIters)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
