@@ -126,6 +126,7 @@ object SparkEntry {
     "q_stream_ingest" -> (streaming.EventStream.qStreamIngest _),
     "q_stream_window" -> (streaming.EventStream.qStreamWindow _),
     "q_stream_join" -> (streaming.EventStream.qStreamJoin _),
+    "q_stream_sessionize" -> (streaming.EventStream.qStreamSessionize _),
     // Count-min sketch heavy hitters (estimates hash-pinned + invariants)
     "q_heavy_hitters" -> (ops.TextOps.qHeavyHitters _),
     "q_bigram_lm" -> (ops.TextOps.qBigramLm _),

@@ -31,6 +31,34 @@ object EventOracles {
         | AND e.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
+    // Batch twin of the flatMapGroupsWithState sessionization drain:
+    // gaps-and-islands sessions (same `diff >= gap` rule), emitted iff
+    // closed by a newer session (sid < per-user max) or flushed by the
+    // event-time timeout — timeout ms (end//1000 + gap_ms) strictly
+    // below the final watermark ms (max event-time ms − 2 h), matching
+    // FlatMapGroupsWithStateExec's `timeoutTimestamp < watermark`.
+    "q_stream_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         |lagd AS (SELECT user_id, t,
+         |                lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+         |         FROM e),
+         |marks AS (SELECT user_id, t,
+         |                 CASE WHEN pt IS NULL OR t - pt >= $H THEN 1 ELSE 0 END AS ns
+         |          FROM lagd),
+         |sess AS (SELECT user_id, t,
+         |                SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |         FROM marks),
+         |agg AS (SELECT user_id, sid, min(t) AS start_us, max(t) AS end_us,
+         |               count(*) AS n
+         |        FROM sess GROUP BY user_id, sid),
+         |wm AS (SELECT max(t) // 1000 - 7200000 AS wms FROM e)
+         |SELECT a.user_id, a.start_us, a.end_us, a.n
+         |FROM agg a, wm
+         |WHERE a.sid < (SELECT max(b.sid) FROM agg b WHERE b.user_id = a.user_id)
+         |   OR a.end_us // 1000 + 3600000 < wm.wms
+         |ORDER BY a.user_id, a.start_us""".stripMargin,
+
     // Integer micro-unit PageRank, 3 unrolled iterations. `//` is
     // DuckDB's truncating integer division = Spark's `div`, and * / //
     // associate left on both engines, so every intermediate is the same

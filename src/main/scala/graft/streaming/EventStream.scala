@@ -278,6 +278,27 @@ object EventStream {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Fourth driver-checked streaming row — custom keyed state
+    * (flatMapGroupsWithState sessionization, the one stateful-operator
+    * class the other three rows don't cover). The AvailableNow drain
+    * emits (a) every session closed by a newer session within the data
+    * batch, plus (b) open-tail sessions flushed by the event-time
+    * timeout in the trailing no-data micro-batch — i.e. those whose
+    * timeout timestamp (end_ms + gap_ms) is strictly below the final
+    * watermark (max event-time ms − 2 h). The oracle reproduces exactly
+    * that closure rule in SQL (gaps-and-islands sessions, then
+    * `sid < max(sid) per user OR end flushed by watermark`), so the
+    * custom-state path is driver-correctness-checked end to end.
+    */
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runToMemory(spark, userSessions(spark, dir).toDF(),
+        "graft_stream_sessionize", OutputMode.Append())
+      .orderBy(col("user_id"), col("start_us"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */
