@@ -54,7 +54,8 @@ object PipelineOracles {
       |         row_number() OVER (PARTITION BY q.q_id
       |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
       |                    e.vec_id ASC) AS rank
-      |  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+      |  FROM q JOIN e ON bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+      |             AND e.vec_id <> q.q_id)
       |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
       |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
@@ -71,15 +72,18 @@ object PipelineOracles {
       |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
       |                    cent.c_id ASC) AS rn
       |  FROM e CROSS JOIN cent),
-      |assign AS (SELECT vec_id AS m_id, v AS mv, nrm AS mn, c_id FROM vc WHERE rn = 1),
-      |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
-      |scored AS (
+      |assign AS (SELECT vec_id AS m_id, v AS mv, nrm AS mn, c_id FROM vc WHERE rn <= 2),
+      |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 4),
+      |pairs AS (
       |  SELECT p.q_id, a.m_id,
-      |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,
-      |         row_number() OVER (PARTITION BY p.q_id
-      |           ORDER BY list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) DESC,
-      |                    a.m_id ASC) AS rank
-      |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id)
+      |         max(list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn))) AS c
+      |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id
+      |  GROUP BY p.q_id, a.m_id),
+      |scored AS (
+      |  SELECT q_id, m_id, c,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY c DESC, m_id ASC) AS rank
+      |  FROM pairs)
       |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
       |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
@@ -111,7 +115,7 @@ object PipelineOracles {
       |                    cent.c_id ASC) AS rn
       |  FROM ew CROSS JOIN cent),
       |assign AS (SELECT vec_id AS m_id, v AS mv, nv AS mn, c_id FROM vc WHERE rn = 1),
-      |probes AS (SELECT vec_id AS q_id, v AS qv, nv AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 2),
+      |probes AS (SELECT vec_id AS q_id, v AS qv, nv AS qn, c_id FROM vc WHERE vec_id < 5 AND rn <= 3),
       |scored AS (
       |  SELECT p.q_id, a.m_id,
       |         list_dot_product(p.qv, a.mv) / (sqrt(p.qn) * sqrt(a.mn)) AS c,

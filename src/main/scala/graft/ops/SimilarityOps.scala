@@ -90,16 +90,25 @@ object SimilarityOps {
 
   /** Sign-LSH bucketed ANN: `planes` deterministic hyperplanes (integer
     * weights derived from md5 of "j_i", so the oracle reproduces them
-    * exactly); bucket = sign bits; queries search only their own bucket.
-    * Plane count scales with corpus size (recall/candidate-set tradeoff).
+    * exactly); bucket = sign bits. MULTIPROBE: each query searches its
+    * own bucket plus every Hamming-1 neighbor bucket (flip one sign bit)
+    * — the vectors most likely lost to a near-zero projection. The probe
+    * list is a per-QUERY explode (planes+1 rows per query, still a tiny
+    * broadcast); the corpus side stays one bucket per vector, so probing
+    * touches ~(planes+1)/2^planes of the data and candidates stay unique
+    * per (query, neighbor) without a distinct. Plane count scales with
+    * corpus size (recall/candidate-set tradeoff).
     */
   def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame = {
     val e = embs
       .withColumn("bucket", bucketCol(planes))
       .select(col("vec_id"), col("bucket"), col("embedding"), norm2("embedding").as("nrm"))
     val q = e.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("bucket"),
+      .select(col("vec_id").as("q_id"), col("bucket").as("own"),
               col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .withColumn("bucket", explode(array(
+        col("own") +: (0 until planes).map(j => col("own").bitwiseXOR(lit(1 << j))): _*)))
+      .drop("own")
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
@@ -110,16 +119,24 @@ object SimilarityOps {
   /** IVF ANN: a FIXED-k deterministic codebook (the numCentroids vectors
     * with the smallest md5(vec_id) — a uniform pseudo-random sample whose
     * size does NOT grow with n, computed as a TakeOrdered, never a full
-    * sort); assign all vectors to the nearest centroid via a broadcast of
-    * just the k centroids; queries probe their nprobe nearest cells and
-    * take cosine top-k among the cells' members.
+    * sort); MULTI-ASSIGN every vector to its nassign nearest centroids
+    * via a broadcast of just the k centroids (2× index storage buys the
+    * recall a raw-sample codebook loses to cell-boundary neighbors:
+    * measured mean recall@10 0.30→0.64+ at nassign=2); queries probe
+    * their nprobe nearest cells and take cosine top-k among the cells'
+    * members.
     *
-    * Assignment is a map-side `max_by` aggregation, not a window: the
-    * n×k broadcast-nested-loop rows partial-aggregate to one row per
-    * vector BEFORE the exchange, so the shuffle carries n rows, not n×k.
+    * Assignment is a map-side aggregation, not a window: the n×k
+    * broadcast-nested-loop rows partial-aggregate (collect_list of k
+    * tiny structs, sorted and sliced to nassign) to nassign rows per
+    * vector BEFORE the exchange, so the shuffle carries n·nassign rows,
+    * not n×k. A (query, member) pair reachable through two shared cells
+    * is collapsed by a narrow (q_id, m_id, cos) aggregate — identical
+    * cos on every duplicate, so first() is deterministic — and the
+    * exchange never carries the embedding arrays.
     */
   def annIvf(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
-             nprobe: Int = 2, k: Int = 10): DataFrame = {
+             nassign: Int = 2, nprobe: Int = 4, k: Int = 10): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
     val cent = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -128,13 +145,15 @@ object SimilarityOps {
     def withCentCos(df: DataFrame): DataFrame =
       df.join(broadcast(cent), lit(true))
         .withColumn("c_cos", dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
-    // Nearest centroid per vector: max c_cos, ties to the lowest c_id —
-    // identical semantics to row_number(... ORDER BY c_cos DESC, c_id ASC) = 1.
+    // Top-nassign centroids per vector: sort (−c_cos, c_id) ascending ==
+    // row_number(... ORDER BY c_cos DESC, c_id ASC) <= nassign.
     val assign = withCentCos(e)
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("m_emb"), first(col("nrm")).as("m_nrm"),
-           max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("neg_c"))).as("c_id"))
-      .select(col("vec_id").as("m_id"), col("m_emb"), col("m_nrm"), col("c_id"))
+           slice(array_sort(collect_list(struct((-col("c_cos")).as("nc"), col("c_id")))),
+                 1, nassign).as("top"))
+      .select(col("vec_id").as("m_id"), col("m_emb"), col("m_nrm"),
+              explode(col("top.c_id")).as("c_id"))
     // Probe list only for the (tiny) query set — the window runs over
     // |queries|·k rows, never over the full corpus.
     val probes = withCentCos(e.filter(queryPred))
@@ -146,6 +165,8 @@ object SimilarityOps {
     val scored = probes.join(assign, Seq("c_id"))
       .filter(col("m_id") =!= col("q_id"))
       .withColumn("cos", dot("q_emb", "m_emb") / (sqrt(col("q_nrm")) * sqrt(col("m_nrm"))))
+      .groupBy(col("q_id"), col("m_id"))
+      .agg(first(col("cos")).as("cos"))
       .withColumnRenamed("m_id", "neighbor_id")
     topK(scored, k)
   }
@@ -252,7 +273,7 @@ object SimilarityOps {
     * sample codebook.
     */
   def annIvfKmeans(embs: DataFrame, queryPred: Column, numCentroids: Int = 8,
-                   nprobe: Int = 2, k: Int = 10): DataFrame = {
+                   nprobe: Int = 3, k: Int = 10): DataFrame = {
     val cent = kmeansCentroids(embs, numCentroids)
       .withColumn("c_nrm", expr("aggregate(cv, cast(0 as double), (a, x) -> a + x * x)"))
       .select(col("c_id"), col("cv"), col("c_nrm"))
@@ -287,8 +308,9 @@ object SimilarityOps {
     * (integer hit counts; one IEEE division both engines share), so the
     * per-query values are hash-pinned too: recall cannot drift AT ALL
     * without failing, the flags just encode the tolerable floor if the
-    * defaults are retuned. Floors hold at sf0.001/0.01/0.1 (measured:
-    * mean recall ≥ 0.30/0.14/0.40 across SFs for ivf/lsh/ivf_kmeans).
+    * defaults are retuned. Floors hold at sf0.001/0.01/0.1 (measured
+    * minima across SFs: 0.64 ivf (multi-assign), 0.40 lsh (multiprobe),
+    * 0.62 ivf_kmeans (nprobe 3) — floors 0.6/0.35/0.6).
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val embs = embeddings(spark, dir)
@@ -307,9 +329,9 @@ object SimilarityOps {
     // Mean recall from exact integer totals (sum of hits / sum of k) —
     // order-independent, unlike avg() over per-query doubles.
     val flags = per.agg(
-      (sum(col("h_ivf")).cast("double") / sum(col("n_exact")) >= 0.25).as("ivf_mean_ok"),
-      (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.10).as("lsh_mean_ok"),
-      (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.30).as("ivf_kmeans_mean_ok"))
+      (sum(col("h_ivf")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_mean_ok"),
+      (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.35).as("lsh_mean_ok"),
+      (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"))
     per.select(col("q_id"), col("n_exact"),
         round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),
         round(col("h_lsh").cast("double") / col("n_exact"), 3).as("recall_lsh"),
