@@ -111,6 +111,7 @@ object SparkEntry {
     "q_text_report" -> (ops.SourceSinkOps.qTextReport _),
     "q_skew_salted_agg" -> (ops.SourceSinkOps.qSkewSaltedAgg _),
     "q_skew_salted_join" -> (ops.SourceSinkOps.qSkewSaltedJoin _),
+    "q_skew_aqe_join" -> (ops.SourceSinkOps.qSkewAqeJoin _),
     "q_zorder_key" -> (ops.SourceSinkOps.qZorderKey _),
     "q_grouping_sets" -> (ops.SourceSinkOps.qGroupingSets _),
     // Layout/maintenance surface (partition pruning, compaction, DPP,

@@ -375,6 +375,71 @@ object SourceSinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** AQE skew join — the optimizer-native twin of [[qSkewSaltedJoin]]:
+    * instead of hand-salting the hot key, let
+    * `spark.sql.adaptive.skewJoin` detect the oversized shuffle partition
+    * at runtime and split it, replicating the matching build rows. The
+    * fact side manufactures a deterministic heavy hitter (87.5% of rows
+    * on skew_key 0); the dim side is the per-key count of the SAME
+    * derived key, so every fact row matches exactly one dim row and the
+    * result is the plain join's. Lazy library form — the driver wrapper
+    * [[qSkewAqeJoin]] supplies the runtime confs; PlanShapeSpec executes
+    * this under low skew thresholds and asserts the final adaptive plan
+    * contains a skew-split AQEShuffleRead.
+    */
+  def skewAqeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // AQE splits a skewed REDUCE partition by regrouping its MAP output
+    // blocks, so the skewed side must arrive from >1 map task — true for
+    // any real fact table (thousands of scan tasks at 100 TB), false for
+    // the single-row-group fixture file. The round-robin repartition
+    // recreates the multi-mapper input; with one mapper the hot key is
+    // one indivisible block and the rule can never fire.
+    val fact = events(spark, dir).repartition(8)
+      .select(col("event_type"), col("value"),
+        when(pmod(col("user_id"), lit(8L)) =!= 0, lit(0L))
+          .otherwise(pmod(col("user_id"), lit(1000L))).as("skew_key"))
+    // The dim is materialized by an "upstream job" (parquet round trip),
+    // as dimension tables are in practice. This also matters to the rule
+    // itself: OptimizeSkewedJoin only matches SMJ(Sort(shuffle stage),
+    // Sort(shuffle stage)) — an aggregate fused into the stage under the
+    // join's Sort defeats the match, a plain scan re-shuffled on the
+    // join key is the shape the rule splits.
+    val dimDir = tmp(dir, "skewdim")
+    fact.groupBy(col("skew_key")).agg(count(lit(1)).as("key_n"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    fact.join(dim, Seq("skew_key"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("key_n")).as("sum_key_n"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Driver row for [[skewAqeJoin]]. AQE reads session confs at
+    * EXECUTION time, so the skew thresholds must hold while the job
+    * actually runs — `localCheckpoint(eager)` executes the plan under
+    * the overrides and returns a conf-independent materialized frame
+    * (a lazily returned DataFrame would see the restored defaults).
+    * Broadcast is disabled so the shuffle join the skew rule targets is
+    * what executes; 64 KB thresholds make the fixture's hot partition
+    * (~650 KB at sf0.01) split ~10 ways, the same decision a real
+    * cluster makes at 256 MB defaults with a multi-GB hot key.
+    */
+  def qSkewAqeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try skewAqeJoin(spark, dir).localCheckpoint(true)
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(v0 => spark.conf.set(k, v0)) }
+  }
+
   /** Z-order (Morton) layout key — bucket two dimensions to 10 bits each
     * and interleave via the native [[graft.functions.MortonInterleave]]
     * expression. Sorting a write by `z` gives narrow min-max ranges in

@@ -128,6 +128,20 @@ object SourceSinkOracles {
         |FROM events e JOIN dim d USING (user_id)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // The AQE skew split is plan-level only: the oracle is the plain
+    // join over the same derived key.
+    "q_skew_aqe_join" ->
+      """WITH fact AS (
+        |  SELECT event_type, value,
+        |         CASE WHEN user_id % 8 <> 0 THEN 0 ELSE user_id % 1000 END AS skew_key
+        |  FROM events),
+        |dim AS (SELECT skew_key, count(*) AS key_n FROM fact GROUP BY skew_key)
+        |SELECT f.event_type, count(*) AS n,
+        |       CAST(sum(d.key_n) AS BIGINT) AS sum_key_n,
+        |       CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+        |FROM fact f JOIN dim d USING (skew_key)
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin,
+
     // Bucketing is a layout optimization: the co-located SMJ must equal
     // the plain join.
     "q_bucketed_join" ->

@@ -149,6 +149,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("AQE splits the skewed join partition (declarative twin of salting)") {
+    // Thresholds sized to the sf0.001 fixture (hot partition a few KB compressed);
+    // the decision logic is identical to 256 MB defaults at cluster scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1024",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = ops.SourceSinkOps.skewAqeJoin(spark, Sf)
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"), plan.take(4000))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(v0 => spark.conf.set(k, v0)) }
+  }
+
   test("paragraph dedup windows see only digests — text never shuffles") {
     val df = ops.ScrubOps.qParagraphDedup(spark, Sf)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
