@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (ops.DedupOps.qDedupMinhashLsh _),
     "q_minhash_estimate" -> (ops.DedupOps.qMinhashEstimate _),
     "q_fuzzy_match" -> (ops.DedupOps.qFuzzyMatch _),
+    "q_fuzzy_match2" -> (ops.DedupOps.qFuzzyMatch2 _),
     "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),

@@ -184,27 +184,39 @@ object DedupOps {
   }
 
   /** Fuzzy term matching (FastSS-style): all term pairs within edit
-    * distance 1, found by equi-joining DELETION NEIGHBORHOODS — every
-    * term emits itself plus each single-character deletion; two terms at
-    * distance ≤ 1 (substitution, insertion, or deletion) necessarily
-    * share a variant, so the candidate join is an equi-join on the
-    * variant string (sub-quadratic: |vocab|·(len+1) index rows hashed
-    * across variants), and `levenshtein` exact-verifies. The shape that
-    * replaces the O(n²) all-pairs edit-distance scan at any vocabulary
-    * size.
+    * distance maxDist (1 or 2), found by equi-joining DELETION
+    * NEIGHBORHOODS — every term emits itself plus each variant reachable
+    * by ≤ maxDist character deletions. If lev(a,b) ≤ k, the alignment
+    * deletes ≤ k characters from each side to equalize them, so two
+    * terms within distance k necessarily share a depth-k variant; the
+    * candidate join is an equi-join on the variant string and
+    * `levenshtein` exact-verifies (sound AND complete). Index size is
+    * |vocab|·(1 + L + L(L−1)/2) rows at k=2 — the classic FastSS space/
+    * time trade, sub-quadratic in vocabulary size at any scale (term
+    * vocabularies, not documents, are the intended input). The shape
+    * that replaces the O(n²) all-pairs edit-distance scan.
     */
-  def fuzzyTermPairs(terms: DataFrame): DataFrame = {
-    val variants = terms.select(col("tok"), explode(expr(
-      "array_union(array(tok), transform(sequence(1, length(tok)), " +
-        "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok) - i))))"))
-      .as("v"))
+  def fuzzyTermPairs(terms: DataFrame, maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, "maxDist must be 1 or 2")
+    def del(s: String, p: String): String =
+      s"concat(substring($s, 1, $p - 1), substring($s, $p + 1, length($s) - $p))"
+    val d1 = s"transform(sequence(1, length(tok)), i -> ${del("tok", "i")})"
+    // Delete position j first, then i < j: positions below j are
+    // unshifted, so the nested transform enumerates exactly the
+    // unordered deletion-position pairs.
+    val d2 = "flatten(transform(filter(sequence(1, length(tok)), j -> j >= 2), " +
+      s"j -> transform(sequence(1, j - 1), i -> ${del(del("tok", "j"), "i")})))"
+    val allV =
+      if (maxDist == 1) s"array_union(array(tok), $d1)"
+      else s"array_distinct(concat(array(tok), $d1, $d2))"
+    val variants = terms.select(col("tok"), explode(expr(allV)).as("v"))
     variants.as("a")
       .join(variants.as("b"),
             col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
       .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
       .distinct()
       .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .orderBy(col("tok_a"), col("tok_b"))
   }
 
@@ -221,6 +233,24 @@ object DedupOps {
       .select(concat(substring(col("tok"), 1, 1),
                      expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
     fuzzyTermPairs(vocab.union(typos).distinct())
+  }
+
+  /** Distance-2 driver row: a second deterministic typo class (drop the
+    * 3rd character of every token of length ≥ 5) joins the first, so
+    * pairs at exact distance 2 exist by construction (two different
+    * single-deletion typos of the same word). The operator under test is
+    * the depth-2 deletion-neighborhood join of [[fuzzyTermPairs]].
+    */
+  def qFuzzyMatch2(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(explode(TextFns.toks).as("tok")).distinct()
+    val typos1 = vocab.filter(length(col("tok")) >= 4)
+      .select(concat(substring(col("tok"), 1, 1),
+                     expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
+    val typos2 = vocab.filter(length(col("tok")) >= 5)
+      .select(concat(substring(col("tok"), 1, 2),
+                     expr("substring(tok, 4, length(tok) - 3)")).as("tok"))
+    fuzzyTermPairs(vocab.union(typos1).union(typos2).distinct(), maxDist = 2)
   }
 
   /** MinHash accuracy as a driver invariant (the `q_ann_recall` pattern

@@ -592,6 +592,46 @@ object PipelineOracles {
         |FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
         |ORDER BY tok_a, tok_b""".stripMargin,
 
+    // Depth-2 deletion neighborhoods: d1 = each single deletion, d2 =
+    // delete j then i<j (unshifted positions = unordered pairs), exact
+    // levenshtein <= 2 verify — the same sound-and-complete construction
+    // as the Spark side.
+    "q_fuzzy_match2" ->
+      """WITH vocab0 AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |typos1 AS (
+        |  SELECT substr(tok, 1, 1) || substr(tok, 3, CAST(strlen(tok) - 2 AS INT)) AS tok
+        |  FROM vocab0 WHERE strlen(tok) >= 4),
+        |typos2 AS (
+        |  SELECT substr(tok, 1, 2) || substr(tok, 4, CAST(strlen(tok) - 3 AS INT)) AS tok
+        |  FROM vocab0 WHERE strlen(tok) >= 5),
+        |vocab AS (SELECT DISTINCT tok FROM (
+        |  SELECT tok FROM vocab0 UNION ALL SELECT tok FROM typos1
+        |  UNION ALL SELECT tok FROM typos2)),
+        |var AS (
+        |  SELECT tok, unnest(list_distinct(
+        |    list_append(
+        |      list_transform(range(1, strlen(tok) + 1),
+        |        i -> substr(tok, 1, CAST(i - 1 AS INT)) ||
+        |             substr(tok, CAST(i + 1 AS INT), CAST(strlen(tok) - i AS INT))),
+        |      tok) ||
+        |    flatten(list_transform(list_filter(range(1, strlen(tok) + 1), j -> j >= 2),
+        |      j -> list_transform(range(1, j),
+        |        i -> substr(substr(tok, 1, CAST(j - 1 AS INT)) ||
+        |                    substr(tok, CAST(j + 1 AS INT), CAST(strlen(tok) - j AS INT)),
+        |                    1, CAST(i - 1 AS INT)) ||
+        |             substr(substr(tok, 1, CAST(j - 1 AS INT)) ||
+        |                    substr(tok, CAST(j + 1 AS INT), CAST(strlen(tok) - j AS INT)),
+        |                    CAST(i + 1 AS INT), CAST(strlen(tok) - 1 - i AS INT)))))
+        |  )) AS v
+        |  FROM vocab),
+        |cand AS (
+        |  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+        |  FROM var a JOIN var b ON a.v = b.v AND a.tok < b.tok)
+        |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+        |FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
+        |ORDER BY tok_a, tok_b""".stripMargin,
+
     // MinHash estimator accuracy: same signature/band pipeline as
     // q_dedup_minhash_lsh, but emitting est vs exact Jaccard per LSH
     // candidate with the ±0.35 tolerance flag. Pairs with zero true

@@ -169,6 +169,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth.diff(got)} extra=${got.diff(truth)}")
   }
 
+  test("fuzzy match2 finds exactly the distance-<=2 pairs (brute-force truth)") {
+    val got = ops.DedupOps.qFuzzyMatch2(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val words = graft.Tables.documents(spark, Sf).collect()
+      .flatMap(_.getString(1).split(" ")).toSet
+    val typos1 = words.filter(_.length >= 4).map(t => t.take(1) + t.drop(2))
+    val typos2 = words.filter(_.length >= 5).map(t => t.take(2) + t.drop(3))
+    val vocab = (words ++ typos1 ++ typos2).toSeq.sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for { a <- vocab; b <- vocab if a < b; d = lev(a, b) if d <= 2 }
+      yield (a, b, d)).toSet
+    assert(truth.exists(_._3 == 2), "fixture must contain exact-distance-2 pairs")
+    assert(got == truth, s"missing=${truth.diff(got).take(5)} extra=${got.diff(truth).take(5)}")
+  }
+
   test("minhash estimate tracks exact jaccard within the 4-sigma tolerance") {
     val rows = ops.DedupOps.qMinhashEstimate(spark, Sf).collect()
     assert(rows.nonEmpty)
