@@ -119,6 +119,7 @@ object SparkEntry {
     // bucketed co-located join, keyed MERGE)
     "q_partition_prune" -> (ops.SourceSinkOps.qPartitionPrune _),
     "q_compact" -> (ops.SourceSinkOps.qCompact _),
+    "q_compact_sized" -> (ops.SourceSinkOps.qCompactSized _),
     "q_dpp_prune" -> (ops.SourceSinkOps.qDppPrune _),
     "q_bucketed_join" -> (ops.SourceSinkOps.qBucketedJoin _),
     "q_upsert" -> (ops.SourceSinkOps.qUpsert _),

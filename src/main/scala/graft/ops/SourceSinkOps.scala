@@ -296,7 +296,7 @@ object SourceSinkOps {
       """SELECT d.lang,
         |       count(*) AS n_docs,
         |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
-        |       sum(CAST(round(size(array_distinct(split(d.text, ' '))) * 1000000
+        |       sum(CAST(round(CAST(size(array_distinct(split(d.text, ' '))) AS BIGINT) * 1000000
         |                     / CAST(size(split(d.text, ' ')) AS DOUBLE)) AS BIGINT)) AS ttr_micro
         |FROM documents_v d
         |GROUP BY d.lang
@@ -520,6 +520,68 @@ object SourceSinkOps {
            sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"))
       .select(lit(parquetFileCount(smallDir)).as("n_files_before"),
               lit(parquetFileCount(outDir)).as("n_files_after"),
+              col("n_rows"), col("id_sum"), col("value_centi"))
+  }
+
+  /** Size-threshold compaction — the real table-maintenance loop at
+    * 100 TB: only files BELOW thresholdBytes are fragments; they are
+    * rewritten into ~target-sized files while every already-right-sized
+    * file is carried over untouched (a metadata-plane file copy here,
+    * a no-op in a real table format's manifest). Returns (nUntouched,
+    * nCompactedOut). The output sizing target is expressed in ROWS of
+    * the largest untouched file — the deterministic proxy for a byte
+    * target (fixture compression ratios are not portable; the selection
+    * logic is identical).
+    */
+  def compactBySize(spark: SparkSession, inDir: String, outDir: String,
+                    thresholdBytes: Long, sortCol: String): (Int, Int) = {
+    val files = Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val (big, small) = files.partition(_.length >= thresholdBytes)
+    val out = new java.io.File(outDir)
+    if (out.exists()) out.listFiles().foreach(_.delete())
+    out.mkdirs()
+    big.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(out, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val smallDf = spark.read.parquet(small.map(_.getAbsolutePath).toSeq: _*)
+    val smallRows = smallDf.count()
+    val targetRows = big.map(f =>
+      spark.read.parquet(f.getAbsolutePath).count()).maxOption.getOrElse(smallRows)
+    val nOut = math.max(1, math.ceil(smallRows.toDouble / math.max(1L, targetRows)).toInt)
+    smallDf.repartition(nOut).sortWithinPartitions(col(sortCol))
+      .write.mode("append").parquet(outDir)
+    (big.length, nOut)
+  }
+
+  /** Driver row for [[compactBySize]]: fragment the events table into 2
+    * right-sized files (90% of rows) plus 48 small fragments (10%),
+    * compact with threshold = half the largest file — so exactly the 48
+    * fragments qualify at every SF — and report file counts plus exact
+    * content checksums of the full read-back. 50 → 3 files (2 untouched
+    * + 1 compacted), checksums equal the fixture: compaction touched
+    * only what it had to and lost nothing.
+    */
+  def qCompactSized(spark: SparkSession, dir: String): DataFrame = {
+    val fragDir = tmp(dir, "sizedfrag")
+    val outDir = tmp(dir, "sizedout")
+    val ev = events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+    ev.filter(pmod(col("event_id"), lit(10L)) =!= 0)
+      .repartition(2).write.mode("overwrite").parquet(fragDir)
+    ev.filter(pmod(col("event_id"), lit(10L)) === 0)
+      .repartition(48).write.mode("append").parquet(fragDir)
+    val maxSize = Option(new java.io.File(fragDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length).max
+    val (nUntouched, nOut) =
+      compactBySize(spark, fragDir, outDir, maxSize / 2, "event_id")
+    spark.read.parquet(outDir)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("event_id")).as("id_sum"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"))
+      .select(lit(parquetFileCount(fragDir)).as("n_files_before"),
+              lit(nUntouched).as("n_untouched"),
+              lit(nUntouched + nOut).as("n_files_after"),
               col("n_rows"), col("id_sum"), col("value_centi"))
   }
 

@@ -188,6 +188,16 @@ object SourceSinkOracles {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
         |FROM events""".stripMargin,
 
+    // Size-threshold compaction: 2 right-sized + 48 fragments → only the
+    // fragments rewritten (into 1 file; 10% of rows vs a 45% target), the
+    // 2 untouched files carried over, content checksums unchanged.
+    "q_compact_sized" ->
+      """SELECT 50 AS n_files_before, 2 AS n_untouched, 3 AS n_files_after,
+        |       count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+        |FROM events""".stripMargin,
+
     // DPP is a scan optimization; the oracle is the plain join with the
     // same above-average-frequency dimension predicate (exact integer
     // compare: n_type * 5 > total).
