@@ -141,6 +141,18 @@ class AnalyticsScrubSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val total = rows.map(_.getAs[Long]("pr")).sum
     val n = rows.length
+    // The truncation-only loss bound below assumes NO dangling nodes:
+    // the operator intentionally drops a dangling node's out-mass (85%
+    // of its rank per round), which would dwarf the 16/node truncation
+    // slack. Assert that precondition explicitly so a fixture change
+    // introducing a terminal-only event type fails HERE, not as a
+    // mysterious bound violation.
+    val edges = ops.GraphOps.transitionEdges(graft.Tables.events(spark, Sf))
+      .select("src", "dst").collect()
+    val srcs = edges.map(_.getString(0)).toSet
+    val dangling = edges.map(_.getString(1)).toSet.diff(srcs)
+    assert(dangling.isEmpty,
+      s"fixture has dangling nodes $dangling — the mass bound does not apply")
     // Each of the 3+1 rounds can lose < 1 unit per node per div (3 divs
     // per round); mass never exceeds 1e6 and stays within the loss bound.
     assert(total <= 1000000L)

@@ -22,6 +22,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(FakeDecode.decode(Array.emptyByteArray).flatten.forall(_ == 0))
   }
 
+  test("fixture text is pure ASCII — the byte-based oracle contract") {
+    // The image/audio DuckDB twins index CHARACTERS over byte lengths
+    // while the Spark side operates on UTF-8 bytes (encode()); they only
+    // agree when text is pure ASCII. Pin that fixture invariant at both
+    // gate SFs so a fixture change fails here, not as an opaque oracle
+    // hash mismatch (length == octet_length iff every char is 1 byte).
+    Seq(Sf, "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = graft.Tables.documents(spark, d)
+        .filter(org.apache.spark.sql.functions.expr(
+          "length(text) != octet_length(text)")).count()
+      assert(nonAscii == 0, s"$d has $nonAscii non-ASCII documents")
+    }
+  }
+
   test("qImageFeatures covers every document with features and frame samples") {
     val df = ops.MultimodalOps.qImageFeatures(spark, Sf)
     val n = graft.Tables.documents(spark, Sf).count()
