@@ -87,6 +87,9 @@ object SparkEntry {
     "q_minhash_estimate" -> (ops.DedupOps.qMinhashEstimate _),
     "q_fuzzy_match" -> (ops.DedupOps.qFuzzyMatch _),
     "q_fuzzy_match2" -> (ops.DedupOps.qFuzzyMatch2 _),
+    "q_dedup_incremental" -> (ops.DedupOps.qDedupIncremental _),
+    "q_lang_rebalance" -> (ops.TextOps.qLangRebalance _),
+    "q_bloom_prune" -> (ops.SourceSinkOps.qBloomPruneJoin _),
     "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),

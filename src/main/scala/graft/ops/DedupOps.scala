@@ -546,6 +546,44 @@ object DedupOps {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(documents(spark, dir)))
 
+  /** Incremental dedup — the production shape of corpus maintenance: a
+    * NEW batch of documents (doc_id ≡ 0 mod 5 plays the arriving crawl)
+    * is deduplicated against the EXISTING corpus (the rest), without
+    * re-deduplicating the corpus against itself. Per batch doc:
+    * 'dup_exact' (digest already in the corpus), else 'dup_near'
+    * (n-gram Jaccard ≥ 0.8 with a corpus doc, via the standard banded
+    * candidate pipeline — never all-pairs), else 'kept'. At 100 TB the
+    * corpus-side digest and prefix indexes are precomputed artifacts and
+    * the (much smaller) batch joins against them; the candidate and
+    * verify joins here are exactly those index joins, so the plan
+    * carries over — only the corpus-side scan becomes an index read.
+    * Intra-batch duplicates are the existing [[exactDedup]] composed
+    * upstream; this operator is the cross-batch step.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(5L)) === 0
+    val batch = docs.filter(isBatch)
+    val corpusDigests = docs.filter(!isBatch)
+      .select(md5(col("text")).as("digest")).distinct()
+    val exactIds = batch.withColumn("digest", md5(col("text")))
+      .join(corpusDigests, Seq("digest"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1))
+    val nearIds = ngramJaccardPairs(docs)
+      .filter((pmod(col("doc_a"), lit(5L)) === 0) =!= (pmod(col("doc_b"), lit(5L)) === 0))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .distinct().withColumn("is_near", lit(1))
+    batch.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, lit("dup_exact"))
+          .when(col("is_near") === 1, lit("dup_near"))
+          .otherwise(lit("kept")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The documents scan feeds BOTH the pair-generation branch and the
     * anti-join branch. Deliberately NOT persisted: measured at sf0.1,
     * caching the text column costs more than the second parquet read it

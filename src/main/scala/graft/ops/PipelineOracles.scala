@@ -592,6 +592,59 @@ object PipelineOracles {
         |FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
         |ORDER BY tok_a, tok_b""".stripMargin,
 
+    // Incremental dedup: batch (doc_id ≡ 0 mod 5) vs corpus. Exact =
+    // shared md5 digest; near = the standard prefix-filtered Jaccard
+    // pipeline (same SH/HASHJ CTEs) restricted to cross pairs; exact
+    // takes precedence.
+    "q_dedup_incremental" ->
+      s"""$SH$HASHJ,
+         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |ex AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM b JOIN (SELECT text FROM documents WHERE doc_id % 5 <> 0) c
+         |    ON md5(b.text) = md5(c.text)),
+         |nr AS (
+         |  SELECT DISTINCT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM jac
+         |  WHERE jaccard >= 0.8 AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0)))
+         |SELECT b.doc_id,
+         |       CASE WHEN ex.doc_id IS NOT NULL THEN 'dup_exact'
+         |            WHEN nr.doc_id IS NOT NULL THEN 'dup_near'
+         |            ELSE 'kept' END AS status
+         |FROM b
+         |LEFT JOIN ex ON ex.doc_id = b.doc_id
+         |LEFT JOIN nr ON nr.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // Temperature-0.5 language rebalance: keep iff h²·n_l < 10¹²·n_min
+    // (exact integers, HUGEINT products); flatness flag from exact
+    // cross-multiplied rationals.
+    "q_lang_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_before) AS n_min FROM c),
+        |h AS (
+        |  SELECT d.lang,
+        |         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 1000000 AS hv,
+        |         c.n_before
+        |  FROM documents d JOIN c USING (lang)),
+        |k AS (
+        |  SELECT lang, count(*) AS n_after
+        |  FROM h, mn
+        |  WHERE CAST(hv * hv AS HUGEINT) * n_before
+        |      < CAST(1000000000000 AS HUGEINT) * mn.n_min
+        |  GROUP BY lang),
+        |per AS (
+        |  SELECT c.lang, c.n_before, coalesce(k.n_after, 0) AS n_after
+        |  FROM c LEFT JOIN k USING (lang)),
+        |f AS (
+        |  SELECT max(n_after) * min(n_before) <= max(n_before) * min(n_after)
+        |           AS flattened_ok
+        |  FROM per)
+        |SELECT per.lang, per.n_before, CAST(per.n_after AS BIGINT) AS n_after,
+        |       f.flattened_ok
+        |FROM per, f ORDER BY per.lang""".stripMargin,
+
     // Depth-2 deletion neighborhoods: d1 = each single deletion, d2 =
     // delete j then i<j (unshifted positions = unordered pairs), exact
     // levenshtein <= 2 verify — the same sound-and-complete construction

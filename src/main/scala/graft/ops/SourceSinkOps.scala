@@ -273,6 +273,22 @@ object SourceSinkOps {
     */
   def qManagedTable(spark: SparkSession, dir: String): DataFrame = {
     val tbl = "graft_orders_summary_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // Idempotent across JVMs, not just within one: a previous session's
+    // managed-table LOCATION survives in the warehouse directory while
+    // the fresh metastore has no catalog entry, and CTAS then fails with
+    // LOCATION_ALREADY_EXISTS (caught by the bench's err field). Drop
+    // any catalog entry, then clear the stale location.
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      tbl.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -436,6 +452,46 @@ object SourceSinkOps {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try skewAqeJoin(spark, dir).localCheckpoint(true)
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(v0 => spark.conf.set(k, v0)) }
+  }
+
+  /** Runtime Bloom-filter join pruning — the row-level sibling of DPP:
+    * when a shuffle join's build side is selectively filtered, Catalyst
+    * injects a bloom_filter aggregate over the build keys and a
+    * might_contain predicate onto the probe side's SCAN, so most
+    * non-matching fact rows die before the exchange instead of after
+    * it. At 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling the ~selectivity fraction that can join.
+    * Lazy library form; PlanShapeSpec asserts the injected
+    * might_contain, and [[qBloomPruneJoin]] supplies the runtime confs.
+    */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+    val sel = orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("price_centi"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Driver row for [[bloomPruneJoin]]: broadcast disabled so the
+    * shuffle join the bloom rule targets is what executes, application-
+    * side threshold lowered to fixture scale (the default wants a 10 GB
+    * probe scan). Same execution-time-conf pattern as [[qSkewAqeJoin]]:
+    * materialize under the overrides, restore after.
+    */
+  def qBloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1024")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try bloomPruneJoin(spark, dir).localCheckpoint(true)
     finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(v0 => spark.conf.set(k, v0)) }
   }

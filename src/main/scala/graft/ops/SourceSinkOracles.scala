@@ -188,6 +188,16 @@ object SourceSinkOracles {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
         |FROM events""".stripMargin,
 
+    // The bloom filter is plan-level row pruning; the oracle is the
+    // plain selective join.
+    "q_bloom_prune" ->
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_centi
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000.0
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
     // Size-threshold compaction: 2 right-sized + 48 fragments → only the
     // fragments rewritten (into 1 file; 10% of rows vs a 45% target), the
     // 2 untouched files carried over, content checksums unchanged.

@@ -180,6 +180,42 @@ object TextOps {
   def qSampleDeterministic(spark: SparkSession, dir: String): DataFrame =
     deterministicSample(documents(spark, dir))
 
+  /** Temperature-based language rebalancing (α = 0.5, the common
+    * multilingual-mix temperature): post-sampling counts target
+    * n_l^α, so the keep probability is sqrt(n_min/n_l) — the smallest
+    * language keeps everything, dominant languages shed toward a
+    * flatter mix. The keep decision is EXACT integer arithmetic, no
+    * floats anywhere: keep iff h² · n_l < 10¹² · n_min where
+    * h = md5-hash(doc_id) mod 10⁶ (⟺ h/10⁶ < sqrt(n_min/n_l)), with
+    * the products in decimal(38) so 10¹²·n_l cannot overflow at any
+    * corpus size. Content-stable hash threshold ⇒ identical output
+    * under any partitioning; the per-lang counts broadcast (|langs|
+    * rows), so the corpus makes one filtered pass and one aggregate.
+    */
+  def langRebalance(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val nMin = counts.agg(min(col("n_before")).as("n_min"))
+    val withN = counts.crossJoin(broadcast(nMin))
+    val kept = docs
+      .join(broadcast(withN), Seq("lang"))
+      .withColumn("h", pmod(TextFns.hash60(col("doc_id").cast("string")), lit(1000000L)))
+      .filter(expr("cast(h * h as decimal(38,0)) * n_before < cast(1000000000000 as decimal(38,0)) * n_min"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+    val per = withN.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+              coalesce(col("n_after"), lit(0L)).as("n_after"))
+    // Flatness invariant as a pinned flag (exact cross-multiplied
+    // rationals): the after-mix max/min ratio must not exceed the
+    // before-mix ratio.
+    val flag = per.agg(
+      (max(col("n_after")) * min(col("n_before")) <=
+        max(col("n_before")) * min(col("n_after"))).as("flattened_ok"))
+    per.crossJoin(broadcast(flag)).orderBy(col("lang"))
+  }
+
+  def qLangRebalance(spark: SparkSession, dir: String): DataFrame =
+    langRebalance(documents(spark, dir))
+
   /** Context-window chunking — split each document into fixed-size token
     * windows with overlap (the sequence-preparation stage before
     * tokenization/packing). One `posexplode` per row over a transform of

@@ -169,6 +169,22 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(v0 => spark.conf.set(k, v0)) }
   }
 
+  test("runtime bloom filter prunes the probe side of the selective join") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1024")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val opt = ops.SourceSinkOps.bloomPruneJoin(spark, Sf)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        opt.take(4000))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(v0 => spark.conf.set(k, v0)) }
+  }
+
   test("paragraph dedup windows see only digests — text never shuffles") {
     val df = ops.ScrubOps.qParagraphDedup(spark, Sf)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
