@@ -77,6 +77,9 @@ object ScaleSmoke {
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
       time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))
       time(s"pii_redact_$tag", dir)(d => ops.ScrubOps.qPiiRedact(spark, d))
+      time(s"lang_rebalance_$tag", dir)(d => ops.TextOps.qLangRebalance(spark, d))
+      time(s"dedup_incr_$tag", dir)(d => ops.DedupOps.qDedupIncremental(spark, d))
+      time(s"fuzzy2_$tag", dir)(d => ops.DedupOps.qFuzzyMatch2(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of
