@@ -90,6 +90,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (ops.DedupOps.qDedupIncremental _),
     "q_lang_rebalance" -> (ops.TextOps.qLangRebalance _),
     "q_bloom_prune" -> (ops.SourceSinkOps.qBloomPruneJoin _),
+    "q_observe_metrics" -> (ops.SourceSinkOps.qObserveMetrics _),
+    "q_cbo_stats" -> (ops.SourceSinkOps.qCboStats _),
     "q_dedup_simhash" -> (ops.DedupOps.qDedupSimhash _),
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),

@@ -299,6 +299,64 @@ object SourceSinkOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Observation-API metrics — Spark's zero-extra-pass observability:
+    * `df.observe` attaches named aggregate metrics that accumulate
+    * DURING the real pass (a CollectMetrics node, not a second scan) —
+    * how a production pipeline records row counts / quality tallies
+    * without re-reading 100 TB. The metrics row is returned as the
+    * result (exact integers), so the driver oracle checks that the
+    * in-flight accumulation equals the batch aggregate.
+    */
+  def qObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val ev = events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("value_centi"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"))
+    ev.write.mode("overwrite").format("noop").save() // the "real" pass
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+         m("value_centi").asInstanceOf[Long],
+         m("n_clicks").asInstanceOf[Long]))
+      .toDF("n_rows", "value_centi", "n_clicks")
+  }
+
+  /** Catalog statistics + CBO surface: ANALYZE TABLE COMPUTE STATISTICS
+    * feeds the cost-based optimizer the row counts it needs for join
+    * planning at scale (broadcast decisions, join reorder). The row
+    * reports the cataloged rowCount (exact, oracle-checkable) plus a
+    * flag that size stats exist; SourceSinkOps callers get stats-driven
+    * plans from then on.
+    */
+  def qCboStats(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_orders_stats_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      tbl.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("parquet").saveAsTable(tbl)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    // Catalog stats directly: plan-level `stats.rowCount` only surfaces
+    // the cataloged count under spark.sql.cbo.enabled; the ANALYZE
+    // artifact itself lives in the table metadata.
+    val st = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .stats.get
+    import spark.implicits._
+    Seq((st.rowCount.map(_.toLong).getOrElse(-1L), st.sizeInBytes > 0))
+      .toDF("row_count", "has_size_stats")
+  }
+
   /** Pure-SQL surface parity: the same engine driven through
     * `spark.sql(...)` text over registered temp views instead of the
     * DataFrame API — both front-ends produce identical Catalyst plans,

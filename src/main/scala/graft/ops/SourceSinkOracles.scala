@@ -188,6 +188,18 @@ object SourceSinkOracles {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
         |FROM events""".stripMargin,
 
+    // In-flight CollectMetrics must equal the batch aggregates.
+    "q_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi,
+        |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks
+        |FROM events""".stripMargin,
+
+    // ANALYZE TABLE row count is exact; size stats existence is pinned.
+    "q_cbo_stats" ->
+      """SELECT count(*) AS row_count, true AS has_size_stats
+        |FROM orders""".stripMargin,
+
     // The bloom filter is plan-level row pruning; the oracle is the
     // plain selective join.
     "q_bloom_prune" ->
