@@ -60,8 +60,11 @@ object SparkEntry {
     "q_events_asof" -> (ops.EventOps.qEventsAsof _),
     "q_events_interarrival" -> (ops.EventOps.qEventsInterarrival _),
     "q_events_timerange" -> (ops.EventOps.qEventsTimeRange _),
+    "q_scd2" -> (ops.EventOps.qScd2 _),
     // Graph analytics: integer micro-unit PageRank over transition edges
+    // + degree-ordered triangle counting
     "q_pagerank" -> (ops.GraphOps.qPagerank _),
+    "q_triangle_count" -> (ops.GraphOps.qTriangleCount _),
     // Extension layer: text analysis
     "q_text_quality" -> (ops.TextOps.qTextQuality _),
     "q_lang_id" -> (ops.TextOps.qLangId _),
@@ -78,6 +81,8 @@ object SparkEntry {
     "q_shard_pack" -> (ops.TextOps.qShardPack _),
     "q_shard_publish" -> (ops.TextOps.qShardPublish _),
     "q_train_split" -> (ops.TextOps.qTrainSplit _),
+    "q_stratified_sample" -> (ops.TextOps.qStratifiedSample _),
+    "q_inverted_index" -> (ops.TextOps.qInvertedIndex _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
     "q_text_normalize" -> (ops.TextOps.qTextNormalize _),
     // Extension layer: deduplication
@@ -96,6 +101,7 @@ object SparkEntry {
     "q_dedup_embedding_cosine" -> (ops.DedupOps.qDedupEmbeddingCosine _),
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),
     "q_dedup_apply" -> (ops.DedupOps.qDedupApply _),
+    "q_substr_dedup" -> (ops.DedupOps.qSubstrDedup _),
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),
@@ -135,6 +141,7 @@ object SparkEntry {
     "q_stream_window" -> (streaming.EventStream.qStreamWindow _),
     "q_stream_join" -> (streaming.EventStream.qStreamJoin _),
     "q_stream_sessionize" -> (streaming.EventStream.qStreamSessionize _),
+    "q_stream_dedup" -> (streaming.EventStream.qStreamDedup _),
     // Count-min sketch heavy hitters (estimates hash-pinned + invariants)
     "q_heavy_hitters" -> (ops.TextOps.qHeavyHitters _),
     "q_bigram_lm" -> (ops.TextOps.qBigramLm _),

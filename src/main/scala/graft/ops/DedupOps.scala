@@ -596,4 +596,40 @@ object DedupOps {
     val docs = documents(spark, dir)
     dedupApply(docs, ngramJaccardPairs(docs))
   }
+
+  /** Exact-substring duplication scan — the fixed-window approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every 40-char window
+    * at stride 20, a window is duplicated when its exact content appears
+    * in ≥2 distinct documents. Per doc: window count, cross-doc
+    * duplicated window count, duplicated fraction in integer micro units
+    * (integer `div`, so no float rounding can diverge between engines).
+    *
+    * Scale shape: the explode emits len/stride windows per doc — linear
+    * in corpus bytes; duplicate detection is ONE groupBy on window
+    * content. At 100 TB the group/join key is xxhash64(win) so exchanges
+    * carry 8-byte keys instead of 40-char strings (the fraction output is
+    * hash-function-independent; here the literal content is the key so
+    * the DuckDB oracle can reproduce it).
+    */
+  def substrDupStats(docs: DataFrame, win: Int = 40, stride: Int = 20): DataFrame = {
+    val wins = docs.select(
+      col("doc_id"),
+      explode(expr(
+        s"transform(sequence(1, greatest(length(text) - ${win - 1}, 1), $stride), " +
+          s"p -> substring(text, p, $win))")).as("win"))
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("win"), lit(1).as("is_dup"))
+    wins.join(dup, Seq("win"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+           count(col("is_dup")).as("n_dup"),
+           expr("count(is_dup) * 1000000L div count(1)").as("dup_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qSubstrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrDupStats(documents(spark, dir))
 }

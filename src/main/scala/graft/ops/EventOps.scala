@@ -117,4 +117,29 @@ object EventOps {
               col("n_1h"), col("sum_c_1h"))
       .orderBy(col("event_id"))
   }
+
+  /** SCD Type-2 history build: treat each user's event_type as a
+    * slowly-changing attribute and reconstruct the versioned dimension —
+    * change detection via `lag`, validity intervals via `lead`, an
+    * open-ended current row per user. This is the nightly
+    * dimension-maintenance shape of a warehouse pipeline. All three
+    * window functions share ONE partitioning (user_id) and ONE sort
+    * order (ts_us, event_id), so Catalyst plans a single exchange + sort
+    * for the whole query — at 100 TB that is one linear shuffle on a
+    * high-cardinality skew-free key.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type").as("attr"))
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("attr"),
+              col("ts_us").as("from_us"), col("to_us"),
+              col("to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

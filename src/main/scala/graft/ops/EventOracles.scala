@@ -164,5 +164,55 @@ object EventOracles {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // SCD2: change rows via lag, validity intervals via lead over the
+    // surviving change rows; identical (ts_us, event_id) sort keys on
+    // both engines make the history deterministic.
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type AS attr,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, event_id, ts_us, attr
+        |  FROM e WHERE prev IS NULL OR prev <> attr
+        |)
+        |SELECT user_id,
+        |       row_number() OVER
+        |         (PARTITION BY user_id ORDER BY ts_us, event_id) AS version,
+        |       attr, ts_us AS from_us,
+        |       lead(ts_us) OVER
+        |         (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_us,
+        |       (lead(ts_us) OVER
+        |         (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL) AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+
+    // Triangle count is orientation-independent: the oracle counts each
+    // triangle x<y<z once via its id-ordered edges (x,y),(y,z),(x,z);
+    // the Spark side counts the same set via degree-ordered wedges.
+    "q_triangle_count" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT
+        |    CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |), nodes AS (SELECT u AS n FROM raw UNION SELECT v FROM raw)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM raw) AS n_edges,
+        |       (SELECT count(*)
+        |        FROM raw e1 JOIN raw e2 ON e1.v = e2.u
+        |                    JOIN raw e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    // Batch twin of the streaming-dedup drain: the doubled stream
+    // collapses back to exactly the single-copy aggregate.
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -76,4 +76,68 @@ object GraphOps {
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
     pageRank(transitionEdges(events(spark, dir)))
       .orderBy(col("pr").desc, col("node"))
+
+  /** Triangle counting with degree-ordered edge orientation.
+    *
+    * Each undirected edge is directed from its endpoint with the lower
+    * (degree, id) rank, so every wedge fans out from the low-degree side
+    * and the closing check is an equi-join on the two wedge tips — the
+    * standard O(m^1.5)-work distributed triangle schedule. Never
+    * all-pairs: intermediate wedge count is Σ_v outdeg(v)², which the
+    * orientation bounds by O(m^1.5) regardless of skew (a celebrity node
+    * of degree d contributes d wedges as a tip, not d² as a center).
+    * The count is orientation-independent, so the DuckDB oracle verifies
+    * it with the simpler id-ordered formulation.
+    */
+  def triangleCount(und: DataFrame): DataFrame = {
+    // und: distinct undirected edges as (u, v) with u < v.
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Total order: rank = deg * 2^31 + id (id < 2^31); strict because ids
+    // are distinct. Direct each edge from lower to higher rank.
+    val ranked = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        (col("du") * lit(2147483648L) + col("u")).as("ru"),
+        (col("dv") * lit(2147483648L) + col("v")).as("rv"),
+        col("u"), col("v"))
+    val directed = ranked.select(
+      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+      when(col("ru") < col("rv"), col("ru")).otherwise(col("rv")).as("ra"),
+      when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
+      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
+    // Wedges centered at the low-rank node: (a)->(b), (a)->(c), rb < rc;
+    // a triangle closes when the directed edge (b)->(c) exists.
+    val e1 = directed.select(col("a"), col("b"), col("rb"))
+    val e2 = directed.select(col("a"), col("b").as("c"), col("rb").as("rc"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("rb") < col("rc"))
+    val closing = directed.select(col("a").as("b"), col("b").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c")).agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tri) // three broadcast single-row joins
+  }
+
+  /** Driver row: triangles of the customer↔supplier nation co-trade graph
+    * (an undirected edge whenever any lineitem ships a supplier's part
+    * into a customer's order across two nations). The edge build is three
+    * fact-dimension equi-joins that collapse to ≤ |nations|² rows before
+    * the triangle join runs.
+    */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val und = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("u"),
+              greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("v"))
+      .distinct()
+    triangleCount(und)
+  }
 }

@@ -311,6 +311,53 @@ object PipelineOracles {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    // Exact stratified sampling: ceil(20%) per language stratum in
+    // deterministic md5-hash order (rn <= ceil(n/5) <=> 5*rn - 4 <= n).
+    "q_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey,
+        |         count(*) OVER (PARTITION BY lang) AS n_l
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_l,
+        |         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT doc_id, lang, rn FROM r WHERE rn * 5 - 4 <= n_l
+        |ORDER BY doc_id""".stripMargin,
+
+    // Inverted index: per-token document frequency + posting summary for
+    // tokens present in >= 10% of the corpus.
+    "q_inverted_index" ->
+      """WITH posts AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS df,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       CAST(sum(doc_id) AS BIGINT) AS posting_sum
+        |FROM posts GROUP BY token
+        |HAVING count(*) * 10 >= (SELECT count(*) FROM documents)
+        |ORDER BY df DESC, token""".stripMargin,
+
+    // Fixed-window substring duplication: 40-char windows at stride 20;
+    // a window is duplicated when its content occurs in >= 2 docs.
+    // Integer // division mirrors Spark's div exactly.
+    "q_substr_dedup" ->
+      """WITH w AS (
+        |  SELECT d.doc_id, substr(d.text, gs.p, 40) AS win
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(generate_series(
+        |         1, greatest(len(d.text) - 39, 1), 20)) AS p) gs
+        |), dup AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT w.doc_id, count(*) AS n_win, count(dup.win) AS n_dup,
+        |       count(dup.win) * 1000000 // count(*) AS dup_micro
+        |FROM w LEFT JOIN dup ON w.win = dup.win
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
     // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
     // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →
     // prefix-sum shard packing → per-shard manifest.

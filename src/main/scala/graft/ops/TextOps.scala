@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared text primitives for the text-analysis and dedup layers.
@@ -586,4 +587,57 @@ object TextOps {
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_bpe_tokens"),
         length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
       .orderBy(col("doc_id"))
+
+  /** Inverted-index build: token → document-frequency + posting-list
+    * summary (bounds and an exact checksum), kept for tokens appearing in
+    * ≥10% of the corpus (relative threshold, so the row set is stable
+    * across scale factors). This is the search-index construction pass:
+    * explode distinct per-doc tokens, one hash aggregation keyed on the
+    * token. At 100 TB the posting lists themselves stay distributed
+    * (token-partitioned); conjunctive queries are co-partitioned joins of
+    * posting relations on doc_id — InvertedIndexSpec demonstrates the
+    * AND-query against this index.
+    */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+                explode(array_distinct(TextFns.toks)).as("token"))
+
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    postings(docs)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"),
+           sum(col("doc_id")).as("posting_sum"))
+      .crossJoin(broadcast(nDocs)) // single-row corpus size
+      .filter(col("df") * 10 >= col("n_docs"))
+      .select(col("token"), col("df"), col("first_doc"), col("last_doc"),
+              col("posting_sum"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
+  /** Exact stratified sampling: keep ceil(20%) of every language stratum,
+    * selected by deterministic md5 hash order (content-stable — a doc's
+    * membership survives repartitioning and re-runs; proportions are
+    * EXACT per stratum, unlike Bernoulli `sample()`). One window pass:
+    * the per-stratum count and rank share the lang partitioning, so the
+    * query is a single shuffle on lang. At 100 TB with few strata,
+    * rank-within-stratum would bottleneck on per-stratum sort width; the
+    * same semantics then run as hash-threshold selection per stratum
+    * (q_sample_deterministic's shape) with a quantile-estimated cutoff.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              TextFns.hash60(col("doc_id").cast("string")).as("hkey"))
+      .withColumn("n_l", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") * 5 - 4 <= col("n_l")) // rn <= ceil(n_l / 5)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -299,6 +299,31 @@ object EventStream {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Fifth driver-checked streaming row — watermarked streaming
+    * deduplication: two identical copies of the event stream are unioned
+    * (so every event_id arrives exactly twice), duplicates die in the
+    * dropDuplicatesWithinWatermark state store, and an exact-integer
+    * aggregate summarizes the survivors. The oracle is the plain batch
+    * aggregate over the single-copy table — equality proves every
+    * duplicate was dropped. Both copies are identical rows, so which
+    * arrival survives is unobservable and the drain is deterministic.
+    * At scale this is the at-least-once ingest dedup path: state holds
+    * one key per event_id inside the watermark horizon and is expired
+    * beyond it.
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val st = eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_c"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runToMemory(spark, st, "graft_stream_dedup").orderBy(col("event_type"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

@@ -125,6 +125,20 @@ class StreamingSpec extends AnyFunSuite {
       s"expected doubled counts, got first=$first second=$second")
   }
 
+  test("doubled-stream dedup drain == single-copy batch aggregate") {
+    // qStreamDedup unions TWO copies of the stream, so every event_id
+    // arrives twice; equality with the single-copy batch aggregate proves
+    // each duplicate died in the dropDuplicatesWithinWatermark state.
+    val streamed = EventStream.qStreamDedup(spark, Sf)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.Tables.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(expr("cast(round(value * 100) as bigint)")).as("value_c"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",
