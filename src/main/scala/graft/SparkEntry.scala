@@ -61,6 +61,8 @@ object SparkEntry {
     "q_events_interarrival" -> (ops.EventOps.qEventsInterarrival _),
     "q_events_timerange" -> (ops.EventOps.qEventsTimeRange _),
     "q_scd2" -> (ops.EventOps.qScd2 _),
+    "q_events_resample" -> (ops.EventOps.qEventsResample _),
+    "q_new_users_daily" -> (ops.EventOps.qNewUsersDaily _),
     // Graph analytics: integer micro-unit PageRank over transition edges
     // + degree-ordered triangle counting
     "q_pagerank" -> (ops.GraphOps.qPagerank _),
@@ -82,6 +84,7 @@ object SparkEntry {
     "q_shard_publish" -> (ops.TextOps.qShardPublish _),
     "q_train_split" -> (ops.TextOps.qTrainSplit _),
     "q_stratified_sample" -> (ops.TextOps.qStratifiedSample _),
+    "q_quantile_filter" -> (ops.TextOps.qQuantileFilter _),
     "q_inverted_index" -> (ops.TextOps.qInvertedIndex _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
     "q_text_normalize" -> (ops.TextOps.qTextNormalize _),
@@ -156,6 +159,8 @@ object SparkEntry {
     "q_data_quality" -> (ops.AnalyticsOps.qDataQuality _),
     "q_funnel" -> (ops.AnalyticsOps.qFunnel _),
     "q_cohort_retention" -> (ops.AnalyticsOps.qCohortRetention _),
+    "q_copurchase" -> (ops.AnalyticsOps.qCopurchase _),
+    "q_spend_deciles" -> (ops.AnalyticsOps.qSpendDeciles _),
     // Corpus scrubbing: PII redaction, domain blocklist, paragraph dedup
     "q_pii_redact" -> (ops.ScrubOps.qPiiRedact _),
     "q_url_filter" -> (ops.ScrubOps.qUrlFilter _),

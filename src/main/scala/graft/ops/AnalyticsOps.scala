@@ -179,4 +179,49 @@ object AnalyticsOps {
       .select(col("bucket"), (col("bucket") * 10.0).as("lo"),
               ((col("bucket") + 1) * 10.0).as("hi"), col("n_events"))
       .orderBy(col("bucket"))
+
+  /** Market-basket co-occurrence: the 50 part pairs most often bought in
+    * the same order. The pair generation is a self-join CO-PARTITIONED on
+    * the order key — per-order work is C(k,2) with k = distinct parts per
+    * order (bounded ~7 in TPC-H-shaped data), so the candidate relation is
+    * linear in the fact table, never all-pairs across orders. The pair
+    * aggregate partial-combines map-side before one narrow
+    * (p1, p2) → count shuffle; top-50 is TakeOrderedAndProject with a full
+    * deterministic tie-break (count desc, p1, p2), so the cut is stable at
+    * any parallelism.
+    */
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.as("a")
+    val b = li.toDF("l_orderkey", "p2").as("b")
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+             col("a.l_partkey") < col("p2"))
+      .groupBy(col("a.l_partkey").as("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** Equi-depth customer-value deciles: per-customer lifetime spend in
+    * EXACT cents, NTILE(10) over (spend desc, custkey), then per-decile
+    * size/total/bounds — the "how much of revenue do the top 10% hold"
+    * report. The aggregate-then-rank shape is the 100 TB pattern: the
+    * global sort ranks the CUSTOMER-level relation (|customers| ≪ |orders|,
+    * and the window input carries exactly 2 columns), never the fact
+    * table; orders are reduced by a partial-aggregated groupBy first. The
+    * tie-break on custkey makes decile assignment bit-stable.
+    */
+  def qSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("spend_c").desc, col("o_custkey"))
+    orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("spend_c")).as("tot_c"),
+           min(col("spend_c")).as("min_c"), max(col("spend_c")).as("max_c"))
+      .orderBy(col("decile"))
+  }
 }

@@ -95,5 +95,28 @@ object AnalyticsOracles {
         |         count(*) AS n_events
         |  FROM events GROUP BY 1)
         |ORDER BY bucket""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin,
+
+    "q_spend_deciles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_c
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT spend_c,
+        |         ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS decile
+        |  FROM spend)
+        |SELECT decile, count(*) AS n_cust,
+        |       CAST(sum(spend_c) AS BIGINT) AS tot_c,
+        |       min(spend_c) AS min_c, max(spend_c) AS max_c
+        |FROM ranked GROUP BY 1 ORDER BY decile""".stripMargin,
   )
 }

@@ -142,4 +142,52 @@ object EventOps {
               col("to_us").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** Gap-filled hourly resample per event type: densify the hourly series
+    * so silent hours appear as explicit zero rows — the shape every
+    * downstream time-series consumer (anomaly detection, forecasting)
+    * needs. The dense grid comes from `sequence` + `explode` over per-type
+    * [min, max] HOUR INDEXES (span-bounded: grid size = types × hours, a
+    * few thousand rows regardless of event volume), then a left join back
+    * to the hourly aggregate. At 100 TB the events side partial-aggregates
+    * to one row per (type, hour) before any shuffle; the grid side is
+    * broadcast-sized by construction. Sums are exact centi-units.
+    */
+  def qEventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("h"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("value_c"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+              explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), (col("h") * hourUs).as("hb"),
+              coalesce(col("n"), lit(0L)).as("n"),
+              coalesce(col("value_c"), lit(0L)).as("value_c"))
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  /** Daily audience growth: new users per day (first-seen attribution) and
+    * the cumulative distinct-user count — "running COUNT(DISTINCT)" made
+    * scalable by decomposition: min-aggregate per user (linear, partial
+    * combine), day-aggregate (one row per day), then a running sum over
+    * the DAY-level relation only. The unbounded window sorts ~hundreds of
+    * rows, never the fact table — the aggregate-then-rank pattern.
+    */
+  def qNewUsersDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))))
+      .select((col("day") * dayUs).as("db"), col("new_users"), col("cum_users"))
+      .orderBy(col("db"))
+  }
 }

@@ -214,5 +214,32 @@ object EventOracles {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Dense grid via unnest(generate_series) over per-type hour-index
+    // bounds — the DuckDB twin of sequence+explode.
+    "q_events_resample" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(ts) // $H AS h, count(*) AS n,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+         |  FROM hourly GROUP BY event_type)
+         |SELECT g.event_type, g.h * $H AS hb,
+         |       coalesce(hh.n, 0) AS n, coalesce(hh.value_c, 0) AS value_c
+         |FROM grid g LEFT JOIN hourly hh
+         |  ON g.event_type = hh.event_type AND g.h = hh.h
+         |ORDER BY g.event_type, hb""".stripMargin,
+
+    "q_new_users_daily" ->
+      """WITH first_day AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(*) AS new_users FROM first_day GROUP BY 1)
+        |SELECT day * 86400000000 AS db, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM daily ORDER BY db""".stripMargin,
   )
 }

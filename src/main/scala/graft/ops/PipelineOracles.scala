@@ -1007,5 +1007,20 @@ object PipelineOracles {
          |       round(CAST(h_ivfk AS DOUBLE) / n_exact, 3) AS recall_ivf_kmeans,
          |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok
          |FROM h ORDER BY q_id""".stripMargin,
+
+    // Exact order-statistic p25 cut (rank > floor(n/4) in
+    // (n_chars, doc_id) order) — no interpolated percentile anywhere.
+    "q_quantile_filter" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         count(*) OVER (PARTITION BY lang) AS n_l,
+        |         row_number() OVER
+        |           (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, max(n_l) AS n_total, count(*) AS n_kept,
+        |       min(n_chars) AS min_kept_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
+        |FROM ranked WHERE rn > n_l // 4
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

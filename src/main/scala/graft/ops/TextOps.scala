@@ -640,4 +640,30 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy(col("doc_id"))
   }
+
+  /** Quantile-threshold quality filter: drop the bottom quartile of each
+    * language by document length — the "keep docs above the corpus p25"
+    * curation step, with the quantile computed EXACTLY as an order
+    * statistic (rank > floor(n/4) in (n_chars, doc_id) order) rather than
+    * an interpolated percentile, so both engines agree bit-for-bit
+    * including ties. One shuffle: the rank and the per-lang count share
+    * the lang partitioning. The per-lang sort is the honest cost; at
+    * 100 TB with few langs the same rule runs off a sampled-quantile
+    * cutoff + one filter pass (no rank), trading exactness for linearity.
+    */
+  def qQuantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("lang"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("n_l", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") > expr("n_l div 4"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_l")).as("n_total"), count(lit(1)).as("n_kept"),
+           min(col("n_chars")).as("min_kept_chars"),
+           sum(col("n_chars")).as("sum_kept_chars"))
+      .orderBy(col("lang"))
+  }
 }
