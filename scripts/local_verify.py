@@ -33,10 +33,14 @@ def norm(v):
         return round(v, 6)
     return v
 
+def _key(row):
+    # None-safe total order: nulls first within a column position.
+    return tuple((v is not None, str(type(v)), v) for v in row)
+
 def rows_of(cols, data):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(norm(row[i]) for i in idx) for row in data
+        (tuple(norm(row[i]) for i in idx) for row in data), key=_key
     ), [cols[i] for i in idx]
 
 def approx_eq(a, b):

@@ -57,6 +57,36 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
     println(s"SCALE corpus ${nDocs * factor} docs / ${nVecs * factor} vecs at $scaled")
 
+    // Events / orders / lineitem replicas with DISJOINT id spaces per copy
+    // (user/order/part/cust keys offset by 10⁹·c): per-key window and join
+    // structure replicates exactly, so candidate volumes scale linearly —
+    // honest weak scaling for the event-time and basket families.
+    val off = (c: Int) => lit(c.toLong * 1000000000L)
+    (0 until factor).map { c =>
+      Tables.events(spark, base).select(
+        (col("event_id") + off(c)).as("event_id"), col("ts"),
+        (col("user_id") + off(c)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$scaled/events.parquet")
+    (0 until factor).map { c =>
+      Tables.orders(spark, base).select(
+        (col("o_orderkey") + off(c)).as("o_orderkey"),
+        (col("o_custkey") + off(c)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+    (0 until factor).map { c =>
+      Tables.lineitem(spark, base).select(
+        (col("l_orderkey") + off(c)).as("l_orderkey"),
+        (col("l_partkey") + off(c)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+
     def time(name: String, dir: String)(f: String => DataFrame): Unit =
       if (wanted(name)) {
         val t0 = System.nanoTime()
@@ -80,6 +110,15 @@ object ScaleSmoke {
       time(s"lang_rebalance_$tag", dir)(d => ops.TextOps.qLangRebalance(spark, d))
       time(s"dedup_incr_$tag", dir)(d => ops.DedupOps.qDedupIncremental(spark, d))
       time(s"fuzzy2_$tag", dir)(d => ops.DedupOps.qFuzzyMatch2(spark, d))
+      time(s"copurchase_$tag", dir)(d => ops.AnalyticsOps.qCopurchase(spark, d))
+      time(s"spend_deciles_$tag", dir)(d => ops.AnalyticsOps.qSpendDeciles(spark, d))
+      time(s"skyline_$tag", dir)(d => ops.AnalyticsOps.qSkyline(spark, d))
+      time(s"scd2_$tag", dir)(d => ops.EventOps.qScd2(spark, d))
+      time(s"peak_conc_$tag", dir)(d => ops.EventOps.qPeakConcurrency(spark, d))
+      time(s"attribution_$tag", dir)(d => ops.EventOps.qAttribution(spark, d))
+      time(s"time_weighted_$tag", dir)(d => ops.EventOps.qTimeWeighted(spark, d))
+      time(s"group_median_$tag", dir)(d => ops.EventOps.qGroupMedian(spark, d))
+      time(s"resample_$tag", dir)(d => ops.EventOps.qEventsResample(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

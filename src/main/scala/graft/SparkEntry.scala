@@ -63,6 +63,10 @@ object SparkEntry {
     "q_scd2" -> (ops.EventOps.qScd2 _),
     "q_events_resample" -> (ops.EventOps.qEventsResample _),
     "q_new_users_daily" -> (ops.EventOps.qNewUsersDaily _),
+    "q_group_median" -> (ops.EventOps.qGroupMedian _),
+    "q_attribution" -> (ops.EventOps.qAttribution _),
+    "q_time_weighted" -> (ops.EventOps.qTimeWeighted _),
+    "q_peak_concurrency" -> (ops.EventOps.qPeakConcurrency _),
     // Graph analytics: integer micro-unit PageRank over transition edges
     // + degree-ordered triangle counting
     "q_pagerank" -> (ops.GraphOps.qPagerank _),
@@ -85,6 +89,7 @@ object SparkEntry {
     "q_train_split" -> (ops.TextOps.qTrainSplit _),
     "q_stratified_sample" -> (ops.TextOps.qStratifiedSample _),
     "q_quantile_filter" -> (ops.TextOps.qQuantileFilter _),
+    "q_term_search" -> (ops.TextOps.qTermSearch _),
     "q_inverted_index" -> (ops.TextOps.qInvertedIndex _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
     "q_text_normalize" -> (ops.TextOps.qTextNormalize _),
@@ -145,6 +150,7 @@ object SparkEntry {
     "q_stream_join" -> (streaming.EventStream.qStreamJoin _),
     "q_stream_sessionize" -> (streaming.EventStream.qStreamSessionize _),
     "q_stream_dedup" -> (streaming.EventStream.qStreamDedup _),
+    "q_stream_upsert" -> (streaming.EventStream.qStreamUpsert _),
     // Count-min sketch heavy hitters (estimates hash-pinned + invariants)
     "q_heavy_hitters" -> (ops.TextOps.qHeavyHitters _),
     "q_bigram_lm" -> (ops.TextOps.qBigramLm _),
@@ -161,6 +167,10 @@ object SparkEntry {
     "q_cohort_retention" -> (ops.AnalyticsOps.qCohortRetention _),
     "q_copurchase" -> (ops.AnalyticsOps.qCopurchase _),
     "q_spend_deciles" -> (ops.AnalyticsOps.qSpendDeciles _),
+    "q_skyline" -> (ops.AnalyticsOps.qSkyline _),
+    "q_incr_agg" -> (ops.AnalyticsOps.qIncrAgg _),
+    "q_group_size_dist" -> (ops.AnalyticsOps.qGroupSizeDist _),
+    "q_wow_change" -> (ops.AnalyticsOps.qWowChange _),
     // Corpus scrubbing: PII redaction, domain blocklist, paragraph dedup
     "q_pii_redact" -> (ops.ScrubOps.qPiiRedact _),
     "q_url_filter" -> (ops.ScrubOps.qUrlFilter _),

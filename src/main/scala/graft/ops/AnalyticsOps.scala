@@ -224,4 +224,98 @@ object AnalyticsOps {
            min(col("spend_c")).as("min_c"), max(col("spend_c")).as("max_c"))
       .orderBy(col("decile"))
   }
+
+  /** 2-D skyline (Pareto frontier) of customers over (lifetime spend,
+    * order count): a customer survives iff no other customer is >= on both
+    * axes and strictly better on one. Computed without the quadratic
+    * dominance join: after the linear per-customer aggregate, two value-
+    * range window maxima over ONE shared sort give the dominance test —
+    * `maxAbove` (best order count among strictly higher spenders) kills
+    * rows with maxAbove >= n, and `maxEqual` (best count at equal spend)
+    * kills within-tie non-maxima. The window input is the customer-level
+    * relation (2 columns), and the frontier itself is what ships. Exact
+    * integers end to end.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAbove = Window.orderBy(col("spend_c").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEqual = Window.partitionBy(col("spend_c"))
+    orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"),
+           count(lit(1)).as("n_orders"))
+      .withColumn("max_above", max(col("n_orders")).over(wAbove))
+      .withColumn("max_equal", max(col("n_orders")).over(wEqual))
+      .filter((col("max_above").isNull || col("max_above") < col("n_orders")) &&
+              col("max_equal") === col("n_orders"))
+      .select(col("o_custkey"), col("spend_c"), col("n_orders"))
+      .orderBy(col("spend_c").desc, col("o_custkey"))
+  }
+
+  /** Group-size distribution (profiling): how many orders have k line
+    * items — the histogram of group cardinalities that drives skew
+    * diagnosis and shuffle sizing. Two linear hash aggregates, both
+    * partial-combined; the second input is one row per order, the output
+    * one row per distinct size.
+    */
+  def qGroupSizeDist(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("k"))
+
+  /** Week-over-week change per event type: weekly counts, previous week
+    * via lag over the (type, week) aggregate, delta in exact integers.
+    * The window input is the aggregated weekly relation — per-type series
+    * of a few dozen rows regardless of event volume.
+    */
+  def qWowChange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 604800000000L
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $weekUs").as("week"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      // First week per type has no predecessor — dropped, keeping the
+      // result null-free (the driver hash-sorts rows; nulls in the
+      // leading sort column are engine-ambiguous).
+      .filter(col("prev_n").isNotNull)
+      .select(col("event_type"), (col("week") * weekUs).as("wb"), col("n"),
+              col("prev_n"), (col("n") - col("prev_n")).as("delta"))
+      .orderBy(col("event_type"), col("wb"))
+  }
+
+  /** Incremental aggregate maintenance: yesterday's materialized per-type
+    * aggregate plus today's delta equals the full recompute — WITHOUT ever
+    * rescanning the base data. The base relation here is the materialized
+    * PARTIAL state (n, sum, min, max — all mergeable), the delta scans only
+    * the newest day (at scale: one partition, pruned), and the merge is a
+    * re-aggregate over base ∪ delta partials. This is the nightly
+    * pipeline's O(delta) update path; the oracle is the O(full) recompute
+    * it must equal.
+    */
+  def qIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      // The cutoff rides a broadcast single-row aggregate — no driver-side
+      // action; at scale it is the catalog's "latest partition" lookup.
+      .crossJoin(broadcast(events(spark, dir)
+        .agg(max(expr(s"unix_micros(ts) div $dayUs")).as("last_day"))))
+    def partials(df: DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
+           min(col("value_c")).as("min_c"), max(col("value_c")).as("max_c"))
+    val base = partials(ev.filter(col("day") < col("last_day")))
+    val delta = partials(ev.filter(col("day") === col("last_day")))
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
+           min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+      .orderBy(col("event_type"))
+  }
 }

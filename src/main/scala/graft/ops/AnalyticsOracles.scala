@@ -118,5 +118,47 @@ object AnalyticsOracles {
         |       CAST(sum(spend_c) AS BIGINT) AS tot_c,
         |       min(spend_c) AS min_c, max(spend_c) AS max_c
         |FROM ranked GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // Independent formulation: quadratic NOT-EXISTS dominance test over
+    // the customer aggregate (fine at oracle SF; the Spark side is the
+    // linear window form).
+    "q_skyline" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_c,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend_c, n_orders
+        |FROM agg a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM agg b
+        |  WHERE b.spend_c >= a.spend_c AND b.n_orders >= a.n_orders
+        |    AND (b.spend_c > a.spend_c OR b.n_orders > a.n_orders))
+        |ORDER BY spend_c DESC, o_custkey""".stripMargin,
+
+    "q_group_size_dist" ->
+      """SELECT k, count(*) AS n_orders FROM (
+        |  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_wow_change" ->
+      """WITH wk AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, wb, n, prev_n, n - prev_n AS delta FROM (
+        |  SELECT event_type, week * 604800000000 AS wb, n,
+        |         lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM wk)
+        |WHERE prev_n IS NOT NULL ORDER BY event_type, wb""".stripMargin,
+
+    // The O(full) recompute the O(delta) incremental merge must equal.
+    "q_incr_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |       min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+        |       max(CAST(round(value * 100) AS BIGINT)) AS max_c
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -190,4 +190,120 @@ object EventOps {
       .select((col("day") * dayUs).as("db"), col("new_users"), col("cum_users"))
       .orderBy(col("db"))
   }
+
+  /** Exact distributed median per event type, no interpolation ambiguity:
+    * the median of n values is the mean of order statistics k1 = (n+1)/2
+    * and k2 = (n+2)/2 (integer div), computed in centi-units so `med2_c`
+    * (= 2 × median in centi-units) is an exact integer on both engines —
+    * percentile() interpolation conventions never enter. One per-type
+    * partitioned sort (rank and count share the partitioning); at 100 TB
+    * with few types the same statistic runs off the q_value_histogram
+    * bucket counts (median bucket by cumulative count, then one narrow
+    * in-bucket pass).
+    */
+  def qGroupMedian(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_c"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+              col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+           // One row when n is odd (k1 == k2): double it; two when even.
+           when(count(lit(1)) === 1, sum(col("value_c")) * 2)
+             .otherwise(sum(col("value_c"))).as("med2_c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Last-touch attribution via fill-forward: every purchase is attributed
+    * to the user's most recent PRECEDING click (the marketing-analytics
+    * join that is neither equi nor as-of-able without a generated key).
+    * The carried click timestamp is `max(click ts)` over the preceding
+    * frame — equivalent to last_value(ignoreNulls) because ts is the sort
+    * key, and portable to any engine. One per-user window sort; the
+    * summary row is exact-integer latency mass. At 100 TB: one linear
+    * shuffle on user_id.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n_purchases"),
+           count(col("last_click_us")).as("n_attr_any"),
+           count(when(col("ts_us") - col("last_click_us") <= hourUs, lit(1)))
+             .as("n_attr_1h"),
+           sum(when(col("ts_us") - col("last_click_us") <= hourUs,
+                    col("ts_us") - col("last_click_us"))).as("latency_sum_us"),
+           min(col("ts_us") - col("last_click_us")).as("latency_min_us"))
+  }
+
+  /** Time-weighted value integral per user: each event's centi-value holds
+    * until the user's next event (piecewise-constant signal); the integral
+    * Σ value_c·Δt and the active span are exact integers. Reported as the
+    * top-10 users by integral (deterministic tie-break) — the
+    * "engagement-weighted" ranking. One per-user window sort, then
+    * TakeOrdered over the per-user aggregate.
+    */
+  def qTimeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value_c") * (col("next_us") - col("ts_us")))
+             .as("integral_cus"),
+           (max(col("next_us")) - min(col("ts_us"))).as("span_us"),
+           (count(lit(1)) + 1).as("n_events"))
+      .orderBy(col("integral_cus").desc, col("user_id"))
+      .limit(10)
+  }
+
+  /** Peak concurrency via sweep line: per-user sessions (1-hour-gap
+    * islands, interval [first, last+gap)) become ±1 boundary events; a
+    * running sum over the globally sorted boundaries gives the live
+    * session count, whose max is the capacity-planning answer. The global
+    * sort ranks the SESSION-boundary relation (2 rows per session,
+    * ≪ events — aggregate-then-sweep); ends sort before starts at equal
+    * timestamps (d = −1 < +1), so touching intervals don't double-count.
+    */
+  def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600000000L
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sessions = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wu))
+      .withColumn("ns",
+        when(col("prev_us").isNull ||
+             col("ts_us") - col("prev_us") >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s"), (max(col("ts_us")) + gapUs).as("e"))
+    val bounds = sessions.select(col("s").as("t"), lit(1).as("d"))
+      .unionByName(sessions.select(col("e").as("t"), lit(-1).as("d")))
+    val wg = Window.orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bounds.withColumn("live", sum(col("d")).over(wg))
+    run
+      .crossJoin(broadcast(run.agg(max(col("live")).as("peak"))
+        .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))))
+      .filter(col("live") === col("peak"))
+      .groupBy(col("n_sessions"), col("peak"))
+      .agg(min(col("t")).as("peak_ts_us"))
+  }
 }

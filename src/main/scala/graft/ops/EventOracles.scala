@@ -231,6 +231,101 @@ object EventOracles {
          |  ON g.event_type = hh.event_type AND g.h = hh.h
          |ORDER BY g.event_type, hb""".stripMargin,
 
+    // Exact median as the sum of the two middle order statistics (equal
+    // when n is odd) — interpolation-free on both engines.
+    "q_group_median" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, value_c,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         row_number() OVER
+        |           (PARTITION BY event_type ORDER BY value_c, event_id) AS rn
+        |  FROM v)
+        |SELECT event_type, max(n) AS n,
+        |       CASE WHEN count(*) = 1 THEN CAST(sum(value_c) * 2 AS BIGINT)
+        |            ELSE CAST(sum(value_c) AS BIGINT) END AS med2_c
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Batch twin of the foreachBatch keyed-upsert drain: latest event per
+    // user by (ts, event_id).
+    "q_stream_upsert" ->
+      """SELECT user_id, ts_us, event_id, event_type, value_c FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type, ts_us,
+         |         max(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+         |           (PARTITION BY user_id ORDER BY ts_us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS last_click_us
+         |  FROM e)
+         |SELECT count(*) AS n_purchases,
+         |       count(last_click_us) AS n_attr_any,
+         |       count(CASE WHEN ts_us - last_click_us <= $H THEN 1 END)
+         |         AS n_attr_1h,
+         |       CAST(sum(CASE WHEN ts_us - last_click_us <= $H
+         |                     THEN ts_us - last_click_us END) AS BIGINT)
+         |         AS latency_sum_us,
+         |       min(ts_us - last_click_us) AS latency_min_us
+         |FROM f WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |nx AS (
+        |  SELECT user_id, ts_us, value_c,
+        |         lead(ts_us) OVER
+        |           (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(sum(value_c * (next_us - ts_us)) AS BIGINT) AS integral_cus,
+        |       max(next_us) - min(ts_us) AS span_us,
+        |       count(*) + 1 AS n_events
+        |FROM nx WHERE next_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY integral_cus DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_peak_concurrency" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |lagd AS (SELECT user_id, ts_us,
+         |                lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+         |                  AS prev_us FROM e),
+         |marks AS (SELECT user_id, ts_us,
+         |                 CASE WHEN prev_us IS NULL OR ts_us - prev_us >= $H
+         |                      THEN 1 ELSE 0 END AS ns FROM lagd),
+         |sess0 AS (SELECT user_id, ts_us,
+         |                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                   AS sid FROM marks),
+         |sessions AS (SELECT user_id, sid, min(ts_us) AS s,
+         |                    max(ts_us) + $H AS e
+         |             FROM sess0 GROUP BY 1, 2),
+         |bounds AS (SELECT s AS t, 1 AS d FROM sessions
+         |           UNION ALL SELECT e AS t, -1 AS d FROM sessions),
+         |run AS (SELECT t, SUM(d) OVER (ORDER BY t, d
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+         |        FROM bounds)
+         |SELECT (SELECT count(*) FROM sessions) AS n_sessions,
+         |       (SELECT CAST(max(live) AS BIGINT) FROM run) AS peak,
+         |       (SELECT min(t) FROM run
+         |        WHERE live = (SELECT max(live) FROM run)) AS peak_ts_us""".stripMargin,
+
     "q_new_users_daily" ->
       """WITH first_day AS (
         |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day

@@ -1008,6 +1008,26 @@ object PipelineOracles {
          |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok
          |FROM h ORDER BY q_id""".stripMargin,
 
+    // AND-semantics scored retrieval; idf is the integer-scaled rational
+    // (N*10^6)//df — no log anywhere.
+    "q_term_search" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.token, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |  WHERE t.token IN ('spark', 'join')
+        |  GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT token,
+        |         ((SELECT count(*) FROM documents) * 1000000) // count(*)
+        |           AS idf_s
+        |  FROM tf GROUP BY token)
+        |SELECT tf.doc_id,
+        |       CAST(sum(tf.tf * idf.idf_s) AS BIGINT) AS score
+        |FROM tf JOIN idf ON tf.token = idf.token
+        |GROUP BY tf.doc_id
+        |HAVING count(*) = 2
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     // Exact order-statistic p25 cut (rank > floor(n/4) in
     // (n_chars, doc_id) order) — no interpolated percentile anywhere.
     "q_quantile_filter" ->

@@ -641,6 +641,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Ranked conjunctive retrieval over the corpus: score = Σ tf(t,d) ·
+    * idf_scaled(t) for the query terms, AND semantics (every term must
+    * hit), top-20 by (score desc, doc_id). idf is the integer-scaled
+    * rational (N·10⁶) div df — deterministic on both engines, no log. The
+    * per-term posting lists are the only thing scanned after the explode;
+    * idf rides a broadcast of |terms| rows. At 100 TB the tf relation is
+    * the precomputed inverted index (q_inverted_index) and this query is
+    * two index joins + TakeOrdered — no corpus scan at all.
+    */
+  def qTermSearch(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join")
+    val docs = documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("token"), col("df"),
+              expr("(n_docs * 1000000) div df").as("idf_s"))
+    tf.join(broadcast(idf), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_s")).as("score"),
+           count(lit(1)).as("n_terms_hit"))
+      .filter(col("n_terms_hit") === terms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Quantile-threshold quality filter: drop the bottom quartile of each
     * language by document length — the "keep docs above the corpus p25"
     * curation step, with the quantile computed EXACTLY as an order

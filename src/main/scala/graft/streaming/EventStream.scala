@@ -324,6 +324,61 @@ object EventStream {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Sixth driver-checked streaming row — a foreachBatch keyed-upsert sink:
+    * the stream maintains a durable "latest state per user" parquet store,
+    * merged batch-by-batch. The fixture is split into 4 files and drained
+    * with maxFilesPerTrigger=1, so the merge genuinely runs across multiple
+    * micro-batches in arbitrary file order; correctness holds because the
+    * merge (per-user max over (ts, event_id)-ordered structs, store ∪
+    * batch) is commutative and idempotent — the exactly-once recipe for an
+    * at-least-once sink. The oracle is the batch argmax over the whole
+    * table. At scale the store is a partitioned table and the merge is the
+    * same copy-on-write upsert as q_upsert, driven by the stream.
+    */
+  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    def latestPerUser(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+                      col("value_c"))).as("s"))
+      .select(col("user_id"), col("s.ts_us").as("ts_us"),
+              col("s.event_id").as("event_id"),
+              col("s.event_type").as("event_type"),
+              col("s.value_c").as("value_c"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    val srcDir = tmp.resolve("src").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+    var storePath: Option[String] = None
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val latest = latestPerUser(batch.toDF())
+          val merged = storePath match {
+            case Some(p) =>
+              latestPerUser(spark.read.parquet(p).unionByName(latest))
+            case None => latest
+          }
+          val out = tmp.resolve(s"store_$id").toString
+          merged.write.mode("overwrite").parquet(out)
+          storePath = Some(out)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(storePath.get).orderBy(col("user_id"))
+  }
+
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
     */

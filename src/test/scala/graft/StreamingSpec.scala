@@ -139,6 +139,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("RocksDB state store provider: windowed drain matches default-store drain") {
+    // The production state backend at 100 TB is RocksDB (bounded heap,
+    // state spills to local SSD + checkpoint). Same query, same results,
+    // only the provider differs — proves the pipeline is portable to the
+    // prod backend, not coupled to the in-memory HDFS-backed default.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStream.runToMemory(
+        spark, EventStream.tumblingCounts(spark, Sf), "t_rocks")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.EventOps.qEventsTumbling(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rocks == batch && rocks.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("foreachBatch upsert drain == batch per-user argmax") {
+    // Multi-batch (maxFilesPerTrigger=1 over a 4-file split): the keyed
+    // store must converge to the same per-user latest row as the batch
+    // argmax regardless of micro-batch order.
+    val streamed = EventStream.qStreamUpsert(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))).toMap
+    val batch = graft.Tables.events(spark, Sf)
+      .groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("ts_us"), col("event_id"))).as("s"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",

@@ -65,6 +65,158 @@ class TimeseriesValueSpec extends AnyFunSuite {
     }
   }
 
+  test("group median: med2_c matches driver-side sorted middle values") {
+    val r = ops.EventOps.qGroupMedian(spark, Sf).collect()
+    val raw = Tables.events(spark, Sf)
+      .selectExpr("event_type", "cast(round(value * 100) as bigint) as c")
+      .collect().groupBy(_.getString(0))
+    r.foreach { row =>
+      val vs = raw(row.getAs[String]("event_type")).map(_.getLong(1)).sorted
+      val n = vs.length
+      assert(row.getAs[Long]("n") == n.toLong)
+      assert(row.getAs[Long]("med2_c") == vs((n - 1) / 2) + vs(n / 2))
+    }
+  }
+
+  test("skyline: window form equals brute-force dominance on the fixture") {
+    val r = ops.AnalyticsOps.qSkyline(spark, Sf).collect()
+      .map(x => (x.getAs[Long]("o_custkey"), x.getAs[Long]("spend_c"),
+                 x.getAs[Long]("n_orders"))).toSet
+    val agg = Tables.orders(spark, Sf)
+      .selectExpr("o_custkey", "cast(round(o_totalprice * 100) as bigint) as c")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rows) => (k, rows.map(_.getLong(1)).sum, rows.length.toLong) }
+      .toSeq
+    val brute = agg.filter { case (_, s, n) =>
+      !agg.exists { case (_, s2, n2) =>
+        s2 >= s && n2 >= n && (s2 > s || n2 > n) }
+    }.toSet
+    assert(r == brute)
+  }
+
+  test("incremental merge equals full recompute and base+delta partition") {
+    val r = ops.AnalyticsOps.qIncrAgg(spark, Sf).collect()
+    val full = Tables.events(spark, Sf)
+      .selectExpr("event_type", "cast(round(value * 100) as bigint) as c")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), min("c").as("mn"),
+           max("c").as("mx"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, s, mn, mx) = full(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n") == n && row.getAs[Long]("sum_c") == s)
+      assert(row.getAs[Long]("min_c") == mn && row.getAs[Long]("max_c") == mx)
+    }
+  }
+
+  test("term search: AND semantics and brute-force scores agree") {
+    val r = ops.TextOps.qTermSearch(spark, Sf).collect()
+    assert(r.nonEmpty)
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" "))).toMap
+    val n = docs.size.toLong
+    val df = Seq("spark", "join")
+      .map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    r.foreach { row =>
+      val toks = docs(row.getAs[Long]("doc_id"))
+      assert(toks.contains("spark") && toks.contains("join"))
+      val score = Seq("spark", "join").map { t =>
+        toks.count(_ == t).toLong * (n * 1000000L / df(t))
+      }.sum
+      assert(row.getAs[Long]("score") == score)
+    }
+  }
+
+  test("attribution: counts nest and latencies are positive") {
+    val row = ops.EventOps.qAttribution(spark, Sf).collect().head
+    val np = row.getAs[Long]("n_purchases")
+    val na = row.getAs[Long]("n_attr_any")
+    val n1 = row.getAs[Long]("n_attr_1h")
+    assert(np > 0 && na <= np && n1 <= na && n1 > 0)
+    assert(row.getAs[Long]("latency_min_us") > 0)
+    assert(row.getAs[Long]("latency_sum_us") >= n1 * row.getAs[Long]("latency_min_us"))
+  }
+
+  test("time-weighted integral matches driver brute force") {
+    val r = ops.EventOps.qTimeWeighted(spark, Sf).collect()
+    val byUser = Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as t",
+                  "cast(round(value * 100) as bigint) as c")
+      .collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3))))
+      .groupBy(_._1)
+    r.foreach { row =>
+      val evs = byUser(row.getAs[Long]("user_id")).map(_._2)
+        .sortBy(e => (e._2, e._1))
+      val integral = evs.zip(evs.tail).map { case (a, b) => a._3 * (b._2 - a._2) }.sum
+      assert(row.getAs[Long]("integral_cus") == integral)
+      assert(row.getAs[Long]("span_us") == evs.last._2 - evs.head._2)
+      assert(row.getAs[Long]("n_events") == evs.length.toLong)
+    }
+    val ints = r.map(_.getAs[Long]("integral_cus"))
+    assert(ints.zip(ints.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("peak concurrency matches driver sweep line") {
+    val gap = 3600000000L
+    val row = ops.EventOps.qPeakConcurrency(spark, Sf).collect().head
+    val byUser = Tables.events(spark, Sf)
+      .selectExpr("user_id", "unix_micros(ts) as t").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+    val sessions = byUser.values.flatMap { ts =>
+      val sorted = ts.map(_._2).sorted
+      val breaks = sorted.head +: sorted.zip(sorted.tail).collect {
+        case (a, b) if b - a >= gap => b }
+      // split into islands
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = sorted.head; var last = sorted.head
+      sorted.tail.foreach { t =>
+        if (t - last >= gap) { buf += ((start, last + gap)); start = t }
+        last = t
+      }
+      buf += ((start, last + gap))
+      assert(breaks.length == buf.length) // islands == break count
+      buf
+    }.toSeq
+    assert(row.getAs[Long]("n_sessions") == sessions.size.toLong)
+    val bounds = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy(identity)
+    var live = 0L; var peak = 0L; var peakT = 0L
+    bounds.foreach { case (t, d) =>
+      live += d
+      if (live > peak) { peak = live; peakT = t }
+    }
+    assert(row.getAs[Long]("peak") == peak)
+    assert(row.getAs[Long]("peak_ts_us") == peakT)
+  }
+
+  test("group-size distribution conserves orders and line items") {
+    val r = ops.AnalyticsOps.qGroupSizeDist(spark, Sf).collect()
+    val li = Tables.lineitem(spark, Sf)
+    assert(r.map(_.getAs[Long]("n_orders")).sum ==
+      li.select("l_orderkey").distinct().count())
+    assert(r.map(x => x.getAs[Long]("k") * x.getAs[Long]("n_orders")).sum ==
+      li.count())
+  }
+
+  test("week-over-week: lag aligns with the previous week's count") {
+    val r = ops.AnalyticsOps.qWowChange(spark, Sf).collect()
+    val byType = r.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rows =>
+      rows.zip(rows.tail).foreach { case (a, b) =>
+        if (b.getAs[Long]("wb") - a.getAs[Long]("wb") == 604800000000L)
+          assert(b.getAs[Long]("prev_n") == a.getAs[Long]("n"))
+      }
+      rows.foreach { x =>
+        assert(!x.isNullAt(x.fieldIndex("prev_n")))
+        assert(x.getAs[Long]("delta") ==
+          x.getAs[Long]("n") - x.getAs[Long]("prev_n"))
+      }
+    }
+  }
+
   test("quantile filter: keeps exactly n - floor(n/4) per language") {
     val r = ops.TextOps.qQuantileFilter(spark, Sf).collect()
     assert(r.nonEmpty)
