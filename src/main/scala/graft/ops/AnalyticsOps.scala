@@ -191,8 +191,14 @@ object AnalyticsOps {
     * any parallelism.
     */
   def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    // ONE exchange for the whole pair stage: hash-partitioning on the
+    // order key alone already clusters (orderkey, partkey), so the
+    // distinct runs partition-local, and both self-join sides inherit the
+    // same partitioning (ReusedExchange) — the join adds no shuffle.
     val li = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
     val a = li.as("a")
     val b = li.toDF("l_orderkey", "p2").as("b")
     a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
