@@ -100,6 +100,25 @@ object Graft {
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
     ops.SourceSinkOps.mergeUpsert(base, changes, key)
 
+  // analytics primitives over arbitrary relations
+  def copurchasePairs(items: DataFrame, basket: String, item: String,
+                      topN: Int = 50): DataFrame =
+    ops.AnalyticsOps.copurchasePairs(items, basket, item, topN)
+  def skyline(pts: DataFrame, id: String, x: String, y: String): DataFrame =
+    ops.AnalyticsOps.skyline(pts, id, x, y)
+  def groupMedian(df: DataFrame, key: String, value: String,
+                  tie: String): DataFrame =
+    ops.EventOps.groupMedian(df, key, value, tie)
+  def sessionIntervals(df: DataFrame, key: String, ts: String,
+                       gapUs: Long): DataFrame =
+    ops.EventOps.sessionIntervals(df, key, ts, gapUs)
+  def peakConcurrency(intervals: DataFrame): DataFrame =
+    ops.EventOps.peakConcurrency(intervals)
+  def quantileThresholdFilter(df: DataFrame, group: String, score: String,
+                              tie: String, dropNum: Int = 1,
+                              dropDen: Int = 4): DataFrame =
+    ops.TextOps.quantileThresholdFilter(df, group, score, tie, dropNum, dropDen)
+
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,
                  tiebreak: Column, k: Int): DataFrame =

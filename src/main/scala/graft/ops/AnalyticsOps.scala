@@ -190,24 +190,29 @@ object AnalyticsOps {
     * deterministic tie-break (count desc, p1, p2), so the cut is stable at
     * any parallelism.
     */
-  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    // ONE exchange for the whole pair stage: hash-partitioning on the
-    // order key alone already clusters (orderkey, partkey), so the
-    // distinct runs partition-local, and both self-join sides inherit the
-    // same partitioning (ReusedExchange) — the join adds no shuffle.
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey"))
-      .dropDuplicates("l_orderkey", "l_partkey")
-    val a = li.as("a")
-    val b = li.toDF("l_orderkey", "p2").as("b")
-    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-             col("a.l_partkey") < col("p2"))
-      .groupBy(col("a.l_partkey").as("p1"), col("p2"))
+  /** Parameterized core of [[qCopurchase]]: top-N co-occurring item pairs
+    * over `(basket, item)` rows. ONE exchange for the whole pair stage:
+    * hash-partitioning on the basket key alone already clusters
+    * (basket, item), so the distinct runs partition-local, and both
+    * self-join sides inherit the same partitioning (ReusedExchange) —
+    * the join adds no shuffle.
+    */
+  def copurchasePairs(items: DataFrame, basket: String, item: String,
+                      topN: Int = 50): DataFrame = {
+    val li = items
+      .select(col(basket).as("basket"), col(item).as("p1"))
+      .repartition(col("basket"))
+      .dropDuplicates("basket", "p1")
+    val b = li.toDF("basket", "p2")
+    li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
-      .limit(50)
+      .limit(topN)
   }
+
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairs(lineitem(spark, dir), "l_orderkey", "l_partkey")
 
   /** Equi-depth customer-value deciles: per-customer lifetime spend in
     * EXACT cents, NTILE(10) over (spend desc, custkey), then per-decile
@@ -242,22 +247,31 @@ object AnalyticsOps {
     * relation (2 columns), and the frontier itself is what ships. Exact
     * integers end to end.
     */
-  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+  /** Parameterized core of [[qSkyline]]: the 2-D Pareto frontier of `pts`
+    * (columns `id`, `x`, `y`, maximizing both axes) via two window maxima
+    * on one shared sort — never the quadratic dominance join.
+    */
+  def skyline(pts: DataFrame, id: String, x: String, y: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wAbove = Window.orderBy(col("spend_c").desc)
+    val wAbove = Window.orderBy(col(x).desc)
       .rangeBetween(Window.unboundedPreceding, -1)
-    val wEqual = Window.partitionBy(col("spend_c"))
-    orders(spark, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"),
-           count(lit(1)).as("n_orders"))
-      .withColumn("max_above", max(col("n_orders")).over(wAbove))
-      .withColumn("max_equal", max(col("n_orders")).over(wEqual))
-      .filter((col("max_above").isNull || col("max_above") < col("n_orders")) &&
-              col("max_equal") === col("n_orders"))
-      .select(col("o_custkey"), col("spend_c"), col("n_orders"))
-      .orderBy(col("spend_c").desc, col("o_custkey"))
+    val wEqual = Window.partitionBy(col(x))
+    pts
+      .withColumn("max_above", max(col(y)).over(wAbove))
+      .withColumn("max_equal", max(col(y)).over(wEqual))
+      .filter((col("max_above").isNull || col("max_above") < col(y)) &&
+              col("max_equal") === col(y))
+      .select(col(id), col(x), col(y))
+      .orderBy(col(x).desc, col(id))
   }
+
+  def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    skyline(
+      orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"),
+             count(lit(1)).as("n_orders")),
+      "o_custkey", "spend_c", "n_orders")
 
   /** Group-size distribution (profiling): how many orders have k line
     * items — the histogram of group cardinalities that drives skew

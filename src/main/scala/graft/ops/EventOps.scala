@@ -201,24 +201,33 @@ object EventOps {
     * bucket counts (median bucket by cumulative count, then one narrow
     * in-bucket pass).
     */
-  def qGroupMedian(spark: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_c"), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
-    events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-              expr("cast(round(value * 100) as bigint)").as("value_c"))
+  /** Parameterized core of [[qGroupMedian]]: per-`key` exact median of
+    * integer `value` (tie-broken by `tie` for a total order), reported as
+    * `med2` = the sum of the two middle order statistics (= 2 × median).
+    */
+  def groupMedian(df: DataFrame, key: String, value: String,
+                  tie: String): DataFrame = {
+    val wRank = Window.partitionBy(col(key)).orderBy(col(value), col(tie))
+    val wAll = Window.partitionBy(col(key))
+    df
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") === expr("(n + 1) div 2") ||
               col("rn") === expr("(n + 2) div 2"))
-      .groupBy(col("event_type"))
+      .groupBy(col(key))
       .agg(max(col("n")).as("n"),
            // One row when n is odd (k1 == k2): double it; two when even.
-           when(count(lit(1)) === 1, sum(col("value_c")) * 2)
-             .otherwise(sum(col("value_c"))).as("med2_c"))
-      .orderBy(col("event_type"))
+           when(count(lit(1)) === 1, sum(col(value)) * 2)
+             .otherwise(sum(col(value))).as("med2_c"))
+      .orderBy(col(key))
   }
+
+  def qGroupMedian(spark: SparkSession, dir: String): DataFrame =
+    groupMedian(
+      events(spark, dir)
+        .select(col("event_type"), col("event_id"),
+                expr("cast(round(value * 100) as bigint)").as("value_c")),
+      "event_type", "value_c", "event_id")
 
   /** Last-touch attribution via fill-forward: every purchase is attributed
     * to the user's most recent PRECEDING click (the marketing-analytics
@@ -281,29 +290,43 @@ object EventOps {
     * ≪ events — aggregate-then-sweep); ends sort before starts at equal
     * timestamps (d = −1 < +1), so touching intervals don't double-count.
     */
-  def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 3600000000L
-    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-    val sessions = events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(wu))
+  /** Gaps-and-islands sessionization core: `(key, ts)` rows → one
+    * interval [first, last + gap) per session.
+    */
+  def sessionIntervals(df: DataFrame, key: String, ts: String,
+                       gapUs: Long): DataFrame = {
+    val wu = Window.partitionBy(col(key)).orderBy(col(ts))
+    df
+      .withColumn("prev_us", lag(col(ts), 1).over(wu))
       .withColumn("ns",
         when(col("prev_us").isNull ||
-             col("ts_us") - col("prev_us") >= gapUs, 1).otherwise(0))
+             col(ts) - col("prev_us") >= gapUs, 1).otherwise(0))
       .withColumn("sid", sum(col("ns")).over(
         wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts_us")).as("s"), (max(col("ts_us")) + gapUs).as("e"))
-    val bounds = sessions.select(col("s").as("t"), lit(1).as("d"))
-      .unionByName(sessions.select(col("e").as("t"), lit(-1).as("d")))
+      .groupBy(col(key), col("sid"))
+      .agg(min(col(ts)).as("s"), (max(col(ts)) + gapUs).as("e"))
+  }
+
+  /** Sweep-line core: peak number of simultaneously live `[s, e)`
+    * intervals, with the first timestamp attaining the peak.
+    */
+  def peakConcurrency(intervals: DataFrame): DataFrame = {
+    val bounds = intervals.select(col("s").as("t"), lit(1).as("d"))
+      .unionByName(intervals.select(col("e").as("t"), lit(-1).as("d")))
     val wg = Window.orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = bounds.withColumn("live", sum(col("d")).over(wg))
     run
       .crossJoin(broadcast(run.agg(max(col("live")).as("peak"))
-        .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))))
+        .crossJoin(broadcast(intervals.agg(count(lit(1)).as("n_sessions"))))))
       .filter(col("live") === col("peak"))
       .groupBy(col("n_sessions"), col("peak"))
       .agg(min(col("t")).as("peak_ts_us"))
   }
+
+  def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrency(sessionIntervals(
+      events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "ts_us", 3600000000L))
 }

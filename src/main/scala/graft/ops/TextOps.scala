@@ -682,19 +682,30 @@ object TextOps {
     * 100 TB with few langs the same rule runs off a sampled-quantile
     * cutoff + one filter pass (no rank), trading exactness for linearity.
     */
-  def qQuantileFilter(spark: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars"), col("doc_id"))
-    val wAll = Window.partitionBy(col("lang"))
-    documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+  /** Parameterized core of [[qQuantileFilter]]: within each `group`, keep
+    * rows above the exact `dropNum/dropDen` order-statistic cut on
+    * (`score`, `tie`) order. Returns the kept rows with `n_l` (group
+    * size) attached.
+    */
+  def quantileThresholdFilter(df: DataFrame, group: String, score: String,
+                              tie: String, dropNum: Int = 1,
+                              dropDen: Int = 4): DataFrame = {
+    val wRank = Window.partitionBy(col(group)).orderBy(col(score), col(tie))
+    val wAll = Window.partitionBy(col(group))
+    df
       .withColumn("n_l", count(lit(1)).over(wAll))
       .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") > expr("n_l div 4"))
+      .filter(col("rn") > expr(s"(n_l * $dropNum) div $dropDen"))
+      .drop("rn")
+  }
+
+  def qQuantileFilter(spark: SparkSession, dir: String): DataFrame =
+    quantileThresholdFilter(
+      documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars", "doc_id")
       .groupBy(col("lang"))
       .agg(max(col("n_l")).as("n_total"), count(lit(1)).as("n_kept"),
            min(col("n_chars")).as("min_kept_chars"),
            sum(col("n_chars")).as("sum_kept_chars"))
       .orderBy(col("lang"))
-  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The parameterized Graft facade on NON-fixture relations — proves the
+  * cores are generic, not coupled to the driver fixture schemas.
+  */
+class FacadeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("skyline on hand-built points") {
+    import spark.implicits._
+    // (5,1) dominated by (5,3); (3,2) dominated by (5,3); (1,9) and (5,3)
+    // and (4,4) are the frontier; (4,4) vs (5,3): neither dominates.
+    val pts = Seq((1L, 5L, 1L), (2L, 5L, 3L), (3L, 3L, 2L), (4L, 1L, 9L),
+                  (5L, 4L, 4L)).toDF("id", "x", "y")
+    val r = Graft.skyline(pts, "id", "x", "y").collect()
+      .map(x => x.getAs[Long]("id")).toSet
+    assert(r == Set(2L, 4L, 5L))
+  }
+
+  test("groupMedian on hand-built groups (odd and even sizes)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 31L),
+                 ("b", 4L, 5L), ("b", 5L, 7L)).toDF("k", "tie", "v")
+    val r = Graft.groupMedian(df, "k", "v", "tie").collect()
+      .map(x => x.getAs[String]("k") -> x.getAs[Long]("med2_c")).toMap
+    assert(r == Map("a" -> 40L, "b" -> 12L)) // 2*20 and 5+7
+  }
+
+  test("peakConcurrency on hand-built intervals") {
+    import spark.implicits._
+    // [0,10) [5,15) [9,12) overlap 3-deep at t=9; [20,30) alone.
+    val iv = Seq((0L, 10L), (5L, 15L), (9L, 12L), (20L, 30L)).toDF("s", "e")
+    val r = Graft.peakConcurrency(iv).collect().head
+    assert(r.getAs[Long]("n_sessions") == 4L)
+    assert(r.getAs[Long]("peak") == 3L)
+    assert(r.getAs[Long]("peak_ts_us") == 9L)
+  }
+
+  test("peakConcurrency: touching intervals do not double-count") {
+    import spark.implicits._
+    val iv = Seq((0L, 10L), (10L, 20L)).toDF("s", "e")
+    val r = Graft.peakConcurrency(iv).collect().head
+    assert(r.getAs[Long]("peak") == 1L)
+  }
+
+  test("copurchasePairs on hand-built baskets") {
+    import spark.implicits._
+    val items = Seq((1L, 10L), (1L, 11L), (1L, 10L), (2L, 10L), (2L, 11L),
+                    (3L, 10L), (3L, 12L)).toDF("b", "i")
+    val r = Graft.copurchasePairs(items, "b", "i").collect()
+      .map(x => (x.getAs[Long]("p1"), x.getAs[Long]("p2")) ->
+        x.getAs[Long]("n_orders")).toMap
+    assert(r == Map((10L, 11L) -> 2L, (10L, 12L) -> 1L))
+  }
+
+  test("quantileThresholdFilter drops the exact bottom half when asked") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L))
+      .toDF("grp", "tie", "score")
+    val kept = Graft.quantileThresholdFilter(df, "grp", "score", "tie", 1, 2)
+      .collect().map(_.getAs[Long]("score")).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("sessionIntervals splits on the gap and pads the end") {
+    import spark.implicits._
+    val df = Seq((7L, 0L), (7L, 50L), (7L, 200L)).toDF("k", "t")
+    val r = Graft.sessionIntervals(df, "k", "t", 100L).collect()
+      .map(x => (x.getAs[Long]("s"), x.getAs[Long]("e"))).toSet
+    assert(r == Set((0L, 150L), (200L, 300L)))
+  }
+}
