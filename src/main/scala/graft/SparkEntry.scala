@@ -64,6 +64,9 @@ object SparkEntry {
     "q_events_resample" -> (ops.EventOps.qEventsResample _),
     "q_new_users_daily" -> (ops.EventOps.qNewUsersDaily _),
     "q_group_median" -> (ops.EventOps.qGroupMedian _),
+    "q_percentile_bands" -> (ops.EventOps.qPercentileBands _),
+    "q_mode" -> (ops.AnalyticsOps.qMode _),
+    "q_trend_slope" -> (ops.AnalyticsOps.qTrendSlope _),
     "q_attribution" -> (ops.EventOps.qAttribution _),
     "q_time_weighted" -> (ops.EventOps.qTimeWeighted _),
     "q_peak_concurrency" -> (ops.EventOps.qPeakConcurrency _),

@@ -308,6 +308,50 @@ object AnalyticsOps {
       .orderBy(col("event_type"), col("wb"))
   }
 
+  /** Statistical mode with a deterministic tie-break: the most active
+    * user per event type (ties → smallest user_id), as an arg-max over
+    * the (type, user) COUNT relation — the fact table reduces in a
+    * partial-combined aggregate first, and the window ranks only the
+    * reduced relation. The 100 TB shape for "most common value per key".
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      // Count ties pick the SMALLEST user_id: a per-type window max over
+      // the COUNT relation (one row per (type, user) — already reduced),
+      // then min among the tied arg-maxes.
+      .withColumn("n_mode", max(col("n")).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("n") === col("n_mode"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_mode"), min(col("user_id")).as("mode_user"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exact-rational trend slope per event type: least-squares slope over
+    * the (week-index, weekly-count) series, reported as the integer
+    * numerator/denominator pair num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²
+    * (slope = num/den) — regr_slope semantics with zero float ambiguity.
+    * The regression inputs are four partial-combined integer sums over
+    * the weekly aggregate; nothing here sorts.
+    */
+  def qTrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $weekUs").as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_weeks"),
+           (count(lit(1)) * sum(col("x") * col("y")) -
+             sum(col("x")) * sum(col("y"))).as("slope_num"),
+           (count(lit(1)) * sum(col("x") * col("x")) -
+             sum(col("x")) * sum(col("x"))).as("slope_den"))
+      .orderBy(col("event_type"))
+  }
+
   /** Incremental aggregate maintenance: yesterday's materialized per-type
     * aggregate plus today's delta equals the full recompute — WITHOUT ever
     * rescanning the base data. The base relation here is the materialized

@@ -153,6 +153,27 @@ object AnalyticsOracles {
         |  FROM wk)
         |WHERE prev_n IS NOT NULL ORDER BY event_type, wb""".stripMargin,
 
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, max(n) AS n_mode FROM c GROUP BY 1)
+        |SELECT c.event_type, m.n_mode, min(c.user_id) AS mode_user
+        |FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.n_mode
+        |GROUP BY c.event_type, m.n_mode ORDER BY c.event_type""".stripMargin,
+
+    "q_trend_slope" ->
+      """WITH wk AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS x,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_weeks,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+        |         AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+        |         AS slope_den
+        |FROM wk GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // The O(full) recompute the O(delta) incremental merge must equal.
     "q_incr_agg" ->
       """SELECT event_type, count(*) AS n,

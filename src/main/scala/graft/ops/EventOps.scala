@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,35 @@ object EventOps {
            when(count(lit(1)) === 1, sum(col(value)) * 2)
              .otherwise(sum(col(value))).as("med2_c"))
       .orderBy(col(key))
+  }
+
+  /** Exact multi-quantile bands per event type in ONE window pass: the
+    * p25/p50/p75/p90/p99 order statistics (rank = ceil(q·n), value-exact,
+    * interpolation-free) collected as conditional MIN/MAX aggregates over
+    * the ranked rows — no percentile() engine conventions anywhere. Same
+    * single per-key sort as the median; the bands pivot out as columns.
+    */
+  def qPercentileBands(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_c"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def band(pNum: Int, pDen: Int): Column =
+      // Value at rank max(1, floor(n·pNum/pDen)) — the max over ranks
+      // <= cut, with rank 1 as the floor so tiny groups never go null.
+      max(when(col("rn") * pDen <= col("n") * pNum || col("rn") === 1,
+               col("value_c")))
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+           min(col("value_c")).as("p0"),
+           band(1, 4).as("p25"), band(1, 2).as("p50"), band(3, 4).as("p75"),
+           band(9, 10).as("p90"), band(99, 100).as("p99"),
+           max(col("value_c")).as("p100"))
+      .orderBy(col("event_type"))
   }
 
   def qGroupMedian(spark: SparkSession, dir: String): DataFrame =

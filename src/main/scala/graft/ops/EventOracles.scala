@@ -251,6 +251,29 @@ object EventOracles {
         |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Multi-quantile bands: value at rank max(1, floor(n*p)) per band —
+    // mirrors the Spark rn*den <= n*num OR rn=1 rule exactly.
+    "q_percentile_bands" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, value_c,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         row_number() OVER
+        |           (PARTITION BY event_type ORDER BY value_c, event_id) AS rn
+        |  FROM v)
+        |SELECT event_type, max(n) AS n,
+        |       min(value_c) AS p0,
+        |       max(CASE WHEN rn * 4 <= n * 1 OR rn = 1 THEN value_c END) AS p25,
+        |       max(CASE WHEN rn * 2 <= n * 1 OR rn = 1 THEN value_c END) AS p50,
+        |       max(CASE WHEN rn * 4 <= n * 3 OR rn = 1 THEN value_c END) AS p75,
+        |       max(CASE WHEN rn * 10 <= n * 9 OR rn = 1 THEN value_c END) AS p90,
+        |       max(CASE WHEN rn * 100 <= n * 99 OR rn = 1 THEN value_c END) AS p99,
+        |       max(value_c) AS p100
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Batch twin of the foreachBatch keyed-upsert drain: latest event per
     // user by (ts, event_id).
     "q_stream_upsert" ->

@@ -192,6 +192,59 @@ class TimeseriesValueSpec extends AnyFunSuite {
     assert(row.getAs[Long]("peak_ts_us") == peakT)
   }
 
+  test("percentile bands: ranks match driver-side sorted order statistics") {
+    val r = ops.EventOps.qPercentileBands(spark, Sf).collect()
+    val raw = Tables.events(spark, Sf)
+      .selectExpr("event_type", "cast(round(value * 100) as bigint) as c")
+      .collect().groupBy(_.getString(0))
+    r.foreach { row =>
+      val vs = raw(row.getAs[String]("event_type")).map(_.getLong(1)).sorted
+      val n = vs.length
+      def stat(num: Int, den: Int) = vs(math.max(1, n * num / den) - 1)
+      assert(row.getAs[Long]("p0") == vs.head)
+      assert(row.getAs[Long]("p25") == stat(1, 4))
+      assert(row.getAs[Long]("p50") == stat(1, 2))
+      assert(row.getAs[Long]("p75") == stat(3, 4))
+      assert(row.getAs[Long]("p90") == stat(9, 10))
+      assert(row.getAs[Long]("p99") == stat(99, 100))
+      assert(row.getAs[Long]("p100") == vs.last)
+    }
+  }
+
+  test("mode: arg-max user per type matches driver brute force") {
+    val r = ops.AnalyticsOps.qMode(spark, Sf).collect()
+    val counts = Tables.events(spark, Sf).select("event_type", "user_id")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    r.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      val perUser = counts.collect { case ((tt, u), n) if tt == t => (u, n) }
+      val best = perUser.map(_._2).max
+      assert(row.getAs[Long]("n_mode") == best)
+      assert(row.getAs[Long]("mode_user") ==
+        perUser.filter(_._2 == best).map(_._1).min)
+    }
+  }
+
+  test("trend slope: exact rational num/den against driver sums") {
+    val r = ops.AnalyticsOps.qTrendSlope(spark, Sf).collect()
+    val wk = Tables.events(spark, Sf)
+      .selectExpr("event_type", "unix_micros(ts) div 604800000000 as x")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    r.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      val pts = wk.collect { case ((tt, x), y) if tt == t => (x, y) }.toSeq
+      val n = pts.size.toLong
+      val num = n * pts.map(p => p._1 * p._2).sum -
+        pts.map(_._1).sum * pts.map(_._2).sum
+      val den = n * pts.map(p => p._1 * p._1).sum -
+        pts.map(_._1).sum * pts.map(_._1).sum
+      assert(row.getAs[Long]("slope_num") == num)
+      assert(row.getAs[Long]("slope_den") == den)
+    }
+  }
+
   test("group-size distribution conserves orders and line items") {
     val r = ops.AnalyticsOps.qGroupSizeDist(spark, Sf).collect()
     val li = Tables.lineitem(spark, Sf)
