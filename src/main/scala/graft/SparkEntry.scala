@@ -67,6 +67,8 @@ object SparkEntry {
     "q_percentile_bands" -> (ops.EventOps.qPercentileBands _),
     "q_mode" -> (ops.AnalyticsOps.qMode _),
     "q_trend_slope" -> (ops.AnalyticsOps.qTrendSlope _),
+    "q_type_bitmask" -> (ops.AnalyticsOps.qTypeBitmask _),
+    "q_interval_merge" -> (ops.EventOps.qIntervalMerge _),
     "q_attribution" -> (ops.EventOps.qAttribution _),
     "q_time_weighted" -> (ops.EventOps.qTimeWeighted _),
     "q_peak_concurrency" -> (ops.EventOps.qPeakConcurrency _),

@@ -330,6 +330,26 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Behavioral-segment histogram via a bitwise aggregate: each user's
+    * event-type presence folds into a 5-bit mask (`bit_or` of per-type
+    * bits — mergeable, partial-combined), then one narrow count per mask.
+    * The segment census ("saw view+click but never purchased") at any
+    * scale: two linear aggregates, widest shuffle = one row per user.
+    */
+  def qTypeBitmask(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"),
+              when(col("event_type") === "signup", 1)
+                .when(col("event_type") === "view", 2)
+                .when(col("event_type") === "click", 4)
+                .when(col("event_type") === "purchase", 8)
+                .otherwise(16).as("bit"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(col("bit")).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("mask"))
+
   /** Exact-rational trend slope per event type: least-squares slope over
     * the (week-index, weekly-count) series, reported as the integer
     * numerator/denominator pair num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²

@@ -162,6 +162,17 @@ object AnalyticsOracles {
         |FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.n_mode
         |GROUP BY c.event_type, m.n_mode ORDER BY c.event_type""".stripMargin,
 
+    "q_type_bitmask" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |              WHEN 'click' THEN 4 WHEN 'purchase' THEN 8
+        |              ELSE 16 END AS bit
+        |  FROM events),
+        |m AS (SELECT user_id, bit_or(bit) AS mask FROM b GROUP BY 1)
+        |SELECT mask, count(*) AS n_users FROM m
+        |GROUP BY mask ORDER BY mask""".stripMargin,
+
     "q_trend_slope" ->
       """WITH wk AS (
         |  SELECT event_type, epoch_us(ts) // 604800000000 AS x,

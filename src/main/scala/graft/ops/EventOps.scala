@@ -358,4 +358,33 @@ object EventOps {
       events(spark, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
       "user_id", "ts_us", 3600000000L))
+
+  /** Interval-union mass (coverage): every event projects a half-hour
+    * activity block [ts, ts+30m); overlapping blocks per user merge into
+    * islands (new island iff start > running max of previous ends), and
+    * the answer is exact covered time — the "billable active time" /
+    * uptime-coverage operator. One per-user window sort; the island
+    * reduction is a running max + conditional sum, all integers. Summary:
+    * users, merged islands, total raw vs covered mass (overlap removed).
+    */
+  def qIntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val blockUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val prevMaxE = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val iv = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+              (unix_micros(col("ts")) + blockUs).as("e"))
+    iv.withColumn("ns", when(prevMaxE.isNull || col("s") > prevMaxE, 1)
+          .otherwise(0))
+      .withColumn("iid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("iid"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_islands"),
+           sum(col("ie") - col("is")).as("covered_us"))
+      .crossJoin(broadcast(iv.agg((count(lit(1)) * blockUs).as("raw_us"))))
+      .select(col("n_users"), col("n_islands"), col("covered_us"),
+              col("raw_us"))
+  }
 }

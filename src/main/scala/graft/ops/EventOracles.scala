@@ -251,6 +251,37 @@ object EventOracles {
         |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Interval union per user: island detection via running max of prior
+    // ends, then exact covered mass.
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 1800000000 AS e
+        |  FROM events),
+        |mrk AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                IS NULL
+        |              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM mrk),
+        |merged AS (
+        |  SELECT user_id, iid, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_islands,
+        |       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |       (SELECT CAST(count(*) * 1800000000 AS BIGINT) FROM iv)
+        |         AS raw_us
+        |FROM merged""".stripMargin,
+
     // Multi-quantile bands: value at rank max(1, floor(n*p)) per band —
     // mirrors the Spark rn*den <= n*num OR rn=1 rule exactly.
     "q_percentile_bands" ->

@@ -245,6 +245,40 @@ class TimeseriesValueSpec extends AnyFunSuite {
     }
   }
 
+  test("interval merge: coverage matches driver union of blocks") {
+    val blockUs = 1800000000L
+    val row = ops.EventOps.qIntervalMerge(spark, Sf).collect().head
+    val byUser = Tables.events(spark, Sf)
+      .selectExpr("user_id", "unix_micros(ts) as t").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+    var islands = 0L; var covered = 0L
+    byUser.values.foreach { ts =>
+      val sorted = ts.map(_._2).sorted
+      var s = sorted.head; var e = sorted.head + blockUs
+      sorted.tail.foreach { t =>
+        if (t > e) { islands += 1; covered += e - s; s = t }
+        e = math.max(e, t + blockUs)
+      }
+      islands += 1; covered += e - s
+    }
+    assert(row.getAs[Long]("n_users") == byUser.size.toLong)
+    assert(row.getAs[Long]("n_islands") == islands)
+    assert(row.getAs[Long]("covered_us") == covered)
+    assert(row.getAs[Long]("raw_us") ==
+      byUser.values.map(_.size.toLong).sum * blockUs)
+    assert(row.getAs[Long]("covered_us") <= row.getAs[Long]("raw_us"))
+  }
+
+  test("type bitmask: masks partition users and bits decode to real types") {
+    val r = ops.AnalyticsOps.qTypeBitmask(spark, Sf).collect()
+    assert(r.map(_.getAs[Long]("n_users")).sum ==
+      Tables.events(spark, Sf).select("user_id").distinct().count())
+    r.foreach { row =>
+      val m = row.getAs[Int]("mask")
+      assert(m >= 1 && m <= 31)
+    }
+  }
+
   test("group-size distribution conserves orders and line items") {
     val r = ops.AnalyticsOps.qGroupSizeDist(spark, Sf).collect()
     val li = Tables.lineitem(spark, Sf)
