@@ -220,6 +220,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("copurchase pair stage: one repartition exchange, reused by the self-join") {
+    val df = ops.AnalyticsOps.qCopurchase(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_COL"), p.take(3000))
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("skyline: fact table partial-aggregates before the window ranks") {
+    val p = physical(ops.AnalyticsOps.qSkyline(spark, Sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+  }
+
+  test("scd2: all three window functions share ONE hash exchange") {
+    val p = physical(ops.EventOps.qScd2(spark, Sf))
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected 1 hash exchange, got $nHash\n${p.take(3000)}")
+  }
+
+  test("percentile bands: rank window and band aggregate share the exchange") {
+    val p = physical(ops.EventOps.qPercentileBands(spark, Sf))
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected 1 hash exchange, got $nHash\n${p.take(3000)}")
+  }
+
   test("hot paths compile to whole-stage codegen") {
     val df = ops.FlightOps.qGroupMonthSumCount(spark, Sf)
     df.collect() // materialize so AQE finalizes the plan
