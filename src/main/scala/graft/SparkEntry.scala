@@ -68,6 +68,7 @@ object SparkEntry {
     "q_mode" -> (ops.AnalyticsOps.qMode _),
     "q_trend_slope" -> (ops.AnalyticsOps.qTrendSlope _),
     "q_type_bitmask" -> (ops.AnalyticsOps.qTypeBitmask _),
+    "q_string_agg" -> (ops.AnalyticsOps.qStringAgg _),
     "q_interval_merge" -> (ops.EventOps.qIntervalMerge _),
     "q_attribution" -> (ops.EventOps.qAttribution _),
     "q_time_weighted" -> (ops.EventOps.qTimeWeighted _),

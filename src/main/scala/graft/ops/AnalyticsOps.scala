@@ -330,6 +330,21 @@ object AnalyticsOps {
       .orderBy(col("event_type"))
   }
 
+  /** LISTAGG / string_agg surface with deterministic ordering: per
+    * language, the distinct sources as one sorted comma-joined string
+    * (collect_set → array_sort → array_join). Order is imposed
+    * explicitly, never inherited from partitioning, so the result is
+    * bit-stable at any parallelism — the rule that makes string
+    * aggregation safe at scale at all.
+    */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(array_join(array_sort(collect_set(col("source"))), ",")
+             .as("sources"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
   /** Behavioral-segment histogram via a bitwise aggregate: each user's
     * event-type presence folds into a 5-bit mask (`bit_or` of per-type
     * bits — mergeable, partial-combined), then one narrow count per mask.

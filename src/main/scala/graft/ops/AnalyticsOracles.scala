@@ -162,6 +162,12 @@ object AnalyticsOracles {
         |FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.n_mode
         |GROUP BY c.event_type, m.n_mode ORDER BY c.event_type""".stripMargin,
 
+    "q_string_agg" ->
+      """SELECT lang,
+        |       string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_type_bitmask" ->
       """WITH b AS (
         |  SELECT user_id,
