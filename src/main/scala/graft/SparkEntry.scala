@@ -96,6 +96,7 @@ object SparkEntry {
     "q_stratified_sample" -> (ops.TextOps.qStratifiedSample _),
     "q_quantile_filter" -> (ops.TextOps.qQuantileFilter _),
     "q_term_search" -> (ops.TextOps.qTermSearch _),
+    "q_sliding_windows" -> (ops.TextOps.qSlidingWindows _),
     "q_inverted_index" -> (ops.TextOps.qInvertedIndex _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
     "q_text_normalize" -> (ops.TextOps.qTextNormalize _),

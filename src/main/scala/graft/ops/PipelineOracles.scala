@@ -1008,6 +1008,25 @@ object PipelineOracles {
          |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok
          |FROM h ORDER BY q_id""".stripMargin,
 
+    // DuckDB twin of the custom graft_sliding generator: lateral
+    // generate_series over 1-based slice starts, stride 3, full windows
+    // only (i + 4 <= len).
+    "q_sliding_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, len(toks) - 4, 3)) AS i
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(toks, i, i + 4), ' ') AS ws
+        |  FROM idx)
+        |SELECT doc_id, count(*) AS n_wins,
+        |       count(DISTINCT ws) AS n_distinct,
+        |       min(ws) AS first_win, max(ws) AS last_win
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // AND-semantics scored retrieval; idf is the integer-scaled rational
     // (N*10^6)//df — no log anywhere.
     "q_term_search" ->

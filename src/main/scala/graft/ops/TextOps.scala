@@ -641,6 +641,25 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The custom Generator (UDTF surface): `graft_sliding(toks, 5, 3)`
+    * fans each document out to its stride-3 5-token windows through
+    * Spark's own GenerateExec — the same physical treatment as `explode`,
+    * but the fan-out logic is the custom [[graft.functions.SlidingWindows]]
+    * expression injected by GraftExtensions. Per-doc window census with
+    * lexicographic first/last window strings pins every emitted row.
+    */
+  def qSlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+              call_function("graft_sliding", TextFns.toks, lit(5), lit(3))
+                .as("win"))
+      .select(col("doc_id"), array_join(col("win"), " ").as("ws"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_wins"),
+           countDistinct(col("ws")).as("n_distinct"),
+           min(col("ws")).as("first_win"), max(col("ws")).as("last_win"))
+      .orderBy(col("doc_id"))
+
   /** Ranked conjunctive retrieval over the corpus: score = Σ tf(t,d) ·
     * idf_scaled(t) for the query terms, AND semantics (every term must
     * hit), top-20 by (score desc, doc_id). idf is the integer-scaled

@@ -119,6 +119,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.MortonInterleave(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_sliding"),
+      new ExpressionInfo(classOf[graft.functions.SlidingWindows].getName,
+        "graft_sliding"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SlidingWindows(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKMarker].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKMarker(exprs)))

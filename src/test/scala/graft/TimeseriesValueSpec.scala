@@ -279,6 +279,41 @@ class TimeseriesValueSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_sliding generator == builtin sequence+slice composition") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    val custom = docs
+      .select(col("doc_id"),
+              call_function("graft_sliding", split(col("text"), " "),
+                            lit(5), lit(3)).as("win"))
+      .select(col("doc_id"), array_join(col("win"), " ").as("ws"))
+    val builtin = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+              explode(expr(
+                "transform(sequence(0, (size(toks) - 5) div 3), " +
+                "i -> slice(toks, i * 3 + 1, 5))")).as("win"))
+      .select(col("doc_id"), array_join(col("win"), " ").as("ws"))
+    val a = custom.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val b = builtin.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("graft_sliding rejects non-positive size at analysis time") {
+    import org.apache.spark.sql.functions._
+    val err = intercept[Exception] {
+      Tables.documents(spark, Sf)
+        .select(call_function("graft_sliding", split(col("text"), " "),
+                              lit(0), lit(3)).as("w"))
+        .collect()
+    }
+    assert(err.getMessage.contains("positive") ||
+      err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("group-size distribution conserves orders and line items") {
     val r = ops.AnalyticsOps.qGroupSizeDist(spark, Sf).collect()
     val li = Tables.lineitem(spark, Sf)
