@@ -242,6 +242,68 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: skyline window form == quadratic dominance on random points") {
+    import TestSpark.spark
+    import spark.implicits._
+    val pt = for {
+      x <- Gen.chooseNum(0L, 20L); y <- Gen.chooseNum(0L, 20L)
+    } yield (x, y)
+    val pts = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, pt))
+    val p = Prop.forAll(pts) { ps =>
+      val rows = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val got = Graft.skyline(rows.toDF("id", "x", "y"), "id", "x", "y")
+        .collect().map(_.getAs[Long]("id")).toSet
+      val want = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, x2, y2) =>
+          x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+      }.map(_._1).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: groupMedian == sorted-middle sum on random groups") {
+    import TestSpark.spark
+    import spark.implicits._
+    val vals = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100L, 100L)))
+    val p = Prop.forAll(vals) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      val got = Graft.groupMedian(rows.toDF("k", "tie", "v"), "k", "v", "tie")
+        .collect().head.getAs[Long]("med2_c")
+      val sorted = vs.sorted
+      got == sorted((vs.length - 1) / 2) + sorted(vs.length / 2)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: peakConcurrency == driver sweep on random intervals") {
+    import TestSpark.spark
+    import spark.implicits._
+    val iv = for {
+      s <- Gen.chooseNum(0L, 50L); len <- Gen.chooseNum(1L, 20L)
+    } yield (s, s + len)
+    val ivs = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, iv))
+    val p = Prop.forAll(ivs) { is =>
+      val row = Graft.peakConcurrency(is.toDF("s", "e")).collect().head
+      // sweep: ends (-1) before starts (+1) at equal t
+      val evs = is.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+        .sortBy { case (t, d) => (t, d) }
+      var live = 0L; var peak = 0L; var peakT = 0L
+      evs.foreach { case (t, d) =>
+        live += d
+        if (live > peak) { peak = live; peakT = t }
+      }
+      row.getAs[Long]("peak") == peak &&
+        row.getAs[Long]("peak_ts_us") == peakT &&
+        row.getAs[Long]("n_sessions") == is.length.toLong
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
