@@ -224,12 +224,42 @@ object AnalyticsOps {
     * tie-break on custkey makes decile assignment bit-stable.
     */
   def qSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("spend_c").desc, col("o_custkey"))
-    orders(spark, dir)
+    // DISTRIBUTED rank, not `ntile(10).over(orderBy(...))`: a global
+    // ntile window funnels the whole customer relation through ONE task
+    // (10⁸–10⁹ rows at 100 TB). Instead: range-repartition on the sort
+    // key — each partition holds a contiguous range of the (spend desc,
+    // custkey) order — then read the global rank straight off
+    // monotonically_increasing_id() over the partition-sorted rows
+    // (rank = partition row offset + exclusive partition-count offset,
+    // the offsets via the same hierarchical [[TextOps.exclusiveOffsets]]
+    // machinery as shard packing). No unpartitioned window anywhere; the
+    // id projection is order-deterministic because the range exchange +
+    // within-partition sort below it fix a total order (custkey breaks
+    // ties). The ntile bucket rule is then pure arithmetic on
+    // (global rank, n): the first n%10 deciles take ceil(n/10) rows,
+    // the rest floor(n/10) — bit-identical to NTILE on both engines.
+    val cust = orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
-      .withColumn("decile", ntile(10).over(w))
+    val parts = cust
+      .repartitionByRange(32, col("spend_c").desc, col("o_custkey"))
+      .sortWithinPartitions(col("spend_c").desc, col("o_custkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", expr("mid div 8589934592"))      // 2^33: partition index
+      .withColumn("rn", expr("mid % 8589934592 + 1"))     // 1-based offset in partition
+    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("tot"))
+    val offs = TextOps.exclusiveOffsets(
+        counts.select(col("pid").as("key"), col("tot")), 256, 1)
+      .select(col("key").as("pid"), col("offset"))
+    val totals = counts.agg(sum(col("tot")).as("n"))
+    parts.join(offs, Seq("pid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("grank", col("offset") + col("rn"))
+      .withColumn("decile", expr(
+        "cast(if(grank <= (n div 10 + 1) * (n % 10), " +
+        "(grank - 1) div (n div 10 + 1) + 1, " +
+        "n % 10 + (grank - (n div 10 + 1) * (n % 10) - 1) div (n div 10) + 1) " +
+        "as int)"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("spend_c")).as("tot_c"),
            min(col("spend_c")).as("min_c"), max(col("spend_c")).as("max_c"))
@@ -239,28 +269,52 @@ object AnalyticsOps {
   /** 2-D skyline (Pareto frontier) of customers over (lifetime spend,
     * order count): a customer survives iff no other customer is >= on both
     * axes and strictly better on one. Computed without the quadratic
-    * dominance join: after the linear per-customer aggregate, two value-
-    * range window maxima over ONE shared sort give the dominance test —
-    * `maxAbove` (best order count among strictly higher spenders) kills
-    * rows with maxAbove >= n, and `maxEqual` (best count at equal spend)
-    * kills within-tie non-maxima. The window input is the customer-level
-    * relation (2 columns), and the frontier itself is what ships. Exact
-    * integers end to end.
+    * dominance join AND without a global sort — see [[skyline]] for the
+    * distributed suffix-maxima construction. Exact integers end to end.
     */
   /** Parameterized core of [[qSkyline]]: the 2-D Pareto frontier of `pts`
-    * (columns `id`, `x`, `y`, maximizing both axes) via two window maxima
-    * on one shared sort — never the quadratic dominance join.
+    * (columns `id`, `x`, `y`, maximizing both axes) — never the quadratic
+    * dominance join, and never a global window. Valid for ANY ordered
+    * axis type including fractional (the earlier
+    * `rangeBetween(unboundedPreceding, -1)` form encoded "strictly
+    * greater x" as "x' >= x+1", which silently excluded dominators within
+    * (x, x+1) on double axes):
+    *
+    *  1. collapse to one row per distinct x (`ymax` — kills within-tie
+    *     non-maxima; a linear hash aggregate);
+    *  2. range-repartition that relation on x desc: every partition holds
+    *     a contiguous run of distinct x, so "strictly greater x" becomes
+    *     "strictly previous ROW" — `rowsBetween(unboundedPreceding, -1)`,
+    *     exact for doubles — inside a pid-partitioned window;
+    *  3. cross-partition dominators arrive via the per-partition maxima
+    *     relation (one row per partition — O(partitions), not O(data))
+    *     whose exclusive running max joins back on pid;
+    *  4. frontier x-groups survive when no strictly-greater-x ymax beats
+    *     them; the original rows (ties included) come back with one
+    *     narrow equi-join on (x, ymax).
     */
   def skyline(pts: DataFrame, id: String, x: String, y: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wAbove = Window.orderBy(col(x).desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wEqual = Window.partitionBy(col(x))
-    pts
-      .withColumn("max_above", max(col(y)).over(wAbove))
-      .withColumn("max_equal", max(col(y)).over(wEqual))
-      .filter((col("max_above").isNull || col("max_above") < col(y)) &&
-              col("max_equal") === col(y))
+    val xmax = pts.groupBy(col(x)).agg(max(col(y)).as("ymax"))
+    val parts = xmax
+      .repartitionByRange(32, col(x).desc)
+      .sortWithinPartitions(col(x).desc)
+      .withColumn("pid", expr("monotonically_increasing_id() div 8589934592"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col(x).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("strict_local", max(col("ymax")).over(wLocal))
+    // Per-partition summary: <= numPartitions rows, a structural constant
+    // (same class as the exclusiveOffsets base case), so its global
+    // running max is O(partitions) — never O(data).
+    val wParts = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val partMax = parts.groupBy(col("pid")).agg(max(col("ymax")).as("pm"))
+      .withColumn("strict_parts", max(col("pm")).over(wParts))
+      .select(col("pid"), col("strict_parts"))
+    val frontier = local.join(partMax, Seq("pid"))
+      .withColumn("max_above", greatest(col("strict_local"), col("strict_parts")))
+      .filter(col("max_above").isNull || col("max_above") < col("ymax"))
+      .select(col(x).as("fx"), col("ymax").as("fy"))
+    pts.join(frontier, col(x) === col("fx") && col(y) === col("fy"))
       .select(col(id), col(x), col(y))
       .orderBy(col(x).desc, col(id))
   }

@@ -223,10 +223,13 @@ object EventOps {
   }
 
   /** Exact multi-quantile bands per event type in ONE window pass: the
-    * p25/p50/p75/p90/p99 order statistics (rank = ceil(q·n), value-exact,
-    * interpolation-free) collected as conditional MIN/MAX aggregates over
-    * the ranked rows — no percentile() engine conventions anywhere. Same
-    * single per-key sort as the median; the bands pivot out as columns.
+    * p25/p50/p75/p90/p99 order statistics at rank max(1, floor(q·n)) —
+    * the floor-based convention (p50 over n=10 is the 5th, lower-middle,
+    * order statistic), value-exact and interpolation-free — collected as
+    * conditional MIN/MAX aggregates over the ranked rows; the DuckDB
+    * oracle implements the identical floor rule, so no percentile()
+    * engine conventions anywhere. Same single per-key sort as the
+    * median; the bands pivot out as columns.
     */
   def qPercentileBands(spark: SparkSession, dir: String): DataFrame = {
     val wRank = Window.partitionBy(col("event_type"))
@@ -313,11 +316,11 @@ object EventOps {
 
   /** Peak concurrency via sweep line: per-user sessions (1-hour-gap
     * islands, interval [first, last+gap)) become ±1 boundary events; a
-    * running sum over the globally sorted boundaries gives the live
-    * session count, whose max is the capacity-planning answer. The global
-    * sort ranks the SESSION-boundary relation (2 rows per session,
-    * ≪ events — aggregate-then-sweep); ends sort before starts at equal
-    * timestamps (d = −1 < +1), so touching intervals don't double-count.
+    * running sum over the (t, d)-ordered boundaries gives the live
+    * session count, whose max is the capacity-planning answer. The
+    * running sum is fully distributed — see [[peakConcurrency]]; ends
+    * sort before starts at equal timestamps (d = −1 < +1), so touching
+    * intervals don't double-count.
     */
   /** Gaps-and-islands sessionization core: `(key, ts)` rows → one
     * interval [first, last + gap) per session.
@@ -338,19 +341,42 @@ object EventOps {
 
   /** Sweep-line core: peak number of simultaneously live `[s, e)`
     * intervals, with the first timestamp attaining the peak.
+    *
+    * DISTRIBUTED: the running sum over the ±1 boundary relation is the
+    * bucketed two-phase prefix sum (the [[TextOps.exclusiveOffsets]]
+    * machinery) — boundaries bucket by hour, the running sum is a
+    * bucket-partitioned window (parallel), and cross-bucket carry-in
+    * arrives as the hierarchical exclusive prefix sum of per-bucket ±1
+    * totals. Sessions at 100 TB are billions of rows; the earlier
+    * `Window.orderBy(t, d)` form funneled all of them through ONE task,
+    * this form never runs an unpartitioned window over more than the
+    * recursion base (PlanShapeSpec pins it). The peak and its first
+    * timestamp fall out of one `max(struct(live, -t))` aggregate —
+    * map-side partial, no second pass, no self-join on the run relation.
+    * Timestamps must be non-negative (integral `div` bucketing, as in
+    * shard packing); ends still sort before starts at equal t (d = −1 <
+    * +1) inside each bucket, and bucket ranges are disjoint in t, so the
+    * global (t, d) order is preserved across buckets.
     */
   def peakConcurrency(intervals: DataFrame): DataFrame = {
+    val bucketUs = 3600000000L
     val bounds = intervals.select(col("s").as("t"), lit(1).as("d"))
       .unionByName(intervals.select(col("e").as("t"), lit(-1).as("d")))
-    val wg = Window.orderBy(col("t"), col("d"))
+      .withColumn("bucket", expr(s"t div $bucketUs"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = bounds.withColumn("live", sum(col("d")).over(wg))
-    run
-      .crossJoin(broadcast(run.agg(max(col("live")).as("peak"))
-        .crossJoin(broadcast(intervals.agg(count(lit(1)).as("n_sessions"))))))
-      .filter(col("live") === col("peak"))
-      .groupBy(col("n_sessions"), col("peak"))
-      .agg(min(col("t")).as("peak_ts_us"))
+    val offs = TextOps.exclusiveOffsets(
+        bounds.groupBy(col("bucket")).agg(sum(col("d")).as("tot"))
+          .select(col("bucket").as("key"), col("tot")), 256, 2)
+      .select(col("key").as("bucket"), col("offset"))
+    val live = bounds.withColumn("pfx", sum(col("d")).over(wb))
+      .join(offs, Seq("bucket"))
+      .select(col("t"), (col("offset") + col("pfx")).as("live"))
+    val peak = live
+      .agg(max(struct(col("live"), (-col("t")).as("nt"))).as("p"))
+      .select(col("p.live").as("peak"), (-col("p.nt")).as("peak_ts_us"))
+    peak.crossJoin(broadcast(intervals.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("n_sessions"), col("peak"), col("peak_ts_us"))
   }
 
   def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame =

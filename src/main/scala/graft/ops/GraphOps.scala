@@ -94,14 +94,16 @@ object GraphOps {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // Total order: rank = deg * 2^31 + id (id < 2^31); strict because ids
-    // are distinct. Direct each edge from lower to higher rank.
+    // Total order: lexicographic (deg, id) compared as a STRUCT — strict
+    // because ids are distinct, and valid for ANY id/degree domain (the
+    // packed deg*2^31+id form silently collides once ids or degrees
+    // exceed 2^31). Direct each edge from lower to higher rank.
     val ranked = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
-        (col("du") * lit(2147483648L) + col("u")).as("ru"),
-        (col("dv") * lit(2147483648L) + col("v")).as("rv"),
+        struct(col("du").as("d"), col("u").as("n")).as("ru"),
+        struct(col("dv").as("d"), col("v").as("n")).as("rv"),
         col("u"), col("v"))
     val directed = ranked.select(
       when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),

@@ -309,8 +309,8 @@ object TextOps {
     * (bucketSize×-smaller) offsets side shuffles, while AQE converts it
     * to a broadcast at fixture scale.
     */
-  private def exclusiveOffsets(totals: DataFrame, bucketSize: Int,
-                               levels: Int): DataFrame = {
+  private[graft] def exclusiveOffsets(totals: DataFrame, bucketSize: Int,
+                                      levels: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (levels <= 0) {
       totals.withColumn("offset", coalesce(
@@ -446,7 +446,12 @@ object TextOps {
     val dropped = DedupOps.dedupClusters(DedupOps.ngramJaccardPairs(docs))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val survivors = scored.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    // No broadcast hint on the drop set: real web corpora are 30-80%
+    // duplicates, so `dropped` is corpus-scale and a forced broadcast
+    // OOMs at 100 TB. Left as a shuffled anti-join; AQE converts it to a
+    // broadcast at fixture scale where it genuinely fits (the same fix
+    // as dedupApply — see ScaleSmoke's pipeline_e2e_highdup probe).
+    val survivors = scored.join(dropped, Seq("doc_id"), "left_anti")
     val sampled = survivors
       .withColumn("rscore", pmod(TextFns.hash60(col("doc_id").cast("string")), lit(1000000L)))
       .filter(call_function("graft_topk",
@@ -520,13 +525,20 @@ object TextOps {
     def bucket(seedCol: Column, tok: Column): Column =
       pmod(TextFns.hash60(concat(lit("cms"), seedCol, lit(":"), tok)), lit(W))
 
-    val toks = docs.select(explode(TextFns.toks).as("token"))
-    // One pass: each token feeds D (seed, bucket) cells.
-    val sketch = toks
-      .select(explode(seeds).as("seed"), col("token"))
+    // ONE tokenization pass: both the sketch and the exact top-k hang off
+    // the SAME token-count aggregate, so the scan + explode + token
+    // exchange are physically shared (ReuseExchange — the two consumers'
+    // aggregate subtrees are identical, PLANS.md shows the ReusedExchange
+    // node). The sketch then sums pre-counted tokens: its input is the
+    // distinct-token relation, not the corpus, and still collapses to
+    // <= D*W cells map-side before its (tiny) exchange.
+    val tokCounts = docs.select(explode(TextFns.toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val sketch = tokCounts
+      .select(explode(seeds).as("seed"), col("token"), col("exact_cnt"))
       .groupBy(col("seed"), bucket(col("seed"), col("token")).as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
+    val exact = tokCounts
       .orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
     // N falls out of the sketch itself (each seed row partitions all
     // tokens across its buckets) — no third pass over the corpus.

@@ -335,25 +335,63 @@ object EventStream {
     * table. At scale the store is a partitioned table and the merge is the
     * same copy-on-write upsert as q_upsert, driven by the stream.
     */
-  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    def latestPerUser(df: DataFrame): DataFrame = df
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
-                      col("value_c"))).as("s"))
-      .select(col("user_id"), col("s.ts_us").as("ts_us"),
-              col("s.event_id").as("event_id"),
-              col("s.event_type").as("event_type"),
-              col("s.value_c").as("value_c"))
+  private def latestPerUser(df: DataFrame): DataFrame = df
+    .groupBy(col("user_id"))
+    .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+                    col("value_c"))).as("s"))
+    .select(col("user_id"), col("s.ts_us").as("ts_us"),
+            col("s.event_id").as("event_id"),
+            col("s.event_type").as("event_type"),
+            col("s.value_c").as("value_c"))
 
+  /** One micro-batch of the INCREMENTAL keyed-upsert sink: merge the
+    * batch's latest-per-user rows into a parquet store hash-partitioned
+    * by `part = pmod(user_id, nParts)`, rewriting ONLY the partitions
+    * that contain batch keys (dynamic partition overwrite) — O(touched),
+    * never O(store), per batch. Untouched partitions' files are not
+    * opened or rewritten (EventStreamSpec pins them byte-identical
+    * across batches). The staging write breaks the read-overwrite cycle
+    * on the touched partitions — the write-audit-publish shape a real
+    * lakehouse sink uses. Partition selection is static pruning via the
+    * collected `part` values (<= nParts ints driver-side, control flow
+    * not data).
+    */
+  private[graft] def upsertBatchIntoStore(spark: SparkSession, storeDir: String,
+                                          stagingDir: String, batch: DataFrame,
+                                          nParts: Int): Unit = {
+    val latest = latestPerUser(batch)
+      .withColumn("part", pmod(col("user_id"), lit(nParts)))
+    val cols = Seq("user_id", "ts_us", "event_id", "event_type", "value_c")
+    val storeExists = java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir))
+    val merged =
+      if (storeExists) {
+        val touched = latest.select(col("part")).distinct().collect()
+          .map(_.getLong(0))
+        val storeTouched = spark.read.parquet(storeDir)
+          .filter(col("part").isin(touched: _*))
+          .select(cols.map(col): _*)
+        latestPerUser(storeTouched.unionByName(latest.drop("part")))
+          .withColumn("part", pmod(col("user_id"), lit(nParts)))
+      } else latest
+    merged.write.mode("overwrite").parquet(stagingDir)
+    spark.read.parquet(stagingDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(storeDir)
+  }
+
+  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
     val srcDir = tmp.resolve("src").toString
+    val storeDir = tmp.resolve("store").toString
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
               col("event_type"),
               expr("cast(round(value * 100) as bigint)").as("value_c"))
     ev.repartition(4).write.mode("overwrite").parquet(srcDir)
 
-    var storePath: Option[String] = None
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -361,23 +399,38 @@ object EventStream {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val latest = latestPerUser(batch.toDF())
-          val merged = storePath match {
-            case Some(p) =>
-              latestPerUser(spark.read.parquet(p).unionByName(latest))
-            case None => latest
-          }
-          val out = tmp.resolve(s"store_$id").toString
-          merged.write.mode("overwrite").parquet(out)
-          storePath = Some(out)
+          upsertBatchIntoStore(spark, storeDir,
+            tmp.resolve(s"staging_$id").toString, batch.toDF(), nParts)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_upsert: stream did not drain within 120 s — refusing to " +
+            "read a partially merged store")
+      }
+      // Materialize off the temp files so the directory can be deleted
+      // before the caller consumes the result (fixture-scale store; at
+      // real scale the store IS the durable output and outlives the job).
+      val out = spark.read.parquet(storeDir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type"), col("value_c"))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      out
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(storePath.get).orderBy(col("user_id"))
   }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Convenience runner for tests: drain the stream with AvailableNow into
     * an in-memory table and return the result.
@@ -390,7 +443,11 @@ object EventStream {
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream $name did not drain within 120 s — result would be partial")
+    }
     spark.table(name)
   }
 }

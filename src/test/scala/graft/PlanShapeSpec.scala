@@ -249,6 +249,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nHash == 1, s"expected 1 hash exchange, got $nHash\n${p.take(3000)}")
   }
 
+  test("distributed rank/sweep/frontier: no global window over data-scale input") {
+    // The round-4 weak labels: deciles (global ntile), peak concurrency
+    // (global running sum), skyline (global range window) each funneled a
+    // data-scale relation through ONE task. The rewrites may keep at most
+    // one global window — the bounded combine step over per-partition /
+    // per-bucket summaries (<= #partitions rows, a structural constant).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("spend_deciles" -> ops.AnalyticsOps.qSpendDeciles(spark, Sf),
+        "skyline" -> ops.AnalyticsOps.qSkyline(spark, Sf),
+        "peak_concurrency" -> ops.EventOps.qPeakConcurrency(spark, Sf)).foreach {
+      case (name, df) =>
+        val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+        val nGlobal = windows.count(_.partitionSpec.isEmpty)
+        assert(nGlobal <= 1,
+          s"$name: $nGlobal global windows of ${windows.size} — data-scale sort on one task")
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("ntile"), s"$name fell back to a global ntile")
+    }
+  }
+
   test("hot paths compile to whole-stage codegen") {
     val df = ops.FlightOps.qGroupMonthSumCount(spark, Sf)
     df.collect() // materialize so AQE finalizes the plan

@@ -263,6 +263,30 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: skyline is exact on fractional axes (dominators within (x, x+1))") {
+    // The rangeBetween(-1) form encoded "strictly greater x" as
+    // "x' >= x+1", which broke on doubles; quarter-step points put many
+    // dominators inside (x, x+1), the exact failure case.
+    import TestSpark.spark
+    import spark.implicits._
+    val pt = for {
+      x <- Gen.chooseNum(0L, 80L); y <- Gen.chooseNum(0L, 80L)
+    } yield (x / 4.0, y / 4.0)
+    val pts = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, pt))
+    val p = Prop.forAll(pts) { ps =>
+      val rows = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val got = Graft.skyline(rows.toDF("id", "x", "y"), "id", "x", "y")
+        .collect().map(_.getAs[Long]("id")).toSet
+      val want = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, x2, y2) =>
+          x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+      }.map(_._1).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: groupMedian == sorted-middle sum on random groups") {
     import TestSpark.spark
     import spark.implicits._

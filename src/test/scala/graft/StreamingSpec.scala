@@ -178,6 +178,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("incremental upsert store rewrites only touched partitions (others byte-identical)") {
+    // The 100 TB contract of the stream sink: a micro-batch whose keys all
+    // fall in one hash partition must leave every other partition's files
+    // untouched on disk — O(touched) work per batch, never O(store).
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_incr")
+    val store = tmp.resolve("store")
+    def run(id: String, rows: Seq[(Long, Long, Long, String, Long)]): Unit =
+      EventStream.upsertBatchIntoStore(spark, store.toString,
+        tmp.resolve(s"staging_$id").toString,
+        rows.toDF("event_id", "user_id", "ts_us", "event_type", "value_c"), 8)
+    run("b1", (0L until 16L).map(u => (u, u, 100L, "a", 1L)))
+    def digests(): Map[String, String] = {
+      val s = java.nio.file.Files.walk(store)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => store.relativize(p).toString ->
+          java.util.Arrays.toString(java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))))
+        .toMap
+      finally s.close()
+    }
+    val before = digests()
+    // Users 1 (update) and 17 (insert) both hash to part=1: exactly one
+    // partition is touched.
+    run("b2", Seq((100L, 1L, 200L, "b", 2L), (101L, 17L, 200L, "b", 2L)))
+    val after = digests()
+    val untouched = before.keySet.filterNot(_.contains("part=1"))
+    assert(untouched.nonEmpty && untouched.subsetOf(after.keySet))
+    untouched.foreach(k => assert(after(k) == before(k), s"$k was rewritten"))
+    val merged = spark.read.parquet(store.toString)
+    assert(merged.filter(col("user_id") === 1L).select("ts_us").head.getLong(0) == 200L)
+    assert(merged.filter(col("user_id") === 17L).count() == 1)
+    assert(merged.count() == 17)
+    EventStream.deleteRecursively(tmp)
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",
