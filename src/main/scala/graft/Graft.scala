@@ -73,8 +73,9 @@ object Graft {
   // similarity search
   def annBruteforce(embs: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
     ops.SimilarityOps.annBruteforce(embs, queryPred, k)
-  def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame =
-    ops.SimilarityOps.annLsh(embs, queryPred, planes, k)
+  def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 8,
+             hamming: Int = 3, k: Int = 10): DataFrame =
+    ops.SimilarityOps.annLsh(embs, queryPred, planes, hamming, k)
   def annIvf(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
              nprobe: Int = 2, k: Int = 10): DataFrame =
     ops.SimilarityOps.annIvf(embs, queryPred, numCentroids, nprobe, k)

@@ -127,24 +127,79 @@ object ScaleSmoke {
     // drop rate), force autoBroadcastJoinThreshold=-1 so the anti-join MUST
     // take the shuffled path, and verify it completes linearly — the probe
     // that proves removing the forced broadcast(dropped) was safe.
-    if (wanted("dedup_apply_highdup")) {
-      val hd = s"${System.getProperty("java.io.tmpdir")}/graft_scale_highdup"
+    val hd = s"${System.getProperty("java.io.tmpdir")}/graft_scale_highdup"
+    if (wanted("dedup_apply_highdup") || wanted("pipeline_e2e_highdup")) {
       val twin = docs
         .withColumn("doc_id", col("doc_id") + lit(10000000L))
         // drop the first word: same shingle set minus a few → near-dup twin
         .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
       docs.unionByName(twin).repartition(32)
         .write.mode("overwrite").parquet(s"$hd/documents.parquet")
+    }
+    def noBroadcast(body: => Unit): Unit = {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      try body
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    if (wanted("dedup_apply_highdup")) noBroadcast {
+      val t0 = System.nanoTime()
+      val docs2 = Tables.documents(spark, hd)
+      val kept = ops.DedupOps.dedupApply(docs2, ops.DedupOps.ngramJaccardPairs(docs2)).count()
+      val total = nDocs * 2
+      println(f"SCALE dedup_apply_highdup  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"   kept=$kept/$total (dropped ${100.0 * (total - kept) / total}%.1f%%, no broadcast)")
+    }
+    // The capstone under the same high-duplication corpus with broadcast
+    // joins OFF: its dedup anti-join drop set is ~50% of the corpus, so
+    // this is the probe that proves removing the forced
+    // broadcast(dropped) (the round-4 weak label) was safe.
+    if (wanted("pipeline_e2e_highdup")) noBroadcast {
+      val t0 = System.nanoTime()
+      val n = ops.TextOps.qPipelineE2e(spark, hd).count()
+      println(f"SCALE pipeline_e2e_highdup ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"   rows=$n (no broadcast)")
+    }
+
+    // Skew probes for the distributed-window rewrites: each one builds an
+    // input whose OLD plan (global window) or whose obvious alternative
+    // (fixed time buckets) would funnel nearly all rows through one task.
+    if (wanted("peak_conc_skew")) {
+      // 2M sessions, 90% of them inside ONE hour (10% tail over a month):
+      // fixed hour buckets would put ~1.8M boundaries in one window
+      // partition; the range partitioning must stay balanced.
+      val base = 1700000000000000L
+      val sk = spark.range(2000000).select(
+        when(pmod(col("id"), lit(10)) === 0,
+             lit(base) + pmod(col("id"), lit(720)) * 3600000000L)
+          .otherwise(lit(base) + pmod(hash(col("id")), lit(3600000L)) * 1000L).as("s"))
+        .withColumn("e", col("s") + 600000000L)
+      val t0 = System.nanoTime()
+      val r = ops.EventOps.peakConcurrency(sk).collect().toSeq
+      println(f"SCALE peak_conc_skew       ${(System.nanoTime() - t0) / 1e9}%8.2f s   $r")
+    }
+    if (wanted("deciles_skew") || wanted("skyline_skew")) {
+      // 4M orders: half on ONE whale customer (groupBy key skew), half
+      // spread over 1M customers with only 16 distinct prices — massive
+      // rank/frontier ties on the sort axis.
+      val sd = s"${System.getProperty("java.io.tmpdir")}/graft_scale_tieskew"
+      spark.range(4000000).select(
+        col("id").as("o_orderkey"),
+        when(pmod(col("id"), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(1000000L))).as("o_custkey"),
+        (pmod(col("id"), lit(16)).cast("double") * 100.0 + 1.0).as("o_totalprice"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$sd/orders.parquet")
+      if (wanted("deciles_skew")) {
         val t0 = System.nanoTime()
-        val docs2 = Tables.documents(spark, hd)
-        val kept = ops.DedupOps.dedupApply(docs2, ops.DedupOps.ngramJaccardPairs(docs2)).count()
-        val total = nDocs * 2
-        println(f"SCALE dedup_apply_highdup  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-          f"   kept=$kept/$total (dropped ${100.0 * (total - kept) / total}%.1f%%, no broadcast)")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        val n = ops.AnalyticsOps.qSpendDeciles(spark, sd).count()
+        println(f"SCALE deciles_skew         ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      }
+      if (wanted("skyline_skew")) {
+        val t0 = System.nanoTime()
+        val n = ops.AnalyticsOps.qSkyline(spark, sd).count()
+        println(f"SCALE skyline_skew         ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      }
     }
     spark.stop()
   }

@@ -342,35 +342,42 @@ object EventOps {
   /** Sweep-line core: peak number of simultaneously live `[s, e)`
     * intervals, with the first timestamp attaining the peak.
     *
-    * DISTRIBUTED: the running sum over the ±1 boundary relation is the
-    * bucketed two-phase prefix sum (the [[TextOps.exclusiveOffsets]]
-    * machinery) — boundaries bucket by hour, the running sum is a
-    * bucket-partitioned window (parallel), and cross-bucket carry-in
-    * arrives as the hierarchical exclusive prefix sum of per-bucket ±1
-    * totals. Sessions at 100 TB are billions of rows; the earlier
-    * `Window.orderBy(t, d)` form funneled all of them through ONE task,
-    * this form never runs an unpartitioned window over more than the
-    * recursion base (PlanShapeSpec pins it). The peak and its first
-    * timestamp fall out of one `max(struct(live, -t))` aggregate —
-    * map-side partial, no second pass, no self-join on the run relation.
-    * Timestamps must be non-negative (integral `div` bucketing, as in
-    * shard packing); ends still sort before starts at equal t (d = −1 <
-    * +1) inside each bucket, and bucket ranges are disjoint in t, so the
-    * global (t, d) order is preserved across buckets.
+    * DISTRIBUTED and SKEW-IMMUNE: the running sum over the ±1 boundary
+    * relation is a two-phase prefix sum over a RANGE partitioning of
+    * (t, d) — every partition holds a contiguous, equal-SIZE run of the
+    * boundary order (range exchange + within-partition sort fix the
+    * order; the partition index read off monotonically_increasing_id),
+    * the running sum is a pid-partitioned window (parallel), and the
+    * cross-partition carry-in is the exclusive prefix sum of per-pid ±1
+    * totals via the hierarchical [[TextOps.exclusiveOffsets]] machinery.
+    * Sessions at 100 TB are billions of rows; a `Window.orderBy(t, d)`
+    * funnels all of them through ONE task, and fixed-width TIME buckets
+    * (the obvious alternative) degrade the same way whenever load
+    * concentrates in a few hot hours — range partitioning balances by
+    * row count no matter how the time axis is distributed (ScaleSmoke's
+    * peak_conc_skew probe: 2M sessions inside one hour). Ends still sort
+    * before starts at equal t (d = −1 < +1), so touching intervals don't
+    * double-count; equal (t, d) rows split across a partition boundary
+    * carry equal deltas, so every prefix value is order-independent. The
+    * peak and its first timestamp fall out of one `max(struct(live,
+    * -t))` aggregate — map-side partial, no second pass, no self-join
+    * on the run relation.
     */
   def peakConcurrency(intervals: DataFrame): DataFrame = {
-    val bucketUs = 3600000000L
     val bounds = intervals.select(col("s").as("t"), lit(1).as("d"))
       .unionByName(intervals.select(col("e").as("t"), lit(-1).as("d")))
-      .withColumn("bucket", expr(s"t div $bucketUs"))
-    val wb = Window.partitionBy(col("bucket")).orderBy(col("t"), col("d"))
+    val parts = bounds
+      .repartitionByRange(32, col("t"), col("d"))
+      .sortWithinPartitions(col("t"), col("d"))
+      .withColumn("pid", expr("monotonically_increasing_id() div 8589934592"))
+    val wb = Window.partitionBy(col("pid")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = TextOps.exclusiveOffsets(
-        bounds.groupBy(col("bucket")).agg(sum(col("d")).as("tot"))
-          .select(col("bucket").as("key"), col("tot")), 256, 2)
-      .select(col("key").as("bucket"), col("offset"))
-    val live = bounds.withColumn("pfx", sum(col("d")).over(wb))
-      .join(offs, Seq("bucket"))
+        parts.groupBy(col("pid")).agg(sum(col("d")).as("tot"))
+          .select(col("pid").as("key"), col("tot")), 256, 2)
+      .select(col("key").as("pid"), col("offset"))
+    val live = parts.withColumn("pfx", sum(col("d")).over(wb))
+      .join(offs, Seq("pid"))
       .select(col("t"), (col("offset") + col("pfx")).as("live"))
     val peak = live
       .agg(max(struct(col("live"), (-col("t")).as("nt"))).as("p"))

@@ -34,7 +34,7 @@ object PipelineOracles {
     """WITH planes AS (
       |  SELECT j, list_transform(range(1, 65), i ->
       |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
-      |  FROM generate_series(0, 3) t(j)
+      |  FROM generate_series(0, 7) t(j)
       |), e0 AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
@@ -54,7 +54,7 @@ object PipelineOracles {
       |         row_number() OVER (PARTITION BY q.q_id
       |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
       |                    e.vec_id ASC) AS rank
-      |  FROM q JOIN e ON bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+      |  FROM q JOIN e ON bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 3
       |             AND e.vec_id <> q.q_id)
       |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
       |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin

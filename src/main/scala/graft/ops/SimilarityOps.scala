@@ -90,24 +90,31 @@ object SimilarityOps {
 
   /** Sign-LSH bucketed ANN: `planes` deterministic hyperplanes (integer
     * weights derived from md5 of "j_i", so the oracle reproduces them
-    * exactly); bucket = sign bits. MULTIPROBE: each query searches its
-    * own bucket plus every Hamming-1 neighbor bucket (flip one sign bit)
-    * — the vectors most likely lost to a near-zero projection. The probe
-    * list is a per-QUERY explode (planes+1 rows per query, still a tiny
-    * broadcast); the corpus side stays one bucket per vector, so probing
-    * touches ~(planes+1)/2^planes of the data and candidates stay unique
-    * per (query, neighbor) without a distinct. Plane count scales with
-    * corpus size (recall/candidate-set tradeoff).
+    * exactly); bucket = sign bits. MULTIPROBE: each query searches every
+    * bucket within Hamming distance `hamming` of its own — the buckets a
+    * true neighbor most plausibly lands in when a few projections fall
+    * near zero. The probe list is a per-QUERY explode (Σ C(planes,i),
+    * i ≤ hamming — 93 rows at the 8/3 default — still a tiny broadcast);
+    * the corpus side stays one bucket per vector, so probing touches a
+    * fixed ~36% candidate fraction and candidates stay unique per
+    * (query, neighbor) without a distinct. Defaults are the round-5
+    * DuckDB parameter sweep's winner at the round-4 candidate budget
+    * (~35%): P=8/H≤3 lifts min recall@10 across sf0.001/0.01/0.1 from
+    * 0.40 to 0.56 (sweep table in ROUND5_NOTES.md); finer buckets plus
+    * wider probes beat coarse buckets at equal cost. Plane count scales
+    * with corpus size (recall/candidate-set tradeoff).
     */
-  def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 4, k: Int = 10): DataFrame = {
+  def annLsh(embs: DataFrame, queryPred: Column, planes: Int = 8,
+             hamming: Int = 3, k: Int = 10): DataFrame = {
     val e = embs
       .withColumn("bucket", bucketCol(planes))
       .select(col("vec_id"), col("bucket"), col("embedding"), norm2("embedding").as("nrm"))
+    val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= hamming)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("bucket").as("own"),
               col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       .withColumn("bucket", explode(array(
-        col("own") +: (0 until planes).map(j => col("own").bitwiseXOR(lit(1 << j))): _*)))
+        masks.map(m => col("own").bitwiseXOR(lit(m))): _*)))
       .drop("own")
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -309,8 +316,9 @@ object SimilarityOps {
     * per-query values are hash-pinned too: recall cannot drift AT ALL
     * without failing, the flags just encode the tolerable floor if the
     * defaults are retuned. Floors hold at sf0.001/0.01/0.1 (measured
-    * minima across SFs: 0.64 ivf (multi-assign), 0.40 lsh (multiprobe),
-    * 0.62 ivf_kmeans (nprobe 3) — floors 0.6/0.35/0.6).
+    * minima across SFs: 0.64 ivf (multi-assign), 0.56 lsh (8-plane
+    * Hamming-3 multiprobe), 0.62 ivf_kmeans (nprobe 3) — floors
+    * 0.6/0.5/0.6).
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val embs = embeddings(spark, dir)
@@ -330,7 +338,7 @@ object SimilarityOps {
     // order-independent, unlike avg() over per-query doubles.
     val flags = per.agg(
       (sum(col("h_ivf")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_mean_ok"),
-      (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.35).as("lsh_mean_ok"),
+      (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.50).as("lsh_mean_ok"),
       (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"))
     per.select(col("q_id"), col("n_exact"),
         round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),
