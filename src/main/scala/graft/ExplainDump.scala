@@ -33,7 +33,7 @@ object ExplainDump {
       "q_dedup_simhash" -> "Pigeonhole Hamming-band LSH equi-join (no all-pairs)",
       "q_set_ops" -> "UNION/INTERSECT/EXCEPT off one full-outer join via presence flags",
       "q_dedup_embedding_cosine" -> "Sign-LSH banded blocking with literal planes; narrow candidate join",
-      "q_keyed_lookup" -> "Keyed point-lookup: pushed IN predicate over key-sorted store",
+      "q_keyed_lookup" -> "Keyed point-lookup: static kb-bucket PartitionFilters + pushed IN list over the catalog KeyedStore",
       "q_quota_sample" -> "Per-language quota via graft_topk: bounded map-side heaps, tiny exchange",
       "q_shard_pack" -> "Distributed two-phase prefix sum: bucketed windows + broadcast offsets",
       "q_kmeans" -> "Lloyd rounds: broadcast centroids, map-side partial argmin + exact-int update",
@@ -41,11 +41,11 @@ object ExplainDump {
       "q_partition_prune" -> "Hive-layout read: PartitionFilters prune to the selected directories",
       "q_dpp_prune" -> "Dynamic partition pruning: broadcast dim filter reused as a runtime partition filter",
       "q_bucketed_join" -> "Bucketed co-located SMJ: Bucketed: true, no exchange on either join key",
-      "q_upsert" -> "Keyed MERGE: broadcast anti-join of touched keys; base never shuffles",
+      "q_upsert" -> "Keyed MERGE through the catalog KeyedStore: post-merge table read (merge core plan asserted in PlanShapeSpec)",
       "q_ann_recall" -> "Recall invariant: brute-force truth joined to three approximate paths",
       "q_top_orders" -> "TPC-H Q3 shape: pushed filters, broadcast segment, merge-joined facts, exact-int top-N",
       "q_region_volume" -> "TPC-H Q5 shape: 6-way join with broadcast dims and co-partitioned facts",
-      "q_heavy_hitters" -> "Count-min sketch: partial agg collapses to <= D*W cells before the exchange",
+      "q_heavy_hitters" -> "Count-min sketch: ONE tokenization (ReusedExchange feeds sketch + exact top-k), <= D*W cells at the exchange",
       "q_paragraph_dedup" -> "Sub-document dedup: only (digest, doc_id, pid) triples shuffle",
       "q_federated_join" -> "CSV keys + JSON dim + parquet fact joined in one plan",
       "q_pagerank" -> "Iterative PageRank: co-partitioned equi-join rounds, exact-integer rank state",
@@ -53,10 +53,11 @@ object ExplainDump {
       "q_lang_rebalance" -> "Temperature rebalance: broadcast per-lang counts, one filtered pass, exact-int keep rule",
       "q_ann_ivf" -> "Multi-assign IVF: broadcast codebook, map-side top-2 cells, narrow (q,m,cos) dedup",
       "q_copurchase" -> "Market-basket pairs: order-key co-partitioned self-join, partial-agg'd pair counts, TakeOrdered",
-      "q_skyline" -> "Pareto frontier: customer-level aggregate, then two window maxima on one shared sort",
+      "q_skyline" -> "Pareto frontier: range-partitioned suffix maxima + broadcast per-partition carry, no global window",
+      "q_spend_deciles" -> "Equi-depth deciles: distributed rank (range partition + exclusive offsets), no window over data",
       "q_events_resample" -> "Gap-fill: partial-agg'd hourly relation; sequence+explode grid joined back",
       "q_term_search" -> "Scored retrieval: pruned posting scan, broadcast idf, AND-filtered TakeOrdered",
-      "q_peak_concurrency" -> "Sweep line: session islands -> boundary rows -> running sum over the session relation",
+      "q_peak_concurrency" -> "Sweep line: range-partitioned two-phase prefix sum over boundary rows, skew-immune",
       "q_percentile_bands" -> "Exact multi-quantile: rank window + band aggregate share one hash exchange",
       "q_interval_merge" -> "Interval union: running end-max island merge, exact covered mass",
       "q_type_bitmask" -> "Bitwise segment census: mergeable bit_or partials, one row per user at the exchange")

@@ -244,25 +244,22 @@ object SourceSinkOps {
   }
 
   /** Keyed point-lookup — the HBase get-by-row-key analog
-    * (`HPopulate/src/main/java/org/northeastern/Main.java:97-100`). The
-    * table is stored range-partitioned AND sorted by a deterministic md5
-    * surrogate key (the parquet analog of HBase's key-ordered regions):
-    * a batch-get becomes an IN predicate that pushes into the scan, and
-    * because the files are key-sorted, row-group min/max statistics skip
-    * everything but the matching key ranges — a point read touches O(1)
-    * row groups regardless of table size.
+    * (`HPopulate/src/main/java/org/northeastern/Main.java:97-100`),
+    * served from the [[KeyedStore]] catalog table: populate once, then a
+    * batch-get statically prunes to the key-hash bucket partitions and
+    * pushes the key IN-list into key-sorted row groups — O(1) row groups
+    * per key regardless of table size (KeyedStoreSpec pins the
+    * PartitionFilters + PushedFilters plan shape).
     */
   def qKeyedLookup(spark: SparkSession, dir: String): DataFrame = {
-    val target = tmp(dir, "keyed")
-    events(spark, dir)
-      .withColumn("row_key", md5(col("event_id").cast("string")))
-      .select(col("row_key"), col("event_id"), col("event_type"), col("value"))
-      .repartitionByRange(8, col("row_key"))
-      .sortWithinPartitions(col("row_key"))
-      .write.mode("overwrite").parquet(target)
-    val keys = Seq(10L, 20L, 30L, 40L, 50L).map(id => TextFns.md5Hex(id.toString))
-    spark.read.parquet(target)
-      .filter(col("row_key").isin(keys: _*))
+    val name = "graft_keyed_events_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name,
+      events(spark, dir)
+        .withColumn("row_key", md5(col("event_id").cast("string")))
+        .select(col("row_key"), col("event_id"), col("event_type"), col("value")),
+      "row_key")
+    KeyedStore.get(spark, name, "row_key",
+      Seq(10L, 20L, 30L, 40L, 50L).map(id => TextFns.md5Hex(id.toString)))
       .orderBy(col("event_id"))
   }
 
@@ -784,9 +781,13 @@ object SourceSinkOps {
 
   /** Driver-checked MERGE over orders: deterministic change set derived
     * from the base (updates +50 on keys ≡ 0 mod 100, deletes keys ≡ 7,
-    * inserts re-keyed +10⁷ copies of keys ≡ 13 with status 'N'), then
-    * the merged table itself — row-level proof that update/delete/insert
-    * all landed.
+    * inserts re-keyed +10⁷ copies of keys ≡ 13 with status 'N'), applied
+    * through the [[KeyedStore]] catalog table — populate, then a
+    * copy-on-write merge that rewrites ONLY the key-hash buckets
+    * containing changed keys (KeyedStoreSpec pins untouched buckets'
+    * files byte-identical). The returned relation is the post-merge
+    * TABLE read back — row-level proof that update/delete/insert all
+    * landed durably, not just in a transient plan.
     */
   def qUpsert(spark: SparkSession, dir: String): DataFrame = {
     val base = orders(spark, dir)
@@ -804,9 +805,11 @@ object SourceSinkOps {
           .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
                   lit("I").as("op"), lit("N").as("o_orderstatus"),
                   col("o_totalprice")))
-    mergeUpsert(base, changes.select(col("o_orderkey"), col("op"),
-                                     col("o_orderstatus"), col("o_totalprice")),
-                "o_orderkey")
+    val name = "graft_keyed_orders_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name, base, "o_orderkey")
+    KeyedStore.upsert(spark, name, "o_orderkey",
+        changes.select(col("o_orderkey"), col("op"),
+                       col("o_orderstatus"), col("o_totalprice")))
       .select(col("o_orderkey"), col("o_orderstatus"),
               round(col("o_totalprice"), 2).as("price"))
       .orderBy(col("o_orderkey"))

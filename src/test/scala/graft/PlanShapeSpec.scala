@@ -134,7 +134,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("merge-upsert broadcasts the touched-key set; the base never shuffles") {
-    val p = physical(ops.SourceSinkOps.qUpsert(spark, Sf))
+    // The merge CORE (qUpsert now runs it eagerly inside the KeyedStore
+    // staging write, so the returned relation is just the table read).
+    val base = graft.Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val changes = base.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), lit("X").as("o_orderstatus"))
+    val p = physical(ops.SourceSinkOps.mergeUpsert(base, changes, "o_orderkey"))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
   }
 
