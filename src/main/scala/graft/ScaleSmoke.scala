@@ -119,6 +119,16 @@ object ScaleSmoke {
       time(s"time_weighted_$tag", dir)(d => ops.EventOps.qTimeWeighted(spark, d))
       time(s"group_median_$tag", dir)(d => ops.EventOps.qGroupMedian(spark, d))
       time(s"resample_$tag", dir)(d => ops.EventOps.qEventsResample(spark, d))
+      time(s"hll_distinct_$tag", dir)(d => ops.TextOps.qHllDistinct(spark, d))
+      time(s"perplexity_$tag", dir)(d => ops.TextOps.qPerplexityFilter(spark, d))
+      time(s"bm25_$tag", dir)(d => ops.TextOps.qBm25(spark, d))
+      // SemDeDup's scale knob: the codebook grows with the corpus so the
+      // expected cluster size — and the per-cluster quadratic pair work —
+      // stays constant. k is what a real deployment would tune; holding
+      // k fixed while n grows 20× is the documented anti-pattern.
+      val kSem = if (dir == base) 8 else 8 * factor
+      time(s"semdedup_k${kSem}_$tag", dir)(d =>
+        ops.SimilarityOps.semanticDedup(Tables.embeddings(spark, d), k = kSem))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

@@ -96,6 +96,9 @@ object SparkEntry {
     "q_stratified_sample" -> (ops.TextOps.qStratifiedSample _),
     "q_quantile_filter" -> (ops.TextOps.qQuantileFilter _),
     "q_term_search" -> (ops.TextOps.qTermSearch _),
+    "q_bm25" -> (ops.TextOps.qBm25 _),
+    "q_hll_distinct" -> (ops.TextOps.qHllDistinct _),
+    "q_perplexity_filter" -> (ops.TextOps.qPerplexityFilter _),
     "q_sliding_windows" -> (ops.TextOps.qSlidingWindows _),
     "q_inverted_index" -> (ops.TextOps.qInvertedIndex _),
     "q_pipeline_e2e" -> (ops.TextOps.qPipelineE2e _),
@@ -124,6 +127,7 @@ object SparkEntry {
     "q_embed_quantize" -> (ops.SimilarityOps.qEmbedQuantize _),
     "q_kmeans" -> (ops.SimilarityOps.qKmeans _),
     "q_ann_ivf_kmeans" -> (ops.SimilarityOps.qAnnIvfKmeans _),
+    "q_semantic_dedup" -> (ops.SimilarityOps.qSemanticDedup _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

@@ -135,6 +135,61 @@ object DedupOps {
     verifyByHashSets(cand, sigs.select(col("doc_id"), col("hset")), threshold)
   }
 
+  /** Asymmetric containment dedup: pairs where C(A→B) = |A∩B|/|A| ≥
+    * threshold over word-3-shingle sets — the near-SUPERSET detector that
+    * symmetric Jaccard structurally misses (a short doc fully embedded in
+    * a long one has J ≈ |A|/|B| → 0 but C(A→B) = 1; boilerplate-wrapped
+    * reposts are the canonical web-corpus case). Scale guards mirror
+    * [[ngramJaccardPairs]], adapted to the asymmetric bound:
+    *  1. PREFIX FILTERING (exact): C(A→B) ≥ t ⟹ |A\B| ≤ (1−t)·|A| ⟹
+    *     among the |A|−⌈t·|A|⌉+1 smallest hashes of A at least one is in
+    *     B — but B must be probed on its FULL set (containment gives no
+    *     bound on B's prefix), so the A-prefix joins the full df-capped
+    *     inverted index rather than a prefix index.
+    *  2. DF-CAP: full-index entries above dfCap are dropped (same
+    *     boilerplate-quadratic-blowup contract as ngramJaccardPairs —
+    *     recall for pairs whose every shared shingle is corpus-common
+    *     belongs to the minhash/exact stages).
+    * Candidates are exact-verified on the full hash-set signatures; the
+    * emitted containment is always the true value. Directional output:
+    * (doc_a, doc_b, containment of a in b), doc_a ≠ doc_b.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.85,
+                       dfCap: Int = 50): DataFrame = {
+    val hs = shingleIndex(docs)
+      .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+    val sigs = hs.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_set(col("h"))).as("hset"))
+    val prefix = sigs.select(col("doc_id"), col("lang"), explode(expr(
+      s"slice(hset, 1, cast(size(hset) - ceil(size(hset) * $threshold - 1e-9) + 1 as int))"))
+      .as("h"))
+    val full = sigs.select(col("doc_id"), col("lang"), explode(col("hset")).as("h"))
+    val rareFull = full.join(
+      full.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("lang"), col("h")),
+      Seq("lang", "h"))
+    val cand = prefix.as("a")
+      .join(rareFull.as("b"),
+            col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              graft.functions.SetFunctions
+                .sortedIntersectCount(col("ha"), col("hb")).cast("long").as("c"),
+              size(col("ha")).as("na"))
+      .withColumn("containment", round(col("c").cast("double") / col("na"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def qContainmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(graft.Tables.documents(spark, dir))
+
   /** MinHash + LSH near-dedup: per-doc numPerms-perm signature, banded
     * into (numPerms / bandRows) join keys; band-join candidates are
     * exact-Jaccard-verified at ≥ threshold.

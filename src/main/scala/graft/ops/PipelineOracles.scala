@@ -1061,5 +1061,135 @@ object PipelineOracles {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
         |FROM ranked WHERE rn > n_l // 4
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Mirrors TextOps.qBm25: idf = ln((N-df+0.5)/(df+0.5)+1), contribution
+    // tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with k1=1.2, b=0.75, rounded to
+    // micro-points per (doc, term) BEFORE the per-doc sum — the total is
+    // an exact BIGINT, order-independent on both engines.
+    "q_bm25" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM lens),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |       WHERE token IN ('spark', 'join', 'data') GROUP BY 1, 2),
+        |idf AS (SELECT token, ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+        |               n_docs, total_dl
+        |        FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (CAST(idf.total_dl AS DOUBLE) / idf.n_docs))) * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM tf JOIN idf USING (token) JOIN lens USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro,
+        |       count(*) AS n_terms_hit
+        |FROM c GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Mirrors TextOps.qHllDistinct: 256-register HLL off the shared
+    // 60-bit md5 hash; register maxima are exact integers, the harmonic
+    // mean runs off exact BIGINT Z = sum 2^(53-Mj), and the only floats
+    // are the shared alpha*m^2*2^53/Z expression + linear-counting branch.
+    "q_hll_distinct" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |h AS (SELECT lang, token,
+        |             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM t),
+        |r AS (SELECT lang, h % 256 AS reg,
+        |             CASE WHEN h // 256 = 0 THEN 53
+        |                  ELSE 53 - length(regexp_replace(bin(h // 256), '^0+', '')) END AS rho
+        |      FROM h),
+        |mx AS (SELECT lang, reg, max(rho) AS mrho FROM r GROUP BY 1, 2),
+        |sk AS (SELECT lang, count(*) AS n_hit,
+        |              CAST(sum(1::BIGINT << CAST(53 - mrho AS INT)) AS BIGINT) AS z_hit
+        |       FROM mx GROUP BY 1),
+        |est AS (
+        |  SELECT lang, n_hit,
+        |         z_hit + (256 - n_hit) * (1::BIGINT << 53) AS z,
+        |         256 - n_hit AS v
+        |  FROM sk
+        |), ee AS (
+        |  SELECT lang, n_hit, v,
+        |         0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0 / z AS e_raw
+        |  FROM est
+        |), fin AS (
+        |  SELECT lang, n_hit,
+        |         CAST(round(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+        |                         THEN 256 * ln(CAST(256 AS DOUBLE) / v)
+        |                         ELSE e_raw END) AS BIGINT) AS est
+        |  FROM ee
+        |), ex AS (SELECT lang, count(DISTINCT token) AS exact_distinct FROM t GROUP BY 1)
+        |SELECT fin.lang, fin.n_hit, fin.est, ex.exact_distinct,
+        |       (abs(fin.est - ex.exact_distinct) * 5 <= ex.exact_distinct) AS within_20pct
+        |FROM fin JOIN ex USING (lang) ORDER BY lang""".stripMargin,
+
+    // Mirrors TextOps.qPerplexityFilter: per-bigram nll = ln(c1/c12)
+    // rounded to micro-nats (exact BIGINT), per-doc exact sum + integer-
+    // division average, fixed 5.0-nat keep threshold.
+    "q_perplexity_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |                i -> {'w1': w[i], 'w2': w[i+1]})) AS b FROM d),
+        |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgl),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |nll AS (SELECT c12.w1, c12.w2,
+        |               CAST(round(ln(CAST(c1.c1 AS DOUBLE) / c12.c12) * 1000000.0) AS BIGINT) AS nll_micro
+        |        FROM c12 JOIN c1 USING (w1)),
+        |s AS (SELECT bg.doc_id, CAST(sum(nll_micro) AS BIGINT) AS tot,
+        |             count(*) AS n_bigrams
+        |      FROM bg JOIN nll USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, tot AS nll_total_micro,
+        |       tot // n_bigrams AS avg_nll_micro,
+        |       (tot // n_bigrams <= 3420000) AS keep_doc
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Mirrors SimilarityOps.semanticDedup: the q_kmeans centroid CTEs
+    // (md5-seeded codebook, exact integer micro-unit Lloyd update,
+    // (dist, c_id) argmin re-assignment), then within-cluster pairs at
+    // 3dp-rounded cosine >= 0.45 drop the higher vec_id.
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ew AS (SELECT vec_id, v, list_dot_product(v, v) AS nv FROM e),
+        |c0 AS (SELECT * FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS ck FROM e)
+        |       ORDER BY ck LIMIT 8),
+        |cw AS (SELECT CAST(row_number() OVER (ORDER BY ck) - 1 AS BIGINT) AS c_id, v AS cv,
+        |              list_dot_product(v, v) AS nc FROM c0),
+        |a1 AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT ew.vec_id, ew.v, cw.c_id,
+        |           row_number() OVER (PARTITION BY ew.vec_id
+        |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw.cv) + cw.nc, cw.c_id) AS rn
+        |    FROM ew CROSS JOIN cw) WHERE rn = 1
+        |),
+        |dims AS (
+        |  SELECT c_id, j AS pos, SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS s, count(*) AS n
+        |  FROM a1, generate_series(1, 64) t(j) GROUP BY 1, 2
+        |),
+        |cm AS (SELECT c_id, pos, CAST(floor(s / (n::DOUBLE) + 0.5) AS BIGINT) AS cm FROM dims),
+        |c1 AS (
+        |  SELECT c_id, list(cm::DOUBLE / 1000000.0 ORDER BY pos) AS cv
+        |  FROM cm GROUP BY c_id
+        |),
+        |cw2 AS (SELECT c_id, cv, list_dot_product(cv, cv) AS nc FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT ew.vec_id, cw2.c_id,
+        |           row_number() OVER (PARTITION BY ew.vec_id
+        |             ORDER BY ew.nv - 2 * list_dot_product(ew.v, cw2.cv) + cw2.nc, cw2.c_id) AS rn
+        |    FROM ew CROSS JOIN cw2) WHERE rn = 1
+        |),
+        |av AS (SELECT a2.vec_id, a2.c_id, ew.v, ew.nv FROM a2 JOIN ew USING (vec_id)),
+        |pr AS (
+        |  SELECT a.c_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_dot_product(a.v, b.v) / (sqrt(a.nv) * sqrt(b.nv)), 3) AS cos
+        |  FROM av a JOIN av b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |),
+        |dropped AS (SELECT DISTINCT c_id, vec_b FROM pr WHERE cos >= 0.45),
+        |m AS (SELECT c_id, count(*) AS n_members FROM av GROUP BY 1),
+        |dd AS (SELECT c_id, count(*) AS n_dropped FROM dropped GROUP BY 1)
+        |SELECT m.c_id, m.n_members,
+        |       coalesce(dd.n_dropped, 0) AS n_dropped,
+        |       m.n_members - coalesce(dd.n_dropped, 0) AS n_kept
+        |FROM m LEFT JOIN dd USING (c_id) ORDER BY m.c_id""".stripMargin,
   )
 }

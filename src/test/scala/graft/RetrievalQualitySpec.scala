@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 retrieval/quality additions: BM25 ranking, HLL cardinality,
+  * perplexity filtering, SemDeDup-style semantic dedup. Each is checked
+  * against an independent driver-side recomputation (the DuckDB oracle is
+  * the second, cross-engine check).
+  */
+class RetrievalQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docTexts: Map[Long, Array[String]] =
+    graft.Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+
+  test("BM25 matches an exact driver-side recomputation") {
+    val terms = Seq("spark", "join", "data")
+    val docs = docTexts
+    val n = docs.size
+    val avgdl = docs.values.map(_.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val expected = docs.toSeq.flatMap { case (id, toks) =>
+      val score = terms.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          Some(math.round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl)) * 1e6))
+        }
+      }
+      if (score.isEmpty) None else Some((id, score.sum, score.size.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = ops.TextOps.qBm25(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("HLL registers merge by per-register max (mergeable partial state)") {
+    val toks = graft.Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"), explode(ops.TextFns.toks).as("token"))
+    def regs(pred: org.apache.spark.sql.Column) =
+      ops.TextOps.hllRegisters(toks.filter(pred), col("lang"), col("token"))
+    val merged = regs(col("doc_id") % 2 === 0).union(regs(col("doc_id") % 2 === 1))
+      .groupBy(col("key"), col("reg")).agg(max(col("mrho")).as("mrho"))
+    val full = ops.TextOps.hllRegisters(toks, col("lang"), col("token"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("HLL estimate is within 20% of exact on every language") {
+    val rows = ops.TextOps.qHllDistinct(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"lang ${r.getString(0)}: est ${r.getLong(2)} vs exact ${r.getLong(3)}")
+    }
+  }
+
+  test("perplexity filter matches a driver-side bigram-LM recomputation") {
+    val docs = docTexts
+    val bigrams = docs.toSeq.flatMap { case (id, w) => w.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1))) }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val tot = bs.map(b => math.round(math.log(c1(b._2).toDouble / c12((b._2, b._3))) * 1e6)).sum
+      id -> (tot, bs.size.toLong, tot / bs.size)
+    }
+    val got = ops.TextOps.qPerplexityFilter(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // The p90 threshold splits the fixture: both kept and flagged docs exist.
+    val keeps = ops.TextOps.qPerplexityFilter(spark, Sf)
+      .groupBy(col("keep_doc")).count().collect().map(_.getBoolean(0)).toSet
+    assert(keeps == Set(true, false))
+  }
+
+  test("semantic dedup matches driver-side within-cluster pair search") {
+    val cent = ops.SimilarityOps.kmeansCentroids(graft.Tables.embeddings(spark, Sf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val vecs = graft.Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val assign = vecs.map { case (id, v) =>
+      id -> cent.toSeq.map { case (c, cv) =>
+        (dot(v, v) - 2 * dot(v, cv) + dot(cv, cv), c)
+      }.min._2
+    }
+    def cos3(a: Array[Double], b: Array[Double]): Double = {
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val dropped = (for {
+      i <- ids; j <- ids if i < j && assign(i) == assign(j) && cos3(vecs(i), vecs(j)) >= 0.45
+    } yield j).toSet
+    val expected = assign.groupBy(_._2).map { case (c, m) =>
+      val nm = m.size.toLong
+      val nd = m.keys.count(dropped).toLong
+      c -> (nm, nd, nm - nd)
+    }
+    val got = ops.SimilarityOps.qSemanticDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == vecs.size)
+  }
+}
