@@ -120,6 +120,9 @@ object SparkEntry {
     "q_dedup_clusters" -> (ops.DedupOps.qDedupClusters _),
     "q_dedup_apply" -> (ops.DedupOps.qDedupApply _),
     "q_substr_dedup" -> (ops.DedupOps.qSubstrDedup _),
+    "q_containment_dedup" -> (ops.DedupOps.qContainmentDedup _),
+    "q_markov_transitions" -> (ops.EventOps.qMarkovTransitions _),
+    "q_anomaly_zscore" -> (ops.EventOps.qAnomalyZscore _),
     // Extension layer: similarity search
     "q_ann_bruteforce" -> (ops.SimilarityOps.qAnnBruteforce _),
     "q_ann_ivf" -> (ops.SimilarityOps.qAnnIvf _),

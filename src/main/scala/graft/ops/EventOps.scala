@@ -420,4 +420,58 @@ object EventOps {
       .select(col("n_users"), col("n_islands"), col("covered_us"),
               col("raw_us"))
   }
+
+  /** First-order Markov transition statistics over each user's event
+    * sequence: exact counts and 6dp conditional probabilities
+    * p(next_type | current_type) — the session-behavior LM (the event-
+    * stream analog of [[graft.ops.TextOps.bigramLm]]). The lead() window
+    * partitions on user_id (high-cardinality, skew-free — never global)
+    * and orders by the RAW nano timestamp + event_id, a total order both
+    * engines share bit-for-bit (ordering by the derived microsecond
+    * timestamp could disagree with the oracle's nano order on sub-µs
+    * neighbors). Counts partial-aggregate map-side; the only float is
+    * the final rounded division.
+    */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_nanos"), col("event_id"))
+    val tr = eventsWithRawTs(spark, dir)
+      .select(col("user_id"), col("ts_nanos"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val c2 = tr.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val c1 = c2.groupBy(col("from_type")).agg(sum(col("n_trans")).as("n_from"))
+    c2.join(c1, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+              round(col("n_trans").cast("double") / col("n_from"), 6).as("p_cond"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Per-event-type z-score outliers: flag events whose value sits ≥ 3σ
+    * from the type mean. The moments come from EXACT integer micro-unit
+    * sums (S1 as BIGINT; S2 as DECIMAL(38,0) — vm² reaches 10¹⁸ and a
+    * corpus-level BIGINT sum would overflow), so mean/variance are
+    * order-independent under any partial-aggregation schedule; z is one
+    * shared IEEE expression over the exact components, rounded to 3dp.
+    * One linear moments pass (partial-aggregated, |event_type| result
+    * rows broadcast back) + one filter pass — no windows, no sort; the
+    * shape survives any corpus size.
+    */
+  def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+              expr("cast(round(value * 1000000.0) as bigint)").as("vm"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(col("vm")).as("n"), sum(col("vm")).as("s1"),
+           sum(expr("cast(vm as decimal(38,0)) * vm")).as("s2"))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("z", expr(
+        "round((cast(vm as double) - cast(s1 as double) / n) / " +
+          "sqrt(cast(s2 as double) / n - (cast(s1 as double) / n) * (cast(s1 as double) / n)), 3)"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_type"), col("event_id"), col("vm"), col("z"))
+      .orderBy(col("event_id"))
+  }
 }

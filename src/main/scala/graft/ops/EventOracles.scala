@@ -390,5 +390,47 @@ object EventOracles {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_users
         |FROM daily ORDER BY db""".stripMargin,
+
+    // Mirrors EventOps.qMarkovTransitions: lead() per user in (ts,
+    // event_id) order — DuckDB's ts is the raw nano value, the same
+    // total order as Spark's ts_nanos.
+    "q_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), t2 AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), t1 AS (
+        |  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM t2 GROUP BY 1
+        |)
+        |SELECT t2.from_type, t2.to_type, t2.n_trans, t1.n_from,
+        |       round(t2.n_trans::DOUBLE / t1.n_from, 6) AS p_cond
+        |FROM t2 JOIN t1 USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Mirrors EventOps.qAnomalyZscore: exact micro-unit moments (S2 in
+    // HUGEINT = Spark's DECIMAL(38,0)), one shared IEEE z expression.
+    "q_anomaly_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, count(vm) AS n,
+        |         CAST(sum(vm) AS BIGINT) AS s1,
+        |         sum(vm::HUGEINT * vm) AS s2
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT ev.event_type, ev.event_id, ev.vm,
+        |       round((ev.vm::DOUBLE - s1::DOUBLE / n) /
+        |             sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3) AS z
+        |FROM ev JOIN m USING (event_type)
+        |WHERE abs(round((ev.vm::DOUBLE - s1::DOUBLE / n) /
+        |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1143,6 +1143,41 @@ object PipelineOracles {
         |       (tot // n_bigrams <= 3420000) AS keep_doc
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Mirrors DedupOps.containmentPairs: A-prefix (|A|-ceil(0.85|A|)+1
+    // smallest hashes) probed against the FULL df-capped inverted index,
+    // exact containment |A∩B|/|A| verified on the hash-set signatures.
+    // Hashed sets on both sides (the ngram NOTE's collision-surfacing
+    // asymmetry is already covered by q_dedup_ngram_jaccard).
+    "q_containment_dedup" ->
+      s"""$SH,
+         |hsig AS (
+         |  SELECT doc_id, lang,
+         |         list_sort(list_distinct(list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hset
+         |  FROM sh GROUP BY doc_id, lang
+         |), pfx AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_slice(hset, 1, CAST(len(hset) - ceil(len(hset) * 0.85 - 1e-9) + 1 AS INT))) AS h
+         |  FROM hsig
+         |), hfull AS (
+         |  SELECT doc_id, lang, unnest(hset) AS h FROM hsig
+         |), fdf AS (
+         |  SELECT lang, h FROM hfull GROUP BY lang, h HAVING count(*) <= 50
+         |), hrare AS (
+         |  SELECT f.doc_id, f.lang, f.h
+         |  FROM hfull f JOIN fdf ON fdf.lang = f.lang AND fdf.h = f.h
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pfx a JOIN hrare b
+         |    ON a.h = b.h AND a.lang = b.lang AND a.doc_id <> b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       round(len(list_intersect(sa.hset, sb.hset))::DOUBLE / len(sa.hset), 6) AS containment
+         |FROM cand c
+         |JOIN hsig sa ON sa.doc_id = c.doc_a
+         |JOIN hsig sb ON sb.doc_id = c.doc_b
+         |WHERE round(len(list_intersect(sa.hset, sb.hset))::DOUBLE / len(sa.hset), 6) >= 0.85
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Mirrors SimilarityOps.semanticDedup: the q_kmeans centroid CTEs
     // (md5-seeded codebook, exact integer micro-unit Lloyd update,
     // (dist, c_id) argmin re-assignment), then within-cluster pairs at

@@ -74,6 +74,73 @@ class RetrievalQualitySpec extends AnyFunSuite {
     assert(keeps == Set(true, false))
   }
 
+  test("containment prefix filter is exact: uncapped run equals brute force") {
+    // With the df-cap disabled, prefix filtering must lose NOTHING — the
+    // operator's output equals the all-pairs ground truth. (The capped
+    // default trades recall on corpus-common shingles; that contract is
+    // DedupSpec territory.)
+    val docs = docTexts.view.mapValues(_.toSeq).toMap
+    val sh = docs.collect { case (id, w) if w.length >= 3 =>
+      id -> w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val langs = graft.Tables.documents(spark, Sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && langs(a) == langs(b)
+      c = BigDecimal(sa.intersect(sb).size.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.85
+    } yield (a, b) -> c).toMap
+    val got = ops.DedupOps.containmentPairs(
+        graft.Tables.documents(spark, Sf), 0.85, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("markov transitions match a driver-side sequence recomputation") {
+    val ev = graft.Tables.eventsWithRawTs(spark, Sf)
+      .select("user_id", "ts_nanos", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1)))
+    }.toSeq
+    val c2 = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = ops.EventOps.qMarkovTransitions(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == c2.map { case (k, n) => k -> (n, c1(k._1)) })
+    // probabilities per from_type sum to ~1
+    val psums = ops.EventOps.qMarkovTransitions(spark, Sf)
+      .groupBy(col("from_type")).agg(sum(col("p_cond")).as("s")).collect()
+    psums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4))
+  }
+
+  test("anomaly z-score flags exactly the driver-side >=3-sigma set") {
+    val vals = graft.Tables.events(spark, Sf).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = vals.groupBy(_._2)
+    val expected = byType.toSeq.flatMap { case (_, es) =>
+      val vm = es.map(e => (e._1, math.round(e._3 * 1e6)))
+      val n = vm.size
+      val s1 = vm.map(_._2).sum
+      val s2 = vm.map(e => BigInt(e._2) * BigInt(e._2)).sum
+      val mean = s1.toDouble / n
+      val sd = math.sqrt(s2.toDouble / n - mean * mean)
+      vm.flatMap { case (id, v) =>
+        val z = BigDecimal((v.toDouble - mean) / sd)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(z) >= 3.0) Some(id -> z) else None
+      }
+    }.toMap
+    val got = ops.EventOps.qAnomalyZscore(spark, Sf).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("semantic dedup matches driver-side within-cluster pair search") {
     val cent = ops.SimilarityOps.kmeansCentroids(graft.Tables.embeddings(spark, Sf))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
