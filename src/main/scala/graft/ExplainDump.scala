@@ -60,7 +60,14 @@ object ExplainDump {
       "q_peak_concurrency" -> "Sweep line: range-partitioned two-phase prefix sum over boundary rows, skew-immune",
       "q_percentile_bands" -> "Exact multi-quantile: rank window + band aggregate share one hash exchange",
       "q_interval_merge" -> "Interval union: running end-max island merge, exact covered mass",
-      "q_type_bitmask" -> "Bitwise segment census: mergeable bit_or partials, one row per user at the exchange")
+      "q_type_bitmask" -> "Bitwise segment census: mergeable bit_or partials, one row per user at the exchange",
+      "q_semantic_dedup" -> "SemDeDup: broadcast Lloyd codebook assignment; pair join keyed on c_id (partition-local quadratic, k scales with n)",
+      "q_knn_graph" -> "All-vectors kNN: narrow (q_id,bucket) probe fanout, bucket equi-join, embeddings joined back post-prune, per-vec top-k",
+      "q_containment_dedup" -> "Asymmetric containment: A-prefix probes the full df-capped index; exact verify on hash-set signatures",
+      "q_hll_distinct" -> "HLL: register maxima partial-agg map-side to <= m rows/partition; exchange is O(langs*m), never O(tokens)",
+      "q_bm25" -> "BM25: posting lists only, broadcast idf/stats, exact micro-point per-doc sums",
+      "q_perplexity_filter" -> "Bigram-LM NLL: token-partitioned count joins, exact micro-nat doc totals",
+      "q_anomaly_zscore" -> "Exact-integer moments pass, broadcast-back, linear filter — no windows")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

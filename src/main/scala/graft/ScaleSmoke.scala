@@ -129,6 +129,9 @@ object ScaleSmoke {
       val kSem = if (dir == base) 8 else 8 * factor
       time(s"semdedup_k${kSem}_$tag", dir)(d =>
         ops.SimilarityOps.semanticDedup(Tables.embeddings(spark, d), k = kSem))
+      time(s"containment_$tag", dir)(d => ops.DedupOps.qContainmentDedup(spark, d))
+      time(s"markov_$tag", dir)(d => ops.EventOps.qMarkovTransitions(spark, d))
+      time(s"zscore_$tag", dir)(d => ops.EventOps.qAnomalyZscore(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

@@ -131,6 +131,8 @@ object SparkEntry {
     "q_kmeans" -> (ops.SimilarityOps.qKmeans _),
     "q_ann_ivf_kmeans" -> (ops.SimilarityOps.qAnnIvfKmeans _),
     "q_semantic_dedup" -> (ops.SimilarityOps.qSemanticDedup _),
+    "q_knn_graph" -> (ops.SimilarityOps.qKnnGraph _),
+    "q_pmi_collocations" -> (ops.TextOps.qPmiCollocations _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

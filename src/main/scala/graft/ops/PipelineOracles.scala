@@ -1143,6 +1143,68 @@ object PipelineOracles {
         |       (tot // n_bigrams <= 3420000) AS keep_doc
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.qPmiCollocations: exact bigram counts + directional
+    // marginals, ln only at the end, ranked on the rounded score.
+    "q_pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bgl AS (SELECT unnest(list_transform(range(1, len(w)),
+        |                i -> {'w1': w[i], 'w2': w[i+1]})) AS b FROM d),
+        |p AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bgl),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+        |c2 AS (SELECT w2, count(*) AS c2 FROM p GROUP BY 1),
+        |nb AS (SELECT count(*) AS nb FROM p)
+        |SELECT w1, w2, c12,
+        |       round(ln(c12::DOUBLE * nb / (c1::DOUBLE * c2)), 6) AS pmi
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Mirrors SimilarityOps.knnGraph: 8 md5 planes, every vector probes
+    // its Hamming-<=3 buckets (93 masks), bucket equi-join candidates,
+    // top-5 by (cos desc, neighbor_id). The 8/3 point is the numpy
+    // sweep's knee: recall@5 0.60 at 37% candidates (vs 0.32 at H<=2);
+    // the same finer-buckets+wider-probes operating point as annLsh.
+    "q_knn_graph" ->
+      """WITH planes AS (
+        |  SELECT j, list_transform(range(1, 65), i ->
+        |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
+        |  FROM generate_series(0, 7) t(j)
+        |), e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings
+        |), bk AS (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+        |                  THEN (1 << p.j) ELSE 0 END) AS bucket
+        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+        |), masks AS (
+        |  SELECT m FROM generate_series(0, 255) t(m) WHERE bit_count(m) <= 3
+        |), probes AS (
+        |  SELECT bk.vec_id AS q_id, xor(bk.bucket, m.m) AS bucket
+        |  FROM bk CROSS JOIN masks m
+        |), cand AS (
+        |  SELECT p.q_id, bk.vec_id AS neighbor_id
+        |  FROM probes p JOIN bk ON bk.bucket = p.bucket
+        |  WHERE bk.vec_id <> p.q_id
+        |), scored AS (
+        |  SELECT c.q_id, c.neighbor_id,
+        |         list_dot_product(q.v, n.v) / (sqrt(q.nrm) * sqrt(n.nrm)) AS cos
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id
+        |), r AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, rank, neighbor_id, round(cos, 3) AS cos
+        |FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     // Mirrors DedupOps.containmentPairs: A-prefix (|A|-ceil(0.85|A|)+1
     // smallest hashes) probed against the FULL df-capped inverted index,
     // exact containment |A∩B|/|A| verified on the hash-set signatures.

@@ -348,6 +348,43 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** All-vectors k-NN graph via multiprobe sign-LSH — the graph-
+    * construction pass behind graph-based ANN indexes and SemDeDup
+    * variants: EVERY vector gets its top-k approximate neighbors, not
+    * just a query set. Unlike [[annLsh]] (tiny broadcast query side),
+    * both sides are the full corpus, so the probe side stays NARROW:
+    * each vector explodes to its Hamming-≤r probe buckets as (q_id,
+    * bucket) pairs only — the 37×-fanout exchange carries 16 bytes/row,
+    * never the embedding — and the query embedding joins back by q_id
+    * AFTER the bucket equi-join prunes candidates. A (q, neighbor) pair
+    * is reachable through exactly one probe mask (the neighbor sits in
+    * one bucket; XOR is a bijection), so candidates are duplicate-free
+    * without a distinct. Work is Σ_buckets |probes(b)|·|members(b)|,
+    * bounded by the plane count (buckets ∝ 2^planes grows with the
+    * corpus); top-k is a per-vec_id window — high-cardinality
+    * partitions, never global.
+    */
+  def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
+               k: Int = 5): DataFrame = {
+    val e = embs.withColumn("bucket", bucketCol(planes))
+      .select(col("vec_id"), col("bucket"), col("embedding"),
+              norm2("embedding").as("nrm"))
+    val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= hamming)
+    val probes = e.select(col("vec_id").as("q_id"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val qside = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                         col("nrm").as("q_nrm"))
+    val scored = probes.join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
+      .join(qside, Seq("q_id"))
+      .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+    topK(scored, k)
+  }
+
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(embeddings(spark, dir))
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the
     * exact-arithmetic Lloyd codebook ([[kmeansCentroids]]), then look for

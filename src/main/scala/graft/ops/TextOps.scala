@@ -589,6 +589,36 @@ object TextOps {
   def qBigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLm(documents(spark, dir))
 
+  /** Top-20 collocations by pointwise mutual information over corpus
+    * bigrams: PMI = ln(c12·Nb / (c1•·c•2)) with every count exact (the
+    * bigram total and both directional marginals), min support 5, ranked
+    * on the ROUNDED 6dp score with (w1, w2) ties so the selected set is
+    * engine-independent. Same exploded bigram relation as [[bigramLm]];
+    * three hash aggregations + a broadcast scalar + a TakeOrdered —
+    * linear at any corpus size, marginals are vocabulary-sized.
+    */
+  def qPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bg = documents(spark, dir)
+      .withColumn("toks", TextFns.toks)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    c12.filter(col("c12") >= 5)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi", round(
+        expr("ln(cast(c12 as double) * nb / (cast(c1 as double) * c2))"), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
   /** Token counting with a BPE-ish pre-tokenizer regex (letter runs, digit
     * runs, single punctuation) plus alpha-char mass.
     */

@@ -141,6 +141,48 @@ class RetrievalQualitySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("PMI collocations match a driver-side recomputation") {
+    val bgs = docTexts.values.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))).toSeq
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = bgs.groupBy(_._1).view.mapValues(_.size).toMap
+    val c2 = bgs.groupBy(_._2).view.mapValues(_.size).toMap
+    val nb = bgs.size
+    val expected = c12.toSeq.filter(_._2 >= 5).map { case ((w1, w2), n) =>
+      val pmi = BigDecimal(math.log(n.toDouble * nb / (c1(w1).toDouble * c2(w2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (w1, w2, n.toLong, pmi)
+    }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(20)
+    val got = ops.TextOps.qPmiCollocations(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("kNN graph: reported cosines are true values; recall@5 vs brute force is usable") {
+    val vecs = graft.Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val got = ops.SimilarityOps.qKnnGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every edge's cosine is the true cosine (graph edges are never stale)
+    got.foreach { case (q, _, n, c) =>
+      val truth = BigDecimal(cos(q, n)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(c - truth) < 1e-9, s"($q,$n)")
+    }
+    // recall@5 against exact 5-NN, corpus mean
+    val exact5 = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(q, n), n)).take(5).toSet
+    }.toMap
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val hits = exact5.map { case (q, ex) => byQ.getOrElse(q, Set.empty).intersect(ex).size }.sum
+    val recall = hits.toDouble / (exact5.size * 5)
+    assert(recall >= 0.5, s"mean recall@5 = $recall")
+  }
+
   test("semantic dedup matches driver-side within-cluster pair search") {
     val cent = ops.SimilarityOps.kmeansCentroids(graft.Tables.embeddings(spark, Sf))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
