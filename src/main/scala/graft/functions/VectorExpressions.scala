@@ -28,14 +28,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * ragged embeddings).
   */
 case class CosineDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def isNumArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  // Each side is independently ARRAY<FLOAT> or ARRAY<DOUBLE> (Lloyd
+  // assignment dots a float embedding against a double centroid; the
+  // pair-scoring stage dots two double arrays) — the element load is the
+  // only per-type code, the double accumulation is shared.
+  private lazy val leftIsFloat: Boolean =
+    left.dataType == ArrayType(FloatType, containsNull = false) ||
+      left.dataType == ArrayType(FloatType, containsNull = true)
+  private lazy val rightIsFloat: Boolean =
+    right.dataType == ArrayType(FloatType, containsNull = false) ||
+      right.dataType == ArrayType(FloatType, containsNull = true)
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => isNumArray(e.dataType))
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_dot requires two ARRAY<FLOAT> arguments, got " +
+      s"cosine_dot requires ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
@@ -51,7 +63,9 @@ case class CosineDot(left: Expression, right: Expression) extends BinaryExpressi
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -62,6 +76,8 @@ case class CosineDot(left: Expression, right: Expression) extends BinaryExpressi
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
@@ -70,7 +86,7 @@ case class CosineDot(left: Expression, right: Expression) extends BinaryExpressi
          |} else {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $s += $getA * $getB;
          |  }
          |}
          |${ev.value} = $s;

@@ -24,11 +24,6 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   * computes the same values if the pattern drifts.
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
-  private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
   private def isDoubleCastOf(e: Expression, v: NamedLambdaVariable): Boolean = e match {
     case c: Cast => c.dataType == DoubleType && (c.child match {
       case u: NamedLambdaVariable => u.exprId == v.exprId
@@ -42,26 +37,45 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The lambda body's element access matching array `arr`'s element
+    * type: a FLOAT array element must appear under an explicit double
+    * cast (a bare float multiply would be float arithmetic — different
+    * semantics); a DOUBLE array element may appear bare or under a
+    * (no-op) double cast, whichever the optimizer left behind.
+    */
+  private def isElem(arr: Expression, e: Expression, v: NamedLambdaVariable): Boolean =
+    arr.dataType match {
+      case ArrayType(DoubleType, _) => isVar(e, v) || isDoubleCastOf(e, v)
+      case ArrayType(FloatType, _)  => isDoubleCastOf(e, v)
+      case _ => false
+    }
+
+  private def isNumArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    // zip_with form: dot(a, b)
+    // zip_with form: dot(a, b) — float and/or double arrays
     case ArrayAggregate(
           ZipWith(a, b, LambdaFunction(mul: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(0.0d, DoubleType),
           LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
-        if isFloatArray(a) && isFloatArray(b) &&
-           isDoubleCastOf(mul.left, x) && isDoubleCastOf(mul.right, y) &&
+        if isNumArray(a) && isNumArray(b) &&
+           isElem(a, mul.left, x) && isElem(b, mul.right, y) &&
            isVar(add.left, acc) && isVar(add.right, v) && isVar(fin, facc) =>
       CosineDot(a, b)
-    // self-dot form: aggregate(v, 0d, (acc,x) -> acc + double(x)*double(x))
+    // self-dot form: aggregate(v, 0d, (acc,x) -> acc + x*x) (double) /
+    // acc + double(x)*double(x) (float)
     case ArrayAggregate(
           arr,
           Literal(0.0d, DoubleType),
           LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
-        if isFloatArray(arr) && isVar(add.left, acc) && isVar(fin, facc) &&
+        if isNumArray(arr) && isVar(add.left, acc) && isVar(fin, facc) &&
            (add.right match {
-             case m: Multiply => isDoubleCastOf(m.left, x) && isDoubleCastOf(m.right, x)
+             case m: Multiply => isElem(arr, m.left, x) && isElem(arr, m.right, x)
              case _ => false
            }) =>
       CosineDot(arr, arr)
