@@ -133,6 +133,9 @@ object SparkEntry {
     "q_semantic_dedup" -> (ops.SimilarityOps.qSemanticDedup _),
     "q_knn_graph" -> (ops.SimilarityOps.qKnnGraph _),
     "q_pmi_collocations" -> (ops.TextOps.qPmiCollocations _),
+    "q_priority_sample" -> (ops.TextOps.qPrioritySample _),
+    "q_copurchase_communities" -> (ops.GraphOps.qCopurchaseCommunities _),
+    "q_stream_topk" -> (streaming.EventStream.qStreamTopk _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

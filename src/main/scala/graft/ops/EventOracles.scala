@@ -391,6 +391,35 @@ object EventOracles {
         |         AS cum_users
         |FROM daily ORDER BY db""".stripMargin,
 
+    // Mirrors EventStream.qStreamTopk: the incremental additive count
+    // store must drain to the plain batch aggregate.
+    "q_stream_topk" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+
+    // Mirrors GraphOps.qCopurchaseCommunities: recursive closure over the
+    // >=3-basket co-purchase edges; community id = min reachable part.
+    "q_copurchase_communities" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |),
+        |e AS (SELECT p1 AS a, p2 AS b FROM pp UNION SELECT p2, p1 FROM pp),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+        |),
+        |lab AS (
+        |  SELECT a AS part, least(a, min(b)) AS community_id
+        |  FROM r GROUP BY a
+        |)
+        |SELECT community_id, count(*) AS n_parts
+        |FROM lab GROUP BY 1 ORDER BY community_id""".stripMargin,
+
     // Mirrors EventOps.qMarkovTransitions: lead() per user in (ts,
     // event_id) order — DuckDB's ts is the raw nano value, the same
     // total order as Spark's ts_nanos.

@@ -142,4 +142,32 @@ object GraphOps {
       .distinct()
     triangleCount(und)
   }
+
+  /** Product communities: connected components over the co-purchase graph
+    * (parts sharing ≥ minOrders baskets), summarized as per-community
+    * sizes — the "substitutes/accessories cluster" detection pass, and a
+    * second consumer of the generic label-propagation CC machinery
+    * ([[DedupOps.dedupClusters]]): the same pointer-jumping fixpoint that
+    * clusters near-dup documents clusters co-purchased parts unchanged.
+    * Edge generation is [[AnalyticsOps.copurchasePairs]]'s one-exchange
+    * basket self-join with an exact count threshold; the CC rounds are
+    * co-partitioned joins (O(log diameter) of them). Community id = min
+    * part key, so the labeling is content-stable at any parallelism.
+    */
+  def qCopurchaseCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("p1"))
+      .repartition(col("basket"))
+      .dropDuplicates("basket", "p1")
+    val b = li.toDF("basket", "p2")
+    val edges = li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .select(col("p1").as("doc_a"), col("p2").as("doc_b"))
+    DedupOps.dedupClusters(edges)
+      .groupBy(col("cluster_id").as("community_id"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("community_id"))
+  }
 }

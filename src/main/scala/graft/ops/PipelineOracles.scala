@@ -1143,6 +1143,18 @@ object PipelineOracles {
         |       (tot // n_bigrams <= 3420000) AS keep_doc
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.qPrioritySample: priority = hash60/weight, smallest
+    // 100 win; ranked on the unrounded IEEE division both engines share.
+    "q_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+        |           / n_chars AS prio
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id, lang, n_chars, round(prio, 6) AS prio
+        |FROM p ORDER BY p.prio, doc_id LIMIT 100""".stripMargin,
+
     // Mirrors TextOps.qPmiCollocations: exact bigram counts + directional
     // marginals, ln only at the end, ranked on the rounded score.
     "q_pmi_collocations" ->

@@ -683,6 +683,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic weighted sampling without replacement (priority
+    * sampling): k = 100 docs selected with probability increasing in
+    * weight (n_chars), via priority = hash60(doc_id) / weight — the
+    * smallest-k priorities win, so a doc with twice the weight is twice
+    * as likely to beat any given hash draw. Content-stable (a doc's
+    * priority never depends on partitioning or corpus membership), so
+    * samples are reproducible across runs AND incrementally mergeable:
+    * the k smallest priorities of a union are computable from per-shard
+    * top-k — a TakeOrdered, never a global sort. The priority is one
+    * IEEE division of the oracle-shared 60-bit hash by an exact integer,
+    * identical on both engines; ties are impossible (distinct hashes).
+    */
+  def qPrioritySample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (TextFns.hash60(col("doc_id").cast("string")).cast("double") / col("n_chars"))
+          .as("prio"))
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("n_chars"), round(col("prio"), 6).as("prio"))
+
   /** The custom Generator (UDTF surface): `graft_sliding(toks, 5, 3)`
     * fans each document out to its stride-3 5-token windows through
     * Spark's own GenerateExec — the same physical treatment as `explode`,

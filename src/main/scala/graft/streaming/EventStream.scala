@@ -424,6 +424,87 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** One micro-batch of the ADDITIVE count sink: per-user batch counts
+    * summed into the store. Same partitioned copy-on-write shape as
+    * [[upsertBatchIntoStore]] (touched-partition pruning, staging,
+    * dynamic overwrite), but the merge is `sum` — commutative AND
+    * associative, so any micro-batch arrival order drains to the same
+    * store (latest-wins only gets commutativity from the total order on
+    * (ts, event_id); addition needs nothing).
+    */
+  private[graft] def addCountsIntoStore(spark: SparkSession, storeDir: String,
+                                        stagingDir: String, batch: DataFrame,
+                                        nParts: Int): Unit = {
+    val counts = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("part", pmod(col("user_id"), lit(nParts)))
+    val storeExists = java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir))
+    val merged =
+      if (storeExists) {
+        val touched = counts.select(col("part")).distinct().collect()
+          .map(_.getLong(0))
+        val storeTouched = spark.read.parquet(storeDir)
+          .filter(col("part").isin(touched: _*))
+          .select(col("user_id"), col("n"))
+        storeTouched.unionByName(counts.drop("part"))
+          .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
+          .withColumn("part", pmod(col("user_id"), lit(nParts)))
+      } else counts
+    merged.write.mode("overwrite").parquet(stagingDir)
+    spark.read.parquet(stagingDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(storeDir)
+  }
+
+  /** Seventh driver-checked streaming row — streaming running counts with
+    * a top-k read-out: the serving-layer heavy-hitters pipeline (per-key
+    * counts merged additively into a durable store; consumers read the
+    * current top-k at any time). Exercises the aggregate-merge sink class
+    * that latest-wins upsert ([[qStreamUpsert]]) doesn't: the store holds
+    * PARTIAL aggregates that combine across batches, the streaming face
+    * of the same partial/final split Spark applies within a batch. The
+    * fixture drains 4 source files one per trigger, so the additive merge
+    * genuinely runs across micro-batches in arbitrary order; the oracle
+    * is the plain batch GROUP BY count top-20 — equality proves the
+    * incremental sums equal the one-shot aggregate.
+    */
+  def qStreamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val nParts = 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
+    val srcDir = tmp.resolve("src").toString
+    val storeDir = tmp.resolve("store").toString
+    val ev = graft.Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          addCountsIntoStore(spark, storeDir,
+            tmp.resolve(s"staging_$id").toString, batch.toDF(), nParts)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_topk: stream did not drain within 120 s — refusing to " +
+            "read a partially merged store")
+      }
+      val out = spark.read.parquet(storeDir)
+        .select(col("user_id"), col("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val s = java.nio.file.Files.walk(p)
