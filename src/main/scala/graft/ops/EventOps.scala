@@ -474,4 +474,38 @@ object EventOps {
       .select(col("event_type"), col("event_id"), col("vm"), col("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Per-user exponentially-weighted moving average (α = 1/2) of event
+    * values over the trailing 8 events — the streaming-feature smoothing
+    * pass of a training pipeline, computed EXACTLY: α = 1/2 makes every
+    * weight a power of two, so the weighted numerator Σ value_c·2^(7-j)
+    * and the weight mass Σ 2^(7-j) are plain BIGINTs (value_c is integer
+    * cents; no float enters until never — the output keeps num/den
+    * separate plus one truncating integer division both engines share).
+    * The window is the standard unrolled-lag form: 8 `lag()`s over ONE
+    * per-user event-time sort (ts, event_id total order), so the plan is
+    * a single hash exchange on user_id + an in-partition sort — per-user
+    * history lengths are bounded by user activity, not corpus size, and
+    * the 8-lag frame is O(1) state per row at any scale.
+    */
+  def qEwmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val lagged = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+    val (num, den) = (0 to 7).map { j =>
+      val v = if (j == 0) col("value_c") else lag(col("value_c"), j).over(w)
+      val wgt = 1L << (7 - j)
+      (coalesce(v, lit(0L)) * wgt, when(v.isNotNull, lit(wgt)).otherwise(lit(0L)))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    lagged
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_den", den)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("value_c"), col("ewma_num"), col("ewma_den"),
+              expr("ewma_num div ewma_den").as("ewma_c"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
 }

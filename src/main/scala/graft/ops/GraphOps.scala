@@ -170,4 +170,59 @@ object GraphOps {
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("community_id"))
   }
+
+  /** Bounded-hop BFS shortest paths from a source set over an undirected
+    * edge relation `(u, v)` — the classic BSP frontier expansion: each
+    * round is one equi-join of the current frontier against the
+    * (symmetrized) adjacency relation, hash-partitioned on the join key,
+    * followed by an anti-join against the settled set so a node is
+    * visited exactly once at its minimum distance. `maxHops` rounds of
+    * co-partitioned joins, frontier persisted per round (same bounded-
+    * lineage discipline as [[DedupOps.dedupClusters]]'s pointer jumping);
+    * per-round work is O(edges touched), never all-pairs, and the settled
+    * relation only ever holds (node, dist) pairs — the schedule Pregel
+    * runs at any graph size.
+    */
+  def shortestPaths(und: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val sym = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    var settled = sources.select(col("node"), lit(0L).as("dist"))
+    var frontier = settled.persist()
+    (1 to maxHops).foreach { h =>
+      val next = frontier
+        .join(sym, frontier("node") === sym("u"))
+        .select(col("v").as("node"))
+        .distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+        .persist()
+      next.count() // materialize before unpersisting the parent frontier
+      frontier.unpersist()
+      settled = settled.union(next)
+      frontier = next
+    }
+    settled
+  }
+
+  /** Driver row: BFS hop distances (≤ 4) from the lowest part key of the
+    * co-purchase graph (parts sharing ≥ 3 order baskets). The oracle is a
+    * DuckDB recursive CTE over the identical edge relation — `UNION`
+    * dedup plus the hop cap bounds the recursion, and `min(dist)` per
+    * node collapses to the same BFS layering the anti-join enforces here.
+    */
+  def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("p1"))
+      .repartition(col("basket"))
+      .dropDuplicates("basket", "p1")
+    val b = li.toDF("basket", "p2")
+    val und = li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .select(col("p1").as("u"), col("p2").as("v"))
+    val src = und.agg(least(min(col("u")), min(col("v"))).as("node"))
+    shortestPaths(und, src, maxHops = 4)
+      .orderBy(col("dist"), col("node"))
+  }
 }

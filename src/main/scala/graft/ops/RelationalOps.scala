@@ -441,4 +441,26 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
       .filter(col("n_orders") >= 15)
       .orderBy(col("o_custkey"))
+
+  /** Relational PIVOT: order spend cross-tabulated priority × status.
+    * The pivot values are EXPLICIT (`Seq("F","O","P")`) — the two-pass
+    * `.pivot(col)` overload first runs `SELECT DISTINCT` over the pivot
+    * column, an extra full scan plus a driver collect that is wrong at
+    * 100 TB; with literal values the whole pivot compiles to ONE
+    * conditional aggregate over one scan (same single-exchange shape as
+    * the flagship months pivot, `FlightOps.qFlightReport`). Money stays
+    * exact-integer cents.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderpriority"),
+              col("o_orderstatus"),
+              expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("cents")))
+      .select(col("o_orderpriority"),
+              col("F").as("f_cents"), col("O").as("o_cents"),
+              col("P").as("p_cents"))
+      .orderBy(col("o_orderpriority"))
 }
