@@ -136,6 +136,9 @@ object SparkEntry {
     "q_priority_sample" -> (ops.TextOps.qPrioritySample _),
     "q_copurchase_communities" -> (ops.GraphOps.qCopurchaseCommunities _),
     "q_stream_topk" -> (streaming.EventStream.qStreamTopk _),
+    "q_ewma_smooth" -> (ops.EventOps.qEwmaSmooth _),
+    "q_shortest_path" -> (ops.GraphOps.qShortestPath _),
+    "q_pivot" -> (ops.RelationalOps.qPivot _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

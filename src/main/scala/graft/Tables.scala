@@ -21,36 +21,57 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only accepts as a long when `spark.sql.legacy.parquet
-    * .nanosAsLong=true` (set in Verify/Bench/tests). Convert back to a
-    * microsecond timestamp here so downstream operators see TimestampType.
+  /** `events.ts` has shipped in three physical forms across fixture
+    * generations: parquet TIMESTAMP(NANOS) (readable only as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (Spark reads TIMESTAMP_NTZ), and plain
+    * instant TIMESTAMP. Normalize all three to session-zone TimestampType
+    * here so downstream operators are representation-independent. The
+    * NTZ→LTZ cast interprets the wall-clock value in the session timezone
+    * (UTC everywhere in this repo), which is exactly how DuckDB's
+    * `epoch_us(ts)` reads the same naive column — the two engines agree
+    * on every derived microsecond value.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Defensive: a caller-built session (e.g. the driver's smoke harness)
-    // may lack the flag; it is runtime-settable and required to read the
-    // TIMESTAMP(NANOS) column at all.
+    // may lack the flag; it is runtime-settable and required to read a
+    // TIMESTAMP(NANOS) column at all (harmless for micros fixtures).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's 2^53
-      // integer range, so float division is off by ±1 microsecond.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's 2^53
+        // integer range, so float division is off by ±1 microsecond.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
-  /** Like [[events]] but retains the raw TIMESTAMP(NANOS) value as
-    * `ts_nanos: LONG` — a pure alias of the physical column, so range
-    * predicates on it reach the parquet scan as PushedFilters (min/max
-    * row-group pruning), which `year(ts)` over the derived timestamp can
-    * never do. Callers project `ts_nanos` away after filtering.
+  /** Like [[events]] but also exposes the event time as `ts_nanos: LONG`
+    * (epoch nanoseconds) and keeps the PHYSICAL column under `ts_raw`.
+    * Range predicates built by [[graft.ops.FlightOps]] target `ts_raw`
+    * with literals of the matching type, so they reach the parquet scan
+    * as PushedFilters (row-group min/max pruning) in every fixture
+    * generation — `year(ts)` over the derived timestamp can never do
+    * that. Callers project `ts_raw`/`ts_nanos` away after filtering.
     */
   def eventsWithRawTs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts_nanos", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_raw", col("ts"))
+          .withColumn("ts_nanos", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts_raw", col("ts"))
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_nanos", unix_micros(col("ts")) * lit(1000L))
+      case _ =>
+        raw.withColumn("ts_raw", col("ts"))
+          .withColumn("ts_nanos", expr("unix_micros(ts) * 1000"))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -441,6 +441,61 @@ object EventOracles {
         |FROM t2 JOIN t1 USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
 
+    // Mirrors EventOps.qEwmaSmooth: α=1/2 EWMA over the trailing 8
+    // purchase values per user — power-of-two weights keep num/den exact
+    // BIGINTs; both engines truncate the final integer division.
+    "q_ewma_smooth" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'
+        |), l AS (
+        |  SELECT user_id, event_id, ts_us, value_c,
+        |         lag(value_c, 1) OVER w AS v1, lag(value_c, 2) OVER w AS v2,
+        |         lag(value_c, 3) OVER w AS v3, lag(value_c, 4) OVER w AS v4,
+        |         lag(value_c, 5) OVER w AS v5, lag(value_c, 6) OVER w AS v6,
+        |         lag(value_c, 7) OVER w AS v7
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts_us, value_c,
+        |         value_c * 128 + coalesce(v1, 0) * 64 + coalesce(v2, 0) * 32 +
+        |         coalesce(v3, 0) * 16 + coalesce(v4, 0) * 8 + coalesce(v5, 0) * 4 +
+        |         coalesce(v6, 0) * 2 + coalesce(v7, 0) AS ewma_num,
+        |         128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END +
+        |         CASE WHEN v2 IS NULL THEN 0 ELSE 32 END +
+        |         CASE WHEN v3 IS NULL THEN 0 ELSE 16 END +
+        |         CASE WHEN v4 IS NULL THEN 0 ELSE 8 END +
+        |         CASE WHEN v5 IS NULL THEN 0 ELSE 4 END +
+        |         CASE WHEN v6 IS NULL THEN 0 ELSE 2 END +
+        |         CASE WHEN v7 IS NULL THEN 0 ELSE 1 END AS ewma_den
+        |  FROM l
+        |)
+        |SELECT user_id, event_id, ts_us, value_c, ewma_num, ewma_den,
+        |       ewma_num // ewma_den AS ewma_c
+        |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // Mirrors GraphOps.qShortestPath: bounded-hop BFS layering as a
+    // recursive CTE — UNION-dedup'd (node, dist) pairs with the hop cap,
+    // min(dist) per node collapses to the BFS distance.
+    "q_shortest_path" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
+        |pp AS (
+        |  SELECT a.p AS p1, b.p AS p2
+        |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |),
+        |e AS (SELECT p1 AS u, p2 AS v FROM pp UNION SELECT p2, p1 FROM pp),
+        |src AS (SELECT least(min(u), min(v)) AS node FROM e),
+        |r(node, dist) AS (
+        |  SELECT node, 0 FROM src
+        |  UNION
+        |  SELECT e.v, r.dist + 1 FROM r JOIN e ON e.u = r.node WHERE r.dist < 4
+        |),
+        |d AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist
+        |FROM d ORDER BY dist, node""".stripMargin,
+
     // Mirrors EventOps.qAnomalyZscore: exact micro-unit moments (S2 in
     // HUGEINT = Spark's DECIMAL(38,0)), one shared IEEE z expression.
     "q_anomaly_zscore" ->

@@ -46,26 +46,37 @@ object FlightOps {
       month(col("ts")).as("month"),
       col("value").as("delay"),
       get_json_object(col("props"), "$.k").cast("int").as("k"),
-      col("ts_nanos"))
+      col("ts_raw"))
 
   /** Pushable twin of `year = y`: `year()` over the derived timestamp
-    * cannot reach the parquet scan, but this raw epoch-nano range on the
-    * physical column does — row-group min/max statistics then skip every
-    * other year's data, which at 100 TB is the difference between
-    * scanning one year and scanning all of them. Bounds derive from the
-    * SESSION timezone (the same zone `year(ts)` evaluates in), so the
-    * twin stays consistent on caller-built non-UTC sessions.
+    * cannot reach the parquet scan, but a range on the PHYSICAL column
+    * (`ts_raw`, whatever representation this fixture generation shipped)
+    * does — row-group min/max statistics then skip every other year's
+    * data, which at 100 TB is the difference between scanning one year
+    * and scanning all of them. Bounds derive from the SESSION timezone
+    * (the same zone `year(ts)` evaluates in) and are emitted as literals
+    * of the matching physical type (epoch-nano long / naive local
+    * datetime / instant) so the predicate stays a PushedFilter.
     */
-  private def tsNanosInYear(spark: SparkSession, y: Int): Column = {
+  private def tsRawInYear(spark: SparkSession, df: DataFrame, y: Int): Column = {
     val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-    def nanos(year: Int): Long =
-      java.time.LocalDate.of(year, 1, 1).atStartOfDay(zone)
-        .toEpochSecond * 1000000000L
-    col("ts_nanos") >= nanos(y) && col("ts_nanos") < nanos(y + 1)
+    def startOf(year: Int) = java.time.LocalDate.of(year, 1, 1).atStartOfDay(zone)
+    import org.apache.spark.sql.types._
+    df.schema("ts_raw").dataType match {
+      case LongType =>
+        col("ts_raw") >= startOf(y).toEpochSecond * 1000000000L &&
+          col("ts_raw") < startOf(y + 1).toEpochSecond * 1000000000L
+      case TimestampNTZType =>
+        col("ts_raw") >= lit(startOf(y).toLocalDateTime) &&
+          col("ts_raw") < lit(startOf(y + 1).toLocalDateTime)
+      case _ =>
+        col("ts_raw") >= lit(java.sql.Timestamp.from(startOf(y).toInstant)) &&
+          col("ts_raw") < lit(java.sql.Timestamp.from(startOf(y + 1).toInstant))
+    }
   }
 
   private def successful(spark: SparkSession, df: DataFrame): DataFrame =
-    df.filter(tsNanosInYear(spark, TargetYear) && col("year") === TargetYear &&
+    df.filter(tsRawInYear(spark, df, TargetYear) && col("year") === TargetYear &&
       col("k") % 7 =!= 0 && col("k") % 11 =!= 0)
 
   /** A4 rounding: floor(avg)+1 (exact equivalent of the reference's
@@ -140,8 +151,8 @@ object FlightOps {
 
   /** F1 in isolation: year-equality filter (`HCompute/...Main.java:109-111`). */
   def qFilterYear(spark: SparkSession, dir: String): DataFrame =
-    flights(spark, dir)
-      .filter(tsNanosInYear(spark, TargetYear) && col("year") === TargetYear)
+    { val f = flights(spark, dir)
+      f.filter(tsRawInYear(spark, f, TargetYear) && col("year") === TargetYear) }
       .select(col("carrier"), col("month"), col("delay"))
       .orderBy(col("carrier"), col("month"), col("delay"))
 

@@ -130,6 +130,20 @@ object RelationalOracles {
         |SELECT measure, count(*) AS n, round(sum(value), 2) AS total
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
 
+    // Mirrors RelationalOps.qPivot: explicit-value pivot == conditional
+    // aggregation over one scan; empty cells stay NULL on both engines.
+    "q_pivot" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN cents END) AS BIGINT) AS f_cents,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN cents END) AS BIGINT) AS o_cents,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN cents END) AS BIGINT) AS p_cents
+        |FROM o GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
