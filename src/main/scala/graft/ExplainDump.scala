@@ -67,7 +67,13 @@ object ExplainDump {
       "q_hll_distinct" -> "HLL: register maxima partial-agg map-side to <= m rows/partition; exchange is O(langs*m), never O(tokens)",
       "q_bm25" -> "BM25: posting lists only, broadcast idf/stats, exact micro-point per-doc sums",
       "q_perplexity_filter" -> "Bigram-LM NLL: token-partitioned count joins, exact micro-nat doc totals",
-      "q_anomaly_zscore" -> "Exact-integer moments pass, broadcast-back, linear filter — no windows")
+      "q_anomaly_zscore" -> "Exact-integer moments pass, broadcast-back, linear filter — no windows",
+      "q_seq_pack" -> "Sequence packing: distributed token prefix sum (bucketed windows + offset hierarchy), per-bin aggregate on a high-cardinality key",
+      "q_label_smooth" -> "kNN label vote: edge relation joined to labels on neighbor_id, (q_id,label) count, max_by argmax — no window, no driver state",
+      "q_next_event_examples" -> "Example builder: six window functions off ONE per-user exchange+sort, O(1) frame state",
+      "q_mutual_info" -> "MI: joint counts once, marginals off the joint relation, broadcast scalar total",
+      "q_bpe_merges" -> "BPE pair stats: corpus-heavy word count first, pair explode over DISTINCT words only",
+      "q_pivot" -> "Explicit-value PIVOT compiled to one conditional aggregate (no distinct-collect pass)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

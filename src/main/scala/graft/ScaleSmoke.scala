@@ -51,7 +51,7 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
     (0 until factor).map { c =>
       embs.select((col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
-                  col("embedding"))
+                  col("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
@@ -132,6 +132,12 @@ object ScaleSmoke {
       time(s"containment_$tag", dir)(d => ops.DedupOps.qContainmentDedup(spark, d))
       time(s"markov_$tag", dir)(d => ops.EventOps.qMarkovTransitions(spark, d))
       time(s"zscore_$tag", dir)(d => ops.EventOps.qAnomalyZscore(spark, d))
+      time(s"seq_pack_$tag", dir)(d => ops.TextOps.qSeqPack(spark, d))
+      time(s"bpe_merges_$tag", dir)(d => ops.TextOps.qBpeMerges(spark, d))
+      time(s"label_smooth_$tag", dir)(d => ops.SimilarityOps.qLabelSmooth(spark, d))
+      time(s"next_event_$tag", dir)(d => ops.EventOps.qNextEventExamples(spark, d))
+      time(s"ewma_$tag", dir)(d => ops.EventOps.qEwmaSmooth(spark, d))
+      time(s"shortest_path_$tag", dir)(d => ops.GraphOps.qShortestPath(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

@@ -139,6 +139,11 @@ object SparkEntry {
     "q_ewma_smooth" -> (ops.EventOps.qEwmaSmooth _),
     "q_shortest_path" -> (ops.GraphOps.qShortestPath _),
     "q_pivot" -> (ops.RelationalOps.qPivot _),
+    "q_seq_pack" -> (ops.TextOps.qSeqPack _),
+    "q_bpe_merges" -> (ops.TextOps.qBpeMerges _),
+    "q_mutual_info" -> (ops.TextOps.qMutualInfo _),
+    "q_label_smooth" -> (ops.SimilarityOps.qLabelSmooth _),
+    "q_next_event_examples" -> (ops.EventOps.qNextEventExamples _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

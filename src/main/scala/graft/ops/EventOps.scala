@@ -488,6 +488,33 @@ object EventOps {
     * history lengths are bounded by user activity, not corpus size, and
     * the 8-lag frame is O(1) state per row at any scale.
     */
+  /** Supervised training-example construction from the event log: one
+    * example per event, features = per-type counts over the trailing
+    * 5-event window (current row inclusive), label = the NEXT event's
+    * type — the "next-action prediction" dataset builder. One hash
+    * exchange on user_id feeds every per-type `count` AND the `lead`
+    * label off the same in-partition sort (Catalyst collapses the six
+    * window functions into one Window node over one sort); rows with no
+    * successor are dropped, as a sequence-model dataset requires. The
+    * per-user frame is O(1) state per row — corpus size never enters.
+    */
+  def qNextEventExamples(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val frame = order.rowsBetween(-4, 0)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val feats = types.map(t =>
+      count(when(col("event_type") === t, lit(1))).over(frame).as(s"f_$t"))
+    val base = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    base
+      .select(col("user_id") +: col("event_id") +: col("ts_us") +: feats :+
+              lead(col("event_type"), 1).over(order).as("label"): _*)
+      .filter(col("label").isNotNull)
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   def qEwmaSmooth(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)

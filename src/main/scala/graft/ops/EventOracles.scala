@@ -441,6 +441,27 @@ object EventOracles {
         |FROM t2 JOIN t1 USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
 
+    // Mirrors EventOps.qNextEventExamples: trailing-5 per-type counts +
+    // lead() label off one per-user (ts, event_id) sort.
+    "q_next_event_examples" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), x AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END) OVER w5 AS f_click,
+        |         count(CASE WHEN event_type = 'error' THEN 1 END) OVER w5 AS f_error,
+        |         count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w5 AS f_purchase,
+        |         count(CASE WHEN event_type = 'signup' THEN 1 END) OVER w5 AS f_signup,
+        |         count(CASE WHEN event_type = 'view' THEN 1 END) OVER w5 AS f_view,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS label
+        |  FROM e
+        |  WINDOW w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT * FROM x WHERE label IS NOT NULL
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     // Mirrors EventOps.qEwmaSmooth: α=1/2 EWMA over the trailing 8
     // purchase values per user — power-of-two weights keep num/den exact
     // BIGINTs; both engines truncate the final integer division.
@@ -483,7 +504,7 @@ object EventOracles {
         |pp AS (
         |  SELECT a.p AS p1, b.p AS p2
         |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
-        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
         |),
         |e AS (SELECT p1 AS u, p2 AS v FROM pp UNION SELECT p2, p1 FROM pp),
         |src AS (SELECT least(min(u), min(v)) AS node FROM e),

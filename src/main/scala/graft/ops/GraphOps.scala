@@ -205,10 +205,13 @@ object GraphOps {
   }
 
   /** Driver row: BFS hop distances (≤ 4) from the lowest part key of the
-    * co-purchase graph (parts sharing ≥ 3 order baskets). The oracle is a
-    * DuckDB recursive CTE over the identical edge relation — `UNION`
-    * dedup plus the hop cap bounds the recursion, and `min(dist)` per
-    * node collapses to the same BFS layering the anti-join enforces here.
+    * co-purchase graph (parts sharing ≥ 2 order baskets — one notch
+    * denser than [[qCopurchaseCommunities]]'s ≥ 3 so the frontier
+    * expansion actually runs multiple non-trivial rounds at fixture
+    * scale). The oracle is a DuckDB recursive CTE over the identical edge
+    * relation — `UNION` dedup plus the hop cap bounds the recursion, and
+    * `min(dist)` per node collapses to the same BFS layering the
+    * anti-join enforces here.
     */
   def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
@@ -219,7 +222,7 @@ object GraphOps {
     val und = li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 3)
+      .filter(col("n_orders") >= 2)
       .select(col("p1").as("u"), col("p2").as("v"))
     val src = und.agg(least(min(col("u")), min(col("v"))).as("node"))
     shortestPaths(und, src, maxHops = 4)

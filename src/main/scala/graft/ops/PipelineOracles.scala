@@ -186,6 +186,45 @@ object PipelineOracles {
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared kNN edge relation (SimilarityOps.knnGraph, 8 planes /
+    * Hamming ≤ 3): CTE chain ending in `r(q_id, neighbor_id, cos, rank)`.
+    */
+  private val KNN8 =
+    """WITH planes AS (
+      |  SELECT j, list_transform(range(1, 65), i ->
+      |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
+      |  FROM generate_series(0, 7) t(j)
+      |), e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+      |  FROM embeddings
+      |), bk AS (
+      |  SELECT e.vec_id,
+      |         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+      |                  THEN (1 << p.j) ELSE 0 END) AS bucket
+      |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+      |), masks AS (
+      |  SELECT m FROM generate_series(0, 255) t(m) WHERE bit_count(m) <= 3
+      |), probes AS (
+      |  SELECT bk.vec_id AS q_id, xor(bk.bucket, m.m) AS bucket
+      |  FROM bk CROSS JOIN masks m
+      |), cand AS (
+      |  SELECT p.q_id, bk.vec_id AS neighbor_id
+      |  FROM probes p JOIN bk ON bk.bucket = p.bucket
+      |  WHERE bk.vec_id <> p.q_id
+      |), scored AS (
+      |  SELECT c.q_id, c.neighbor_id,
+      |         list_dot_product(q.v, n.v) / (sqrt(q.nrm) * sqrt(n.nrm)) AS cos
+      |  FROM cand c
+      |  JOIN e q ON q.vec_id = c.q_id
+      |  JOIN e n ON n.vec_id = c.neighbor_id
+      |), r AS (
+      |  SELECT q_id, neighbor_id, cos,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored
+      |)""".stripMargin
+
   val all: Map[String, String] = Map(
     // ---- TextOps ----
     "q_text_quality" ->
@@ -278,6 +317,54 @@ object PipelineOracles {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.packSequences: global token prefix sum in doc_id
+    // order (the oracle may use the single-window form; Spark computes it
+    // via the distributed bucket hierarchy), bin = start_offset // 2048.
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, n_tokens,
+        |         coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |  FROM t
+        |)
+        |SELECT off // 2048 AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Mirrors TextOps.qBpeMerges: adjacent-char pair frequencies over the
+    // word-frequency table (pair work is per DISTINCT word), top 20.
+    "q_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT word, count(*) AS n FROM w
+        |  WHERE length(word) >= 2 GROUP BY word
+        |), pos AS (
+        |  SELECT word, n, unnest(range(1, length(word))) AS i FROM wc
+        |)
+        |SELECT substr(word, CAST(i AS INT), 2) AS pair,
+        |       CAST(sum(n) AS BIGINT) AS n_pair
+        |FROM pos GROUP BY 1 ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+
+    // Mirrors TextOps.qMutualInfo: exact joint/marginal counts, per-cell
+    // PMI rounded to micro-nats off identical exact-integer doubles.
+    "q_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2
+        |), mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+        |my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY 1),
+        |nt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM joint)
+        |SELECT lang, source, n_xy, n_x, n_y, n_total,
+        |       CAST(round(ln(n_xy::DOUBLE * n_total / (n_x::DOUBLE * n_y)) * 1000000) AS BIGINT) AS pmi_micronat
+        |FROM joint JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN nt
+        |ORDER BY lang, source""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1179,43 +1266,32 @@ object PipelineOracles {
     // sweep's knee: recall@5 0.60 at 37% candidates (vs 0.32 at H<=2);
     // the same finer-buckets+wider-probes operating point as annLsh.
     "q_knn_graph" ->
-      """WITH planes AS (
-        |  SELECT j, list_transform(range(1, 65), i ->
-        |    (CAST(('0x' || substr(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)::DOUBLE) AS w
-        |  FROM generate_series(0, 7) t(j)
-        |), e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
-        |  FROM embeddings
-        |), bk AS (
-        |  SELECT e.vec_id,
-        |         sum(CASE WHEN list_dot_product(e.v, p.w) > 0
-        |                  THEN (1 << p.j) ELSE 0 END) AS bucket
-        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
-        |), masks AS (
-        |  SELECT m FROM generate_series(0, 255) t(m) WHERE bit_count(m) <= 3
-        |), probes AS (
-        |  SELECT bk.vec_id AS q_id, xor(bk.bucket, m.m) AS bucket
-        |  FROM bk CROSS JOIN masks m
-        |), cand AS (
-        |  SELECT p.q_id, bk.vec_id AS neighbor_id
-        |  FROM probes p JOIN bk ON bk.bucket = p.bucket
-        |  WHERE bk.vec_id <> p.q_id
-        |), scored AS (
-        |  SELECT c.q_id, c.neighbor_id,
-        |         list_dot_product(q.v, n.v) / (sqrt(q.nrm) * sqrt(n.nrm)) AS cos
-        |  FROM cand c
-        |  JOIN e q ON q.vec_id = c.q_id
-        |  JOIN e n ON n.vec_id = c.neighbor_id
-        |), r AS (
-        |  SELECT q_id, neighbor_id, cos,
-        |         CAST(row_number() OVER (PARTITION BY q_id
-        |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        |  FROM scored
-        |)
-        |SELECT q_id, rank, neighbor_id, round(cos, 3) AS cos
-        |FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+      s"""$KNN8
+         |SELECT q_id, rank, neighbor_id, round(cos, 3) AS cos
+         |FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors SimilarityOps.labelSmooth: majority label over the same
+    // kNN edge relation; ties → most votes then smallest label id
+    // (row_number ↔ Spark's max_by struct(n_votes, -n_label)).
+    "q_label_smooth" ->
+      s"""$KNN8,
+         |nb AS (
+         |  SELECT r.q_id, e2.label AS n_label
+         |  FROM r JOIN embeddings e2 ON e2.vec_id = r.neighbor_id
+         |  WHERE r.rank <= 5
+         |), v AS (
+         |  SELECT q_id, n_label, count(*) AS n_votes FROM nb GROUP BY 1, 2
+         |), s AS (
+         |  SELECT q_id, n_label AS smoothed_label, n_votes AS n_agree,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY n_votes DESC, n_label ASC) AS rn
+         |  FROM v
+         |)
+         |SELECT emb.vec_id, emb.label, s.smoothed_label, s.n_agree,
+         |       CASE WHEN emb.label <> s.smoothed_label THEN 1 ELSE 0 END AS changed
+         |FROM s JOIN embeddings emb ON emb.vec_id = s.q_id
+         |WHERE s.rn = 1 ORDER BY emb.vec_id""".stripMargin,
 
     // Mirrors DedupOps.containmentPairs: A-prefix (|A|-ceil(0.85|A|)+1
     // smallest hashes) probed against the FULL df-capped inverted index,

@@ -385,6 +385,38 @@ object SimilarityOps {
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(embeddings(spark, dir))
 
+  /** kNN label smoothing / denoising: re-label every vector with the
+    * majority label among its k nearest neighbors (ties → most votes,
+    * then smallest label id) — the standard label-noise audit over a
+    * labeled embedding set. Runs entirely off the [[knnGraph]] edge
+    * relation: one join to attach neighbor labels (hash on neighbor_id),
+    * one count aggregate keyed (q_id, label), one per-q_id argmax via
+    * `max_by` over a struct — no window, no driver state; every stage is
+    * keyed on the high-cardinality vector id, so the shape is flat at any
+    * corpus size. `n_agree`/`changed` make the disagreement set directly
+    * filterable — the rows a curation pipeline would route to review.
+    */
+  def labelSmooth(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
+                  k: Int = 5): DataFrame = {
+    val labels = embs.select(col("vec_id"), col("label"))
+    val votes = knnGraph(embs, planes, hamming, k)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+                          col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val smoothed = votes.groupBy(col("q_id")).agg(
+      max_by(col("n_label"), struct(col("n_votes"), -col("n_label"))).as("smoothed_label"),
+      max(col("n_votes")).as("n_agree"))
+    labels.join(smoothed, labels("vec_id") === smoothed("q_id"), "inner")
+      .select(col("vec_id"), col("label"), col("smoothed_label"),
+              col("n_agree"),
+              (col("label") =!= col("smoothed_label")).cast("int").as("changed"))
+      .orderBy(col("vec_id"))
+  }
+
+  def qLabelSmooth(spark: SparkSession, dir: String): DataFrame =
+    labelSmooth(embeddings(spark, dir))
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the
     * exact-arithmetic Lloyd codebook ([[kmeansCentroids]]), then look for

@@ -922,4 +922,97 @@ object TextOps {
            min(col("n_chars")).as("min_kept_chars"),
            sum(col("n_chars")).as("sum_kept_chars"))
       .orderBy(col("lang"))
+
+  /** Sequence packing for LLM pre-training: documents are concatenated in
+    * doc_id order and split into fixed `binTokens`-token training
+    * sequences; each document is assigned to the bin its first token
+    * lands in, and the report aggregates per-bin document count, token
+    * mass, and the doc_id span — the shape a packed-dataset manifest has.
+    * Token counts use the BPE-ish pre-tokenizer of [[qBpeTokenCount]].
+    *
+    * The global token prefix sum is the DISTRIBUTED bucket construction
+    * of [[packShards]]/[[exclusiveOffsets]] — a window cumsum within each
+    * `doc_id div 256` bucket in parallel, bucket offsets via the
+    * fixed-depth recursive hierarchy — so no window before the ≤256-row
+    * base case runs unpartitioned at ANY corpus size. The per-bin
+    * aggregate then shuffles on bin (high cardinality: corpus_tokens /
+    * binTokens keys) — never a single-task stage.
+    */
+  def packSequences(docs: DataFrame, binTokens: Long = 2048L,
+                    bucketSize: Int = 256, levels: Int = 3): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long").as("n_tokens"))
+    val b = toked.withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val within = b.withColumn("pfx_within",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_tokens"))
+    val offsets = exclusiveOffsets(
+      b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
+        .select(col("bucket").as("key"), col("tot")),
+      bucketSize, levels)
+      .select(col("key").as("bucket"), col("offset"))
+    within.join(offsets, Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+              expr(s"(offset + pfx_within) div $binTokens").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame =
+    packSequences(documents(spark, dir))
+
+  /** One statistics round of BPE merge learning: the adjacent-character
+    * pair frequencies over the word-frequency table — the argmax of this
+    * relation is the next BPE merge (Sennrich et al. 2016). Computed the
+    * way a tokenizer trainer must at corpus scale: aggregate words FIRST
+    * (the heavy, linear pass), then expand pairs over the DISTINCT word
+    * table only — pair-expansion work is Σ|distinct words|, independent
+    * of corpus repetition, and each pair row carries the word's count.
+    * Top 20 pairs by weighted frequency, pair string as tie-break.
+    */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wc = documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    wc
+      .select(col("word"), col("n"),
+              explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substr(word, i, 2)").as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** Mutual information between two categorical document facets
+    * (lang × source) — the feature-relevance / leakage-audit primitive of
+    * a dataset curation pipeline. Exact integer joint and marginal counts
+    * from ONE pass (marginals re-aggregate the ~|langs|·|sources| joint
+    * relation, not the corpus); the only float is the per-cell PMI,
+    * rounded to micro-nats (the [[qPmiCollocations]] determinism rule:
+    * both engines evaluate ln on identical exact-integer-derived doubles).
+    * The per-cell `n_xy·pmi` terms sum to corpus MI; emitting the cells
+    * keeps the result auditable and the schema join-free downstream.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val joint = documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+    val n = joint.agg(sum(col("n_xy")).as("n_total"))
+    joint.join(mx, Seq("lang")).join(my, Seq("source")).crossJoin(broadcast(n))
+      .withColumn("pmi_micronat",
+        expr("cast(round(ln(cast(n_xy as double) * n_total / " +
+             "(cast(n_x as double) * n_y)) * 1000000) as bigint)"))
+      .select(col("lang"), col("source"), col("n_xy"), col("n_x"),
+              col("n_y"), col("n_total"), col("pmi_micronat"))
+      .orderBy(col("lang"), col("source"))
+  }
 }
