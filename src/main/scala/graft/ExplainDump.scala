@@ -73,7 +73,9 @@ object ExplainDump {
       "q_next_event_examples" -> "Example builder: six window functions off ONE per-user exchange+sort, O(1) frame state",
       "q_mutual_info" -> "MI: joint counts once, marginals off the joint relation, broadcast scalar total",
       "q_bpe_merges" -> "BPE pair stats: corpus-heavy word count first, pair explode over DISTINCT words only",
-      "q_pivot" -> "Explicit-value PIVOT compiled to one conditional aggregate (no distinct-collect pass)")
+      "q_pivot" -> "Explicit-value PIVOT compiled to one conditional aggregate (no distinct-collect pass)",
+      "q_knn_graph" -> "LSH join, embeddings-in-probe shape: cosine computed in the bucket-join projection, no fat-row sort downstream",
+      "q_token_zipf" -> "Corpus-scale token count + 100-row TakeOrdered; regression on the bounded relation only")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

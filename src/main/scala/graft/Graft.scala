@@ -62,6 +62,21 @@ object Graft {
   /** Integer micro-unit damped PageRank over `(src, dst, wgt)` edges. */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
     ops.GraphOps.pageRank(edges, iters)
+  /** Bounded-hop BFS distances from `sources(node)` over undirected
+    * `(u, v)` edges — per-round co-partitioned frontier joins. */
+  def shortestPaths(und: DataFrame, sources: DataFrame, maxHops: Int): DataFrame =
+    ops.GraphOps.shortestPaths(und, sources, maxHops)
+
+  // training-example / feature construction
+  /** Pack documents into fixed `binTokens`-token training bins in doc_id
+    * order (distributed prefix sum); returns the per-bin manifest. */
+  def packSequences(docs: DataFrame, binTokens: Long = 2048L,
+                    bucketSize: Int = 256, levels: Int = 3): DataFrame =
+    ops.TextOps.packSequences(docs, binTokens, bucketSize, levels)
+  /** kNN-majority label smoothing over an embedding set with `label`. */
+  def labelSmooth(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
+                  k: Int = 5): DataFrame =
+    ops.SimilarityOps.labelSmooth(embs, planes, hamming, k)
 
   // scrubbing
   /** Adds `n_emails`/`n_phones`/`redacted` columns for `text`. */
@@ -86,6 +101,10 @@ object Graft {
   def annIvfKmeans(embs: DataFrame, queryPred: Column, numCentroids: Int = 8,
                    nprobe: Int = 2, k: Int = 10): DataFrame =
     ops.SimilarityOps.annIvfKmeans(embs, queryPred, numCentroids, nprobe, k)
+  /** All-vectors kNN edge relation via multiprobe sign-LSH. */
+  def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
+               k: Int = 5): DataFrame =
+    ops.SimilarityOps.knnGraph(embs, planes, hamming, k)
 
   // layout / maintenance
   def mortonZ(a: Column, b: Column): Column =

@@ -134,10 +134,17 @@ object ScaleSmoke {
       time(s"zscore_$tag", dir)(d => ops.EventOps.qAnomalyZscore(spark, d))
       time(s"seq_pack_$tag", dir)(d => ops.TextOps.qSeqPack(spark, d))
       time(s"bpe_merges_$tag", dir)(d => ops.TextOps.qBpeMerges(spark, d))
-      time(s"label_smooth_$tag", dir)(d => ops.SimilarityOps.qLabelSmooth(spark, d))
+      // kNN planes grow with log2(n) — constant per-bucket membership, the
+      // same corpus-tracking knob as SemDeDup's codebook size below.
+      val pl = if (dir == base) 8
+               else 8 + (31 - Integer.numberOfLeadingZeros(factor))
+      time(s"label_smooth_p${pl}_$tag", dir)(d =>
+        ops.SimilarityOps.labelSmooth(Tables.embeddings(spark, d), planes = pl))
       time(s"next_event_$tag", dir)(d => ops.EventOps.qNextEventExamples(spark, d))
       time(s"ewma_$tag", dir)(d => ops.EventOps.qEwmaSmooth(spark, d))
       time(s"shortest_path_$tag", dir)(d => ops.GraphOps.qShortestPath(spark, d))
+      time(s"walk_corpus_$tag", dir)(d => ops.GraphOps.qWalkCorpus(spark, d))
+      time(s"token_zipf_$tag", dir)(d => ops.TextOps.qTokenZipf(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

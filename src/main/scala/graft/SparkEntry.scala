@@ -144,6 +144,8 @@ object SparkEntry {
     "q_mutual_info" -> (ops.TextOps.qMutualInfo _),
     "q_label_smooth" -> (ops.SimilarityOps.qLabelSmooth _),
     "q_next_event_examples" -> (ops.EventOps.qNextEventExamples _),
+    "q_walk_corpus" -> (ops.GraphOps.qWalkCorpus _),
+    "q_token_zipf" -> (ops.TextOps.qTokenZipf _),
     // Source/sink closure (S1/S2 CSV, S6 text) + scale techniques
     "q_csv_ingest" -> (ops.SourceSinkOps.qCsvIngest _),
     "q_json_ingest" -> (ops.SourceSinkOps.qJsonIngest _),

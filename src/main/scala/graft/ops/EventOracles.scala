@@ -462,6 +462,41 @@ object EventOracles {
         |SELECT * FROM x WHERE label IS NOT NULL
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
+    // Mirrors GraphOps.qWalkCorpus: four argmin walk rounds unrolled as
+    // chained CTEs; successor = arg_min over the identical md5 surrogate.
+    "q_walk_corpus" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
+        |pp AS (
+        |  SELECT a.p AS p1, b.p AS p2
+        |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |e AS (SELECT p1 AS u, p2 AS v FROM pp UNION SELECT p2, p1 FROM pp),
+        |n0 AS (SELECT DISTINCT u AS walk_id, u AS node FROM e),
+        |s1 AS (
+        |  SELECT n0.walk_id,
+        |         arg_min(e.v, md5(n0.walk_id::VARCHAR || '_1_' || e.v::VARCHAR)) AS node
+        |  FROM n0 JOIN e ON e.u = n0.node GROUP BY n0.walk_id),
+        |s2 AS (
+        |  SELECT s1.walk_id,
+        |         arg_min(e.v, md5(s1.walk_id::VARCHAR || '_2_' || e.v::VARCHAR)) AS node
+        |  FROM s1 JOIN e ON e.u = s1.node GROUP BY s1.walk_id),
+        |s3 AS (
+        |  SELECT s2.walk_id,
+        |         arg_min(e.v, md5(s2.walk_id::VARCHAR || '_3_' || e.v::VARCHAR)) AS node
+        |  FROM s2 JOIN e ON e.u = s2.node GROUP BY s2.walk_id),
+        |s4 AS (
+        |  SELECT s3.walk_id,
+        |         arg_min(e.v, md5(s3.walk_id::VARCHAR || '_4_' || e.v::VARCHAR)) AS node
+        |  FROM s3 JOIN e ON e.u = s3.node GROUP BY s3.walk_id)
+        |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM n0
+        |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM s1
+        |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM s2
+        |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM s3
+        |UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM s4
+        |ORDER BY walk_id, step""".stripMargin,
+
     // Mirrors EventOps.qEwmaSmooth: α=1/2 EWMA over the trailing 8
     // purchase values per user — power-of-two weights keep num/den exact
     // BIGINTs; both engines truncate the final integer division.

@@ -184,8 +184,13 @@ object GraphOps {
     * runs at any graph size.
     */
   def shortestPaths(und: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    // Persist the symmetrized adjacency ONCE: every hop joins against it,
+    // and without the persist each round re-executes the caller's whole
+    // edge-construction pipeline (for the co-purchase graph that is a
+    // basket self-join + aggregate — measured 4× the total runtime).
     val sym = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
     var settled = sources.select(col("node"), lit(0L).as("dist"))
     var frontier = settled.persist()
     (1 to maxHops).foreach { h =>
@@ -201,7 +206,13 @@ object GraphOps {
       settled = settled.union(next)
       frontier = next
     }
-    settled
+    // Materialize the (small: one row per reached node) result, then drop
+    // the adjacency cache — same lifecycle as dedupClusters' edge persist.
+    val out = settled.persist()
+    out.count()
+    sym.unpersist()
+    frontier.unpersist()
+    out
   }
 
   /** Driver row: BFS hop distances (≤ 4) from the lowest part key of the
@@ -214,18 +225,77 @@ object GraphOps {
     * anti-join enforces here.
     */
   def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val src = copurchaseEdges(spark, dir, minOrders = 2)
+      .agg(least(min(col("u")), min(col("v"))).as("node"))
+    shortestPaths(copurchaseEdges(spark, dir, minOrders = 2), src, maxHops = 4)
+      .orderBy(col("dist"), col("node"))
+  }
+
+  /** Undirected co-purchase edges `(u, v)` with `u < v`: parts sharing at
+    * least `minOrders` order baskets. Basket-co-partitioned self-join,
+    * per-order pair fan-out bounded by C(basket size, 2).
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String,
+                              minOrders: Int): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("p1"))
       .repartition(col("basket"))
       .dropDuplicates("basket", "p1")
     val b = li.toDF("basket", "p2")
-    val und = li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
+    li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2)
+      .filter(col("n_orders") >= minOrders)
       .select(col("p1").as("u"), col("p2").as("v"))
-    val src = und.agg(least(min(col("u")), min(col("v"))).as("node"))
-    shortestPaths(und, src, maxHops = 4)
-      .orderBy(col("dist"), col("node"))
   }
+
+  /** Deterministic random-walk corpus over an undirected edge relation —
+    * the DeepWalk/node2vec sentence-generation pass (Perozzi et al. 2014)
+    * that turns a graph into skip-gram training sequences. One walk
+    * starts at every node; the "random" successor at step s of walk w is
+    * the neighbor minimizing `md5(w_s_v)` — a deterministic uniform
+    * surrogate both engines evaluate identically, which makes the whole
+    * corpus oracle-checkable (a seeded RNG never is, because row order
+    * differs across partitionings).
+    *
+    * Each round is one equi-join of the walker frontier against the
+    * symmetrized adjacency (hash-partitioned on the join key) followed by
+    * an `min_by` argmin keyed on walk_id — the same bounded-round BSP
+    * schedule as [[shortestPaths]], with O(walks) state per round and
+    * per-round work proportional to Σ deg(frontier). No collect, no
+    * windows; walk count and length are the only knobs at 100 TB.
+    */
+  def randomWalks(und: DataFrame, steps: Int): DataFrame = {
+    // Same adjacency-persist discipline as [[shortestPaths]]: every step
+    // joins against sym, so cache it once instead of re-running the
+    // caller's edge pipeline per round.
+    val sym = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var cur = nodes.select(col("node").as("walk_id"), col("node"))
+    var acc = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    (1 to steps).foreach { s =>
+      cur = cur.join(sym, cur("node") === sym("u"))
+        .select(col("walk_id"), col("v"),
+                md5(concat_ws("_", col("walk_id"), lit(s), col("v"))).as("h"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("v"), col("h")).as("node"))
+      acc = acc.union(
+        cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node")))
+    }
+    val out = acc.persist()
+    out.count()
+    sym.unpersist()
+    out
+  }
+
+  /** Driver row: 4-step walk corpus over the ≥2-basket co-purchase graph.
+    * Oracle unrolls the four argmin rounds as chained CTEs (the PageRank
+    * oracle's fixed-iteration pattern) with `arg_min` over the identical
+    * md5 surrogate.
+    */
+  def qWalkCorpus(spark: SparkSession, dir: String): DataFrame =
+    randomWalks(copurchaseEdges(spark, dir, minOrders = 2), steps = 4)
+      .orderBy(col("walk_id"), col("step"))
 }

@@ -353,6 +353,29 @@ object PipelineOracles {
         |       CAST(sum(n) AS BIGINT) AS n_pair
         |FROM pos GROUP BY 1 ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
 
+    // Mirrors TextOps.qTokenZipf: top-100 token ranks, micro-nat ln
+    // rounding, exact-integer regression num/den.
+    "q_token_zipf" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |), top AS (
+        |  SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 100
+        |), rk AS (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank, cnt FROM top
+        |), xy AS (
+        |  SELECT CAST(round(ln(rank::DOUBLE) * 1000000) AS BIGINT) AS x,
+        |         CAST(round(ln(cnt::DOUBLE) * 1000000) AS BIGINT) AS y
+        |  FROM rk
+        |)
+        |SELECT count(*) AS n_fit,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+        |       round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)::DOUBLE /
+        |             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT), 6) AS zipf_slope
+        |FROM xy""".stripMargin,
+
     // Mirrors TextOps.qMutualInfo: exact joint/marginal counts, per-cell
     // PMI rounded to micro-nats off identical exact-integer doubles.
     "q_mutual_info" ->

@@ -351,18 +351,26 @@ object SimilarityOps {
   /** All-vectors k-NN graph via multiprobe sign-LSH — the graph-
     * construction pass behind graph-based ANN indexes and SemDeDup
     * variants: EVERY vector gets its top-k approximate neighbors, not
-    * just a query set. Unlike [[annLsh]] (tiny broadcast query side),
-    * both sides are the full corpus, so the probe side stays NARROW:
-    * each vector explodes to its Hamming-≤r probe buckets as (q_id,
-    * bucket) pairs only — the 37×-fanout exchange carries 16 bytes/row,
-    * never the embedding — and the query embedding joins back by q_id
-    * AFTER the bucket equi-join prunes candidates. A (q, neighbor) pair
-    * is reachable through exactly one probe mask (the neighbor sits in
-    * one bucket; XOR is a bijection), so candidates are duplicate-free
-    * without a distinct. Work is Σ_buckets |probes(b)|·|members(b)|,
-    * bounded by the plane count (buckets ∝ 2^planes grows with the
-    * corpus); top-k is a per-vec_id window — high-cardinality
-    * partitions, never global.
+    * just a query set.
+    *
+    * Plan shape (the textbook distributed LSH join): the probe relation
+    * replicates each vector's embedding into its Hamming-≤r probe buckets
+    * (the |masks|× fanout exchange on `bucket` — the one unavoidable LSH
+    * cost), the bucket equi-join meets the single-copy member relation,
+    * and the cosine is computed IN THE SAME PROJECTION so embeddings are
+    * dropped before any downstream exchange or sort. The earlier
+    * formulation (narrow probes, embeddings attached by q_id AFTER the
+    * bucket join) sorted the full candidate relation with a neighbor
+    * embedding on every row for the attach SMJ — measured ~170 GB of
+    * spill at 40k vectors × 93 probes; this shape's only big sort is the
+    * probe relation itself, |masks|·n rows partitioned by bucket. A
+    * (q, neighbor) pair is reachable through exactly one probe mask (the
+    * neighbor sits in one bucket; XOR is a bijection), so candidates are
+    * duplicate-free without a distinct. At 100 TB, grow `planes` with
+    * log₂(n) so per-bucket membership — and with it candidates per query
+    * — stays constant (the ScaleSmoke probe scales planes exactly so);
+    * top-k is a per-vec_id window — high-cardinality partitions, never
+    * global.
     */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame = {
@@ -371,14 +379,13 @@ object SimilarityOps {
               norm2("embedding").as("nrm"))
     val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= hamming)
     val probes = e.select(col("vec_id").as("q_id"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val qside = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                         col("nrm").as("q_nrm"))
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = probes.join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
-      .join(qside, Seq("q_id"))
-      .withColumn("cos", dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              (dot("q_emb", "embedding") /
+                (sqrt(col("q_nrm")) * sqrt(col("nrm")))).as("cos"))
     topK(scored, k)
   }
 

@@ -991,6 +991,40 @@ object TextOps {
       .limit(20)
   }
 
+  /** Zipf-law fit over the token frequency distribution: least-squares
+    * slope of ln(freq) on ln(rank) across the top 100 tokens — the
+    * corpus-health diagnostic (natural text ≈ −1; a slope collapsing
+    * toward 0 flags boilerplate/template contamination). The corpus-scale
+    * work is ONE token count aggregate + a 100-row TakeOrdered; the
+    * rank window and regression run on the 100-row relation (explicitly
+    * bounded — never the corpus). Regression inputs are micro-nat-rounded
+    * BIGINTs, so num/den are exact integers (the [[AnalyticsOps
+    * .qTrendSlope]] determinism rule); slope = num/den to 6dp is the one
+    * shared float.
+    */
+  def qTokenZipf(spark: SparkSession, dir: String): DataFrame = {
+    val top = documents(spark, dir)
+      .select(explode(TextFns.toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(100)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(
+        expr("cast(round(ln(cast(rank as double)) * 1000000) as bigint)").as("x"),
+        expr("cast(round(ln(cast(cnt as double)) * 1000000) as bigint)").as("y"))
+    ranked.agg(
+      count(lit(1)).as("n_fit"),
+      (count(lit(1)) * sum(col("x") * col("y")) -
+        sum(col("x")) * sum(col("y"))).as("slope_num"),
+      (count(lit(1)) * sum(col("x") * col("x")) -
+        sum(col("x")) * sum(col("x"))).as("slope_den"))
+      .select(col("n_fit"), col("slope_num"), col("slope_den"),
+              round(col("slope_num").cast("double") / col("slope_den"), 6)
+                .as("zipf_slope"))
+  }
+
   /** Mutual information between two categorical document facets
     * (lang × source) — the feature-relevance / leakage-audit primitive of
     * a dataset curation pipeline. Exact integer joint and marginal counts

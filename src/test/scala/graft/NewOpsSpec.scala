@@ -98,6 +98,45 @@ class NewOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getInt(4) == 0), "some labels should be stable")
   }
 
+  test("random walks: transitions follow edges, deterministic, full length") {
+    val und = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      .toDF("u", "v")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    def run() = ops.GraphOps.randomWalks(und, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = run()
+    assert(rows.length == 4 * 5, "every node starts one full-length walk")
+    rows.groupBy(_._1).values.foreach { w =>
+      val path = w.sortBy(_._2).map(_._3)
+      assert(path.length == 5)
+      assert(path.head == w.head._1, "step 0 is the start node")
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edges.contains((a, b)), s"$a->$b not an edge")
+        case _ =>
+      }
+    }
+    assert(run().sortBy(r => (r._1, r._2)).toSeq ==
+      rows.sortBy(r => (r._1, r._2)).toSeq, "walks must be deterministic")
+  }
+
+  test("token zipf: exact num/den parity with a driver-side recomputation") {
+    val row = ops.TextOps.qTokenZipf(spark, Sf).head()
+    val counts = graft.Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val n = xy.length.toLong
+    val num = n * xy.map(p => p._1 * p._2).sum - xy.map(_._1).sum * xy.map(_._2).sum
+    val den = n * xy.map(p => p._1 * p._1).sum - xy.map(_._1).sum * xy.map(_._1).sum
+    assert(row.getLong(0) == n && row.getLong(1) == num && row.getLong(2) == den)
+    assert(row.getDouble(3) < 0, "natural text has a negative Zipf slope")
+  }
+
   test("next-event examples: trailing-window counts sum to window size") {
     val rows = ops.EventOps.qNextEventExamples(spark, Sf).collect()
     assert(rows.nonEmpty)
