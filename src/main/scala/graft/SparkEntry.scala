@@ -67,6 +67,12 @@ object SparkEntry {
     "q_percentile_bands" -> (ops.EventOps.qPercentileBands _),
     "q_mode" -> (ops.AnalyticsOps.qMode _),
     "q_trend_slope" -> (ops.AnalyticsOps.qTrendSlope _),
+    "q_rfm_segments" -> (ops.AnalyticsOps.qRfmSegments _),
+    "q_assoc_rules" -> (ops.AnalyticsOps.qAssocRules _),
+    "q_benford" -> (ops.AnalyticsOps.qBenford _),
+    "q_cusum_changepoint" -> (ops.EventOps.qCusumChangepoint _),
+    "q_dow_hour_heatmap" -> (ops.EventOps.qDowHourHeatmap _),
+    "q_mad_robust" -> (ops.EventOps.qMadRobust _),
     "q_type_bitmask" -> (ops.AnalyticsOps.qTypeBitmask _),
     "q_string_agg" -> (ops.AnalyticsOps.qStringAgg _),
     "q_interval_merge" -> (ops.EventOps.qIntervalMerge _),
@@ -142,6 +148,10 @@ object SparkEntry {
     "q_seq_pack" -> (ops.TextOps.qSeqPack _),
     "q_bpe_merges" -> (ops.TextOps.qBpeMerges _),
     "q_mutual_info" -> (ops.TextOps.qMutualInfo _),
+    "q_vocab_coverage" -> (ops.TextOps.qVocabCoverage _),
+    "q_winnow_fingerprint" -> (ops.TextOps.qWinnowFingerprint _),
+    "q_ngram_novelty" -> (ops.TextOps.qNgramNovelty _),
+    "q_dataset_card" -> (ops.TextOps.qDatasetCard _),
     "q_label_smooth" -> (ops.SimilarityOps.qLabelSmooth _),
     "q_next_event_examples" -> (ops.EventOps.qNextEventExamples _),
     "q_walk_corpus" -> (ops.GraphOps.qWalkCorpus _),

@@ -223,27 +223,26 @@ object AnalyticsOps {
     * table; orders are reduced by a partial-aggregated groupBy first. The
     * tie-break on custkey makes decile assignment bit-stable.
     */
-  def qSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
-    // DISTRIBUTED rank, not `ntile(10).over(orderBy(...))`: a global
-    // ntile window funnels the whole customer relation through ONE task
-    // (10⁸–10⁹ rows at 100 TB). Instead: range-repartition on the sort
-    // key — each partition holds a contiguous range of the (spend desc,
-    // custkey) order — then read the global rank straight off
-    // monotonically_increasing_id() over the partition-sorted rows
-    // (rank = partition row offset + exclusive partition-count offset,
-    // the offsets via the same hierarchical [[TextOps.exclusiveOffsets]]
-    // machinery as shard packing). No unpartitioned window anywhere; the
-    // id projection is order-deterministic because the range exchange +
-    // within-partition sort below it fix a total order (custkey breaks
-    // ties). The ntile bucket rule is then pure arithmetic on
-    // (global rank, n): the first n%10 deciles take ceil(n/10) rows,
-    // the rest floor(n/10) — bit-identical to NTILE on both engines.
-    val cust = orders(spark, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
-    val parts = cust
-      .repartitionByRange(32, col("spend_c").desc, col("o_custkey"))
-      .sortWithinPartitions(col("spend_c").desc, col("o_custkey"))
+  /** DISTRIBUTED global rank — the scale-safe replacement for an
+    * unpartitioned `row_number().over(orderBy(...))` window (which funnels
+    * the whole relation through ONE task — 10⁸–10⁹ rows at 100 TB):
+    * range-repartition on the sort key so each partition holds a
+    * contiguous range of the total order, read the partition row offset
+    * straight off `monotonically_increasing_id()` over the
+    * partition-sorted rows, and add the exclusive partition-count prefix
+    * (via the same hierarchical [[TextOps.exclusiveOffsets]] machinery as
+    * shard packing). The id projection is order-deterministic because the
+    * range exchange + within-partition sort below it fix a total order —
+    * callers MUST pass sort keys that are a total order (add a unique
+    * tie-break column). Output: the input columns plus `grank` (1-based
+    * global rank) and `n` (relation size, attached as a broadcast
+    * single-row aggregate).
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 numParts: Int = 32): DataFrame = {
+    val parts = df
+      .repartitionByRange(numParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", expr("mid div 8589934592"))      // 2^33: partition index
       .withColumn("rn", expr("mid % 8589934592 + 1"))     // 1-based offset in partition
@@ -255,11 +254,26 @@ object AnalyticsOps {
     parts.join(offs, Seq("pid"))
       .crossJoin(broadcast(totals))
       .withColumn("grank", col("offset") + col("rn"))
-      .withColumn("decile", expr(
-        "cast(if(grank <= (n div 10 + 1) * (n % 10), " +
-        "(grank - 1) div (n div 10 + 1) + 1, " +
-        "n % 10 + (grank - (n div 10 + 1) * (n % 10) - 1) div (n div 10) + 1) " +
-        "as int)"))
+      .drop("mid", "pid", "rn", "offset")
+  }
+
+  /** NTILE(buckets) as pure arithmetic on the (`grank`, `n`) columns
+    * [[globalRank]] emits: the first n%buckets buckets take ceil(n/b)
+    * rows, the rest floor(n/b) — bit-identical to SQL NTILE on both
+    * engines, with no window function anywhere.
+    */
+  def ntileBucket(buckets: Int): Column = expr(
+    s"cast(if(grank <= (n div $buckets + 1) * (n % $buckets), " +
+    s"(grank - 1) div (n div $buckets + 1) + 1, " +
+    s"n % $buckets + (grank - (n div $buckets + 1) * (n % $buckets) - 1) " +
+    s"div (n div $buckets) + 1) as int)")
+
+  def qSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cust = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+    globalRank(cust, Seq(col("spend_c").desc, col("o_custkey")))
+      .withColumn("decile", ntileBucket(10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("spend_c")).as("tot_c"),
            min(col("spend_c")).as("min_c"), max(col("spend_c")).as("max_c"))
@@ -470,5 +484,112 @@ object AnalyticsOps {
       .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
            min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
       .orderBy(col("event_type"))
+  }
+
+  /** RFM customer segmentation: recency / frequency / monetary quintile
+    * scores per customer, reported as segment census rows. Each score is
+    * an exact NTILE(5) over the customer aggregate — computed three times
+    * through the distributed-rank machinery ([[globalRank]] +
+    * [[ntileBucket]]), never a global window: three range exchanges over
+    * the customer-level relation (each carrying 6 narrow columns), each
+    * O(|customers|/partitions) per task at any scale. Ties break on
+    * custkey everywhere, so every score is bit-stable and the DuckDB
+    * NTILE twin agrees exactly.
+    */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val cust = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      // o_orderdate ships as TIMESTAMP_NTZ in current fixture generations;
+      // the cast to session-zone timestamp (UTC everywhere in this repo)
+      // makes unix_micros read the same value DuckDB's epoch_us does.
+      .agg(max(expr(
+             s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs"))
+             .as("last_day"),
+           count(lit(1)).as("freq"),
+           sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+    def score(df: DataFrame, name: String, sortCols: Seq[Column]): DataFrame =
+      globalRank(df, sortCols)
+        .withColumn(name, ntileBucket(5))
+        .drop("grank", "n")
+    val scored =
+      score(
+        score(
+          score(cust, "r_score",
+                Seq(col("last_day").desc, col("o_custkey"))),
+          "f_score", Seq(col("freq").desc, col("o_custkey"))),
+        "m_score", Seq(col("spend_c").desc, col("o_custkey")))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("spend_c")).as("tot_c"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Association rules over basket co-occurrence (the market-basket step
+    * after [[copurchasePairs]]): for every directed rule a→b with pair
+    * support ≥ `minPair`, confidence = c(ab)/c(a) and lift =
+    * conf·N/c(b), both as exact truncating integer divisions in ppm —
+    * float-free, so the top-N cut is bit-stable. The two-step lift
+    * (`conf_ppm · N div c(b)`) bounds every intermediate by
+    * 10⁶·|baskets| — safe in BIGINT at any realistic corpus.
+    *
+    * Scale: pair generation is the co-partitioned per-basket self-join
+    * (linear in the fact table — see [[copurchasePairs]]); item counts
+    * attach via two narrow equi-joins on the item key; N rides a
+    * broadcast single-row aggregate. No window, no driver loop.
+    */
+  def assocRules(items: DataFrame, basket: String, item: String,
+                 minPair: Long = 2, topN: Int = 100): DataFrame = {
+    val li = items
+      .select(col(basket).as("basket"), col(item).as("p1"))
+      .repartition(col("basket"))
+      .dropDuplicates("basket", "p1")
+    val nb = li.agg(countDistinct(col("basket")).as("n_baskets"))
+    val ic = li.groupBy(col("p1")).agg(count(lit(1)).as("c1"))
+    val b = li.toDF("basket", "p2")
+    val pairs = li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minPair)
+    val directed = pairs
+      .select(col("p1").as("ante"), col("p2").as("cons"), col("c12"))
+      .unionByName(
+        pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("c12")))
+    directed
+      .join(ic.select(col("p1").as("ante"), col("c1").as("c_ante")), Seq("ante"))
+      .join(ic.select(col("p1").as("cons"), col("c1").as("c_cons")), Seq("cons"))
+      .crossJoin(broadcast(nb))
+      .select(col("ante"), col("cons"), col("c12"), col("c_ante"), col("c_cons"),
+              expr("c12 * 1000000L div c_ante").as("conf_ppm"),
+              expr("(c12 * 1000000L div c_ante) * n_baskets div c_cons")
+                .as("lift_ppm"))
+      .orderBy(col("conf_ppm").desc, col("lift_ppm").desc,
+               col("ante"), col("cons"))
+      .limit(topN)
+  }
+
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRules(lineitem(spark, dir), "l_orderkey", "l_partkey")
+
+  /** Benford first-significant-digit audit of order totals: the digit
+    * histogram a fraud/data-quality pass compares against log₁₀(1+1/d).
+    * The digit comes from the decimal string of the exact cents integer
+    * (never floating log10 — exact at powers of ten); the observed share
+    * is a truncating integer ppm. One projection + a 9-row aggregate; the
+    * total rides a broadcast single-row aggregate.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+                .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("n_tot"))))
+      .select(col("digit"), col("n"),
+              expr("n * 1000000L div n_tot").as("ppm"))
+      .orderBy(col("digit"))
   }
 }

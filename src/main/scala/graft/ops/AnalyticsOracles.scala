@@ -191,6 +191,57 @@ object AnalyticsOracles {
         |         AS slope_den
         |FROM wk GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // NTILE(5) windows replicate the closed-form distributed-rank
+    // quintiles exactly (ties broken on custkey in both engines).
+    "q_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |         count(*) AS freq,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_c
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT spend_c,
+        |         ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS r_score,
+        |         ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |         ntile(5) OVER (ORDER BY spend_c DESC, o_custkey) AS m_score
+        |  FROM cust)
+        |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+        |       CAST(sum(spend_c) AS BIGINT) AS tot_c
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |            FROM lineitem),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM li),
+        |ic AS (SELECT item, count(*) AS c1 FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.item AS p1, b.item AS p2, count(*) AS c12
+        |  FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT p1 AS ante, p2 AS cons, c12 FROM pr
+        |      UNION ALL SELECT p2, p1, c12 FROM pr)
+        |SELECT ante, cons, c12, ca.c1 AS c_ante, cc.c1 AS c_cons,
+        |       c12 * 1000000 // ca.c1 AS conf_ppm,
+        |       (c12 * 1000000 // ca.c1) * n_baskets // cc.c1 AS lift_ppm
+        |FROM d JOIN ic ca ON d.ante = ca.item
+        |       JOIN ic cc ON d.cons = cc.item
+        |CROSS JOIN nb
+        |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 100""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM g)
+        |SELECT digit, n, n * 1000000 // n_tot AS ppm
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
     // The O(full) recompute the O(delta) incremental merge must equal.
     "q_incr_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -535,4 +535,77 @@ object EventOps {
               expr("ewma_num div ewma_den").as("ewma_c"))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
+
+  /** CUSUM changepoint detection per event type: the day whose cumulative
+    * deviation from the series mean is largest in magnitude — the classic
+    * level-shift locator. Deviations are kept EXACT by scaling out the
+    * mean's division: dev_d = n_days·c_d − total (BIGINT), so the running
+    * sum and the argmax are float-free and order-independent. The window
+    * runs over the per-(type, day) aggregate — bounded by types × calendar
+    * days, never by event volume — and the argmax is a `max_by` over a
+    * lexicographic (|cusum|, −day) struct: largest deviation, ties to the
+    * EARLIEST day, deterministic at any parallelism.
+    */
+  def qCusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cusum", sum(col("c") * col("n_days") - col("total")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max_by(struct(col("day"), col("cusum")),
+                  struct(abs(col("cusum")), -col("day"))).as("cp"),
+           max(col("n_days")).as("n_days"), max(col("total")).as("total"))
+      .select(col("event_type"), col("cp.day").as("cp_day"),
+              col("cp.cusum").as("cusum"), col("n_days"), col("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Day-of-week × hour-of-day activity heatmap: the seasonality profile
+    * behind load forecasting. Both axes are pure integer arithmetic on
+    * epoch microseconds (1970-01-01 was a Thursday, hence the +4 shift —
+    * no calendar/timezone functions, so both engines agree on every
+    * bucket). One projection, one ≤168-row aggregate.
+    */
+  def qDowHourHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    events(spark, dir)
+      .select(expr(s"(unix_micros(ts) div $dayUs + 4) % 7").as("dow"),
+              expr(s"(unix_micros(ts) div $hourUs) % 24").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** Robust location/spread per event type: exact median and MAD (median
+    * absolute deviation) in integer cents, both through the floor-rank
+    * order-statistic rule of [[groupMedian]]. To stay integer-exact the
+    * median is carried doubled (`med2_c` = two middle order statistics
+    * summed) and the MAD quadrupled (`mad4_c` = 2 × median of
+    * |2x − med2|): |2x − med2| = 2|x − median| is exact in BIGINT even
+    * when the median falls between values. Two per-type rank passes over
+    * the event relation — each one linear shuffle on the type key.
+    */
+  def qMadRobust(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+    val med = groupMedian(ev, "event_type", "value_c", "event_id")
+    val dev = ev
+      .join(broadcast(med.select(col("event_type"), col("med2_c"))),
+            Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+              abs(col("value_c") * 2 - col("med2_c")).as("adev2_c"))
+    val mad = groupMedian(dev, "event_type", "adev2_c", "event_id")
+      .select(col("event_type"), col("med2_c").as("mad4_c"))
+    med.select(col("event_type"), col("n"), col("med2_c"))
+      .join(mad, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -572,5 +572,72 @@ object EventOracles {
         |WHERE abs(round((ev.vm::DOUBLE - s1::DOUBLE / n) /
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
+
+    // Mirrors EventOps.qCusumChangepoint: dev = n_days*c - total keeps the
+    // mean-deviation exact; argmax = max |cusum|, ties to earliest day.
+    "q_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+        |         count(*) AS n_days
+        |  FROM daily GROUP BY 1),
+        |cs AS (
+        |  SELECT d.event_type, d.day, t.n_days, t.total,
+        |         CAST(sum(d.c * t.n_days - t.total)
+        |              OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |              AS BIGINT) AS cusum
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY abs(cusum) DESC, day) AS rn
+        |  FROM cs)
+        |SELECT event_type, day AS cp_day, cusum, n_days, total
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q_dow_hour_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |       (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors EventOps.qMadRobust: floor-rank median rule on both passes;
+    // med2 = sum of the two middle order statistics, mad4 = med2 of
+    // |2x - med2|.
+    "q_mad_robust" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r1 AS (
+        |  SELECT event_type, value_c,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value_c, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |m1 AS (
+        |  SELECT event_type, max(n) AS n,
+        |         CAST(CASE WHEN count(*) = 1 THEN sum(value_c) * 2
+        |              ELSE sum(value_c) END AS BIGINT) AS med2_c
+        |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |dv AS (
+        |  SELECT e.event_type, e.event_id,
+        |         abs(e.value_c * 2 - m.med2_c) AS adev2_c
+        |  FROM ev e JOIN m1 m USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, adev2_c,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY adev2_c, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dv),
+        |m2 AS (
+        |  SELECT event_type,
+        |         CAST(CASE WHEN count(*) = 1 THEN sum(adev2_c) * 2
+        |              ELSE sum(adev2_c) END AS BIGINT) AS mad4_c
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+        |SELECT m1.event_type, m1.n, m1.med2_c, m2.mad4_c
+        |FROM m1 JOIN m2 USING (event_type) ORDER BY m1.event_type""".stripMargin,
   )
 }

@@ -1399,5 +1399,84 @@ object PipelineOracles {
         |       coalesce(dd.n_dropped, 0) AS n_dropped,
         |       m.n_members - coalesce(dd.n_dropped, 0) AS n_kept
         |FROM m LEFT JOIN dd USING (c_id) ORDER BY m.c_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+        |  ORDER BY cnt DESC, token LIMIT 64)
+        |SELECT lang, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // count(*) AS oov_ppm
+        |FROM tok t LEFT JOIN vocab v USING (token)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Mirrors TextOps.qWinnowFingerprint: k=3 word-grams, w=4 windows,
+    // leftmost-min (h, pos) selection, full windows only.
+    "q_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS pos,
+        |         toks
+        |  FROM t WHERE len(toks) >= 6),
+        |h AS (
+        |  SELECT doc_id, pos, len(toks) - 2 AS nk,
+        |         CAST(('0x' || substr(md5(toks[pos] || ' ' || toks[pos+1]
+        |              || ' ' || toks[pos+2]), 1, 15)) AS BIGINT) AS h
+        |  FROM g),
+        |sel AS (
+        |  SELECT doc_id, pos, nk,
+        |         min(struct_pack(h := h, pos := pos))
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM h)
+        |SELECT DISTINCT doc_id, sel.pos AS sel_pos, sel.h AS fp60
+        |FROM sel WHERE pos <= nk - 3
+        |ORDER BY doc_id, sel_pos""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 2)) AS i
+        |        FROM t WHERE len(toks) >= 3)),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unique,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000000 // count(*) AS novelty_ppm
+        |FROM g JOIN df USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH sl AS (
+        |  SELECT source, lang, count(*) AS nl,
+        |         CAST(sum(n_chars) AS BIGINT) AS chars_l,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_l
+        |  FROM documents GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY nl DESC, lang) AS rn
+        |    FROM sl) WHERE rn = 1)
+        |SELECT sl.source, CAST(sum(nl) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars_l) AS BIGINT) AS tot_chars,
+        |       CAST(sum(chars_l) // sum(nl) AS BIGINT) AS mean_chars,
+        |       count(*) AS n_langs,
+        |       max(top.top_lang) AS top_lang,
+        |       CAST(sum(toks_l) AS BIGINT) AS tot_tokens
+        |FROM sl JOIN top ON sl.source = top.source
+        |GROUP BY sl.source ORDER BY sl.source""".stripMargin,
   )
 }

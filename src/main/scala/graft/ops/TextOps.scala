@@ -1049,4 +1049,108 @@ object TextOps {
               col("n_y"), col("n_total"), col("pmi_micronat"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** Tokenizer vocabulary coverage: per-language OOV rate against the
+    * corpus top-64 token vocabulary — the "how much of slice X does my
+    * vocab cover" check run before committing a tokenizer. The corpus is
+    * tokenized ONCE; the vocabulary is a TakeOrdered over the token-count
+    * aggregate (deterministic tie-break on the token string) and joins
+    * back as a broadcast left join — V rows against the token stream, so
+    * the coverage pass adds no shuffle beyond the final per-lang
+    * aggregate. OOV share is a truncating integer ppm.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val V = 64
+    val tok = documents(spark, dir)
+      .select(col("lang"), explode(TextFns.toks).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(V)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+              expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS scheme): hash every word-3-gram, slide a w=4 window
+    * over the hash sequence, select each window's minimum — guaranteeing
+    * any match of ≥ w+k−1 tokens shares a fingerprint, at ~2/(w+1)
+    * selection density. The window minimum is `min(struct(h, pos))`
+    * (leftmost tie — deterministic on both engines, struct comparison is
+    * lexicographic); selected (position, hash) pairs dedupe per doc. The
+    * only sort is the per-document window — partitioned by doc_id (high
+    * cardinality, bounded doc length), never global. Downstream, plagiarism
+    * /near-dup candidates are an equi-join on `fp60`.
+    */
+  def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3; val w = 4
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), TextFns.toks.as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // at least one full window
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nk"),
+              posexplode(expr(
+                s"transform(sequence(0, size(toks) - $k), " +
+                  "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      .select(col("doc_id"), col("nk"), (col("pos") + 1).as("pos"),
+              TextFns.hash60(col("col")).as("h"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("sel", min(struct(col("h"), col("pos"))).over(wnd))
+      .filter(col("pos") <= col("nk") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("sel.pos").as("sel_pos"),
+              col("sel.h").as("fp60"))
+      .distinct()
+      .orderBy(col("doc_id"), col("sel_pos"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-grams that occur in NO other document — the contamination-adjacent
+    * "how much of this doc is boilerplate" score used for corpus curation.
+    * Distinct (doc, gram) explode → document-frequency aggregate → join
+    * back on the gram key and re-aggregate per doc: two linear shuffles
+    * on high-cardinality keys, the same shape as decontamination.
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val dg = documents(spark, dir)
+      .select(col("doc_id"), TextFns.toks.as("toks"))
+      .select(col("doc_id"), explode(TextFns.shingles).as("gram"))
+    val dfreq = dg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    dg.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+              expr("n_unique * 1000000L div n_grams").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dataset card: the per-source summary table published beside a
+    * training corpus — doc/char/token totals, language spread, dominant
+    * language (most docs, ties to the lexically smallest via a
+    * `min_by` over a (−count, lang) struct — no window), mean doc length
+    * as an exact integer division. Two partial-combined aggregates; the
+    * second input is one row per (source, lang).
+    */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val sl = documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"), sum(col("n_chars")).as("chars_l"),
+           sum(size(TextFns.toks)).as("toks_l"))
+    sl.groupBy(col("source"))
+      .agg(sum(col("nl")).as("n_docs"),
+           sum(col("chars_l")).as("tot_chars"),
+           expr("sum(chars_l) div sum(nl)").as("mean_chars"),
+           count(lit(1)).as("n_langs"),
+           min_by(col("lang"), struct((-col("nl")).as("neg"), col("lang")))
+             .as("top_lang"),
+           sum(col("toks_l")).as("tot_tokens"))
+      .orderBy(col("source"))
+  }
 }
