@@ -1416,8 +1416,15 @@ object PipelineOracles {
         |FROM tok t LEFT JOIN vocab v USING (token)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // Mirrors TextOps.qWinnowFingerprint: k=3 word-grams, w=4 windows,
-    // leftmost-min (h, pos) selection, full windows only.
+    // Independent formulation of TextOps.qWinnowFingerprint (k=3 word
+    // grams, w=4 windows, leftmost-min (h, pos) selection, full windows
+    // only): a windowed self-join with the (h, offset) order packed into
+    // ONE BIGINT — h·4 + (pos − wstart) compares primarily on h (offset
+    // < 4), so min() is the lexicographic (h, pos) minimum, exactly.
+    // (A min-over-STRUCT window would mirror the Spark plan 1:1, but
+    // DuckDB's windowed struct min does not reduce over the frame —
+    // verified against a driver brute force — so the oracle uses this
+    // join form instead, which doubles as a genuinely independent check.)
     "q_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -1431,14 +1438,15 @@ object PipelineOracles {
         |              || ' ' || toks[pos+2]), 1, 15)) AS BIGINT) AS h
         |  FROM g),
         |sel AS (
-        |  SELECT doc_id, pos, nk,
-        |         min(struct_pack(h := h, pos := pos))
-        |           OVER (PARTITION BY doc_id ORDER BY pos
-        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-        |  FROM h)
-        |SELECT DISTINCT doc_id, sel.pos AS sel_pos, sel.h AS fp60
-        |FROM sel WHERE pos <= nk - 3
-        |ORDER BY doc_id, sel_pos""".stripMargin,
+        |  SELECT a.doc_id,
+        |         a.pos + min(b.h * 4 + (b.pos - a.pos)) % 4 AS sel_pos,
+        |         min(b.h * 4 + (b.pos - a.pos)) // 4 AS fp60
+        |  FROM h a JOIN h b ON a.doc_id = b.doc_id
+        |                    AND b.pos >= a.pos AND b.pos <= a.pos + 3
+        |  WHERE a.pos <= a.nk - 3
+        |  GROUP BY a.doc_id, a.pos)
+        |SELECT DISTINCT doc_id, sel_pos, fp60
+        |FROM sel ORDER BY doc_id, sel_pos""".stripMargin,
 
     "q_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

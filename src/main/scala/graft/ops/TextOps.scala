@@ -1104,7 +1104,7 @@ object TextOps {
     grams
       .withColumn("sel", min(struct(col("h"), col("pos"))).over(wnd))
       .filter(col("pos") <= col("nk") - (w - 1)) // full windows only
-      .select(col("doc_id"), col("sel.pos").as("sel_pos"),
+      .select(col("doc_id"), col("sel.pos").cast("long").as("sel_pos"),
               col("sel.h").as("fp60"))
       .distinct()
       .orderBy(col("doc_id"), col("sel_pos"))
