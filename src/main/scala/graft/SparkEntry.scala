@@ -68,6 +68,9 @@ object SparkEntry {
     "q_mode" -> (ops.AnalyticsOps.qMode _),
     "q_trend_slope" -> (ops.AnalyticsOps.qTrendSlope _),
     "q_rfm_segments" -> (ops.AnalyticsOps.qRfmSegments _),
+    "q_gini_spend" -> (ops.AnalyticsOps.qGiniSpend _),
+    "q_rolling_median" -> (ops.EventOps.qRollingMedian _),
+    "q_degree_assortativity" -> (ops.GraphOps.qDegreeAssortativity _),
     "q_assoc_rules" -> (ops.AnalyticsOps.qAssocRules _),
     "q_benford" -> (ops.AnalyticsOps.qBenford _),
     "q_cusum_changepoint" -> (ops.EventOps.qCusumChangepoint _),

@@ -571,6 +571,32 @@ object AnalyticsOps {
   def qAssocRules(spark: SparkSession, dir: String): DataFrame =
     assocRules(lineitem(spark, dir), "l_orderkey", "l_partkey")
 
+  /** Gini coefficient of customer lifetime spend — the inequality summary
+    * behind "top 10% of customers drive X% of revenue", as an EXACT
+    * rational: with customers ranked ascending by (spend, custkey),
+    * num = Σ(2·rank − n − 1)·spend, den = n·Σspend, G = num/den. The
+    * global rank is the distributed [[globalRank]] (range exchange +
+    * partition offsets — no global window); the sums are one
+    * partial-combined aggregate over the ranked relation. `gini_ppm`
+    * divides through a down-scaled denominator (num·10⁶ would overflow
+    * BIGINT first), identically on both engines; at extreme corpus sizes
+    * the two sums move to DECIMAL(38,0) (the q_anomaly_zscore precedent).
+    */
+  def qGiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val cust = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+    globalRank(cust, Seq(col("spend_c").asc, col("o_custkey")))
+      .agg(max(col("n")).as("n_cust"),
+           sum(col("spend_c")).as("tot_c"),
+           sum((col("grank") * 2 - col("n") - 1) * col("spend_c"))
+             .as("gini_num"))
+      .select(col("n_cust"), col("tot_c"), col("gini_num"),
+              (col("n_cust") * col("tot_c")).as("gini_den"))
+      .withColumn("gini_ppm",
+        expr("gini_num div greatest(gini_den div 1000000, 1)"))
+  }
+
   /** Benford first-significant-digit audit of order totals: the digit
     * histogram a fraud/data-quality pass compares against log₁₀(1+1/d).
     * The digit comes from the decimal string of the exact cents integer

@@ -230,6 +230,26 @@ object AnalyticsOracles {
         |CROSS JOIN nb
         |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 100""".stripMargin,
 
+    "q_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS spend_c
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT spend_c,
+        |         row_number() OVER (ORDER BY spend_c, o_custkey) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM spend)
+        |SELECT count(*) AS n_cust,
+        |       CAST(sum(spend_c) AS BIGINT) AS tot_c,
+        |       CAST(sum((2*rk - n - 1) * spend_c) AS BIGINT) AS gini_num,
+        |       CAST(count(*) * sum(spend_c) AS BIGINT) AS gini_den,
+        |       CAST(sum((2*rk - n - 1) * spend_c) AS BIGINT) //
+        |         greatest(CAST(count(*) * sum(spend_c) AS BIGINT) // 1000000,
+        |                  1) AS gini_ppm
+        |FROM r""".stripMargin,
+
     "q_benford" ->
       """WITH c AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

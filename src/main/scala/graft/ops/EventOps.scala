@@ -583,6 +583,32 @@ object EventOps {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** Trailing-5 rolling median of purchase values per user — the robust
+    * smoother (median filter) beside [[qEwmaSmooth]]'s linear one. The
+    * window collects ≤5 values, sorts them INSIDE the row
+    * (`array_sort` — deterministic regardless of the collect order, which
+    * Spark does not define), and reads the two middle order statistics;
+    * `med2_c` keeps the even-window case exact-integer. One per-user
+    * window sort over the purchase relation; all frame work is O(w log w)
+    * per row with w = 5.
+    */
+  def qRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-4, 0)
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+      .withColumn("win", array_sort(collect_list(col("value_c")).over(w)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value_c"),
+              size(col("win")).cast("long").as("n_win"),
+              (element_at(col("win"), expr("cast((size(win) + 1) div 2 as int)")) +
+                element_at(col("win"), expr("cast((size(win) + 2) div 2 as int)")))
+                .as("med2_c"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** Robust location/spread per event type: exact median and MAD (median
     * absolute deviation) in integer cents, both through the floor-rank
     * order-statistic rule of [[groupMedian]]. To stay integer-exact the

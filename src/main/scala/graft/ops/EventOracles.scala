@@ -573,6 +573,48 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    "q_degree_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |            FROM lineitem),
+        |e AS (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT da.d AS da, db.d AS db
+        |  FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node)
+        |SELECT count(*) AS m,
+        |       CAST(sum(da + db) AS BIGINT) AS s1,
+        |       CAST(sum(da*da + db*db) AS BIGINT) AS s2,
+        |       CAST(sum(da*db) AS BIGINT) AS s3,
+        |       CAST(4*count(*)*sum(da*db) - sum(da+db)*sum(da+db)
+        |            AS BIGINT) AS r_num,
+        |       CAST(2*count(*)*sum(da*da+db*db) - sum(da+db)*sum(da+db)
+        |            AS BIGINT) AS r_den
+        |FROM j""".stripMargin,
+
+    // Mirrors EventOps.qRollingMedian: trailing-5 frame, in-row sort,
+    // med2 = the two middle order statistics summed.
+    "q_rolling_median" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, event_id, ts_us, value_c,
+        |         list_sort(list(value_c)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM p)
+        |SELECT user_id, event_id, ts_us, value_c,
+        |       len(win) AS n_win,
+        |       win[(len(win) + 1) // 2] + win[(len(win) + 2) // 2] AS med2_c
+        |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     // Mirrors EventOps.qCusumChangepoint: dev = n_days*c - total keeps the
     // mean-deviation exact; argmax = max |cusum|, ties to earliest day.
     "q_cusum_changepoint" ->

@@ -298,4 +298,36 @@ object GraphOps {
   def qWalkCorpus(spark: SparkSession, dir: String): DataFrame =
     randomWalks(copurchaseEdges(spark, dir, minOrders = 2), steps = 4)
       .orderBy(col("walk_id"), col("step"))
+
+  /** Degree assortativity (Newman's r) of an undirected graph as an EXACT
+    * integer rational — the "do hubs connect to hubs" structural summary.
+    * Over the M edges with endpoint degrees (da, db):
+    * S1 = Σ(da+db), S2 = Σ(da²+db²), S3 = Σ(da·db), and
+    * r = (4M·S3 − S1²) / (2M·S2 − S1²) — the Pearson correlation of
+    * degrees across edge endpoints with every half/square multiplied
+    * through, so both engines agree bit-for-bit (the trend-slope num/den
+    * convention). Degrees are one aggregate over the edge endpoints;
+    * attaching them is two narrow equi-joins on the node key; the rest is
+    * one partial-combined global aggregate. Nothing here sorts.
+    */
+  def degreeAssortativity(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("node").as("u"), col("d").as("da")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("db")), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+           sum(col("da") + col("db")).as("s1"),
+           sum(col("da") * col("da") + col("db") * col("db")).as("s2"),
+           sum(col("da") * col("db")).as("s3"))
+      .select(col("m"), col("s1"), col("s2"), col("s3"),
+              (lit(4L) * col("m") * col("s3") - col("s1") * col("s1"))
+                .as("r_num"),
+              (lit(2L) * col("m") * col("s2") - col("s1") * col("s1"))
+                .as("r_den"))
+  }
+
+  def qDegreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(copurchaseEdges(spark, dir, minOrders = 2))
 }

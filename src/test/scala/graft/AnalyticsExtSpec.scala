@@ -89,6 +89,56 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
+  test("gini: brute-force parity; coefficient inside [0, 1)") {
+    val r = ops.AnalyticsOps.qGiniSpend(spark, Sf).head
+    val spends = graft.Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"))
+      .collect().map(x => (x.getLong(1), x.getLong(0))).sorted
+    val n = spends.length.toLong
+    val tot = spends.map(_._1).sum
+    val num = spends.zipWithIndex
+      .map { case ((s, _), i) => (2L * (i + 1) - n - 1) * s }.sum
+    assert(r.getLong(0) == n && r.getLong(1) == tot)
+    assert(r.getLong(2) == num && r.getLong(3) == n * tot)
+    assert(num >= 0 && num < n * tot)
+  }
+
+  test("rolling median: parity with a driver recompute per user") {
+    val got = ops.EventOps.qRollingMedian(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    val purchases = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+              expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    purchases.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._2))
+      seq.zipWithIndex.foreach { case ((u, id, ts, _), i) =>
+        val win = seq.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val m2 = win((win.length - 1) / 2) + win(win.length / 2)
+        assert(got((u, ts, id)) == ((win.length.toLong, m2)))
+      }
+    }
+  }
+
+  test("assortativity: exact r = -1 on a star; num/den parity on a path") {
+    // Star K1,4: every edge joins degree-4 to degree-1 → r = −1.
+    val star = spark.createDataFrame(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))).toDF("u", "v")
+    val s = ops.GraphOps.degreeAssortativity(star).head
+    assert(s.getLong(4) == -s.getLong(5) && s.getLong(5) > 0)
+    // Path 1-2-3-4: M=3, edge degrees (1,2),(2,2),(2,1) → S1=10, S2=18,
+    // S3=8; r = (96−100)/(108−100) = −1/2, the known P4 value.
+    val path = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L))).toDF("u", "v")
+    val p = ops.GraphOps.degreeAssortativity(path).head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      ((3L, 10L, 18L, 8L)))
+    assert(p.getLong(4) == -4L && p.getLong(5) == 8L)
+  }
+
   test("mad: parity with in-driver exact median of |x - med| per type") {
     val got = ops.EventOps.qMadRobust(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
