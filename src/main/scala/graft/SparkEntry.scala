@@ -152,6 +152,8 @@ object SparkEntry {
     "q_bpe_merges" -> (ops.TextOps.qBpeMerges _),
     "q_mutual_info" -> (ops.TextOps.qMutualInfo _),
     "q_vocab_coverage" -> (ops.TextOps.qVocabCoverage _),
+    "q_langid_confusion" -> (ops.TextOps.qLangidConfusion _),
+    "q_span_corruption" -> (ops.TextOps.qSpanCorruption _),
     "q_winnow_fingerprint" -> (ops.TextOps.qWinnowFingerprint _),
     "q_ngram_novelty" -> (ops.TextOps.qNgramNovelty _),
     "q_dataset_card" -> (ops.TextOps.qDatasetCard _),

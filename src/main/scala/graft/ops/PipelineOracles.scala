@@ -256,6 +256,48 @@ object PipelineOracles {
         |       ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    "q_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS en_hits,
+        |    len(list_filter(toks, x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS de_hits,
+        |    len(list_filter(toks, x -> x = 'le' OR x = 'la' OR x = 'et')) AS fr_hits,
+        |    len(list_filter(toks, x -> x = 'el' OR x = 'los' OR x = 'y')) AS es_hits
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |         WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |         WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |         WHEN es_hits > 0 THEN 'es'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM h),
+        |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, c.n, tot.n_lang,
+        |       c.n * 1000000 // tot.n_lang AS share_ppm
+        |FROM c JOIN tot ON c.lang = tot.lang
+        |ORDER BY c.lang, c.pred_lang""".stripMargin,
+
+    // Mirrors TextOps.qSpanCorruption: one candidate span per 8-token
+    // block, placement from the shared md5 surrogate, clipped to block.
+    "q_span_corruption" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |b AS (SELECT doc_id, n, unnest(generate_series(0, (n-1)//8)) AS b
+        |      FROM t),
+        |c AS (
+        |  SELECT doc_id, b, least(8, n - b*8) AS s,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |              CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h
+        |  FROM b)
+        |SELECT doc_id, CAST(b AS BIGINT) AS sentinel,
+        |       CAST(b*8 + h%6 + 1 AS BIGINT) AS span_start,
+        |       CAST(least(1 + (h//6)%3, s - h%6) AS BIGINT) AS span_len
+        |FROM c WHERE h % 6 < s
+        |ORDER BY doc_id, sentinel""".stripMargin,
+
     // Count-min sketch twin: buckets are the shared md5-derived hash60
     // mod 1024, so the ESTIMATES are deterministic and hash-pinned, not
     // just the invariant flags. Integer `/ 100` divides to DOUBLE on both

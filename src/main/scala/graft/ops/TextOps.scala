@@ -74,7 +74,12 @@ object TextOps {
     * Deterministic CASE cascade — ties resolve in en>de>fr>es order on
     * both engines.
     */
-  def qLangId(spark: SparkSession, dir: String): DataFrame =
+  /** Per-doc stopword-hit counts + argmax language prediction — shared by
+    * [[qLangId]] (doc-level report) and [[qLangidConfusion]] (the
+    * evaluation matrix). Pure projection; the tie order en>de>fr>es is
+    * fixed by the CASE chain.
+    */
+  private def langPredictions(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("toks", TextFns.toks)
       .select(
@@ -89,7 +94,54 @@ object TextOps {
           |     WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
           |     WHEN es_hits > 0 THEN 'es'
           |     ELSE 'und' END""".stripMargin))
-      .orderBy(col("doc_id"))
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    langPredictions(spark, dir).orderBy(col("doc_id"))
+
+  /** Language-ID evaluation: the (true lang × predicted lang) confusion
+    * matrix with per-true-language share — the quality report any
+    * classifier in the curation pipeline ships with. One ≤|langs|²-row
+    * aggregate over the prediction projection; the per-lang totals come
+    * from a second tiny aggregate joined back on the true-lang key.
+    */
+  def qLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langPredictions(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+              expr("n * 1000000L div n_lang").as("share_ppm"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** T5-style span-corruption manifest: deterministic masked spans over
+    * the whitespace token stream, one candidate span per 8-token block —
+    * block-local placement makes spans NON-OVERLAPPING by construction
+    * and embarrassingly parallel (no sequential greedy pass, which is the
+    * part of span corruption that does not distribute). The placement
+    * draw is the shared md5 surrogate (`hash60(doc_id:block) % 1000` —
+    * the [[qWalkCorpus]] determinism rule: a seeded RNG is never
+    * oracle-checkable, the hash is): start offset = h%6, length =
+    * 1+(h÷6)%3, clipped to the block. Work is O(blocks), never O(tokens):
+    * only `size(toks)` is computed per doc, then blocks explode from a
+    * `sequence`.
+    */
+  def qSpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), size(TextFns.toks).as("n"))
+      .select(col("doc_id"), col("n"),
+              explode(expr("sequence(0, (n - 1) div 8)")).as("b"))
+      .withColumn("s", least(lit(8), col("n") - col("b") * 8))
+      .withColumn("h", pmod(TextFns.hash60(
+        concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string"))),
+        lit(1000L)))
+      .filter(expr("h % 6 < s"))
+      .select(col("doc_id"), col("b").cast("long").as("sentinel"),
+              expr("cast(b * 8 + h % 6 + 1 as bigint)").as("span_start"),
+              expr("cast(least(1 + (h div 6) % 3, s - h % 6) as bigint)")
+                .as("span_len"))
+      .orderBy(col("doc_id"), col("sentinel"))
 
   /** Corpus-level term frequencies, top 20 (count desc, token asc). */
   def qTokenTopk(spark: SparkSession, dir: String): DataFrame =
@@ -1061,17 +1113,24 @@ object TextOps {
     */
   def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val V = 64
-    val tok = documents(spark, dir)
+    // Tokenize ONCE: the per-(lang, token) count relation feeds BOTH the
+    // vocabulary derivation and the coverage sums (the heavy-hitters
+    // lesson — never explode the corpus twice). Everything after the
+    // first aggregate runs on |distinct (lang, token)| rows, not tokens.
+    val ltc = documents(spark, dir)
       .select(col("lang"), explode(TextFns.toks).as("token"))
-    val vocab = tok.groupBy(col("token"))
+      .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
+    val vocab = ltc.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tcnt"))
+      .orderBy(col("tcnt").desc, col("token"))
       .limit(V)
       .select(col("token"), lit(1L).as("in_vocab"))
-    tok.join(broadcast(vocab), Seq("token"), "left")
+    ltc.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_tokens"),
-           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L))
+             .as("n_oov"))
       .select(col("lang"), col("n_tokens"), col("n_oov"),
               expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
       .orderBy(col("lang"))

@@ -72,6 +72,53 @@ class TextExtSpec extends AnyFunSuite {
     }
   }
 
+  test("langid confusion: cells partition docs and match doc-level preds") {
+    val cells = ops.TextOps.qLangidConfusion(spark, Sf).collect()
+    val preds = ops.TextOps.qLangId(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getString(6)))
+    assert(cells.map(_.getLong(2)).sum == preds.length)
+    val truth = preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    cells.foreach { r =>
+      assert(truth((r.getString(0), r.getString(1))) == r.getLong(2))
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
+    }
+    assert(cells.map(_.getLong(2)).sum ==
+      cells.groupBy(_.getString(0)).values
+        .map(_.head.getLong(3)).sum)
+  }
+
+  test("span corruption: in-block, non-overlapping, brute-force parity") {
+    val got = ops.TextOps.qSpanCorruption(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nToks = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = nToks.toSeq.flatMap { case (id, n) =>
+      (0 to (n - 1) / 8).flatMap { b =>
+        val s = math.min(8, n - b * 8)
+        val h = java.lang.Long.parseLong(
+          ops.TextFns.md5Hex(s"$id:$b").substring(0, 15), 16) % 1000
+        val off = h % 6
+        if (off < s)
+          Some((id, b.toLong, b * 8 + off + 1, math.min(1 + (h / 6) % 3, s - off)))
+        else None
+      }
+    }.sorted
+    assert(got.sorted.toSeq == expected)
+    // Spans never overlap and stay inside the doc.
+    got.groupBy(_._1).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._3)
+      sorted.foreach { case (_, _, st, ln) =>
+        assert(st >= 1 && st + ln - 1 <= nToks(id))
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) => assert(s1 + l1 <= s2)
+        case _                                    =>
+      }
+    }
+  }
+
   test("dataset card: totals conserve; top_lang is the modal language") {
     val rows = ops.TextOps.qDatasetCard(spark, Sf).collect()
     val docs = graft.Tables.documents(spark, Sf)
