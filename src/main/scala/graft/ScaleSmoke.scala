@@ -145,6 +145,21 @@ object ScaleSmoke {
       time(s"shortest_path_$tag", dir)(d => ops.GraphOps.qShortestPath(spark, d))
       time(s"walk_corpus_$tag", dir)(d => ops.GraphOps.qWalkCorpus(spark, d))
       time(s"token_zipf_$tag", dir)(d => ops.TextOps.qTokenZipf(spark, d))
+      // Round-5 session-3 additions: text fingerprints/scores (per-doc
+      // windows and explodes), the triple-rank RFM, rank-based Gini,
+      // basket rules, per-user rolling windows, two-pass MAD, and the
+      // degree-join assortativity — each must scale sublinearly per unit
+      // data on the disjoint-id replicas.
+      time(s"winnow_fp_$tag", dir)(d => ops.TextOps.qWinnowFingerprint(spark, d))
+      time(s"ngram_novelty_$tag", dir)(d => ops.TextOps.qNgramNovelty(spark, d))
+      time(s"vocab_cover_$tag", dir)(d => ops.TextOps.qVocabCoverage(spark, d))
+      time(s"span_corrupt_$tag", dir)(d => ops.TextOps.qSpanCorruption(spark, d))
+      time(s"rfm_$tag", dir)(d => ops.AnalyticsOps.qRfmSegments(spark, d))
+      time(s"gini_$tag", dir)(d => ops.AnalyticsOps.qGiniSpend(spark, d))
+      time(s"assoc_rules_$tag", dir)(d => ops.AnalyticsOps.qAssocRules(spark, d))
+      time(s"rolling_median_$tag", dir)(d => ops.EventOps.qRollingMedian(spark, d))
+      time(s"mad_$tag", dir)(d => ops.EventOps.qMadRobust(spark, d))
+      time(s"assortativity_$tag", dir)(d => ops.GraphOps.qDegreeAssortativity(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

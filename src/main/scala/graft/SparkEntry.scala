@@ -153,6 +153,8 @@ object SparkEntry {
     "q_mutual_info" -> (ops.TextOps.qMutualInfo _),
     "q_vocab_coverage" -> (ops.TextOps.qVocabCoverage _),
     "q_langid_confusion" -> (ops.TextOps.qLangidConfusion _),
+    "q_chi_square" -> (ops.TextOps.qChiSquare _),
+    "q_bootstrap_ci" -> (ops.EventOps.qBootstrapCi _),
     "q_span_corruption" -> (ops.TextOps.qSpanCorruption _),
     "q_winnow_fingerprint" -> (ops.TextOps.qWinnowFingerprint _),
     "q_ngram_novelty" -> (ops.TextOps.qNgramNovelty _),

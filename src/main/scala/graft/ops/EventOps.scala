@@ -536,6 +536,51 @@ object EventOps {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Poisson-bootstrap confidence intervals for the per-type mean event
+    * value — THE scalable bootstrap: instead of resampling rows (which
+    * cannot distribute), every row draws an independent Poisson(1) weight
+    * per replica, and each replica's weighted mean approximates one
+    * classical bootstrap resample. B=64 replicas; the weight is the
+    * Poisson(1) inverse CDF on the md5 surrogate
+    * `hash60(event_id:b) % 1000` (368/736/920/981/996/999 thresholds) —
+    * fully deterministic and oracle-reproducible, never a seeded RNG.
+    * Replica means are exact integer milli-cents (one truncating division
+    * per (type, replica)); the CI bounds are the floor-rank order
+    * statistics (p5/p50/p95 over 64 means = ranks 3/32/60). Scale shape:
+    * the explode fans out B× but partial-aggregates to |types|·B rows
+    * before the only shuffle; the rank window runs over 64 rows per type.
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+    val means = ev
+      .select(col("event_type"), col("event_id"), col("value_c"),
+              explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+      .withColumn("u", pmod(TextFns.hash60(
+        concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
+        lit(1000L)))
+      .withColumn("w", expr(
+        "CASE WHEN u < 368 THEN 0L WHEN u < 736 THEN 1L WHEN u < 920 THEN 2L " +
+        "WHEN u < 981 THEN 3L WHEN u < 996 THEN 4L WHEN u < 999 THEN 5L " +
+        "ELSE 6L END"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(expr("sum(w * value_c) * 1000 div sum(w)").as("mean_mc"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_mc"), col("b"))
+    val bands = means.withColumn("rn", row_number().over(wr))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === 3, col("mean_mc"))).as("ci_lo"),
+           max(when(col("rn") === 32, col("mean_mc"))).as("ci_med"),
+           max(when(col("rn") === 60, col("mean_mc"))).as("ci_hi"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("sum(value_c) * 1000 div count(1)").as("mean_mc_point"))
+      .join(bands, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM changepoint detection per event type: the day whose cumulative
     * deviation from the series mean is largest in magnitude — the classic
     * level-shift locator. Deviations are kept EXACT by scaling out the

@@ -573,6 +573,54 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors EventOps.qBootstrapCi: Poisson(1) weights off the shared
+    // md5 surrogate, replica means in exact milli-cents, floor-rank
+    // order statistics (ranks 3/32/60 of 64).
+    "q_bootstrap_ci" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (SELECT event_type, event_id, value_c,
+        |             unnest(generate_series(0, 63)) AS b FROM ev),
+        |u AS (
+        |  SELECT event_type, b, value_c,
+        |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |              CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS u
+        |  FROM r),
+        |w AS (
+        |  SELECT event_type, b, value_c,
+        |         CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+        |              WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+        |              WHEN u < 996 THEN 4 WHEN u < 999 THEN 5
+        |              ELSE 6 END AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT event_type, b,
+        |         CAST(sum(w * value_c) AS BIGINT) * 1000 //
+        |           CAST(sum(w) AS BIGINT) AS mean_mc
+        |  FROM w GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, b, mean_mc,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY mean_mc, b) AS rn
+        |  FROM m),
+        |bands AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = 3 THEN mean_mc END) AS ci_lo,
+        |         max(CASE WHEN rn = 32 THEN mean_mc END) AS ci_med,
+        |         max(CASE WHEN rn = 60 THEN mean_mc END) AS ci_hi
+        |  FROM rk GROUP BY 1),
+        |pt AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |         CAST(sum(value_c) AS BIGINT) * 1000 // count(*)
+        |           AS mean_mc_point
+        |  FROM ev GROUP BY 1)
+        |SELECT pt.event_type, pt.n_events, pt.mean_mc_point,
+        |       b.ci_lo, b.ci_med, b.ci_hi
+        |FROM pt JOIN bands b ON pt.event_type = b.event_type
+        |ORDER BY pt.event_type""".stripMargin,
+
     "q_degree_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
         |            FROM lineitem),

@@ -256,6 +256,35 @@ object PipelineOracles {
         |       ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.qChiSquare: exact-integer (O·N − nx·ny) with ONE
+    // micro-unit rounding per cell; absent cells generated by the
+    // marginal cross join.
+    "q_chi_square" ->
+      """WITH joint AS (
+        |  SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM joint GROUP BY 1),
+        |my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM joint GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM joint),
+        |cells AS (
+        |  SELECT mx.lang, my.source, coalesce(j.n_xy, 0) AS o,
+        |         n_x, n_y, n_total
+        |  FROM mx CROSS JOIN my CROSS JOIN n
+        |  LEFT JOIN joint j ON j.lang = mx.lang AND j.source = my.source),
+        |c2 AS (
+        |  SELECT CAST(round(CAST(o*n_total - n_x*n_y AS DOUBLE) *
+        |              (o*n_total - n_x*n_y) /
+        |              (CAST(n_total AS DOUBLE) * n_x * n_y) * 1000000)
+        |         AS BIGINT) AS chi_micro,
+        |         lang, source
+        |  FROM cells)
+        |SELECT count(*) AS n_cells,
+        |       CAST(sum(chi_micro) AS BIGINT) AS chi2_micro,
+        |       (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |         AS dof
+        |FROM c2""".stripMargin,
+
     "q_langid_confusion" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |h AS (

