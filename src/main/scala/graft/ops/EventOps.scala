@@ -536,6 +536,80 @@ object EventOps {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** PSI (population stability index) drift report between two halves of
+    * the event stream (even vs odd epoch-day — a deterministic split both
+    * engines share): per value-bucket contribution (p−q)·ln(p/q) in
+    * micro-nats, the score that gates model retraining. Counts are exact;
+    * p and q are each ONE division of exact integers, and the single
+    * rounding happens per bucket (the PMI determinism rule). Buckets seen
+    * on only one side are reported with a NULL psi (ln undefined) so the
+    * report never silently drops mass. Two linear aggregates + a tiny
+    * full-outer join on the bucket key.
+    */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val bucketed = events(spark, dir)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"),
+              expr(s"unix_micros(ts) div $dayUs % 2").as("half"))
+      .groupBy(col("bucket"), col("half"))
+      .agg(count(lit(1)).as("c"))
+    val a = bucketed.filter(col("half") === 0)
+      .select(col("bucket"), col("c").as("c_a"))
+    val b = bucketed.filter(col("half") === 1)
+      .select(col("bucket"), col("c").as("c_b"))
+    val na = a.agg(sum(col("c_a")).as("n_a"))
+    val nb = b.agg(sum(col("c_b")).as("n_b"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bucket"),
+              coalesce(col("c_a"), lit(0L)).as("c_a"),
+              coalesce(col("c_b"), lit(0L)).as("c_b"),
+              expr(
+                "cast(case when c_a > 0 and c_b > 0 then " +
+                "round((cast(c_a as double) / n_a - " +
+                "cast(c_b as double) / n_b) * " +
+                "ln((cast(c_a as double) / n_a) / " +
+                "(cast(c_b as double) / n_b)) * 1000000) end as bigint)")
+                .as("psi_micronat"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Two-proportion A/B test over hash-assigned variants: users split by
+    * `hash60(user_id) % 2` (the deterministic assignment an experiment
+    * platform actually uses — stable under replays and joins), conversion
+    * = "has ≥1 purchase", and the pooled two-proportion z statistic in
+    * exact-derived milli-units. All counts are exact integers off two
+    * linear aggregates (per-user collapse, then per-variant); the z
+    * expression is one shared IEEE formula over those integers.
+    */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("converted"))
+      .withColumn("variant",
+        pmod(TextFns.hash60(col("user_id").cast("string")), lit(2L)))
+    val v = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = v.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+      .crossJoin(broadcast(v.filter(col("variant") === 1)
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))))
+    wide.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      expr("conv_a * 1000000L div n_a").as("rate_a_ppm"),
+      expr("conv_b * 1000000L div n_b").as("rate_b_ppm"),
+      // Degenerate pooled rates (0% or 100% conversion) have zero
+      // variance — z is undefined there, reported NULL, never a throw.
+      expr(
+        "cast(case when conv_a + conv_b > 0 and conv_a + conv_b < n_a + n_b " +
+        "then round((cast(conv_a as double) / n_a - " +
+        "cast(conv_b as double) / n_b) / " +
+        "sqrt((cast(conv_a + conv_b as double) / (n_a + n_b)) * " +
+        "(1.0 - cast(conv_a + conv_b as double) / (n_a + n_b)) * " +
+        "(1.0 / n_a + 1.0 / n_b)) * 1000) end as bigint)").as("z_milli"))
+  }
+
   /** Poisson-bootstrap confidence intervals for the per-type mean event
     * value — THE scalable bootstrap: instead of resampling rows (which
     * cannot distribute), every row draws an independent Poisson(1) weight

@@ -573,6 +573,60 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors EventOps.qPsiDrift: even/odd epoch-day split, exact counts,
+    // one micro-nat rounding per bucket; one-sided buckets → NULL psi.
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |         epoch_us(ts) // 86400000000 % 2 AS half
+        |  FROM events),
+        |g AS (SELECT bucket, half, count(*) AS c FROM b GROUP BY 1, 2),
+        |a AS (SELECT bucket, c AS c_a FROM g WHERE half = 0),
+        |bb AS (SELECT bucket, c AS c_b FROM g WHERE half = 1),
+        |na AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a FROM a),
+        |nb AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_b FROM bb)
+        |SELECT coalesce(a.bucket, bb.bucket) AS bucket,
+        |       coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b,
+        |       CAST(CASE WHEN coalesce(c_a, 0) > 0 AND coalesce(c_b, 0) > 0
+        |            THEN round((CAST(c_a AS DOUBLE) / n_a -
+        |                 CAST(c_b AS DOUBLE) / n_b) *
+        |                 ln((CAST(c_a AS DOUBLE) / n_a) /
+        |                    (CAST(c_b AS DOUBLE) / n_b)) * 1000000)
+        |            END AS BIGINT) AS psi_micronat
+        |FROM a FULL OUTER JOIN bb ON a.bucket = bb.bucket
+        |CROSS JOIN na CROSS JOIN nb
+        |ORDER BY bucket""".stripMargin,
+
+    // Mirrors EventOps.qAbTest: md5-surrogate variant assignment, pooled
+    // two-proportion z in milli-units.
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, count(*) AS n,
+        |             CAST(sum(converted) AS BIGINT) AS conv
+        |      FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+        |  FROM (SELECT n, conv FROM v WHERE variant = 0) a
+        |  CROSS JOIN (SELECT n, conv FROM v WHERE variant = 1) b)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |       conv_a * 1000000 // n_a AS rate_a_ppm,
+        |       conv_b * 1000000 // n_b AS rate_b_ppm,
+        |       CAST(CASE WHEN conv_a + conv_b > 0
+        |                  AND conv_a + conv_b < n_a + n_b
+        |            THEN round((CAST(conv_a AS DOUBLE) / n_a -
+        |                 CAST(conv_b AS DOUBLE) / n_b) /
+        |                 sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |                 (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |                 (1.0 / n_a + 1.0 / n_b)) * 1000)
+        |            END AS BIGINT) AS z_milli
+        |FROM w""".stripMargin,
+
     // Mirrors EventOps.qBootstrapCi: Poisson(1) weights off the shared
     // md5 surrogate, replica means in exact milli-cents, floor-rank
     // order statistics (ranks 3/32/60 of 64).

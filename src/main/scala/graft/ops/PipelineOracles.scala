@@ -256,6 +256,20 @@ object PipelineOracles {
         |       ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    "q_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(text,
+        |              '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(bpe) AS BIGINT) * 1000000 //
+        |         CAST(sum(ws) AS BIGINT) AS fertility_ppm
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Mirrors TextOps.qChiSquare: exact-integer (O·N − nx·ny) with ONE
     // micro-unit rounding per cell; absent cells generated by the
     // marginal cross join.

@@ -1102,6 +1102,24 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace word
+    * (in ppm) — the standard "how much does my tokenizer fragment this
+    * language" metric driving vocab-size decisions. Two `size()`
+    * projections per doc (no explode anywhere), one tiny aggregate.
+    */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"),
+              size(TextFns.toks).cast("long").as("ws"),
+              expr("cast(size(regexp_extract_all(text, " +
+                   "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+           sum(col("bpe")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+              expr("bpe_tokens * 1000000L div ws_tokens").as("fertility_ppm"))
+      .orderBy(col("lang"))
+
   /** Chi-square independence test for lang × source — the categorical
     * drift detector beside [[qMutualInfo]] (same joint/marginal
     * machinery). Each cell's contribution (O−E)²/E is computed as

@@ -166,6 +166,37 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(m0 >= mine.map(_._3).min * 1000 && m0 <= mine.map(_._3).max * 1000)
   }
 
+  test("fertility: BPE fragments at least one token per word") {
+    val rows = ops.TextOps.qTokenizerFertility(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2)) // bpe >= whitespace tokens
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+    }
+  }
+
+  test("psi drift: counts conserve events; psi null only for one-sided buckets") {
+    val rows = ops.EventOps.qPsiDrift(spark, Sf).collect()
+    val n = graft.Tables.events(spark, Sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == n)
+    rows.foreach { r =>
+      val oneSided = r.getLong(1) == 0 || r.getLong(2) == 0
+      assert(r.isNullAt(3) == oneSided)
+    }
+  }
+
+  test("ab test: variants partition users; z sign tracks the rate delta") {
+    val r = ops.EventOps.qAbTest(spark, Sf).head
+    val nUsers = graft.Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == nUsers)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    if (!r.isNullAt(6)) {
+      val delta = r.getLong(4) - r.getLong(5)
+      assert(delta == 0 || delta.sign == r.getLong(6).sign || r.getLong(6) == 0)
+    }
+  }
+
   test("chi-square: brute-force parity on the full contingency table") {
     val r = ops.TextOps.qChiSquare(spark, Sf).head
     val cells = graft.Tables.documents(spark, Sf)
