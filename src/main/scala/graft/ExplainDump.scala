@@ -75,7 +75,14 @@ object ExplainDump {
       "q_bpe_merges" -> "BPE pair stats: corpus-heavy word count first, pair explode over DISTINCT words only",
       "q_pivot" -> "Explicit-value PIVOT compiled to one conditional aggregate (no distinct-collect pass)",
       "q_knn_graph" -> "LSH join, embeddings-in-probe shape: cosine computed in the bucket-join projection, no fat-row sort downstream",
-      "q_token_zipf" -> "Corpus-scale token count + 100-row TakeOrdered; regression on the bounded relation only")
+      "q_token_zipf" -> "Corpus-scale token count + 100-row TakeOrdered; regression on the bounded relation only",
+      "q_winnow_fingerprint" -> "Winnowing: k-gram hashes from one generator projection, per-doc window min (doc-partitioned, never global)",
+      "q_rfm_segments" -> "Triple NTILE via distributed rank: three range exchanges over the customer aggregate, zero windows over data",
+      "q_gini_spend" -> "Gini: globalRank + one partial-combined sum — rank arithmetic, no ntile/window",
+      "q_assoc_rules" -> "Association rules: basket-co-partitioned pair join, item counts attached by narrow equi-joins, broadcast N",
+      "q_bootstrap_ci" -> "Poisson bootstrap: 64x explode partial-aggregates to |types|*64 rows before the only exchange; rank window over 64 rows/type",
+      "q_degree_assortativity" -> "Assortativity: degree aggregate joined back twice, one global exact-integer moment row",
+      "q_psi_drift" -> "PSI: two pruned-scan aggregates, tiny full-outer bucket join, broadcast totals")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

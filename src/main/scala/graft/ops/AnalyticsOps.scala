@@ -571,6 +571,37 @@ object AnalyticsOps {
   def qAssocRules(spark: SparkSession, dir: String): DataFrame =
     assocRules(lineitem(spark, dir), "l_orderkey", "l_partkey")
 
+  /** Deterministic negative sampling for retrieval/recommender training:
+    * for every customer with purchases, K=8 candidate negatives drawn by
+    * the md5 surrogate (`1 + hash60(user:slot) % max_partkey` — a seeded
+    * RNG is never oracle-checkable; the hash is), kept only if the part
+    * exists (semi-join) and the customer never bought it (anti-join
+    * against the distinct positives). Collided slots drop silently —
+    * exactly how a production sampler handles them (resampling would
+    * serialize). All joins are narrow equi-joins on the item or
+    * (user, item) key; the positives relation partial-aggregates to
+    * distinct pairs before anything shuffles.
+    */
+  def qNegSamples(spark: SparkSession, dir: String): DataFrame = {
+    val pos = orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+      .distinct()
+    val mx = part(spark, dir).agg(max(col("p_partkey")).as("maxp"))
+    pos.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(expr("sequence(0, 7)")).as("slot"))
+      .crossJoin(broadcast(mx))
+      .withColumn("item", lit(1L) + pmod(graft.ops.TextFns.hash60(
+        concat(col("user_id").cast("string"), lit(":"),
+               col("slot").cast("string"))), col("maxp")))
+      .join(part(spark, dir).select(col("p_partkey").as("item")),
+            Seq("item"), "left_semi")
+      .join(pos, Seq("user_id", "item"), "left_anti")
+      .select(col("user_id"), col("slot").cast("long").as("slot"), col("item"))
+      .orderBy(col("user_id"), col("slot"))
+  }
+
   /** Gini coefficient of customer lifetime spend — the inequality summary
     * behind "top 10% of customers drive X% of revenue", as an EXACT
     * rational: with customers ranked ascending by (spend, custkey),

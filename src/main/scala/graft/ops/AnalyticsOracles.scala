@@ -230,6 +230,28 @@ object AnalyticsOracles {
         |CROSS JOIN nb
         |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 100""".stripMargin,
 
+    // Mirrors AnalyticsOps.qNegSamples: md5-surrogate candidates, kept if
+    // the part exists and the customer never bought it.
+    "q_neg_samples" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |mx AS (SELECT max(p_partkey) AS maxp FROM part),
+        |u AS (SELECT DISTINCT user_id FROM pos),
+        |s AS (SELECT user_id, unnest(generate_series(0, 7)) AS slot FROM u),
+        |cand AS (
+        |  SELECT user_id, slot,
+        |         1 + CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) ||
+        |             ':' || CAST(slot AS VARCHAR)), 1, 15)) AS BIGINT)
+        |             % maxp AS item
+        |  FROM s CROSS JOIN mx)
+        |SELECT c.user_id, c.slot, c.item
+        |FROM cand c
+        |WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.item)
+        |  AND NOT EXISTS (SELECT 1 FROM pos
+        |                  WHERE pos.user_id = c.user_id AND pos.item = c.item)
+        |ORDER BY c.user_id, c.slot""".stripMargin,
+
     "q_gini_spend" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -536,6 +536,74 @@ object EventOps {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Point-in-time-correct feature join — the feature-store primitive:
+    * every event joins the dimension version VALID AT ITS EVENT TIME,
+    * never a later one (no training-serving leakage). The dimension here
+    * is a loyalty tier derived from the user's cumulative purchase count
+    * (a new version starts at each purchase; `(from, to]` validity with
+    * STRICT `ts > from`, so an event never sees a feature computed at its
+    * own instant). The join is an equi-join on user_id with the interval
+    * residual — per-user versions are bounded and intervals disjoint, so
+    * it stays a co-partitioned SMJ with ≤1 match per event at any scale.
+    */
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val dim = ev.filter(col("event_type") === "purchase")
+      .withColumn("np", row_number().over(w))
+      .withColumn("tier", expr(
+        "CASE WHEN np >= 8 THEN 'gold' WHEN np >= 3 THEN 'silver' " +
+        "ELSE 'bronze' END"))
+      .withColumn("to_us",
+        coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
+      .select(col("user_id").as("d_user"), col("tier"),
+              col("ts_us").as("from_us"), col("to_us"))
+    ev.join(dim,
+            col("user_id") === col("d_user") &&
+              col("ts_us") > col("from_us") && col("ts_us") <= col("to_us"),
+            "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              coalesce(col("tier"), lit("none")).as("tier"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cohort LTV curves: cumulative per-user spend by (first-purchase-week
+    * cohort, age in weeks) — the revenue-payback report behind
+    * acquisition decisions. The running sum's window input is the
+    * (cohort, age) aggregate — bounded by weeks², never by event volume —
+    * and per-user LTV is an exact milli-cent integer division by the
+    * cohort size.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+    val first = p.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t0"))
+      .select(col("user_id"), expr(s"t0 div $weekUs").as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val curve = p.join(first, Seq("user_id"))
+      .select(col("cohort_week"),
+              (expr(s"ts_us div $weekUs") - col("cohort_week")).as("age_weeks"),
+              col("value_c"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(sum(col("value_c")).as("spend_c"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+    curve
+      .withColumn("cum_spend_c", sum(col("spend_c")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("spend_c"),
+              col("cum_spend_c"), col("n_users"),
+              expr("cum_spend_c * 1000 div n_users").as("ltv_mc"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   /** PSI (population stability index) drift report between two halves of
     * the event stream (even vs odd epoch-day — a deterministic split both
     * engines share): per value-bucket contribution (p−q)·ln(p/q) in

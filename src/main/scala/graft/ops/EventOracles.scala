@@ -573,6 +573,58 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors EventOps.qPitJoin: strict (from, to] validity — an event
+    // never sees a feature version starting at its own instant.
+    "q_pit_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts_us, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id) AS np
+        |  FROM ev WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT user_id,
+        |         CASE WHEN np >= 8 THEN 'gold' WHEN np >= 3 THEN 'silver'
+        |              ELSE 'bronze' END AS tier,
+        |         ts_us AS from_us,
+        |         coalesce(lead(ts_us) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts_us, event_id),
+        |                  9223372036854775807) AS to_us
+        |  FROM p)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |       coalesce(d.tier, 'none') AS tier
+        |FROM ev e LEFT JOIN d ON e.user_id = d.user_id
+        |  AND e.ts_us > d.from_us AND e.ts_us <= d.to_us
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (
+        |  SELECT user_id, min(ts_us) // 604800000000 AS cohort_week
+        |  FROM p GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS n_users FROM f GROUP BY 1),
+        |cur AS (
+        |  SELECT f.cohort_week,
+        |         (p.ts_us // 604800000000) - f.cohort_week AS age_weeks,
+        |         CAST(sum(p.value_c) AS BIGINT) AS spend_c
+        |  FROM p JOIN f ON p.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT cohort_week, age_weeks, spend_c,
+        |         CAST(sum(spend_c) OVER (PARTITION BY cohort_week
+        |                                 ORDER BY age_weeks) AS BIGINT)
+        |           AS cum_spend_c
+        |  FROM cur)
+        |SELECT r.cohort_week, r.age_weeks, r.spend_c, r.cum_spend_c,
+        |       sz.n_users, r.cum_spend_c * 1000 // sz.n_users AS ltv_mc
+        |FROM run r JOIN sz ON r.cohort_week = sz.cohort_week
+        |ORDER BY r.cohort_week, r.age_weeks""".stripMargin,
+
     // Mirrors EventOps.qPsiDrift: even/odd epoch-day split, exact counts,
     // one micro-nat rounding per bucket; one-sided buckets → NULL psi.
     "q_psi_drift" ->

@@ -166,6 +166,62 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(m0 >= mine.map(_._3).min * 1000 && m0 <= mine.map(_._3).max * 1000)
   }
 
+  test("pit join: leakage-free — tier equals purchases strictly before ts") {
+    val got = ops.EventOps.qPitJoin(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ev = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+              col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = ev.filter(_._4 == "purchase")
+      .groupBy(_._1).view.mapValues(_.map(p => (p._3, p._2)).sorted.toList).toMap
+    ev.foreach { case (u, id, ts, _) =>
+      // Tier = count of purchases STRICTLY before the event instant (ties
+      // at the same ts are excluded by the strict > from_us bound).
+      val strictly = purchases.getOrElse(u, Nil).count(_._1 < ts)
+      val expected =
+        if (strictly == 0) "none"
+        else if (strictly >= 8) "gold"
+        else if (strictly >= 3) "silver" else "bronze"
+      assert(got(id) == expected, s"event $id")
+    }
+  }
+
+  test("cohort ltv: running sums monotone and mass-conserving") {
+    val rows = ops.EventOps.qCohortLtv(spark, Sf).collect()
+    val total = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value * 100) as bigint)"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.groupBy(_.getLong(0)).values.foreach { cohort =>
+      val sorted = cohort.sortBy(_.getLong(1))
+      assert(sorted.last.getLong(3) == sorted.map(_.getLong(2)).sum)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(3) > a.getLong(3))
+        case _           =>
+      }
+    }
+  }
+
+  test("neg samples: disjoint from positives, existing parts, <=8 per user") {
+    val got = ops.AnalyticsOps.qNegSamples(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pos = graft.Tables.orders(spark, Sf)
+      .join(graft.Tables.lineitem(spark, Sf),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parts = graft.Tables.part(spark, Sf)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (u, s, i) =>
+      assert(!pos.contains((u, i)), s"positive leaked for user $u")
+      assert(parts.contains(i))
+      assert(s >= 0 && s <= 7)
+    }
+    got.groupBy(_._1).values.foreach(g => assert(g.length <= 8))
+  }
+
   test("fertility: BPE fragments at least one token per word") {
     val rows = ops.TextOps.qTokenizerFertility(spark, Sf).collect()
     assert(rows.nonEmpty)
