@@ -573,6 +573,36 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors EventOps.qFunnelLatency: funnel stage chain + floor-rank
+    // percentile read-out (value at rank max(1, floor(q·n))).
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+        |      GROUP BY 1),
+        |lat AS (
+        |  SELECT p.user_id, p.t_purchase - v.t_view AS lat_us
+        |  FROM p JOIN v ON p.user_id = v.user_id),
+        |r AS (
+        |  SELECT lat_us,
+        |         row_number() OVER (ORDER BY lat_us, user_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM lat)
+        |SELECT CAST(max(n) AS BIGINT) AS n_users,
+        |       max(CASE WHEN rk * 100 <= n * 25 OR rk = 1 THEN lat_us END) AS p25_us,
+        |       max(CASE WHEN rk * 100 <= n * 50 OR rk = 1 THEN lat_us END) AS p50_us,
+        |       max(CASE WHEN rk * 100 <= n * 75 OR rk = 1 THEN lat_us END) AS p75_us,
+        |       max(CASE WHEN rk * 100 <= n * 90 OR rk = 1 THEN lat_us END) AS p90_us,
+        |       max(lat_us) AS max_us
+        |FROM r""".stripMargin,
+
     // Mirrors EventOps.qPitJoin: strict (from, to] validity — an event
     // never sees a feature version starting at its own instant.
     "q_pit_join" ->

@@ -1280,6 +1280,33 @@ object PipelineOracles {
         |FROM c GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Mirrors TextOps.qMrrEval: per-term BM25 contribution ranking,
+    // relevance = tf >= 3, exact-integer reciprocal rank in ppm.
+    "q_mrr_eval" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM lens),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |       WHERE token IN ('spark', 'join', 'data') GROUP BY 1, 2),
+        |idf AS (SELECT token, ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+        |               n_docs, total_dl
+        |        FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+        |c AS (
+        |  SELECT tf.token, tf.doc_id, tf.tf,
+        |         CAST(round(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (CAST(idf.total_dl AS DOUBLE) / idf.n_docs))) * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM tf JOIN idf USING (token) JOIN lens USING (doc_id)),
+        |r AS (
+        |  SELECT token, doc_id, tf, score_micro,
+        |         row_number() OVER (PARTITION BY token
+        |                            ORDER BY score_micro DESC, doc_id) AS rn
+        |  FROM c)
+        |SELECT token, count(*) AS n_ranked,
+        |       CAST(coalesce(min(CASE WHEN tf >= 3 THEN rn END), 0) AS BIGINT)
+        |         AS first_rank,
+        |       CAST(coalesce(1000000 // min(CASE WHEN tf >= 3 THEN rn END), 0)
+        |         AS BIGINT) AS rr_ppm
+        |FROM r WHERE rn <= 10 GROUP BY token ORDER BY token""".stripMargin,
+
     // Mirrors TextOps.qHllDistinct: 256-register HLL off the shared
     // 60-bit md5 hash; register maxima are exact integers, the harmonic
     // mean runs off exact BIGINT Z = sum 2^(53-Mj), and the only floats

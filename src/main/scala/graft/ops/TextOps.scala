@@ -843,6 +843,53 @@ object TextOps {
       .limit(20)
   }
 
+  /** MRR@10 ranking evaluation of the BM25 retriever — the eval loop any
+    * retrieval stack ships with. Per query term, documents rank by the
+    * per-term BM25 contribution (identical formula to [[qBm25]]); the
+    * graded relevance label is `tf ≥ 3` (derived, deterministic); the
+    * reciprocal rank 10⁶/k is exact integer ppm — no logs, no floats in
+    * the metric itself. The top-10 cut runs on the custom `graft_topk`
+    * operator (bounded map-side heaps — the exchange carries ≤ 10·|terms|
+    * rows per input partition, where a per-term rank window would sort
+    * every posting of every term, single-task per hot term); the ranking
+    * window after the cut sees ≤ 10 rows per term.
+    */
+  def qMrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "data")
+    val docs = documents(spark, dir)
+    val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        expr("ln((cast(n_docs as double) - df + 0.5) / (df + 0.5) + 1.0)").as("idf"),
+        col("n_docs"), col("total_dl"))
+    val scored = tf.join(broadcast(idf), "token").join(lens, "doc_id")
+      .withColumn("score_micro", expr(
+        "cast(round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / " +
+        "(cast(total_dl as double) / n_docs))) * 1000000.0) as bigint)"))
+    val w = Window.partitionBy(col("token"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      // score_micro ≪ 2^53 — exact in the operator's double-keyed heap.
+      .filter(call_function("graft_topk",
+        col("token"), col("score_micro").cast("double"), col("doc_id"), lit(10)))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_ranked"),
+           min(when(col("tf") >= 3, col("rn"))).as("fr"))
+      .select(col("token"), col("n_ranked"),
+              coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
+              coalesce(expr("cast(1000000 div fr as bigint)"), lit(0L))
+                .as("rr_ppm"))
+      .orderBy(col("token"))
+  }
+
   /** Per-language vocabulary size via HyperLogLog (Flajolet et al. 2007),
     * m = 256 registers, reported beside the exact distinct count. The
     * registers are exact integers off the oracle-shared 60-bit md5 hash:

@@ -166,6 +166,26 @@ class AnalyticsExtSpec extends AnyFunSuite {
     assert(m0 >= mine.map(_._3).min * 1000 && m0 <= mine.map(_._3).max * 1000)
   }
 
+  test("funnel latency: user count matches funnel; ordered percentiles") {
+    val r = ops.EventOps.qFunnelLatency(spark, Sf).head
+    val funnel = ops.AnalyticsOps.qFunnel(spark, Sf).head
+    assert(r.getLong(0) == funnel.getLong(2)) // completing users
+    val bands = (1 to 5).map(r.getLong)
+    bands.sliding(2).foreach { case Seq(a, b) => assert(a <= b); case _ => }
+    assert(bands.forall(_ > 0))
+  }
+
+  test("mrr eval: ranks in 1..10, reciprocal consistency") {
+    val rows = ops.TextOps.qMrrEval(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("spark", "join", "data"))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+      val fr = r.getLong(2)
+      assert(fr >= 0 && fr <= 10)
+      assert(r.getLong(3) == (if (fr == 0) 0L else 1000000L / fr))
+    }
+  }
+
   test("pit join: leakage-free — tier equals purchases strictly before ts") {
     val got = ops.EventOps.qPitJoin(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
