@@ -536,6 +536,39 @@ object EventOps {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Top user-journey paths: the first ≤3 event types of each 30-minute
+    * gap session, counted corpus-wide — the "what do users actually do"
+    * report. Sessionization is the lag + cumulative-flag rule (one
+    * per-user window pass); the path string comes from an in-row
+    * `array_sort` of the collected (ts, id, type) structs, so the
+    * result is independent of collect order (Spark does not define it).
+    * The path aggregate shuffles one row per session; top-20 is
+    * TakeOrdered with a full tie-break.
+    */
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    ev
+      .withColumn("ns",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr(
+        "array_join(transform(slice(array_sort(" +
+        "collect_list(struct(ts_us, event_id, event_type))), 1, 3), " +
+        "x -> x.event_type), '>')").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** Funnel latency percentiles: time from first view to the ordered
     * funnel's first purchase, p25/50/75/90/max over completing users —
     * the "how long does conversion take" report beside [[AnalyticsOps

@@ -573,6 +573,31 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors EventOps.qSessionPaths: lag+cumsum sessionization, in-row
+    // struct sort before the path join — collect order never observable.
+    "q_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id
+        |                 ORDER BY epoch_us(ts), event_id) >= 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id
+        |            ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         array_to_string(list_transform(
+        |           list_sort(list(struct_pack(t := ts_us, e := event_id,
+        |                                      y := event_type)))[1:3],
+        |           x -> x.y), '>') AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
     // Mirrors EventOps.qFunnelLatency: funnel stage chain + floor-rank
     // percentile read-out (value at rank max(1, floor(q·n))).
     "q_funnel_latency" ->

@@ -264,11 +264,20 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     Seq("spend_deciles" -> ops.AnalyticsOps.qSpendDeciles(spark, Sf),
         "skyline" -> ops.AnalyticsOps.qSkyline(spark, Sf),
-        "peak_concurrency" -> ops.EventOps.qPeakConcurrency(spark, Sf)).foreach {
+        "peak_concurrency" -> ops.EventOps.qPeakConcurrency(spark, Sf),
+        // Session-3 consumers of the same distributed-rank machinery —
+        // three NTILEs, a Gini, and funnel percentiles, all windowless
+        // over data by construction. RFM invokes globalRank three times
+        // (one per score dimension), so it may carry up to three of the
+        // <=256-row offset base-case windows; everything else at most one.
+        "rfm_segments" -> ops.AnalyticsOps.qRfmSegments(spark, Sf),
+        "gini_spend" -> ops.AnalyticsOps.qGiniSpend(spark, Sf),
+        "funnel_latency" -> ops.EventOps.qFunnelLatency(spark, Sf)).foreach {
       case (name, df) =>
         val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
         val nGlobal = windows.count(_.partitionSpec.isEmpty)
-        assert(nGlobal <= 1,
+        val cap = if (name == "rfm_segments") 3 else 1
+        assert(nGlobal <= cap,
           s"$name: $nGlobal global windows of ${windows.size} — data-scale sort on one task")
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("ntile"), s"$name fell back to a global ntile")
