@@ -256,6 +256,29 @@ object PipelineOracles {
         |       ELSE 'und' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Mirrors TextOps.qEntropyFilter: exact char counts (substr over a
+    // generated index — DuckDB has no empty-separator split), one
+    // micro-nat rounding per (doc, char).
+    "q_entropy_filter" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)),
+        |g AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ch
+        |      FROM g GROUP BY 1)
+        |SELECT g.doc_id, max(n.n_ch) AS n_chars,
+        |       count(*) AS n_distinct_chars,
+        |       CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n_ch) *
+        |            ln(CAST(c AS DOUBLE) / n_ch) * 1000000) AS BIGINT))
+        |         AS BIGINT) AS entropy_micronat,
+        |       CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n_ch) *
+        |            ln(CAST(c AS DOUBLE) / n_ch) * 1000000) AS BIGINT))
+        |         AS BIGINT) >= 2000000 AS keep
+        |FROM g JOIN n USING (doc_id)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
     "q_tokenizer_fertility" ->
       """WITH d AS (
         |  SELECT lang,

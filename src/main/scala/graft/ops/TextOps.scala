@@ -1149,6 +1149,34 @@ object TextOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Character-entropy quality filter: per-doc Shannon entropy of the
+    * character distribution in micro-nats — low entropy flags repetitive
+    * or degenerate text (keyboard mash, repeated padding), a standard
+    * gibberish gate beside [[qTextQuality]]'s ratio features. Character
+    * counts are exact ints off one explode + aggregate; each character's
+    * −p·ln(p) term rounds to micro-nats once (the PMI determinism rule)
+    * and the per-doc sum is order-independent. The keep flag is an exact
+    * integer comparison. Shuffle carries one row per (doc, distinct
+    * char) — bounded by the alphabet, ≪ corpus size.
+    */
+  def qEntropyFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ch = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val n = ch.groupBy(col("doc_id")).agg(sum(col("c")).as("n_ch"))
+    ch.join(n, Seq("doc_id"))
+      .withColumn("term", expr(
+        "cast(round(-(cast(c as double) / n_ch) * " +
+        "ln(cast(c as double) / n_ch) * 1000000) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_ch")).as("n_chars"),
+           count(lit(1)).as("n_distinct_chars"),
+           sum(col("term")).as("entropy_micronat"))
+      .withColumn("keep", col("entropy_micronat") >= 2000000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer fertility per language: BPE-ish tokens per whitespace word
     * (in ppm) — the standard "how much does my tokenizer fragment this
     * language" metric driving vocab-size decisions. Two `size()`
@@ -1244,15 +1272,20 @@ object TextOps {
     * cardinality, bounded doc length), never global. Downstream, plagiarism
     * /near-dup candidates are an equi-join on `fp60`.
     */
-  def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val k = 3; val w = 4
-    val grams = documents(spark, dir)
+  def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(documents(spark, dir))
+
+  /** Parameterized core of [[qWinnowFingerprint]] over any relation with
+    * `doc_id` and `text` columns.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), TextFns.toks.as("toks"))
       .filter(size(col("toks")) >= k + w - 1) // at least one full window
       .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("nk"),
               posexplode(expr(
                 s"transform(sequence(0, size(toks) - $k), " +
-                  "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+                  s"i -> concat_ws(' ', ${(0 until k).map(j => s"toks[i+$j]").mkString(", ")}))")))
       .select(col("doc_id"), col("nk"), (col("pos") + 1).as("pos"),
               TextFns.hash60(col("col")).as("h"))
     val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

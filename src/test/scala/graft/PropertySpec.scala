@@ -328,6 +328,71 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: globalRank + ntileBucket == driver sort rank + NTILE") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pair = for {
+      v <- Gen.chooseNum(-50L, 50L); id <- Gen.chooseNum(0L, 1000L)
+    } yield (v, id)
+    val rel = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, pair)).map(_.distinct)
+    val p = Prop.forAll(rel) { rows0 =>
+      val rows = rows0.distinct
+      rows.isEmpty || {
+        val df = rows.toDF("v", "id")
+        val got = ops.AnalyticsOps
+          .globalRank(df, Seq(col("v").desc, col("id")), numParts = 5)
+          .withColumn("q", ops.AnalyticsOps.ntileBucket(4))
+          .collect()
+          .map(r => (r.getAs[Long]("v"), r.getAs[Long]("id")) ->
+            ((r.getAs[Long]("grank"), r.getAs[Long]("n"),
+              r.getAs[Int]("q")))).toMap
+        val sorted = rows.sortBy { case (v, id) => (-v, id) }
+        val n = sorted.length
+        val (big, m) = (n / 4 + 1, n % 4)
+        sorted.zipWithIndex.forall { case ((v, id), i0) =>
+          val rk = i0 + 1L
+          val expQ =
+            if (rk <= big.toLong * m) ((rk - 1) / big + 1).toInt
+            else (m + (rk - big.toLong * m - 1) / (n / 4) + 1).toInt
+          got((v, id)) == ((rk, n.toLong, expQ))
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: winnowing fingerprints == brute force on random corpora") {
+    import TestSpark.spark
+    import spark.implicits._
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(ops.TextFns.md5Hex(s).substring(0, 15), 16)
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, doc))
+    val p = Prop.forAll(corpus) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = ops.TextOps.winnowFingerprints(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length < 6) Nil
+        else {
+          val hs = (0 to toks.length - 3)
+            .map(i => h60(toks.slice(i, i + 3).mkString(" ")))
+          (0 to hs.length - 4).map { s =>
+            val (h, pos) = (s until s + 4).map(i => (hs(i), (i + 1).toLong)).min
+            (id, pos, h)
+          }.distinct
+        }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
