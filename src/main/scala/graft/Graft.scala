@@ -139,6 +139,34 @@ object Graft {
                               dropDen: Int = 4): DataFrame =
     ops.TextOps.quantileThresholdFilter(df, group, score, tie, dropNum, dropDen)
 
+  // distributed rank / order statistics (no global windows anywhere)
+  /** Global 1-based rank over `sortCols` (must be a total order — add a
+    * unique tie-break) via range partitioning + exclusive partition
+    * offsets; adds `grank` and `n`. The base for deciles, RFM, Gini,
+    * and percentile read-outs. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 numParts: Int = 32): DataFrame =
+    ops.AnalyticsOps.globalRank(df, sortCols, numParts)
+  /** NTILE(buckets) as arithmetic on [[globalRank]]'s (grank, n). */
+  def ntileBucket(buckets: Int): Column = ops.AnalyticsOps.ntileBucket(buckets)
+
+  // market basket / graph statistics
+  /** Directed association rules over `(basket, item)` rows: support,
+    * confidence and lift in exact integer ppm. */
+  def assocRules(items: DataFrame, basket: String, item: String,
+                 minPair: Long = 2, topN: Int = 100): DataFrame =
+    ops.AnalyticsOps.assocRules(items, basket, item, minPair, topN)
+  /** Newman degree assortativity of undirected `(u, v)` edges as an
+    * exact integer rational (r = r_num/r_den). */
+  def degreeAssortativity(und: DataFrame): DataFrame =
+    ops.GraphOps.degreeAssortativity(und)
+
+  // fingerprinting
+  /** Winnowing (MOSS) fingerprints of `(doc_id, text)` rows: one
+    * (sel_pos, fp60) row per selected k-gram window minimum. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    ops.TextOps.winnowFingerprints(docs, k, w)
+
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,
                  tiebreak: Column, k: Int): DataFrame =

@@ -78,6 +78,13 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$scaled/orders.parquet")
     (0 until factor).map { c =>
+      Tables.part(spark, base).select(
+        (col("p_partkey") + off(c)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$scaled/part.parquet")
+    (0 until factor).map { c =>
       Tables.lineitem(spark, base).select(
         (col("l_orderkey") + off(c)).as("l_orderkey"),
         (col("l_partkey") + off(c)).as("l_partkey"),
@@ -160,6 +167,14 @@ object ScaleSmoke {
       time(s"rolling_median_$tag", dir)(d => ops.EventOps.qRollingMedian(spark, d))
       time(s"mad_$tag", dir)(d => ops.EventOps.qMadRobust(spark, d))
       time(s"assortativity_$tag", dir)(d => ops.GraphOps.qDegreeAssortativity(spark, d))
+      time(s"entropy_$tag", dir)(d => ops.TextOps.qEntropyFilter(spark, d))
+      time(s"session_paths_$tag", dir)(d => ops.EventOps.qSessionPaths(spark, d))
+      time(s"pit_join_$tag", dir)(d => ops.EventOps.qPitJoin(spark, d))
+      time(s"cohort_ltv_$tag", dir)(d => ops.EventOps.qCohortLtv(spark, d))
+      time(s"funnel_latency_$tag", dir)(d => ops.EventOps.qFunnelLatency(spark, d))
+      time(s"neg_samples_$tag", dir)(d => ops.AnalyticsOps.qNegSamples(spark, d))
+      time(s"bootstrap_$tag", dir)(d => ops.EventOps.qBootstrapCi(spark, d))
+      time(s"mrr_eval_$tag", dir)(d => ops.TextOps.qMrrEval(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of
