@@ -833,6 +833,33 @@ object EventOps {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** Seasonal-naive forecast backtest: forecast(day) = count(day − 7),
+    * scored as per-type MAE over every day with a 7-back predecessor —
+    * the baseline every forecasting pipeline must beat, and the backtest
+    * harness that scores it, in exact integers (|err| sums, one
+    * truncating milli division). The lag runs on the per-(type, day)
+    * aggregate — bounded by types × calendar days — via a 7-day
+    * self-join on the day key (equi-join, no window needed).
+    */
+  def qSnaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val lag7 = daily.select(col("event_type"), (col("day") + 7).as("day"),
+                            col("c").as("forecast"))
+    daily.join(lag7, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("c"), col("forecast"),
+              abs(col("c") - col("forecast")).as("abs_err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("abs_err")).as("sum_abs_err"))
+      .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+              expr("sum_abs_err * 1000 div n_days").as("mae_milli"))
+      .orderBy(col("event_type"))
+  }
+
   /** Trailing-5 rolling median of purchase values per user — the robust
     * smoother (median filter) beside [[qEwmaSmooth]]'s linear one. The
     * window collects ≤5 values, sorts them INSIDE the row

@@ -573,6 +573,21 @@ object EventOracles {
         |          sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
+    "q_snaive_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.day, a.c, b.c AS forecast,
+        |         abs(a.c - b.c) AS abs_err
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 7)
+        |SELECT event_type, count(*) AS n_days,
+        |       CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+        |       CAST(sum(abs_err) AS BIGINT) * 1000 // count(*) AS mae_milli
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Mirrors EventOps.qSessionPaths: lag+cumsum sessionization, in-row
     // struct sort before the path join — collect order never observable.
     "q_session_paths" ->

@@ -815,6 +815,46 @@ object SourceSinkOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Time travel over the [[VersionedStore]]: build snapshot v1 from a
+    * deterministic orders slice, commit a U/I/D change set (copy-on-write
+    * — only touched buckets rewritten, the rest SHARED with v1), then
+    * read BOTH snapshots back and summarize. v1's summary after the
+    * commit is the snapshot-isolation proof: the old version is
+    * untouched by the new one. The two collected summary rows are
+    * control-plane (2 rows of aggregates — the KeyedStore "collect is
+    * control flow" rule); everything data-sized runs as distributed
+    * scans/merges inside the store.
+    */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val base = orders(spark, dir)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    VersionedStore.init(spark, tmp, base, "o_orderkey")
+    val changes = base.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"),
+                (col("cents") + 111L).as("cents"))
+      .unionByName(base.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), lit("D").as("op"), col("cents")))
+      .unionByName(base.filter(col("o_orderkey") % 3 === 2)
+        .select((col("o_orderkey") + 1L).as("o_orderkey"), lit("I").as("op"),
+                (col("cents") + 7L).as("cents")))
+    VersionedStore.commit(spark, tmp, changes, "o_orderkey")
+    def summary(version: Int) = VersionedStore.asOf(spark, tmp, version)
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("o_orderkey")).as("n_keys"),
+           sum(col("cents")).as("tot_c"))
+      .select(lit(version).as("version"), col("n_rows"), col("n_keys"),
+              col("tot_c"))
+    val rows = summary(1).unionByName(summary(2)).orderBy(col("version"))
+      .collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), rows.head.schema)
+    graft.streaming.EventStream.deleteRecursively(java.nio.file.Paths.get(tmp))
+    out
+  }
+
   /** GROUPING SETS over (status, priority) — finer control than cube:
     * only the two single-dimension granularities.
     */

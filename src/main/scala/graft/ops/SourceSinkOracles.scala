@@ -256,5 +256,26 @@ object SourceSinkOracles {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
+
+    // Mirrors SourceSinkOps.qTimeTravel: v1 = the base slice; v2 = the
+    // U/I/D change set applied (k%3=0 updated +111, k%3=1 deleted,
+    // k%3=2 untouched plus a k+1 insert at +7).
+    "q_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |v2 AS (
+        |  SELECT k, cents + 111 AS cents FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, cents FROM base WHERE k % 3 = 2
+        |  UNION ALL SELECT k + 1, cents + 7 FROM base WHERE k % 3 = 2)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |       count(DISTINCT k) AS n_keys,
+        |       CAST(sum(cents) AS BIGINT) AS tot_c
+        |FROM base
+        |UNION ALL
+        |SELECT 2, count(*), count(DISTINCT k), CAST(sum(cents) AS BIGINT)
+        |FROM v2
+        |ORDER BY version""".stripMargin,
   )
 }
