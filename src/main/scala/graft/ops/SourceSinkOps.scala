@@ -825,7 +825,11 @@ object SourceSinkOps {
     * control flow" rule); everything data-sized runs as distributed
     * scans/merges inside the store.
     */
-  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+  /** Build the deterministic two-snapshot VersionedStore both
+    * time-travel queries read: v1 = the orders %5 slice, v2 = v1 with
+    * keys %3=0 updated (+111), %3=1 deleted, and a k+1 insert (+7) per
+    * %3=2 key. Returns the store path (caller deletes). */
+  private def twoSnapshotStore(spark: SparkSession, dir: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
     val base = orders(spark, dir)
       .filter(col("o_orderkey") % 5 === 0)
@@ -841,6 +845,11 @@ object SourceSinkOps {
         .select((col("o_orderkey") + 1L).as("o_orderkey"), lit("I").as("op"),
                 (col("cents") + 7L).as("cents")))
     VersionedStore.commit(spark, tmp, changes, "o_orderkey")
+    tmp
+  }
+
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = twoSnapshotStore(spark, dir)
     def summary(version: Int) = VersionedStore.asOf(spark, tmp, version)
       .agg(count(lit(1)).as("n_rows"),
            countDistinct(col("o_orderkey")).as("n_keys"),
@@ -848,6 +857,37 @@ object SourceSinkOps {
       .select(lit(version).as("version"), col("n_rows"), col("n_keys"),
               col("tot_c"))
     val rows = summary(1).unionByName(summary(2)).orderBy(col("version"))
+      .collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), rows.head.schema)
+    graft.streaming.EventStream.deleteRecursively(java.nio.file.Paths.get(tmp))
+    out
+  }
+
+  /** Snapshot diff — the CDC/incremental-consumption read between two
+    * [[VersionedStore]] versions: per change class (added / removed /
+    * updated / unchanged), row count and exact net value delta, off ONE
+    * full-outer key join of the two snapshot scans. This is how a
+    * downstream consumer processes O(changes) instead of re-reading the
+    * table. The 4 collected summary rows are control-plane.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = twoSnapshotStore(spark, dir)
+    val v1 = VersionedStore.asOf(spark, tmp, 1)
+      .select(col("o_orderkey"), col("cents").as("c1"))
+    val v2 = VersionedStore.asOf(spark, tmp, 2)
+      .select(col("o_orderkey"), col("cents").as("c2"))
+    val rows = v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("c1").isNull, "added")
+          .when(col("c2").isNull, "removed")
+          .when(col("c1") =!= col("c2"), "updated")
+          .otherwise("unchanged"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+             .as("delta_c"))
+      .orderBy(col("change_type"))
       .collect().toSeq
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), rows.head.schema)

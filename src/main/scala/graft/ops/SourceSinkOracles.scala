@@ -277,5 +277,24 @@ object SourceSinkOracles {
         |SELECT 2, count(*), count(DISTINCT k), CAST(sum(cents) AS BIGINT)
         |FROM v2
         |ORDER BY version""".stripMargin,
+
+    // Mirrors SourceSinkOps.qSnapshotDiff over the same two snapshots.
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT 'added' AS change_type, count(*) AS n,
+        |       CAST(sum(cents + 7) AS BIGINT) AS delta_c
+        |FROM base WHERE k % 3 = 2
+        |UNION ALL
+        |SELECT 'removed', count(*), CAST(-sum(cents) AS BIGINT)
+        |FROM base WHERE k % 3 = 1
+        |UNION ALL
+        |SELECT 'unchanged', count(*), 0 FROM base WHERE k % 3 = 2
+        |UNION ALL
+        |SELECT 'updated', count(*), CAST(count(*) * 111 AS BIGINT)
+        |FROM base WHERE k % 3 = 0
+        |ORDER BY change_type""".stripMargin,
   )
 }

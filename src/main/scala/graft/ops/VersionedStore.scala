@@ -104,6 +104,43 @@ object VersionedStore {
     nv
   }
 
+  /** Retention vacuum: delete every per-(version, bucket) data directory
+    * not referenced by the last `keepLast` manifests, and the expired
+    * manifests themselves. Returns the number of data directories
+    * removed. Snapshots older than the retention window become
+    * unreadable — the documented lakehouse trade of storage for history.
+    * Pure driver-side file management (control plane); the data plane is
+    * untouched for every retained version.
+    */
+  def vacuum(dir: String, keepLast: Int = 1): Int = {
+    val cur = currentVersion(dir)
+    val keepFrom = math.max(1, cur - keepLast + 1)
+    val live = (keepFrom to cur)
+      .flatMap(v => readManifest(dir, v).values).toSet
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.delete(p)
+    }
+    var removed = 0
+    val dataRoot = Paths.get(dir, "data")
+    Files.list(dataRoot).iterator().asScala.toSeq.foreach { vdir =>
+      Files.list(vdir).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("kb="))
+        .foreach { kbdir =>
+          val rel = s"${vdir.getFileName}/${kbdir.getFileName}"
+          if (!live(rel)) { rm(kbdir); removed += 1 }
+        }
+      if (!Files.list(vdir).iterator().asScala.exists(
+            _.getFileName.toString.startsWith("kb=")))
+        rm(vdir)
+    }
+    (1 until keepFrom).foreach { v =>
+      val m = manifestDir(dir).resolve(s"v$v")
+      if (Files.exists(m)) Files.delete(m)
+    }
+    removed
+  }
+
   /** Snapshot read: the table exactly as of `version`. A fully-emptied
     * snapshot (every bucket deleted) reads as zero rows with version 1's
     * schema. */

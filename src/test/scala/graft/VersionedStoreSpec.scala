@@ -61,6 +61,23 @@ class VersionedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum: expired dirs removed, retained snapshot still exact") {
+    val dir = freshDir()
+    val base = (1L to 100L).map(k => (k, k)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k")
+    ops.VersionedStore.commit(spark, dir,
+      (1L to 100L).map(k => (k, "U", k * 2)).toDF("k", "op", "v"), "k")
+    val before = ops.VersionedStore.asOf(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val removed = ops.VersionedStore.vacuum(dir, keepLast = 1)
+    // Every bucket was rewritten by the commit, so all v1 dirs expire.
+    assert(removed > 0)
+    assert(!Files.exists(Paths.get(dir, "manifests", "v1")))
+    val after = ops.VersionedStore.asOf(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+  }
+
   test("deleting every row empties the manifest; asOf returns zero rows") {
     val dir = freshDir()
     val base = (1L to 50L).map(k => (k, k)).toDF("k", "v")
