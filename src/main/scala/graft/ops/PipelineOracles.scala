@@ -630,6 +630,33 @@ object PipelineOracles {
         |       count(*) AS n_docs
         |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
+    "q_split_leakage" ->
+      """WITH d AS (
+        |  SELECT md5(text) AS digest,
+        |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                   1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                   1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT digest,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM d GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n_train + n_val + n_test > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(CASE WHEN (CASE WHEN n_train > 0 THEN 1 ELSE 0 END) +
+        |                     (CASE WHEN n_val > 0 THEN 1 ELSE 0 END) +
+        |                     (CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+        |  CAST(sum(n_train * n_val) AS BIGINT) AS leak_train_val,
+        |  CAST(sum(n_train * n_test) AS BIGINT) AS leak_train_test,
+        |  CAST(sum(n_val * n_test) AS BIGINT) AS leak_val_test
+        |FROM g""".stripMargin,
+
     // Mirrors TextOps.repetitionScore: dup ratio = 1 - distinct/total for
     // words and word-2/3-grams (range(1,n) is end-exclusive, so counts
     // match Spark's size(toks)-k+1 totals exactly).

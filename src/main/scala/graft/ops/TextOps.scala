@@ -470,6 +470,37 @@ object TextOps {
   def qTrainSplit(spark: SparkSession, dir: String): DataFrame =
     trainSplit(documents(spark, dir))
 
+  /** Split-leakage audit: exact-duplicate texts that span train/val/test —
+    * the eval-contamination check run before any benchmark number is
+    * trusted. Groups by content digest (one linear aggregate), then one
+    * global summary row: duplicate groups, cross-split groups, and the
+    * exact leaked-pair count per split pair (n_a·n_b summed over groups).
+    * Pure integers; the shuffle carries one row per distinct digest.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("h",
+        pmod(TextFns.hash60(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+    d.groupBy(col("digest"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+           sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+           sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .agg(count(lit(1)).as("n_groups"),
+           sum(when(col("n_train") + col("n_val") + col("n_test") > 1, 1L)
+                 .otherwise(0L)).as("n_dup_groups"),
+           sum(when((col("n_train") > 0).cast("int") +
+                      (col("n_val") > 0).cast("int") +
+                      (col("n_test") > 0).cast("int") > 1, 1L)
+                 .otherwise(0L)).as("n_leaky_groups"),
+           sum(col("n_train") * col("n_val")).as("leak_train_val"),
+           sum(col("n_train") * col("n_test")).as("leak_train_test"),
+           sum(col("n_val") * col("n_test")).as("leak_val_test"))
+  }
+
   /** The capstone: the full training-data pipeline as ONE composed plan —
     * quality gate → near-dup cluster removal → per-language quota →
     * token-budget shard packing → per-shard manifest. Every stage is the
