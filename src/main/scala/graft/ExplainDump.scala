@@ -82,7 +82,11 @@ object ExplainDump {
       "q_assoc_rules" -> "Association rules: basket-co-partitioned pair join, item counts attached by narrow equi-joins, broadcast N",
       "q_bootstrap_ci" -> "Poisson bootstrap: 64x explode partial-aggregates to |types|*64 rows before the only exchange; rank window over 64 rows/type",
       "q_degree_assortativity" -> "Assortativity: degree aggregate joined back twice, one global exact-integer moment row",
-      "q_psi_drift" -> "PSI: two pruned-scan aggregates, tiny full-outer bucket join, broadcast totals")
+      "q_psi_drift" -> "PSI: two pruned-scan aggregates, tiny full-outer bucket join, broadcast totals",
+      "q_pit_join" -> "Point-in-time join: user-co-partitioned SMJ with interval residual, <=1 match per event",
+      "q_session_paths" -> "Journey mining: per-user sessionization window, in-row struct sort, one row per session at the exchange",
+      "q_mrr_eval" -> "Ranking eval: graft_topk bounded heaps cut to 10/term before the rank window",
+      "q_split_leakage" -> "Leakage audit: digest-grouped split counts, one summary aggregate")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

@@ -820,10 +820,10 @@ object SourceSinkOps {
     * — only touched buckets rewritten, the rest SHARED with v1), then
     * read BOTH snapshots back and summarize. v1's summary after the
     * commit is the snapshot-isolation proof: the old version is
-    * untouched by the new one. The two collected summary rows are
-    * control-plane (2 rows of aggregates — the KeyedStore "collect is
-    * control flow" rule); everything data-sized runs as distributed
-    * scans/merges inside the store.
+    * untouched by the new one. Everything data-sized runs as distributed
+    * scans/merges inside the store; the result materializes via
+    * localCheckpoint (the stream-upsert pattern) so the temp store can
+    * be deleted.
     */
   /** Build the deterministic two-snapshot VersionedStore both
     * time-travel queries read: v1 = the orders %5 slice, v2 = v1 with
@@ -856,10 +856,11 @@ object SourceSinkOps {
            sum(col("cents")).as("tot_c"))
       .select(lit(version).as("version"), col("n_rows"), col("n_keys"),
               col("tot_c"))
-    val rows = summary(1).unionByName(summary(2)).orderBy(col("version"))
-      .collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), rows.head.schema)
+    // localCheckpoint materializes off the temp store (the stream-upsert
+    // pattern) so the directory can be deleted before consumption; at
+    // real scale the store IS the durable output and outlives the job.
+    val out = summary(1).unionByName(summary(2)).orderBy(col("version"))
+      .localCheckpoint()
     graft.streaming.EventStream.deleteRecursively(java.nio.file.Paths.get(tmp))
     out
   }
@@ -869,7 +870,8 @@ object SourceSinkOps {
     * updated / unchanged), row count and exact net value delta, off ONE
     * full-outer key join of the two snapshot scans. This is how a
     * downstream consumer processes O(changes) instead of re-reading the
-    * table. The 4 collected summary rows are control-plane.
+    * table. The summary materializes via localCheckpoint so the temp
+    * store can be deleted.
     */
   def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val tmp = twoSnapshotStore(spark, dir)
@@ -888,11 +890,9 @@ object SourceSinkOps {
            sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
              .as("delta_c"))
       .orderBy(col("change_type"))
-      .collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), rows.head.schema)
+      .localCheckpoint()
     graft.streaming.EventStream.deleteRecursively(java.nio.file.Paths.get(tmp))
-    out
+    rows
   }
 
   /** GROUPING SETS over (status, priority) — finer control than cube:
