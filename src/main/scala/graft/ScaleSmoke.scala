@@ -175,6 +175,10 @@ object ScaleSmoke {
       time(s"neg_samples_$tag", dir)(d => ops.AnalyticsOps.qNegSamples(spark, d))
       time(s"bootstrap_$tag", dir)(d => ops.EventOps.qBootstrapCi(spark, d))
       time(s"mrr_eval_$tag", dir)(d => ops.TextOps.qMrrEval(spark, d))
+      time(s"snaive_$tag", dir)(d => ops.EventOps.qSnaiveBacktest(spark, d))
+      time(s"split_leak_$tag", dir)(d => ops.TextOps.qSplitLeakage(spark, d))
+      time(s"time_travel_$tag", dir)(d => ops.SourceSinkOps.qTimeTravel(spark, d))
+      time(s"snapshot_diff_$tag", dir)(d => ops.SourceSinkOps.qSnapshotDiff(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

@@ -316,6 +316,17 @@ object EventOracles {
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // Same final state as q_stream_upsert — the versioned sink must drain
+    // to the identical latest-per-user relation whatever the batching.
+    "q_stream_versioned" ->
+      """SELECT user_id, ts_us, event_id, event_type, value_c FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_attribution" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us

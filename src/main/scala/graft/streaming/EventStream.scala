@@ -428,6 +428,74 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming CDC into the snapshot-versioned table: each micro-batch
+    * commits its latest-per-user state through
+    * [[graft.ops.VersionedStore]]'s copy-on-write commit, resolving
+    * against the CURRENT snapshot with the same max-(ts, event_id) rule
+    * as [[qStreamUpsert]] — the merge stays commutative + idempotent, so
+    * the FINAL snapshot is independent of how the source files happen to
+    * batch, while every intermediate snapshot stays time-travel-readable
+    * (the streaming layer and the lakehouse layer compose). Result: the
+    * final snapshot read back (latest state per user).
+    */
+  /** One micro-batch of the versioned CDC sink: resolve the batch's
+    * latest-per-user rows against the current snapshot by the
+    * max-(ts, event_id) rule, then commit copy-on-write. Commutative +
+    * idempotent across batch orderings (StreamingSpec pins it). */
+  private[graft] def commitLatestBatch(spark: SparkSession, storeDir: String,
+                                       batch: DataFrame): Unit = {
+    val latest = latestPerUser(batch)
+    val cur = graft.ops.VersionedStore.currentVersion(storeDir)
+    if (cur == 0)
+      graft.ops.VersionedStore.init(spark, storeDir, latest, "user_id")
+    else {
+      val existing = graft.ops.VersionedStore.asOf(spark, storeDir, cur)
+        .join(latest.select(col("user_id")), Seq("user_id"), "left_semi")
+      val resolved = latestPerUser(existing.unionByName(latest))
+        .select(col("user_id"), lit("U").as("op"), col("ts_us"),
+                col("event_id"), col("event_type"), col("value_c"))
+      graft.ops.VersionedStore.commit(spark, storeDir, resolved, "user_id")
+    }
+  }
+
+  def qStreamVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_versioned")
+    val srcDir = tmp.resolve("src").toString
+    val storeDir = tmp.resolve("store").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("value_c"))
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          commitLatestBatch(spark, storeDir, batch.toDF())
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_versioned: stream did not drain within 120 s — refusing " +
+            "to read a partially committed store")
+      }
+      val out = graft.ops.VersionedStore
+        .asOf(spark, storeDir, graft.ops.VersionedStore.currentVersion(storeDir))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+                col("event_type"), col("value_c"))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** One micro-batch of the ADDITIVE count sink: per-user batch counts
     * summed into the store. Same partitioned copy-on-write shape as
     * [[upsertBatchIntoStore]] (touched-partition pruning, staging,

@@ -78,6 +78,41 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("stream CDC commits are batch-order independent; history readable") {
+    val ev = Seq(
+      (1L, 10L, 100L, "view", 5L), (2L, 10L, 200L, "click", 6L),
+      (3L, 20L, 150L, "view", 7L), (4L, 20L, 50L, "purchase", 8L),
+      (5L, 30L, 300L, "click", 9L))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value_c")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+              col("event_type"), col("value_c"))
+    def drain(order: Seq[Seq[Long]]): Set[(Long, Long, Long)] = {
+      val dir = freshDir()
+      order.foreach { ids =>
+        graft.streaming.EventStream.commitLatestBatch(spark, dir,
+          ev.filter(col("event_id").isin(ids: _*)))
+      }
+      ops.VersionedStore.asOf(spark, dir,
+          ops.VersionedStore.currentVersion(dir))
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).toSet
+    }
+    val a = drain(Seq(Seq(1L, 3L), Seq(2L, 4L), Seq(5L)))
+    val b = drain(Seq(Seq(5L, 4L), Seq(2L), Seq(1L, 3L)))
+    val expected = Set((10L, 200L, 2L), (20L, 150L, 3L), (30L, 300L, 5L))
+    assert(a == expected && b == expected)
+    // Intermediate snapshots stay readable: version 1 of the first order
+    // holds only batch-1 state.
+    val dir = freshDir()
+    graft.streaming.EventStream.commitLatestBatch(spark, dir,
+      ev.filter(col("event_id").isin(1L, 3L)))
+    graft.streaming.EventStream.commitLatestBatch(spark, dir,
+      ev.filter(col("event_id").isin(2L, 4L, 5L)))
+    val v1 = ops.VersionedStore.asOf(spark, dir, 1)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(v1 == Set(1L, 3L))
+  }
+
   test("deleting every row empties the manifest; asOf returns zero rows") {
     val dir = freshDir()
     val base = (1L to 50L).map(k => (k, k)).toDF("k", "v")
