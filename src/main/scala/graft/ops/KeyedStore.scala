@@ -90,7 +90,7 @@ object KeyedStore {
     val touched = changes.select(bucketCol(col(key)).as("kb")).distinct()
       .collect().map(_.getLong(0))
     val baseTouched = spark.table(name)
-      .filter(col("kb").isin(touched: _*)).drop("kb")
+      .filter(col("kb").isin(touched.toIndexedSeq: _*)).drop("kb")
     val merged = SourceSinkOps.mergeUpsert(baseTouched, changes, key)
     val staging = java.nio.file.Files.createTempDirectory("graft_keyed_staging")
     try {
@@ -103,7 +103,7 @@ object KeyedStore {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try
         spark.read.parquet(stagingPath)
-          .select(spark.table(name).columns.map(col): _*) // insertInto is positional
+          .select(spark.table(name).columns.toIndexedSeq.map(col): _*) // insertInto is positional
           .write.mode("overwrite").insertInto(name)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

@@ -372,7 +372,7 @@ object EventStream {
         val touched = latest.select(col("part")).distinct().collect()
           .map(_.getLong(0))
         val storeTouched = spark.read.parquet(storeDir)
-          .filter(col("part").isin(touched: _*))
+          .filter(col("part").isin(touched.toIndexedSeq: _*))
           .select(cols.map(col): _*)
         latestPerUser(storeTouched.unionByName(latest.drop("part")))
           .withColumn("part", pmod(col("user_id"), lit(nParts)))
@@ -515,7 +515,7 @@ object EventStream {
         val touched = counts.select(col("part")).distinct().collect()
           .map(_.getLong(0))
         val storeTouched = spark.read.parquet(storeDir)
-          .filter(col("part").isin(touched: _*))
+          .filter(col("part").isin(touched.toIndexedSeq: _*))
           .select(col("user_id"), col("n"))
         storeTouched.unionByName(counts.drop("part"))
           .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
