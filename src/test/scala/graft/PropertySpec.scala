@@ -393,6 +393,46 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: VersionedStore == in-memory model over random U/I/D sequences") {
+    import TestSpark.spark
+    import spark.implicits._
+    val change = for {
+      k <- Gen.chooseNum(1L, 12L)
+      op <- Gen.oneOf("U", "I", "D")
+      v <- Gen.chooseNum(0L, 99L)
+    } yield (k, op, v)
+    val scenario = for {
+      init <- Gen.listOf(Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(0L, 99L)))
+        .map(_.distinctBy(_._1))
+      commits <- Gen.chooseNum(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.nonEmptyListOf(change).map(_.distinctBy(_._1))))
+    } yield (init, commits)
+    val p = Prop.forAll(scenario) { case (init, commits) =>
+      init.isEmpty || {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_vstore_prop").toString
+        ops.VersionedStore.init(spark, dir, init.toDF("k", "v"), "k")
+        // In-memory model: each version's full key→value map.
+        var model = init.toMap
+        val history = scala.collection.mutable.ArrayBuffer(model)
+        commits.foreach { cs =>
+          ops.VersionedStore.commit(spark, dir, cs.toDF("k", "op", "v"), "k")
+          // mergeUpsert: drop every changed key, re-add non-D payloads.
+          model = (model -- cs.map(_._1)) ++
+            cs.filter(_._2 != "D").map(c => c._1 -> c._3)
+          history += model
+        }
+        (1 to history.size).forall { v =>
+          val got = ops.VersionedStore.asOf(spark, dir, v)
+            .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+          got == history(v - 1)
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: report line formats and parses back to the same months") {
     val monthVals = Gen.listOfN(12, Gen.chooseNum(-999, 999))
     val carrier = Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.take(6).mkString)
