@@ -167,6 +167,22 @@ object Graft {
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
     ops.TextOps.winnowFingerprints(docs, k, w)
 
+  // snapshot-versioned keyed table (manifest + copy-on-write time travel)
+  /** Create snapshot v1 of a versioned keyed table at `dir`. */
+  def vstoreInit(spark: SparkSession, dir: String, rows: DataFrame,
+                 key: String): Unit =
+    ops.VersionedStore.init(spark, dir, rows, key)
+  /** Commit a U/I/D change set copy-on-write; returns the new version. */
+  def vstoreCommit(spark: SparkSession, dir: String, changes: DataFrame,
+                   key: String): Int =
+    ops.VersionedStore.commit(spark, dir, changes, key)
+  /** Read the table exactly as of `version` (snapshot isolation). */
+  def vstoreAsOf(spark: SparkSession, dir: String, version: Int): DataFrame =
+    ops.VersionedStore.asOf(spark, dir, version)
+  /** Drop data/manifests outside the last `keepLast` versions. */
+  def vstoreVacuum(dir: String, keepLast: Int = 1): Int =
+    ops.VersionedStore.vacuum(dir, keepLast)
+
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,
                  tiebreak: Column, k: Int): DataFrame =

@@ -25,6 +25,12 @@ import scala.jdk.CollectionConverters._
   *    write-audit-publish ordering: a crashed commit leaves orphan data
   *    directories, never a corrupt table.
   *
+  * Single-writer commit protocol: version numbering is
+  * read-latest-then-publish, so concurrent committers need external
+  * mutual exclusion (a catalog lock / conditional put at real scale —
+  * the same requirement every manifest-based table format has).
+  * Readers need no coordination at any concurrency.
+  *
   * At 100 TB the same layout holds with more buckets: commit cost is
   * O(touched buckets), read-as-of cost is one multi-path parquet scan,
   * and the manifest stays control-plane-sized.
