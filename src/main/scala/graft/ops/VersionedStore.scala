@@ -2,160 +2,349 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, Path}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Snapshot-versioned keyed store — time travel on plain parquet, the
   * manifest + copy-on-write shape of a lakehouse table format reduced to
-  * its essentials:
+  * its essentials, with FILE-granularity commits (the capability the
+  * reference's HBase regions + HFiles provide:
+  * `HPopulate/src/main/java/org/northeastern/Main.java:54-73` creates the
+  * region-ranged table this store substitutes):
   *
-  *  - data lives in per-(version, bucket) parquet directories
-  *    `data/v<N>/kb=<b>/`; a commit merges ONLY the buckets containing
-  *    changed keys and writes new directories for those — untouched
-  *    buckets' files are never rewritten and are SHARED by every later
-  *    snapshot (byte-identity across versions is asserted in
-  *    VersionedStoreSpec);
-  *  - each version has an immutable manifest `manifests/v<N>` mapping
-  *    bucket → the data directory that last wrote it. Reading "as of
-  *    version v" is a union scan of v's manifest entries — old snapshots
-  *    stay readable forever (no overwrite anywhere), which is exactly
-  *    snapshot isolation: a reader pinned to v is unaffected by
-  *    concurrent commits;
-  *  - manifests are tiny (NumBuckets lines) and written last — the
-  *    write-audit-publish ordering: a crashed commit leaves orphan data
-  *    directories, never a corrupt table.
+  *  - data lives in per-commit parquet directories `data/<commit>/kf=<i>`,
+  *    each leaf holding ~targetRowsPerFile rows of one contiguous range of
+  *    the 60-bit key-hash space. Each manifest entry records the leaf's
+  *    (minHash, maxHash, rowCount, path); entries are disjoint and cover
+  *    the whole hash space, so every key maps to exactly one entry;
+  *  - a commit merges and rewrites ONLY the leaves whose hash range
+  *    intersects the change set — O(changed files), never O(table) and
+  *    never O(table/buckets): a 1-key commit rewrites exactly one data
+  *    file (VersionedStoreSpec pins it) while every other leaf is SHARED
+  *    by the new snapshot. An entry whose merged range outgrows the
+  *    target splits into equal-width sub-ranges, so file size stays
+  *    bounded as the table grows;
+  *  - each version has an immutable manifest `manifests/v<N>` written
+  *    LAST and published atomically (temp file + create-exclusive link):
+  *    a crashed commit leaves orphan data directories (reclaimed by
+  *    vacuum), never a corrupt or half-visible table. Old snapshots stay
+  *    readable forever — snapshot isolation with zero reader
+  *    coordination;
+  *  - concurrent committers serialize OPTIMISTICALLY: both prepare
+  *    against the version they read; the create-exclusive publish lets
+  *    exactly one land as v(N+1), the loser re-reads the new current
+  *    version and re-merges. No lock service needed — the same
+  *    conditional-put protocol the manifest table formats use;
+  *  - vacuum is two-phase with a read grace: an out-of-window manifest is
+  *    first EXPIRED (renamed, stamped with the expiry time); its data is
+  *    deleted only once the grace horizon has passed, so a reader pinned
+  *    to an expiring snapshot finishes its scan (and can even re-resolve
+  *    the expired manifest during grace). `graceMs = 0` reclaims
+  *    immediately.
   *
-  * Single-writer commit protocol: version numbering is
-  * read-latest-then-publish, so concurrent committers need external
-  * mutual exclusion (a catalog lock / conditional put at real scale —
-  * the same requirement every manifest-based table format has).
-  * Readers need no coordination at any concurrency.
-  *
-  * At 100 TB the same layout holds with more buckets: commit cost is
-  * O(touched buckets), read-as-of cost is one multi-path parquet scan,
-  * and the manifest stays control-plane-sized.
+  * At 100 TB the manifest is O(table / targetRowsPerFile) entries — a
+  * control-plane-sized flat file (a few million lines at the extreme,
+  * streamed, never shuffled); commit cost is O(changed files); read-as-of
+  * is one multi-path parquet scan of the referenced leaves.
   */
 object VersionedStore {
-  val NumBuckets = 8
+  /** Target rows per data file. The default keeps fixture stores compact
+    * (few files, few tasks); size to ~a parquet-row-group's worth of rows
+    * at real scale. Fixed per store at init (persisted in `meta`).
+    */
+  val DefaultTargetRowsPerFile: Long = 1L << 20
 
-  private def bucketCol(key: String) =
-    pmod(TextFns.hash60(col(key).cast("string")), lit(NumBuckets.toLong))
+  private val HashSpace: Long = 1L << 60 // hash60 values lie in [0, 2^60)
+  private val MaxPublishRetries = 20
+
+  /** One manifest line: a data leaf (or a deliberately empty range —
+    * kept so entries always cover the full hash space and every change
+    * key finds its covering entry).
+    */
+  private[graft] final case class FileEntry(minH: Long, maxH: Long,
+                                            rows: Long, path: String)
+
+  private def hashCol(key: String) = TextFns.hash60(col(key).cast("string"))
 
   private def manifestDir(dir: String): Path = Paths.get(dir, "manifests")
 
-  /** Latest committed version, 0 if none. */
+  private def newCommitId(): String =
+    "c" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  private val ManifestName = "^v(\\d+)$".r
+  private val ExpiredName = "^v(\\d+)\\.expired$".r
+
+  /** Latest committed version, 0 if none. Ignores expired manifests and
+    * stray files (temp artifacts from in-flight publishes).
+    */
   def currentVersion(dir: String): Int = {
     val md = manifestDir(dir)
     if (!Files.exists(md)) 0
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString.stripPrefix("v").toInt).foldLeft(0)(math.max)
+    else Using.resource(Files.list(md)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case ManifestName(v) => v.toInt }
+        .foldLeft(0)(math.max)
+    }
   }
 
-  private def readManifest(dir: String, version: Int): Map[Int, String] =
-    Files.readAllLines(manifestDir(dir).resolve(s"v$version")).asScala
-      .map { line =>
-        val Array(b, p) = line.split(",", 2); b.toInt -> p
-      }.toMap
-
-  private def writeManifest(dir: String, version: Int,
-                            m: Map[Int, String]): Unit = {
-    Files.createDirectories(manifestDir(dir))
-    Files.write(manifestDir(dir).resolve(s"v$version"),
-      m.toSeq.sorted.map { case (b, p) => s"$b,$p" }.mkString("\n")
-        .getBytes("UTF-8"))
+  /** The manifest file for `version` — live, or expired-but-in-grace. */
+  private def manifestFile(dir: String, version: Int): Path = {
+    val live = manifestDir(dir).resolve(s"v$version")
+    if (Files.exists(live)) live
+    else manifestDir(dir).resolve(s"v$version.expired")
   }
 
-  /** Version 1: write every bucket, publish manifest v1. */
-  def init(spark: SparkSession, dir: String, rows: DataFrame,
-           key: String): Unit = {
-    rows.withColumn("kb", bucketCol(key))
-      .repartitionByRange(NumBuckets, col("kb"), col(key))
-      .sortWithinPartitions(col("kb"), col(key))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$dir/data/v1")
-    val written = (0 until NumBuckets).filter(b =>
-      Files.exists(Paths.get(s"$dir/data/v1/kb=$b")))
-    writeManifest(dir, 1, written.map(b => b -> s"v1/kb=$b").toMap)
+  private[graft] def readManifest(dir: String, version: Int): IndexedSeq[FileEntry] =
+    readManifestFile(manifestFile(dir, version))
+
+  private def readManifestFile(p: Path): IndexedSeq[FileEntry] =
+    Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty).map { line =>
+      val Array(lo, hi, n, path) = line.split(",", 4)
+      FileEntry(lo.toLong, hi.toLong, n.toLong, path)
+    }.toIndexedSeq.sortBy(_.minH)
+
+  /** Publish a manifest atomically and EXCLUSIVELY: the content lands via
+    * a temp file in the same directory, made visible with a
+    * create-exclusive hard link (fallback: existence check + atomic
+    * move). A concurrent publish of the same version throws
+    * FileAlreadyExistsException — the optimistic-concurrency conflict
+    * signal — and a crash mid-write can never leave a truncated file
+    * under the versioned name.
+    */
+  private def publishManifest(dir: String, version: Int,
+                              entries: Seq[FileEntry]): Unit = {
+    val md = manifestDir(dir)
+    Files.createDirectories(md)
+    val target = md.resolve(s"v$version")
+    val tmp = Files.createTempFile(md, ".tmp-manifest", "")
+    try {
+      Files.write(tmp, entries.sortBy(_.minH)
+        .map(e => s"${e.minH},${e.maxH},${e.rows},${e.path}")
+        .mkString("\n").getBytes("UTF-8"))
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          if (Files.exists(target))
+            throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def metaPath(dir: String): Path = Paths.get(dir, "meta")
+
+  private def readTarget(dir: String): Long =
+    if (Files.exists(metaPath(dir)))
+      Files.readAllLines(metaPath(dir)).asScala.headOption
+        .map(_.toLong).getOrElse(DefaultTargetRowsPerFile)
+    else DefaultTargetRowsPerFile
+
+  /** Equal-width sub-ranges of [lo, hi] sized so ~`estRows` split across
+    * them lands under the per-file target. Hash60 is uniform, so
+    * equal-width ≈ equal-rows without a quantile pass.
+    */
+  private def splitRange(lo: Long, hi: Long, estRows: Long,
+                         target: Long): Seq[(Long, Long)] = {
+    val span = hi - lo + 1
+    val want = math.max(1L, (estRows + target - 1) / target)
+    val parts = math.min(want, span)
+    val w = span / parts + (if (span % parts == 0) 0 else 1)
+    (0L until parts).map { i =>
+      (lo + i * w, math.min(lo + (i + 1) * w - 1, hi))
+    }.filter { case (a, b) => a <= b }
+  }
+
+  /** Write `rows` (plus a `kf` file-id column from `assign`) as the data
+    * leaves of one commit; returns the published entries. Exact per-file
+    * row counts come from a metadata-cheap count over the written leaves
+    * (column-pruned to the partition column).
+    */
+  private def writeLeaves(spark: SparkSession, dir: String, commitId: String,
+                          rows: DataFrame, key: String,
+                          ranges: Seq[(Long, Long)]): Seq[FileEntry] = {
+    require(!rows.columns.contains("kf"),
+      "VersionedStore payloads must not contain a column named 'kf'")
+    val bounds = ranges.map(_._1).toIndexedSeq
+    val dataDir = s"$dir/data/$commitId"
+    rows.withColumn("kf",
+        graft.functions.RangeFunctions.longBoundaryBucket(hashCol(key), bounds))
+      .repartitionByRange(math.max(1, ranges.size), col("kf"), col(key))
+      .sortWithinPartitions(col("kf"), col(key))
+      .write.mode("overwrite").partitionBy("kf").parquet(dataDir)
+    val written = ranges.indices.filter(i =>
+      Files.exists(Paths.get(s"$dataDir/kf=$i"))).toSet
+    val counts: Map[Int, Long] =
+      if (written.isEmpty) Map.empty
+      else spark.read.parquet(dataDir).groupBy(col("kf"))
+        .count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      if (written(i)) FileEntry(lo, hi, counts.getOrElse(i, 0L), s"$commitId/kf=$i")
+      else FileEntry(lo, hi, 0L, "")
+    }
+  }
+
+  /** Version 1: write the whole table as ~n/target hash-range leaves,
+    * persist the per-store file-size target and a schema sentinel (an
+    * empty parquet that survives vacuum, so a fully-emptied snapshot
+    * stays readable), publish manifest v1.
+    */
+  def init(spark: SparkSession, dir: String, rows: DataFrame, key: String,
+           targetRowsPerFile: Long = DefaultTargetRowsPerFile): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(metaPath(dir), targetRowsPerFile.toString.getBytes("UTF-8"))
+    rows.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
+    val n = rows.count()
+    val ranges = splitRange(0L, HashSpace - 1, n, targetRowsPerFile)
+    val entries = writeLeaves(spark, dir, newCommitId(), rows, key, ranges)
+    publishManifest(dir, 1, entries)
   }
 
   /** Copy-on-write commit of a U/I/D change set
-    * ([[SourceSinkOps.mergeUpsert]] semantics): merge + rewrite only the
-    * buckets containing changed keys, share every other bucket's files
-    * with the previous snapshot, publish manifest v(N+1). */
+    * ([[SourceSinkOps.mergeUpsert]] semantics): merge + rewrite ONLY the
+    * data files whose hash range contains a changed key, share every
+    * other file with the previous snapshot, publish manifest v(N+1)
+    * exclusively (racing committers retry against the winner's version).
+    * Entry assignment for the change set is a codegen'd binary search
+    * ([[graft.functions.LongBoundaryBucket]]); only O(touched files)
+    * values ever reach the driver.
+    */
   def commit(spark: SparkSession, dir: String, changes: DataFrame,
              key: String): Int = {
-    val v = currentVersion(dir)
-    val manifest = readManifest(dir, v)
-    // <= NumBuckets values driver-side: control flow, not data.
-    val touched = changes.select(bucketCol(key).as("kb")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    val basePaths = manifest.filter(t => touched(t._1))
-      .values.map(p => s"$dir/data/$p").toSeq
-    // A touched bucket with no manifest entry was emptied by an earlier
-    // commit — its base contribution is the empty payload relation.
-    val base =
-      if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
-      else changes.drop("op").limit(0)
-    val merged = SourceSinkOps.mergeUpsert(base, changes, key)
-    val nv = v + 1
-    merged.withColumn("kb", bucketCol(key))
-      .repartitionByRange(NumBuckets, col("kb"), col(key))
-      .sortWithinPartitions(col("kb"), col(key))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$dir/data/v$nv")
-    // A bucket whose every row was deleted produces no kb directory —
-    // it must leave the manifest, or readers would scan a missing path.
-    val written = touched.filter(b =>
-      Files.exists(Paths.get(s"$dir/data/v$nv/kb=$b")))
-    writeManifest(dir, nv,
-      (manifest -- touched) ++ written.map(b => b -> s"v$nv/kb=$b"))
-    nv
+    val target = readTarget(dir)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(dir)
+      val entries = readManifest(dir, v)
+      val bounds = entries.map(_.minH)
+      // Per-entry change counts: O(touched files) rows driver-side —
+      // control flow, not data.
+      val touchedCounts: Map[Int, Long] = changes
+        .select(graft.functions.RangeFunctions
+          .longBoundaryBucket(hashCol(key), bounds).as("eid"))
+        .groupBy(col("eid")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nv = v + 1
+      val newEntries: Seq[FileEntry] =
+        if (touchedCounts.isEmpty) entries
+        else {
+          val touched = touchedCounts.keySet
+          val newRanges = touched.toSeq.sorted.flatMap { i =>
+            val e = entries(i)
+            splitRange(e.minH, e.maxH, e.rows + touchedCounts(i), target)
+          }
+          val basePaths = touched.toSeq.map(entries(_)).filter(_.path.nonEmpty)
+            .map(e => s"$dir/data/${e.path}")
+          val base =
+            if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
+            else changes.drop("op").limit(0)
+          val merged = SourceSinkOps.mergeUpsert(base, changes, key)
+          val written =
+            writeLeaves(spark, dir, newCommitId(), merged, key, newRanges)
+          (entries.indices.filterNot(touched).map(entries(_)) ++ written)
+            .sortBy(_.minH)
+        }
+      try {
+        publishManifest(dir, nv, newEntries)
+        return nv
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // Lost the race: a concurrent commit published nv first. The
+          // orphan data directory is reclaimed by vacuum; re-merge
+          // against the winner's snapshot.
+          attempt += 1
+          if (attempt >= MaxPublishRetries)
+            throw new IllegalStateException(
+              s"VersionedStore.commit: lost the publish race $attempt times at $dir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Retention vacuum: delete every per-(version, bucket) data directory
-    * not referenced by the last `keepLast` manifests, and the expired
-    * manifests themselves. Returns the number of data directories
-    * removed. Snapshots older than the retention window become
-    * unreadable — the documented lakehouse trade of storage for history.
-    * Pure driver-side file management (control plane); the data plane is
-    * untouched for every retained version.
+  /** Two-phase retention vacuum with a read grace. Phase 1 EXPIRES every
+    * manifest older than the last `keepLast` (rename to `v<N>.expired`,
+    * stamped with the expiry instant). Phase 2 deletes (a) the data
+    * leaves referenced only by expired manifests whose grace has passed,
+    * along with those manifests, and (b) orphan leaves (crashed or
+    * race-losing commits) older than the grace horizon. Returns the
+    * number of data directories removed.
+    *
+    * A reader pinned to an expiring snapshot keeps working for `graceMs`
+    * past expiry — its resolved paths stay on disk and `asOf` still
+    * resolves the expired manifest. `graceMs = 0` reclaims immediately
+    * (the documented storage-for-history trade). Pure driver-side file
+    * management; the data plane of every retained version is untouched.
     */
-  def vacuum(dir: String, keepLast: Int = 1): Int = {
+  def vacuum(dir: String, keepLast: Int = 1, graceMs: Long = 0L): Int = {
+    val md = manifestDir(dir)
+    if (!Files.exists(md)) return 0
     val cur = currentVersion(dir)
     val keepFrom = math.max(1, cur - keepLast + 1)
-    val live = (keepFrom to cur)
-      .flatMap(v => readManifest(dir, v).values).toSet
+    val now = System.currentTimeMillis()
+    // Phase 1: expire out-of-window manifests.
+    (1 until keepFrom).foreach { v =>
+      val m = md.resolve(s"v$v")
+      if (Files.exists(m)) {
+        val ex = md.resolve(s"v$v.expired")
+        Files.move(m, ex, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(ex,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+      }
+    }
+    // Partition manifests into surviving vs grace-elapsed expired.
+    val all = Using.resource(Files.list(md))(_.iterator().asScala.toSeq)
+    val (deletable, surviving) = all.partition { p =>
+      p.getFileName.toString match {
+        case ExpiredName(_) =>
+          Files.getLastModifiedTime(p).toMillis + graceMs <= now
+        case _ => false
+      }
+    }
+    val live = surviving.flatMap { p =>
+      p.getFileName.toString match {
+        case ManifestName(_) | ExpiredName(_) =>
+          readManifestFile(p).map(_.path).filter(_.nonEmpty)
+        case _ => Nil
+      }
+    }.toSet
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p))
+        Using.resource(Files.list(p))(_.iterator().asScala.toSeq).foreach(rm)
       Files.delete(p)
     }
     var removed = 0
     val dataRoot = Paths.get(dir, "data")
-    Files.list(dataRoot).iterator().asScala.toSeq.foreach { vdir =>
-      Files.list(vdir).iterator().asScala.toSeq
-        .filter(p => p.getFileName.toString.startsWith("kb="))
-        .foreach { kbdir =>
-          val rel = s"${vdir.getFileName}/${kbdir.getFileName}"
-          if (!live(rel)) { rm(kbdir); removed += 1 }
+    if (Files.exists(dataRoot)) {
+      Using.resource(Files.list(dataRoot))(_.iterator().asScala.toSeq)
+        .foreach { cdir =>
+          Using.resource(Files.list(cdir))(_.iterator().asScala.toSeq)
+            .filter(_.getFileName.toString.startsWith("kf="))
+            .foreach { leaf =>
+              val rel = s"${cdir.getFileName}/${leaf.getFileName}"
+              val old =
+                Files.getLastModifiedTime(leaf).toMillis + graceMs <= now
+              if (!live(rel) && old) { rm(leaf); removed += 1 }
+            }
+          if (!Using.resource(Files.list(cdir))(_.iterator().asScala.exists(
+                _.getFileName.toString.startsWith("kf="))))
+            rm(cdir)
         }
-      if (!Files.list(vdir).iterator().asScala.exists(
-            _.getFileName.toString.startsWith("kb=")))
-        rm(vdir)
     }
-    (1 until keepFrom).foreach { v =>
-      val m = manifestDir(dir).resolve(s"v$v")
-      if (Files.exists(m)) Files.delete(m)
-    }
+    deletable.foreach(Files.deleteIfExists(_))
     removed
   }
 
-  /** Snapshot read: the table exactly as of `version`. A fully-emptied
-    * snapshot (every bucket deleted) reads as zero rows with version 1's
-    * schema. */
+  /** Snapshot read: the table exactly as of `version` (resolvable during
+    * the vacuum grace window even after expiry). A fully-emptied snapshot
+    * reads as zero rows with the store schema — served by the vacuum-proof
+    * schema sentinel, never by reaching back into vacuumable data.
+    */
   def asOf(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    val m = readManifest(dir, version)
-    if (m.nonEmpty)
-      spark.read.parquet(m.values.map(p => s"$dir/data/$p").toSeq: _*)
+    val paths = readManifest(dir, version).map(_.path).filter(_.nonEmpty)
+    if (paths.nonEmpty)
+      spark.read.parquet(paths.map(p => s"$dir/data/$p"): _*)
     else
-      spark.read.parquet(readManifest(dir, 1).values
-        .map(p => s"$dir/data/$p").toSeq: _*).limit(0)
+      spark.read.parquet(s"$dir/schema")
   }
 }

@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** VersionedStore contracts: snapshot isolation (old versions unaffected
-  * by commits), copy-on-write file sharing (untouched buckets keep their
-  * v1 directories — byte-identical, not re-written), and the
-  * emptied-bucket manifest rule.
+  * by commits), FILE-granularity copy-on-write (a 1-key commit rewrites
+  * exactly one data file; every sibling is shared byte-identically),
+  * optimistic concurrent commits (create-exclusive publish + retry),
+  * grace-window vacuum (a pinned reader survives expiry), and the
+  * fully-emptied-snapshot schema sentinel.
   */
 class VersionedStoreSpec extends AnyFunSuite {
   import TestSpark._
@@ -17,10 +19,34 @@ class VersionedStoreSpec extends AnyFunSuite {
   private def freshDir() =
     Files.createTempDirectory("graft_vstore_spec").toString
 
+  private def leafDirs(dir: String): Set[String] = {
+    val root = Paths.get(dir, "data")
+    if (!Files.exists(root)) Set.empty
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("kf="))
+        .map(p => root.relativize(p).toString).toSet
+      finally s.close()
+    }
+  }
+
+  private def digests(dir: String): Map[String, String] = {
+    val root = Paths.get(dir, "data")
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString ->
+        java.util.Arrays.toString(java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(p))))
+      .toMap
+    finally s.close()
+  }
+
   test("snapshot isolation: v1 readable and unchanged after two commits") {
     val dir = freshDir()
     val base = (1L to 200L).map(k => (k, k * 10)).toDF("k", "v")
-    ops.VersionedStore.init(spark, dir, base, "k")
+    ops.VersionedStore.init(spark, dir, base, "k", targetRowsPerFile = 16)
     val v1Before = ops.VersionedStore.asOf(spark, dir, 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // Commit 1: update evens; commit 2: delete multiples of 3.
@@ -41,24 +67,72 @@ class VersionedStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("copy-on-write: buckets untouched by a commit keep their v1 files") {
+  test("file-granularity CoW: a 1-key commit rewrites exactly one data file") {
     val dir = freshDir()
-    val base = (1L to 100L).map(k => (k, k)).toDF("k", "v")
-    ops.VersionedStore.init(spark, dir, base, "k")
-    // Change exactly one key → at most one bucket rewritten.
+    val base = (1L to 200L).map(k => (k, k)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k", targetRowsPerFile = 16)
+    val m1 = ops.VersionedStore.readManifest(dir, 1)
+    assert(m1.count(_.path.nonEmpty) >= 8,
+      s"want many data files for a meaningful granularity probe, got $m1")
+    val before = digests(dir)
+    // Change exactly one key → exactly one manifest entry replaced and
+    // exactly one new data leaf written.
     ops.VersionedStore.commit(spark, dir,
       Seq((1L, "U", 999L)).toDF("k", "op", "v"), "k")
-    val m1 = Files.readAllLines(Paths.get(dir, "manifests", "v1")).asScala
-      .map(_.split(",", 2)).map(a => a(0).toInt -> a(1)).toMap
-    val m2 = Files.readAllLines(Paths.get(dir, "manifests", "v2")).asScala
-      .map(_.split(",", 2)).map(a => a(0).toInt -> a(1)).toMap
-    val rewritten = m2.count { case (b, p) => m1.get(b) != Some(p) }
-    assert(rewritten == 1, s"expected 1 rewritten bucket, got $rewritten")
-    // Shared buckets point at the SAME v1 directories — nothing moved.
-    m2.filter { case (b, p) => m1.get(b) == Some(p) }.values.foreach { p =>
-      assert(p.startsWith("v1/"))
-      assert(Files.exists(Paths.get(dir, "data", p)))
+    val m2 = ops.VersionedStore.readManifest(dir, 2)
+    val p1 = m1.map(_.path).toSet
+    val p2 = m2.map(_.path).toSet
+    assert((p2 -- p1).size == 1, s"expected 1 new leaf, got ${p2 -- p1}")
+    assert((p1 -- p2).size == 1, s"expected 1 replaced leaf, got ${p1 -- p2}")
+    // Every shared leaf's files are byte-identical — never rewritten in
+    // place, physically shared between the snapshots.
+    val after = digests(dir)
+    before.foreach { case (p, d) =>
+      assert(after.get(p).contains(d), s"$p was rewritten or removed")
     }
+    // And both snapshots read correctly.
+    assert(ops.VersionedStore.asOf(spark, dir, 2)
+      .filter(col("k") === 1L).collect().map(_.getLong(1)).toSeq == Seq(999L))
+    assert(ops.VersionedStore.asOf(spark, dir, 1)
+      .filter(col("k") === 1L).collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("oversized merged ranges split: file row counts stay bounded") {
+    val dir = freshDir()
+    val base = (1L to 64L).map(k => (k, k)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k", targetRowsPerFile = 32)
+    // Insert 960 new keys: the store must fan out into more files rather
+    // than letting one file grow unboundedly.
+    ops.VersionedStore.commit(spark, dir,
+      (1001L to 1960L).map(k => (k, "I", k)).toDF("k", "op", "v"), "k")
+    val m2 = ops.VersionedStore.readManifest(dir, 2)
+    val counts = m2.filter(_.path.nonEmpty).map(_.rows)
+    assert(counts.sum == 64 + 960)
+    // Equal-width hash splitting is approximate; allow 3x the target.
+    assert(counts.max <= 96, s"file too large after split: ${counts.max}")
+    assert(ops.VersionedStore.asOf(spark, dir, 2).count() == 64 + 960)
+  }
+
+  test("concurrent commits serialize optimistically: both land, none lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    val base = (1L to 100L).map(k => (k, k)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k", targetRowsPerFile = 16)
+    val f1 = Future(ops.VersionedStore.commit(spark, dir,
+      Seq((5L, "U", 555L)).toDF("k", "op", "v"), "k"))
+    val f2 = Future(ops.VersionedStore.commit(spark, dir,
+      Seq((77L, "U", 777L)).toDF("k", "op", "v"), "k"))
+    val v1 = Await.result(f1, 5.minutes)
+    val v2 = Await.result(f2, 5.minutes)
+    assert(Set(v1, v2) == Set(2, 3), s"got versions $v1, $v2")
+    // The final snapshot holds BOTH changes — the losing committer
+    // re-merged against the winner instead of overwriting it.
+    val cur = ops.VersionedStore.asOf(spark, dir,
+      ops.VersionedStore.currentVersion(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cur(5L) == 555L && cur(77L) == 777L && cur.size == 100)
   }
 
   test("vacuum: expired dirs removed, retained snapshot still exact") {
@@ -70,12 +144,35 @@ class VersionedStoreSpec extends AnyFunSuite {
     val before = ops.VersionedStore.asOf(spark, dir, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val removed = ops.VersionedStore.vacuum(dir, keepLast = 1)
-    // Every bucket was rewritten by the commit, so all v1 dirs expire.
+    // Every file was rewritten by the commit, so all v1 leaves expire.
     assert(removed > 0)
     assert(!Files.exists(Paths.get(dir, "manifests", "v1")))
+    assert(!Files.exists(Paths.get(dir, "manifests", "v1.expired")))
     val after = ops.VersionedStore.asOf(spark, dir, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before)
+  }
+
+  test("vacuum grace: a reader pinned to an expiring snapshot completes") {
+    val dir = freshDir()
+    val base = (1L to 100L).map(k => (k, k)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k")
+    ops.VersionedStore.commit(spark, dir,
+      (1L to 100L).map(k => (k, "U", k * 2)).toDF("k", "op", "v"), "k")
+    // Pin a reader to v1 BEFORE vacuum (lazy plan, resolved paths).
+    val pinned = ops.VersionedStore.asOf(spark, dir, 1)
+    val removed = ops.VersionedStore.vacuum(dir, keepLast = 1,
+      graceMs = 3600000L)
+    assert(removed == 0, "grace window must defer data deletion")
+    // The expired manifest is tombstoned but still resolvable…
+    assert(!Files.exists(Paths.get(dir, "manifests", "v1")))
+    assert(Files.exists(Paths.get(dir, "manifests", "v1.expired")))
+    // …so both the pinned scan and a fresh asOf(1) complete during grace.
+    assert(pinned.count() == 100)
+    assert(ops.VersionedStore.asOf(spark, dir, 1).count() == 100)
+    // Once the grace horizon passes, a later vacuum reclaims for real.
+    assert(ops.VersionedStore.vacuum(dir, keepLast = 1, graceMs = 0L) > 0)
+    assert(!Files.exists(Paths.get(dir, "manifests", "v1.expired")))
   }
 
   test("stream CDC commits are batch-order independent; history readable") {
@@ -120,6 +217,12 @@ class VersionedStoreSpec extends AnyFunSuite {
     ops.VersionedStore.commit(spark, dir,
       (1L to 50L).map(k => (k, "D", 0L)).toDF("k", "op", "v"), "k")
     assert(ops.VersionedStore.asOf(spark, dir, 2).count() == 0)
+    // The emptied snapshot stays readable even after v1's data is
+    // vacuumed away — the schema sentinel, not v1, serves the schema.
+    ops.VersionedStore.vacuum(dir, keepLast = 1)
+    assert(ops.VersionedStore.asOf(spark, dir, 2).count() == 0)
+    assert(ops.VersionedStore.asOf(spark, dir, 2).columns.toSeq ==
+      Seq("k", "v"))
     // And the table comes back to life on a later insert.
     ops.VersionedStore.commit(spark, dir,
       Seq((7L, "I", 70L)).toDF("k", "op", "v"), "k")
