@@ -33,7 +33,8 @@ object ExplainDump {
       "q_dedup_simhash" -> "Pigeonhole Hamming-band LSH equi-join (no all-pairs)",
       "q_set_ops" -> "UNION/INTERSECT/EXCEPT off one full-outer join via presence flags",
       "q_dedup_embedding_cosine" -> "Sign-LSH banded blocking with literal planes; narrow candidate join",
-      "q_keyed_lookup" -> "Keyed point-lookup: static kb-bucket PartitionFilters + pushed IN list over the catalog KeyedStore",
+      "q_keyed_lookup" -> "Keyed point-lookup: static key-range-region PartitionFilters + pushed IN list over the catalog KeyedStore",
+      "q_keyed_range" -> "Keyed range scan: regions intersecting [from,to] pruned driver-side; range predicate pushed into key-sorted files",
       "q_quota_sample" -> "Per-language quota via graft_topk: bounded map-side heaps, tiny exchange",
       "q_shard_pack" -> "Distributed two-phase prefix sum: bucketed windows + broadcast offsets",
       "q_kmeans" -> "Lloyd rounds: broadcast centroids, map-side partial argmin + exact-int update",

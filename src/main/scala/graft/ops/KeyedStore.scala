@@ -2,44 +2,122 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 
 /** Catalog-backed keyed table — the HBase-table substitution as ONE
-  * coherent surface instead of three tmp-path queries (the reference
-  * creates the table, puts rows, and gets by row key:
+  * coherent surface (the reference creates the table, puts rows, and
+  * gets by row key:
   * `HPopulate/src/main/java/org/northeastern/Main.java:54-73,97-100`).
-  * create/get/upsert share a single MANAGED parquet table partitioned by
-  * a 16-way key-hash bucket `kb` (the analog of HBase's key-range
-  * regions) whose files are key-sorted:
+  * create/get/scan/upsert share a single MANAGED parquet table
+  * partitioned by KEY-RANGE REGIONS `kr` — the literal analog of HBase's
+  * region model (`Main.java:54-73` pre-splits its table into key ranges
+  * for exactly this reason), where the reference's own UUID row keys
+  * destroy range locality (SURVEY.md §1.4) ours preserves it:
   *
-  *  - point GETs statically prune to the matching `kb` partitions — the
-  *    bucket of a literal key is computable driver-side from the same
-  *    md5-derived hash60 the DuckDB oracle replays — and push the key
-  *    IN-list into the scan, where key-sorted row groups min/max-skip
-  *    everything but the matching key ranges: a batch-get touches O(1)
-  *    row groups regardless of table size;
-  *  - UPSERT (merge / CDC apply) is copy-on-write over ONLY the `kb`
-  *    partitions containing changed keys (dynamic partition overwrite
-  *    through a staging write — the write-audit-publish shape), so a
-  *    merge costs O(touched partitions), never O(table), exactly like
-  *    the streaming sink's incremental store;
+  *  - CREATE range-partitions the rows into ~n/targetRowsPerRegion
+  *    regions (each region ≈ one parquet file), sorts each region file
+  *    by key, and persists the region boundary map (kr, rows, min, max)
+  *    as a driver-readable sidecar — the "region directory" a real HBase
+  *    master keeps;
+  *  - point GETs resolve their regions driver-side by binary search over
+  *    the sidecar (static pruning — control flow, not data), so the scan
+  *    touches O(1) region partitions regardless of table size, and the
+  *    key IN-list pushes into parquet where key-sorted row groups
+  *    min/max-skip everything else;
+  *  - range SCANs — the HBase capability the reference forfeits with
+  *    UUID keys — prune to exactly the regions intersecting [from, to]
+  *    (PartitionFilters) plus a pushed range predicate (PushedFilters):
+  *    cost is O(selected range), never O(table);
+  *  - UPSERT (merge / CDC apply) is copy-on-write over ONLY the regions
+  *    containing changed keys: region assignment for the change set is a
+  *    codegen'd binary search ([[graft.functions.LongBoundaryBucket]]),
+  *    base rows keep their resident region, and the merged result lands
+  *    via dynamic partition overwrite — O(changed regions) ≈ O(changed
+  *    files) write amplification, never O(table). The merged relation is
+  *    localCheckpoint-materialized so the table can be read and
+  *    rewritten in one pass (no staging round trip);
   *  - CREATE is idempotent across JVMs: a stale warehouse LOCATION left
-  *    by a previous session (fresh metastore, surviving directory) is
-  *    cleared before the CTAS, the q_managed_table lesson.
+  *    by a previous session is cleared before the CTAS.
+  *
+  * Region boundaries are fixed at create (inserts beyond the edges land
+  * in the boundary regions); [[rebalance]] is the major-compaction /
+  * region-split maintenance pass that re-derives balanced regions from
+  * the current data.
   */
 object KeyedStore {
-  val NumBuckets = 16
+  /** Target rows per region (≈ one parquet file). Fixture queries pass a
+    * smaller value so pruning is exercised with a handful of regions;
+    * size to ~a row-group's worth at real scale.
+    */
+  val DefaultTargetRowsPerRegion: Long = 1L << 20
 
-  /** Key-hash bucket, Spark-side. pmod of the 60-bit md5-derived hash —
-    * non-negative by construction, identical to [[bucketOf]]. */
-  private[ops] def bucketCol(key: Column): Column =
-    pmod(TextFns.hash60(key.cast("string")), lit(NumBuckets.toLong))
+  /** Driver-side region directory entry: key range [min, max] resident
+    * in partition `kr`.
+    */
+  private[graft] final case class Region(kr: Int, rows: Long, min: Any, max: Any)
 
-  /** Driver-side twin of [[bucketCol]] for literal keys: lets a GET
-    * compute its partition list without touching the cluster (static
-    * pruning is control flow, not data). */
-  private[graft] def bucketOf(key: Any): Long =
-    java.lang.Long.parseLong(TextFns.md5Hex(key.toString).substring(0, 15), 16) %
-      NumBuckets
+  private[graft] final case class RegionMap(typ: String,
+                                            regions: IndexedSeq[Region]) {
+    private val ord: Ordering[Any] = typ match {
+      case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
+      case _ => Ordering.by[Any, String](_.toString)
+    }
+    private def norm(v: Any): Any = typ match {
+      case "long" => v.asInstanceOf[Number].longValue()
+      case _ => v.toString
+    }
+    private val mins: IndexedSeq[Any] = regions.map(_.min)
+
+    /** Index of the region that OWNS `v` for writes: greatest i with
+      * mins(i) ≤ v, clamped to 0 (region 0 extends to −∞, the last to
+      * +∞ — total coverage, so every insert has a home).
+      */
+    def coverageIdx(v: Any): Int =
+      graft.functions.RangeFunctions.indexOf(mins, norm(v))(ord)
+
+    /** All regions that may HOLD `v` (a heavily-duplicated key can
+      * straddle adjacent regions at a range-partition boundary).
+      */
+    def holdingIdx(v: Any): Seq[Int] = {
+      val i = coverageIdx(v)
+      var j = i
+      while (j > 0 && ord.gteq(norm(regions(j - 1).max), norm(v))) j -= 1
+      j to i
+    }
+
+    /** Regions intersecting [from, to] — the range-scan prune list. */
+    def rangeIdx(from: Any, to: Any): Seq[Int] =
+      regions.indices.filter { i =>
+        ord.lteq(norm(regions(i).min), norm(to)) &&
+          ord.gteq(norm(regions(i).max), norm(from))
+      }
+
+    /** Conservative closure for upsert: the collected coverage indices
+      * plus any earlier region sharing a boundary key with them.
+      */
+    def expandTouched(idx: Set[Int]): Seq[Int] =
+      idx.flatMap { i =>
+        var j = i
+        while (j > 0 && ord.gteq(norm(regions(j - 1).max), norm(regions(i).min)))
+          j -= 1
+        j to i
+      }.toSeq.sorted
+
+    /** Coverage region id of a key COLUMN — the codegen'd binary search
+      * over the boundary list, then index → kr through an array literal.
+      */
+    def krCol(c: Column): Column = {
+      val idx = typ match {
+        case "long" => graft.functions.RangeFunctions.longBoundaryBucket(
+          c.cast(LongType), mins.map(_.asInstanceOf[Long]))
+        case _ => graft.functions.RangeFunctions.stringBoundaryBucket(
+          c.cast(StringType), mins.map(_.toString))
+      }
+      element_at(array(regions.map(r => lit(r.kr)): _*), idx + 1)
+    }
+  }
 
   private def dropWithLocation(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -57,59 +135,152 @@ object KeyedStore {
 
   /** Filesystem location of the table's data (test hook for the
     * byte-identity probe). */
-  private[graft] def location(spark: SparkSession, name: String): java.nio.file.Path =
+  private[graft] def location(spark: SparkSession, name: String): Path =
     new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
       name.toLowerCase).toPath
 
-  /** CTAS the keyed table: one range partition per bucket, key-sorted
-    * files within each `kb` directory. */
-  def create(spark: SparkSession, name: String, rows: DataFrame, key: String): Unit = {
-    dropWithLocation(spark, name)
-    rows.withColumn("kb", bucketCol(col(key)))
-      .repartitionByRange(NumBuckets, col("kb"), col(key))
-      .sortWithinPartitions(col("kb"), col(key))
-      .write.mode("overwrite").format("parquet").partitionBy("kb").saveAsTable(name)
+  private def sidecar(spark: SparkSession, name: String): Path =
+    location(spark, name).resolve("_graft_regions")
+
+  private def encKey(typ: String, v: Any): String = typ match {
+    case "long" => v.asInstanceOf[Number].longValue().toString
+    case _ => java.util.Base64.getEncoder
+      .encodeToString(v.toString.getBytes("UTF-8"))
   }
 
-  /** Batch point-GET: static `kb` pruning + key IN-list pushdown. */
+  private def decKey(typ: String, s: String): Any = typ match {
+    case "long" => s.toLong
+    case _ => new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  }
+
+  private def writeRegions(spark: SparkSession, name: String,
+                           rm: RegionMap): Unit = {
+    val lines = rm.typ +: rm.regions.map(r =>
+      s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}")
+    Files.write(sidecar(spark, name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private[graft] def readRegions(spark: SparkSession, name: String): RegionMap = {
+    val lines = Files.readAllLines(sidecar(spark, name)).asScala.toIndexedSeq
+    val typ = lines.head
+    RegionMap(typ, lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(kr, n, lo, hi) = l.split(",", 4)
+      Region(kr.toInt, n.toLong, decKey(typ, lo), decKey(typ, hi))
+    }.sortBy(_.kr))
+  }
+
+  private def keyTyp(df: DataFrame, key: String): String =
+    df.schema(key).dataType match {
+      case LongType | IntegerType => "long"
+      case StringType => "string"
+      case dt => throw new IllegalArgumentException(
+        s"KeyedStore supports BIGINT/INT/STRING keys, got ${dt.simpleString}")
+    }
+
+  /** CTAS the keyed table: ~n/target key-range regions, key-sorted files
+    * within each `kr` directory, and the region-boundary sidecar.
+    */
+  def create(spark: SparkSession, name: String, rows: DataFrame, key: String,
+             targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit = {
+    require(!rows.columns.contains("kr"),
+      "KeyedStore payloads must not contain a column named 'kr'")
+    val typ = keyTyp(rows, key)
+    dropWithLocation(spark, name)
+    val n = rows.count()
+    val nRegions = math.max(1L,
+      (n + targetRowsPerRegion - 1) / targetRowsPerRegion).toInt
+    rows.repartitionByRange(nRegions, col(key))
+      .withColumn("kr", spark_partition_id())
+      .sortWithinPartitions(col("kr"), col(key))
+      .write.mode("overwrite").format("parquet").partitionBy("kr")
+      .saveAsTable(name)
+    // Region directory from the written data: one pass over (kr, key).
+    val regions = spark.table(name).groupBy(col("kr"))
+      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"), max(col(key)).as("hi"))
+      .collect()
+      .map(r => Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
+      .sortBy(_.kr).toIndexedSeq
+    writeRegions(spark, name, RegionMap(typ, regions))
+  }
+
+  /** Batch point-GET: driver-side region resolution (binary search over
+    * the sidecar) → static `kr` PartitionFilters + key IN-list pushdown.
+    * Touches O(keys) region partitions and, within them, O(keys) sorted
+    * row groups — regardless of table size.
+    */
   def get(spark: SparkSession, name: String, key: String, keys: Seq[Any]): DataFrame = {
-    val kbs = keys.map(bucketOf).distinct
+    val rm = readRegions(spark, name)
+    val krs = keys.flatMap(k => rm.holdingIdx(k)).distinct
+      .map(i => rm.regions(i).kr)
     spark.table(name)
-      .filter(col("kb").isin(kbs: _*))
+      .filter(col("kr").isin(krs: _*))
       .filter(col(key).isin(keys: _*))
-      .drop("kb")
+      .drop("kr")
+  }
+
+  /** Range SCAN over [from, to] (inclusive): prunes to exactly the
+    * regions whose key range intersects the scan (PartitionFilters) and
+    * pushes the range predicate into the key-sorted parquet
+    * (PushedFilters min/max row-group skipping). The HBase
+    * `Scan(startRow, stopRow)` analog.
+    */
+  def scan(spark: SparkSession, name: String, key: String,
+           from: Any, to: Any): DataFrame = {
+    val rm = readRegions(spark, name)
+    val krs = rm.rangeIdx(from, to).map(i => rm.regions(i).kr)
+    spark.table(name)
+      .filter(col("kr").isin(krs: _*))
+      .filter(col(key) >= lit(from) && col(key) <= lit(to))
+      .drop("kr")
   }
 
   /** MERGE a change set (`op` ∈ U/I/D rows, [[SourceSinkOps.mergeUpsert]]
-    * semantics) into the table, rewriting only the buckets that contain
-    * changed keys; returns the post-merge table. */
+    * semantics) into the table, rewriting only the regions that contain
+    * changed keys; returns the post-merge table. Base rows keep their
+    * resident region (no accidental row movement); changed rows land in
+    * their coverage region. The merged relation is materialized with
+    * localCheckpoint so the touched partitions are read and overwritten
+    * in ONE pass — no staging copy (at multi-executor scale, substitute
+    * a reliable checkpoint dir for the same break-the-cycle effect).
+    */
   def upsert(spark: SparkSession, name: String, key: String,
              changes: DataFrame): DataFrame = {
-    // <= NumBuckets values driver-side: control flow, not data.
-    val touched = changes.select(bucketCol(col(key)).as("kb")).distinct()
-      .collect().map(_.getLong(0))
+    val rm = readRegions(spark, name)
+    // Coverage region per change row — codegen'd binary search; only the
+    // O(touched regions) distinct ids reach the driver.
+    val changesK = changes.withColumn("kr", rm.krCol(col(key)))
+    val coverage = changesK.select(col("kr")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
+    val touchedKr = rm.expandTouched(coverage.map(krToIdx))
+      .map(rm.regions(_).kr)
     val baseTouched = spark.table(name)
-      .filter(col("kb").isin(touched.toIndexedSeq: _*)).drop("kb")
-    val merged = SourceSinkOps.mergeUpsert(baseTouched, changes, key)
-    val staging = java.nio.file.Files.createTempDirectory("graft_keyed_staging")
-    try {
-      val stagingPath = staging.resolve("merged").toString
-      merged.withColumn("kb", bucketCol(col(key)))
-        .repartitionByRange(NumBuckets, col("kb"), col(key))
-        .sortWithinPartitions(col("kb"), col(key))
-        .write.mode("overwrite").parquet(stagingPath)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        spark.read.parquet(stagingPath)
-          .select(spark.table(name).columns.toIndexedSeq.map(col): _*) // insertInto is positional
-          .write.mode("overwrite").insertInto(name)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    } finally graft.streaming.EventStream.deleteRecursively(staging)
-    spark.table(name).drop("kb")
+      .filter(col("kr").isin(touchedKr: _*))
+    val merged = SourceSinkOps.mergeUpsert(baseTouched, changesK, key)
+    val cols = spark.table(name).columns.toIndexedSeq
+    val out = merged
+      .repartitionByRange(math.max(1, touchedKr.size), col("kr"), col(key))
+      .sortWithinPartitions(col("kr"), col(key))
+      .select(cols.map(col): _*) // insertInto is positional
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite").insertInto(name)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.table(name).drop("kr")
+  }
+
+  /** Maintenance: re-derive balanced regions from the current table —
+    * the major-compaction / region-split pass that absorbs growth after
+    * many upserts (fixed boundaries make hot boundary regions grow).
+    */
+  def rebalance(spark: SparkSession, name: String, key: String,
+                targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit = {
+    val current = spark.table(name).drop("kr").localCheckpoint()
+    create(spark, name, current, key, targetRowsPerRegion)
   }
 }

@@ -246,10 +246,13 @@ object SourceSinkOps {
   /** Keyed point-lookup — the HBase get-by-row-key analog
     * (`HPopulate/src/main/java/org/northeastern/Main.java:97-100`),
     * served from the [[KeyedStore]] catalog table: populate once, then a
-    * batch-get statically prunes to the key-hash bucket partitions and
+    * batch-get resolves its key-range regions driver-side (binary search
+    * over the region sidecar), statically prunes to those partitions and
     * pushes the key IN-list into key-sorted row groups — O(1) row groups
     * per key regardless of table size (KeyedStoreSpec pins the
-    * PartitionFilters + PushedFilters plan shape).
+    * PartitionFilters + PushedFilters plan shape). The region target is
+    * fixture-sized so pruning is real (a handful of regions at sf0.01);
+    * at scale set ~1M rows per region.
     */
   def qKeyedLookup(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_events_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -257,10 +260,32 @@ object SourceSinkOps {
       events(spark, dir)
         .withColumn("row_key", md5(col("event_id").cast("string")))
         .select(col("row_key"), col("event_id"), col("event_type"), col("value")),
-      "row_key")
+      "row_key", targetRowsPerRegion = 2048)
     KeyedStore.get(spark, name, "row_key",
       Seq(10L, 20L, 30L, 40L, 50L).map(id => TextFns.md5Hex(id.toString)))
       .orderBy(col("event_id"))
+  }
+
+  /** Keyed range SCAN — the HBase `Scan(startRow, stopRow)` capability
+    * the reference forfeits by choosing UUID row keys (SURVEY.md §1.4:
+    * random keys destroy range locality; `Main.java:54-73` pre-splits
+    * regions it then can't range-read). The [[KeyedStore]]'s key-range
+    * regions restore it: the scan prunes to exactly the regions
+    * intersecting [from, to] (PartitionFilters) and pushes the range
+    * predicate into the key-sorted files (PushedFilters) — O(selected
+    * range) IO, never O(table). KeyedStoreSpec pins the pruned-plan
+    * shape; this row pins the values.
+    */
+  def qKeyedRange(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_keyed_range_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name,
+      orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "o_orderkey", targetRowsPerRegion = 2048)
+    KeyedStore.scan(spark, name, "o_orderkey", 5000L, 6000L)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Managed-table surface: the catalog path (`saveAsTable` →
@@ -783,8 +808,8 @@ object SourceSinkOps {
     * from the base (updates +50 on keys ≡ 0 mod 100, deletes keys ≡ 7,
     * inserts re-keyed +10⁷ copies of keys ≡ 13 with status 'N'), applied
     * through the [[KeyedStore]] catalog table — populate, then a
-    * copy-on-write merge that rewrites ONLY the key-hash buckets
-    * containing changed keys (KeyedStoreSpec pins untouched buckets'
+    * copy-on-write merge that rewrites ONLY the key-range regions
+    * containing changed keys (KeyedStoreSpec pins untouched regions'
     * files byte-identical). The returned relation is the post-merge
     * TABLE read back — row-level proof that update/delete/insert all
     * landed durably, not just in a transient plan.
@@ -806,7 +831,7 @@ object SourceSinkOps {
                   lit("I").as("op"), lit("N").as("o_orderstatus"),
                   col("o_totalprice")))
     val name = "graft_keyed_orders_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name, base, "o_orderkey")
+    KeyedStore.create(spark, name, base, "o_orderkey", targetRowsPerRegion = 2048)
     KeyedStore.upsert(spark, name, "o_orderkey",
         changes.select(col("o_orderkey"), col("op"),
                        col("o_orderstatus"), col("o_totalprice")))
@@ -859,10 +884,11 @@ object SourceSinkOps {
     // localCheckpoint materializes off the temp store (the stream-upsert
     // pattern) so the directory can be deleted before consumption; at
     // real scale the store IS the durable output and outlives the job.
-    val out = summary(1).unionByName(summary(2)).orderBy(col("version"))
+    // finally, not success-path: a failed query must not leak the store.
+    try summary(1).unionByName(summary(2)).orderBy(col("version"))
       .localCheckpoint()
-    graft.streaming.EventStream.deleteRecursively(java.nio.file.Paths.get(tmp))
-    out
+    finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
   }
 
   /** Snapshot diff — the CDC/incremental-consumption read between two
@@ -875,24 +901,25 @@ object SourceSinkOps {
     */
   def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val tmp = twoSnapshotStore(spark, dir)
-    val v1 = VersionedStore.asOf(spark, tmp, 1)
-      .select(col("o_orderkey"), col("cents").as("c1"))
-    val v2 = VersionedStore.asOf(spark, tmp, 2)
-      .select(col("o_orderkey"), col("cents").as("c2"))
-    val rows = v1.join(v2, Seq("o_orderkey"), "full_outer")
-      .withColumn("change_type",
-        when(col("c1").isNull, "added")
-          .when(col("c2").isNull, "removed")
-          .when(col("c1") =!= col("c2"), "updated")
-          .otherwise("unchanged"))
-      .groupBy(col("change_type"))
-      .agg(count(lit(1)).as("n"),
-           sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
-             .as("delta_c"))
-      .orderBy(col("change_type"))
-      .localCheckpoint()
-    graft.streaming.EventStream.deleteRecursively(java.nio.file.Paths.get(tmp))
-    rows
+    try {
+      val v1 = VersionedStore.asOf(spark, tmp, 1)
+        .select(col("o_orderkey"), col("cents").as("c1"))
+      val v2 = VersionedStore.asOf(spark, tmp, 2)
+        .select(col("o_orderkey"), col("cents").as("c2"))
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("c1").isNull, "added")
+            .when(col("c2").isNull, "removed")
+            .when(col("c1") =!= col("c2"), "updated")
+            .otherwise("unchanged"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+               .as("delta_c"))
+        .orderBy(col("change_type"))
+        .localCheckpoint()
+    } finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
   }
 
   /** GROUPING SETS over (status, priority) — finer control than cube:

@@ -116,6 +116,12 @@ object SourceSinkOracles {
         |FROM events WHERE event_id IN (10, 20, 30, 40, 50)
         |ORDER BY event_id""".stripMargin,
 
+    // The region-pruned range scan must equal the plain range predicate.
+    "q_keyed_range" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey BETWEEN 5000 AND 6000
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -354,14 +354,16 @@ object EventStream {
     * that contain batch keys (dynamic partition overwrite) — O(touched),
     * never O(store), per batch. Untouched partitions' files are not
     * opened or rewritten (EventStreamSpec pins them byte-identical
-    * across batches). The staging write breaks the read-overwrite cycle
-    * on the touched partitions — the write-audit-publish shape a real
-    * lakehouse sink uses. Partition selection is static pruning via the
-    * collected `part` values (<= nParts ints driver-side, control flow
-    * not data).
+    * across batches). The merged batch is localCheckpoint-materialized
+    * so the touched partitions are read and dynamically overwritten in
+    * ONE pass — no staging copy, half the IO per micro-batch (at
+    * multi-executor scale, substitute a reliable checkpoint dir for the
+    * same break-the-cycle effect). Partition selection is static pruning
+    * via the collected `part` values (<= nParts ints driver-side,
+    * control flow not data).
     */
   private[graft] def upsertBatchIntoStore(spark: SparkSession, storeDir: String,
-                                          stagingDir: String, batch: DataFrame,
+                                          batch: DataFrame,
                                           nParts: Int): Unit = {
     val latest = latestPerUser(batch)
       .withColumn("part", pmod(col("user_id"), lit(nParts)))
@@ -377,8 +379,7 @@ object EventStream {
         latestPerUser(storeTouched.unionByName(latest.drop("part")))
           .withColumn("part", pmod(col("user_id"), lit(nParts)))
       } else latest
-    merged.write.mode("overwrite").parquet(stagingDir)
-    spark.read.parquet(stagingDir)
+    merged.localCheckpoint()
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")
@@ -403,8 +404,7 @@ object EventStream {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          upsertBatchIntoStore(spark, storeDir,
-            tmp.resolve(s"staging_$id").toString, batch.toDF(), nParts)
+          upsertBatchIntoStore(spark, storeDir, batch.toDF(), nParts)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -418,14 +418,17 @@ object EventStream {
       // Materialize off the temp files so the directory can be deleted
       // before the caller consumes the result (fixture-scale store; at
       // real scale the store IS the durable output and outlives the job).
-      val out = spark.read.parquet(storeDir)
+      spark.read.parquet(storeDir)
         .select(col("user_id"), col("ts_us"), col("event_id"),
                 col("event_type"), col("value_c"))
         .orderBy(col("user_id"))
         .localCheckpoint()
+    } finally {
+      // finally, not success-path: a drain timeout must not leak the
+      // temp store + checkpoint on disk.
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
       deleteRecursively(tmp)
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** Streaming CDC into the snapshot-versioned table: each micro-batch
@@ -485,27 +488,28 @@ object EventStream {
           "q_stream_versioned: stream did not drain within 120 s — refusing " +
             "to read a partially committed store")
       }
-      val out = graft.ops.VersionedStore
+      graft.ops.VersionedStore
         .asOf(spark, storeDir, graft.ops.VersionedStore.currentVersion(storeDir))
         .select(col("user_id"), col("ts_us"), col("event_id"),
                 col("event_type"), col("value_c"))
         .orderBy(col("user_id"))
         .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
       deleteRecursively(tmp)
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** One micro-batch of the ADDITIVE count sink: per-user batch counts
     * summed into the store. Same partitioned copy-on-write shape as
-    * [[upsertBatchIntoStore]] (touched-partition pruning, staging,
-    * dynamic overwrite), but the merge is `sum` — commutative AND
-    * associative, so any micro-batch arrival order drains to the same
-    * store (latest-wins only gets commutativity from the total order on
-    * (ts, event_id); addition needs nothing).
+    * [[upsertBatchIntoStore]] (touched-partition pruning, one-pass
+    * localCheckpoint merge, dynamic overwrite), but the merge is `sum` —
+    * commutative AND associative, so any micro-batch arrival order
+    * drains to the same store (latest-wins only gets commutativity from
+    * the total order on (ts, event_id); addition needs nothing).
     */
   private[graft] def addCountsIntoStore(spark: SparkSession, storeDir: String,
-                                        stagingDir: String, batch: DataFrame,
+                                        batch: DataFrame,
                                         nParts: Int): Unit = {
     val counts = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .withColumn("part", pmod(col("user_id"), lit(nParts)))
@@ -521,8 +525,7 @@ object EventStream {
           .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
           .withColumn("part", pmod(col("user_id"), lit(nParts)))
       } else counts
-    merged.write.mode("overwrite").parquet(stagingDir)
-    spark.read.parquet(stagingDir)
+    merged.localCheckpoint()
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")
@@ -555,8 +558,7 @@ object EventStream {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          addCountsIntoStore(spark, storeDir,
-            tmp.resolve(s"staging_$id").toString, batch.toDF(), nParts)
+          addCountsIntoStore(spark, storeDir, batch.toDF(), nParts)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -567,14 +569,15 @@ object EventStream {
           "q_stream_topk: stream did not drain within 120 s — refusing to " +
             "read a partially merged store")
       }
-      val out = spark.read.parquet(storeDir)
+      spark.read.parquet(storeDir)
         .select(col("user_id"), col("n"))
         .orderBy(col("n").desc, col("user_id"))
         .limit(20)
         .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
       deleteRecursively(tmp)
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =

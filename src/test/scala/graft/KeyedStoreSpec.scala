@@ -4,11 +4,13 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The catalog-backed keyed table ([[graft.ops.KeyedStore]]): the
-  * HBase-connector substitution as one surface. Pins the three scale
-  * contracts — GETs prune to bucket partitions and push the key list
-  * into the scan, upserts rewrite only touched buckets (byte-identical
-  * untouched files), and create is idempotent across "JVMs" (stale
-  * warehouse location with no catalog entry).
+  * HBase-connector substitution as one surface, now with HBase's actual
+  * region model (key-range partitions). Pins the scale contracts — GETs
+  * prune to the holding regions and push the key list into the scan,
+  * range SCANs prune to exactly the intersecting regions and push the
+  * range predicate, a 1-key upsert rewrites exactly one region
+  * (byte-identical siblings), and create is idempotent across "JVMs"
+  * (stale warehouse location with no catalog entry).
   */
 class KeyedStoreSpec extends AnyFunSuite {
   import TestSpark._
@@ -31,36 +33,104 @@ class KeyedStoreSpec extends AnyFunSuite {
     finally s.close()
   }
 
-  test("get prunes to bucket partitions and pushes the key IN-list") {
+  test("get prunes to holding regions and pushes the key IN-list") {
     val name = "graft_keyed_spec_get"
-    KeyedStore.create(spark, name, mkRows(200), "k")
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.size >= 8, s"want many regions, got ${rm.regions.size}")
     val got = KeyedStore.get(spark, name, "k", Seq(5L, 77L))
     assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((5L, "v5"), (77L, "v77")))
     val p = got.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters: [") && p.contains("kb#"), p.take(3000))
+    assert(p.contains("PartitionFilters: [") && p.contains("kr#"), p.take(3000))
     assert(p.contains("PushedFilters: [In(k,"), p.take(3000))
   }
 
-  test("upsert rewrites only touched buckets; untouched files byte-identical") {
+  test("range scan prunes to intersecting regions; range predicate pushed") {
+    val name = "graft_keyed_spec_scan"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    val scanned = KeyedStore.scan(spark, name, "k", 50L, 80L)
+    assert(scanned.collect().map(_.getLong(0)).sorted.toSeq == (50L to 80L))
+    // Driver-side prune list covers the range but far from the table.
+    val selected = rm.rangeIdx(50L, 80L)
+    assert(selected.nonEmpty && selected.size < rm.regions.size / 2,
+      s"expected a small prune list, got $selected of ${rm.regions.size}")
+    val p = scanned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("kr#"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(k,50)") &&
+      p.contains("LessThanOrEqual(k,80)"), p.take(3000))
+  }
+
+  test("a 1-key upsert rewrites exactly one region; siblings byte-identical") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_one"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val before = digests(name)
+    KeyedStore.upsert(spark, name, "k", Seq((5L, "U", "v5b")).toDF("k", "op", "v"))
+    val after = digests(name)
+    val changed = before.keySet.filter(p => after.get(p) != before.get(p))
+    val changedDirs = changed.map(_.split("/")(0))
+    assert(changedDirs.size == 1, s"expected 1 rewritten region, got $changedDirs")
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(changedDirs.head ==
+      s"kr=${rm.regions(rm.coverageIdx(5L)).kr}")
+    (before.keySet -- changed).foreach(p =>
+      assert(after(p) == before(p), s"$p was rewritten"))
+  }
+
+  test("upsert U/D/I across regions; untouched regions byte-identical") {
     import spark.implicits._
     val name = "graft_keyed_spec_upsert"
-    KeyedStore.create(spark, name, mkRows(200), "k")
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
     val before = digests(name)
     assert(before.nonEmpty)
-    // One update, one delete, one insert — all keys chosen in a known
-    // bucket set; every other bucket's files must not be rewritten.
+    // One update, one delete, one insert beyond the max boundary (lands
+    // in the last region); every other region's files must not move.
     val changes = Seq((5L, "U", "v5b"), (7L, "D", "x"), (1000L, "I", "v1000"))
       .toDF("k", "op", "v")
     val after = KeyedStore.upsert(spark, name, "k", changes)
     val rows = after.collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(rows(5L) == "v5b" && rows(1000L) == "v1000" && !rows.contains(7L))
     assert(rows.size == 200) // 200 - 1 delete + 1 insert
-    val touched = Set(5L, 7L, 1000L).map(k => s"kb=${KeyedStore.bucketOf(k)}")
+    val rm = KeyedStore.readRegions(spark, name)
+    val touched = Set(5L, 7L, 1000L)
+      .map(k => s"kr=${rm.regions(rm.coverageIdx(k)).kr}")
     val afterD = digests(name)
     val untouched = before.keySet.filterNot(p => touched.exists(p.startsWith))
     assert(untouched.nonEmpty && untouched.subsetOf(afterD.keySet))
     untouched.foreach(p => assert(afterD(p) == before(p), s"$p was rewritten"))
+    // GET still resolves through the (unchanged) region sidecar.
+    assert(KeyedStore.get(spark, name, "k", Seq(1000L))
+      .collect().map(_.getString(1)).toSeq == Seq("v1000"))
+  }
+
+  test("string keys: get resolves regions over the lexicographic sidecar") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_str"
+    val rows = (0 until 128).map(i => (f"key$i%03d", i)).toDF("rk", "n")
+    KeyedStore.create(spark, name, rows, "rk", targetRowsPerRegion = 16)
+    val got = KeyedStore.get(spark, name, "rk", Seq("key007", "key100"))
+    assert(got.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("key007", 7), ("key100", 100)))
+  }
+
+  test("rebalance re-derives balanced regions after growth") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_rebal"
+    KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 16)
+    // Pile 200 inserts beyond the boundary: they all land in the last
+    // region (fixed boundaries), then rebalance restores ~16-row regions.
+    val inserts = (1000L until 1200L).map(i => (i, "I", s"v$i")).toDF("k", "op", "v")
+    KeyedStore.upsert(spark, name, "k", inserts)
+    val grown = KeyedStore.readRegions(spark, name)
+    assert(grown.regions.map(_.rows).max <= 64 + 200)
+    KeyedStore.rebalance(spark, name, "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 264)
+    assert(rm.regions.map(_.rows).max <= 24, rm.regions.map(_.rows).toString)
+    assert(KeyedStore.get(spark, name, "k", Seq(1100L))
+      .collect().map(_.getString(1)).toSeq == Seq("v1100"))
   }
 
   test("create is idempotent across JVMs (stale location, fresh metastore)") {

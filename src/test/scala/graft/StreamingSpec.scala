@@ -188,7 +188,6 @@ class StreamingSpec extends AnyFunSuite {
     val store = tmp.resolve("store")
     def run(id: String, rows: Seq[(Long, Long, Long, String, Long)]): Unit =
       EventStream.upsertBatchIntoStore(spark, store.toString,
-        tmp.resolve(s"staging_$id").toString,
         rows.toDF("event_id", "user_id", "ts_us", "event_type", "value_c"), 8)
     run("b1", (0L until 16L).map(u => (u, u, 100L, "a", 1L)))
     def digests(): Map[String, String] = {
