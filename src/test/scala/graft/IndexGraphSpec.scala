@@ -129,4 +129,36 @@ class IndexGraphSpec extends AnyFunSuite {
     val expectedWins = lens.map(l => ((math.max(l - 39, 1) - 1) / 20) + 1)
     assert(r.values.map(_._1).sum == expectedWins.map(_.toLong).sum)
   }
+
+  test("pagerank: 20 iterations with bounded lineage; tolPpm early-stop") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+                    ("a", "c", 3L), ("d", "a", 1L)).toDF("src", "dst", "wgt")
+    // Per-round localCheckpoint keeps the plan one round deep: 20 rounds
+    // must not accumulate lineage (this hung / blew analysis budgets with
+    // the unbounded chain). Bound check: the final plan mentions at most
+    // one Join chain, not 20 nested ones.
+    val pr20 = ops.GraphOps.pageRank(edges, iters = 20)
+    val planLines = pr20.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines < 40, s"plan unexpectedly deep: $planLines lines")
+    // Driver-side reference at 20 rounds (same integer arithmetic).
+    val es = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+                 ("a", "c", 3L), ("d", "a", 1L))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var ref = nodes.map(_ -> 1000000L / n).toMap
+    (1 to 20).foreach { _ =>
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      es.foreach { case (s, d, w) => in(d) += ref(s) * w / outW(s) }
+      ref = nodes.map(v => v -> (150000L / n + 850000L * in(v) / 1000000L)).toMap
+    }
+    assert(pr20.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == ref)
+    // A huge tolerance converges after round 1: identical to iters = 1.
+    val one = ops.GraphOps.pageRank(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val early = ops.GraphOps.pageRank(edges, iters = 20, tolPpm = Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(early == one)
+  }
 }
