@@ -258,6 +258,61 @@ object KeyedStore {
     val baseTouched = spark.table(name)
       .filter(col("kr").isin(touchedKr: _*))
     val merged = SourceSinkOps.mergeUpsert(baseTouched, changesK, key)
+    writeTouched(spark, name, key, rm, touchedKr, merged)
+    spark.table(name).drop("kr")
+  }
+
+  /** Merge a keyed BATCH into the table under a caller-supplied
+    * commutative merge — `merge(baseTouchedRows, batch)` returns the
+    * post-merge rows for every key present in either input (e.g.
+    * latest-wins max-struct, additive counts). This is the micro-batch
+    * sink primitive behind the streaming stores: same region
+    * copy-on-write as [[upsert]] (only regions holding batch keys are
+    * read and rewritten — O(changed regions), never O(table)), but the
+    * conflict rule is the caller's, so an out-of-order batch can LOSE to
+    * the resident row (something replace-semantics upsert can't express).
+    * Base-only keys keep their resident region; keys new to the table
+    * land in their coverage region.
+    */
+  def mergeInto(spark: SparkSession, name: String, key: String,
+                batch: DataFrame,
+                merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(!batch.columns.contains("kr"),
+      "KeyedStore payloads must not contain a column named 'kr'")
+    val rm = readRegions(spark, name)
+    val coverage = batch.select(rm.krCol(col(key)).as("kr")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
+    val touchedKr = rm.expandTouched(coverage.map(krToIdx))
+      .map(rm.regions(_).kr)
+    val baseTouched = spark.table(name).filter(col("kr").isin(touchedKr: _*))
+    // Resident region per base key: merged rows re-join it so surviving
+    // keys never move regions (a boundary-straddling key's coverage can
+    // differ from its residence); only table-new keys take coverage.
+    val residentKr = baseTouched
+      .select(col(key).as("__mrg_k"), col("kr").as("__mrg_kr")).distinct()
+    val merged = merge(baseTouched.drop("kr"), batch)
+      .join(residentKr, col(key) === col("__mrg_k"), "left")
+      .withColumn("kr", coalesce(col("__mrg_kr"), rm.krCol(col(key))))
+      .drop("__mrg_k", "__mrg_kr")
+    writeTouched(spark, name, key, rm, touchedKr, merged)
+    spark.table(name).drop("kr")
+  }
+
+  /** Shared write path of [[upsert]]/[[mergeInto]]: land `merged` (the
+    * post-merge rows of the touched regions, `kr` attached) via dynamic
+    * partition overwrite, drop partitions the merge emptied (dynamic
+    * overwrite only rewrites partitions PRESENT in the output — an
+    * all-keys-deleted region would otherwise keep its stale files), and
+    * refresh the region sidecar's (rows, min, max) for the touched
+    * entries so later GET/scan pruning sees keys that moved past the old
+    * recorded bounds. The merged relation is localCheckpoint-materialized
+    * so the table is read and rewritten in ONE pass (no staging copy; at
+    * multi-executor scale, substitute a reliable checkpoint dir).
+    */
+  private def writeTouched(spark: SparkSession, name: String, key: String,
+                           rm: RegionMap, touchedKr: Seq[Int],
+                           merged: DataFrame): Unit = {
     val cols = spark.table(name).columns.toIndexedSeq
     val out = merged
       .repartitionByRange(math.max(1, touchedKr.size), col("kr"), col(key))
@@ -271,8 +326,37 @@ object KeyedStore {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    spark.table(name).drop("kr")
+    // Post-merge stats per touched region — off the already-materialized
+    // checkpoint blocks, O(touched) not O(table).
+    val stats = out.groupBy(col("kr"))
+      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"), max(col(key)).as("hi"))
+      .collect()
+      .map(r => r.getInt(0) -> Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
+      .toMap
+    val touched = touchedKr.toSet
+    touchedKr.filterNot(stats.contains).foreach { krv =>
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
+    }
+    // Emptied regions keep their sidecar entry with rows = 0 and the old
+    // bounds: pruning may still select them, reads see the dropped (empty)
+    // partition — harmless — while coverage keeps routing inserts, so the
+    // region map never goes empty.
+    val newRegions = rm.regions.map { r =>
+      if (!touched.contains(r.kr)) r
+      else stats.getOrElse(r.kr, r.copy(rows = 0L))
+    }
+    writeRegions(spark, name, RegionMap(rm.typ, newRegions))
   }
+
+  /** Drop the table and its data directory (cleanup hook for temp
+    * stores). */
+  def drop(spark: SparkSession, name: String): Unit =
+    dropWithLocation(spark, name)
+
+  /** Does the catalog table exist? (foreachBatch sinks create on first
+    * batch.) */
+  def exists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
 
   /** Maintenance: re-derive balanced regions from the current table —
     * the major-compaction / region-split pass that absorbs growth after

@@ -348,49 +348,38 @@ object EventStream {
             col("s.event_type").as("event_type"),
             col("s.value_c").as("value_c"))
 
-  /** One micro-batch of the INCREMENTAL keyed-upsert sink: merge the
-    * batch's latest-per-user rows into a parquet store hash-partitioned
-    * by `part = pmod(user_id, nParts)`, rewriting ONLY the partitions
-    * that contain batch keys (dynamic partition overwrite) — O(touched),
-    * never O(store), per batch. Untouched partitions' files are not
-    * opened or rewritten (EventStreamSpec pins them byte-identical
-    * across batches). The merged batch is localCheckpoint-materialized
-    * so the touched partitions are read and dynamically overwritten in
-    * ONE pass — no staging copy, half the IO per micro-batch (at
-    * multi-executor scale, substitute a reliable checkpoint dir for the
-    * same break-the-cycle effect). Partition selection is static pruning
-    * via the collected `part` values (<= nParts ints driver-side,
-    * control flow not data).
+  /** One micro-batch of the INCREMENTAL keyed-upsert sink, backed by the
+    * region-partitioned catalog [[graft.ops.KeyedStore]] — HBase's region
+    * model driving the streaming face of the same store the batch
+    * `q_upsert` path uses. The first batch CTASes the table into
+    * ~n/target key-range regions; every later batch merges its
+    * latest-per-user rows through [[graft.ops.KeyedStore.mergeInto]],
+    * which reads and rewrites ONLY the regions holding batch keys —
+    * O(changed regions) ≈ O(changed files) per micro-batch, never
+    * O(store), and region size stays bounded by the target as the table
+    * grows (the fixed hash-partition layout this replaces rewrote
+    * O(store/nParts) however large the store got). The merge rule stays
+    * the commutative-idempotent max over (ts, event_id)-ordered structs,
+    * so an out-of-order batch LOSES to newer resident rows — the
+    * exactly-once recipe for an at-least-once sink. StreamingSpec pins
+    * sibling-region files byte-identical across batches.
     */
-  private[graft] def upsertBatchIntoStore(spark: SparkSession, storeDir: String,
+  private[graft] def upsertBatchIntoStore(spark: SparkSession, storeTable: String,
                                           batch: DataFrame,
-                                          nParts: Int): Unit = {
+                                          targetRowsPerRegion: Long): Unit = {
     val latest = latestPerUser(batch)
-      .withColumn("part", pmod(col("user_id"), lit(nParts)))
-    val cols = Seq("user_id", "ts_us", "event_id", "event_type", "value_c")
-    val storeExists = java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir))
-    val merged =
-      if (storeExists) {
-        val touched = latest.select(col("part")).distinct().collect()
-          .map(_.getLong(0))
-        val storeTouched = spark.read.parquet(storeDir)
-          .filter(col("part").isin(touched.toIndexedSeq: _*))
-          .select(cols.map(col): _*)
-        latestPerUser(storeTouched.unionByName(latest.drop("part")))
-          .withColumn("part", pmod(col("user_id"), lit(nParts)))
-      } else latest
-    merged.localCheckpoint()
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part")
-      .parquet(storeDir)
+    if (!graft.ops.KeyedStore.exists(spark, storeTable))
+      graft.ops.KeyedStore.create(spark, storeTable, latest, "user_id",
+        targetRowsPerRegion)
+    else
+      graft.ops.KeyedStore.mergeInto(spark, storeTable, "user_id", latest,
+        (base, b) => latestPerUser(base.unionByName(b)))
   }
 
   def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val nParts = 8
+    val storeTable = "graft_stream_upsert_store"
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
     val srcDir = tmp.resolve("src").toString
-    val storeDir = tmp.resolve("store").toString
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
               col("event_type"),
@@ -401,10 +390,12 @@ object EventStream {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    graft.ops.KeyedStore.drop(spark, storeTable) // defensive: stale prior run
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          upsertBatchIntoStore(spark, storeDir, batch.toDF(), nParts)
+          upsertBatchIntoStore(spark, storeTable, batch.toDF(),
+            targetRowsPerRegion = 64)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -415,10 +406,10 @@ object EventStream {
           "q_stream_upsert: stream did not drain within 120 s — refusing to " +
             "read a partially merged store")
       }
-      // Materialize off the temp files so the directory can be deleted
-      // before the caller consumes the result (fixture-scale store; at
-      // real scale the store IS the durable output and outlives the job).
-      spark.read.parquet(storeDir)
+      // Materialize off the temp table so it can be dropped before the
+      // caller consumes the result (fixture-scale store; at real scale
+      // the store IS the durable output and outlives the job).
+      spark.table(storeTable)
         .select(col("user_id"), col("ts_us"), col("event_id"),
                 col("event_type"), col("value_c"))
         .orderBy(col("user_id"))
@@ -427,6 +418,7 @@ object EventStream {
       // finally, not success-path: a drain timeout must not leak the
       // temp store + checkpoint on disk.
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.ops.KeyedStore.drop(spark, storeTable)
       deleteRecursively(tmp)
     }
   }
@@ -501,35 +493,25 @@ object EventStream {
   }
 
   /** One micro-batch of the ADDITIVE count sink: per-user batch counts
-    * summed into the store. Same partitioned copy-on-write shape as
-    * [[upsertBatchIntoStore]] (touched-partition pruning, one-pass
-    * localCheckpoint merge, dynamic overwrite), but the merge is `sum` —
+    * summed into the same region-partitioned catalog store as
+    * [[upsertBatchIntoStore]] (region copy-on-write via
+    * [[graft.ops.KeyedStore.mergeInto]] — O(changed regions) per batch,
+    * region size bounded by the create target), but the merge is `sum` —
     * commutative AND associative, so any micro-batch arrival order
     * drains to the same store (latest-wins only gets commutativity from
     * the total order on (ts, event_id); addition needs nothing).
     */
-  private[graft] def addCountsIntoStore(spark: SparkSession, storeDir: String,
+  private[graft] def addCountsIntoStore(spark: SparkSession, storeTable: String,
                                         batch: DataFrame,
-                                        nParts: Int): Unit = {
+                                        targetRowsPerRegion: Long): Unit = {
     val counts = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .withColumn("part", pmod(col("user_id"), lit(nParts)))
-    val storeExists = java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir))
-    val merged =
-      if (storeExists) {
-        val touched = counts.select(col("part")).distinct().collect()
-          .map(_.getLong(0))
-        val storeTouched = spark.read.parquet(storeDir)
-          .filter(col("part").isin(touched.toIndexedSeq: _*))
-          .select(col("user_id"), col("n"))
-        storeTouched.unionByName(counts.drop("part"))
-          .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
-          .withColumn("part", pmod(col("user_id"), lit(nParts)))
-      } else counts
-    merged.localCheckpoint()
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part")
-      .parquet(storeDir)
+    if (!graft.ops.KeyedStore.exists(spark, storeTable))
+      graft.ops.KeyedStore.create(spark, storeTable, counts, "user_id",
+        targetRowsPerRegion)
+    else
+      graft.ops.KeyedStore.mergeInto(spark, storeTable, "user_id", counts,
+        (base, b) => base.unionByName(b)
+          .groupBy(col("user_id")).agg(sum(col("n")).as("n")))
   }
 
   /** Seventh driver-checked streaming row — streaming running counts with
@@ -545,20 +527,21 @@ object EventStream {
     * incremental sums equal the one-shot aggregate.
     */
   def qStreamTopk(spark: SparkSession, dir: String): DataFrame = {
-    val nParts = 8
+    val storeTable = "graft_stream_topk_store"
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
     val srcDir = tmp.resolve("src").toString
-    val storeDir = tmp.resolve("store").toString
     val ev = graft.Tables.events(spark, dir).select(col("event_id"), col("user_id"))
     ev.repartition(4).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    graft.ops.KeyedStore.drop(spark, storeTable) // defensive: stale prior run
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          addCountsIntoStore(spark, storeDir, batch.toDF(), nParts)
+          addCountsIntoStore(spark, storeTable, batch.toDF(),
+            targetRowsPerRegion = 64)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -569,13 +552,14 @@ object EventStream {
           "q_stream_topk: stream did not drain within 120 s — refusing to " +
             "read a partially merged store")
       }
-      spark.read.parquet(storeDir)
+      spark.table(storeTable)
         .select(col("user_id"), col("n"))
         .orderBy(col("n").desc, col("user_id"))
         .limit(20)
         .localCheckpoint()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.ops.KeyedStore.drop(spark, storeTable)
       deleteRecursively(tmp)
     }
   }

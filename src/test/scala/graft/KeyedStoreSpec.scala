@@ -133,6 +133,74 @@ class KeyedStoreSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq == Seq("v1100"))
   }
 
+  test("upsert refreshes the sidecar: range scan finds keys past the old recorded max") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_sidecar"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    KeyedStore.upsert(spark, name, "k",
+      Seq((1000L, "I", "v1000")).toDF("k", "op", "v"))
+    // rangeIdx prunes by the recorded (min, max) — with a stale sidecar
+    // (max still 199) this scan would prune to NO regions and miss the
+    // inserted row entirely.
+    val got = KeyedStore.scan(spark, name, "k", 500L, 2000L).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1000L, "v1000")))
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 201)
+  }
+
+  test("a delete-emptied region drops its partition; no stale rows resurface") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_empty"
+    KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 16)
+    val rm0 = KeyedStore.readRegions(spark, name)
+    val reg = rm0.regions(rm0.coverageIdx(20L))
+    val keys = (reg.min.asInstanceOf[Long] to reg.max.asInstanceOf[Long])
+    // Delete EVERY key of one region: dynamic overwrite writes no output
+    // for that partition, so without the explicit partition drop the old
+    // files would survive and the "deleted" rows resurface on read.
+    val after = KeyedStore.upsert(spark, name, "k",
+      keys.map(k => (k, "D", "x")).toDF("k", "op", "v"))
+    val left = after.collect().map(_.getLong(0)).toSet
+    assert(keys.forall(k => !left.contains(k)), s"stale rows: $left")
+    assert(left.size.toLong == 64L - keys.size)
+    assert(KeyedStore.scan(spark, name, "k", 0L, 100L).count() ==
+      64L - keys.size)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 64L - keys.size)
+  }
+
+  test("mergeInto: caller-supplied merge; only holding regions rewritten") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val name = "graft_keyed_spec_merge"
+    val rows = (0L until 200L).map(i => (i, 10L, s"a$i")).toDF("k", "ts", "v")
+    KeyedStore.create(spark, name, rows, "k", targetRowsPerRegion = 16)
+    val before = digests(name)
+    def latest(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col("k"))
+        .agg(max(struct(col("ts"), col("v"))).as("s"))
+        .select(col("k"), col("s.ts").as("ts"), col("s.v").as("v"))
+    // The newer row for k=5 wins; the STALE row for k=7 loses to the
+    // resident — the conflict rule replace-semantics upsert can't express.
+    val batch = Seq((5L, 20L, "b5"), (7L, 1L, "stale")).toDF("k", "ts", "v")
+    val after = KeyedStore.mergeInto(spark, name, "k", batch, latest)
+    val m = after.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(m(5L) == ((20L, "b5")) && m(7L) == ((10L, "a7")))
+    assert(m.size == 200)
+    val rm = KeyedStore.readRegions(spark, name)
+    val touched = Set(5L, 7L).map(k => s"kr=${rm.regions(rm.coverageIdx(k)).kr}")
+    val afterD = digests(name)
+    before.keySet.filterNot(p => touched.exists(p.startsWith))
+      .foreach(p => assert(afterD(p) == before(p), s"$p was rewritten"))
+    // A table-new key lands in its coverage region and GETs back.
+    KeyedStore.mergeInto(spark, name, "k",
+      Seq((500L, 30L, "new")).toDF("k", "ts", "v"), latest)
+    assert(KeyedStore.get(spark, name, "k", Seq(500L))
+      .collect().map(_.getString(2)).toSeq == Seq("new"))
+  }
+
   test("create is idempotent across JVMs (stale location, fresh metastore)") {
     val name = "graft_keyed_spec_idem"
     // Simulate the next JVM: fresh metastore (no catalog entry for the

@@ -178,40 +178,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
-  test("incremental upsert store rewrites only touched partitions (others byte-identical)") {
-    // The 100 TB contract of the stream sink: a micro-batch whose keys all
-    // fall in one hash partition must leave every other partition's files
-    // untouched on disk — O(touched) work per batch, never O(store).
+  test("incremental upsert store rewrites only touched regions (others byte-identical)") {
+    // The 100 TB contract of the stream sink, now on the region-
+    // partitioned catalog store: a micro-batch touching two keys must
+    // leave every region not holding them byte-identical on disk —
+    // O(changed regions) work per batch, never O(store), with region
+    // size bounded by the create target as the table grows.
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_incr")
-    val store = tmp.resolve("store")
-    def run(id: String, rows: Seq[(Long, Long, Long, String, Long)]): Unit =
-      EventStream.upsertBatchIntoStore(spark, store.toString,
-        rows.toDF("event_id", "user_id", "ts_us", "event_type", "value_c"), 8)
-    run("b1", (0L until 16L).map(u => (u, u, 100L, "a", 1L)))
+    val store = "graft_spec_stream_store"
+    ops.KeyedStore.drop(spark, store)
+    def run(rows: Seq[(Long, Long, Long, String, Long)]): Unit =
+      EventStream.upsertBatchIntoStore(spark, store,
+        rows.toDF("event_id", "user_id", "ts_us", "event_type", "value_c"),
+        targetRowsPerRegion = 4)
+    run((0L until 16L).map(u => (u, u, 100L, "a", 1L)))
     def digests(): Map[String, String] = {
-      val s = java.nio.file.Files.walk(store)
+      val root = ops.KeyedStore.location(spark, store)
+      val s = java.nio.file.Files.walk(root)
       try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-        .map(p => store.relativize(p).toString ->
+        .map(p => root.relativize(p).toString ->
           java.util.Arrays.toString(java.security.MessageDigest.getInstance("MD5")
             .digest(java.nio.file.Files.readAllBytes(p))))
         .toMap
       finally s.close()
     }
     val before = digests()
-    // Users 1 (update) and 17 (insert) both hash to part=1: exactly one
-    // partition is touched.
-    run("b2", Seq((100L, 1L, 200L, "b", 2L), (101L, 17L, 200L, "b", 2L)))
+    val rm = ops.KeyedStore.readRegions(spark, store)
+    assert(rm.regions.size >= 3, s"want several regions, got ${rm.regions.size}")
+    // User 1 (update) and user 17 (insert beyond the max boundary — lands
+    // in the last region): exactly those two regions are touched.
+    run(Seq((100L, 1L, 200L, "b", 2L), (101L, 17L, 200L, "b", 2L)))
+    val touched = Set(1L, 17L).map(k => s"kr=${rm.regions(rm.coverageIdx(k)).kr}")
     val after = digests()
-    val untouched = before.keySet.filterNot(_.contains("part=1"))
+    val untouched = before.keySet.filterNot(p => touched.exists(p.startsWith))
     assert(untouched.nonEmpty && untouched.subsetOf(after.keySet))
     untouched.foreach(k => assert(after(k) == before(k), s"$k was rewritten"))
-    val merged = spark.read.parquet(store.toString)
+    val merged = spark.table(store)
     assert(merged.filter(col("user_id") === 1L).select("ts_us").head.getLong(0) == 200L)
     assert(merged.filter(col("user_id") === 17L).count() == 1)
     assert(merged.count() == 17)
-    EventStream.deleteRecursively(tmp)
+    ops.KeyedStore.drop(spark, store)
   }
 
   test("mapGroupsWithState user totals == batch groupBy after drain") {
