@@ -184,6 +184,10 @@ object Graft {
   /** Drop data/manifests outside the last `keepLast` versions. */
   def vstoreVacuum(dir: String, keepLast: Int = 1): Int =
     ops.VersionedStore.vacuum(dir, keepLast)
+  /** Bin-pack undersized adjacent leaves (OPTIMIZE); returns the new
+    * version, or 0 if nothing needed packing. */
+  def vstoreCompact(spark: SparkSession, dir: String, key: String): Int =
+    ops.VersionedStore.compact(spark, dir, key)
 
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,

@@ -922,6 +922,44 @@ object SourceSinkOps {
       java.nio.file.Paths.get(tmp))
   }
 
+  /** Compaction round-trip on the versioned store — the OPTIMIZE /
+    * bin-packing maintenance pass: init the orders slice at a small
+    * per-file target (many leaves), DELETE 4/5 of the keys so every leaf
+    * shrinks far below target (the fragmentation pattern file-granularity
+    * commits can't heal on their own), [[VersionedStore.compact]], and
+    * summarize the table at the pre-compact (v2) and post-compact (v3)
+    * versions. The two rows must be identical except the version column —
+    * compaction changes LAYOUT, never data — which is exactly what the
+    * oracle pins (one kept-keys summary serves both versions). The
+    * file-count drop itself is pinned by VersionedStoreSpec (not
+    * SQL-observable).
+    */
+  def qVstoreCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      val base = orders(spark, dir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+                round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedStore.init(spark, tmp, base, "o_orderkey",
+        targetRowsPerFile = 256)
+      val dels = base.filter(expr("(o_orderkey div 5) % 5 != 0"))
+        .select(col("o_orderkey"), lit("D").as("op"), col("cents"))
+      VersionedStore.commit(spark, tmp, dels, "o_orderkey")
+      val v3 = VersionedStore.compact(spark, tmp, "o_orderkey")
+      require(v3 == 3, s"expected compaction to publish v3, got $v3")
+      def summary(version: Int) = VersionedStore.asOf(spark, tmp, version)
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("o_orderkey")).as("n_keys"),
+             sum(col("cents")).as("tot_c"))
+        .select(lit(version).as("version"), col("n_rows"), col("n_keys"),
+                col("tot_c"))
+      summary(2).unionByName(summary(3)).orderBy(col("version"))
+        .localCheckpoint()
+    } finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+  }
+
   /** GROUPING SETS over (status, priority) — finer control than cube:
     * only the two single-dimension granularities.
     */

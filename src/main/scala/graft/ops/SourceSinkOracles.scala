@@ -302,5 +302,21 @@ object SourceSinkOracles {
         |SELECT 'updated', count(*), CAST(count(*) * 111 AS BIGINT)
         |FROM base WHERE k % 3 = 0
         |ORDER BY change_type""".stripMargin,
+
+    // Mirrors SourceSinkOps.qVstoreCompact: keys %5=0 minus the deleted
+    // (k div 5) % 5 != 0 — the SAME summary must hold at v2 (pre-compact)
+    // and v3 (post-compact), because compaction repacks files without
+    // touching a single row.
+    "q_vstore_compact" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND (o_orderkey // 5) % 5 = 0)
+        |SELECT v.version, count(*) AS n_rows,
+        |       count(DISTINCT k) AS n_keys,
+        |       CAST(sum(cents) AS BIGINT) AS tot_c
+        |FROM kept CROSS JOIN (VALUES (2), (3)) AS v(version)
+        |GROUP BY v.version ORDER BY version""".stripMargin,
   )
 }

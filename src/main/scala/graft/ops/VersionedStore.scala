@@ -262,6 +262,68 @@ object VersionedStore {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Maintenance bin-packing — the OPTIMIZE pass of a lakehouse table:
+    * publish a new version with IDENTICAL rows whose layout re-packs
+    * runs of adjacent undersized leaves into single files near the
+    * per-store target. File-granularity commits fragment under deletes
+    * and narrow updates (a rewritten leaf keeps its original hash range
+    * however few rows survive in it), and nothing re-merges those leaves
+    * on the commit path — this pass does. Greedy run-coalescing over the
+    * hash-ordered manifest: consecutive entries whose combined rows fit
+    * the target become ONE leaf spanning their union range; any entry
+    * that doesn't pack with a neighbor is SHARED with the previous
+    * snapshot untouched, so compaction cost is O(small files), never
+    * O(table). Publishes optimistically like [[commit]] (a racing commit
+    * wins; compaction re-derives and retries); pre-compact versions stay
+    * time-travel-readable until [[vacuum]]. Returns the new version, or
+    * 0 if no run needed packing (idempotent: compact-after-compact is a
+    * no-op).
+    */
+  def compact(spark: SparkSession, dir: String, key: String): Int = {
+    val target = readTarget(dir)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(dir)
+      if (v == 0) return 0
+      val entries = readManifest(dir, v)
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[FileEntry]]
+      var run = Vector.empty[FileEntry]
+      var runRows = 0L
+      entries.foreach { e =>
+        if (run.nonEmpty && runRows + e.rows <= target) {
+          run :+= e; runRows += e.rows
+        } else {
+          if (run.nonEmpty) bins += run
+          run = Vector(e); runRows = e.rows
+        }
+      }
+      if (run.nonEmpty) bins += run
+      val rewrite = bins.filter(_.size >= 2).toSeq
+      if (rewrite.isEmpty) return 0
+      val kept = bins.filter(_.size < 2).map(_.head).toSeq
+      val ranges = rewrite.map(b => (b.head.minH, b.last.maxH))
+      val paths = rewrite.flatten.filter(_.path.nonEmpty)
+        .map(e => s"$dir/data/${e.path}")
+      val nv = v + 1
+      val newEntries: Seq[FileEntry] =
+        if (paths.isEmpty)
+          kept ++ ranges.map { case (lo, hi) => FileEntry(lo, hi, 0L, "") }
+        else kept ++ writeLeaves(spark, dir, newCommitId(),
+          spark.read.parquet(paths: _*), key, ranges)
+      try {
+        publishManifest(dir, nv, newEntries.sortBy(_.minH))
+        return nv
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxPublishRetries)
+            throw new IllegalStateException(
+              s"VersionedStore.compact: lost the publish race $attempt times at $dir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Two-phase retention vacuum with a read grace. Phase 1 EXPIRES every
     * manifest older than the last `keepLast` (rename to `v<N>.expired`,
     * stamped with the expiry instant). Phase 2 deletes (a) the data

@@ -67,6 +67,41 @@ class VersionedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: bin-packs shrunken leaves; rows identical; history intact") {
+    val dir = freshDir()
+    val base = (1L to 1000L).map(k => (k, k * 10)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k", targetRowsPerFile = 100)
+    // Delete 80% of the keys: every leaf shrinks far below target — the
+    // fragmentation commits can't heal (a rewritten leaf keeps its range).
+    ops.VersionedStore.commit(spark, dir,
+      (1L to 1000L).filter(_ % 5 != 0).map(k => (k, "D", 0L)).toDF("k", "op", "v"),
+      "k")
+    val preFiles = ops.VersionedStore.readManifest(dir, 2)
+      .count(_.path.nonEmpty)
+    val preRows = ops.VersionedStore.asOf(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preDigests = digests(dir)
+    val v3 = ops.VersionedStore.compact(spark, dir, "k")
+    assert(v3 == 3)
+    val postEntries = ops.VersionedStore.readManifest(dir, 3)
+    val postFiles = postEntries.count(_.path.nonEmpty)
+    assert(postFiles < preFiles,
+      s"compaction should shrink the file count: $preFiles -> $postFiles")
+    // ~200 surviving rows at target 100 should pack into a handful of
+    // leaves, each within the target bound.
+    assert(postFiles <= 4, s"expected <= 4 packed files, got $postFiles")
+    assert(postEntries.filter(_.path.nonEmpty).forall(_.rows <= 100))
+    // Content identical; pre-compact versions untouched on disk.
+    val postRows = ops.VersionedStore.asOf(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postRows == preRows)
+    preDigests.foreach { case (p, d) =>
+      assert(digests(dir)(p) == d, s"pre-compact leaf $p was modified") }
+    assert(ops.VersionedStore.asOf(spark, dir, 1).count() == 1000)
+    // Idempotent: a second compact finds nothing to pack.
+    assert(ops.VersionedStore.compact(spark, dir, "k") == 0)
+  }
+
   test("file-granularity CoW: a 1-key commit rewrites exactly one data file") {
     val dir = freshDir()
     val base = (1L to 200L).map(k => (k, k)).toDF("k", "v")
