@@ -937,13 +937,17 @@ object SourceSinkOps {
   def qVstoreCompact(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     try {
+      // The %200 slice + 32-row target keeps the leaf count (and so the
+      // bench cost) modest at every fixture SF while still exercising a
+      // multi-file pack — the compaction mechanics are leaf-count-
+      // invariant, pinned structurally in VersionedStoreSpec.
       val base = orders(spark, dir)
-        .filter(col("o_orderkey") % 5 === 0)
+        .filter(col("o_orderkey") % 200 === 0)
         .select(col("o_orderkey"),
                 round(col("o_totalprice") * 100).cast("long").as("cents"))
       VersionedStore.init(spark, tmp, base, "o_orderkey",
-        targetRowsPerFile = 256)
-      val dels = base.filter(expr("(o_orderkey div 5) % 5 != 0"))
+        targetRowsPerFile = 32)
+      val dels = base.filter(expr("(o_orderkey div 200) % 5 != 0"))
         .select(col("o_orderkey"), lit("D").as("op"), col("cents"))
       VersionedStore.commit(spark, tmp, dels, "o_orderkey")
       val v3 = VersionedStore.compact(spark, tmp, "o_orderkey")

@@ -312,7 +312,7 @@ object SourceSinkOracles {
         |  SELECT o_orderkey AS k,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders
-        |  WHERE o_orderkey % 5 = 0 AND (o_orderkey // 5) % 5 = 0)
+        |  WHERE o_orderkey % 200 = 0 AND (o_orderkey // 200) % 5 = 0)
         |SELECT v.version, count(*) AS n_rows,
         |       count(DISTINCT k) AS n_keys,
         |       CAST(sum(cents) AS BIGINT) AS tot_c
