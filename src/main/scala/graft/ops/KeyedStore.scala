@@ -143,6 +143,63 @@ object KeyedStore {
   private def sidecar(spark: SparkSession, name: String): Path =
     location(spark, name).resolve("_graft_regions")
 
+  // -------- per-region row blooms (HBase HFile ROW-bloom analog) --------
+
+  /** Hash probes per key — fixed store-wide; filter SIZE lives in the
+    * sidecar header (derived from the region target at create). */
+  private val BloomK = 7
+
+  private def bloomSidecar(spark: SparkSession, name: String): Path =
+    location(spark, name).resolve("_graft_blooms")
+
+  private def writeBlooms(spark: SparkSession, name: String, mBits: Int,
+                          blooms: Map[Int, Array[Byte]]): Unit = {
+    val lines = s"$mBits,$BloomK" +: blooms.toSeq.sortBy(_._1).map {
+      case (kr, b) => s"$kr,${java.util.Base64.getEncoder.encodeToString(b)}"
+    }
+    Files.write(bloomSidecar(spark, name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private[graft] def readBlooms(spark: SparkSession,
+                                name: String): Option[(Int, Map[Int, Array[Byte]])] = {
+    val p = bloomSidecar(spark, name)
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readAllLines(p).asScala.toIndexedSeq
+      val mBits = lines.head.split(",")(0).toInt
+      val m = lines.tail.filter(_.nonEmpty).map { l =>
+        val Array(kr, b64) = l.split(",", 2)
+        kr.toInt -> java.util.Base64.getDecoder.decode(b64)
+      }.toMap
+      Some((mBits, m))
+    }
+  }
+
+  /** One partial-combined aggregate pass: the bloom bit array of every
+    * region present in `rel` (columns `kr` + the key). The exchange
+    * carries one m-bit array per region — control plane, never keys.
+    */
+  private def buildBlooms(rel: DataFrame, key: String,
+                          mBits: Int): Map[Int, Array[Byte]] = {
+    val bloom = udaf(new graft.functions.BloomAgg(mBits, BloomK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    rel.select(col("kr"), TextFns.hash60(col(key).cast("string")).as("h"))
+      .groupBy(col("kr")).agg(bloom(col("h")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("b")).toMap
+  }
+
+  /** Driver-side key hash, identical to the executor-side
+    * `TextFns.hash60(cast(key as string))` (md5 → first 15 hex chars →
+    * base-16 long), so the probe and the build can never drift.
+    */
+  private def driverHash60(typ: String, v: Any): Long = {
+    val s = typ match {
+      case "long" => v.asInstanceOf[Number].longValue().toString
+      case _ => v.toString
+    }
+    java.lang.Long.parseLong(TextFns.md5Hex(s).substring(0, 15), 16)
+  }
+
   private def encKey(typ: String, v: Any): String = typ match {
     case "long" => v.asInstanceOf[Number].longValue().toString
     case _ => java.util.Base64.getEncoder
@@ -202,6 +259,10 @@ object KeyedStore {
       .map(r => Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
       .sortBy(_.kr).toIndexedSeq
     writeRegions(spark, name, RegionMap(typ, regions))
+    // Per-region row blooms: ~10 bits/key at the region target, one
+    // aggregate pass over the written table.
+    val mBits = graft.functions.BloomAgg.sizeFor(targetRowsPerRegion)
+    writeBlooms(spark, name, mBits, buildBlooms(spark.table(name), key, mBits))
   }
 
   /** Batch point-GET: driver-side region resolution (binary search over
@@ -211,8 +272,21 @@ object KeyedStore {
     */
   def get(spark: SparkSession, name: String, key: String, keys: Seq[Any]): DataFrame = {
     val rm = readRegions(spark, name)
-    val krs = keys.flatMap(k => rm.holdingIdx(k)).distinct
-      .map(i => rm.regions(i).kr)
+    val blooms = readBlooms(spark, name)
+    // Range-candidate regions first (binary search over the sidecar),
+    // then the per-region row bloom rejects candidates that definitely
+    // don't hold the key — an absent-key GET touches ZERO partitions
+    // (modulo the ~1% false-positive rate), the HBase ROW-bloom fast
+    // path. A region with no bloom entry is scanned (fail-open).
+    val krs = keys.flatMap { kk =>
+      val h = blooms.map(_ => driverHash60(rm.typ, kk))
+      rm.holdingIdx(kk).map(i => rm.regions(i).kr).filter { kr =>
+        blooms.forall { case (_, bl) =>
+          bl.get(kr).forall(b =>
+            graft.functions.BloomAgg.maybeContains(b, h.get, BloomK))
+        }
+      }
+    }.distinct
     spark.table(name)
       .filter(col("kr").isin(krs: _*))
       .filter(col(key).isin(keys: _*))
@@ -346,6 +420,14 @@ object KeyedStore {
       else stats.getOrElse(r.kr, r.copy(rows = 0L))
     }
     writeRegions(spark, name, RegionMap(rm.typ, newRegions))
+    // Rebuild the touched regions' blooms from the already-materialized
+    // merged output (O(touched), the same pass discipline as the stats);
+    // an emptied region loses its bloom entry so probes reject it outright.
+    readBlooms(spark, name).foreach { case (mBits, existing) =>
+      val rebuilt = buildBlooms(out, key, mBits)
+      writeBlooms(spark, name, mBits,
+        existing.removedAll(touchedKr) ++ rebuilt)
+    }
   }
 
   /** Drop the table and its data directory (cleanup hook for temp

@@ -288,6 +288,31 @@ object SourceSinkOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Keyed point-GET with ABSENT keys — the row-bloom fast path (the
+    * HBase HFile ROW-bloom capability over the same regions
+    * `Main.java:54-73` pre-splits): the store's per-region bloom sidecar
+    * rejects regions that definitely don't hold a probed key, so a
+    * miss-heavy GET touches zero-to-few partitions instead of every
+    * range-candidate region. Values are bloom-invariant (a false positive
+    * only costs IO) — exactly what this row pins: present keys return
+    * their rows, absent keys return nothing. KeyedStoreSpec pins the
+    * zero-partition plan for all-absent probes.
+    */
+  def qKeyedBloom(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_keyed_bloom_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name,
+      orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "o_orderkey", targetRowsPerRegion = 2048)
+    // Orderkeys are a dense 1..n prefix at every fixture SF, so the
+    // +10M probes are absent everywhere.
+    val probes = Seq(100L, 2000L, 5000L, 10000100L, 10002000L, 10005000L)
+    KeyedStore.get(spark, name, "o_orderkey", probes)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Managed-table surface: the catalog path (`saveAsTable` →
     * `spark.table`) instead of direct parquet paths — the API a
     * warehouse-style deployment uses. The round trip is lossless, so the

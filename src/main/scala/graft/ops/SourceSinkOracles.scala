@@ -116,6 +116,14 @@ object SourceSinkOracles {
         |FROM events WHERE event_id IN (10, 20, 30, 40, 50)
         |ORDER BY event_id""".stripMargin,
 
+    // Bloom pruning is IO-only: the GET must equal the plain IN filter
+    // (absent probes match nothing).
+    "q_keyed_bloom" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (100, 2000, 5000, 10000100, 10002000, 10005000)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // The region-pruned range scan must equal the plain range predicate.
     "q_keyed_range" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price

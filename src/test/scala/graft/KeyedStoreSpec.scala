@@ -133,6 +133,30 @@ class KeyedStoreSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq == Seq("v1100"))
   }
 
+  test("row blooms: all-absent GET scans zero partitions; blooms track upserts") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_bloom"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    // Absent keys (inside the table's overall range, so range candidates
+    // exist): every candidate region's bloom must reject them — the GET
+    // resolves to an empty region list and the plan never scans a file.
+    // Deterministic hashes ⇒ no flaky false-positive risk for fixed keys.
+    val miss = KeyedStore.get(spark, name, "k", Seq(5000L, 6000L, 7000L))
+    assert(miss.count() == 0)
+    val plan = miss.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") || plan.contains("PartitionFilters: [false]")
+      || plan.contains("LocalTableScan"), plan.take(2000))
+    // Present keys still resolve through the bloom (no false negatives).
+    assert(KeyedStore.get(spark, name, "k", Seq(5L, 77L)).count() == 2)
+    // An upserted new key must enter its region's rebuilt bloom.
+    KeyedStore.upsert(spark, name, "k", Seq((5000L, "I", "v5000")).toDF("k", "op", "v"))
+    assert(KeyedStore.get(spark, name, "k", Seq(5000L))
+      .collect().map(_.getString(1)).toSeq == Seq("v5000"))
+    // A delete-emptied probe goes back to definitely-absent.
+    KeyedStore.upsert(spark, name, "k", Seq((5000L, "D", "x")).toDF("k", "op", "v"))
+    assert(KeyedStore.get(spark, name, "k", Seq(5000L)).count() == 0)
+  }
+
   test("upsert refreshes the sidecar: range scan finds keys past the old recorded max") {
     import spark.implicits._
     val name = "graft_keyed_spec_sidecar"
