@@ -48,6 +48,12 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Per-query isolation: drop persisted/localCheckpoint blocks so one
+      // query's storage doesn't linger in the block manager and inflate
+      // queries that happen to run later in the alphabet.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       (name, times.min, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -99,6 +99,13 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val n = f(dir).count()
         println(f"SCALE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+        // Per-probe isolation: drop persisted/localCheckpoint blocks so a
+        // probe's storage doesn't linger and poison later measurements
+        // (observed: late-battery probes 4-8x inflated once dozens of
+        // checkpointed relations had accumulated in the block manager).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
       }
     Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
       println(s"SCALE ---- $tag ($dir)")
@@ -179,6 +186,8 @@ object ScaleSmoke {
       time(s"split_leak_$tag", dir)(d => ops.TextOps.qSplitLeakage(spark, d))
       time(s"time_travel_$tag", dir)(d => ops.SourceSinkOps.qTimeTravel(spark, d))
       time(s"snapshot_diff_$tag", dir)(d => ops.SourceSinkOps.qSnapshotDiff(spark, d))
+      time(s"vstore_compact_$tag", dir)(d => ops.SourceSinkOps.qVstoreCompact(spark, d))
+      time(s"keyed_bloom_$tag", dir)(d => ops.SourceSinkOps.qKeyedBloom(spark, d))
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of

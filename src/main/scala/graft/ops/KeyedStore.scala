@@ -38,6 +38,13 @@ import scala.jdk.CollectionConverters._
   *    files) write amplification, never O(table). The merged relation is
   *    localCheckpoint-materialized so the table can be read and
   *    rewritten in one pass (no staging round trip);
+  *  - MERGEINTO generalizes upsert to a caller-supplied commutative
+  *    merge (latest-wins, additive counts) — the micro-batch sink
+  *    primitive the streaming stores drive;
+  *  - per-region ROW BLOOMS (HBase's HFile bloom analog) ride a sidecar:
+  *    a GET for an absent key touches zero partitions (the bloom rejects
+  *    every range-candidate region), and merges rebuild only the touched
+  *    regions' filters — see [[graft.functions.BloomAgg]];
   *  - CREATE is idempotent across JVMs: a stale warehouse LOCATION left
   *    by a previous session is cleared before the CTAS.
   *

@@ -42,8 +42,8 @@ object ScrubOps {
     * arbitrary text column. Pure projection — embarrassingly parallel.
     */
   def redactPii(df: DataFrame, text: org.apache.spark.sql.Column): DataFrame =
-    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailPat), lit(0))))
-      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhonePat), lit(0))))
+    df.withColumn("n_emails", regexp_count(text, lit(EmailPat)))
+      .withColumn("n_phones", regexp_count(text, lit(PhonePat)))
       .withColumn("redacted", regexp_replace(
         regexp_replace(text, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"))
 

@@ -709,7 +709,9 @@ object TextOps {
     documents(spark, dir)
       .select(
         col("doc_id"),
-        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_bpe_tokens"),
+        // regexp_count counts matches without materializing the token
+        // strings (size(regexp_extract_all(...)) allocates them all)
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").as("n_bpe_tokens"),
         length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
       .orderBy(col("doc_id"))
 
@@ -1080,8 +1082,10 @@ object TextOps {
     */
   def packSequences(docs: DataFrame, binTokens: Long = 2048L,
                     bucketSize: Int = 256, levels: Int = 3): DataFrame = {
+    // regexp_count: match counting without materializing token strings —
+    // the tokenize pass is this operator's dominant cost at scale.
     val toked = docs.select(col("doc_id"),
-      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+      expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
         .cast("long").as("n_tokens"))
     val b = toked.withColumn("bucket", expr(s"doc_id div $bucketSize"))
     val within = b.withColumn("pfx_within",
@@ -1234,8 +1238,8 @@ object TextOps {
     documents(spark, dir)
       .select(col("lang"),
               size(TextFns.toks).cast("long").as("ws"),
-              expr("cast(size(regexp_extract_all(text, " +
-                   "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as bigint)").as("bpe"))
+              expr("cast(regexp_count(text, " +
+                   "'[a-z]+|[0-9]+|[^a-z0-9 ]') as bigint)").as("bpe"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
            sum(col("bpe")).as("bpe_tokens"))
