@@ -182,17 +182,25 @@ object KeyedStore {
     }
   }
 
-  /** One partial-combined aggregate pass: the bloom bit array of every
-    * region present in `rel` (columns `kr` + the key). The exchange
-    * carries one m-bit array per region — control plane, never keys.
+  /** ONE partial-combined aggregate pass over a (kr, key, ...) relation:
+    * per-region (rows, min, max, bloom bits) — the complete sidecar
+    * refresh payload in a single table read. The exchange carries one
+    * stats row + m-bit array per region — control plane, never keys.
     */
-  private def buildBlooms(rel: DataFrame, key: String,
-                          mBits: Int): Map[Int, Array[Byte]] = {
+  private def regionStats(rel: DataFrame, key: String,
+                          mBits: Int): Map[Int, (Region, Array[Byte])] = {
     val bloom = udaf(new graft.functions.BloomAgg(mBits, BloomK),
       org.apache.spark.sql.Encoders.scalaLong)
-    rel.select(col("kr"), TextFns.hash60(col(key).cast("string")).as("h"))
-      .groupBy(col("kr")).agg(bloom(col("h")).as("b"))
-      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("b")).toMap
+    rel.select(col("kr"), col(key),
+               TextFns.hash60(col(key).cast("string")).as("__blm_h"))
+      .groupBy(col("kr"))
+      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"),
+           max(col(key)).as("hi"), bloom(col("__blm_h")).as("b"))
+      .collect()
+      .map { r =>
+        r.getInt(0) -> ((Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)),
+          r.getAs[Array[Byte]]("b")))
+      }.toMap
   }
 
   /** Driver-side key hash, identical to the executor-side
@@ -259,17 +267,13 @@ object KeyedStore {
       .sortWithinPartitions(col("kr"), col(key))
       .write.mode("overwrite").format("parquet").partitionBy("kr")
       .saveAsTable(name)
-    // Region directory from the written data: one pass over (kr, key).
-    val regions = spark.table(name).groupBy(col("kr"))
-      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"), max(col(key)).as("hi"))
-      .collect()
-      .map(r => Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
-      .sortBy(_.kr).toIndexedSeq
-    writeRegions(spark, name, RegionMap(typ, regions))
-    // Per-region row blooms: ~10 bits/key at the region target, one
-    // aggregate pass over the written table.
+    // Region directory + row blooms (~10 bits/key at the region target)
+    // from the written data: ONE fused aggregate pass over (kr, key).
     val mBits = graft.functions.BloomAgg.sizeFor(targetRowsPerRegion)
-    writeBlooms(spark, name, mBits, buildBlooms(spark.table(name), key, mBits))
+    val stats = regionStats(spark.table(name), key, mBits)
+    writeRegions(spark, name,
+      RegionMap(typ, stats.values.map(_._1).toIndexedSeq.sortBy(_.kr)))
+    writeBlooms(spark, name, mBits, stats.view.mapValues(_._2).toMap)
   }
 
   /** Batch point-GET: driver-side region resolution (binary search over
@@ -407,13 +411,15 @@ object KeyedStore {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // Post-merge stats per touched region — off the already-materialized
-    // checkpoint blocks, O(touched) not O(table).
-    val stats = out.groupBy(col("kr"))
-      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"), max(col(key)).as("hi"))
-      .collect()
-      .map(r => r.getInt(0) -> Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)))
-      .toMap
+    // Post-merge stats AND rebuilt blooms per touched region in ONE fused
+    // aggregate — off the already-materialized checkpoint blocks,
+    // O(touched) not O(table). An emptied region loses its bloom entry so
+    // probes reject it outright.
+    val bloomSide = readBlooms(spark, name)
+    val mBits = bloomSide.map(_._1).getOrElse(
+      graft.functions.BloomAgg.sizeFor(DefaultTargetRowsPerRegion))
+    val full = regionStats(out, key, mBits)
+    val stats = full.view.mapValues(_._1).toMap
     val touched = touchedKr.toSet
     touchedKr.filterNot(stats.contains).foreach { krv =>
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
@@ -427,13 +433,9 @@ object KeyedStore {
       else stats.getOrElse(r.kr, r.copy(rows = 0L))
     }
     writeRegions(spark, name, RegionMap(rm.typ, newRegions))
-    // Rebuild the touched regions' blooms from the already-materialized
-    // merged output (O(touched), the same pass discipline as the stats);
-    // an emptied region loses its bloom entry so probes reject it outright.
-    readBlooms(spark, name).foreach { case (mBits, existing) =>
-      val rebuilt = buildBlooms(out, key, mBits)
-      writeBlooms(spark, name, mBits,
-        existing.removedAll(touchedKr) ++ rebuilt)
+    bloomSide.foreach { case (m, existing) =>
+      writeBlooms(spark, name, m,
+        existing.removedAll(touchedKr) ++ full.view.mapValues(_._2).toMap)
     }
   }
 
