@@ -250,10 +250,17 @@ object GraphOps {
     * anti-join enforces here.
     */
   def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
-    val src = copurchaseEdges(spark, dir, minOrders = 2)
-      .agg(least(min(col("u")), min(col("v"))).as("node"))
-    shortestPaths(copurchaseEdges(spark, dir, minOrders = 2), src, maxHops = 4)
+    // ONE pass through the basket self-join + aggregate: the persisted
+    // edge relation feeds both the source-node aggregate and the BFS
+    // adjacency (previously each re-ran the whole pair-explosion
+    // pipeline — the single heaviest slice of this query's cost).
+    val edges = copurchaseEdges(spark, dir, minOrders = 2).persist()
+    val src = edges.agg(least(min(col("u")), min(col("v"))).as("node"))
+    val out = shortestPaths(edges, src, maxHops = 4)
       .orderBy(col("dist"), col("node"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** Undirected co-purchase edges `(u, v)` with `u < v`: parts sharing at
