@@ -164,7 +164,7 @@ object KeyedStore {
     val lines = s"$mBits,$BloomK" +: blooms.toSeq.sortBy(_._1).map {
       case (kr, b) => s"$kr,${java.util.Base64.getEncoder.encodeToString(b)}"
     }
-    Files.write(bloomSidecar(spark, name), lines.mkString("\n").getBytes("UTF-8"))
+    atomicWrite(bloomSidecar(spark, name), lines.mkString("\n"))
   }
 
   private[graft] def readBlooms(spark: SparkSession,
@@ -226,11 +226,26 @@ object KeyedStore {
     case _ => new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
   }
 
+  /** Atomic sidecar publish: temp file in the same directory + atomic
+    * move, so a crash mid-write can never leave a truncated sidecar for
+    * readRegions/readBlooms to choke on (the same discipline as the
+    * versioned store's manifest publish).
+    */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(target.getParent, ".tmp-sidecar", "")
+    try {
+      Files.write(tmp, content.getBytes("UTF-8"))
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
   private def writeRegions(spark: SparkSession, name: String,
                            rm: RegionMap): Unit = {
     val lines = rm.typ +: rm.regions.map(r =>
       s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}")
-    Files.write(sidecar(spark, name), lines.mkString("\n").getBytes("UTF-8"))
+    atomicWrite(sidecar(spark, name), lines.mkString("\n"))
   }
 
   private[graft] def readRegions(spark: SparkSession, name: String): RegionMap = {
