@@ -947,6 +947,47 @@ object SourceSinkOps {
       java.nio.file.Paths.get(tmp))
   }
 
+  /** Incremental view maintenance driven by the versioned store's CDC
+    * read — the "advance an aggregate by O(changes)" pattern a downstream
+    * consumer runs after every commit: the per-bucket order aggregate
+    * materialized at v1 moves to v2 by applying ONLY the snapshot-diff
+    * deltas (a changed key contributes −old/+new to its bucket), never
+    * rescanning the v2 table. The oracle computes the v2 aggregate from
+    * scratch — equality proves the delta algebra is exact. At 100 TB the
+    * diff side reads O(changed leaves) (the file-granularity manifests
+    * share everything else), so view refresh cost tracks the commit size,
+    * not the table size. Composes `q_incr_agg`'s partial-merge idea with
+    * `q_snapshot_diff`'s CDC read.
+    */
+  def qIncrViewCdc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = twoSnapshotStore(spark, dir)
+    try {
+      val v1 = VersionedStore.asOf(spark, tmp, 1)
+      val v2 = VersionedStore.asOf(spark, tmp, 2)
+      val view1 = v1.groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("tot_c"))
+      val delta = v1.select(col("o_orderkey"), col("cents").as("c1"))
+        .join(v2.select(col("o_orderkey"), col("cents").as("c2")),
+              Seq("o_orderkey"), "full_outer")
+        .filter(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(sum(when(col("c1").isNull, 1L)
+               .when(col("c2").isNull, -1L).otherwise(0L)).as("dn"),
+             sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+               .as("dc"))
+      view1.join(delta, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+                (coalesce(col("n_orders"), lit(0L)) +
+                  coalesce(col("dn"), lit(0L))).as("n_orders"),
+                (coalesce(col("tot_c"), lit(0L)) +
+                  coalesce(col("dc"), lit(0L))).as("tot_c"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("bucket"))
+        .localCheckpoint()
+    } finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+  }
+
   /** Compaction round-trip on the versioned store — the OPTIMIZE /
     * bin-packing maintenance pass: init the orders slice at a small
     * per-file target (many leaves), DELETE 4/5 of the keys so every leaf

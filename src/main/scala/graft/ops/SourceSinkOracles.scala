@@ -311,6 +311,21 @@ object SourceSinkOracles {
         |FROM base WHERE k % 3 = 0
         |ORDER BY change_type""".stripMargin,
 
+    // Mirrors SourceSinkOps.qIncrViewCdc: the incrementally maintained
+    // per-bucket view at v2 must equal the from-scratch v2 aggregate.
+    "q_incr_view_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |v2 AS (
+        |  SELECT k, cents + 111 AS cents FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, cents FROM base WHERE k % 3 = 2
+        |  UNION ALL SELECT k + 1, cents + 7 FROM base WHERE k % 3 = 2)
+        |SELECT k % 10 AS bucket, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS tot_c
+        |FROM v2 GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // Mirrors SourceSinkOps.qVstoreCompact: keys %5=0 minus the deleted
     // (k div 5) % 5 != 0 — the SAME summary must hold at v2 (pre-compact)
     // and v3 (post-compact), because compaction repacks files without

@@ -146,6 +146,27 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: bloom filters never false-negative; merge == rebuild") {
+    // The keyed store's GET fast path relies on "reject ⇒ definitely
+    // absent": every inserted hash must probe positive, on the directly
+    // built filter AND on any merge of partial filters (Spark's partial
+    // aggregation path) — merge-of-splits must equal build-of-whole.
+    val agg = new graft.functions.BloomAgg(1024, 7)
+    val hashes = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, (1L << 60) - 1)))
+    val p = Prop.forAll(hashes, Gen.chooseNum(1, 5)) { (hs, splitAt) =>
+      val whole = hs.foldLeft(agg.zero)(agg.reduce)
+      val parts = hs.grouped(math.max(1, hs.size / splitAt)).toList
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.reduce(agg.merge)
+      val wb = agg.finish(whole.clone())
+      java.util.Arrays.equals(agg.finish(merged.clone()), wb) &&
+        hs.forall(h => graft.functions.BloomAgg.maybeContains(wb, h, 7))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: int8 quantization error is bounded by scale/2") {
     import TestSpark.spark
     import spark.implicits._
