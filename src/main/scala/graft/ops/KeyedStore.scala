@@ -242,20 +242,36 @@ object KeyedStore {
   }
 
   private def writeRegions(spark: SparkSession, name: String,
-                           rm: RegionMap): Unit = {
-    val lines = rm.typ +: rm.regions.map(r =>
+                           rm: RegionMap, target: Long): Unit = {
+    val lines = s"${rm.typ},$target" +: rm.regions.map(r =>
       s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}")
     atomicWrite(sidecar(spark, name), lines.mkString("\n"))
   }
 
-  private[graft] def readRegions(spark: SparkSession, name: String): RegionMap = {
+  /** Region map + the store's per-region row target (persisted in the
+    * sidecar header; legacy headers without it fall back to the default).
+    * Entries are sorted by MIN KEY — the binary-search invariant — not by
+    * kr: after an automatic split, fresh kr ids interleave the key order.
+    */
+  private[graft] def readRegionsWithTarget(
+      spark: SparkSession, name: String): (RegionMap, Long) = {
     val lines = Files.readAllLines(sidecar(spark, name)).asScala.toIndexedSeq
-    val typ = lines.head
-    RegionMap(typ, lines.tail.filter(_.nonEmpty).map { l =>
+    val header = lines.head.split(",", 2)
+    val typ = header(0)
+    val target = header.lift(1).map(_.toLong).getOrElse(DefaultTargetRowsPerRegion)
+    val regions = lines.tail.filter(_.nonEmpty).map { l =>
       val Array(kr, n, lo, hi) = l.split(",", 4)
       Region(kr.toInt, n.toLong, decKey(typ, lo), decKey(typ, hi))
-    }.sortBy(_.kr))
+    }
+    val ord: Ordering[Any] = typ match {
+      case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
+      case _ => Ordering.by[Any, String](_.toString)
+    }
+    (RegionMap(typ, regions.sortBy(_.min)(ord)), target)
   }
+
+  private[graft] def readRegions(spark: SparkSession, name: String): RegionMap =
+    readRegionsWithTarget(spark, name)._1
 
   private def keyTyp(df: DataFrame, key: String): String =
     df.schema(key).dataType match {
@@ -287,7 +303,8 @@ object KeyedStore {
     val mBits = graft.functions.BloomAgg.sizeFor(targetRowsPerRegion)
     val stats = regionStats(spark.table(name), key, mBits)
     writeRegions(spark, name,
-      RegionMap(typ, stats.values.map(_._1).toIndexedSeq.sortBy(_.kr)))
+      RegionMap(typ, stats.values.map(_._1).toIndexedSeq.sortBy(_.kr)),
+      targetRowsPerRegion)
     writeBlooms(spark, name, mBits, stats.view.mapValues(_._2).toMap)
   }
 
@@ -346,7 +363,7 @@ object KeyedStore {
     */
   def upsert(spark: SparkSession, name: String, key: String,
              changes: DataFrame): DataFrame = {
-    val rm = readRegions(spark, name)
+    val (rm, target) = readRegionsWithTarget(spark, name)
     // Coverage region per change row — codegen'd binary search; only the
     // O(touched regions) distinct ids reach the driver.
     val changesK = changes.withColumn("kr", rm.krCol(col(key)))
@@ -358,7 +375,8 @@ object KeyedStore {
     val baseTouched = spark.table(name)
       .filter(col("kr").isin(touchedKr: _*))
     val merged = SourceSinkOps.mergeUpsert(baseTouched, changesK, key)
-    writeTouched(spark, name, key, rm, touchedKr, merged)
+    writeTouched(spark, name, key, rm, touchedKr, merged, target)
+    maybeSplit(spark, name, key)
     spark.table(name).drop("kr")
   }
 
@@ -379,7 +397,7 @@ object KeyedStore {
                 merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(!batch.columns.contains("kr"),
       "KeyedStore payloads must not contain a column named 'kr'")
-    val rm = readRegions(spark, name)
+    val (rm, target) = readRegionsWithTarget(spark, name)
     val coverage = batch.select(rm.krCol(col(key)).as("kr")).distinct()
       .collect().map(_.getInt(0)).toSet
     val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
@@ -395,7 +413,8 @@ object KeyedStore {
       .join(residentKr, col(key) === col("__mrg_k"), "left")
       .withColumn("kr", coalesce(col("__mrg_kr"), rm.krCol(col(key))))
       .drop("__mrg_k", "__mrg_kr")
-    writeTouched(spark, name, key, rm, touchedKr, merged)
+    writeTouched(spark, name, key, rm, touchedKr, merged, target)
+    maybeSplit(spark, name, key)
     spark.table(name).drop("kr")
   }
 
@@ -412,7 +431,7 @@ object KeyedStore {
     */
   private def writeTouched(spark: SparkSession, name: String, key: String,
                            rm: RegionMap, touchedKr: Seq[Int],
-                           merged: DataFrame): Unit = {
+                           merged: DataFrame, target: Long): Unit = {
     val cols = spark.table(name).columns.toIndexedSeq
     val out = merged
       .repartitionByRange(math.max(1, touchedKr.size), col("kr"), col(key))
@@ -447,11 +466,62 @@ object KeyedStore {
       if (!touched.contains(r.kr)) r
       else stats.getOrElse(r.kr, r.copy(rows = 0L))
     }
-    writeRegions(spark, name, RegionMap(rm.typ, newRegions))
+    writeRegions(spark, name, RegionMap(rm.typ, newRegions), target)
     bloomSide.foreach { case (m, existing) =>
       writeBlooms(spark, name, m,
         existing.removedAll(touchedKr) ++ full.view.mapValues(_._2).toMap)
     }
+  }
+
+  /** Automatic region SPLIT — what an HBase region server does when a
+    * region outgrows its size threshold, so insert-heavy workloads
+    * (boundary regions absorb every out-of-range key) stay bounded
+    * without waiting for a manual [[rebalance]]. Any region whose
+    * post-merge row count exceeds `SplitFactor`× the store target is
+    * rewritten into ~rows/target key-range sub-regions under FRESH kr
+    * ids (the region directory is min-key-sorted, so id order need not
+    * match key order); every other region's files are untouched. Cost is
+    * O(oversized regions), read-then-write broken by the same
+    * localCheckpoint materialization as the merge path.
+    */
+  private val SplitFactor = 2L
+
+  private def maybeSplit(spark: SparkSession, name: String,
+                         key: String): Unit = {
+    val (rm, target) = readRegionsWithTarget(spark, name)
+    val oversized = rm.regions.filter(_.rows > SplitFactor * target)
+    if (oversized.isEmpty) return
+    val bloomSide = readBlooms(spark, name)
+    val mBits = bloomSide.map(_._1).getOrElse(
+      graft.functions.BloomAgg.sizeFor(target))
+    var nextKr = rm.regions.map(_.kr).max + 1
+    var regions = rm.regions
+    var blooms = bloomSide.map(_._2).getOrElse(Map.empty[Int, Array[Byte]])
+    val cols = spark.table(name).columns.toIndexedSeq
+    oversized.foreach { r =>
+      val k = math.max(2L, (r.rows + target - 1) / target).toInt
+      val firstKr = nextKr
+      nextKr += k
+      val out = spark.table(name).filter(col("kr") === r.kr).drop("kr")
+        .repartitionByRange(k, col(key))
+        .withColumn("kr", spark_partition_id() + lit(firstKr))
+        .sortWithinPartitions(col("kr"), col(key))
+        .select(cols.map(col): _*)
+        .localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try out.write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=${r.kr})")
+      val stats = regionStats(out, key, mBits)
+      regions = regions.filterNot(_.kr == r.kr) ++ stats.values.map(_._1)
+      blooms = (blooms - r.kr) ++ stats.view.mapValues(_._2).toMap
+    }
+    writeRegions(spark, name, RegionMap(rm.typ, regions), target)
+    bloomSide.foreach { case (m, _) => writeBlooms(spark, name, m, blooms) }
   }
 
   /** Drop the table and its data directory (cleanup hook for temp

@@ -115,6 +115,36 @@ class KeyedStoreSpec extends AnyFunSuite {
       Set(("key007", 7), ("key100", 100)))
   }
 
+  test("auto split: an insert-heavy boundary region splits like an HBase region") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_autosplit"
+    KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 16)
+    val before = KeyedStore.readRegions(spark, name)
+    val beforeDigests = digests(name)
+    // 200 inserts beyond the max boundary all cover the LAST region; the
+    // merge makes it ~216 rows (> 2x target), so the split must fire and
+    // leave every region bounded — without a manual rebalance.
+    KeyedStore.upsert(spark, name, "k",
+      (1000L until 1200L).map(i => (i, "I", s"v$i")).toDF("k", "op", "v"))
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 264)
+    assert(rm.regions.map(_.rows).max <= 32, rm.regions.map(_.rows).toString)
+    assert(rm.regions.size > before.regions.size)
+    // The region directory stays min-key-sorted even though split regions
+    // carry fresh (larger) kr ids — the binary-search invariant.
+    val mins = rm.regions.map(_.min.asInstanceOf[Long])
+    assert(mins == mins.sorted, mins.toString)
+    // Regions not involved in the insert range keep their files untouched.
+    val splitSrcKr = before.regions(before.coverageIdx(1000L)).kr
+    val afterDigests = digests(name)
+    beforeDigests.keySet.filterNot(_.startsWith(s"kr=$splitSrcKr"))
+      .foreach(p => assert(afterDigests(p) == beforeDigests(p), s"$p rewritten"))
+    // GET and range scan resolve correctly across the split regions.
+    assert(KeyedStore.get(spark, name, "k", Seq(1100L, 5L))
+      .collect().map(_.getString(1)).toSet == Set("v1100", "v5"))
+    assert(KeyedStore.scan(spark, name, "k", 1050L, 1060L).count() == 11)
+  }
+
   test("rebalance re-derives balanced regions after growth") {
     import spark.implicits._
     val name = "graft_keyed_spec_rebal"
