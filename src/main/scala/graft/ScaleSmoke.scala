@@ -188,6 +188,46 @@ object ScaleSmoke {
       time(s"snapshot_diff_$tag", dir)(d => ops.SourceSinkOps.qSnapshotDiff(spark, d))
       time(s"vstore_compact_$tag", dir)(d => ops.SourceSinkOps.qVstoreCompact(spark, d))
       time(s"keyed_bloom_$tag", dir)(d => ops.SourceSinkOps.qKeyedBloom(spark, d))
+
+      // The store layer's CENTRAL scale claim, probed directly: a 1-key
+      // merge/commit costs O(changed regions/files) — the SAME wall time
+      // at 1x and 20x table size (create/init excluded from the timing;
+      // production targets so region/file COUNT also stays realistic).
+      if (wanted("keyed_1key_merge")) {
+        import spark.implicits._
+        val name = "graft_scale_keyed_probe"
+        ops.KeyedStore.create(spark, name,
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")),
+          "o_orderkey", targetRowsPerRegion = 8192)
+        val t0 = System.nanoTime()
+        ops.KeyedStore.upsert(spark, name, "o_orderkey",
+          Seq((42L * 5L, "U", "X", 1.0)).toDF("o_orderkey", "op",
+            "o_orderstatus", "o_totalprice"))
+        println(f"SCALE keyed_1key_merge_$tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=1")
+        ops.KeyedStore.drop(spark, name)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+      if (wanted("vstore_1key_commit")) {
+        import spark.implicits._
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_scale_vstore_$tag"
+        graft.streaming.EventStream.deleteRecursively(
+          java.nio.file.Paths.get(store))
+        ops.VersionedStore.init(spark, store,
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents")),
+          "o_orderkey", targetRowsPerFile = 8192)
+        val t0 = System.nanoTime()
+        ops.VersionedStore.commit(spark, store,
+          Seq((42L * 5L, "U", 1L)).toDF("o_orderkey", "op", "cents"),
+          "o_orderkey")
+        println(f"SCALE vstore_1key_commit_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=1")
+        graft.streaming.EventStream.deleteRecursively(
+          java.nio.file.Paths.get(store))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
     }
 
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of
