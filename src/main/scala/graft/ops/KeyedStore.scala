@@ -524,6 +524,86 @@ object KeyedStore {
     bloomSide.foreach { case (m, _) => writeBlooms(spark, name, m, blooms) }
   }
 
+  /** Online region MERGE — the HBase normalizer's other half, symmetric
+    * to [[maybeSplit]]: runs of ADJACENT (min-key order) regions whose
+    * combined rows fit the store target collapse into one region under a
+    * fresh kr id, and runs of fully-EMPTIED regions (rows = 0 after
+    * deletes) drop out of the directory entirely (coverage is total by
+    * construction — a key in a removed range routes to the preceding
+    * region). Regions that don't pack with a neighbor keep their files
+    * untouched, so cost is O(merged regions), never O(table) — the
+    * delete-heavy table's answer to what [[VersionedStore.compact]] does
+    * for the versioned store's leaves. Explicit maintenance (like HBase's
+    * normalizer), not an auto-trigger: merging trades write cost now for
+    * read locality later, a call the operator makes. Returns the number
+    * of regions eliminated (0 = nothing to do).
+    */
+  def mergeSmallRegions(spark: SparkSession, name: String,
+                        key: String): Int = {
+    val (rm, target) = readRegionsWithTarget(spark, name)
+    // Greedy run-coalescing over the min-key-ordered directory, same rule
+    // as the versioned store's bin-packing compaction.
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[Region]]
+    var run = Vector.empty[Region]
+    var runRows = 0L
+    rm.regions.foreach { r =>
+      if (run.nonEmpty && runRows + r.rows <= target) {
+        run :+= r; runRows += r.rows
+      } else {
+        if (run.nonEmpty) bins += run
+        run = Vector(r); runRows = r.rows
+      }
+    }
+    if (run.nonEmpty) bins += run
+    val mergeBins = bins.filter(_.size >= 2).toSeq
+    if (mergeBins.isEmpty) return 0
+    val kept = bins.filter(_.size < 2).map(_.head).toSeq
+    var nextKr = rm.regions.map(_.kr).max + 1
+    // old kr -> new kr for every non-empty bin (all-empty bins simply
+    // vanish: partitions dropped, entries removed).
+    val mapping: Map[Int, Int] = mergeBins.flatMap { b =>
+      if (b.forall(_.rows == 0L)) Nil
+      else { val nk = nextKr; nextKr += 1; b.map(_.kr -> nk) }
+    }.toMap
+    val bloomSide = readBlooms(spark, name)
+    val mBits = bloomSide.map(_._1).getOrElse(
+      graft.functions.BloomAgg.sizeFor(target))
+    var stats = Map.empty[Int, (Region, Array[Byte])]
+    if (mapping.nonEmpty) {
+      val cols = spark.table(name).columns.toIndexedSeq
+      val mapCol = map(mapping.flatMap { case (o, n) =>
+        Seq(lit(o), lit(n)) }.toSeq: _*)
+      val out = spark.table(name)
+        .filter(col("kr").isin(mapping.keys.toSeq: _*))
+        .withColumn("kr", element_at(mapCol, col("kr")))
+        .repartitionByRange(math.max(1, mapping.values.toSet.size),
+                            col("kr"), col(key))
+        .sortWithinPartitions(col("kr"), col(key))
+        .select(cols.map(col): _*)
+        .localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try out.write.mode("overwrite").insertInto(name)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      stats = regionStats(out, key, mBits)
+    }
+    val gone = mergeBins.flatten.map(_.kr).toSet
+    gone.foreach { krv =>
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
+    }
+    val regions = rm.regions.filterNot(r => gone.contains(r.kr)) ++
+      stats.values.map(_._1)
+    writeRegions(spark, name, RegionMap(rm.typ, regions), target)
+    bloomSide.foreach { case (m, blooms) =>
+      writeBlooms(spark, name, m,
+        blooms.removedAll(gone) ++ stats.view.mapValues(_._2).toMap)
+    }
+    gone.size - stats.size
+  }
+
   /** Drop the table and its data directory (cleanup hook for temp
     * stores). */
   def drop(spark: SparkSession, name: String): Unit =

@@ -145,6 +145,43 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(KeyedStore.scan(spark, name, "k", 1050L, 1060L).count() == 11)
   }
 
+  test("region merge: delete-shrunken neighbors coalesce; emptied runs vanish") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_regmerge"
+    KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 16)
+    val nBefore = KeyedStore.readRegions(spark, name).regions.size
+    assert(nBefore >= 4)
+    // Delete every even key: every region halves, adjacent pairs now fit
+    // the 16-row target together.
+    KeyedStore.upsert(spark, name, "k",
+      (0L until 64L by 2).map(k => (k, "D", "x")).toDF("k", "op", "v"))
+    val eliminated = KeyedStore.mergeSmallRegions(spark, name, "k")
+    assert(eliminated > 0)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.size < nBefore, s"$nBefore -> ${rm.regions.size}")
+    assert(rm.regions.map(_.rows).sum == 32)
+    assert(rm.regions.forall(_.rows <= 16))
+    val mins = rm.regions.map(_.min.asInstanceOf[Long])
+    assert(mins == mins.sorted, mins.toString)
+    // Data intact, odd keys only; GET and scan resolve across merged regions.
+    val left = spark.table(name).select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(left == (1L until 64L by 2).toSet)
+    assert(KeyedStore.get(spark, name, "k", Seq(31L, 33L)).count() == 2)
+    assert(KeyedStore.scan(spark, name, "k", 10L, 20L).count() == 5)
+    // Fully-emptied runs vanish from the directory entirely.
+    val name2 = "graft_keyed_spec_regmerge2"
+    KeyedStore.create(spark, name2, mkRows(64), "k", targetRowsPerRegion = 16)
+    val rm2a = KeyedStore.readRegions(spark, name2)
+    val midReg = rm2a.regions(rm2a.coverageIdx(20L))
+    KeyedStore.upsert(spark, name2, "k",
+      (midReg.min.asInstanceOf[Long] to midReg.max.asInstanceOf[Long])
+        .map(k => (k, "D", "x")).toDF("k", "op", "v"))
+    KeyedStore.mergeSmallRegions(spark, name2, "k")
+    val rm2 = KeyedStore.readRegions(spark, name2)
+    assert(rm2.regions.forall(_.rows > 0), rm2.regions.toString)
+    KeyedStore.drop(spark, name2)
+  }
+
   test("rebalance re-derives balanced regions after growth") {
     import spark.implicits._
     val name = "graft_keyed_spec_rebal"
