@@ -169,6 +169,48 @@ object Graft {
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
     ops.TextOps.winnowFingerprints(docs, k, w)
 
+  // catalog keyed table — the HBase-region-model store (key-range
+  // regions, row blooms, region copy-on-write, auto split)
+  /** CTAS a region-partitioned keyed table (boundary sidecar + blooms). */
+  def keyedCreate(spark: SparkSession, name: String, rows: DataFrame,
+                  key: String,
+                  targetRowsPerRegion: Long =
+                    ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
+    ops.KeyedStore.create(spark, name, rows, key, targetRowsPerRegion)
+  /** Batch point-GET: bloom-rejected + region-pruned + IN-list pushed. */
+  def keyedGet(spark: SparkSession, name: String, key: String,
+               keys: Seq[Any]): DataFrame =
+    ops.KeyedStore.get(spark, name, key, keys)
+  /** Range scan [from, to]: prunes to intersecting regions, pushes the
+    * range predicate (the HBase Scan(startRow, stopRow) analog). */
+  def keyedScan(spark: SparkSession, name: String, key: String,
+                from: Any, to: Any): DataFrame =
+    ops.KeyedStore.scan(spark, name, key, from, to)
+  /** U/I/D MERGE, copy-on-write over only the regions holding changed
+    * keys; oversized regions auto-split after the merge. */
+  def keyedUpsert(spark: SparkSession, name: String, key: String,
+                  changes: DataFrame): DataFrame =
+    ops.KeyedStore.upsert(spark, name, key, changes)
+  /** Micro-batch merge under a caller-supplied commutative rule (the
+    * streaming-sink primitive). */
+  def keyedMergeInto(spark: SparkSession, name: String, key: String,
+                     batch: DataFrame,
+                     merge: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    ops.KeyedStore.mergeInto(spark, name, key, batch, merge)
+  /** Normalizer merge: coalesce adjacent under-target regions, drop
+    * fully-emptied runs; returns regions eliminated. */
+  def keyedMergeSmallRegions(spark: SparkSession, name: String,
+                             key: String): Int =
+    ops.KeyedStore.mergeSmallRegions(spark, name, key)
+  /** Re-derive balanced regions from current data (major compaction). */
+  def keyedRebalance(spark: SparkSession, name: String, key: String,
+                     targetRowsPerRegion: Long =
+                       ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
+    ops.KeyedStore.rebalance(spark, name, key, targetRowsPerRegion)
+  /** Drop the table and its data directory. */
+  def keyedDrop(spark: SparkSession, name: String): Unit =
+    ops.KeyedStore.drop(spark, name)
+
   // snapshot-versioned keyed table (manifest + copy-on-write time travel)
   /** Create snapshot v1 of a versioned keyed table at `dir`. */
   def vstoreInit(spark: SparkSession, dir: String, rows: DataFrame,

@@ -71,4 +71,32 @@ class FacadeSpec extends AnyFunSuite {
       .map(x => (x.getAs[Long]("s"), x.getAs[Long]("e"))).toSet
     assert(r == Set((0L, 150L), (200L, 300L)))
   }
+
+  test("keyed-store facade: create, get, scan, upsert, normalize, drop") {
+    import spark.implicits._
+    val name = "graft_facade_keyed"
+    Graft.keyedCreate(spark, name,
+      (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v"), "k",
+      targetRowsPerRegion = 16)
+    assert(Graft.keyedGet(spark, name, "k", Seq(7L, 9L)).count() == 2)
+    assert(Graft.keyedScan(spark, name, "k", 10L, 20L).count() == 11)
+    Graft.keyedUpsert(spark, name, "k",
+      Seq((7L, "U", "v7b"), (100L, "I", "v100")).toDF("k", "op", "v"))
+    assert(Graft.keyedGet(spark, name, "k", Seq(7L, 100L))
+      .collect().map(_.getString(1)).toSet == Set("v7b", "v100"))
+    Graft.keyedMergeInto(spark, name, "k",
+      Seq((100L, "v100c")).toDF("k", "v"),
+      (a, b) => {
+        import org.apache.spark.sql.functions.{col, max}
+        a.unionByName(b).groupBy(col("k")).agg(max(col("v")).as("v"))
+      })
+    assert(Graft.keyedGet(spark, name, "k", Seq(100L))
+      .collect().map(_.getString(1)).toSeq == Seq("v100c"))
+    Graft.keyedUpsert(spark, name, "k",
+      (0L until 64L by 2).map(k => (k, "D", "x")).toDF("k", "op", "v"))
+    Graft.keyedMergeSmallRegions(spark, name, "k")
+    // 32 surviving odd keys (1..63) plus the inserted 100.
+    assert(Graft.keyedScan(spark, name, "k", 0L, 200L).count() == 33)
+    Graft.keyedDrop(spark, name)
+  }
 }
