@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 /** Catalog-backed keyed table — the HBase-table substitution as ONE
@@ -41,12 +42,40 @@ import scala.jdk.CollectionConverters._
   *  - MERGEINTO generalizes upsert to a caller-supplied commutative
   *    merge (latest-wins, additive counts) — the micro-batch sink
   *    primitive the streaming stores drive;
-  *  - per-region ROW BLOOMS (HBase's HFile bloom analog) ride a sidecar:
-  *    a GET for an absent key touches zero partitions (the bloom rejects
-  *    every range-candidate region), and merges rebuild only the touched
-  *    regions' filters — see [[graft.functions.BloomAgg]];
+  *  - per-region ROW BLOOMS live DATA-SIDE, one file per region under
+  *    `_graft_blooms/kr=<id>` — exactly where HBase keeps them (in the
+  *    region's HFiles, never in meta). They are WRITTEN by the executor
+  *    task holding the region's fused aggregate row and READ lazily,
+  *    only for the regions a GET's range candidacy selects, so driver
+  *    bloom residency is O(probed regions) while the table can grow to
+  *    10⁶ regions. A GET for an absent key touches zero partitions (the
+  *    bloom rejects every candidate); a region with no / stale bloom
+  *    file is scanned (fail open — see [[loadBloom]]);
+  *  - all mutating entry points hold a per-table WRITER LOCK (a
+  *    create-exclusive lock file beside the table location, with a
+  *    stale-lock takeover), so two concurrent upsert/mergeInto calls
+  *    serialize instead of interleaving read→merge→overwrite and
+  *    silently losing a writer's regions — the single-writer-per-region
+  *    discipline an HBase region server enforces by ownership;
+  *  - the region directory is CACHED driver-side keyed by the sidecar's
+  *    (mtime, size), so repeated GET/scan/merge calls parse it once, and
+  *    a directory written by another JVM is picked up on its next
+  *    change. Bloom bytes cache the same way, per region file;
   *  - CREATE is idempotent across JVMs: a stale warehouse LOCATION left
   *    by a previous session is cleared before the CTAS.
+  *
+  * Crash ordering: the data write (dynamic partition overwrite) is the
+  * commit point. Maintenance passes that re-home rows to FRESH kr ids
+  * (split / region merge) publish the updated region directory BEFORE
+  * dropping the superseded partitions, so a crash can orphan an unlisted
+  * partition (invisible to get/scan, reclaimed by [[repair]]) but can
+  * never leave the directory pointing at dropped data. The residual
+  * window — a crash between the data overwrite and the sidecar refresh
+  * leaves stale (rows, min, max) bounds — only widens scans' prune
+  * lists' misses for keys that moved past the recorded bounds, and heals
+  * on the next write; bloom files that predate their region's data are
+  * detected by mtime and ignored (fail open), so a torn write can cause
+  * extra IO, never a wrong answer.
   *
   * Region boundaries are fixed at create (inserts beyond the edges land
   * in the boundary regions); [[rebalance]] is the major-compaction /
@@ -138,6 +167,7 @@ object KeyedStore {
       }
       rm(loc)
     }
+    dirCache.remove(sidecar(spark, name).toString)
   }
 
   /** Filesystem location of the table's data (test hook for the
@@ -150,56 +180,170 @@ object KeyedStore {
   private def sidecar(spark: SparkSession, name: String): Path =
     location(spark, name).resolve("_graft_regions")
 
+  // ------------------------- writer fencing -------------------------
+
+  private val LockStaleMs = 60000L
+  private val LockWaitMs = 120000L
+
+  /** Lock file lives BESIDE the table location (create wipes the
+    * location itself), in the warehouse directory.
+    */
+  private def lockPath(spark: SparkSession, name: String): Path =
+    location(spark, name).resolveSibling(name.toLowerCase + ".graft-lock")
+
+  /** Per-table writer mutex: create-exclusive lock file, blocking
+    * acquire with a stale-lock takeover (a crashed writer's lock is
+    * reclaimed after `LockStaleMs`). Serializes every mutating entry
+    * point so concurrent upsert/mergeInto calls cannot interleave
+    * read-sidecar → merge → overwrite → write-sidecar and silently lose
+    * one writer's regions — the fencing [[VersionedStore]] gets from
+    * create-exclusive manifest publishes, adapted to a store that
+    * mutates one shared table in place (where optimistic publish can't
+    * roll back the data write, a mutex is the sound shape).
+    */
+  private def withTableLock[T](spark: SparkSession, name: String)(body: => T): T = {
+    val p = lockPath(spark, name)
+    Files.createDirectories(p.getParent)
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(p); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.getLastModifiedTime(p).toMillis + LockStaleMs <=
+              System.currentTimeMillis()
+            catch { case _: java.nio.file.NoSuchFileException => false }
+          if (stale) Files.deleteIfExists(p) // takeover: next createFile races, one wins
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"KeyedStore: timed out waiting for writer lock $p")
+          else Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(p)
+  }
+
   // -------- per-region row blooms (HBase HFile ROW-bloom analog) --------
 
   /** Hash probes per key — fixed store-wide; filter SIZE lives in the
-    * sidecar header (derived from the region target at create). */
+    * bloom meta file (derived from the region target at create). */
   private val BloomK = 7
 
-  private def bloomSidecar(spark: SparkSession, name: String): Path =
+  private def bloomDir(spark: SparkSession, name: String): Path =
     location(spark, name).resolve("_graft_blooms")
 
-  private def writeBlooms(spark: SparkSession, name: String, mBits: Int,
-                          blooms: Map[Int, Array[Byte]]): Unit = {
-    val lines = s"$mBits,$BloomK" +: blooms.toSeq.sortBy(_._1).map {
-      case (kr, b) => s"$kr,${java.util.Base64.getEncoder.encodeToString(b)}"
-    }
-    atomicWrite(bloomSidecar(spark, name), lines.mkString("\n"))
+  private def bloomFile(spark: SparkSession, name: String, kr: Int): Path =
+    bloomDir(spark, name).resolve(s"kr=$kr")
+
+  /** Atomic single-file publish used by both the driver-side sidecar
+    * writes and the EXECUTOR-side bloom writes: temp file in the target
+    * directory + atomic move, so a crash mid-write never leaves a
+    * truncated file for a reader to choke on.
+    */
+  private[graft] def atomicWriteBytes(target: Path, content: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile(target.getParent, ".tmp-sidecar", "")
+    try {
+      Files.write(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
   }
 
-  private[graft] def readBlooms(spark: SparkSession,
-                                name: String): Option[(Int, Map[Int, Array[Byte]])] = {
-    val p = bloomSidecar(spark, name)
-    if (!Files.exists(p)) None
+  private def atomicWrite(target: Path, content: String): Unit =
+    atomicWriteBytes(target, content.getBytes("UTF-8"))
+
+  /** Bloom SIZE for this store (bits), persisted once at create in
+    * `_graft_blooms/_meta`; absent (legacy store) → re-derive from the
+    * persisted region target, never from the global default.
+    */
+  private def readBloomBits(spark: SparkSession, name: String,
+                            target: Long): Int = {
+    val p = bloomDir(spark, name).resolve("_meta")
+    if (Files.exists(p))
+      Files.readAllLines(p).asScala.head.split(",")(0).toInt
+    else graft.functions.BloomAgg.sizeFor(target)
+  }
+
+  /** Test hook: number of bloom FILES physically read (cache misses).
+    * Pins the O(probed regions) residency contract — a GET must read
+    * bloom bytes for only the regions its range candidacy selects, and
+    * repeated probes must be served from cache.
+    */
+  private[graft] val bloomFileReads = new AtomicLong(0)
+
+  /** path → (bloom file mtime, bytes). Validated by mtime on every hit;
+    * bounded in practice by the working set of probed regions.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Array[Byte])]
+
+  /** Lazily load ONE region's bloom. Fail-open contract: a missing
+    * bloom file — or one OLDER than the region's data directory (a
+    * crash between the partition overwrite and the bloom refresh) — is
+    * treated as absent, so the region is scanned; a torn bloom write
+    * costs IO, never correctness.
+    */
+  private def loadBloom(spark: SparkSession, name: String,
+                        kr: Int): Option[Array[Byte]] = {
+    val f = bloomFile(spark, name, kr)
+    if (!Files.exists(f)) None
     else {
-      val lines = Files.readAllLines(p).asScala.toIndexedSeq
-      val mBits = lines.head.split(",")(0).toInt
-      val m = lines.tail.filter(_.nonEmpty).map { l =>
-        val Array(kr, b64) = l.split(",", 2)
-        kr.toInt -> java.util.Base64.getDecoder.decode(b64)
-      }.toMap
-      Some((mBits, m))
+      val bm = Files.getLastModifiedTime(f)
+      val dataDir = location(spark, name).resolve(s"kr=$kr")
+      val fresh = !Files.exists(dataDir) ||
+        Files.getLastModifiedTime(dataDir).compareTo(bm) <= 0
+      if (!fresh) None
+      else {
+        val key = f.toString
+        val hit = bloomCache.get(key)
+        if (hit != null && hit._1 == bm) Some(hit._2)
+        else {
+          bloomFileReads.incrementAndGet()
+          val bytes = Files.readAllBytes(f)
+          bloomCache.put(key, (bm, bytes))
+          Some(bytes)
+        }
+      }
     }
   }
 
   /** ONE partial-combined aggregate pass over a (kr, key, ...) relation:
-    * per-region (rows, min, max, bloom bits) — the complete sidecar
-    * refresh payload in a single table read. The exchange carries one
-    * stats row + m-bit array per region — control plane, never keys.
+    * per-region (rows, min, max) comes back to the driver — one ~50-byte
+    * row per region, the control plane — while each region's BLOOM BYTES
+    * are written data-side by the executor task that holds the
+    * aggregated row (`_graft_blooms/kr=<id>`, atomic publish). The
+    * driver never materializes a bloom: residency is O(1) filters at
+    * create and O(probed regions) at read, however many regions the
+    * table grows (HBase keeps blooms in HFiles, not in meta, for the
+    * same reason). Executors write through the table's filesystem — the
+    * same shared-FS assumption the parquet write itself makes.
     */
-  private def regionStats(rel: DataFrame, key: String,
-                          mBits: Int): Map[Int, (Region, Array[Byte])] = {
+  private def regionStats(spark: SparkSession, name: String, rel: DataFrame,
+                          key: String, typ: String,
+                          mBits: Int): Map[Int, Region] = {
+    val bd = bloomDir(spark, name)
+    Files.createDirectories(bd)
+    val bdStr = bd.toString
     val bloom = udaf(new graft.functions.BloomAgg(mBits, BloomK),
       org.apache.spark.sql.Encoders.scalaLong)
-    rel.select(col("kr"), col(key),
+    val agg = rel.select(col("kr"), col(key),
                TextFns.hash60(col(key).cast("string")).as("__blm_h"))
       .groupBy(col("kr"))
       .agg(count(lit(1)).as("n"), min(col(key)).as("lo"),
            max(col(key)).as("hi"), bloom(col("__blm_h")).as("b"))
+    implicit val enc: org.apache.spark.sql.Encoder[(Int, Long, String, String)] =
+      org.apache.spark.sql.Encoders.product[(Int, Long, String, String)]
+    agg.map { r =>
+        val kr = r.getInt(0)
+        atomicWriteBytes(java.nio.file.Paths.get(bdStr, s"kr=$kr"),
+          r.getAs[Array[Byte]]("b"))
+        (kr, r.getLong(1), encKey(typ, r.get(2)), encKey(typ, r.get(3)))
+      }
       .collect()
-      .map { r =>
-        r.getInt(0) -> ((Region(r.getInt(0), r.getLong(1), r.get(2), r.get(3)),
-          r.getAs[Array[Byte]]("b")))
+      .map { case (kr, n, lo, hi) =>
+        kr -> Region(kr, n, decKey(typ, lo), decKey(typ, hi))
       }.toMap
   }
 
@@ -226,27 +370,39 @@ object KeyedStore {
     case _ => new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
   }
 
-  /** Atomic sidecar publish: temp file in the same directory + atomic
-    * move, so a crash mid-write can never leave a truncated sidecar for
-    * readRegions/readBlooms to choke on (the same discipline as the
-    * versioned store's manifest publish).
-    */
-  private def atomicWrite(target: Path, content: String): Unit = {
-    val tmp = Files.createTempFile(target.getParent, ".tmp-sidecar", "")
-    try {
-      Files.write(tmp, content.getBytes("UTF-8"))
-      Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.deleteIfExists(tmp)
-  }
-
   private def writeRegions(spark: SparkSession, name: String,
                            rm: RegionMap, target: Long): Unit = {
     val lines = s"${rm.typ},$target" +: rm.regions.map(r =>
       s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}")
-    atomicWrite(sidecar(spark, name), lines.mkString("\n"))
+    val p = sidecar(spark, name)
+    atomicWrite(p, lines.mkString("\n"))
+    // Prime the cache with the parsed value under the freshly-written
+    // attributes: the writer's next read is a hit, and a second write
+    // within the same mtime tick can't leave a stale in-JVM entry.
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val ord: Ordering[Any] = rm.typ match {
+      case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
+      case _ => Ordering.by[Any, String](_.toString)
+    }
+    dirCache.put(p.toString, (attrs.lastModifiedTime(), attrs.size(),
+      (RegionMap(rm.typ, rm.regions.sortBy(_.min)(ord)), target)))
   }
+
+  /** Test hook: number of sidecar PARSES (cache misses). Pins the
+    * one-parse-per-version contract — repeated GET/scan calls must not
+    * re-read the region directory.
+    */
+  private[graft] val sidecarParses = new AtomicLong(0)
+
+  /** path → (mtime, size, parsed). Validated by (mtime, size) on every
+    * read, so a directory republished by ANOTHER JVM is picked up on
+    * its next change while same-version reads are served from memory —
+    * at 10⁶ regions that is the difference between ~50 MB parsed per
+    * point-GET and one parse per directory version.
+    */
+  private val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Long, (RegionMap, Long))]
 
   /** Region map + the store's per-region row target (persisted in the
     * sidecar header; legacy headers without it fall back to the default).
@@ -255,7 +411,14 @@ object KeyedStore {
     */
   private[graft] def readRegionsWithTarget(
       spark: SparkSession, name: String): (RegionMap, Long) = {
-    val lines = Files.readAllLines(sidecar(spark, name)).asScala.toIndexedSeq
+    val p = sidecar(spark, name)
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val cached = dirCache.get(p.toString)
+    if (cached != null && cached._1 == attrs.lastModifiedTime() &&
+        cached._2 == attrs.size()) return cached._3
+    sidecarParses.incrementAndGet()
+    val lines = Files.readAllLines(p).asScala.toIndexedSeq
     val header = lines.head.split(",", 2)
     val typ = header(0)
     val target = header.lift(1).map(_.toLong).getOrElse(DefaultTargetRowsPerRegion)
@@ -267,7 +430,9 @@ object KeyedStore {
       case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
       case _ => Ordering.by[Any, String](_.toString)
     }
-    (RegionMap(typ, regions.sortBy(_.min)(ord)), target)
+    val parsed = (RegionMap(typ, regions.sortBy(_.min)(ord)), target)
+    dirCache.put(p.toString, (attrs.lastModifiedTime(), attrs.size(), parsed))
+    parsed
   }
 
   private[graft] def readRegions(spark: SparkSession, name: String): RegionMap =
@@ -282,10 +447,17 @@ object KeyedStore {
     }
 
   /** CTAS the keyed table: ~n/target key-range regions, key-sorted files
-    * within each `kr` directory, and the region-boundary sidecar.
+    * within each `kr` directory, the region-boundary sidecar, and one
+    * data-side bloom file per region.
     */
   def create(spark: SparkSession, name: String, rows: DataFrame, key: String,
-             targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit = {
+             targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit =
+    withTableLock(spark, name) {
+      createLocked(spark, name, rows, key, targetRowsPerRegion)
+    }
+
+  private def createLocked(spark: SparkSession, name: String, rows: DataFrame,
+                           key: String, targetRowsPerRegion: Long): Unit = {
     require(!rows.columns.contains("kr"),
       "KeyedStore payloads must not contain a column named 'kr'")
     val typ = keyTyp(rows, key)
@@ -299,35 +471,35 @@ object KeyedStore {
       .write.mode("overwrite").format("parquet").partitionBy("kr")
       .saveAsTable(name)
     // Region directory + row blooms (~10 bits/key at the region target)
-    // from the written data: ONE fused aggregate pass over (kr, key).
+    // from the written data: ONE fused aggregate pass over (kr, key);
+    // bloom bytes land data-side from the executors, never on the driver.
     val mBits = graft.functions.BloomAgg.sizeFor(targetRowsPerRegion)
-    val stats = regionStats(spark.table(name), key, mBits)
+    Files.createDirectories(bloomDir(spark, name))
+    atomicWrite(bloomDir(spark, name).resolve("_meta"), s"$mBits,$BloomK")
+    val stats = regionStats(spark, name, spark.table(name), key, typ, mBits)
     writeRegions(spark, name,
-      RegionMap(typ, stats.values.map(_._1).toIndexedSeq.sortBy(_.kr)),
+      RegionMap(typ, stats.values.toIndexedSeq.sortBy(_.kr)),
       targetRowsPerRegion)
-    writeBlooms(spark, name, mBits, stats.view.mapValues(_._2).toMap)
   }
 
   /** Batch point-GET: driver-side region resolution (binary search over
-    * the sidecar) → static `kr` PartitionFilters + key IN-list pushdown.
-    * Touches O(keys) region partitions and, within them, O(keys) sorted
-    * row groups — regardless of table size.
+    * the CACHED sidecar) → static `kr` PartitionFilters + key IN-list
+    * pushdown. Touches O(keys) region partitions and, within them,
+    * O(keys) sorted row groups — regardless of table size.
     */
   def get(spark: SparkSession, name: String, key: String, keys: Seq[Any]): DataFrame = {
     val rm = readRegions(spark, name)
-    val blooms = readBlooms(spark, name)
     // Range-candidate regions first (binary search over the sidecar),
-    // then the per-region row bloom rejects candidates that definitely
-    // don't hold the key — an absent-key GET touches ZERO partitions
-    // (modulo the ~1% false-positive rate), the HBase ROW-bloom fast
-    // path. A region with no bloom entry is scanned (fail-open).
+    // then each candidate's row bloom — loaded lazily, ONLY for the
+    // candidates — rejects regions that definitely don't hold the key:
+    // an absent-key GET touches ZERO partitions (modulo the ~1%
+    // false-positive rate), the HBase ROW-bloom fast path. A region with
+    // a missing or stale bloom file is scanned (fail open).
     val krs = keys.flatMap { kk =>
-      val h = blooms.map(_ => driverHash60(rm.typ, kk))
+      val h = driverHash60(rm.typ, kk)
       rm.holdingIdx(kk).map(i => rm.regions(i).kr).filter { kr =>
-        blooms.forall { case (_, bl) =>
-          bl.get(kr).forall(b =>
-            graft.functions.BloomAgg.maybeContains(b, h.get, BloomK))
-        }
+        loadBloom(spark, name, kr).forall(b =>
+          graft.functions.BloomAgg.maybeContains(b, h, BloomK))
       }
     }.distinct
     spark.table(name)
@@ -360,9 +532,10 @@ object KeyedStore {
     * localCheckpoint so the touched partitions are read and overwritten
     * in ONE pass — no staging copy (at multi-executor scale, substitute
     * a reliable checkpoint dir for the same break-the-cycle effect).
+    * Serialized against other writers by the table lock.
     */
   def upsert(spark: SparkSession, name: String, key: String,
-             changes: DataFrame): DataFrame = {
+             changes: DataFrame): DataFrame = withTableLock(spark, name) {
     val (rm, target) = readRegionsWithTarget(spark, name)
     // Coverage region per change row — codegen'd binary search; only the
     // O(touched regions) distinct ids reach the driver.
@@ -390,33 +563,35 @@ object KeyedStore {
     * conflict rule is the caller's, so an out-of-order batch can LOSE to
     * the resident row (something replace-semantics upsert can't express).
     * Base-only keys keep their resident region; keys new to the table
-    * land in their coverage region.
+    * land in their coverage region. Serialized against other writers by
+    * the table lock.
     */
   def mergeInto(spark: SparkSession, name: String, key: String,
                 batch: DataFrame,
-                merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    require(!batch.columns.contains("kr"),
-      "KeyedStore payloads must not contain a column named 'kr'")
-    val (rm, target) = readRegionsWithTarget(spark, name)
-    val coverage = batch.select(rm.krCol(col(key)).as("kr")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
-    val touchedKr = rm.expandTouched(coverage.map(krToIdx))
-      .map(rm.regions(_).kr)
-    val baseTouched = spark.table(name).filter(col("kr").isin(touchedKr: _*))
-    // Resident region per base key: merged rows re-join it so surviving
-    // keys never move regions (a boundary-straddling key's coverage can
-    // differ from its residence); only table-new keys take coverage.
-    val residentKr = baseTouched
-      .select(col(key).as("__mrg_k"), col("kr").as("__mrg_kr")).distinct()
-    val merged = merge(baseTouched.drop("kr"), batch)
-      .join(residentKr, col(key) === col("__mrg_k"), "left")
-      .withColumn("kr", coalesce(col("__mrg_kr"), rm.krCol(col(key))))
-      .drop("__mrg_k", "__mrg_kr")
-    writeTouched(spark, name, key, rm, touchedKr, merged, target)
-    maybeSplit(spark, name, key)
-    spark.table(name).drop("kr")
-  }
+                merge: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    withTableLock(spark, name) {
+      require(!batch.columns.contains("kr"),
+        "KeyedStore payloads must not contain a column named 'kr'")
+      val (rm, target) = readRegionsWithTarget(spark, name)
+      val coverage = batch.select(rm.krCol(col(key)).as("kr")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
+      val touchedKr = rm.expandTouched(coverage.map(krToIdx))
+        .map(rm.regions(_).kr)
+      val baseTouched = spark.table(name).filter(col("kr").isin(touchedKr: _*))
+      // Resident region per base key: merged rows re-join it so surviving
+      // keys never move regions (a boundary-straddling key's coverage can
+      // differ from its residence); only table-new keys take coverage.
+      val residentKr = baseTouched
+        .select(col(key).as("__mrg_k"), col("kr").as("__mrg_kr")).distinct()
+      val merged = merge(baseTouched.drop("kr"), batch)
+        .join(residentKr, col(key) === col("__mrg_k"), "left")
+        .withColumn("kr", coalesce(col("__mrg_kr"), rm.krCol(col(key))))
+        .drop("__mrg_k", "__mrg_kr")
+      writeTouched(spark, name, key, rm, touchedKr, merged, target)
+      maybeSplit(spark, name, key)
+      spark.table(name).drop("kr")
+    }
 
   /** Shared write path of [[upsert]]/[[mergeInto]]: land `merged` (the
     * post-merge rows of the touched regions, `kr` attached) via dynamic
@@ -445,32 +620,27 @@ object KeyedStore {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // Post-merge stats AND rebuilt blooms per touched region in ONE fused
-    // aggregate — off the already-materialized checkpoint blocks,
-    // O(touched) not O(table). An emptied region loses its bloom entry so
-    // probes reject it outright.
-    val bloomSide = readBlooms(spark, name)
-    val mBits = bloomSide.map(_._1).getOrElse(
-      graft.functions.BloomAgg.sizeFor(DefaultTargetRowsPerRegion))
-    val full = regionStats(out, key, mBits)
-    val stats = full.view.mapValues(_._1).toMap
+    // Post-merge stats per touched region in ONE fused aggregate — off
+    // the already-materialized checkpoint blocks, O(touched) not
+    // O(table) — with each rebuilt bloom written data-side by the task
+    // that holds it.
+    val mBits = readBloomBits(spark, name, target)
+    val stats = regionStats(spark, name, out, key, rm.typ, mBits)
     val touched = touchedKr.toSet
     touchedKr.filterNot(stats.contains).foreach { krv =>
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
+      Files.deleteIfExists(bloomFile(spark, name, krv))
     }
     // Emptied regions keep their sidecar entry with rows = 0 and the old
-    // bounds: pruning may still select them, reads see the dropped (empty)
-    // partition — harmless — while coverage keeps routing inserts, so the
-    // region map never goes empty.
+    // bounds: pruning may still select them, their bloom file is deleted
+    // (missing → fail open), and reads see the dropped (empty) partition
+    // — harmless — while coverage keeps routing inserts, so the region
+    // map never goes empty.
     val newRegions = rm.regions.map { r =>
       if (!touched.contains(r.kr)) r
       else stats.getOrElse(r.kr, r.copy(rows = 0L))
     }
     writeRegions(spark, name, RegionMap(rm.typ, newRegions), target)
-    bloomSide.foreach { case (m, existing) =>
-      writeBlooms(spark, name, m,
-        existing.removedAll(touchedKr) ++ full.view.mapValues(_._2).toMap)
-    }
   }
 
   /** Automatic region SPLIT — what an HBase region server does when a
@@ -482,21 +652,21 @@ object KeyedStore {
     * ids (the region directory is min-key-sorted, so id order need not
     * match key order); every other region's files are untouched. Cost is
     * O(oversized regions), read-then-write broken by the same
-    * localCheckpoint materialization as the merge path.
+    * localCheckpoint materialization as the merge path. The updated
+    * directory is published BEFORE the superseded partition is dropped:
+    * a crash can orphan an unlisted partition ([[repair]] reclaims it)
+    * but never leaves the directory pointing at dropped data.
     */
   private val SplitFactor = 2L
 
   private def maybeSplit(spark: SparkSession, name: String,
                          key: String): Unit = {
-    val (rm, target) = readRegionsWithTarget(spark, name)
-    val oversized = rm.regions.filter(_.rows > SplitFactor * target)
+    val (rm0, target) = readRegionsWithTarget(spark, name)
+    val oversized = rm0.regions.filter(_.rows > SplitFactor * target)
     if (oversized.isEmpty) return
-    val bloomSide = readBlooms(spark, name)
-    val mBits = bloomSide.map(_._1).getOrElse(
-      graft.functions.BloomAgg.sizeFor(target))
-    var nextKr = rm.regions.map(_.kr).max + 1
-    var regions = rm.regions
-    var blooms = bloomSide.map(_._2).getOrElse(Map.empty[Int, Array[Byte]])
+    val mBits = readBloomBits(spark, name, target)
+    var nextKr = rm0.regions.map(_.kr).max + 1
+    var regions = rm0.regions
     val cols = spark.table(name).columns.toIndexedSeq
     oversized.foreach { r =>
       val k = math.max(2L, (r.rows + target - 1) / target).toInt
@@ -515,13 +685,14 @@ object KeyedStore {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      val stats = regionStats(spark, name, out, key, rm0.typ, mBits)
+      regions = regions.filterNot(_.kr == r.kr) ++ stats.values
+      // Directory first (covers the new partitions), THEN drop the old:
+      // the crash-safe order — get/scan never point at dropped data.
+      writeRegions(spark, name, RegionMap(rm0.typ, regions), target)
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=${r.kr})")
-      val stats = regionStats(out, key, mBits)
-      regions = regions.filterNot(_.kr == r.kr) ++ stats.values.map(_._1)
-      blooms = (blooms - r.kr) ++ stats.view.mapValues(_._2).toMap
+      Files.deleteIfExists(bloomFile(spark, name, r.kr))
     }
-    writeRegions(spark, name, RegionMap(rm.typ, regions), target)
-    bloomSide.foreach { case (m, _) => writeBlooms(spark, name, m, blooms) }
   }
 
   /** Online region MERGE — the HBase normalizer's other half, symmetric
@@ -535,11 +706,14 @@ object KeyedStore {
     * delete-heavy table's answer to what [[VersionedStore.compact]] does
     * for the versioned store's leaves. Explicit maintenance (like HBase's
     * normalizer), not an auto-trigger: merging trades write cost now for
-    * read locality later, a call the operator makes. Returns the number
-    * of regions eliminated (0 = nothing to do).
+    * read locality later, a call the operator makes. If EVERY region
+    * would vanish (a full-table delete), one sentinel entry is retained
+    * with rows = 0 so the directory never goes empty — coverage stays
+    * total and later inserts still route. Returns the number of regions
+    * eliminated (0 = nothing to do). Serialized by the table lock.
     */
   def mergeSmallRegions(spark: SparkSession, name: String,
-                        key: String): Int = {
+                        key: String): Int = withTableLock(spark, name) {
     val (rm, target) = readRegionsWithTarget(spark, name)
     // Greedy run-coalescing over the min-key-ordered directory, same rule
     // as the versioned store's bin-packing compaction.
@@ -556,8 +730,13 @@ object KeyedStore {
     }
     if (run.nonEmpty) bins += run
     val mergeBins = bins.filter(_.size >= 2).toSeq
-    if (mergeBins.isEmpty) return 0
-    val kept = bins.filter(_.size < 2).map(_.head).toSeq
+    if (mergeBins.isEmpty) 0
+    else mergeRuns(spark, name, key, rm, target, mergeBins)
+  }
+
+  private def mergeRuns(spark: SparkSession, name: String, key: String,
+                        rm: RegionMap, target: Long,
+                        mergeBins: Seq[Vector[Region]]): Int = {
     var nextKr = rm.regions.map(_.kr).max + 1
     // old kr -> new kr for every non-empty bin (all-empty bins simply
     // vanish: partitions dropped, entries removed).
@@ -565,10 +744,8 @@ object KeyedStore {
       if (b.forall(_.rows == 0L)) Nil
       else { val nk = nextKr; nextKr += 1; b.map(_.kr -> nk) }
     }.toMap
-    val bloomSide = readBlooms(spark, name)
-    val mBits = bloomSide.map(_._1).getOrElse(
-      graft.functions.BloomAgg.sizeFor(target))
-    var stats = Map.empty[Int, (Region, Array[Byte])]
+    val mBits = readBloomBits(spark, name, target)
+    var stats = Map.empty[Int, Region]
     if (mapping.nonEmpty) {
       val cols = spark.table(name).columns.toIndexedSeq
       val mapCol = map(mapping.flatMap { case (o, n) =>
@@ -588,21 +765,55 @@ object KeyedStore {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      stats = regionStats(out, key, mBits)
+      stats = regionStats(spark, name, out, key, rm.typ, mBits)
     }
     val gone = mergeBins.flatten.map(_.kr).toSet
+    val survivors = rm.regions.filterNot(r => gone.contains(r.kr)) ++
+      stats.values
+    // A full-table delete coalesces every region into one all-empty bin:
+    // retain a rows=0 sentinel (first region, old bounds) instead of
+    // persisting an empty directory — krCol/maybeSplit/coverage all
+    // assume at least one entry.
+    val regions =
+      if (survivors.nonEmpty) survivors
+      else IndexedSeq(rm.regions.head.copy(rows = 0L))
+    // Directory first, THEN drop superseded partitions (crash-safe order).
+    writeRegions(spark, name, RegionMap(rm.typ, regions), target)
     gone.foreach { krv =>
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
-    }
-    val regions = rm.regions.filterNot(r => gone.contains(r.kr)) ++
-      stats.values.map(_._1)
-    writeRegions(spark, name, RegionMap(rm.typ, regions), target)
-    bloomSide.foreach { case (m, blooms) =>
-      writeBlooms(spark, name, m,
-        blooms.removedAll(gone) ++ stats.view.mapValues(_._2).toMap)
+      Files.deleteIfExists(bloomFile(spark, name, krv))
     }
     gone.size - stats.size
   }
+
+  /** Crash-recovery sweep: drop any table partition whose kr is NOT in
+    * the region directory (an orphan from a crash between a split/merge
+    * publish and its partition drop — invisible to get/scan, but a raw
+    * full-table read would double-count it) and delete bloom files with
+    * no directory entry. Returns the number of orphan partitions
+    * reclaimed. Safe to run any time; holds the writer lock.
+    */
+  def repair(spark: SparkSession, name: String): Int =
+    withTableLock(spark, name) {
+      val rm = readRegions(spark, name)
+      val listed = rm.regions.map(_.kr).toSet
+      val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
+        .map(_.getString(0).stripPrefix("kr=").toInt)
+      val orphans = parts.filterNot(listed)
+      orphans.foreach { krv =>
+        spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
+      }
+      val bd = bloomDir(spark, name)
+      if (Files.exists(bd))
+        scala.util.Using.resource(Files.list(bd)) { s =>
+          s.iterator().asScala.foreach { f =>
+            val fn = f.getFileName.toString
+            if (fn.startsWith("kr=") && !listed(fn.stripPrefix("kr=").toInt))
+              Files.deleteIfExists(f)
+          }
+        }
+      orphans.length
+    }
 
   /** Drop the table and its data directory (cleanup hook for temp
     * stores). */
@@ -619,8 +830,9 @@ object KeyedStore {
     * many upserts (fixed boundaries make hot boundary regions grow).
     */
   def rebalance(spark: SparkSession, name: String, key: String,
-                targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit = {
-    val current = spark.table(name).drop("kr").localCheckpoint()
-    create(spark, name, current, key, targetRowsPerRegion)
-  }
+                targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit =
+    withTableLock(spark, name) {
+      val current = spark.table(name).drop("kr").localCheckpoint()
+      createLocked(spark, name, current, key, targetRowsPerRegion)
+    }
 }

@@ -292,6 +292,142 @@ class KeyedStoreSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).toSeq == Seq("new"))
   }
 
+  test("bloom residency: per-region files, GET reads only probed regions, cached") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_residency"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    // Blooms live DATA-SIDE: one file per region next to the region's
+    // parquet, plus the size meta — never a driver-held monolith.
+    val bd = KeyedStore.location(spark, name).resolve("_graft_blooms")
+    rm.regions.foreach(r =>
+      assert(java.nio.file.Files.exists(bd.resolve(s"kr=${r.kr}")),
+        s"missing bloom file for region ${r.kr}"))
+    assert(java.nio.file.Files.exists(bd.resolve("_meta")))
+    // A GET must read bloom bytes for ONLY the regions its range
+    // candidacy selects — O(probed regions) driver residency, not
+    // O(table).
+    val candidates = Seq(5L, 77L).flatMap(k => rm.holdingIdx(k)).distinct.size
+    val r0 = KeyedStore.bloomFileReads.get()
+    assert(KeyedStore.get(spark, name, "k", Seq(5L, 77L)).count() == 2)
+    val readsFirst = KeyedStore.bloomFileReads.get() - r0
+    assert(readsFirst <= candidates && readsFirst < rm.regions.size,
+      s"GET read $readsFirst bloom files for $candidates candidate regions " +
+        s"of ${rm.regions.size} total")
+    // Repeated probes are served from the bloom cache (zero new file
+    // reads) and ONE cached sidecar parse across calls.
+    val p0 = KeyedStore.sidecarParses.get()
+    val r1 = KeyedStore.bloomFileReads.get()
+    (1 to 3).foreach(_ =>
+      assert(KeyedStore.get(spark, name, "k", Seq(5L, 77L)).count() == 2))
+    assert(KeyedStore.bloomFileReads.get() == r1, "bloom cache missed")
+    assert(KeyedStore.sidecarParses.get() == p0, "sidecar re-parsed")
+    // A merge republishes the sidecar and rewrites the touched region's
+    // bloom: the caches invalidate (exactly one fresh parse; fresh bloom
+    // bytes only for the touched region).
+    KeyedStore.upsert(spark, name, "k", Seq((5L, "U", "v5x")).toDF("k", "op", "v"))
+    val p1 = KeyedStore.sidecarParses.get()
+    val r2 = KeyedStore.bloomFileReads.get()
+    assert(KeyedStore.get(spark, name, "k", Seq(5L, 77L))
+      .collect().map(_.getString(1)).toSet == Set("v5x", "v77"))
+    assert(KeyedStore.sidecarParses.get() <= p1 + 1)
+    assert(KeyedStore.bloomFileReads.get() - r2 <= candidates)
+  }
+
+  test("a stale bloom file (older than its region's data) fails OPEN") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_stale_bloom"
+    KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    val reg = rm.regions(rm.coverageIdx(20L))
+    // Simulate a crash between the partition overwrite and the bloom
+    // refresh: back-date the bloom file behind the region's data dir.
+    val bf = KeyedStore.location(spark, name)
+      .resolve("_graft_blooms").resolve(s"kr=${reg.kr}")
+    java.nio.file.Files.setLastModifiedTime(bf,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(
+          KeyedStore.location(spark, name).resolve(s"kr=${reg.kr}"))
+          .toMillis - 60000))
+    // The stale bloom must NOT be trusted — the region is scanned and
+    // the resident key still found (a torn write costs IO, never rows).
+    assert(KeyedStore.get(spark, name, "k", Seq(20L))
+      .collect().map(_.getString(1)).toSeq == Seq("v20"))
+  }
+
+  test("concurrent mergeInto: both writers land, no region lost") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val name = "graft_keyed_spec_fence"
+    KeyedStore.create(spark, name,
+      (0L until 200L).map(i => (i, 0L)).toDF("k", "n"),
+      "k", targetRowsPerRegion = 16)
+    def add(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+    // Two writers, overlapping key sets, racing on the SAME table: the
+    // writer lock serializes read→merge→overwrite→sidecar, so both
+    // increments survive (without fencing one writer's regions are
+    // silently lost to the interleave).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(KeyedStore.mergeInto(spark, name, "k",
+      (0L until 100L).map(i => (i, 1L)).toDF("k", "n"), add).count())
+    val fb = Future(KeyedStore.mergeInto(spark, name, "k",
+      (50L until 150L).map(i => (i, 10L)).toDF("k", "n"), add).count())
+    Await.result(fa, 300.seconds)
+    Await.result(fb, 300.seconds)
+    val byK = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK.size == 200)
+    (0L until 200L).foreach { k =>
+      val want = (if (k < 100) 1L else 0L) + (if (k >= 50 && k < 150) 10L else 0L)
+      assert(byK(k) == want, s"k=$k got ${byK(k)} want $want")
+    }
+    // Region directory consistent with the data after the race.
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 200)
+  }
+
+  test("full-table delete then region merge: directory keeps a sentinel; inserts still route") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_wipeout"
+    KeyedStore.create(spark, name, mkRows(48), "k", targetRowsPerRegion = 16)
+    KeyedStore.upsert(spark, name, "k",
+      (0L until 48L).map(k => (k, "D", "x")).toDF("k", "op", "v"))
+    // Every region is rows=0: the normalizer would coalesce them into
+    // one all-empty bin and (without the sentinel) persist an EMPTY
+    // directory — breaking krCol/coverage/maybeSplit forever after.
+    KeyedStore.mergeSmallRegions(spark, name, "k")
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.nonEmpty, "region directory went empty")
+    assert(spark.table(name).count() == 0)
+    // The store still works: inserts route through the sentinel's
+    // coverage, GET resolves them.
+    KeyedStore.upsert(spark, name, "k",
+      Seq((7L, "I", "v7"), (900L, "I", "v900")).toDF("k", "op", "v"))
+    assert(KeyedStore.get(spark, name, "k", Seq(7L, 900L))
+      .collect().map(_.getString(1)).toSet == Set("v7", "v900"))
+  }
+
+  test("repair reclaims an orphan partition left by a crashed maintenance pass") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_repair"
+    KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 16)
+    // Simulate the crash window of a split/merge: a partition exists in
+    // the catalog but the (already-published) directory doesn't list it.
+    Seq((9999L, "orphan")).toDF("k", "v")
+      .withColumn("kr", lit(999))
+      .write.mode("append").format("parquet").insertInto(name)
+    assert(spark.sql(s"SHOW PARTITIONS $name").collect()
+      .exists(_.getString(0) == "kr=999"))
+    assert(KeyedStore.repair(spark, name) == 1)
+    assert(!spark.sql(s"SHOW PARTITIONS $name").collect()
+      .exists(_.getString(0) == "kr=999"))
+    assert(spark.table(name).count() == 64)
+    assert(KeyedStore.get(spark, name, "k", Seq(5L)).count() == 1)
+  }
+
   test("create is idempotent across JVMs (stale location, fresh metastore)") {
     val name = "graft_keyed_spec_idem"
     // Simulate the next JVM: fresh metastore (no catalog entry for the
