@@ -518,6 +518,16 @@ object DedupOps {
       // components are near-cliques that converge in round 0, so the jump
       // join (pure overhead there) only engages once a second round proves
       // the graph has actual depth.
+      // localCheckpoint (eager) both materializes every partition before
+      // the parent cache is released — the convergence probe (isEmpty =
+      // take(1)) alone may touch only some, and recomputing the rest
+      // through unpersisted lineage was O(iters²) in the 10× smoke — and
+      // TRUNCATES the logical plan. The truncation is load-bearing, not
+      // hygiene: each round's plan embeds the previous labels subtree ~4×
+      // (the neighbor join, the convergence carry, both sides of the
+      // pointer jump), so an un-truncated loop grows the analyzed plan
+      // ~4^iter and a sparse deep graph that needs 8+ rounds OOMs the
+      // DRIVER on plan bookkeeping alone before any executor works.
       val next = (if (iter == 0) stepped else {
         val ptr = stepped.select(col("id").as("label"), col("label").as("gl"))
         stepped
@@ -525,14 +535,7 @@ object DedupOps {
           .select(col("id"),
                   least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
                   col("prev"))
-      }).persist()
-      // count() materializes EVERY partition of the new cache before the
-      // previous one is released. The convergence probe alone (isEmpty =
-      // take(1)) may touch only some partitions; unpersisting the parent
-      // then forces the next iteration to recompute the missing ones
-      // through the whole unpersisted lineage — O(iters²) recomputation
-      // that the 10× weak-scaling smoke exposed (68 s → ~8 s for CC).
-      next.count()
+      }).localCheckpoint(true)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       persisted.unpersist()
       persisted = next

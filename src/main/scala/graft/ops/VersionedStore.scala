@@ -25,28 +25,39 @@ import scala.util.Using
   *    by the new snapshot. An entry whose merged range outgrows the
   *    target splits into equal-width sub-ranges, so file size stays
   *    bounded as the table grows;
-  *  - each version has an immutable manifest `manifests/v<N>` written
-  *    LAST and published atomically (temp file + create-exclusive link):
-  *    a crashed commit leaves orphan data directories (reclaimed by
-  *    vacuum), never a corrupt or half-visible table. Old snapshots stay
-  *    readable forever — snapshot isolation with zero reader
-  *    coordination;
+  *  - manifests are TWO-LEVEL, the Iceberg manifest-list shape: entries
+  *    live in immutable CHUNK files (`manifests/chunks/<id>`, ~chunkTarget
+  *    entries each, disjoint hash ranges) and each version's
+  *    `manifests/v<N>` is a small LIST of (chunk file, minHash, maxHash,
+  *    entries). A commit reads the list, routes its change set to chunks
+  *    by a hash-range binary search, opens ONLY the touched chunks,
+  *    rewrites only those (untouched chunk files are shared with the
+  *    previous version byte-identical), and publishes a fresh list — so
+  *    per-commit metadata READ and WRITE are O(touched chunks + list),
+  *    tracking data cost instead of table size. At 10⁶ leaves a 1-key
+  *    commit writes one ~50 KB chunk + a ~60 KB list, not a 60 MB
+  *    manifest;
+  *  - each version's list file is written LAST and published atomically
+  *    (temp file + create-exclusive link): a crashed commit leaves orphan
+  *    data directories and chunk files (reclaimed by vacuum), never a
+  *    corrupt or half-visible table. Old snapshots stay readable forever —
+  *    snapshot isolation with zero reader coordination;
   *  - concurrent committers serialize OPTIMISTICALLY: both prepare
   *    against the version they read; the create-exclusive publish lets
   *    exactly one land as v(N+1), the loser re-reads the new current
   *    version and re-merges. No lock service needed — the same
   *    conditional-put protocol the manifest table formats use;
   *  - vacuum is two-phase with a read grace: an out-of-window manifest is
-  *    first EXPIRED (renamed, stamped with the expiry time); its data is
-  *    deleted only once the grace horizon has passed, so a reader pinned
-  *    to an expiring snapshot finishes its scan (and can even re-resolve
-  *    the expired manifest during grace). `graceMs = 0` reclaims
-  *    immediately.
+  *    first EXPIRED (renamed, stamped with the expiry time); its data —
+  *    and any chunk file no surviving manifest references — is deleted
+  *    only once the grace horizon has passed, so a reader pinned to an
+  *    expiring snapshot finishes its scan (and can even re-resolve the
+  *    expired manifest during grace). `graceMs = 0` reclaims immediately.
   *
-  * At 100 TB the manifest is O(table / targetRowsPerFile) entries — a
-  * control-plane-sized flat file (a few million lines at the extreme,
-  * streamed, never shuffled); commit cost is O(changed files); read-as-of
-  * is one multi-path parquet scan of the referenced leaves.
+  * At 100 TB the metadata is O(table / targetRowsPerFile) entries split
+  * across O(entries / chunkTarget) immutable chunks — commit cost is
+  * O(changed files) data + O(touched chunks) metadata; read-as-of is one
+  * multi-path parquet scan of the referenced leaves.
   */
 object VersionedStore {
   /** Target rows per data file. The default keeps fixture stores compact
@@ -54,6 +65,12 @@ object VersionedStore {
     * at real scale. Fixed per store at init (persisted in `meta`).
     */
   val DefaultTargetRowsPerFile: Long = 1L << 20
+
+  /** Manifest entries per chunk file. 1000 keeps a 10⁶-leaf table's list
+    * file at ~1000 lines while a 1-key commit rewrites one ~50 KB chunk.
+    * Fixed per store at init (persisted in `meta`).
+    */
+  val DefaultChunkTarget: Int = 1000
 
   private val HashSpace: Long = 1L << 60 // hash60 values lie in [0, 2^60)
   private val MaxPublishRetries = 20
@@ -65,15 +82,26 @@ object VersionedStore {
   private[graft] final case class FileEntry(minH: Long, maxH: Long,
                                             rows: Long, path: String)
 
+  /** One manifest-LIST line: an immutable chunk of `n` entries covering
+    * [minH, maxH]. Chunks are disjoint and list files order them by
+    * minH, so change routing is a binary search over the list alone.
+    */
+  private[graft] final case class ChunkRef(file: String, minH: Long,
+                                           maxH: Long, n: Long)
+
   private def hashCol(key: String) = TextFns.hash60(col(key).cast("string"))
 
   private def manifestDir(dir: String): Path = Paths.get(dir, "manifests")
+
+  private def chunksDir(dir: String): Path =
+    manifestDir(dir).resolve("chunks")
 
   private def newCommitId(): String =
     "c" + java.util.UUID.randomUUID().toString.replace("-", "")
 
   private val ManifestName = "^v(\\d+)$".r
   private val ExpiredName = "^v(\\d+)\\.expired$".r
+  private val ListMarker = "#list"
 
   /** Latest committed version, 0 if none. Ignores expired manifests and
     * stray files (temp artifacts from in-flight publishes).
@@ -95,32 +123,86 @@ object VersionedStore {
     else manifestDir(dir).resolve(s"v$version.expired")
   }
 
-  private[graft] def readManifest(dir: String, version: Int): IndexedSeq[FileEntry] =
-    readManifestFile(manifestFile(dir, version))
-
-  private def readManifestFile(p: Path): IndexedSeq[FileEntry] =
-    Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty).map { line =>
+  private def parseEntryLines(lines: Iterator[String]): IndexedSeq[FileEntry] =
+    lines.filter(_.nonEmpty).map { line =>
       val Array(lo, hi, n, path) = line.split(",", 4)
       FileEntry(lo.toLong, hi.toLong, n.toLong, path)
-    }.toIndexedSeq.sortBy(_.minH)
+    }.toIndexedSeq
 
-  /** Publish a manifest atomically and EXCLUSIVELY: the content lands via
-    * a temp file in the same directory, made visible with a
+  /** The chunk refs of a manifest file, or None for a legacy FLAT
+    * manifest (pre-chunking stores remain readable; their first commit
+    * converts them).
+    */
+  private def readListRefs(p: Path): Option[IndexedSeq[ChunkRef]] = {
+    val lines = Files.readAllLines(p).asScala
+    if (lines.isEmpty || lines.head != ListMarker) None
+    else Some(lines.iterator.drop(1).filter(_.nonEmpty).map { line =>
+      val Array(f, lo, hi, n) = line.split(",", 4)
+      ChunkRef(f, lo.toLong, hi.toLong, n.toLong)
+    }.toIndexedSeq.sortBy(_.minH))
+  }
+
+  private def readChunk(dir: String, ref: ChunkRef): IndexedSeq[FileEntry] =
+    parseEntryLines(Files.readAllLines(chunksDir(dir).resolve(ref.file))
+      .asScala.iterator).sortBy(_.minH)
+
+  /** Every entry of `version`'s manifest (list + chunks, or legacy
+    * flat). O(files) metadata read — the full-table path (asOf, compact,
+    * vacuum's liveness sweep); COMMIT never calls this, it opens only
+    * its touched chunks.
+    */
+  private[graft] def readManifest(dir: String, version: Int): IndexedSeq[FileEntry] =
+    readManifestFile(dir, manifestFile(dir, version))
+
+  private def readManifestFile(dir: String, p: Path): IndexedSeq[FileEntry] =
+    readListRefs(p) match {
+      case Some(refs) => refs.flatMap(readChunk(dir, _)).sortBy(_.minH)
+      case None => parseEntryLines(Files.readAllLines(p).asScala.iterator)
+        .sortBy(_.minH)
+    }
+
+  /** Write one immutable chunk file (temp + atomic move; uuid name, so
+    * concurrent committers can never collide) and return its ref.
+    */
+  private def writeChunk(dir: String,
+                         entries: Seq[FileEntry]): ChunkRef = {
+    val cd = chunksDir(dir)
+    Files.createDirectories(cd)
+    val fn = "ch" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = Files.createTempFile(cd, ".tmp-chunk", "")
+    try {
+      Files.write(tmp, entries.sortBy(_.minH)
+        .map(e => s"${e.minH},${e.maxH},${e.rows},${e.path}")
+        .mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, cd.resolve(fn), StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+    ChunkRef(fn, entries.map(_.minH).min, entries.map(_.maxH).max,
+      entries.size.toLong)
+  }
+
+  /** Pack sorted entries into fresh ~chunkTarget-entry chunk files. */
+  private def packChunks(dir: String, entries: Seq[FileEntry],
+                         chunkTarget: Int): Seq[ChunkRef] =
+    entries.sortBy(_.minH).grouped(math.max(1, chunkTarget))
+      .map(writeChunk(dir, _)).toSeq
+
+  /** Publish a manifest LIST atomically and EXCLUSIVELY: the content
+    * lands via a temp file in the same directory, made visible with a
     * create-exclusive hard link (fallback: existence check + atomic
     * move). A concurrent publish of the same version throws
     * FileAlreadyExistsException — the optimistic-concurrency conflict
     * signal — and a crash mid-write can never leave a truncated file
     * under the versioned name.
     */
-  private def publishManifest(dir: String, version: Int,
-                              entries: Seq[FileEntry]): Unit = {
+  private def publishList(dir: String, version: Int,
+                          refs: Seq[ChunkRef]): Unit = {
     val md = manifestDir(dir)
     Files.createDirectories(md)
     val target = md.resolve(s"v$version")
     val tmp = Files.createTempFile(md, ".tmp-manifest", "")
     try {
-      Files.write(tmp, entries.sortBy(_.minH)
-        .map(e => s"${e.minH},${e.maxH},${e.rows},${e.path}")
+      Files.write(tmp, (ListMarker +: refs.sortBy(_.minH)
+        .map(r => s"${r.file},${r.minH},${r.maxH},${r.n}"))
         .mkString("\n").getBytes("UTF-8"))
       try Files.createLink(target, tmp)
       catch {
@@ -134,11 +216,15 @@ object VersionedStore {
 
   private def metaPath(dir: String): Path = Paths.get(dir, "meta")
 
-  private def readTarget(dir: String): Long =
-    if (Files.exists(metaPath(dir)))
-      Files.readAllLines(metaPath(dir)).asScala.headOption
-        .map(_.toLong).getOrElse(DefaultTargetRowsPerFile)
-    else DefaultTargetRowsPerFile
+  /** (targetRowsPerFile, chunkTarget) from `meta`; legacy single-line
+    * metas (and metaless stores) fall back to the defaults.
+    */
+  private def readMeta(dir: String): (Long, Int) =
+    if (Files.exists(metaPath(dir))) {
+      val lines = Files.readAllLines(metaPath(dir)).asScala
+      (lines.headOption.map(_.toLong).getOrElse(DefaultTargetRowsPerFile),
+       lines.lift(1).map(_.toInt).getOrElse(DefaultChunkTarget))
+    } else (DefaultTargetRowsPerFile, DefaultChunkTarget)
 
   /** Equal-width sub-ranges of [lo, hi] sized so ~`estRows` split across
     * them lands under the per-file target. Hash60 is uniform, so
@@ -186,49 +272,71 @@ object VersionedStore {
   }
 
   /** Version 1: write the whole table as ~n/target hash-range leaves,
-    * persist the per-store file-size target and a schema sentinel (an
-    * empty parquet that survives vacuum, so a fully-emptied snapshot
-    * stays readable), publish manifest v1.
+    * persist the per-store file-size and chunk-size targets and a schema
+    * sentinel (an empty parquet that survives vacuum, so a fully-emptied
+    * snapshot stays readable), pack the entries into chunk files and
+    * publish manifest list v1.
     */
   def init(spark: SparkSession, dir: String, rows: DataFrame, key: String,
-           targetRowsPerFile: Long = DefaultTargetRowsPerFile): Unit = {
+           targetRowsPerFile: Long = DefaultTargetRowsPerFile,
+           chunkTarget: Int = DefaultChunkTarget): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(metaPath(dir), targetRowsPerFile.toString.getBytes("UTF-8"))
+    Files.write(metaPath(dir),
+      s"$targetRowsPerFile\n$chunkTarget".getBytes("UTF-8"))
     rows.limit(0).write.mode("overwrite").parquet(s"$dir/schema")
     val n = rows.count()
     val ranges = splitRange(0L, HashSpace - 1, n, targetRowsPerFile)
     val entries = writeLeaves(spark, dir, newCommitId(), rows, key, ranges)
-    publishManifest(dir, 1, entries)
+    publishList(dir, 1, packChunks(dir, entries, chunkTarget))
   }
 
   /** Copy-on-write commit of a U/I/D change set
     * ([[SourceSinkOps.mergeUpsert]] semantics): merge + rewrite ONLY the
     * data files whose hash range contains a changed key, share every
-    * other file with the previous snapshot, publish manifest v(N+1)
-    * exclusively (racing committers retry against the winner's version).
-    * Entry assignment for the change set is a codegen'd binary search
-    * ([[graft.functions.LongBoundaryBucket]]); only O(touched files)
-    * values ever reach the driver.
+    * other file with the previous snapshot, publish manifest list
+    * v(N+1) exclusively (racing committers retry against the winner's
+    * version). Routing is TWO-LEVEL, both binary searches codegen'd
+    * ([[graft.functions.LongBoundaryBucket]]): change hashes → touched
+    * CHUNKS off the list file alone, then → touched ENTRIES off only
+    * those chunks' contents — so metadata read/write per commit is
+    * O(touched chunks + list), never O(table). Untouched chunk files
+    * are shared with the previous version byte-identical.
     */
   def commit(spark: SparkSession, dir: String, changes: DataFrame,
              key: String): Int = {
-    val target = readTarget(dir)
+    val (target, chunkTarget) = readMeta(dir)
     var attempt = 0
     while (true) {
       val v = currentVersion(dir)
-      val entries = readManifest(dir, v)
-      val bounds = entries.map(_.minH)
-      // Per-entry change counts: O(touched files) rows driver-side —
-      // control flow, not data.
-      val touchedCounts: Map[Int, Long] = changes
+      val mf = manifestFile(dir, v)
+      // Legacy flat manifest → convert to chunks once (O(files), the
+      // cost every commit used to pay); thereafter two-level.
+      val refs = readListRefs(mf).getOrElse(
+        packChunks(dir, readManifestFile(dir, mf), chunkTarget).toIndexedSeq)
+        .sortBy(_.minH).toIndexedSeq
+      // Level 1: change hashes → touched chunks, off the list alone.
+      val chunkBounds = refs.map(_.minH)
+      val touchedChunks: Seq[Int] = changes
         .select(graft.functions.RangeFunctions
-          .longBoundaryBucket(hashCol(key), bounds).as("eid"))
-        .groupBy(col("eid")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          .longBoundaryBucket(hashCol(key), chunkBounds).as("cid"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
       val nv = v + 1
-      val newEntries: Seq[FileEntry] =
-        if (touchedCounts.isEmpty) entries
+      val newRefs: Seq[ChunkRef] =
+        if (touchedChunks.isEmpty) refs
         else {
+          // Level 2: open ONLY the touched chunks; route changes to
+          // their entries. The concatenation of touched chunks' entries
+          // is sorted and disjoint, and every change hash landed in one
+          // of these chunks, so one boundary search over the combined
+          // entry list is exact.
+          val entries = touchedChunks.toIndexedSeq
+            .flatMap(i => readChunk(dir, refs(i))).sortBy(_.minH)
+          val bounds = entries.map(_.minH)
+          val touchedCounts: Map[Int, Long] = changes
+            .select(graft.functions.RangeFunctions
+              .longBoundaryBucket(hashCol(key), bounds).as("eid"))
+            .groupBy(col("eid")).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
           val touched = touchedCounts.keySet
           val newRanges = touched.toSeq.sorted.flatMap { i =>
             val e = entries(i)
@@ -242,17 +350,22 @@ object VersionedStore {
           val merged = SourceSinkOps.mergeUpsert(base, changes, key)
           val written =
             writeLeaves(spark, dir, newCommitId(), merged, key, newRanges)
-          (entries.indices.filterNot(touched).map(entries(_)) ++ written)
-            .sortBy(_.minH)
+          val newEntries =
+            (entries.indices.filterNot(touched).map(entries(_)) ++ written)
+              .sortBy(_.minH)
+          // Untouched chunks keep their files; touched chunks repack.
+          val touchedChunkSet = touchedChunks.toSet
+          refs.indices.filterNot(touchedChunkSet).map(refs(_)) ++
+            packChunks(dir, newEntries, chunkTarget)
         }
       try {
-        publishManifest(dir, nv, newEntries)
+        publishList(dir, nv, newRefs)
         return nv
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // Lost the race: a concurrent commit published nv first. The
-          // orphan data directory is reclaimed by vacuum; re-merge
-          // against the winner's snapshot.
+          // orphan data directory and chunk files are reclaimed by
+          // vacuum; re-merge against the winner's snapshot.
           attempt += 1
           if (attempt >= MaxPublishRetries)
             throw new IllegalStateException(
@@ -272,15 +385,17 @@ object VersionedStore {
     * hash-ordered manifest: consecutive entries whose combined rows fit
     * the target become ONE leaf spanning their union range; any entry
     * that doesn't pack with a neighbor is SHARED with the previous
-    * snapshot untouched, so compaction cost is O(small files), never
-    * O(table). Publishes optimistically like [[commit]] (a racing commit
-    * wins; compaction re-derives and retries); pre-compact versions stay
-    * time-travel-readable until [[vacuum]]. Returns the new version, or
-    * 0 if no run needed packing (idempotent: compact-after-compact is a
-    * no-op).
+    * snapshot untouched, so compaction DATA cost is O(small files),
+    * never O(table). Metadata is fully re-chunked (OPTIMIZE is the
+    * maintenance pass that owns the whole layout — the same trade the
+    * lakehouse formats make on rewrite). Publishes optimistically like
+    * [[commit]] (a racing commit wins; compaction re-derives and
+    * retries); pre-compact versions stay time-travel-readable until
+    * [[vacuum]]. Returns the new version, or 0 if no run needed packing
+    * (idempotent: compact-after-compact is a no-op).
     */
   def compact(spark: SparkSession, dir: String, key: String): Int = {
-    val target = readTarget(dir)
+    val (target, chunkTarget) = readMeta(dir)
     var attempt = 0
     while (true) {
       val v = currentVersion(dir)
@@ -311,7 +426,8 @@ object VersionedStore {
         else kept ++ writeLeaves(spark, dir, newCommitId(),
           spark.read.parquet(paths: _*), key, ranges)
       try {
-        publishManifest(dir, nv, newEntries.sortBy(_.minH))
+        publishList(dir, nv,
+          packChunks(dir, newEntries.sortBy(_.minH), chunkTarget))
         return nv
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -328,8 +444,10 @@ object VersionedStore {
     * manifest older than the last `keepLast` (rename to `v<N>.expired`,
     * stamped with the expiry instant). Phase 2 deletes (a) the data
     * leaves referenced only by expired manifests whose grace has passed,
-    * along with those manifests, and (b) orphan leaves (crashed or
-    * race-losing commits) older than the grace horizon. Returns the
+    * along with those manifests, (b) orphan leaves (crashed or
+    * race-losing commits) older than the grace horizon, and (c) chunk
+    * files no surviving manifest list references (with the same age
+    * guard, so an in-flight publish's chunks survive). Returns the
     * number of data directories removed.
     *
     * A reader pinned to an expiring snapshot keeps working for `graceMs`
@@ -356,6 +474,7 @@ object VersionedStore {
     }
     // Partition manifests into surviving vs grace-elapsed expired.
     val all = Using.resource(Files.list(md))(_.iterator().asScala.toSeq)
+      .filterNot(_.getFileName.toString == "chunks")
     val (deletable, surviving) = all.partition { p =>
       p.getFileName.toString match {
         case ExpiredName(_) =>
@@ -363,13 +482,17 @@ object VersionedStore {
         case _ => false
       }
     }
-    val live = surviving.flatMap { p =>
+    val survivingManifests = surviving.filter { p =>
       p.getFileName.toString match {
-        case ManifestName(_) | ExpiredName(_) =>
-          readManifestFile(p).map(_.path).filter(_.nonEmpty)
-        case _ => Nil
+        case ManifestName(_) | ExpiredName(_) => true
+        case _ => false
       }
-    }.toSet
+    }
+    val live = survivingManifests
+      .flatMap(p => readManifestFile(dir, p).map(_.path).filter(_.nonEmpty))
+      .toSet
+    val liveChunks = survivingManifests
+      .flatMap(p => readListRefs(p).toSeq.flatten.map(_.file)).toSet
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p))
         Using.resource(Files.list(p))(_.iterator().asScala.toSeq).foreach(rm)
@@ -394,6 +517,18 @@ object VersionedStore {
         }
     }
     deletable.foreach(Files.deleteIfExists(_))
+    // Chunk GC: a chunk referenced by NO surviving list is garbage once
+    // past the grace horizon (the age guard protects an in-flight
+    // publish that has written chunks but not yet linked its list).
+    val cd = chunksDir(dir)
+    if (Files.exists(cd))
+      Using.resource(Files.list(cd))(_.iterator().asScala.toSeq)
+        .foreach { ch =>
+          val fn = ch.getFileName.toString
+          val old = Files.getLastModifiedTime(ch).toMillis + graceMs <= now
+          if (fn.startsWith("ch") && !liveChunks(fn) && old)
+            Files.deleteIfExists(ch)
+        }
     removed
   }
 

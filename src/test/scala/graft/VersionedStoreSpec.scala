@@ -245,6 +245,88 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(v1 == Set(1L, 3L))
   }
 
+  test("manifest lists: 1-key commit metadata writes are O(touched chunks), flat at 20x leaves") {
+    // Two stores, 20x apart in LEAF count, same chunk target: the
+    // metadata a 1-key commit writes (new chunk files + the version's
+    // list file) must track the TOUCHED chunk, not the table — the
+    // Iceberg manifest-list property. Without chunking, the big store's
+    // commit rewrites a 20x-bigger manifest.
+    def manifestBytes(dir: String): Map[String, Long] = {
+      val md = Paths.get(dir, "manifests")
+      val s = Files.walk(md)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => md.relativize(p).toString -> Files.size(p)).toMap
+      finally s.close()
+    }
+    def oneKeyCommitMeta(nRows: Long): (Long, Long, Int, Int) = {
+      val dir = freshDir()
+      val rows = (0L until nRows).map(i => (i, s"v$i")).toDF("k", "v")
+      ops.VersionedStore.init(spark, dir, rows, "k",
+        targetRowsPerFile = 4, chunkTarget = 8)
+      val before = manifestBytes(dir)
+      val chunksBefore = before.keySet.filter(_.startsWith("chunks/"))
+      ops.VersionedStore.commit(spark, dir,
+        Seq((0L, "U", "u0")).toDF("k", "op", "v"), "k")
+      val after = manifestBytes(dir)
+      val newFiles = after.keySet -- before.keySet
+      val newBytes = newFiles.toSeq.map(after).sum
+      val newChunks = newFiles.count(_.startsWith("chunks/"))
+      // Untouched chunk files are SHARED with v1 — same names, same bytes.
+      val sharedChunks = chunksBefore.intersect(after.keySet)
+      sharedChunks.foreach(c => assert(after(c) == before(c), s"$c rewritten"))
+      val listBytes = after("v2")
+      (newBytes, listBytes, newChunks, chunksBefore.size)
+    }
+    val (smallBytes, smallList, smallNew, smallChunks) = oneKeyCommitMeta(160) // 40 leaves
+    val (bigBytes, bigList, bigNew, bigChunks) = oneKeyCommitMeta(3200)        // 800 leaves
+    assert(bigChunks >= 15 * smallChunks, s"$smallChunks -> $bigChunks chunks")
+    // The commit rewrote ~one chunk in both stores (a touched entry can
+    // split, spilling into a neighbor pack — allow 2).
+    assert(smallNew <= 2 && bigNew <= 2, s"new chunks: $smallNew, $bigNew")
+    // Decomposition pin: new metadata = the version's LIST (one
+    // ~70-byte line per chunk — Iceberg's manifest list, 20x smaller
+    // than the entries) + the TOUCHED chunks. The chunk component must
+    // stay FLAT as leaves grow 20x; a flat-manifest design would
+    // rewrite all entries (~20x bytes).
+    assert(bigBytes - bigList <= 3 * math.max(1L, smallBytes - smallList),
+      s"chunk bytes not flat: ${smallBytes - smallList} -> ${bigBytes - bigList}")
+    assert(bigBytes <= 8 * smallBytes,
+      s"1-key commit wrote $smallBytes B at 40 leaves, $bigBytes B at 800")
+    // And the result is still exact.
+    val dir = freshDir()
+    ops.VersionedStore.init(spark, dir,
+      (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v"), "k",
+      targetRowsPerFile = 4, chunkTarget = 8)
+    ops.VersionedStore.commit(spark, dir,
+      Seq((5L, "U", "v5b"), (999L, "I", "v999"), (7L, "D", "x"))
+        .toDF("k", "op", "v"), "k")
+    val got = ops.VersionedStore.asOf(spark, dir, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(5L) == "v5b" && got(999L) == "v999" && !got.contains(7L))
+    assert(got.size == 64)
+  }
+
+  test("vacuum reclaims chunk files no surviving manifest references") {
+    val dir = freshDir()
+    ops.VersionedStore.init(spark, dir,
+      (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v"), "k",
+      targetRowsPerFile = 4, chunkTarget = 4)
+    ops.VersionedStore.commit(spark, dir,
+      Seq((1L, "U", "u1")).toDF("k", "op", "v"), "k")
+    ops.VersionedStore.commit(spark, dir,
+      Seq((2L, "U", "u2")).toDF("k", "op", "v"), "k")
+    val cd = Paths.get(dir, "manifests", "chunks")
+    val before = Files.list(cd).iterator().asScala.size
+    ops.VersionedStore.vacuum(dir, keepLast = 1)
+    val after = Files.list(cd).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(after.size < before, s"chunk GC removed nothing ($before files)")
+    // Every chunk the current version references survives; v3 still exact.
+    val got = ops.VersionedStore.asOf(spark, dir, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "u1" && got(2L) == "u2" && got.size == 64)
+  }
+
   test("deleting every row empties the manifest; asOf returns zero rows") {
     val dir = freshDir()
     val base = (1L to 50L).map(k => (k, k)).toDF("k", "v")
