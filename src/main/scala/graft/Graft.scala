@@ -207,6 +207,11 @@ object Graft {
                      targetRowsPerRegion: Long =
                        ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
     ops.KeyedStore.rebalance(spark, name, key, targetRowsPerRegion)
+  /** Crash-recovery sweep: drop partitions the region directory doesn't
+    * list (orphans of a crashed split/merge) and orphan bloom files;
+    * returns partitions reclaimed. */
+  def keyedRepair(spark: SparkSession, name: String): Int =
+    ops.KeyedStore.repair(spark, name)
   /** Drop the table and its data directory. */
   def keyedDrop(spark: SparkSession, name: String): Unit =
     ops.KeyedStore.drop(spark, name)

@@ -228,7 +228,7 @@ object KeyedStore {
 
   /** Hash probes per key — fixed store-wide; filter SIZE lives in the
     * bloom meta file (derived from the region target at create). */
-  private val BloomK = 7
+  private[graft] val BloomK = 7
 
   private def bloomDir(spark: SparkSession, name: String): Path =
     location(spark, name).resolve("_graft_blooms")
@@ -279,19 +279,20 @@ object KeyedStore {
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Array[Byte])]
 
-  /** Lazily load ONE region's bloom. Fail-open contract: a missing
-    * bloom file — or one OLDER than the region's data directory (a
-    * crash between the partition overwrite and the bloom refresh) — is
-    * treated as absent, so the region is scanned; a torn bloom write
-    * costs IO, never correctness.
+  /** Lazily load ONE region's bloom from the table LOCATION (path-based
+    * so the [[graft.plans.KeyedRegionPrune]] optimizer rule — which sees
+    * a catalog location, not a session+name — shares the loader and the
+    * cache). Fail-open contract: a missing bloom file — or one OLDER
+    * than the region's data directory (a crash between the partition
+    * overwrite and the bloom refresh) — is treated as absent, so the
+    * region is scanned; a torn bloom write costs IO, never correctness.
     */
-  private def loadBloom(spark: SparkSession, name: String,
-                        kr: Int): Option[Array[Byte]] = {
-    val f = bloomFile(spark, name, kr)
+  private[graft] def loadBloomAt(loc: Path, kr: Int): Option[Array[Byte]] = {
+    val f = loc.resolve("_graft_blooms").resolve(s"kr=$kr")
     if (!Files.exists(f)) None
     else {
       val bm = Files.getLastModifiedTime(f)
-      val dataDir = location(spark, name).resolve(s"kr=$kr")
+      val dataDir = loc.resolve(s"kr=$kr")
       val fresh = !Files.exists(dataDir) ||
         Files.getLastModifiedTime(dataDir).compareTo(bm) <= 0
       if (!fresh) None
@@ -308,6 +309,10 @@ object KeyedStore {
       }
     }
   }
+
+  private def loadBloom(spark: SparkSession, name: String,
+                        kr: Int): Option[Array[Byte]] =
+    loadBloomAt(location(spark, name), kr)
 
   /** ONE partial-combined aggregate pass over a (kr, key, ...) relation:
     * per-region (rows, min, max) comes back to the driver — one ~50-byte
@@ -351,7 +356,7 @@ object KeyedStore {
     * `TextFns.hash60(cast(key as string))` (md5 → first 15 hex chars →
     * base-16 long), so the probe and the build can never drift.
     */
-  private def driverHash60(typ: String, v: Any): Long = {
+  private[graft] def driverHash60(typ: String, v: Any): Long = {
     val s = typ match {
       case "long" => v.asInstanceOf[Number].longValue().toString
       case _ => v.toString
@@ -370,9 +375,15 @@ object KeyedStore {
     case _ => new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
   }
 
-  private def writeRegions(spark: SparkSession, name: String,
-                           rm: RegionMap, target: Long): Unit = {
-    val lines = s"${rm.typ},$target" +: rm.regions.map(r =>
+  private def writeRegions(spark: SparkSession, name: String, rm: RegionMap,
+                           target: Long, keyCol: String): Unit = {
+    // Header carries the KEY COLUMN (base64 — column names are free
+    // text) so SQL-plan consumers ([[graft.plans.KeyedRegionPrune]]) can
+    // recognize key predicates without out-of-band metadata — the region
+    // directory is the store's whole contract, like HBase meta.
+    val keyB64 = java.util.Base64.getEncoder
+      .encodeToString(keyCol.getBytes("UTF-8"))
+    val lines = s"${rm.typ},$target,$keyB64" +: rm.regions.map(r =>
       s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}")
     val p = sidecar(spark, name)
     atomicWrite(p, lines.mkString("\n"))
@@ -386,7 +397,7 @@ object KeyedStore {
       case _ => Ordering.by[Any, String](_.toString)
     }
     dirCache.put(p.toString, (attrs.lastModifiedTime(), attrs.size(),
-      (RegionMap(rm.typ, rm.regions.sortBy(_.min)(ord)), target)))
+      (RegionMap(rm.typ, rm.regions.sortBy(_.min)(ord)), target, Some(keyCol))))
   }
 
   /** Test hook: number of sidecar PARSES (cache misses). Pins the
@@ -402,16 +413,18 @@ object KeyedStore {
     * point-GET and one parse per directory version.
     */
   private val dirCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Long, (RegionMap, Long))]
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Long, (RegionMap, Long, Option[String]))]
 
-  /** Region map + the store's per-region row target (persisted in the
-    * sidecar header; legacy headers without it fall back to the default).
-    * Entries are sorted by MIN KEY — the binary-search invariant — not by
-    * kr: after an automatic split, fresh kr ids interleave the key order.
+  /** Parse (through the cache) the region directory at an explicit
+    * sidecar PATH: (region map, per-region row target, key column).
+    * Path-based so [[graft.plans.KeyedRegionPrune]] — which resolves a
+    * catalog table's location, not a session+name — shares the parse and
+    * the cache. Entries are sorted by MIN KEY — the binary-search
+    * invariant — not by kr: after an automatic split, fresh kr ids
+    * interleave the key order. Legacy headers lacking target/key fall
+    * back to (default, None).
     */
-  private[graft] def readRegionsWithTarget(
-      spark: SparkSession, name: String): (RegionMap, Long) = {
-    val p = sidecar(spark, name)
+  private[graft] def parseSidecarAt(p: Path): (RegionMap, Long, Option[String]) = {
     val attrs = Files.readAttributes(p,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val cached = dirCache.get(p.toString)
@@ -419,9 +432,11 @@ object KeyedStore {
         cached._2 == attrs.size()) return cached._3
     sidecarParses.incrementAndGet()
     val lines = Files.readAllLines(p).asScala.toIndexedSeq
-    val header = lines.head.split(",", 2)
+    val header = lines.head.split(",", 3)
     val typ = header(0)
     val target = header.lift(1).map(_.toLong).getOrElse(DefaultTargetRowsPerRegion)
+    val keyCol = header.lift(2).map(b =>
+      new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
     val regions = lines.tail.filter(_.nonEmpty).map { l =>
       val Array(kr, n, lo, hi) = l.split(",", 4)
       Region(kr.toInt, n.toLong, decKey(typ, lo), decKey(typ, hi))
@@ -430,9 +445,15 @@ object KeyedStore {
       case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
       case _ => Ordering.by[Any, String](_.toString)
     }
-    val parsed = (RegionMap(typ, regions.sortBy(_.min)(ord)), target)
+    val parsed = (RegionMap(typ, regions.sortBy(_.min)(ord)), target, keyCol)
     dirCache.put(p.toString, (attrs.lastModifiedTime(), attrs.size(), parsed))
     parsed
+  }
+
+  private[graft] def readRegionsWithTarget(
+      spark: SparkSession, name: String): (RegionMap, Long) = {
+    val (rm, target, _) = parseSidecarAt(sidecar(spark, name))
+    (rm, target)
   }
 
   private[graft] def readRegions(spark: SparkSession, name: String): RegionMap =
@@ -479,7 +500,7 @@ object KeyedStore {
     val stats = regionStats(spark, name, spark.table(name), key, typ, mBits)
     writeRegions(spark, name,
       RegionMap(typ, stats.values.toIndexedSeq.sortBy(_.kr)),
-      targetRowsPerRegion)
+      targetRowsPerRegion, key)
   }
 
   /** Batch point-GET: driver-side region resolution (binary search over
@@ -640,7 +661,7 @@ object KeyedStore {
       if (!touched.contains(r.kr)) r
       else stats.getOrElse(r.kr, r.copy(rows = 0L))
     }
-    writeRegions(spark, name, RegionMap(rm.typ, newRegions), target)
+    writeRegions(spark, name, RegionMap(rm.typ, newRegions), target, key)
   }
 
   /** Automatic region SPLIT — what an HBase region server does when a
@@ -689,7 +710,7 @@ object KeyedStore {
       regions = regions.filterNot(_.kr == r.kr) ++ stats.values
       // Directory first (covers the new partitions), THEN drop the old:
       // the crash-safe order — get/scan never point at dropped data.
-      writeRegions(spark, name, RegionMap(rm0.typ, regions), target)
+      writeRegions(spark, name, RegionMap(rm0.typ, regions), target, key)
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=${r.kr})")
       Files.deleteIfExists(bloomFile(spark, name, r.kr))
     }
@@ -778,7 +799,7 @@ object KeyedStore {
       if (survivors.nonEmpty) survivors
       else IndexedSeq(rm.regions.head.copy(rows = 0L))
     // Directory first, THEN drop superseded partitions (crash-safe order).
-    writeRegions(spark, name, RegionMap(rm.typ, regions), target)
+    writeRegions(spark, name, RegionMap(rm.typ, regions), target, key)
     gone.foreach { krv =>
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
       Files.deleteIfExists(bloomFile(spark, name, krv))

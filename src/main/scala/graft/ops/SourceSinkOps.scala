@@ -313,6 +313,30 @@ object SourceSinkOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The keyed store driven through RAW SQL TEXT — the HBase-connector
+    * seam ([[graft.plans.KeyedRegionPrune]]): no GET/scan API call, just
+    * `spark.sql` over the catalog table. The optimizer rule recognizes
+    * the key range + IN predicates, consults the region directory (and,
+    * for the IN probes, the per-region row blooms) and injects the
+    * `kr IN (…)` prune — PartitionFilters + PushedFilters identical to
+    * the API path, from SQL a BI tool could emit (KeyedStoreSpec pins
+    * the pruned plan shape). One probe key is absent (+10M), pinning
+    * that bloom rejection is value-neutral.
+    */
+  def qSqlKeyedPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_keyed_sql_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name,
+      orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "o_orderkey", targetRowsPerRegion = 2048)
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+         |FROM $name
+         |WHERE (o_orderkey BETWEEN 2000 AND 2200)
+         |   OR o_orderkey IN (42, 10000042)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Managed-table surface: the catalog path (`saveAsTable` →
     * `spark.table`) instead of direct parquet paths — the API a
     * warehouse-style deployment uses. The round trip is lossless, so the

@@ -124,6 +124,15 @@ object SourceSinkOracles {
         |WHERE o_orderkey IN (100, 2000, 5000, 10000100, 10002000, 10005000)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // The rule-pruned SQL path must equal the plain predicate over the
+    // base table (pruning is value-neutral; 10000042 is absent).
+    "q_sql_keyed_pushdown" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE (o_orderkey BETWEEN 2000 AND 2200)
+        |   OR o_orderkey IN (42, 10000042)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // The region-pruned range scan must equal the plain range predicate.
     "q_keyed_range" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price

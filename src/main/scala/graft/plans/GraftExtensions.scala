@@ -144,6 +144,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => TopKMarker(exprs)))
     ext.injectOptimizerRule(_ => FuseDotProduct)
     ext.injectOptimizerRule(_ => RewriteTopKMarker)
+    ext.injectOptimizerRule(_ => KeyedRegionPrune)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -1,0 +1,167 @@
+package graft.plans
+
+import graft.ops.KeyedStore
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.{Files, Path, Paths}
+
+/** Optimizer rule: REGION PRUNING for [[KeyedStore]] tables reached
+  * through plain SQL — the "Spark DataFrame + HBase connector" seam the
+  * reference's north star names (its HBase client prunes GETs/Scans to
+  * the owning regions via hbase:meta;
+  * `HPopulate/src/main/java/org/northeastern/Main.java:54-73,97-100`
+  * creates and probes that table), minus HBase.
+  *
+  * [[KeyedStore.get]]/[[KeyedStore.scan]] prune driver-side, but they
+  * are API calls: a user writing `spark.sql("SELECT ... FROM store
+  * WHERE key BETWEEN a AND b")` — or composing the store into an
+  * arbitrary query — used to scan every region, because Spark cannot
+  * know the key↔kr mapping the sidecar records. This rule closes that
+  * gap: any Filter directly over a keyed table's relation whose
+  * conjuncts constrain the KEY column (=, IN, <, <=, >, >=, BETWEEN)
+  * gains a `kr IN (…)` conjunct derived from the region directory —
+  * which Spark's own FileSourceStrategy then splits out as a
+  * PartitionFilter (static partition pruning) while the original key
+  * predicate pushes into the key-sorted parquet as a PushedFilter.
+  * Equality/IN probes additionally consult the per-region row blooms
+  * (lazily, O(probed regions) — [[KeyedStore.loadBloomAt]]), so an
+  * absent-key SQL lookup scans ZERO partitions, the HBase ROW-bloom
+  * fast path from SQL text.
+  *
+  * Deliberately NOT a custom DataSource V2 relation: the store's data
+  * plane IS parquet, and rewriting the logical plan above the existing
+  * relation composes with Spark's vectorized parquet reader, row-group
+  * min/max skipping, and whole-stage codegen — all of which a
+  * hand-rolled DSv2 `PartitionReader` (row-by-row record
+  * materialization) would forfeit. The directory/bloom consultation is
+  * control-plane-sized and cached ([[KeyedStore.parseSidecarAt]]).
+  *
+  * Correctness never depends on this rule firing (the injected conjunct
+  * only ever REMOVES regions the directory proves cannot hold matching
+  * keys — strict inequalities are widened to inclusive bounds, unknown
+  * predicate shapes contribute nothing); if the sidecar is missing or
+  * legacy (no key column recorded) the plan is left untouched.
+  */
+object KeyedRegionPrune extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, rel: LogicalRelation) =>
+      pruneConjunct(cond, rel)
+        .map(extra => Filter(And(cond, extra), rel))
+        .getOrElse(f)
+  }
+
+  private def tableLocation(rel: LogicalRelation): Option[Path] =
+    rel.catalogTable.flatMap { ct =>
+      scala.util.Try(Paths.get(ct.location)).toOption
+    }
+
+  private def pruneConjunct(cond: Expression,
+                            rel: LogicalRelation): Option[Expression] = {
+    for {
+      krAttr <- rel.output.find(a => a.name == "kr" && a.dataType == IntegerType)
+      loc <- tableLocation(rel)
+      sidecar = loc.resolve("_graft_regions")
+      if Files.exists(sidecar)
+      (rm, _, keyColOpt) = KeyedStore.parseSidecarAt(sidecar)
+      keyCol <- keyColOpt
+      keyAttr <- rel.output.find(_.name == keyCol)
+      conjuncts = splitConjunctivePredicates(cond)
+      // Idempotence + user intent: if kr is already constrained (by a
+      // prior firing of this rule, or by the GET/scan API's explicit
+      // prune), leave the plan alone.
+      if !conjuncts.exists(_.references.contains(krAttr))
+      extra <- derive(conjuncts, rm, loc, krAttr, keyAttr)
+    } yield extra
+  }
+
+  /** Literal key value in the directory's domain, or None if the
+    * literal's type doesn't match the key type (a cast-wrapped key never
+    * reaches here — we only match bare attribute comparisons).
+    */
+  private def keyValue(rm: KeyedStore.RegionMap, l: Literal): Option[Any] =
+    (rm.typ, l.value) match {
+      case (_, null) => None
+      case ("long", v: java.lang.Number) => Some(v.longValue())
+      case ("string", v: UTF8String) => Some(v.toString)
+      case _ => None
+    }
+
+  private def derive(conjuncts: Seq[Expression], rm: KeyedStore.RegionMap,
+                     loc: Path, krAttr: Attribute,
+                     keyAttr: Attribute): Option[Expression] = {
+    def isKey(e: Expression): Boolean = e match {
+      case a: Attribute => a.semanticEquals(keyAttr)
+      case _ => false
+    }
+    /** Regions the PROBE VALUE may live in: range candidacy, then the
+      * region's row bloom (lazy, cached, O(probed regions)) rejects
+      * definite misses — missing/stale bloom files fail open.
+      */
+    def probe(v: Any): Set[Int] = {
+      val h = KeyedStore.driverHash60(rm.typ, v)
+      rm.holdingIdx(v).filter { i =>
+        KeyedStore.loadBloomAt(loc, rm.regions(i).kr).forall(b =>
+          graft.functions.BloomAgg.maybeContains(b, h, KeyedStore.BloomK))
+      }.toSet
+    }
+    def range(lo: Option[Any], hi: Option[Any]): Set[Int] =
+      rm.rangeIdx(lo.getOrElse(rm.regions.head.min),
+                  hi.getOrElse(rm.regions.last.max)).toSet
+    /** Region-set abstract interpretation of the predicate tree —
+      * Some(s) = "matching rows live only in s"; None = unconstrained.
+      * AND intersects (an unconstrained side contributes nothing), OR
+      * unions (and is only constrained when BOTH sides are — HBase's
+      * MultiRowRangeFilter shape). Exact at region granularity for
+      * single intervals: [a,b] meets [lo,∞) and (−∞,hi] iff it meets
+      * [lo,hi]. Strict bounds widen to inclusive — pruning may KEEP a
+      * region the predicate later empties, never drop a live one; the
+      * original predicate always re-applies in full.
+      */
+    def regionsFor(e: Expression): Option[Set[Int]] = e match {
+      case And(a, b) => (regionsFor(a), regionsFor(b)) match {
+        case (Some(ra), Some(rb)) => Some(ra.intersect(rb))
+        case (ra, rb) => ra.orElse(rb)
+      }
+      case Or(a, b) =>
+        for { ra <- regionsFor(a); rb <- regionsFor(b) } yield ra.union(rb)
+      case EqualTo(k, l: Literal) if isKey(k) => keyValue(rm, l).map(probe)
+      case EqualTo(l: Literal, k) if isKey(k) => keyValue(rm, l).map(probe)
+      case In(k, list) if isKey(k) && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.flatMap(l => keyValue(rm, l.asInstanceOf[Literal]))
+        if (vs.size == list.size) Some(vs.map(probe).foldLeft(Set.empty[Int])(_ ++ _))
+        else None
+      case GreaterThanOrEqual(k, l: Literal) if isKey(k) =>
+        keyValue(rm, l).map(v => range(Some(v), None))
+      case GreaterThan(k, l: Literal) if isKey(k) =>
+        keyValue(rm, l).map(v => range(Some(v), None))
+      case LessThanOrEqual(k, l: Literal) if isKey(k) =>
+        keyValue(rm, l).map(v => range(None, Some(v)))
+      case LessThan(k, l: Literal) if isKey(k) =>
+        keyValue(rm, l).map(v => range(None, Some(v)))
+      // Literal-first spellings (5000 <= key means key >= 5000 → lo).
+      case GreaterThanOrEqual(l: Literal, k) if isKey(k) =>
+        keyValue(rm, l).map(v => range(None, Some(v)))
+      case GreaterThan(l: Literal, k) if isKey(k) =>
+        keyValue(rm, l).map(v => range(None, Some(v)))
+      case LessThanOrEqual(l: Literal, k) if isKey(k) =>
+        keyValue(rm, l).map(v => range(Some(v), None))
+      case LessThan(l: Literal, k) if isKey(k) =>
+        keyValue(rm, l).map(v => range(Some(v), None))
+      case _ => None
+    }
+    val combined = conjuncts.map(regionsFor).foldLeft(Option.empty[Set[Int]]) {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (a, b) => a.orElse(b)
+    }
+    combined.flatMap { idxs =>
+      if (idxs.size >= rm.regions.size) None // nothing pruned; keep the plan clean
+      else if (idxs.isEmpty) Some(Literal.FalseLiteral)
+      else Some(In(krAttr, idxs.toSeq.sorted.map(i => Literal(rm.regions(i).kr))))
+    }
+  }
+}

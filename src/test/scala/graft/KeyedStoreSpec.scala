@@ -428,6 +428,57 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(KeyedStore.get(spark, name, "k", Seq(5L)).count() == 1)
   }
 
+  test("SQL region pruning: key predicates in spark.sql text prune kr partitions") {
+    val name = "graft_keyed_spec_sql"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.size >= 8)
+    // Range predicate in RAW SQL — no KeyedStore API call: the optimizer
+    // rule derives kr candidates from the region directory; Spark turns
+    // them into PartitionFilters and pushes the key range into parquet.
+    val ranged = spark.sql(
+      s"SELECT k, v FROM $name WHERE k BETWEEN 50 AND 80 ORDER BY k")
+    assert(ranged.collect().map(_.getLong(0)).toSeq == (50L to 80L))
+    val p1 = ranged.queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters: [") && p1.contains("kr#"), p1.take(3000))
+    assert(p1.contains("GreaterThanOrEqual(k,50)") &&
+      p1.contains("LessThanOrEqual(k,80)"), p1.take(3000))
+    // The injected prune list is the range's regions, not the table.
+    val expect = rm.rangeIdx(50L, 80L).map(i => rm.regions(i).kr).toSet
+    val scanned = "kr#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(p1)
+      .map(_.group(1).split(",").map(_.trim.toInt).toSet)
+    assert(scanned.contains(expect), s"pruned to $scanned, want $expect\n${p1.take(2000)}")
+    // Equality probe for an ABSENT key: range candidacy + bloom reject →
+    // zero partitions scanned, straight from SQL text.
+    val miss = spark.sql(s"SELECT v FROM $name WHERE k = 5000")
+    assert(miss.count() == 0)
+    val p2 = miss.queryExecution.executedPlan.toString
+    assert(!p2.contains("Scan parquet") || p2.contains("PartitionFilters: [false]")
+      || p2.contains("LocalTableScan"), p2.take(2000))
+    // Present-key equality still answers (bloom has no false negatives),
+    // and composes with unrelated predicates.
+    val hit = spark.sql(
+      s"SELECT v FROM $name WHERE k = 77 AND length(v) > 0")
+    assert(hit.collect().map(_.getString(0)).toSeq == Seq("v77"))
+    val p3 = hit.queryExecution.executedPlan.toString
+    assert(p3.contains("PartitionFilters: [") && p3.contains("kr#"), p3.take(2000))
+    // A query with NO key predicate is untouched (no spurious prune).
+    val full = spark.sql(s"SELECT count(*) AS n FROM $name WHERE length(v) > 1")
+    assert(full.collect().head.getLong(0) == 200L)
+    // Disjunctions prune to the UNION of each branch's regions (HBase's
+    // MultiRowRangeFilter shape): range ∪ present probe ∪ bloom-rejected
+    // absent probe.
+    val or = spark.sql(
+      s"SELECT k FROM $name WHERE (k BETWEEN 50 AND 60) OR k IN (150, 5000) ORDER BY k")
+    assert(or.collect().map(_.getLong(0)).toSeq == ((50L to 60L) :+ 150L))
+    val p4 = or.queryExecution.executedPlan.toString
+    val orScan = "kr#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(p4)
+      .map(_.group(1).split(",").map(_.trim.toInt).toSet)
+    val orWant = rm.rangeIdx(50L, 60L).map(i => rm.regions(i).kr).toSet ++
+      rm.holdingIdx(150L).map(i => rm.regions(i).kr)
+    assert(orScan.exists(_.subsetOf(orWant)), s"got $orScan want ⊆ $orWant")
+  }
+
   test("create is idempotent across JVMs (stale location, fresh metastore)") {
     val name = "graft_keyed_spec_idem"
     // Simulate the next JVM: fresh metastore (no catalog entry for the
