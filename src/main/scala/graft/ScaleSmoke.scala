@@ -189,6 +189,51 @@ object ScaleSmoke {
       time(s"vstore_compact_$tag", dir)(d => ops.SourceSinkOps.qVstoreCompact(spark, d))
       time(s"keyed_bloom_$tag", dir)(d => ops.SourceSinkOps.qKeyedBloom(spark, d))
 
+      // FIXED-OBJECT-COUNT store probes: the *_$tag rows above reuse the
+      // driver rows' miniaturized region/file targets, so at FACTOR×
+      // data they create FACTOR× more regions/leaves BY CONSTRUCTION —
+      // the battery was conflating object-creation cost with engine
+      // cost. Here the target scales with the data (≈24 regions / ≈32
+      // leaves at ANY size — the production shape), so the 1×→FACTOR×
+      // ratio isolates the engine's own scaling.
+      if (wanted("keyed_bloom_fixed")) {
+        val name = "graft_scale_keyed_fixed"
+        val n = Tables.orders(spark, dir).count()
+        val t0 = System.nanoTime()
+        ops.KeyedStore.create(spark, name,
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")),
+          "o_orderkey", targetRowsPerRegion = math.max(2048L, n / 24))
+        val probes = Seq(100L, 2000L, 5000L, 10000100L, 10002000L, 10005000L)
+        val rows = ops.KeyedStore.get(spark, name, "o_orderkey", probes).count()
+        println(f"SCALE keyed_bloom_fixed_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows")
+        ops.KeyedStore.drop(spark, name)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+      if (wanted("vstore_compact_fixed")) {
+        import spark.implicits._
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_scale_vcf_$tag"
+        graft.streaming.EventStream.deleteRecursively(
+          java.nio.file.Paths.get(store))
+        val vbase = Tables.orders(spark, dir).select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val n = vbase.count()
+        val t0 = System.nanoTime()
+        ops.VersionedStore.init(spark, store, vbase, "o_orderkey",
+          targetRowsPerFile = math.max(2048L, n / 32))
+        ops.VersionedStore.commit(spark, store,
+          vbase.filter(col("o_orderkey") % 5 =!= 0)
+            .select(col("o_orderkey"), lit("D").as("op"), col("cents")),
+          "o_orderkey")
+        ops.VersionedStore.compact(spark, store, "o_orderkey")
+        println(f"SCALE vstore_compact_fixed_$tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=1")
+        graft.streaming.EventStream.deleteRecursively(
+          java.nio.file.Paths.get(store))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+
       // The store layer's CENTRAL scale claim, probed directly: a 1-key
       // merge/commit costs O(changed regions/files) — the SAME wall time
       // at 1x and 20x table size (create/init excluded from the timing;

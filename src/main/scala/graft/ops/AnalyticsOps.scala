@@ -569,15 +569,32 @@ object AnalyticsOps {
     * broadcast single-row aggregate. No window, no driver loop.
     */
   def assocRules(items: DataFrame, basket: String, item: String,
-                 minPair: Long = 2, topN: Int = 100): DataFrame = {
+                 minPair: Long = 2, topN: Int = 100,
+                 maxBasketItems: Int = 64): DataFrame = {
     val li = items
       .select(col(basket).as("basket"), col(item).as("p1"))
       .repartition(col("basket"))
       .dropDuplicates("basket", "p1")
     val nb = li.agg(countDistinct(col("basket")).as("n_baskets"))
     val ic = li.groupBy(col("p1")).agg(count(lit(1)).as("c1"))
-    val b = li.toDF("basket", "p2")
-    val pairs = li.join(b, Seq("basket")).filter(col("p1") < col("p2"))
+    // WHALE-BASKET CAP on the pair generation only: a basket contributes
+    // pairs from its `maxBasketItems` smallest item keys (deterministic,
+    // so the oracle mirrors it). The self-join's per-basket cost is
+    // C(k,2); one registry-scale basket (every item, k=10⁶) would emit
+    // 5·10¹¹ pairs and own the whole stage — the cap bounds any basket
+    // at C(64,2) ≈ 2k pairs. Recall trade, documented: pairs where
+    // either item ranks beyond the cap in EVERY shared basket are
+    // missed; support/confidence denominators stay exact (c1/n_baskets
+    // come from the uncapped relation). TPC-H-ish baskets are ≤7 items,
+    // so fixture results are bit-identical with or without the cap.
+    val capped = li
+      .withColumn("__bn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("basket")).orderBy(col("p1"))))
+      .filter(col("__bn") <= maxBasketItems)
+      .drop("__bn")
+    val b = capped.toDF("basket", "p2")
+    val pairs = capped.join(b, Seq("basket")).filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minPair)

@@ -216,9 +216,13 @@ object AnalyticsOracles {
         |            FROM lineitem),
         |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM li),
         |ic AS (SELECT item, count(*) AS c1 FROM li GROUP BY 1),
+        |cap AS (SELECT basket, item FROM (
+        |          SELECT basket, item,
+        |                 row_number() OVER (PARTITION BY basket ORDER BY item) AS bn
+        |          FROM li) WHERE bn <= 64),
         |pr AS (
         |  SELECT a.item AS p1, b.item AS p2, count(*) AS c12
-        |  FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+        |  FROM cap a JOIN cap b ON a.basket = b.basket AND a.item < b.item
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |d AS (SELECT p1 AS ante, p2 AS cons, c12 FROM pr
         |      UNION ALL SELECT p2, p1, c12 FROM pr)

@@ -209,7 +209,7 @@ object SourceSinkOracles {
         |       count(*) AS n_rows,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
-        |FROM events""".stripMargin,
+        |FROM events WHERE event_id % 10 = 0""".stripMargin,
 
     // In-flight CollectMetrics must equal the batch aggregates.
     "q_observe_metrics" ->

@@ -107,7 +107,8 @@ object TopKStrategy extends SparkStrategy {
 }
 
 /** Session extensions: registers the `cosine_dot` SQL function, the
-  * `graft_topk` marker, the [[FuseDotProduct]]/[[RewriteTopKMarker]]
+  * `graft_topk` marker, the `graft_as_of` table function, the
+  * [[FuseDotProduct]]/[[RewriteTopKMarker]]/[[KeyedRegionPrune]]
   * optimizer rules, and the [[TopKStrategy]] planner strategy. Installed
   * by Verify/Bench/tests via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` — the
@@ -115,7 +116,39 @@ object TopKStrategy extends SparkStrategy {
   * (SURVEY.md §7.2 M4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Table-valued SQL surface for the versioned store's time travel:
+    * `SELECT … FROM graft_as_of('/store/dir', 3)` resolves to the
+    * snapshot's parquet relation — `VersionedStore.asOf` reachable from
+    * raw SQL text (the FOR VERSION AS OF idiom of the lakehouse
+    * formats, expressed as a TVF so no parser extension is needed).
+    * Arguments must be foldable (a table source can't depend on row
+    * values); the manifest resolution happens at analysis, so the plan
+    * below is an ordinary multi-path parquet scan with every pushdown
+    * intact.
+    */
+  private def asOfPlan(exprs: Seq[Expression]): LogicalPlan = {
+    def fold(e: Expression): Any = e match {
+      case Literal(v, _) => v
+      case other if other.foldable => other.eval()
+      case other => throw new IllegalArgumentException(
+        s"graft_as_of arguments must be literals, got: ${other.sql}")
+    }
+    require(exprs.size == 2,
+      "usage: graft_as_of(<store dir string>, <version int>)")
+    val dir = fold(exprs.head).toString
+    val version = fold(exprs(1)).asInstanceOf[Number].intValue()
+    graft.ops.VersionedStore.asOf(
+      org.apache.spark.sql.SparkSession.active, dir, version)
+      .queryExecution.analyzed
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_as_of"),
+      new ExpressionInfo(classOf[graft.ops.VersionedStore.type].getName,
+        "graft_as_of"),
+      (exprs: Seq[Expression]) => asOfPlan(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_dot"),
       new ExpressionInfo(classOf[CosineDot].getName, "cosine_dot"),
