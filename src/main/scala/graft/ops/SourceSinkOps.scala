@@ -325,10 +325,13 @@ object SourceSinkOps {
     */
   def qSqlKeyedPushdown(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_sql_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // 1024-row regions keep the store multi-region even at sf0.001, so
+    // the injected kr prune is visible in PLANS.md at every fixture SF
+    // (with a single region the rule correctly declines to inject).
     KeyedStore.create(spark, name,
       orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-      "o_orderkey", targetRowsPerRegion = 2048)
+      "o_orderkey", targetRowsPerRegion = 1024)
     spark.sql(
       s"""SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
          |FROM $name
