@@ -178,6 +178,11 @@ object Graft {
                     ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
     ops.KeyedStore.create(spark, name, rows, key, targetRowsPerRegion)
   /** Batch point-GET: bloom-rejected + region-pruned + IN-list pushed. */
+  /** HBase multiGet analog for LARGE key sets: keys stay data (join),
+    * never an IN-list of literals; prunes to the holding regions. */
+  def keyedGetBatch(spark: SparkSession, name: String, key: String,
+                    keys: DataFrame): DataFrame =
+    ops.KeyedStore.getBatch(spark, name, key, keys)
   def keyedGet(spark: SparkSession, name: String, key: String,
                keys: Seq[Any]): DataFrame =
     ops.KeyedStore.get(spark, name, key, keys)
@@ -225,9 +230,15 @@ object Graft {
   def vstoreCommit(spark: SparkSession, dir: String, changes: DataFrame,
                    key: String): Int =
     ops.VersionedStore.commit(spark, dir, changes, key)
-  /** Read the table exactly as of `version` (snapshot isolation). */
+  /** Read the table exactly as of `version` (snapshot isolation). Also
+    * reachable from SQL text: `SELECT … FROM graft_as_of('<dir>', v)`. */
   def vstoreAsOf(spark: SparkSession, dir: String, version: Int): DataFrame =
     ops.VersionedStore.asOf(spark, dir, version)
+  /** Read the table as of a wall-clock instant (TIMESTAMP AS OF):
+    * resolves the latest retained version committed ≤ tsMillis. */
+  def vstoreAsOfTimestamp(spark: SparkSession, dir: String,
+                          tsMillis: Long): DataFrame =
+    ops.VersionedStore.asOfTimestamp(spark, dir, tsMillis)
   /** Drop data/manifests outside the last `keepLast` versions. */
   def vstoreVacuum(dir: String, keepLast: Int = 1): Int =
     ops.VersionedStore.vacuum(dir, keepLast)

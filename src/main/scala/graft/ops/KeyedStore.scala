@@ -529,6 +529,35 @@ object KeyedStore {
       .drop("kr")
   }
 
+  /** Batch GET for a LARGE key set supplied as a DataFrame — the HBase
+    * multiGet analog, and the scalable sibling of [[get]]: an IN-list of
+    * 10⁵ literals is itself a driver-side plan bomb (every literal is an
+    * expression node analyzed and codegen'd), so past point-lookup size
+    * the key set must stay DATA. Region assignment per key is the
+    * codegen'd binary search ([[RegionMap.krCol]]); only the O(touched
+    * regions) distinct kr ids reach the driver (the same control-plane
+    * discipline as upsert), the scan statically prunes to those
+    * partitions, and the keys join back as a broadcast-eligible semi
+    * join — per-key cost is O(1) region partitions at any table or
+    * batch size.
+    */
+  def getBatch(spark: SparkSession, name: String, key: String,
+               keys: DataFrame): DataFrame = {
+    require(keys.columns.contains(key),
+      s"getBatch keys must carry the key column '$key'")
+    val rm = readRegions(spark, name)
+    val wanted = keys.select(col(key)).distinct()
+    // Coverage kr per key; straddling keys expand like upsert's closure.
+    val coverage = wanted.select(rm.krCol(col(key)).as("kr")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
+    val krs = rm.expandTouched(coverage.map(krToIdx)).map(rm.regions(_).kr)
+    spark.table(name)
+      .filter(col("kr").isin(krs: _*))
+      .join(wanted, Seq(key), "left_semi")
+      .drop("kr")
+  }
+
   /** Range SCAN over [from, to] (inclusive): prunes to exactly the
     * regions whose key range intersects the scan (PartitionFilters) and
     * pushes the range predicate into the key-sorted parquet

@@ -340,6 +340,67 @@ object SourceSinkOps {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** HBase multiGet analog — [[KeyedStore.getBatch]]: the probe keys are
+    * a DATA-derived DataFrame (every 97th order key, plus two absent
+    * +10M probes), never an IN-list of literals — past point-lookup size
+    * a literal list is a driver-side plan bomb (each literal is an
+    * analyzed, codegen'd expression node). Region assignment per key is
+    * the codegen'd binary search; the scan statically prunes to the
+    * holding regions; the key set joins back as a broadcast-eligible
+    * semi join. KeyedStoreSpec pins the plan shape (PartitionFilters,
+    * no In(k, …)).
+    */
+  def qKeyedMultiget(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_keyed_mget_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name,
+      orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "o_orderkey", targetRowsPerRegion = 2048)
+    val keys = orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"))
+      .unionByName(spark.range(2).select(
+        (col("id") + 10000001L).as("o_orderkey")))
+    KeyedStore.getBatch(spark, name, "o_orderkey", keys)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TIMESTAMP AS OF over the versioned store ([[VersionedStore
+    * .asOfTimestamp]]): an instant captured between init and the commit
+    * resolves to v1, "now" resolves to v2 — the wall-clock addressing a
+    * reader uses when it knows WHEN, not WHICH version (the lakehouse
+    * formats' other time-travel axis). Values are version-deterministic,
+    * so the oracle recomputes both snapshots from the base relation.
+    */
+  def qTimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val base = orders(spark, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+    VersionedStore.init(spark, tmp, base, "o_orderkey",
+      targetRowsPerFile = 2048)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(10) // commit-time resolution is milliseconds
+    VersionedStore.commit(spark, tmp,
+      base.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"),
+                (col("cents") + 111L).as("cents")),
+      "o_orderkey")
+    def summary(label: Int, snap: DataFrame) = snap
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("tot_c"))
+      .select(lit(label).as("version"), col("n_rows"), col("tot_c"))
+    try summary(1, VersionedStore.asOfTimestamp(spark, tmp, betweenTs))
+      .unionByName(summary(2,
+        VersionedStore.asOfTimestamp(spark, tmp, System.currentTimeMillis())))
+      .orderBy(col("version"))
+      .localCheckpoint()
+    finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+  }
+
   /** Managed-table surface: the catalog path (`saveAsTable` →
     * `spark.table`) instead of direct parquet paths — the API a
     * warehouse-style deployment uses. The round trip is lossless, so the

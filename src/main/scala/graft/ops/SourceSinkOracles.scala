@@ -124,6 +124,30 @@ object SourceSinkOracles {
         |WHERE o_orderkey IN (100, 2000, 5000, 10000100, 10002000, 10005000)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // The join-based multiGet must equal the plain modular predicate
+    // (the two +10M probe keys are absent).
+    "q_keyed_multiget" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Timestamp resolution is version-deterministic: the instant between
+    // init and commit reads v1 (base), "now" reads v2 (every %3 key's
+    // cents bumped by 111).
+    "q_time_travel_ts" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS tot_c FROM base
+        |UNION ALL
+        |SELECT 2, count(*),
+        |       CAST(sum(CASE WHEN k % 3 = 0 THEN cents + 111 ELSE cents END)
+        |            AS BIGINT)
+        |FROM base
+        |ORDER BY version""".stripMargin,
+
     // The rule-pruned SQL path must equal the plain predicate over the
     // base table (pruning is value-neutral; 10000042 is absent).
     "q_sql_keyed_pushdown" ->

@@ -135,11 +135,23 @@ object VersionedStore {
     */
   private def readListRefs(p: Path): Option[IndexedSeq[ChunkRef]] = {
     val lines = Files.readAllLines(p).asScala
-    if (lines.isEmpty || lines.head != ListMarker) None
+    if (lines.isEmpty || !lines.head.startsWith(ListMarker)) None
     else Some(lines.iterator.drop(1).filter(_.nonEmpty).map { line =>
       val Array(f, lo, hi, n) = line.split(",", 4)
       ChunkRef(f, lo.toLong, hi.toLong, n.toLong)
     }.toIndexedSeq.sortBy(_.minH))
+  }
+
+  /** Commit wall-time of a manifest, from the list header (`#list
+    * <millis>`); legacy headers/flat manifests fall back to the file
+    * mtime. Recorded IN the file because vacuum restamps expired files'
+    * mtimes (the grace clock) and copies don't preserve them.
+    */
+  private def commitTimeOf(p: Path): Long = {
+    val head = Using.resource(Files.newBufferedReader(p))(_.readLine())
+    Option(head).filter(_.startsWith(ListMarker + " "))
+      .flatMap(h => h.stripPrefix(ListMarker + " ").toLongOption)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
   private def readChunk(dir: String, ref: ChunkRef): IndexedSeq[FileEntry] =
@@ -201,8 +213,8 @@ object VersionedStore {
     val target = md.resolve(s"v$version")
     val tmp = Files.createTempFile(md, ".tmp-manifest", "")
     try {
-      Files.write(tmp, (ListMarker +: refs.sortBy(_.minH)
-        .map(r => s"${r.file},${r.minH},${r.maxH},${r.n}"))
+      Files.write(tmp, (s"$ListMarker ${System.currentTimeMillis()}" +:
+        refs.sortBy(_.minH).map(r => s"${r.file},${r.minH},${r.maxH},${r.n}"))
         .mkString("\n").getBytes("UTF-8"))
       try Files.createLink(target, tmp)
       catch {
@@ -531,6 +543,38 @@ object VersionedStore {
         }
     removed
   }
+
+  /** The latest version committed at or before `tsMillis` — the
+    * TIMESTAMP AS OF resolution of the lakehouse formats. Resolves among
+    * LIVE manifests plus expired-in-grace ones (their commit time rides
+    * the list header, which expiry doesn't touch); versions already
+    * vacuumed are gone by design — retention bounds how far back a
+    * timestamp can reach. Throws if `tsMillis` predates the oldest
+    * retained version.
+    */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val md = manifestDir(dir)
+    val candidates = Using.resource(Files.list(md))(_.iterator().asScala.toSeq)
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case ManifestName(v) => Some(v.toInt -> commitTimeOf(p))
+          case ExpiredName(v) => Some(v.toInt -> commitTimeOf(p))
+          case _ => None
+        }
+      }
+    val at = candidates.filter(_._2 <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"no retained version at or before $tsMillis in $dir " +
+          s"(oldest: ${candidates.map(_._2).minOption.getOrElse(-1L)})")
+    at.map(_._1).max
+  }
+
+  /** Snapshot read as of a WALL-CLOCK instant: [[versionAt]] then
+    * [[asOf]]. */
+  def asOfTimestamp(spark: SparkSession, dir: String,
+                    tsMillis: Long): DataFrame =
+    asOf(spark, dir, versionAt(dir, tsMillis))
 
   /** Snapshot read: the table exactly as of `version` (resolvable during
     * the vacuum grace window even after expiry). A fully-emptied snapshot

@@ -428,6 +428,25 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(KeyedStore.get(spark, name, "k", Seq(5L)).count() == 1)
   }
 
+  test("getBatch: DataFrame key set prunes to holding regions; no literal IN-list") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_multiget"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    // Clustered key set (two regions' worth) + absents: the scan prunes
+    // to the holding regions and the keys join back as data.
+    val keys = ((10L to 25L) ++ Seq(5000L, 6000L)).toDF("k")
+    val got = KeyedStore.getBatch(spark, name, "k", keys)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == (10L to 25L))
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("kr#"), p.take(3000))
+    // The key set is a JOIN, not literals: no giant In(k, ...) in the plan.
+    assert(!p.contains("In(k,"), p.take(3000))
+    val hit = "kr#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+      .map(_.group(1).split(",").length)
+    assert(hit.exists(_ < rm.regions.size), s"pruned $hit of ${rm.regions.size}")
+  }
+
   test("SQL region pruning: key predicates in spark.sql text prune kr partitions") {
     val name = "graft_keyed_spec_sql"
     KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)

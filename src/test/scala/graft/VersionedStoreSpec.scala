@@ -350,6 +350,34 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(changed == Seq(5L))
   }
 
+  test("asOfTimestamp resolves the latest version committed at or before the instant") {
+    val dir = freshDir()
+    ops.VersionedStore.init(spark, dir,
+      (0L until 32L).map(i => (i, s"v$i")).toDF("k", "v"), "k",
+      targetRowsPerFile = 16)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    ops.VersionedStore.commit(spark, dir,
+      Seq((5L, "U", "v5b")).toDF("k", "op", "v"), "k")
+    val afterV2 = System.currentTimeMillis()
+    // Between the commits → v1; after the second → v2; before v1 → error.
+    assert(ops.VersionedStore.versionAt(dir, afterV1) == 1)
+    assert(ops.VersionedStore.versionAt(dir, afterV2) == 2)
+    assert(ops.VersionedStore.asOfTimestamp(spark, dir, afterV1)
+      .filter(col("k") === 5L).collect().head.getString(1) == "v5")
+    assert(ops.VersionedStore.asOfTimestamp(spark, dir, afterV2)
+      .filter(col("k") === 5L).collect().head.getString(1) == "v5b")
+    intercept[IllegalArgumentException] {
+      ops.VersionedStore.versionAt(dir, afterV1 - 3600000L)
+    }
+    // Commit time rides the list header, so vacuum's expiry restamping
+    // (the grace clock overwrites file mtimes) can't skew resolution:
+    // after expiring v1 with a grace window, the in-grace v1 still
+    // resolves at its ORIGINAL commit instant.
+    ops.VersionedStore.vacuum(dir, keepLast = 1, graceMs = 3600000L)
+    assert(ops.VersionedStore.versionAt(dir, afterV1) == 1)
+  }
+
   test("deleting every row empties the manifest; asOf returns zero rows") {
     val dir = freshDir()
     val base = (1L to 50L).map(k => (k, k)).toDF("k", "v")
