@@ -39,6 +39,13 @@ object ScaleSmoke {
     val nDocs = docs.count()
     val embs = Tables.embeddings(spark, base)
     val nVecs = embs.count()
+    // Focused re-probes reuse an already-built scaled corpus
+    // (SPARK_GRAFT_SCALE_REUSE=1) instead of paying the multi-minute
+    // rebuild; the build is deterministic, so reuse is value-identical.
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scaled/lineitem.parquet"))
+    if (!reuse) {
     (0 until factor).map { c =>
       docs.select(
         (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
@@ -93,6 +100,7 @@ object ScaleSmoke {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+    } // end corpus build (skipped under SPARK_GRAFT_SCALE_REUSE)
 
     def time(name: String, dir: String)(f: String => DataFrame): Unit =
       if (wanted(name)) {

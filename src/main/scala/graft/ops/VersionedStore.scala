@@ -103,18 +103,46 @@ object VersionedStore {
   private val ExpiredName = "^v(\\d+)\\.expired$".r
   private val ListMarker = "#list"
 
-  /** Latest committed version, 0 if none. Ignores expired manifests and
-    * stray files (temp artifacts from in-flight publishes).
+  /** Latest committed version, 0 if none. Fast path: a best-effort
+    * VERSION HINT file (written after every successful publish) plus an
+    * upward existence probe — O(commits since the hint) stat calls
+    * instead of listing the whole manifests directory, which on a
+    * streaming store committing every micro-batch accumulates millions
+    * of entries between vacuums. The hint is advisory only: it may lag
+    * (crash between publish and hint write — the probe walks forward)
+    * and if it points at a vacuumed/absent version the full listing
+    * fallback re-derives the truth, so a corrupt or stale hint can cost
+    * a listing, never a wrong version.
     */
   def currentVersion(dir: String): Int = {
     val md = manifestDir(dir)
-    if (!Files.exists(md)) 0
-    else Using.resource(Files.list(md)) { s =>
-      s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case ManifestName(v) => v.toInt }
-        .foldLeft(0)(math.max)
+    if (!Files.exists(md)) return 0
+    val hint = {
+      val h = md.resolve("latest-hint")
+      if (!Files.exists(h)) 0
+      else scala.util.Try(
+        new String(Files.readAllBytes(h), "UTF-8").trim.toInt).getOrElse(0)
     }
+    def liveOrExpired(v: Int): Boolean =
+      Files.exists(md.resolve(s"v$v")) ||
+        Files.exists(md.resolve(s"v$v.expired"))
+    var v =
+      if (hint > 0 && liveOrExpired(hint)) hint
+      else Using.resource(Files.list(md)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case ManifestName(n) => n.toInt }
+          .foldLeft(0)(math.max)
+      }
+    while (liveOrExpired(v + 1)) v += 1
+    v
   }
+
+  /** Best-effort hint refresh after a successful publish (never part of
+    * the commit's correctness — see [[currentVersion]]). */
+  private def writeHint(dir: String, version: Int): Unit =
+    try Files.write(manifestDir(dir).resolve("latest-hint"),
+      version.toString.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
 
   /** The manifest file for `version` — live, or expired-but-in-grace. */
   private def manifestFile(dir: String, version: Int): Path = {
@@ -224,6 +252,7 @@ object VersionedStore {
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       }
     } finally Files.deleteIfExists(tmp)
+    writeHint(dir, version)
   }
 
   private def metaPath(dir: String): Path = Paths.get(dir, "meta")
@@ -326,22 +355,34 @@ object VersionedStore {
       val refs = readListRefs(mf).getOrElse(
         packChunks(dir, readManifestFile(dir, mf), chunkTarget).toIndexedSeq)
         .sortBy(_.minH).toIndexedSeq
-      // Level 1: change hashes → touched chunks, off the list alone.
-      val chunkBounds = refs.map(_.minH)
-      val touchedChunks: Seq[Int] = changes
-        .select(graft.functions.RangeFunctions
-          .longBoundaryBucket(hashCol(key), chunkBounds).as("cid"))
-        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      // Level 1: change hashes → CANDIDATE chunks, off the list alone.
+      // SMALL-MANIFEST fast path: when every entry fits one routing job
+      // comfortably, skip the chunk-level job and read all chunks — a
+      // streaming store committing every micro-batch at fixture scale
+      // pays one routing job per commit, not two; the two-level walk
+      // engages exactly when it pays (manifests too large to read
+      // whole). Candidacy only widens what is READ — which chunk files
+      // are REWRITTEN is decided below by which actually hold a touched
+      // entry, so chunk sharing is unaffected by the fast path.
+      val candChunks: Seq[Int] =
+        if (refs.map(_.n).sum <= 4L * DefaultChunkTarget) refs.indices
+        else {
+          val chunkBounds = refs.map(_.minH)
+          changes
+            .select(graft.functions.RangeFunctions
+              .longBoundaryBucket(hashCol(key), chunkBounds).as("cid"))
+            .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        }
       val nv = v + 1
       val newRefs: Seq[ChunkRef] =
-        if (touchedChunks.isEmpty) refs
+        if (candChunks.isEmpty) refs
         else {
-          // Level 2: open ONLY the touched chunks; route changes to
-          // their entries. The concatenation of touched chunks' entries
-          // is sorted and disjoint, and every change hash landed in one
-          // of these chunks, so one boundary search over the combined
-          // entry list is exact.
-          val entries = touchedChunks.toIndexedSeq
+          // Level 2: open ONLY the candidate chunks; route changes to
+          // their entries. The concatenation of candidate chunks'
+          // entries is sorted and disjoint, and every change hash landed
+          // in one of these chunks, so one boundary search over the
+          // combined entry list is exact.
+          val entries = candChunks.toIndexedSeq
             .flatMap(i => readChunk(dir, refs(i))).sortBy(_.minH)
           val bounds = entries.map(_.minH)
           val touchedCounts: Map[Int, Long] = changes
@@ -349,26 +390,35 @@ object VersionedStore {
               .longBoundaryBucket(hashCol(key), bounds).as("eid"))
             .groupBy(col("eid")).count().collect()
             .map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val touched = touchedCounts.keySet
-          val newRanges = touched.toSeq.sorted.flatMap { i =>
-            val e = entries(i)
-            splitRange(e.minH, e.maxH, e.rows + touchedCounts(i), target)
+          if (touchedCounts.isEmpty) refs
+          else {
+            val touched = touchedCounts.keySet
+            // A chunk is REWRITTEN iff it holds a touched entry (chunk
+            // ranges are disjoint, so an entry's minH locates its chunk).
+            def chunkOf(e: FileEntry): Int =
+              candChunks.find(ci =>
+                refs(ci).minH <= e.minH && e.minH <= refs(ci).maxH).get
+            val rewrite: Set[Int] = touched.map(i => chunkOf(entries(i)))
+            val newRanges = touched.toSeq.sorted.flatMap { i =>
+              val e = entries(i)
+              splitRange(e.minH, e.maxH, e.rows + touchedCounts(i), target)
+            }
+            val basePaths = touched.toSeq.map(entries(_)).filter(_.path.nonEmpty)
+              .map(e => s"$dir/data/${e.path}")
+            val base =
+              if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
+              else changes.drop("op").limit(0)
+            val merged = SourceSinkOps.mergeUpsert(base, changes, key)
+            val written =
+              writeLeaves(spark, dir, newCommitId(), merged, key, newRanges)
+            // Untouched entries OF rewritten chunks repack alongside the
+            // fresh leaves; every other chunk file is shared.
+            val keep = entries.indices
+              .filter(i => !touched(i) && rewrite(chunkOf(entries(i))))
+              .map(entries(_))
+            refs.indices.filterNot(rewrite).map(refs(_)) ++
+              packChunks(dir, (keep ++ written).sortBy(_.minH), chunkTarget)
           }
-          val basePaths = touched.toSeq.map(entries(_)).filter(_.path.nonEmpty)
-            .map(e => s"$dir/data/${e.path}")
-          val base =
-            if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
-            else changes.drop("op").limit(0)
-          val merged = SourceSinkOps.mergeUpsert(base, changes, key)
-          val written =
-            writeLeaves(spark, dir, newCommitId(), merged, key, newRanges)
-          val newEntries =
-            (entries.indices.filterNot(touched).map(entries(_)) ++ written)
-              .sortBy(_.minH)
-          // Untouched chunks keep their files; touched chunks repack.
-          val touchedChunkSet = touchedChunks.toSet
-          refs.indices.filterNot(touchedChunkSet).map(refs(_)) ++
-            packChunks(dir, newEntries, chunkTarget)
         }
       try {
         publishList(dir, nv, newRefs)

@@ -48,6 +48,12 @@ class KeyedStoreSoakSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     present.foreach(k => assert(gets.get(k).contains(model(k)), s"$ctx: GET $k"))
     absent.foreach(k => assert(!gets.contains(k), s"$ctx: phantom GET $k"))
+    // The join-based multiGet must agree with the point-GET path.
+    import spark.implicits._
+    val batch = KeyedStore.getBatch(spark, name, "k",
+      (present ++ absent).toDF("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch == gets, s"$ctx: getBatch != get ($batch vs $gets)")
   }
 
   private def runSoak(seed: Long, ops: Int): Unit = {

@@ -378,6 +378,33 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(ops.VersionedStore.versionAt(dir, afterV1) == 1)
   }
 
+  test("version hint is advisory: stale, missing, or corrupt hints never mislead") {
+    val dir = freshDir()
+    ops.VersionedStore.init(spark, dir,
+      (0L until 16L).map(i => (i, s"v$i")).toDF("k", "v"), "k",
+      targetRowsPerFile = 16)
+    ops.VersionedStore.commit(spark, dir,
+      Seq((1L, "U", "u1")).toDF("k", "op", "v"), "k")
+    assert(ops.VersionedStore.currentVersion(dir) == 2)
+    val hint = Paths.get(dir, "manifests", "latest-hint")
+    // Stale (lagging) hint: the upward probe walks to the truth.
+    Files.write(hint, "1".getBytes("UTF-8"))
+    assert(ops.VersionedStore.currentVersion(dir) == 2)
+    // Missing hint: full-listing fallback.
+    Files.delete(hint)
+    assert(ops.VersionedStore.currentVersion(dir) == 2)
+    // Corrupt hint: fallback, not a crash.
+    Files.write(hint, "not-a-number".getBytes("UTF-8"))
+    assert(ops.VersionedStore.currentVersion(dir) == 2)
+    // Hint pointing past reality (e.g. copied store): fallback.
+    Files.write(hint, "99".getBytes("UTF-8"))
+    assert(ops.VersionedStore.currentVersion(dir) == 2)
+    // And the next commit repairs the hint.
+    ops.VersionedStore.commit(spark, dir,
+      Seq((2L, "U", "u2")).toDF("k", "op", "v"), "k")
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim == "3")
+  }
+
   test("deleting every row empties the manifest; asOf returns zero rows") {
     val dir = freshDir()
     val base = (1L to 50L).map(k => (k, k)).toDF("k", "v")
