@@ -497,6 +497,20 @@ object DedupOps {
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .persist()
     var persisted = labels
+    // localCheckpoint storage is NOT released by Dataset.unpersist (that
+    // only clears cache-manager entries), so each round tracks the
+    // checkpoint's persistent-RDD id (the getPersistentRDDs delta around
+    // the eager checkpoint) and frees the PREVIOUS round's blocks
+    // explicitly once the new round is materialized — without this,
+    // every iteration's full label set lingers in the block manager
+    // until driver GC gets around to it.
+    val sc = pairs.sparkSession.sparkContext
+    var prevCkptIds: Set[Int] = Set.empty
+    def freePrev(): Unit = {
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = Set.empty
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -528,6 +542,7 @@ object DedupOps {
       // pointer jump), so an un-truncated loop grows the analyzed plan
       // ~4^iter and a sparse deep graph that needs 8+ rounds OOMs the
       // DRIVER on plan bookkeeping alone before any executor works.
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       val next = (if (iter == 0) stepped else {
         val ptr = stepped.select(col("id").as("label"), col("label").as("gl"))
         stepped
@@ -536,8 +551,11 @@ object DedupOps {
                   least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
                   col("prev"))
       }).localCheckpoint(true)
+      val myIds = sc.getPersistentRDDs.keySet.toSet.diff(beforeIds)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       persisted.unpersist()
+      freePrev() // previous round's checkpoint blocks: next is materialized
+      prevCkptIds = myIds
       persisted = next
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -558,6 +576,7 @@ object DedupOps {
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
     persisted.unpersist()
+    freePrev() // the last round's checkpoint; `out` is materialized above
     out.orderBy(col("doc_id"))
   }
 

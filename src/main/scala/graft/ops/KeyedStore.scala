@@ -77,6 +77,17 @@ import scala.jdk.CollectionConverters._
   * detected by mtime and ignored (fail open), so a torn write can cause
   * extra IO, never a wrong answer.
   *
+  * Read isolation: GET/scan/raw-SQL reads WITH a key predicate route
+  * through the region directory and are consistent at every instant of
+  * a split/merge (the directory flips atomically from old to new
+  * regions). A raw full-table read with NO key predicate is NOT
+  * isolated against concurrent maintenance: between the new partitions
+  * landing and the superseded partition's drop it can observe the
+  * moving region twice (choosing the opposite order would instead make
+  * rows vanish mid-flight — strictly worse). Quiesce writers around
+  * full-table exports, or read through [[scan]] — the same contract as
+  * reading HBase through raw HFiles instead of the client API.
+  *
   * Region boundaries are fixed at create (inserts beyond the edges land
   * in the boundary regions); [[rebalance]] is the major-compaction /
   * region-split maintenance pass that re-derives balanced regions from
@@ -184,6 +195,7 @@ object KeyedStore {
 
   private val LockStaleMs = 60000L
   private val LockWaitMs = 120000L
+  private val LockHeartbeatMs = 10000L
 
   /** Lock file lives BESIDE the table location (create wipes the
     * location itself), in the warehouse directory.
@@ -192,36 +204,95 @@ object KeyedStore {
     location(spark, name).resolveSibling(name.toLowerCase + ".graft-lock")
 
   /** Per-table writer mutex: create-exclusive lock file, blocking
-    * acquire with a stale-lock takeover (a crashed writer's lock is
-    * reclaimed after `LockStaleMs`). Serializes every mutating entry
+    * acquire, crash-safe takeover. Serializes every mutating entry
     * point so concurrent upsert/mergeInto calls cannot interleave
     * read-sidecar → merge → overwrite → write-sidecar and silently lose
     * one writer's regions — the fencing [[VersionedStore]] gets from
     * create-exclusive manifest publishes, adapted to a store that
     * mutates one shared table in place (where optimistic publish can't
     * roll back the data write, a mutex is the sound shape).
+    *
+    * Liveness vs safety, carefully:
+    *  - the HOLDER runs a daemon heartbeat that refreshes the lock
+    *    mtime every `LockHeartbeatMs`, so a legitimate writer running
+    *    longer than the staleness horizon is never usurped — only a
+    *    crashed holder (no heartbeat for `LockStaleMs`) goes stale;
+    *  - takeover of a stale lock is TOKEN-VERIFIED: the claimant
+    *    atomically MOVES the lock aside to a unique name (exactly one
+    *    concurrent claimant can win the move; losers see
+    *    NoSuchFileException and re-race createFile), then compares the
+    *    moved file's token against the token it observed stale. A
+    *    mismatch means the stale holder released and a NEW writer
+    *    acquired between observation and move — the fresh lock is moved
+    *    straight back and the claimant re-waits. This closes the
+    *    delete-based race where two claimants both judge the lock stale
+    *    and the second delete removes the first claimant's freshly
+    *    created lock;
+    *  - release deletes the lock only while its content still matches
+    *    the holder's own token, so a usurped (crashed-and-reclaimed)
+    *    holder resuming in finally cannot delete a successor's lock.
     */
   private def withTableLock[T](spark: SparkSession, name: String)(body: => T): T = {
     val p = lockPath(spark, name)
     Files.createDirectories(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + LockWaitMs
     var acquired = false
     while (!acquired) {
-      try { Files.createFile(p); acquired = true }
-      catch {
+      try {
+        Files.write(p, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val stale =
-            try Files.getLastModifiedTime(p).toMillis + LockStaleMs <=
-              System.currentTimeMillis()
-            catch { case _: java.nio.file.NoSuchFileException => false }
-          if (stale) Files.deleteIfExists(p) // takeover: next createFile races, one wins
-          else if (System.currentTimeMillis() > deadline)
+          val observed: Option[(String, Long)] =
+            try Some((new String(Files.readAllBytes(p), "UTF-8"),
+              Files.getLastModifiedTime(p).toMillis))
+            catch { case _: java.io.IOException => None }
+          val stale = observed.exists(_._2 + LockStaleMs <=
+            System.currentTimeMillis())
+          if (stale) {
+            val aside = p.resolveSibling(
+              p.getFileName.toString + ".takeover-" + token)
+            try {
+              Files.move(p, aside,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              val moved = new String(Files.readAllBytes(aside), "UTF-8")
+              if (moved == observed.get._1) Files.deleteIfExists(aside)
+              else // stole a successor's FRESH lock: restore it intact
+                try Files.move(aside, p,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.io.IOException =>
+                  Files.deleteIfExists(aside) }
+            } catch {
+              case _: java.io.IOException => () // lost the move race; re-wait
+            }
+          } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"KeyedStore: timed out waiting for writer lock $p")
           else Thread.sleep(20)
       }
     }
-    try body finally Files.deleteIfExists(p)
+    // Heartbeat while held: a long merge's Spark jobs must not let the
+    // lock go stale under a live writer.
+    val beat = new Thread(() => {
+      try while (true) {
+        Thread.sleep(LockHeartbeatMs)
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+      } catch { case _: InterruptedException | _: java.io.IOException => () }
+    }, s"graft-lock-heartbeat-$name")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      // Token-guarded release: only delete a lock we still own.
+      try {
+        if (new String(Files.readAllBytes(p), "UTF-8") == token)
+          Files.deleteIfExists(p)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   // -------- per-region row blooms (HBase HFile ROW-bloom analog) --------
@@ -329,6 +400,9 @@ object KeyedStore {
                           key: String, typ: String,
                           mBits: Int): Map[Int, Region] = {
     val bd = bloomDir(spark, name)
+    // Legacy layout: the pre-7 store kept ALL blooms in one FILE at this
+    // exact path. Supersede it (its content is rebuilt per-region below).
+    if (Files.exists(bd) && !Files.isDirectory(bd)) Files.delete(bd)
     Files.createDirectories(bd)
     val bdStr = bd.toString
     val bloom = udaf(new graft.functions.BloomAgg(mBits, BloomK),
@@ -643,6 +717,21 @@ object KeyedStore {
       spark.table(name).drop("kr")
     }
 
+  /** Land `out` via DYNAMIC partition overwrite (only partitions present
+    * in the output are rewritten), restoring the session conf either way
+    * — the one write primitive every mutation path shares.
+    */
+  private def dynamicOverwriteInto(spark: SparkSession, name: String,
+                                   out: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite").insertInto(name)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Shared write path of [[upsert]]/[[mergeInto]]: land `merged` (the
     * post-merge rows of the touched regions, `kr` attached) via dynamic
     * partition overwrite, drop partitions the merge emptied (dynamic
@@ -663,13 +752,7 @@ object KeyedStore {
       .sortWithinPartitions(col("kr"), col(key))
       .select(cols.map(col): _*) // insertInto is positional
       .localCheckpoint()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").insertInto(name)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    dynamicOverwriteInto(spark, name, out)
     // Post-merge stats per touched region in ONE fused aggregate — off
     // the already-materialized checkpoint blocks, O(touched) not
     // O(table) — with each rebuilt bloom written data-side by the task
@@ -728,13 +811,7 @@ object KeyedStore {
         .sortWithinPartitions(col("kr"), col(key))
         .select(cols.map(col): _*)
         .localCheckpoint()
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try out.write.mode("overwrite").insertInto(name)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      dynamicOverwriteInto(spark, name, out)
       val stats = regionStats(spark, name, out, key, rm0.typ, mBits)
       regions = regions.filterNot(_.kr == r.kr) ++ stats.values
       // Directory first (covers the new partitions), THEN drop the old:
@@ -808,13 +885,7 @@ object KeyedStore {
         .sortWithinPartitions(col("kr"), col(key))
         .select(cols.map(col): _*)
         .localCheckpoint()
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try out.write.mode("overwrite").insertInto(name)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      dynamicOverwriteInto(spark, name, out)
       stats = regionStats(spark, name, out, key, rm.typ, mBits)
     }
     val gone = mergeBins.flatten.map(_.kr).toSet
@@ -833,7 +904,8 @@ object KeyedStore {
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (kr=$krv)")
       Files.deleteIfExists(bloomFile(spark, name, krv))
     }
-    gone.size - stats.size
+    // Eliminated = directory shrinkage (counts the sentinel correctly).
+    rm.regions.size - regions.size
   }
 
   /** Crash-recovery sweep: drop any table partition whose kr is NOT in

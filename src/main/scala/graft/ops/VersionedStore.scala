@@ -365,7 +365,7 @@ object VersionedStore {
       // are REWRITTEN is decided below by which actually hold a touched
       // entry, so chunk sharing is unaffected by the fast path.
       val candChunks: Seq[Int] =
-        if (refs.map(_.n).sum <= 4L * DefaultChunkTarget) refs.indices
+        if (refs.map(_.n).sum <= 4L * chunkTarget) refs.indices
         else {
           val chunkBounds = refs.map(_.minH)
           changes
@@ -517,6 +517,18 @@ object VersionedStore {
     * resolves the expired manifest. `graceMs = 0` reclaims immediately
     * (the documented storage-for-history trade). Pure driver-side file
     * management; the data plane of every retained version is untouched.
+    *
+    * Concurrency contract: the grace horizon is ALSO what protects an
+    * in-flight concurrent commit — a committer's fresh leaves and chunk
+    * files are unreferenced until its list publishes, so a vacuum
+    * running with `graceMs` SHORTER than the longest plausible commit
+    * can reclaim them from under it (the commit then publishes a list
+    * pointing at deleted files). `graceMs = 0` therefore assumes a
+    * QUIESCED store (no concurrent writers) — the default suits
+    * single-operator maintenance; with live writers pass a grace
+    * comfortably above your commit duration (minutes), exactly the
+    * retention rule the lakehouse table formats document for their
+    * vacuum/expire operations.
     */
   def vacuum(dir: String, keepLast: Int = 1, graceMs: Long = 0L): Int = {
     val md = manifestDir(dir)

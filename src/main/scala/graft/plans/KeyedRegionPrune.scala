@@ -161,7 +161,17 @@ object KeyedRegionPrune extends Rule[LogicalPlan] with PredicateHelper {
     combined.flatMap { idxs =>
       if (idxs.size >= rm.regions.size) None // nothing pruned; keep the plan clean
       else if (idxs.isEmpty) Some(Literal.FalseLiteral)
+      // Prune-list cap: each injected kr is a literal expression node the
+      // analyzer/optimizer walks — at 10⁶ regions a half-keyspace range
+      // would inject ~5·10⁵ literals and the plan bookkeeping costs more
+      // than the skipped IO (the IN-list plan bomb getBatch's scaladoc
+      // warns about, on the rule's own side). Past the cap, decline:
+      // parquet row-group min/max skipping still bounds the actual read.
+      else if (idxs.size > MaxInjectedRegions) None
       else Some(In(krAttr, idxs.toSeq.sorted.map(i => Literal(rm.regions(i).kr))))
     }
   }
+
+  /** Widest kr IN-list the rule will inject. */
+  private val MaxInjectedRegions = 1024
 }

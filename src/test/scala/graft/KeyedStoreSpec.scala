@@ -389,6 +389,28 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(rm.regions.map(_.rows).sum == 200)
   }
 
+  test("a crashed writer's stale lock is reclaimed; a fresh foreign lock blocks") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_stalelock"
+    KeyedStore.create(spark, name, mkRows(32), "k", targetRowsPerRegion = 16)
+    // Simulate a CRASHED holder: a lock file with a foreign token whose
+    // heartbeat stopped 2 minutes ago. The next writer must take over
+    // (token-verified move-aside) instead of waiting out LockWaitMs.
+    val lock = KeyedStore.location(spark, name)
+      .resolveSibling(name + ".graft-lock")
+    java.nio.file.Files.write(lock, "dead-writer-token".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    val t0 = System.nanoTime()
+    KeyedStore.upsert(spark, name, "k", Seq((5L, "U", "v5x")).toDF("k", "op", "v"))
+    assert((System.nanoTime() - t0) / 1e9 < 60, "takeover did not engage")
+    assert(KeyedStore.get(spark, name, "k", Seq(5L))
+      .collect().map(_.getString(1)).toSeq == Seq("v5x"))
+    // And the lock was released (token-guarded delete of our own lock).
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("full-table delete then region merge: directory keeps a sentinel; inserts still route") {
     import spark.implicits._
     val name = "graft_keyed_spec_wipeout"
@@ -496,6 +518,29 @@ class KeyedStoreSpec extends AnyFunSuite {
     val orWant = rm.rangeIdx(50L, 60L).map(i => rm.regions(i).kr).toSet ++
       rm.holdingIdx(150L).map(i => rm.regions(i).kr)
     assert(orScan.exists(_.subsetOf(orWant)), s"got $orScan want ⊆ $orWant")
+  }
+
+  test("SQL region pruning handles string keys (lexicographic directory)") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_sqlstr"
+    val rows = (0 until 160).map(i => (f"key$i%03d", i)).toDF("rk", "n")
+    KeyedStore.create(spark, name, rows, "rk", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.size >= 8)
+    val got = spark.sql(
+      s"SELECT rk, n FROM $name WHERE rk BETWEEN 'key050' AND 'key060' ORDER BY rk")
+    assert(got.collect().map(_.getInt(1)).toSeq == (50 to 60))
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("kr#"), p.take(3000))
+    val scanned = "kr#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+      .orElse("kr#\\d+ = (\\d+)".r.findFirstMatchIn(p))
+    assert(scanned.nonEmpty, s"no kr prune in plan:\n${p.take(2000)}")
+    // Equality probe on an absent string key: bloom-rejected, no scan.
+    val miss = spark.sql(s"SELECT n FROM $name WHERE rk = 'zzz999'")
+    assert(miss.count() == 0)
+    val p2 = miss.queryExecution.executedPlan.toString
+    assert(!p2.contains("Scan parquet") || p2.contains("PartitionFilters: [false]")
+      || p2.contains("LocalTableScan"), p2.take(2000))
   }
 
   test("create is idempotent across JVMs (stale location, fresh metastore)") {
