@@ -131,6 +131,10 @@ object KeyedRegionPrune extends Rule[LogicalPlan] with PredicateHelper {
         for { ra <- regionsFor(a); rb <- regionsFor(b) } yield ra.union(rb)
       case EqualTo(k, l: Literal) if isKey(k) => keyValue(rm, l).map(probe)
       case EqualTo(l: Literal, k) if isKey(k) => keyValue(rm, l).map(probe)
+      // k <=> lit: for a non-null literal, row-matching implies k = lit
+      // (null keys match only a null literal, which keyValue rejects).
+      case EqualNullSafe(k, l: Literal) if isKey(k) => keyValue(rm, l).map(probe)
+      case EqualNullSafe(l: Literal, k) if isKey(k) => keyValue(rm, l).map(probe)
       case In(k, list) if isKey(k) && list.forall(_.isInstanceOf[Literal]) =>
         val vs = list.flatMap(l => keyValue(rm, l.asInstanceOf[Literal]))
         if (vs.size == list.size) Some(vs.map(probe).foldLeft(Set.empty[Int])(_ ++ _))
