@@ -295,7 +295,14 @@ class KeyedStoreSpec extends AnyFunSuite {
   test("bloom residency: per-region files, GET reads only probed regions, cached") {
     import spark.implicits._
     val name = "graft_keyed_spec_residency"
+    // CREATE must never materialize bloom bytes on the driver: the
+    // fused stats pass writes each region's filter executor-side and
+    // collects only the ~50-byte stats rows. Zero driver-side bloom
+    // file reads across the whole create is the observable pin.
+    val createReads0 = KeyedStore.bloomFileReads.get()
     KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    assert(KeyedStore.bloomFileReads.get() == createReads0,
+      "create read bloom bytes driver-side")
     val rm = KeyedStore.readRegions(spark, name)
     // Blooms live DATA-SIDE: one file per region next to the region's
     // parquet, plus the size meta — never a driver-held monolith.
