@@ -11,6 +11,10 @@ import java.nio.file.{Files, Paths}
   * Each query runs twice and reports the min: a single-shot pass bills
   * GC/codegen churn from a heavy neighbor to whichever query runs next
   * (observed in round 1: q_set_ops at 45 s single-shot vs ~5 s clean).
+  * Queries >2x their previous-round record re-run twice more (min of
+  * all runs kept) and are flagged in "suspect" if still deviant — the
+  * round-7 record carried a 16-row contention window that a min-of-2
+  * could not absorb.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,13 +60,58 @@ object Bench {
       spark.catalog.clearCache()
       (name, times.min, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Deviation guard: a min-of-2 can still record a sustained machine
+    // contention window (round 7 carried 16 inflated rows into the
+    // permanent record). Any query whose min exceeds 2x its value in the
+    // repo's latest BENCH_r*.json (and by >0.5 s absolute) is re-run
+    // twice more and the min of all runs kept; a survivor is flagged in
+    // "suspect" so the record carries its own health note instead of a
+    // silent regression-or-artifact ambiguity.
+    val prior: Map[String, Double] = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val files = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.toPath))
+          case _ => None
+        })
+      if (files.isEmpty) Map.empty
+      else {
+        val txt = new String(Files.readAllBytes(files.maxBy(_._1)._2), "UTF-8")
+        val start = txt.indexOf("\"queries\":")
+        if (start < 0) Map.empty
+        else "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(txt.substring(start))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    def deviant(t: Double, pv: Double): Boolean = t > 2 * pv && t - pv > 0.5
+    val guarded = results.map { case (name, t, err) =>
+      if (err.nonEmpty || !prior.get(name).exists(deviant(t, _)))
+        (name, t, err, false)
+      else {
+        val retimes = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        val best = math.min(t, retimes.min)
+        (name, best, err, prior.get(name).exists(deviant(best, _)))
+      }
+    }
+    val qs = guarded.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = guarded.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val nErr = results.count(_._3.nonEmpty)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"sf":"$sfDir"}"""
+    val suspect = guarded.collect { case (k, _, _, true) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = guarded.map(_._2).sum
+    val nErr = guarded.count(_._3.nonEmpty)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_err":$nErr,"suspect":$suspect,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
     // Printed LAST (after file write + session stop) so a tail-capture

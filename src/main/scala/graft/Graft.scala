@@ -239,9 +239,12 @@ object Graft {
   def vstoreAsOfTimestamp(spark: SparkSession, dir: String,
                           tsMillis: Long): DataFrame =
     ops.VersionedStore.asOfTimestamp(spark, dir, tsMillis)
-  /** Drop data/manifests outside the last `keepLast` versions. */
-  def vstoreVacuum(dir: String, keepLast: Int = 1): Int =
-    ops.VersionedStore.vacuum(dir, keepLast)
+  /** Drop data/manifests outside the last `keepLast` versions.
+    * `graceMs` keeps expiring snapshots readable for pinned readers
+    * that long; in-flight commits are protected independently by the
+    * publish-horizon guard (see [[ops.VersionedStore.vacuum]]). */
+  def vstoreVacuum(dir: String, keepLast: Int = 1, graceMs: Long = 0L): Int =
+    ops.VersionedStore.vacuum(dir, keepLast, graceMs)
   /** Bin-pack undersized adjacent leaves (OPTIMIZE); returns the new
     * version, or 0 if nothing needed packing. */
   def vstoreCompact(spark: SparkSession, dir: String, key: String): Int =

@@ -51,12 +51,18 @@ import scala.jdk.CollectionConverters._
   *    10⁶ regions. A GET for an absent key touches zero partitions (the
   *    bloom rejects every candidate); a region with no / stale bloom
   *    file is scanned (fail open — see [[loadBloom]]);
-  *  - all mutating entry points hold a per-table WRITER LOCK (a
-  *    create-exclusive lock file beside the table location, with a
-  *    stale-lock takeover), so two concurrent upsert/mergeInto calls
-  *    serialize instead of interleaving read→merge→overwrite and
-  *    silently losing a writer's regions — the single-writer-per-region
-  *    discipline an HBase region server enforces by ownership;
+  *  - writers are fenced by create-exclusive lock files with
+  *    token-verified heartbeats. upsert/mergeInto take REGION-SCOPED
+  *    locks: writers whose touched-region sets are disjoint run
+  *    CONCURRENTLY (several streaming sinks landing in one store no
+  *    longer serialize behind one mutex), overlapping writers serialize
+  *    on the shared region's lock, and STRUCTURAL ops (create / split /
+  *    rebalance / region merge / repair) exclude everyone by draining
+  *    the region writers' shared markers under the table mutex — the
+  *    single-writer-PER-REGION discipline an HBase region server
+  *    enforces by ownership, rather than one lock over the whole table
+  *    ([[withRegionLocks]] documents the protocol and why it cannot
+  *    deadlock or starve);
   *  - the region directory is CACHED driver-side keyed by the sidecar's
   *    (mtime, size), so repeated GET/scan/merge calls parse it once, and
   *    a directory written by another JVM is picked up on its next
@@ -193,56 +199,164 @@ object KeyedStore {
 
   // ------------------------- writer fencing -------------------------
 
-  private val LockStaleMs = 60000L
-  private val LockWaitMs = 120000L
-  private val LockHeartbeatMs = 10000L
+  /** Timing knobs. `private[graft] var` so specs can shrink them to
+    * exercise takeover/fencing without minute-long sleeps; production
+    * code never mutates them.
+    */
+  @volatile private[graft] var LockStaleMs = 60000L
+  @volatile private[graft] var LockWaitMs = 120000L
+  @volatile private[graft] var LockHeartbeatMs = 10000L
 
-  /** Lock file lives BESIDE the table location (create wipes the
+  /** Lock files live BESIDE the table location (create wipes the
     * location itself), in the warehouse directory.
     */
   private def lockPath(spark: SparkSession, name: String): Path =
     location(spark, name).resolveSibling(name.toLowerCase + ".graft-lock")
 
-  /** Per-table writer mutex: create-exclusive lock file, blocking
-    * acquire, crash-safe takeover. Serializes every mutating entry
-    * point so concurrent upsert/mergeInto calls cannot interleave
-    * read-sidecar → merge → overwrite → write-sidecar and silently lose
-    * one writer's regions — the fencing [[VersionedStore]] gets from
-    * create-exclusive manifest publishes, adapted to a store that
-    * mutates one shared table in place (where optimistic publish can't
-    * roll back the data write, a mutex is the sound shape).
-    *
-    * Liveness vs safety, carefully:
-    *  - the HOLDER runs a daemon heartbeat that refreshes the lock
-    *    mtime every `LockHeartbeatMs`, so a legitimate writer running
-    *    longer than the staleness horizon is never usurped — only a
-    *    crashed holder (no heartbeat for `LockStaleMs`) goes stale;
-    *  - takeover of a stale lock is TOKEN-VERIFIED: the claimant
-    *    atomically MOVES the lock aside to a unique name (exactly one
-    *    concurrent claimant can win the move; losers see
-    *    NoSuchFileException and re-race createFile), then compares the
-    *    moved file's token against the token it observed stale. A
-    *    mismatch means the stale holder released and a NEW writer
-    *    acquired between observation and move — the fresh lock is moved
-    *    straight back and the claimant re-waits. This closes the
-    *    delete-based race where two claimants both judge the lock stale
-    *    and the second delete removes the first claimant's freshly
-    *    created lock;
-    *  - release deletes the lock only while its content still matches
-    *    the holder's own token, so a usurped (crashed-and-reclaimed)
-    *    holder resuming in finally cannot delete a successor's lock.
+  private def regionLockPath(spark: SparkSession, name: String, kr: Int): Path =
+    location(spark, name).resolveSibling(
+      name.toLowerCase + s".region-$kr.graft-lock")
+
+  private def sidecarLockPath(spark: SparkSession, name: String): Path =
+    location(spark, name).resolveSibling(
+      name.toLowerCase + ".sidecar.graft-lock")
+
+  private def sharedMarkerPrefix(name: String): String =
+    name.toLowerCase + ".shared-"
+
+  /** A parked move-aside file still carrying `token` (see [[takeover]]). */
+  private def findParked(p: Path, token: String): Option[Path] = {
+    val prefix = p.getFileName.toString + ".takeover-"
+    try scala.util.Using.resource(Files.list(p.getParent)) { s =>
+      s.iterator().asScala.find { f =>
+        f.getFileName.toString.startsWith(prefix) &&
+          (try new String(Files.readAllBytes(f), "UTF-8") == token
+           catch { case _: java.io.IOException => false })
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** A HELD create-exclusive lock file. The holder heartbeats the mtime
+    * (so only a CRASHED holder ever goes stale) and VERIFIES ownership
+    * on every beat: if the file no longer carries our token, the beat
+    * first tries to reclaim a PARKED move-aside file (a claimant that
+    * mis-judged us stale and could not restore — see [[takeover]]) and
+    * only on failure marks the handle FENCED. Callers surface `fenced`
+    * as an error, so a writer whose mutex was genuinely lost mid-write
+    * can never report a clean result. Release is token-guarded: a
+    * usurped holder resuming in `finally` cannot delete a successor's
+    * lock (it deletes its own parked aside instead, if any).
     */
-  private def withTableLock[T](spark: SparkSession, name: String)(body: => T): T = {
-    val p = lockPath(spark, name)
+  private final class LockHandle(val path: Path, val token: String) {
+    @volatile var fenced = false
+
+    /** One heartbeat; false once the handle is fenced (stop beating). */
+    def beatOnce(): Boolean =
+      try {
+        if (new String(Files.readAllBytes(path), "UTF-8") == token) {
+          Files.setLastModifiedTime(path,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+          true
+        } else reclaimParked()
+      } catch {
+        case _: java.nio.file.NoSuchFileException => reclaimParked()
+        case _: java.io.IOException => true // transient; retry next beat
+      }
+
+    private def reclaimParked(): Boolean = {
+      val restored = findParked(path, token).exists { aside =>
+        try {
+          Files.move(aside, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+      if (!restored) fenced = true
+      restored
+    }
+
+    def release(): Unit =
+      try {
+        if (new String(Files.readAllBytes(path), "UTF-8") == token)
+          Files.deleteIfExists(path)
+        else findParked(path, token).foreach(Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+  }
+
+  /** ONE daemon thread heartbeating a whole acquisition group — a
+    * region-scoped writer may hold O(touched regions) locks and must not
+    * spawn a thread per lock.
+    */
+  private final class HeartbeatGroup(handles: Seq[LockHandle]) {
+    private val t = new Thread(() => {
+      // map-then-reduce, NOT exists: every handle must beat every cycle
+      // (exists would stop at the first live one and starve the rest).
+      try while ({ Thread.sleep(LockHeartbeatMs)
+                   handles.map(_.beatOnce()).foldLeft(false)(_ || _) }) ()
+      catch { case _: InterruptedException => () }
+    }, "graft-lock-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    def stop(): Unit = t.interrupt()
+  }
+
+  /** Token-verified takeover of a lock observed STALE (`staleToken`,
+    * mtime past the horizon): atomically move it aside (exactly one
+    * claimant wins the move), verify the moved content. A mismatch
+    * means a successor acquired between observation and move — its
+    * FRESH lock is restored intact, with retries; if a third claimant
+    * re-created the path before the restore lands, the aside file is
+    * PARKED (never deleted — its content is the successor's live
+    * token, and the successor's heartbeat reclaims or cleans it). The
+    * pre-round-8 behavior — deleting the aside on restore failure —
+    * destroyed the successor's lock while it believed it held the
+    * mutex, exactly the two-writer interleave the lock exists to
+    * prevent; the successor now at worst FENCES (LockHandle scaladoc).
+    */
+  private[graft] def takeover(p: Path, claimantToken: String,
+                              staleToken: String): Unit = {
+    val aside = p.resolveSibling(
+      p.getFileName.toString + ".takeover-" + claimantToken)
+    try {
+      Files.move(p, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val moved = new String(Files.readAllBytes(aside), "UTF-8")
+      if (moved == staleToken) Files.deleteIfExists(aside)
+      else {
+        var restored = false
+        var attempts = 0
+        while (!restored && attempts < 50) {
+          try {
+            Files.move(aside, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            restored = true
+          } catch {
+            case _: java.io.IOException =>
+              if (!Files.exists(aside)) restored = true // owner reclaimed it
+              else { attempts += 1; Thread.sleep(10) }
+          }
+        }
+      }
+    } catch {
+      case _: java.io.IOException => () // lost the move race; re-wait
+    }
+  }
+
+  /** Blocking create-exclusive acquire with crash-safe takeover (the
+    * fencing [[VersionedStore]] gets from create-exclusive manifest
+    * publishes, adapted to a store that mutates shared state in place,
+    * where optimistic publish can't roll back a partition overwrite).
+    * The caller owns heartbeating (via [[HeartbeatGroup]]) and release.
+    */
+  private def acquireLock(p: Path): LockHandle = {
     Files.createDirectories(p.getParent)
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + LockWaitMs
-    var acquired = false
-    while (!acquired) {
+    while (true) {
       try {
         Files.write(p, token.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        acquired = true
+        return new LockHandle(p, token)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val observed: Option[(String, Long)] =
@@ -251,47 +365,141 @@ object KeyedStore {
             catch { case _: java.io.IOException => None }
           val stale = observed.exists(_._2 + LockStaleMs <=
             System.currentTimeMillis())
-          if (stale) {
-            val aside = p.resolveSibling(
-              p.getFileName.toString + ".takeover-" + token)
-            try {
-              Files.move(p, aside,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              val moved = new String(Files.readAllBytes(aside), "UTF-8")
-              if (moved == observed.get._1) Files.deleteIfExists(aside)
-              else // stole a successor's FRESH lock: restore it intact
-                try Files.move(aside, p,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                catch { case _: java.io.IOException =>
-                  Files.deleteIfExists(aside) }
-            } catch {
-              case _: java.io.IOException => () // lost the move race; re-wait
-            }
-          } else if (System.currentTimeMillis() > deadline)
+          if (stale) takeover(p, token, observed.get._1)
+          else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"KeyedStore: timed out waiting for writer lock $p")
           else Thread.sleep(20)
       }
     }
-    // Heartbeat while held: a long merge's Spark jobs must not let the
-    // lock go stale under a live writer.
-    val beat = new Thread(() => {
-      try while (true) {
-        Thread.sleep(LockHeartbeatMs)
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis()))
-      } catch { case _: InterruptedException | _: java.io.IOException => () }
-    }, s"graft-lock-heartbeat-$name")
-    beat.setDaemon(true)
-    beat.start()
-    try body finally {
-      beat.interrupt()
-      // Token-guarded release: only delete a lock we still own.
-      try {
-        if (new String(Files.readAllBytes(p), "UTF-8") == token)
-          Files.deleteIfExists(p)
-      } catch { case _: java.io.IOException => () }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def failIfFenced(handles: Seq[LockHandle]): Unit =
+    handles.find(_.fenced).foreach { h =>
+      throw new IllegalStateException(
+        s"KeyedStore: writer lock ${h.path} was lost mid-write (fenced) — " +
+          "a claimant usurped it; the write may have raced and must be " +
+          "verified/retried")
+    }
+
+  /** STRUCTURAL writer exclusion — create / rebalance / split / region
+    * merge / repair: the table mutex, PLUS a drain of live region-scoped
+    * writers (their shared markers, below). Because new region-scoped
+    * writers are admitted under the same table mutex this op now holds,
+    * no new marker can appear while draining — admission control and
+    * exclusion ride one lock, so structural ops cannot starve.
+    */
+  private def withStructuralLock[T](spark: SparkSession, name: String)
+                                   (body: => T): T = {
+    val h = acquireLock(lockPath(spark, name))
+    val beat = new HeartbeatGroup(Seq(h))
+    try {
+      drainSharedMarkers(spark, name)
+      val r = body
+      failIfFenced(Seq(h))
+      r
+    } finally { beat.stop(); h.release() }
+  }
+
+  /** Wait until no LIVE region-scoped writer marker remains (crashed
+    * writers' markers go stale by mtime and are swept here).
+    */
+  private def drainSharedMarkers(spark: SparkSession, name: String): Unit = {
+    val parent = location(spark, name).getParent
+    val prefix = sharedMarkerPrefix(name)
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var clear = false
+    while (!clear) {
+      val live =
+        if (!Files.exists(parent)) Nil
+        else scala.util.Using.resource(Files.list(parent)) { s =>
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+        }.filter { m =>
+          try {
+            val stale = Files.getLastModifiedTime(m).toMillis +
+              LockStaleMs <= System.currentTimeMillis()
+            if (stale) { Files.deleteIfExists(m); false } else true
+          } catch { case _: java.io.IOException => false }
+        }
+      if (live.isEmpty) clear = true
+      else if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"KeyedStore: timed out draining region writers of $name: $live")
+      else Thread.sleep(20)
+    }
+  }
+
+  /** Past this many touched regions a region-scoped writer falls back to
+    * the structural lock: per-region lock files stop paying when a batch
+    * touches a large slice of the table anyway, and O(10⁴) lock files
+    * per merge is its own failure mode.
+    */
+  private val RegionLockFanoutCap = 64
+
+  /** REGION-SCOPED writer admission — upsert/mergeInto: writers whose
+    * touched-region sets are DISJOINT run concurrently (several
+    * streaming sinks landing in one store stop serializing behind one
+    * table mutex); overlapping writers serialize on the shared region
+    * lock; structural ops exclude all of them. Protocol:
+    *
+    *  1. compute the touched set OPTIMISTICALLY (the coverage job runs
+    *     unlocked — admission holds the table mutex only for file ops);
+    *  2. under the table mutex: re-read the directory; if the region
+    *     BOUNDARY SET changed since step 1 (a structural op slipped in),
+    *     recompute the touched set — stat-only changes by concurrent
+    *     disjoint writers never move a key's coverage region, so the
+    *     boundary signature is the exact invalidation key;
+    *  3. still under the mutex: acquire each touched region's lock (kr
+    *     order; admissions are serialized by the mutex, so no ABBA) and
+    *     publish a heartbeating SHARED MARKER, then release the mutex;
+    *  4. run the merge body; concurrent sidecar updates serialize on the
+    *     sidecar lock inside [[writeTouched]] (read-modify-write of only
+    *     this writer's entries);
+    *  5. release region locks + marker; a fenced lock fails the call.
+    *
+    * The drain in [[withStructuralLock]] + this marker give the classic
+    * shared/exclusive pair built from create-exclusive files alone.
+    */
+  private def withRegionLocks[T](spark: SparkSession, name: String,
+                                 rm0: RegionMap, touched0: Seq[Int],
+                                 recompute: RegionMap => Seq[Int])
+                                (body: (RegionMap, Long, Seq[Int]) => T): T = {
+    val table = acquireLock(lockPath(spark, name))
+    val tableBeat = new HeartbeatGroup(Seq(table))
+    val held = scala.collection.mutable.ArrayBuffer.empty[LockHandle]
+    var groupBeat: HeartbeatGroup = null
+    var tableReleased = false
+    try {
+      val (rm, target) = readRegionsWithTarget(spark, name)
+      val touched =
+        if (rm.regions.map(r => (r.kr, r.min)) ==
+            rm0.regions.map(r => (r.kr, r.min))) touched0
+        else recompute(rm)
+      if (touched.size > RegionLockFanoutCap) {
+        // Wide writer: keep the table mutex (structural-grade exclusion).
+        drainSharedMarkers(spark, name)
+      } else {
+        touched.sorted.foreach { kr =>
+          held += acquireLock(regionLockPath(spark, name, kr))
+        }
+        val mtok = java.util.UUID.randomUUID().toString
+        val mpath = location(spark, name).resolveSibling(
+          sharedMarkerPrefix(name) + mtok + ".graft-lock")
+        Files.write(mpath, mtok.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held += new LockHandle(mpath, mtok)
+        groupBeat = new HeartbeatGroup(held.toSeq)
+        tableBeat.stop(); table.release(); tableReleased = true
+      }
+      val r = body(rm, target, touched)
+      failIfFenced(if (tableReleased) held.toSeq else Seq(table))
+      r
+    } finally {
+      if (groupBeat != null) groupBeat.stop()
+      held.foreach(_.release())
+      if (!tableReleased) { tableBeat.stop(); table.release() }
     }
   }
 
@@ -344,11 +552,15 @@ object KeyedStore {
     */
   private[graft] val bloomFileReads = new AtomicLong(0)
 
-  /** path → (bloom file mtime, bytes). Validated by mtime on every hit;
-    * bounded in practice by the working set of probed regions.
+  /** path → (bloom file mtime, size, bytes). Validated by (mtime, size)
+    * on every hit — like [[dirCache]]; mtime alone would serve stale
+    * bytes for a bloom rewritten within one mtime tick, and a stale
+    * bloom is a false NEGATIVE (a silently dropped region), not a
+    * fail-open miss. Bounded in practice by the working set of probed
+    * regions.
     */
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Array[Byte])]
+    new java.util.concurrent.ConcurrentHashMap[String, (java.nio.file.attribute.FileTime, Long, Array[Byte])]
 
   /** Lazily load ONE region's bloom from the table LOCATION (path-based
     * so the [[graft.plans.KeyedRegionPrune]] optimizer rule — which sees
@@ -369,12 +581,13 @@ object KeyedStore {
       if (!fresh) None
       else {
         val key = f.toString
+        val sz = Files.size(f)
         val hit = bloomCache.get(key)
-        if (hit != null && hit._1 == bm) Some(hit._2)
+        if (hit != null && hit._1 == bm && hit._2 == sz) Some(hit._3)
         else {
           bloomFileReads.incrementAndGet()
           val bytes = Files.readAllBytes(f)
-          bloomCache.put(key, (bm, bytes))
+          bloomCache.put(key, (bm, sz, bytes))
           Some(bytes)
         }
       }
@@ -449,6 +662,50 @@ object KeyedStore {
     case _ => new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
   }
 
+  /** Regions per directory-CHUNK file, and the threshold past which the
+    * sidecar switches from one FLAT file to a manifest LIST + immutable
+    * chunk files (the [[VersionedStore]] manifest-list shape applied to
+    * the region directory): at 10⁶ regions a flat sidecar is a ~50 MB
+    * text file rewritten whole by every 1-key merge and re-parsed whole
+    * on every version change; chunked, a merge rewrites O(touched
+    * chunks) + a small list, and a reader re-parses only the chunks
+    * whose files changed (immutable uuid names → cache hits for the
+    * rest). `private[graft] var` so the scale spec can shrink it.
+    */
+  @volatile private[graft] var RegionDirChunkTarget = 512
+
+  /** Test hooks: sidecar bytes physically read / written (list + chunk
+    * files; cache hits don't count). Pin the flat-at-20×-regions
+    * contract of the chunked directory.
+    */
+  private[graft] val sidecarBytesRead = new AtomicLong(0)
+  private[graft] val sidecarBytesWritten = new AtomicLong(0)
+
+  private val KrListMarker = "#krlist"
+
+  private def regionChunkDir(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".d")
+
+  /** Immutable-chunk cache: chunk PATH → raw entry lines. Chunk files
+    * are write-once under fresh uuid names, so entries never go stale.
+    */
+  private val regionChunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]
+
+  private def readChunkLines(dir: Path, file: String): IndexedSeq[String] = {
+    val cp = dir.resolve(file)
+    val hit = regionChunkCache.get(cp.toString)
+    if (hit != null) hit
+    else {
+      val bytes = Files.readAllBytes(cp)
+      sidecarBytesRead.addAndGet(bytes.length)
+      val lines = new String(bytes, "UTF-8").split("\n", -1)
+        .iterator.filter(_.nonEmpty).toIndexedSeq
+      regionChunkCache.put(cp.toString, lines)
+      lines
+    }
+  }
+
   private def writeRegions(spark: SparkSession, name: String, rm: RegionMap,
                            target: Long, keyCol: String): Unit = {
     // Header carries the KEY COLUMN (base64 — column names are free
@@ -457,21 +714,117 @@ object KeyedStore {
     // directory is the store's whole contract, like HBase meta.
     val keyB64 = java.util.Base64.getEncoder
       .encodeToString(keyCol.getBytes("UTF-8"))
-    val lines = s"${rm.typ},$target,$keyB64" +: rm.regions.map(r =>
-      s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}")
     val p = sidecar(spark, name)
-    atomicWrite(p, lines.mkString("\n"))
+    val ord: Ordering[Any] = rm.typ match {
+      case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
+      case _ => Ordering.by[Any, String](_.toString)
+    }
+    val sorted = rm.regions.sortBy(_.min)(ord)
+    def entryLine(r: Region) =
+      s"${r.kr},${r.rows},${encKey(rm.typ, r.min)},${encKey(rm.typ, r.max)}"
+    val cd = regionChunkDir(p)
+    if (sorted.size <= RegionDirChunkTarget) {
+      val content = (s"${rm.typ},$target,$keyB64" +: sorted.map(entryLine))
+        .mkString("\n")
+      sidecarBytesWritten.addAndGet(content.length.toLong)
+      atomicWrite(p, content)
+      // A directory that shrank back below the threshold abandons its
+      // chunk files (single sidecar writer; a reader mid-parse of the
+      // old list retries and sees the flat file).
+      if (Files.exists(cd))
+        scala.util.Using.resource(Files.list(cd))(
+          _.iterator().asScala.foreach(Files.deleteIfExists(_)))
+    } else {
+      writeRegionList(p, cd, rm.typ, target, keyB64, sorted, entryLine, ord)
+    }
     // Prime the cache with the parsed value under the freshly-written
     // attributes: the writer's next read is a hit, and a second write
     // within the same mtime tick can't leave a stale in-JVM entry.
     val attrs = Files.readAttributes(p,
       classOf[java.nio.file.attribute.BasicFileAttributes])
-    val ord: Ordering[Any] = rm.typ match {
-      case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
-      case _ => Ordering.by[Any, String](_.toString)
-    }
     dirCache.put(p.toString, (attrs.lastModifiedTime(), attrs.size(),
-      (RegionMap(rm.typ, rm.regions.sortBy(_.min)(ord)), target, Some(keyCol))))
+      (RegionMap(rm.typ, sorted), target, Some(keyCol))))
+  }
+
+  /** Chunked sidecar publish: assign the min-key-sorted entries to the
+    * PREVIOUS list's chunk buckets (boundary = each chunk's recorded
+    * first min key), share every chunk whose entry lines are unchanged,
+    * rewrite the rest under fresh uuid names (a bucket grown past 2×
+    * target splits into ~target-sized fresh chunks), then publish the
+    * small list atomically and GC the superseded chunk files. A 1-key
+    * merge therefore writes one chunk + the list — O(touched chunks),
+    * never O(regions); KeyedStoreSpec pins the bytes flat across 20×
+    * region growth.
+    */
+  private def writeRegionList(p: Path, cd: Path, typ: String, target: Long,
+                              keyB64: String, sorted: IndexedSeq[Region],
+                              entryLine: Region => String,
+                              ord: Ordering[Any]): Unit = {
+    Files.createDirectories(cd)
+    // Previous refs: (file, count, first min key enc) — None if the
+    // current sidecar is flat/absent (full repack).
+    val prevRefs: IndexedSeq[(String, Long, String)] =
+      if (!Files.exists(p)) IndexedSeq.empty
+      else {
+        val lines = Files.readAllLines(p).asScala.toIndexedSeq
+        if (lines.isEmpty || !lines.head.startsWith(KrListMarker))
+          IndexedSeq.empty
+        else lines.tail.filter(_.nonEmpty).map { l =>
+          val Array(f, n, minEnc) = l.split(",", 3)
+          (f, n.toLong, minEnc)
+        }
+      }
+    val buckets: IndexedSeq[IndexedSeq[Region]] =
+      if (prevRefs.isEmpty)
+        sorted.grouped(math.max(1, RegionDirChunkTarget)).toIndexedSeq
+      else {
+        val bounds = prevRefs.map(r => decKey(typ, r._3))
+        // Greatest bucket whose first min ≤ the region's min (region 0's
+        // bucket absorbs anything below the first boundary).
+        val out = IndexedSeq.fill(prevRefs.size)(
+          scala.collection.mutable.ArrayBuffer.empty[Region])
+        sorted.foreach { r =>
+          val i = graft.functions.RangeFunctions.indexOf(bounds, r.min)(ord)
+          out(math.max(0, i)) += r
+        }
+        out.map(_.toIndexedSeq)
+      }
+    def writeChunk(entries: IndexedSeq[Region]): (String, Long, String) = {
+      val fn = "ch" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val content = entries.map(entryLine).mkString("\n")
+      sidecarBytesWritten.addAndGet(content.length.toLong)
+      atomicWrite(cd.resolve(fn), content)
+      // Deliberately NOT primed into regionChunkCache: the writer's own
+      // dirCache prime covers its next read, and an unprimed chunk lets
+      // the byte-counter spec measure exactly what a previous-version
+      // READER must fetch (list + rewritten chunks).
+      (fn, entries.size.toLong, encKey(typ, entries.head.min))
+    }
+    val newRefs: IndexedSeq[(String, Long, String)] =
+      buckets.zipWithIndex.flatMap { case (bucket, i) =>
+        if (bucket.isEmpty) IndexedSeq.empty[(String, Long, String)]
+        else {
+          val prev = prevRefs.lift(i)
+          val lines = bucket.map(entryLine)
+          if (prev.exists(pr => pr._2 == bucket.size &&
+              readChunkLines(cd, pr._1) == lines))
+            IndexedSeq(prev.get) // unchanged: share the chunk file
+          else if (bucket.size > 2 * RegionDirChunkTarget)
+            bucket.grouped(RegionDirChunkTarget).map(writeChunk).toIndexedSeq
+          else IndexedSeq(writeChunk(bucket))
+        }
+      }
+    val content = (s"$KrListMarker,$typ,$target,$keyB64" +:
+      newRefs.map(r => s"${r._1},${r._2},${r._3}")).mkString("\n")
+    sidecarBytesWritten.addAndGet(content.length.toLong)
+    atomicWrite(p, content)
+    // Superseded chunks: single sidecar writer, so immediate GC is safe
+    // (a reader mid-parse of the old list retries on the missing file).
+    val live = newRefs.map(_._1).toSet
+    prevRefs.map(_._1).filterNot(live).foreach { f =>
+      Files.deleteIfExists(cd.resolve(f))
+      regionChunkCache.remove(cd.resolve(f).toString)
+    }
   }
 
   /** Test hook: number of sidecar PARSES (cache misses). Pins the
@@ -499,22 +852,52 @@ object KeyedStore {
     * back to (default, None).
     */
   private[graft] def parseSidecarAt(p: Path): (RegionMap, Long, Option[String]) = {
+    var attempt = 0
+    while (true) {
+      try return parseSidecarOnce(p)
+      catch {
+        // A chunk file vanished mid-parse: the single sidecar writer
+        // republished and GC'd it between our list read and chunk read.
+        // Re-stat and re-parse against the fresh list (bounded retries —
+        // persistent absence is real corruption and must surface).
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def parseSidecarOnce(p: Path): (RegionMap, Long, Option[String]) = {
     val attrs = Files.readAttributes(p,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val cached = dirCache.get(p.toString)
     if (cached != null && cached._1 == attrs.lastModifiedTime() &&
         cached._2 == attrs.size()) return cached._3
     sidecarParses.incrementAndGet()
+    sidecarBytesRead.addAndGet(attrs.size())
     val lines = Files.readAllLines(p).asScala.toIndexedSeq
-    val header = lines.head.split(",", 3)
-    val typ = header(0)
-    val target = header.lift(1).map(_.toLong).getOrElse(DefaultTargetRowsPerRegion)
-    val keyCol = header.lift(2).map(b =>
+    val isList = lines.head.startsWith(KrListMarker)
+    // Flat header: typ,target,keyB64. List header: #krlist,typ,target,keyB64.
+    val header = lines.head.split(",", if (isList) 4 else 3)
+    val off = if (isList) 1 else 0
+    val typ = header(off)
+    val target = header.lift(off + 1).map(_.toLong)
+      .getOrElse(DefaultTargetRowsPerRegion)
+    val keyCol = header.lift(off + 2).map(b =>
       new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
-    val regions = lines.tail.filter(_.nonEmpty).map { l =>
+    val entryLines: Seq[String] =
+      if (!isList) lines.tail.filter(_.nonEmpty)
+      else lines.tail.filter(_.nonEmpty).flatMap { l =>
+        // file,count,minEnc — chunks load through the immutable cache, so
+        // a version change re-reads only the chunks it rewrote.
+        readChunkLines(regionChunkDir(p), l.split(",", 3)(0))
+      }
+    val regions = entryLines.iterator.map { l =>
       val Array(kr, n, lo, hi) = l.split(",", 4)
       Region(kr.toInt, n.toLong, decKey(typ, lo), decKey(typ, hi))
-    }
+    }.toIndexedSeq
     val ord: Ordering[Any] = typ match {
       case "long" => Ordering.by[Any, Long](_.asInstanceOf[Number].longValue())
       case _ => Ordering.by[Any, String](_.toString)
@@ -523,6 +906,14 @@ object KeyedStore {
     dirCache.put(p.toString, (attrs.lastModifiedTime(), attrs.size(), parsed))
     parsed
   }
+
+  /** Test hook: forget the in-memory directory entry (simulates a reader
+    * in a fresh JVM / one pinned to the previous version; the immutable
+    * chunk cache is deliberately KEPT — that is the artifact under test:
+    * a version change must re-read only the list + changed chunks).
+    */
+  private[graft] def invalidateDirCache(spark: SparkSession, name: String): Unit =
+    dirCache.remove(sidecar(spark, name).toString)
 
   private[graft] def readRegionsWithTarget(
       spark: SparkSession, name: String): (RegionMap, Long) = {
@@ -547,7 +938,7 @@ object KeyedStore {
     */
   def create(spark: SparkSession, name: String, rows: DataFrame, key: String,
              targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit =
-    withTableLock(spark, name) {
+    withStructuralLock(spark, name) {
       createLocked(spark, name, rows, key, targetRowsPerRegion)
     }
 
@@ -659,20 +1050,27 @@ object KeyedStore {
     * Serialized against other writers by the table lock.
     */
   def upsert(spark: SparkSession, name: String, key: String,
-             changes: DataFrame): DataFrame = withTableLock(spark, name) {
-    val (rm, target) = readRegionsWithTarget(spark, name)
+             changes: DataFrame): DataFrame = {
+    require(!changes.columns.contains("kr"),
+      "KeyedStore payloads must not contain a column named 'kr'")
     // Coverage region per change row — codegen'd binary search; only the
-    // O(touched regions) distinct ids reach the driver.
-    val changesK = changes.withColumn("kr", rm.krCol(col(key)))
-    val coverage = changesK.select(col("kr")).distinct().collect()
-      .map(_.getInt(0)).toSet
-    val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
-    val touchedKr = rm.expandTouched(coverage.map(krToIdx))
-      .map(rm.regions(_).kr)
-    val baseTouched = spark.table(name)
-      .filter(col("kr").isin(touchedKr: _*))
-    val merged = SourceSinkOps.mergeUpsert(baseTouched, changesK, key)
-    writeTouched(spark, name, key, rm, touchedKr, merged, target)
+    // O(touched regions) distinct ids reach the driver. Runs UNLOCKED
+    // (withRegionLocks revalidates against the boundary signature).
+    def touchedOf(rm: RegionMap): Seq[Int] = {
+      val coverage = changes.select(rm.krCol(col(key)).as("kr")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
+      rm.expandTouched(coverage.map(krToIdx)).map(rm.regions(_).kr)
+    }
+    val rm0 = readRegions(spark, name)
+    withRegionLocks(spark, name, rm0, touchedOf(rm0), touchedOf) {
+      (rm, target, touchedKr) =>
+        val changesK = changes.withColumn("kr", rm.krCol(col(key)))
+        val baseTouched = spark.table(name)
+          .filter(col("kr").isin(touchedKr: _*))
+        val merged = SourceSinkOps.mergeUpsert(baseTouched, changesK, key)
+        writeTouched(spark, name, key, rm, touchedKr, merged, target)
+    }
     maybeSplit(spark, name, key)
     spark.table(name).drop("kr")
   }
@@ -692,44 +1090,68 @@ object KeyedStore {
     */
   def mergeInto(spark: SparkSession, name: String, key: String,
                 batch: DataFrame,
-                merge: (DataFrame, DataFrame) => DataFrame): DataFrame =
-    withTableLock(spark, name) {
-      require(!batch.columns.contains("kr"),
-        "KeyedStore payloads must not contain a column named 'kr'")
-      val (rm, target) = readRegionsWithTarget(spark, name)
+                merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(!batch.columns.contains("kr"),
+      "KeyedStore payloads must not contain a column named 'kr'")
+    def touchedOf(rm: RegionMap): Seq[Int] = {
       val coverage = batch.select(rm.krCol(col(key)).as("kr")).distinct()
         .collect().map(_.getInt(0)).toSet
       val krToIdx = rm.regions.zipWithIndex.map { case (r, i) => r.kr -> i }.toMap
-      val touchedKr = rm.expandTouched(coverage.map(krToIdx))
-        .map(rm.regions(_).kr)
-      val baseTouched = spark.table(name).filter(col("kr").isin(touchedKr: _*))
-      // Resident region per base key: merged rows re-join it so surviving
-      // keys never move regions (a boundary-straddling key's coverage can
-      // differ from its residence); only table-new keys take coverage.
-      val residentKr = baseTouched
-        .select(col(key).as("__mrg_k"), col("kr").as("__mrg_kr")).distinct()
-      val merged = merge(baseTouched.drop("kr"), batch)
-        .join(residentKr, col(key) === col("__mrg_k"), "left")
-        .withColumn("kr", coalesce(col("__mrg_kr"), rm.krCol(col(key))))
-        .drop("__mrg_k", "__mrg_kr")
-      writeTouched(spark, name, key, rm, touchedKr, merged, target)
-      maybeSplit(spark, name, key)
-      spark.table(name).drop("kr")
+      rm.expandTouched(coverage.map(krToIdx)).map(rm.regions(_).kr)
     }
+    val rm0 = readRegions(spark, name)
+    withRegionLocks(spark, name, rm0, touchedOf(rm0), touchedOf) {
+      (rm, target, touchedKr) =>
+        val baseTouched = spark.table(name).filter(col("kr").isin(touchedKr: _*))
+        // Resident region per base key: merged rows re-join it so surviving
+        // keys never move regions (a boundary-straddling key's coverage can
+        // differ from its residence); only table-new keys take coverage.
+        val residentKr = baseTouched
+          .select(col(key).as("__mrg_k"), col("kr").as("__mrg_kr")).distinct()
+        val merged = merge(baseTouched.drop("kr"), batch)
+          .join(residentKr, col(key) === col("__mrg_k"), "left")
+          .withColumn("kr", coalesce(col("__mrg_kr"), rm.krCol(col(key))))
+          .drop("__mrg_k", "__mrg_kr")
+        writeTouched(spark, name, key, rm, touchedKr, merged, target)
+    }
+    maybeSplit(spark, name, key)
+    spark.table(name).drop("kr")
+  }
 
   /** Land `out` via DYNAMIC partition overwrite (only partitions present
-    * in the output are rewritten), restoring the session conf either way
-    * — the one write primitive every mutation path shares.
+    * in the output are rewritten) — the one write primitive every
+    * mutation path shares. The session conf is managed by a re-entrant
+    * JVM-wide guard: with region-disjoint writers running CONCURRENTLY,
+    * a naive set/restore pair races (writer A's restore lands while B's
+    * insert is still planning — B would then OVERWRITE STATICALLY and
+    * truncate the table); the guard restores the user's value only when
+    * the last concurrent writer exits.
     */
+  private object OverwriteModeGuard {
+    private val Key = "spark.sql.sources.partitionOverwriteMode"
+    private var depth = 0
+    private var saved: Option[String] = None
+    def enter(spark: SparkSession): Unit = synchronized {
+      if (depth == 0) {
+        saved = spark.conf.getOption(Key)
+        spark.conf.set(Key, "dynamic")
+      }
+      depth += 1
+    }
+    def exit(spark: SparkSession): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) saved match {
+        case Some(v) => spark.conf.set(Key, v)
+        case None => spark.conf.unset(Key)
+      }
+    }
+  }
+
   private def dynamicOverwriteInto(spark: SparkSession, name: String,
                                    out: DataFrame): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    OverwriteModeGuard.enter(spark)
     try out.write.mode("overwrite").insertInto(name)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    finally OverwriteModeGuard.exit(spark)
   }
 
   /** Shared write path of [[upsert]]/[[mergeInto]]: land `merged` (the
@@ -769,11 +1191,22 @@ object KeyedStore {
     // (missing → fail open), and reads see the dropped (empty) partition
     // — harmless — while coverage keeps routing inserts, so the region
     // map never goes empty.
-    val newRegions = rm.regions.map { r =>
-      if (!touched.contains(r.kr)) r
-      else stats.getOrElse(r.kr, r.copy(rows = 0L))
-    }
-    writeRegions(spark, name, RegionMap(rm.typ, newRegions), target, key)
+    //
+    // Sidecar refresh is READ-MODIFY-WRITE under the sidecar lock: a
+    // concurrent DISJOINT region writer may have updated OTHER entries
+    // since this writer's admission, so the directory is re-parsed and
+    // only this writer's touched entries are replaced — writing the
+    // admission-time snapshot back whole would roll the other writer's
+    // stats back.
+    val sc = acquireLock(sidecarLockPath(spark, name))
+    try {
+      val (cur, _, _) = parseSidecarAt(sidecar(spark, name))
+      val newRegions = cur.regions.map { r =>
+        if (!touched.contains(r.kr)) r
+        else stats.getOrElse(r.kr, r.copy(rows = 0L))
+      }
+      writeRegions(spark, name, RegionMap(cur.typ, newRegions), target, key)
+    } finally sc.release()
   }
 
   /** Automatic region SPLIT — what an HBase region server does when a
@@ -794,6 +1227,16 @@ object KeyedStore {
 
   private def maybeSplit(spark: SparkSession, name: String,
                          key: String): Unit = {
+    // Unlocked pre-check (the common no-split case stays lock-free);
+    // the structural body re-derives under exclusion — a concurrent
+    // writer may have split (or grown) a region in between.
+    val (rmPre, targetPre) = readRegionsWithTarget(spark, name)
+    if (!rmPre.regions.exists(_.rows > SplitFactor * targetPre)) return
+    withStructuralLock(spark, name) { splitLocked(spark, name, key) }
+  }
+
+  private def splitLocked(spark: SparkSession, name: String,
+                          key: String): Unit = {
     val (rm0, target) = readRegionsWithTarget(spark, name)
     val oversized = rm0.regions.filter(_.rows > SplitFactor * target)
     if (oversized.isEmpty) return
@@ -840,7 +1283,7 @@ object KeyedStore {
     * eliminated (0 = nothing to do). Serialized by the table lock.
     */
   def mergeSmallRegions(spark: SparkSession, name: String,
-                        key: String): Int = withTableLock(spark, name) {
+                        key: String): Int = withStructuralLock(spark, name) {
     val (rm, target) = readRegionsWithTarget(spark, name)
     // Greedy run-coalescing over the min-key-ordered directory, same rule
     // as the versioned store's bin-packing compaction.
@@ -916,7 +1359,7 @@ object KeyedStore {
     * reclaimed. Safe to run any time; holds the writer lock.
     */
   def repair(spark: SparkSession, name: String): Int =
-    withTableLock(spark, name) {
+    withStructuralLock(spark, name) {
       val rm = readRegions(spark, name)
       val listed = rm.regions.map(_.kr).toSet
       val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
@@ -934,6 +1377,26 @@ object KeyedStore {
               Files.deleteIfExists(f)
           }
         }
+      // Directory-chunk GC: superseded chunk files whose immediate
+      // delete a crashed writer missed (crash between the list publish
+      // and its GC loop).
+      val sp = sidecar(spark, name)
+      val cd = regionChunkDir(sp)
+      if (Files.exists(cd)) {
+        val lines = Files.readAllLines(sp).asScala
+        val live: Set[String] =
+          if (lines.isEmpty || !lines.head.startsWith(KrListMarker)) Set.empty
+          else lines.iterator.drop(1).filter(_.nonEmpty)
+            .map(_.split(",", 3)(0)).toSet
+        scala.util.Using.resource(Files.list(cd)) { s =>
+          s.iterator().asScala.foreach { f =>
+            if (!live(f.getFileName.toString)) {
+              Files.deleteIfExists(f)
+              regionChunkCache.remove(f.toString)
+            }
+          }
+        }
+      }
       orphans.length
     }
 
@@ -953,7 +1416,7 @@ object KeyedStore {
     */
   def rebalance(spark: SparkSession, name: String, key: String,
                 targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit =
-    withTableLock(spark, name) {
+    withStructuralLock(spark, name) {
       val current = spark.table(name).drop("kr").localCheckpoint()
       createLocked(spark, name, current, key, targetRowsPerRegion)
     }

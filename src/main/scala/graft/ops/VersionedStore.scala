@@ -412,12 +412,41 @@ object VersionedStore {
             val written =
               writeLeaves(spark, dir, newCommitId(), merged, key, newRanges)
             // Untouched entries OF rewritten chunks repack alongside the
-            // fresh leaves; every other chunk file is shared.
+            // fresh leaves; every other chunk file is shared. Packing is
+            // PER CONTIGUOUS RUN of rewritten chunk indices: a single
+            // global pack would let a fresh chunk's [minH, maxH] span a
+            // KEPT chunk whenever the rewrite set is non-contiguous
+            // (normal for hash-routed multi-key commits), violating the
+            // disjoint-sorted-chunk invariant that level-1 routing and
+            // [[chunkOf]] assume — the NEXT commit would then misroute
+            // change hashes and rewrite the wrong leaf while the stale
+            // row survived elsewhere. Every kept-or-written entry lies
+            // inside some rewritten chunk's range, so runs (whose spans
+            // by construction contain no kept chunk) partition them
+            // exactly, and each run packs within its own span.
             val keep = entries.indices
               .filter(i => !touched(i) && rewrite(chunkOf(entries(i))))
               .map(entries(_))
+            val runs: Seq[Vector[Int]] = {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+              var cur = Vector.empty[Int]
+              rewrite.toSeq.sorted.foreach { ci =>
+                if (cur.nonEmpty && ci == cur.last + 1) cur :+= ci
+                else { if (cur.nonEmpty) buf += cur; cur = Vector(ci) }
+              }
+              if (cur.nonEmpty) buf += cur
+              buf.toSeq
+            }
+            val runSpans = runs.map(r => (refs(r.head).minH, refs(r.last).maxH))
+            def runOf(e: FileEntry): Int = runSpans.indexWhere {
+              case (lo, hi) => lo <= e.minH && e.minH <= hi
+            }
+            val grouped = (keep ++ written).groupBy(runOf)
+            require(!grouped.contains(-1),
+              s"VersionedStore.commit: entry outside every rewritten run at $dir")
             refs.indices.filterNot(rewrite).map(refs(_)) ++
-              packChunks(dir, (keep ++ written).sortBy(_.minH), chunkTarget)
+              runs.indices.flatMap(r => packChunks(dir,
+                grouped.getOrElse(r, Nil).sortBy(_.minH), chunkTarget))
           }
         }
       try {
@@ -507,10 +536,10 @@ object VersionedStore {
     * stamped with the expiry instant). Phase 2 deletes (a) the data
     * leaves referenced only by expired manifests whose grace has passed,
     * along with those manifests, (b) orphan leaves (crashed or
-    * race-losing commits) older than the grace horizon, and (c) chunk
-    * files no surviving manifest list references (with the same age
-    * guard, so an in-flight publish's chunks survive). Returns the
-    * number of data directories removed.
+    * race-losing commits) older than the grace horizon AND the publish
+    * horizon (below), and (c) chunk files no surviving manifest list
+    * references (same double guard). Returns the number of data
+    * directories removed.
     *
     * A reader pinned to an expiring snapshot keeps working for `graceMs`
     * past expiry — its resolved paths stay on disk and `asOf` still
@@ -518,17 +547,22 @@ object VersionedStore {
     * (the documented storage-for-history trade). Pure driver-side file
     * management; the data plane of every retained version is untouched.
     *
-    * Concurrency contract: the grace horizon is ALSO what protects an
-    * in-flight concurrent commit — a committer's fresh leaves and chunk
-    * files are unreferenced until its list publishes, so a vacuum
-    * running with `graceMs` SHORTER than the longest plausible commit
-    * can reclaim them from under it (the commit then publishes a list
-    * pointing at deleted files). `graceMs = 0` therefore assumes a
-    * QUIESCED store (no concurrent writers) — the default suits
-    * single-operator maintenance; with live writers pass a grace
-    * comfortably above your commit duration (minutes), exactly the
-    * retention rule the lakehouse table formats document for their
-    * vacuum/expire operations.
+    * Concurrency contract: an IN-FLIGHT commit is protected by a
+    * publish-horizon guard independent of `graceMs` — no unreferenced
+    * data leaf or chunk file whose mtime is NEWER than the latest
+    * published list is ever reclaimed. A committer writes its leaves
+    * and chunks strictly after reading the version it merges against
+    * (hence after that version's publish), so the only files a commit
+    * could still publish into a list are exactly the ones the guard
+    * keeps; files older than the latest publish are either referenced
+    * (tracked by the live sets) or abandoned by a retry/crash and safe
+    * to reclaim. The corollary: a CRASHED commit's orphans stay on disk
+    * until the next successful publish moves the horizon past them (or
+    * `graceMs` is used the classic way — a grace above the commit
+    * duration, the retention rule the lakehouse formats document).
+    * `graceMs = 0` is therefore safe with live writers for CORRECTNESS;
+    * a non-zero grace remains the tool for pinned READERS of expiring
+    * snapshots.
     */
   def vacuum(dir: String, keepLast: Int = 1, graceMs: Long = 0L): Int = {
     val md = manifestDir(dir)
@@ -536,6 +570,12 @@ object VersionedStore {
     val cur = currentVersion(dir)
     val keepFrom = math.max(1, cur - keepLast + 1)
     val now = System.currentTimeMillis()
+    // Publish horizon: files newer than the latest published list may
+    // belong to an in-flight commit (leaves/chunks land BEFORE the list)
+    // — never reclaim them, whatever the grace (scaladoc contract).
+    val publishHorizon: Long =
+      if (cur == 0) Long.MinValue
+      else Files.getLastModifiedTime(manifestFile(dir, cur)).toMillis
     // Phase 1: expire out-of-window manifests.
     (1 until keepFrom).foreach { v =>
       val m = md.resolve(s"v$v")
@@ -581,8 +621,8 @@ object VersionedStore {
             .filter(_.getFileName.toString.startsWith("kf="))
             .foreach { leaf =>
               val rel = s"${cdir.getFileName}/${leaf.getFileName}"
-              val old =
-                Files.getLastModifiedTime(leaf).toMillis + graceMs <= now
+              val mt = Files.getLastModifiedTime(leaf).toMillis
+              val old = mt + graceMs <= now && mt <= publishHorizon
               if (!live(rel) && old) { rm(leaf); removed += 1 }
             }
           if (!Using.resource(Files.list(cdir))(_.iterator().asScala.exists(
@@ -592,14 +632,16 @@ object VersionedStore {
     }
     deletable.foreach(Files.deleteIfExists(_))
     // Chunk GC: a chunk referenced by NO surviving list is garbage once
-    // past the grace horizon (the age guard protects an in-flight
-    // publish that has written chunks but not yet linked its list).
+    // past the grace horizon AND older than the latest publish (the
+    // publish-horizon guard protects an in-flight commit that has
+    // written chunks but not yet linked its list).
     val cd = chunksDir(dir)
     if (Files.exists(cd))
       Using.resource(Files.list(cd))(_.iterator().asScala.toSeq)
         .foreach { ch =>
           val fn = ch.getFileName.toString
-          val old = Files.getLastModifiedTime(ch).toMillis + graceMs <= now
+          val mt = Files.getLastModifiedTime(ch).toMillis
+          val old = mt + graceMs <= now && mt <= publishHorizon
           if (fn.startsWith("ch") && !liveChunks(fn) && old)
             Files.deleteIfExists(ch)
         }
@@ -631,6 +673,14 @@ object VersionedStore {
           s"(oldest: ${candidates.map(_._2).minOption.getOrElse(-1L)})")
     at.map(_._1).max
   }
+
+  /** Test hook: `version`'s chunk refs as sorted (minH, maxH, entries)
+    * — None for a legacy flat manifest. Pins the disjoint-sorted-chunk
+    * invariant that [[commit]]'s two-level routing assumes.
+    */
+  private[graft] def chunkRangesOf(dir: String,
+                                   version: Int): Option[Seq[(Long, Long, Long)]] =
+    readListRefs(manifestFile(dir, version)).map(_.map(r => (r.minH, r.maxH, r.n)))
 
   /** Snapshot read as of a WALL-CLOCK instant: [[versionAt]] then
     * [[asOf]]. */

@@ -361,7 +361,12 @@ object EventStream {
     * O(store/nParts) however large the store got). The merge rule stays
     * the commutative-idempotent max over (ts, event_id)-ordered structs,
     * so an out-of-order batch LOSES to newer resident rows — the
-    * exactly-once recipe for an at-least-once sink. StreamingSpec pins
+    * exactly-once recipe for an at-least-once sink. Replay audit: a
+    * re-run batch merges rows the store already holds, and
+    * `max(resident, x) = resident` when x was already folded in — the
+    * replayed batch is a literal no-op, so this sink needs no batch-id
+    * fence (contrast [[addCountsIntoStore]], where addition is not
+    * idempotent and the fence rides in the row). StreamingSpec pins
     * sibling-region files byte-identical across batches.
     */
   private[graft] def upsertBatchIntoStore(spark: SparkSession, storeTable: String,
@@ -436,7 +441,12 @@ object EventStream {
   /** One micro-batch of the versioned CDC sink: resolve the batch's
     * latest-per-user rows against the current snapshot by the
     * max-(ts, event_id) rule, then commit copy-on-write. Commutative +
-    * idempotent across batch orderings (StreamingSpec pins it). */
+    * idempotent across batch orderings (StreamingSpec pins it). Replay
+    * audit: a re-run batch resolves against a snapshot that already
+    * folded it in, and max is idempotent, so the replay commits a new
+    * VERSION whose content is identical to the current one — the
+    * serving state is exactly-once; only the version history records
+    * the retry (the same observable a lakehouse MERGE retry leaves). */
   private[graft] def commitLatestBatch(spark: SparkSession, storeDir: String,
                                        batch: DataFrame): Unit = {
     val latest = latestPerUser(batch)
@@ -496,22 +506,50 @@ object EventStream {
     * summed into the same region-partitioned catalog store as
     * [[upsertBatchIntoStore]] (region copy-on-write via
     * [[graft.ops.KeyedStore.mergeInto]] — O(changed regions) per batch,
-    * region size bounded by the create target), but the merge is `sum` —
-    * commutative AND associative, so any micro-batch arrival order
-    * drains to the same store (latest-wins only gets commutativity from
-    * the total order on (ts, event_id); addition needs nothing).
+    * region size bounded by the create target).
+    *
+    * Replay fencing: `foreachBatch` is an AT-LEAST-ONCE contract — a
+    * crash between the store merge and the checkpoint commit re-runs the
+    * batch — and a bare additive merge is commutative but NOT idempotent
+    * (a replayed batch would add its counts twice; the latest-wins sinks
+    * dodge this because max is idempotent). The store therefore keeps,
+    * per key, the last applied batch's (id, contribution) alongside the
+    * running total: a batch whose id EQUALS the resident id replaces its
+    * own prior contribution (`n - bn + bn' = n` for a deterministic
+    * replay) instead of adding, so replaying any batch is a no-op, while
+    * a NEW batch id adds normally. The fence rides IN the row, so it
+    * commits atomically with the data it fences — a separate high-water
+    * file could tear from the partition overwrite on exactly the crash
+    * it exists to survive. Batch ids are monotonic per query; only the
+    * most recent uncommitted batch can replay, so one (id, contribution)
+    * slot per key suffices. StreamingSpec pins the double-apply no-op.
     */
   private[graft] def addCountsIntoStore(spark: SparkSession, storeTable: String,
-                                        batch: DataFrame,
+                                        batch: DataFrame, batchId: Long,
                                         targetRowsPerRegion: Long): Unit = {
-    val counts = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val counts = batch.groupBy(col("user_id")).agg(count(lit(1)).as("bn"))
     if (!graft.ops.KeyedStore.exists(spark, storeTable))
-      graft.ops.KeyedStore.create(spark, storeTable, counts, "user_id",
-        targetRowsPerRegion)
+      graft.ops.KeyedStore.create(spark, storeTable,
+        counts.select(col("user_id"), col("bn").as("n"),
+          lit(batchId).as("bid"), col("bn")),
+        "user_id", targetRowsPerRegion)
     else
       graft.ops.KeyedStore.mergeInto(spark, storeTable, "user_id", counts,
-        (base, b) => base.unionByName(b)
-          .groupBy(col("user_id")).agg(sum(col("n")).as("n")))
+        (base, b) => {
+          val bb = b.select(col("user_id").as("__uid"), col("bn").as("__bn"))
+          base.join(bb, col("user_id") === col("__uid"), "full_outer")
+            .select(
+              coalesce(col("user_id"), col("__uid")).as("user_id"),
+              when(col("n").isNull, col("__bn"))                 // key new to store
+                .when(col("__bn").isNull, col("n"))              // key absent from batch
+                .when(col("bid") === lit(batchId),
+                  col("n") - col("bn") + col("__bn"))            // replayed batch
+                .otherwise(col("n") + col("__bn")).as("n"),      // fresh batch
+              when(col("__bn").isNull, col("bid"))
+                .otherwise(lit(batchId)).as("bid"),
+              when(col("__bn").isNull, col("bn"))
+                .otherwise(col("__bn")).as("bn"))
+        })
   }
 
   /** Seventh driver-checked streaming row — streaming running counts with
@@ -540,7 +578,7 @@ object EventStream {
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          addCountsIntoStore(spark, storeTable, batch.toDF(),
+          addCountsIntoStore(spark, storeTable, batch.toDF(), id,
             targetRowsPerRegion = 64)
         }
         .option("checkpointLocation", tmp.resolve("ckpt").toString)

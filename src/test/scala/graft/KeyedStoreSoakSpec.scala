@@ -94,8 +94,34 @@ class KeyedStoreSoakSpec extends AnyFunSuite {
           KeyedStore.rebalance(spark, name, "k",
             targetRowsPerRegion = 8 + rnd.nextInt(24))
         case 9 =>
+          // FAULT INJECTION — the crash window the publish-then-drop
+          // ordering explicitly tolerates: a split/merge that died after
+          // publishing the new directory but before dropping the
+          // superseded partition leaves an ORPHAN partition holding
+          // duplicate rows. Inject exactly that (copy a live region's
+          // rows into an unlisted kr), verify it is invisible to routed
+          // reads but double-counts a raw full-table read, then repair.
           assert(KeyedStore.repair(spark, name) == 0,
-            s"$ctx: repair found orphans in a crash-free run")
+            s"$ctx: repair found orphans before injection")
+          if (model.nonEmpty) {
+            val rm = KeyedStore.readRegions(spark, name)
+            val src = rm.regions.maxBy(_.rows)
+            val orphanKr = rm.regions.map(_.kr).max + 1000
+            val cols = spark.table(name).columns
+            spark.table(name).filter(col("kr") === src.kr).drop("kr")
+              .withColumn("kr", lit(orphanKr))
+              .select(cols.map(col).toIndexedSeq: _*)
+              .write.mode("append").insertInto(name)
+            assert(spark.table(name).count() == model.size + src.rows,
+              s"$ctx: orphan should double-count raw reads")
+            // Routed reads stay correct (the orphan is unlisted).
+            val k0 = model.keysIterator.next()
+            assert(KeyedStore.get(spark, name, "k", Seq(k0))
+              .collect().map(_.getString(1)).toSeq == Seq(model(k0)),
+              s"$ctx: routed GET disturbed by orphan")
+            assert(KeyedStore.repair(spark, name) == 1,
+              s"$ctx: repair must reclaim exactly the injected orphan")
+          }
       }
       checkInvariants(name, model, ctx)
     }

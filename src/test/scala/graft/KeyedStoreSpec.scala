@@ -396,6 +396,264 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(rm.regions.map(_.rows).sum == 200)
   }
 
+  test("chunked region directory: 1-key merge reads/writes O(touched chunks), flat at 20x regions") {
+    import spark.implicits._
+    val prevChunk = KeyedStore.RegionDirChunkTarget
+    KeyedStore.RegionDirChunkTarget = 8
+    try {
+      // (chunk bytes written, list bytes, chunk bytes a previous-version
+      // reader re-reads) for ONE 1-key merge at ~n/4 regions.
+      def oneKeyMerge(n: Long): (Long, Long, Long) = {
+        val name = "graft_keyed_spec_chunkdir"
+        KeyedStore.create(spark, name,
+          (0L until n).map(i => (i, 0L)).toDF("k", "n"), "k",
+          targetRowsPerRegion = 4)
+        val sidecar = KeyedStore.location(spark, name).resolve("_graft_regions")
+        assert(java.nio.file.Files.readAllLines(sidecar).get(0)
+          .startsWith("#krlist"), "directory did not chunk")
+        // Cold-load once so the immutable-chunk cache holds the current
+        // chunks (a long-lived reader's steady state).
+        KeyedStore.invalidateDirCache(spark, name)
+        assert(KeyedStore.get(spark, name, "k", Seq(0L)).count() == 1)
+        val w0 = KeyedStore.sidecarBytesWritten.get()
+        // INSERT a fresh key: the boundary region's row count changes, so
+        // exactly one directory entry (one chunk) must rewrite. (A pure
+        // value UPDATE leaves stats identical and rewrites zero chunks —
+        // also correct, but it wouldn't exercise the chunk path.)
+        KeyedStore.mergeInto(spark, name, "k",
+          Seq((n + 999L, 5L)).toDF("k", "n"),
+          (a, b) => a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n")))
+        val written = KeyedStore.sidecarBytesWritten.get() - w0
+        val listBytes = java.nio.file.Files.size(sidecar)
+        // A reader that saw the previous version re-reads the list + ONLY
+        // the rewritten chunks (immutable names serve the rest from cache).
+        KeyedStore.invalidateDirCache(spark, name)
+        val r0 = KeyedStore.sidecarBytesRead.get()
+        assert(KeyedStore.get(spark, name, "k", Seq(n + 999L))
+          .collect().head.getLong(1) == 5L)
+        val read = KeyedStore.sidecarBytesRead.get() - r0
+        KeyedStore.drop(spark, name)
+        (written - listBytes, listBytes, read - listBytes)
+      }
+      val (chunkW1, list1, chunkR1) = oneKeyMerge(64)     // ~16 regions, 2 chunks
+      val (chunkW20, list20, chunkR20) = oneKeyMerge(1280) // ~320 regions, 40 chunks
+      // The chunk component — the O(regions) term in a flat design — must
+      // stay FLAT as regions grow 20x; only the list (one ~40-byte line
+      // per chunk) grows, and it stays far below the full directory.
+      assert(chunkW20 <= 3 * math.max(1L, chunkW1),
+        s"chunk bytes written not flat: $chunkW1 -> $chunkW20")
+      assert(chunkR20 <= 3 * math.max(1L, chunkR1),
+        s"chunk bytes re-read not flat: $chunkR1 -> $chunkR20")
+      assert(list20 < 20L * 320 * 2, s"list unexpectedly large: $list20 B")
+      assert(list1 > 0 && chunkW1 > 0)
+    } finally KeyedStore.RegionDirChunkTarget = prevChunk
+  }
+
+  test("chunked region directory survives split/merge/rebalance; flat<->list transitions exact") {
+    import spark.implicits._
+    val prevChunk = KeyedStore.RegionDirChunkTarget
+    KeyedStore.RegionDirChunkTarget = 4
+    try {
+      val name = "graft_keyed_spec_chunklife"
+      // 64 keys / target 8 -> 8 regions -> 2 chunks (list format).
+      KeyedStore.create(spark, name, mkRows(64), "k", targetRowsPerRegion = 8)
+      val sidecar = KeyedStore.location(spark, name).resolve("_graft_regions")
+      assert(java.nio.file.Files.readAllLines(sidecar).get(0)
+        .startsWith("#krlist"))
+      // Insert-heavy boundary growth forces an automatic SPLIT (fresh kr
+      // ids inserted mid-key-order): the chunked directory must route and
+      // record them exactly.
+      KeyedStore.upsert(spark, name, "k",
+        (1000L until 1040L).map(k => (k, "I", s"v$k")).toDF("k", "op", "v"))
+      assert(spark.table(name).count() == 104)
+      assert(KeyedStore.get(spark, name, "k", Seq(5L, 1005L))
+        .collect().map(_.getString(1)).toSet == Set("v5", "v1005"))
+      // Delete most rows, then normalize: regions coalesce, the directory
+      // SHRINKS back below the chunk threshold (list -> flat transition).
+      KeyedStore.upsert(spark, name, "k",
+        ((0L until 64L) ++ (1000L until 1036L)).map(k => (k, "D", "x"))
+          .toDF("k", "op", "v"))
+      KeyedStore.mergeSmallRegions(spark, name, "k")
+      val rm = KeyedStore.readRegions(spark, name)
+      assert(rm.regions.size <= KeyedStore.RegionDirChunkTarget)
+      assert(!java.nio.file.Files.readAllLines(sidecar).get(0)
+        .startsWith("#krlist"), "directory did not fall back to flat")
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet ==
+        (1036L until 1040L).toSet)
+      // And back up: rebalance against regrowth re-chunks.
+      KeyedStore.upsert(spark, name, "k",
+        (0L until 64L).map(k => (k, "I", s"w$k")).toDF("k", "op", "v"))
+      KeyedStore.rebalance(spark, name, "k", targetRowsPerRegion = 8)
+      assert(java.nio.file.Files.readAllLines(sidecar).get(0)
+        .startsWith("#krlist"))
+      assert(KeyedStore.get(spark, name, "k", Seq(63L))
+        .collect().map(_.getString(1)).toSeq == Seq("w63"))
+      assert(spark.table(name).count() == 68)
+      KeyedStore.drop(spark, name)
+    } finally KeyedStore.RegionDirChunkTarget = prevChunk
+  }
+
+  test("disjoint-region mergeIntos run CONCURRENTLY (latch-proven); both land") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val name = "graft_keyed_spec_disjoint"
+    KeyedStore.create(spark, name,
+      (0L until 200L).map(i => (i, 0L)).toDF("k", "n"),
+      "k", targetRowsPerRegion = 16)
+    // Each writer's merge callback (driver-side, run while its region
+    // locks are held) waits for the PEER to enter its own merge: if the
+    // writers still serialized on a table mutex, neither peer could
+    // enter while the other held it, both awaits would time out, and
+    // the test fails — genuine overlap is the only way through.
+    val gateA = new java.util.concurrent.CountDownLatch(1)
+    val gateB = new java.util.concurrent.CountDownLatch(1)
+    def add(mine: java.util.concurrent.CountDownLatch,
+            other: java.util.concurrent.CountDownLatch)
+           (a: DataFrame, b: DataFrame): DataFrame = {
+      mine.countDown()
+      assert(other.await(90, java.util.concurrent.TimeUnit.SECONDS),
+        "peer writer never entered its merge — writers serialized")
+      a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+    }
+    // Keys 0-9 and 190-199 live at opposite ends of the key space:
+    // disjoint touched-region sets.
+    val fa = Future(KeyedStore.mergeInto(spark, name, "k",
+      (0L until 10L).map(i => (i, 1L)).toDF("k", "n"), add(gateA, gateB)).count())
+    val fb = Future(KeyedStore.mergeInto(spark, name, "k",
+      (190L until 200L).map(i => (i, 10L)).toDF("k", "n"), add(gateB, gateA)).count())
+    Await.result(fa, 300.seconds)
+    Await.result(fb, 300.seconds)
+    val byK = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK.size == 200)
+    (0L until 200L).foreach { k =>
+      val want = (if (k < 10) 1L else 0L) + (if (k >= 190) 10L else 0L)
+      assert(byK(k) == want, s"k=$k got ${byK(k)} want $want")
+    }
+    // Directory consistent after concurrent sidecar read-modify-writes.
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 200)
+    KeyedStore.drop(spark, name)
+  }
+
+  test("a writer whose region lock is usurped mid-write is FENCED, not silently clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val name = "graft_keyed_spec_fencedwriter"
+    KeyedStore.create(spark, name,
+      (0L until 32L).map(i => (i, 0L)).toDF("k", "n"), "k",
+      targetRowsPerRegion = 8)
+    val rm = KeyedStore.readRegions(spark, name)
+    val kr = rm.regions(rm.coverageIdx(0L)).kr
+    val lock = KeyedStore.location(spark, name)
+      .resolveSibling(name + s".region-$kr.graft-lock")
+    val prevBeat = KeyedStore.LockHeartbeatMs
+    KeyedStore.LockHeartbeatMs = 100L
+    try {
+      def usurpingMerge(a: DataFrame, b: DataFrame): DataFrame = {
+        // Simulate a claimant that mis-judged this writer stale and took
+        // the lock: foreign token, no parked aside to reclaim.
+        java.nio.file.Files.write(lock, "usurper-token".getBytes("UTF-8"))
+        Thread.sleep(600) // several heartbeats: detection must fire
+        a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+      }
+      val ex = intercept[IllegalStateException] {
+        KeyedStore.mergeInto(spark, name, "k",
+          Seq((0L, 1L)).toDF("k", "n"), usurpingMerge)
+      }
+      assert(ex.getMessage.contains("fenced"), s"wrong failure: $ex")
+    } finally {
+      KeyedStore.LockHeartbeatMs = prevBeat
+      java.nio.file.Files.deleteIfExists(lock)
+      KeyedStore.drop(spark, name)
+    }
+  }
+
+  test("a lock moved aside by a mis-judging claimant is reclaimed by the holder's heartbeat") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val name = "graft_keyed_spec_parked"
+    KeyedStore.create(spark, name,
+      (0L until 32L).map(i => (i, 0L)).toDF("k", "n"), "k",
+      targetRowsPerRegion = 8)
+    val rm = KeyedStore.readRegions(spark, name)
+    val kr = rm.regions(rm.coverageIdx(0L)).kr
+    val lock = KeyedStore.location(spark, name)
+      .resolveSibling(name + s".region-$kr.graft-lock")
+    val aside = lock.resolveSibling(
+      lock.getFileName.toString + ".takeover-claimantx")
+    val prevBeat = KeyedStore.LockHeartbeatMs
+    KeyedStore.LockHeartbeatMs = 100L
+    try {
+      def parkingMerge(a: DataFrame, b: DataFrame): DataFrame = {
+        // A claimant moved the live lock aside (the takeover protocol's
+        // first step) and crashed before restoring: the PARKED file still
+        // carries this writer's token, and the heartbeat must move it
+        // back rather than fence.
+        java.nio.file.Files.move(lock, aside,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(600)
+        assert(java.nio.file.Files.exists(lock), "heartbeat did not reclaim")
+        assert(!java.nio.file.Files.exists(aside), "parked aside left behind")
+        a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+      }
+      // Completes CLEANLY — ownership was recovered, not lost.
+      KeyedStore.mergeInto(spark, name, "k",
+        Seq((0L, 5L)).toDF("k", "n"), parkingMerge)
+      assert(KeyedStore.get(spark, name, "k", Seq(0L))
+        .collect().head.getLong(1) == 5L)
+    } finally {
+      KeyedStore.LockHeartbeatMs = prevBeat
+      java.nio.file.Files.deleteIfExists(aside)
+      KeyedStore.drop(spark, name)
+    }
+  }
+
+  test("takeover never destroys a successor's fresh lock: restore, or park intact") {
+    // The claimant observed token 'dead' stale, but by move time a
+    // successor 'succ' holds a FRESH lock (release + re-acquire raced in
+    // between). The takeover must put 'succ' back — and when a third
+    // claimant occupies the path first, PARK the aside rather than
+    // delete it (the pre-round-8 delete destroyed the successor's mutex
+    // while it believed it held it).
+    val dir = java.nio.file.Files.createTempDirectory("graft_takeover")
+    val p = dir.resolve("t.graft-lock")
+    def content(q: java.nio.file.Path) =
+      new String(java.nio.file.Files.readAllBytes(q), "UTF-8")
+    // Case 1: free path — restore succeeds.
+    java.nio.file.Files.write(p, "succ".getBytes("UTF-8"))
+    KeyedStore.takeover(p, "claimant1", "dead")
+    assert(java.nio.file.Files.exists(p) && content(p) == "succ",
+      "fresh successor lock was not restored")
+    // Case 2: a third claimant races the path. Whatever interleaving the
+    // race takes, the successor's token must SURVIVE — on the path or in
+    // a parked aside — never be deleted.
+    @volatile var done = false
+    val third = new Thread(() => {
+      while (!done) {
+        try java.nio.file.Files.write(p, "third".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.io.IOException => () }
+      }
+    })
+    third.start()
+    try KeyedStore.takeover(p, "claimant2", "dead")
+    finally { done = true; third.join() }
+    import scala.jdk.CollectionConverters._
+    val asides = scala.util.Using.resource(
+      java.nio.file.Files.list(dir)) { s =>
+      s.iterator().asScala.filter(
+        _.getFileName.toString.contains(".takeover-")).toSeq
+    }
+    val survivors = (Seq(p) ++ asides).filter(java.nio.file.Files.exists(_))
+      .map(content)
+    assert(survivors.contains("succ"),
+      s"successor token destroyed; survivors: $survivors")
+  }
+
   test("a crashed writer's stale lock is reclaimed; a fresh foreign lock blocks") {
     import spark.implicits._
     val name = "graft_keyed_spec_stalelock"

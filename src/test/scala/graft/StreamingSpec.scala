@@ -221,6 +221,35 @@ class StreamingSpec extends AnyFunSuite {
     ops.KeyedStore.drop(spark, store)
   }
 
+  test("additive count sink: replaying a micro-batch is a no-op (at-least-once fence)") {
+    // foreachBatch is at-least-once: a crash between the store merge and
+    // the checkpoint commit re-runs the batch. Addition is not idempotent,
+    // so the sink fences with a per-key (batch id, contribution) slot that
+    // rides in the row — applying ANY batch twice (including batch 0,
+    // whose first application is the CTAS) must leave counts unchanged.
+    import spark.implicits._
+    val store = "graft_spec_topk_replay"
+    ops.KeyedStore.drop(spark, store)
+    def apply(rows: Seq[(Long, Long)], id: Long): Unit =
+      EventStream.addCountsIntoStore(spark, store,
+        rows.toDF("event_id", "user_id"), id, targetRowsPerRegion = 4)
+    def counts(): Map[Long, Long] = spark.table(store)
+      .select(col("user_id"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+    val b1 = Seq((4L, 10L), (5L, 30L))
+    apply(b0, 0L)
+    apply(b0, 0L) // replayed create-batch: merge path must back out its own prior add
+    assert(counts() == Map(10L -> 2L, 20L -> 1L), "batch-0 replay double-counted")
+    apply(b1, 1L)
+    assert(counts() == Map(10L -> 3L, 20L -> 1L, 30L -> 1L))
+    apply(b1, 1L)
+    apply(b1, 1L) // double replay: still a no-op
+    assert(counts() == Map(10L -> 3L, 20L -> 1L, 30L -> 1L),
+      "batch-1 replay double-counted")
+    ops.KeyedStore.drop(spark, store)
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",

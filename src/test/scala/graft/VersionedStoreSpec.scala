@@ -405,6 +405,104 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(hint), "UTF-8").trim == "3")
   }
 
+  test("non-contiguous chunk rewrites keep chunk ranges disjoint; every commit exact") {
+    // targetRowsPerFile = 1 makes every touched entry SPLIT (rows + change
+    // estimate > target), so repacked chunks misalign with the original
+    // chunk boundaries — the shape where a single global pack would emit a
+    // chunk spanning a KEPT chunk whenever the rewrite set is
+    // non-contiguous, corrupting the next commit's routing. Keys are
+    // chosen by hash so each batch touches chunks spread across the hash
+    // space (deterministically non-contiguous at 30 chunks).
+    val dir = freshDir()
+    val baseKeys = (1L to 60L)
+    ops.VersionedStore.init(spark, dir,
+      baseKeys.map(k => (k, k * 10)).toDF("k", "v"), "k",
+      targetRowsPerFile = 1, chunkTarget = 2)
+    val oracle = scala.collection.mutable.Map(baseKeys.map(k => k -> k * 10): _*)
+    def spread(pool: Seq[Long], fracs: Seq[Double]): Seq[Long] = {
+      val space = math.pow(2, 60)
+      fracs.map { f =>
+        pool.minBy(k =>
+          math.abs(ops.KeyedStore.driverHash60("long", k) - f * space))
+      }.distinct
+    }
+    def checkInvariants(v: Int): Unit = {
+      val refs = ops.VersionedStore.chunkRangesOf(dir, v)
+        .getOrElse(fail(s"v$v is not a chunked list"))
+      refs.sliding(2).foreach {
+        case Seq((_, hiA, _), (loB, _, _)) =>
+          assert(hiA < loB, s"v$v chunks overlap: $refs")
+        case _ =>
+      }
+      val entries = ops.VersionedStore.readManifest(dir, v)
+      entries.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.maxH + 1 == b.minH, s"v$v entry gap/overlap: $a vs $b")
+        case _ =>
+      }
+      assert(entries.head.minH == 0L && entries.last.maxH == (1L << 60) - 1)
+      val got = ops.VersionedStore.asOf(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == oracle.toMap, s"v$v rows diverge from oracle")
+    }
+    checkInvariants(1)
+    var v = 1
+    def commit(changes: Seq[(Long, String, Long)]): Unit = {
+      ops.VersionedStore.commit(spark, dir, changes.toDF("k", "op", "v"), "k")
+      changes.foreach {
+        case (k, "D", _) => oracle.remove(k)
+        case (k, _, value) => oracle(k) = value
+      }
+      v += 1
+      checkInvariants(v)
+    }
+    // Non-contiguous update batch, then an insert+delete mix, then a
+    // pseudo-random multi-commit soak: every commit re-checks the
+    // invariant AND the full row oracle (misrouting shows up as a stale
+    // or duplicate row in some later snapshot).
+    commit(spread(baseKeys, Seq(0.125, 0.375, 0.625, 0.875))
+      .map(k => (k, "U", k * 100)))
+    commit(spread((1001L to 1060L), Seq(0.2, 0.55, 0.9)).map(k => (k, "I", k)) ++
+      spread(baseKeys, Seq(0.3, 0.7)).map(k => (k, "D", 0L)))
+    (0 until 4).foreach { i =>
+      val fr = Seq(0.1 + i * 0.03, 0.45 + i * 0.02, 0.8 + i * 0.04)
+      commit(spread(oracle.keys.toSeq, fr).map(k => (k, "U", k * 1000 + i)))
+    }
+  }
+
+  test("vacuum never reclaims files newer than the latest publish (in-flight guard)") {
+    val dir = freshDir()
+    ops.VersionedStore.init(spark, dir,
+      (1L to 50L).map(k => (k, k)).toDF("k", "v"), "k", targetRowsPerFile = 8)
+    Thread.sleep(30)
+    // Simulate an IN-FLIGHT commit: leaves + a chunk file written (newer
+    // than v1's list), list not yet linked.
+    val inflightLeaf = Paths.get(dir, "data", "cinflight", "kf=0")
+    Files.createDirectories(inflightLeaf)
+    Files.write(inflightLeaf.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val inflightChunk = Paths.get(dir, "manifests", "chunks", "chinflight")
+    Files.write(inflightChunk, "0,1,1,cinflight/kf=0".getBytes("UTF-8"))
+    // graceMs = 0 must still leave them: they are newer than the latest
+    // published list, so they may belong to a commit about to publish.
+    ops.VersionedStore.vacuum(dir, keepLast = 1, graceMs = 0L)
+    assert(Files.exists(inflightLeaf), "in-flight leaf reclaimed")
+    assert(Files.exists(inflightChunk), "in-flight chunk reclaimed")
+    // A later real publish moves the horizon past them: now they are
+    // provably abandoned (a commit never publishes files older than the
+    // list it lost to) and vacuum reclaims them.
+    Thread.sleep(30)
+    ops.VersionedStore.commit(spark, dir,
+      Seq((1L, "U", 111L)).toDF("k", "op", "v"), "k")
+    ops.VersionedStore.vacuum(dir, keepLast = 1, graceMs = 0L)
+    assert(!Files.exists(inflightLeaf), "abandoned leaf not reclaimed")
+    assert(!Files.exists(inflightChunk), "abandoned chunk not reclaimed")
+    // And the live table is untouched.
+    val got = ops.VersionedStore.asOf(spark, dir,
+      ops.VersionedStore.currentVersion(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 111L && got.size == 50)
+  }
+
   test("deleting every row empties the manifest; asOf returns zero rows") {
     val dir = freshDir()
     val base = (1L to 50L).map(k => (k, k)).toDF("k", "v")
