@@ -90,16 +90,22 @@ object Bench {
       if (err.nonEmpty || !prior.get(name).exists(deviant(t, _)))
         (name, t, err, false)
       else {
+        // Only SUCCESSFUL re-runs may lower the recorded time: a crashed
+        // re-run returns fast, and its time-to-failure must not be
+        // mistaken for the query's cost (the original timed runs already
+        // proved the query green).
         val retimes = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count() }
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
-        val best = math.min(t, retimes.min)
+        val good = retimes.collect { case (rt, true) => rt }
+        val best = if (good.nonEmpty) math.min(t, good.min) else t
         (name, best, err, prior.get(name).exists(deviant(best, _)))
       }
     }

@@ -197,7 +197,20 @@ object Graft {
                   changes: DataFrame): DataFrame =
     ops.KeyedStore.upsert(spark, name, key, changes)
   /** Micro-batch merge under a caller-supplied commutative rule (the
-    * streaming-sink primitive). */
+    * streaming-sink primitive).
+    *
+    * Concurrency contract: writers take REGION-SCOPED locks — calls
+    * whose touched-region sets are disjoint run concurrently (several
+    * streaming sinks can land in one store without serializing);
+    * overlapping calls serialize on the shared region's lock, and a
+    * blocked call backs off without obstructing disjoint peers.
+    * Callers MUST be prepared for [[IllegalStateException]]: thrown
+    * when the call times out waiting for a contended lock, or when the
+    * writer was FENCED mid-write (a claimant on another JVM judged this
+    * writer crashed and usurped its lock — the write may have raced and
+    * must be verified or retried; a fenced call never reports a clean
+    * result). Same contract for [[keyedUpsert]].
+    */
   def keyedMergeInto(spark: SparkSession, name: String, key: String,
                      batch: DataFrame,
                      merge: (DataFrame, DataFrame) => DataFrame): DataFrame =

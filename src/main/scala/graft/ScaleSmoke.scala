@@ -242,6 +242,130 @@ object ScaleSmoke {
           .foreach(_.unpersist(blocking = true))
       }
 
+      // seq_pack per-stage decomposition (round-9 ask: where does the
+      // 3.7x weak-scaling tail live?). Replicates packSequences'
+      // internal stages with a localCheckpoint barrier between them so
+      // each stage is timed in isolation: (1) the regexp tokenize pass
+      // over full text — the data-linear floor; (2) the within-bucket
+      // window + the exclusiveOffsets hierarchy; (3) the per-bin
+      // aggregate + sort. Probe-only decomposition — the production
+      // operator keeps its single fused plan (the checkpoint here
+      // exists to ATTRIBUTE time, not to help it).
+      if (wanted("seq_pack_stages")) {
+        val d3 = Tables.documents(spark, dir)
+        var t0 = System.nanoTime()
+        val toked = d3.select(col("doc_id"),
+          expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+            .cast("long").as("n_tokens"))
+          .localCheckpoint()
+        println(f"SCALE seq_pack_tok_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=${toked.count()}")
+        t0 = System.nanoTime()
+        val b = toked.withColumn("bucket", expr("doc_id div 256"))
+        val within = b.withColumn("pfx_within",
+          sum(col("n_tokens")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bucket")).orderBy(col("doc_id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                           org.apache.spark.sql.expressions.Window.currentRow))
+            - col("n_tokens"))
+        val offsets = ops.TextOps.exclusiveOffsets(
+          within.groupBy(col("bucket"))
+            .agg(max(col("pfx_within") + col("n_tokens")).as("tot"))
+            .select(col("bucket").as("key"), col("tot")), 256, 3)
+          .select(col("key").as("bucket"), col("offset"))
+        val binned = within.join(offsets, Seq("bucket"))
+          .select(col("doc_id"), col("n_tokens"),
+                  expr("(offset + pfx_within) div 2048").as("bin"))
+          .localCheckpoint()
+        println(f"SCALE seq_pack_pfx_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=${binned.count()}")
+        t0 = System.nanoTime()
+        val n3 = binned.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+               min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("bin")).count()
+        println(f"SCALE seq_pack_agg_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n3")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      }
+
+      // Sidecar IO per 1-key merge with the region count SCALING with
+      // the data (fixed 2048-row target → 20x regions at 20x): pins the
+      // chunked directory's O(touched chunks) write claim at real region
+      // counts — bytes must stay ~flat (one chunk + the list), never
+      // O(regions).
+      if (wanted("sidecar_merge_bytes")) {
+        import spark.implicits._
+        val name = "graft_scale_sidecar_probe"
+        ops.KeyedStore.create(spark, name,
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")),
+          "o_orderkey", targetRowsPerRegion = 2048)
+        val nReg = ops.KeyedStore.readRegions(spark, name).regions.size
+        ops.KeyedStore.invalidateDirCache(spark, name)
+        ops.KeyedStore.sidecarBytesRead.set(0)
+        ops.KeyedStore.sidecarBytesWritten.set(0)
+        val t0 = System.nanoTime()
+        ops.KeyedStore.upsert(spark, name, "o_orderkey",
+          Seq((42L * 5L, "U", "X", 1.0)).toDF("o_orderkey", "op",
+            "o_orderstatus", "o_totalprice"))
+        println(f"SCALE sidecar_merge_bytes_$tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+          f"   regions=$nReg read=${ops.KeyedStore.sidecarBytesRead.get()}" +
+          f" written=${ops.KeyedStore.sidecarBytesWritten.get()}")
+        ops.KeyedStore.drop(spark, name)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+
+      // Region-scoped locks must buy REAL wall-clock concurrency: three
+      // disjoint-key-range sinks into one store, sequential vs
+      // concurrent (same batches, fresh store each way). Overlap ratio
+      // >1 means the merges genuinely interleave; the committer stage
+      // serializes (shared _temporary staging) but the merge compute —
+      // the dominant cost — runs in parallel.
+      if (wanted("disjoint_sink_overlap")) {
+        import spark.implicits._
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val name = "graft_scale_disjoint_probe"
+        val nOrd = Tables.orders(spark, dir).count()
+        def freshStore(): Unit = ops.KeyedStore.create(spark, name,
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents")),
+          "o_orderkey", targetRowsPerRegion = math.max(2048L, nOrd / 24))
+        // In-range key spans at opposite thirds of the key space —
+        // out-of-range keys would all route to the boundary region and
+        // silently serialize the "disjoint" writers.
+        val spans = Seq(1L, nOrd / 3, 2 * nOrd / 3)
+        def batch(lo: Long) = (lo until lo + 64L).map(k => (k, 1L))
+          .toDF("o_orderkey", "delta")
+        def merge(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) = {
+          val bb = b.select(col("o_orderkey").as("__k"), col("delta"))
+          a.join(bb, col("o_orderkey") === col("__k"), "full_outer")
+            .select(coalesce(col("o_orderkey"), col("__k")).as("o_orderkey"),
+              (coalesce(col("cents"), lit(0L)) +
+               coalesce(col("delta"), lit(0L))).as("cents"))
+        }
+        freshStore()
+        val tSeq0 = System.nanoTime()
+        spans.foreach(lo => ops.KeyedStore.mergeInto(spark, name,
+          "o_orderkey", batch(lo), merge))
+        val tSeq = (System.nanoTime() - tSeq0) / 1e9
+        freshStore()
+        val tCon0 = System.nanoTime()
+        val fs = spans.map(lo => Future(ops.KeyedStore.mergeInto(spark, name,
+          "o_orderkey", batch(lo), merge)))
+        fs.foreach(Await.result(_, 600.seconds))
+        val tCon = (System.nanoTime() - tCon0) / 1e9
+        println(f"SCALE disjoint_sink_overlap_$tag%-4s seq=$tSeq%6.2f s  conc=$tCon%6.2f s" +
+          f"   overlap=${tSeq / tCon}%4.2fx")
+        ops.KeyedStore.drop(spark, name)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+
       // The store layer's CENTRAL scale claim, probed directly: a 1-key
       // merge/commit costs O(changed regions/files) — the SAME wall time
       // at 1x and 20x table size (create/init excluded from the timing;

@@ -170,6 +170,40 @@ object KeyedStore {
       }
       element_at(array(regions.map(r => lit(r.kr)): _*), idx + 1)
     }
+
+    /** Raw-Expression twin of the bucket search in [[krCol]], for plan
+      * rules ([[graft.plans.KeyedRegionPrune]]) that operate below the
+      * Column API: coverage INDEX of key expression `e` (greatest i with
+      * mins(i) ≤ e, clamped to 0). Casts only when the input type
+      * differs from the directory's key domain.
+      */
+    private[graft] def idxExpr(
+        e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = typ match {
+      case "long" =>
+        val in = if (e.dataType == LongType) e
+          else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+        graft.functions.LongBoundaryBucket(in,
+          mins.map(_.asInstanceOf[Long]))
+      case _ =>
+        val in = if (e.dataType == StringType) e
+          else org.apache.spark.sql.catalyst.expressions.Cast(e, StringType)
+        graft.functions.StringBoundaryBucket(in, mins.map(m =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(m.toString)))
+    }
+
+    /** Per-coverage-index HOLDING closure as kr ids: closure(i) is every
+      * region that may hold a value whose coverage index is i — j..i with
+      * j minimal such that regions(j−1).max ≥ regions(i).min (the
+      * value-independent superset of [[holdingIdx]]: any v covered by i
+      * has v ≥ min_i, so a region whose max < min_i can't hold it). The
+      * join-pruning rule ships this as ONE nested-array literal, so plan
+      * size is O(1) expression nodes however many regions exist.
+      */
+    private[graft] def holdingClosures: IndexedSeq[Seq[Int]] =
+      regions.indices.map { i =>
+        expandTouched(Set(i)).map(regions(_).kr)
+      }
   }
 
   private def dropWithLocation(spark: SparkSession, name: String): Unit = {
@@ -375,6 +409,36 @@ object KeyedStore {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Non-blocking create-exclusive acquire: succeed immediately, reclaim
+    * a crashed holder's stale lock (one takeover attempt + one retry),
+    * or return None if the lock is LIVE — the caller decides how to
+    * wait. [[withRegionLocks]] uses this so a writer blocked on a
+    * contended region lock never waits while HOLDING the table mutex
+    * (which would serialize every disjoint writer behind it).
+    */
+  private def tryAcquireLock(p: Path): Option[LockHandle] = {
+    Files.createDirectories(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    def attempt(): Option[LockHandle] =
+      try {
+        Files.write(p, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        Some(new LockHandle(p, token))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => None
+      }
+    attempt().orElse {
+      val observed: Option[(String, Long)] =
+        try Some((new String(Files.readAllBytes(p), "UTF-8"),
+          Files.getLastModifiedTime(p).toMillis))
+        catch { case _: java.io.IOException => None }
+      val stale = observed.exists(_._2 + LockStaleMs <=
+        System.currentTimeMillis())
+      if (stale) { takeover(p, token, observed.get._1); attempt() }
+      else None
+    }
+  }
+
   private def failIfFenced(handles: Seq[LockHandle]): Unit =
     handles.find(_.fenced).foreach { h =>
       throw new IllegalStateException(
@@ -436,7 +500,7 @@ object KeyedStore {
     * touches a large slice of the table anyway, and O(10⁴) lock files
     * per merge is its own failure mode.
     */
-  private val RegionLockFanoutCap = 64
+  @volatile private[graft] var RegionLockFanoutCap = 64
 
   /** REGION-SCOPED writer admission — upsert/mergeInto: writers whose
     * touched-region sets are DISJOINT run concurrently (several
@@ -451,9 +515,15 @@ object KeyedStore {
     *     recompute the touched set — stat-only changes by concurrent
     *     disjoint writers never move a key's coverage region, so the
     *     boundary signature is the exact invalidation key;
-    *  3. still under the mutex: acquire each touched region's lock (kr
-    *     order; admissions are serialized by the mutex, so no ABBA) and
-    *     publish a heartbeating SHARED MARKER, then release the mutex;
+    *  3. still under the mutex: TRY each touched region's lock
+    *     non-blocking ([[tryAcquireLock]]); if one is held by a LIVE
+    *     writer, release everything — partial region locks AND the
+    *     table mutex — sleep, and re-admit from step 2, so disjoint
+    *     writers pass a blocked one instead of queueing behind the
+    *     mutex it would otherwise pin (and partial acquisition never
+    *     holds-and-waits, so no deadlock by construction, not just by
+    *     kr ordering); once all are held, publish a heartbeating SHARED
+    *     MARKER and release the mutex;
     *  4. run the merge body; concurrent sidecar updates serialize on the
     *     sidecar lock inside [[writeTouched]] (read-modify-write of only
     *     this writer's entries);
@@ -461,46 +531,70 @@ object KeyedStore {
     *
     * The drain in [[withStructuralLock]] + this marker give the classic
     * shared/exclusive pair built from create-exclusive files alone.
+    * Admission is not FIFO: a writer can in principle lose the re-admit
+    * race repeatedly, bounded by the LockWaitMs deadline — the same
+    * timeout contract the old blocking wait had, minus the collateral
+    * serialization.
     */
   private def withRegionLocks[T](spark: SparkSession, name: String,
                                  rm0: RegionMap, touched0: Seq[Int],
                                  recompute: RegionMap => Seq[Int])
                                 (body: (RegionMap, Long, Seq[Int]) => T): T = {
-    val table = acquireLock(lockPath(spark, name))
-    val tableBeat = new HeartbeatGroup(Seq(table))
-    val held = scala.collection.mutable.ArrayBuffer.empty[LockHandle]
-    var groupBeat: HeartbeatGroup = null
-    var tableReleased = false
-    try {
-      val (rm, target) = readRegionsWithTarget(spark, name)
-      val touched =
-        if (rm.regions.map(r => (r.kr, r.min)) ==
-            rm0.regions.map(r => (r.kr, r.min))) touched0
-        else recompute(rm)
-      if (touched.size > RegionLockFanoutCap) {
-        // Wide writer: keep the table mutex (structural-grade exclusion).
-        drainSharedMarkers(spark, name)
-      } else {
-        touched.sorted.foreach { kr =>
-          held += acquireLock(regionLockPath(spark, name, kr))
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    while (true) {
+      val table = acquireLock(lockPath(spark, name))
+      val tableBeat = new HeartbeatGroup(Seq(table))
+      val held = scala.collection.mutable.ArrayBuffer.empty[LockHandle]
+      var groupBeat: HeartbeatGroup = null
+      var tableReleased = false
+      var blocked: Option[Path] = None
+      try {
+        val (rm, target) = readRegionsWithTarget(spark, name)
+        val touched =
+          if (rm.regions.map(r => (r.kr, r.min)) ==
+              rm0.regions.map(r => (r.kr, r.min))) touched0
+          else recompute(rm)
+        if (touched.size > RegionLockFanoutCap) {
+          // Wide writer: keep the table mutex (structural-grade exclusion).
+          drainSharedMarkers(spark, name)
+        } else {
+          val it = touched.sorted.iterator
+          while (blocked.isEmpty && it.hasNext) {
+            val p = regionLockPath(spark, name, it.next())
+            tryAcquireLock(p) match {
+              case Some(h) => held += h
+              case None => blocked = Some(p)
+            }
+          }
+          if (blocked.isEmpty) {
+            val mtok = java.util.UUID.randomUUID().toString
+            val mpath = location(spark, name).resolveSibling(
+              sharedMarkerPrefix(name) + mtok + ".graft-lock")
+            Files.write(mpath, mtok.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            held += new LockHandle(mpath, mtok)
+            groupBeat = new HeartbeatGroup(held.toSeq)
+            tableBeat.stop(); table.release(); tableReleased = true
+          }
         }
-        val mtok = java.util.UUID.randomUUID().toString
-        val mpath = location(spark, name).resolveSibling(
-          sharedMarkerPrefix(name) + mtok + ".graft-lock")
-        Files.write(mpath, mtok.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        held += new LockHandle(mpath, mtok)
-        groupBeat = new HeartbeatGroup(held.toSeq)
-        tableBeat.stop(); table.release(); tableReleased = true
+        if (blocked.isEmpty) {
+          val r = body(rm, target, touched)
+          failIfFenced(if (tableReleased) held.toSeq else Seq(table))
+          return r
+        }
+      } finally {
+        if (groupBeat != null) groupBeat.stop()
+        held.foreach(_.release())
+        if (!tableReleased) { tableBeat.stop(); table.release() }
       }
-      val r = body(rm, target, touched)
-      failIfFenced(if (tableReleased) held.toSeq else Seq(table))
-      r
-    } finally {
-      if (groupBeat != null) groupBeat.stop()
-      held.foreach(_.release())
-      if (!tableReleased) { tableBeat.stop(); table.release() }
+      // Blocked on a LIVE region lock — we hold NOTHING here, so other
+      // writers (and structural ops) admit freely while we wait.
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"KeyedStore: timed out waiting for region lock ${blocked.get}")
+      Thread.sleep(20)
     }
+    throw new IllegalStateException("unreachable")
   }
 
   // -------- per-region row blooms (HBase HFile ROW-bloom analog) --------
@@ -687,10 +781,22 @@ object KeyedStore {
     p.resolveSibling(p.getFileName.toString + ".d")
 
   /** Immutable-chunk cache: chunk PATH → raw entry lines. Chunk files
-    * are write-once under fresh uuid names, so entries never go stale.
+    * are write-once under fresh uuid names, so entries never go stale —
+    * but dead entries can accumulate (a crashed writer's orphan chunks
+    * are GC'd by [[repair]] on a different JVM, or a dropped table's
+    * chunks vanish with the directory), so the cache is CAPPED: past
+    * [[RegionChunkCacheCap]] entries it is cleared whole (immutable
+    * write-once content — a refill is one read per live chunk, and a
+    * working set that genuinely exceeds the cap just degrades to
+    * read-through). GC paths additionally evict what they delete.
     */
+  @volatile private[graft] var RegionChunkCacheCap = 4096
+
   private val regionChunkCache =
     new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]
+
+  /** Test hook: entry count of the chunk cache (pins the bound). */
+  private[graft] def regionChunkCacheSize: Int = regionChunkCache.size
 
   private def readChunkLines(dir: Path, file: String): IndexedSeq[String] = {
     val cp = dir.resolve(file)
@@ -701,6 +807,7 @@ object KeyedStore {
       sidecarBytesRead.addAndGet(bytes.length)
       val lines = new String(bytes, "UTF-8").split("\n", -1)
         .iterator.filter(_.nonEmpty).toIndexedSeq
+      if (regionChunkCache.size >= RegionChunkCacheCap) regionChunkCache.clear()
       regionChunkCache.put(cp.toString, lines)
       lines
     }
@@ -1129,29 +1236,60 @@ object KeyedStore {
     */
   private object OverwriteModeGuard {
     private val Key = "spark.sql.sources.partitionOverwriteMode"
-    private var depth = 0
-    private var saved: Option[String] = None
+    // Depth/saved-value PER SparkSession (identity — sessions don't
+    // define equality): the conf being guarded is session-scoped, so a
+    // JVM-global depth would leave a second session's conf untouched
+    // (static overwrite → silent table truncation) whenever it entered
+    // while another session's writer was in flight.
+    private val state =
+      new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]
     def enter(spark: SparkSession): Unit = synchronized {
-      if (depth == 0) {
-        saved = spark.conf.getOption(Key)
-        spark.conf.set(Key, "dynamic")
+      Option(state.get(spark)) match {
+        case None =>
+          val saved = spark.conf.getOption(Key)
+          spark.conf.set(Key, "dynamic")
+          state.put(spark, (1, saved))
+        case Some((depth, saved)) =>
+          state.put(spark, (depth + 1, saved))
       }
-      depth += 1
     }
     def exit(spark: SparkSession): Unit = synchronized {
-      depth -= 1
-      if (depth == 0) saved match {
-        case Some(v) => spark.conf.set(Key, v)
-        case None => spark.conf.unset(Key)
+      val (depth, saved) = state.get(spark)
+      if (depth > 1) state.put(spark, (depth - 1, saved))
+      else {
+        saved match {
+          case Some(v) => spark.conf.set(Key, v)
+          case None => spark.conf.unset(Key)
+        }
+        state.remove(spark)
       }
     }
   }
 
+  /** One COMMITTER STAGE at a time per table (JVM-wide): Spark's file
+    * committer stages every job under the shared `<table>/_temporary/0`,
+    * so two temporally-overlapping insertInto jobs against one table can
+    * delete each other's staging (one job's commit/cleanup removes the
+    * directory while the peer is between setup and commit) — the region
+    * locks guarantee LOGICAL disjointness but not write-path isolation.
+    * The expensive part of a merge (read + merge + localCheckpoint
+    * materialization) stays concurrent; only the staged write + commit
+    * serializes. Cross-JVM writers against one warehouse additionally
+    * need a committer with per-job staging — the same deployment rule
+    * any concurrent Spark writers to one path carry.
+    */
+  private val writeStageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   private def dynamicOverwriteInto(spark: SparkSession, name: String,
                                    out: DataFrame): Unit = {
-    OverwriteModeGuard.enter(spark)
-    try out.write.mode("overwrite").insertInto(name)
-    finally OverwriteModeGuard.exit(spark)
+    val stage = writeStageLocks
+      .computeIfAbsent(name.toLowerCase, _ => new Object)
+    stage.synchronized {
+      OverwriteModeGuard.enter(spark)
+      try out.write.mode("overwrite").insertInto(name)
+      finally OverwriteModeGuard.exit(spark)
+    }
   }
 
   /** Shared write path of [[upsert]]/[[mergeInto]]: land `merged` (the

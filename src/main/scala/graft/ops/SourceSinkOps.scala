@@ -340,6 +340,40 @@ object SourceSinkOps {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** The multiGet shape from RAW SQL TEXT — `store JOIN probe USING
+    * (key)` with the probe keys as DATA, the one keyed-read form neither
+    * the literal-predicate rule path ([[qSqlKeyedPushdown]]) nor the
+    * [[KeyedStore.getBatch]] API path covers without an API call.
+    * [[graft.plans.KeyedRegionPrune]]'s join rewrite equates the store's
+    * partition column with the probe key's holding region (codegen'd
+    * boundary search + one closure literal), which hands the prune to
+    * Spark's own dynamic partition pruning: the store scan's
+    * PartitionFilters gain a `dynamicpruningexpression(kr IN …)` reusing
+    * the join's broadcast — region pruning from SQL a BI tool could
+    * emit, with zero API calls (KeyedStoreSpec pins the plan shape and
+    * the straddle-safety of the closure).
+    *
+    * The probe is selective on a key RANGE (low orderkeys) so the prune
+    * has something to cut: at any SF most regions hold no probe key.
+    */
+  def qSqlKeyedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_keyed_join_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.create(spark, name,
+      orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "o_orderkey", targetRowsPerRegion = 1024)
+    lineitem(spark, dir).createOrReplaceTempView("graft_join_probe_src")
+    spark.sql(
+      s"""SELECT s.o_orderkey, s.o_orderstatus,
+         |       round(s.o_totalprice, 2) AS price
+         |FROM $name s
+         |JOIN (SELECT DISTINCT l_orderkey AS o_orderkey
+         |      FROM graft_join_probe_src
+         |      WHERE l_orderkey % 5 = 0 AND l_orderkey <= 1500) p
+         |  USING (o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** HBase multiGet analog — [[KeyedStore.getBatch]]: the probe keys are
     * a DATA-derived DataFrame (every 97th order key, plus two absent
     * +10M probes), never an IN-list of literals — past point-lookup size

@@ -157,6 +157,17 @@ object SourceSinkOracles {
         |   OR o_orderkey IN (42, 10000042)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // The join-rewrite-pruned SQL path must equal the plain join over
+    // the base tables (the rewrite is value-neutral).
+    "q_sql_keyed_join" ->
+      """SELECT o.o_orderkey, o.o_orderstatus,
+        |       round(o.o_totalprice, 2) AS price
+        |FROM orders o
+        |JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+        |      WHERE l_orderkey % 5 = 0 AND l_orderkey <= 1500) p
+        |  ON o.o_orderkey = p.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     // The region-pruned range scan must equal the plain range predicate.
     "q_keyed_range" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price

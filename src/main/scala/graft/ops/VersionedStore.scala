@@ -622,7 +622,12 @@ object VersionedStore {
             .foreach { leaf =>
               val rel = s"${cdir.getFileName}/${leaf.getFileName}"
               val mt = Files.getLastModifiedTime(leaf).toMillis
-              val old = mt + graceMs <= now && mt <= publishHorizon
+              // STRICT inequality vs the publish horizon: on coarse-mtime
+              // filesystems an in-flight commit's files can land in the
+              // SAME tick as the latest publish — reclaiming them would
+              // let that commit publish a list referencing deleted files.
+              // Abandoned same-tick files just survive until next vacuum.
+              val old = mt + graceMs <= now && mt < publishHorizon
               if (!live(rel) && old) { rm(leaf); removed += 1 }
             }
           if (!Using.resource(Files.list(cdir))(_.iterator().asScala.exists(
@@ -641,7 +646,7 @@ object VersionedStore {
         .foreach { ch =>
           val fn = ch.getFileName.toString
           val mt = Files.getLastModifiedTime(ch).toMillis
-          val old = mt + graceMs <= now && mt <= publishHorizon
+          val old = mt + graceMs <= now && mt < publishHorizon // strict: see leaf GC
           if (fn.startsWith("ch") && !liveChunks(fn) && old)
             Files.deleteIfExists(ch)
         }

@@ -2,10 +2,11 @@ package graft.plans
 
 import graft.ops.KeyedStore
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import java.nio.file.{Files, Path, Paths}
 
@@ -21,16 +22,24 @@ import java.nio.file.{Files, Path, Paths}
   * WHERE key BETWEEN a AND b")` — or composing the store into an
   * arbitrary query — used to scan every region, because Spark cannot
   * know the key↔kr mapping the sidecar records. This rule closes that
-  * gap: any Filter directly over a keyed table's relation whose
-  * conjuncts constrain the KEY column (=, IN, <, <=, >, >=, BETWEEN)
-  * gains a `kr IN (…)` conjunct derived from the region directory —
-  * which Spark's own FileSourceStrategy then splits out as a
-  * PartitionFilter (static partition pruning) while the original key
-  * predicate pushes into the key-sorted parquet as a PushedFilter.
-  * Equality/IN probes additionally consult the per-region row blooms
-  * (lazily, O(probed regions) — [[KeyedStore.loadBloomAt]]), so an
-  * absent-key SQL lookup scans ZERO partitions, the HBase ROW-bloom
-  * fast path from SQL text.
+  * gap on BOTH keyed-read shapes SQL can take:
+  *
+  *  - LITERAL predicates: any Filter directly over a keyed table's
+  *    relation whose conjuncts constrain the KEY column (=, IN, <, <=,
+  *    >, >=, BETWEEN) gains a `kr IN (…)` conjunct derived from the
+  *    region directory — which Spark's own FileSourceStrategy then
+  *    splits out as a PartitionFilter (static partition pruning) while
+  *    the original key predicate pushes into the key-sorted parquet as
+  *    a PushedFilter. Equality/IN probes additionally consult the
+  *    per-region row blooms (lazily, O(probed regions) —
+  *    [[KeyedStore.loadBloomAt]]), so an absent-key SQL lookup scans
+  *    ZERO partitions, the HBase ROW-bloom fast path from SQL text;
+  *  - JOIN shapes (`store JOIN probe_keys USING (key)` — the multiGet
+  *    from raw SQL, where the probe keys are DATA): the join condition
+  *    is extended with an equi-conjunct on the store's partition
+  *    column, computed probe-side by the codegen'd boundary bucket
+  *    search, which hands the prune to Spark's own DYNAMIC partition
+  *    pruning — see [[rewriteJoin]] below.
   *
   * Deliberately NOT a custom DataSource V2 relation: the store's data
   * plane IS parquet, and rewriting the logical plan above the existing
@@ -53,7 +62,160 @@ object KeyedRegionPrune extends Rule[LogicalPlan] with PredicateHelper {
       pruneConjunct(cond, rel)
         .map(extra => Filter(And(cond, extra), rel))
         .getOrElse(f)
+    case j: Join => rewriteJoin(j).getOrElse(j)
   }
+
+  // ------------------- JOIN-shape region pruning -------------------
+  //
+  // `SELECT … FROM store JOIN probe_keys USING (k)` — the multiGet shape
+  // from raw SQL — carries no literal the Filter case can prune on: the
+  // probe keys are DATA. [[KeyedStore.getBatch]] solves this API-side by
+  // collecting the touched kr ids; from SQL the equivalent must be a
+  // RUNTIME prune, and Spark already owns that machinery: dynamic
+  // partition pruning fires on any equi-join whose key lineage reaches a
+  // partition column. So the rewrite makes the region mapping VISIBLE to
+  // DPP instead of re-implementing it:
+  //
+  //   Join(store, probe, Inner, store.k = probe.k)
+  //   ⇒ Project(origOutput,
+  //       Join(store(+kr),
+  //            Generate(explode(closures[bucket(probe.k)]) AS __graft_kr,
+  //                     probe),
+  //            Inner, store.k = probe.k AND store.kr = __graft_kr))
+  //
+  // where `bucket` is the codegen'd boundary binary search and
+  // `closures` is ONE nested-array literal mapping each coverage index
+  // to every kr that may HOLD such a key (boundary-straddling keys — a
+  // duplicated key split across adjacent regions by the range partition
+  // — explode to each candidate, so no resident row is ever missed; see
+  // [[KeyedStore.RegionMap.holdingClosures]]). Spark's PartitionPruning
+  // batch (which runs AFTER the operator-optimization batch this rule is
+  // injected into) then sees an equi-condition on the store's partition
+  // column `kr` and inserts its DynamicPruningSubquery: with the typical
+  // small probe side the broadcast is REUSED, so region pruning costs
+  // nothing beyond the join's own build.
+  //
+  // Semantics: for every store row with key v resident in region r, the
+  // directory bounds give min_r ≤ v ≤ max_r, hence r ∈ closures[bucket
+  // (v)] — each (store row, probe row) match survives exactly once (the
+  // exploded copies carry distinct kr ids, and the row's kr equals one
+  // of them). Shapes are restricted to those where the probe side is NOT
+  // duplicate-sensitive and the store side is DPP-prunable: INNER (store
+  // on either side) and LEFT SEMI (store on the left). Outer joins
+  // preserving the probe side would emit one null-padded row per
+  // exploded copy; LEFT ANTI would narrow the reject set — both
+  // excluded. The rewrite declines past [[MaxJoinClosureRegions]]
+  // regions (the closure literal is one expression node but its payload
+  // ships with every task binary) and when the directory has a single
+  // region (nothing to prune).
+
+  private def rewriteJoin(j: Join): Option[LogicalPlan] = {
+    if (j.condition.isEmpty) return None
+    val candidates: Seq[(LogicalPlan, LogicalPlan, Boolean)] = j.joinType match {
+      case Inner => Seq((j.left, j.right, true), (j.right, j.left, false))
+      case LeftSemi => Seq((j.left, j.right, true))
+      case _ => Nil
+    }
+    candidates.view
+      .flatMap { case (store, probe, storeIsLeft) =>
+        tryRewriteJoin(j, store, probe, storeIsLeft)
+      }
+      .headOption
+  }
+
+  /** Store-side recognition: a Project/Filter chain over a keyed table's
+    * [[LogicalRelation]] whose sidecar records the key column, with the
+    * key attribute surviving (un-aliased) to the side's output.
+    */
+  private def storeSide(plan: LogicalPlan)
+      : Option[(LogicalRelation, Attribute, KeyedStore.RegionMap, Attribute)] = {
+    def baseRel(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case r: LogicalRelation => Some(r)
+      case Project(_, c) => baseRel(c)
+      case Filter(_, c) => baseRel(c)
+      case _ => None
+    }
+    for {
+      rel <- baseRel(plan)
+      krAttr <- rel.output.find(a => a.name == "kr" && a.dataType == IntegerType)
+      loc <- tableLocation(rel)
+      sidecar = loc.resolve("_graft_regions")
+      if Files.exists(sidecar)
+      (rm, _, keyColOpt) = KeyedStore.parseSidecarAt(sidecar)
+      keyCol <- keyColOpt
+      keyAttr <- rel.output.find(_.name == keyCol)
+      if plan.outputSet.contains(keyAttr)
+    } yield (rel, krAttr, rm, keyAttr)
+  }
+
+  /** Re-thread `krAttr` through the store side's Project chain so the
+    * new join conjunct can reference it (ColumnPruning may already have
+    * dropped it; the restoring Project above the join drops it again).
+    */
+  private def withKr(plan: LogicalPlan, krAttr: Attribute): Option[LogicalPlan] =
+    plan match {
+      case r: LogicalRelation => Some(r)
+      case p @ Project(pl, child) =>
+        withKr(child, krAttr).map { c =>
+          if (pl.exists(_.exprId == krAttr.exprId)) p.copy(child = c)
+          else Project(pl :+ krAttr, c)
+        }
+      case f @ Filter(_, child) =>
+        withKr(child, krAttr).map(c => f.copy(child = c))
+      case _ => None
+    }
+
+  private def tryRewriteJoin(j: Join, store: LogicalPlan, probe: LogicalPlan,
+                             storeIsLeft: Boolean): Option[LogicalPlan] = {
+    val cond = j.condition.get
+    for {
+      (_, krAttr, rm, keyAttr) <- storeSide(store)
+      if rm.regions.size > 1 && rm.regions.size <= MaxJoinClosureRegions
+      // Idempotence / user intent: a condition already constraining kr
+      // (a prior firing, or an explicit kr equi-join) is left alone.
+      if !cond.references.contains(krAttr)
+      probeKey <- splitConjunctivePredicates(cond).collectFirst {
+        case EqualTo(a: Attribute, b)
+            if a.semanticEquals(keyAttr) && b.deterministic &&
+              b.references.subsetOf(probe.outputSet) => b
+        case EqualTo(b, a: Attribute)
+            if a.semanticEquals(keyAttr) && b.deterministic &&
+              b.references.subsetOf(probe.outputSet) => b
+      }
+      storeK <- withKr(store, krAttr)
+    } yield {
+      val closures = rm.holdingClosures
+      val closLit = Literal.create(closures,
+        ArrayType(ArrayType(IntegerType, containsNull = false),
+          containsNull = false))
+      // bucket ∈ [0, n) always (total coverage), so element_at's 1-based
+      // index is in range; a NULL probe key yields a NULL array and the
+      // non-outer Generate drops the row — an equi-join on a null key
+      // matches nothing anyway.
+      val krsForKey = ElementAt(closLit,
+        Add(rm.idxExpr(probeKey), Literal(1)))
+      val krOut = AttributeReference("__graft_kr", IntegerType,
+        nullable = false)()
+      val probeK = Generate(Explode(krsForKey), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(krOut),
+        child = probe)
+      val newCond = And(cond, EqualTo(krAttr, krOut))
+      val newJoin =
+        if (storeIsLeft) j.copy(left = storeK, right = probeK,
+          condition = Some(newCond))
+        else j.copy(left = probeK, right = storeK,
+          condition = Some(newCond))
+      Project(j.output, newJoin)
+    }
+  }
+
+  /** Widest directory the join rewrite ships as a closure literal: one
+    * expression node, but its ~8 B/region payload rides in every task
+    * binary of the probe side — at 64 Ki regions that is ~0.5 MB, past
+    * which parquet row-group skipping has to carry the read bound alone
+    * (the same decline-past-benefit rule as [[MaxInjectedRegions]]).
+    */
+  private val MaxJoinClosureRegions = 65536
 
   private def tableLocation(rel: LogicalRelation): Option[Path] =
     rel.catalogTable.flatMap { ct =>

@@ -536,19 +536,35 @@ object EventStream {
     else
       graft.ops.KeyedStore.mergeInto(spark, storeTable, "user_id", counts,
         (base, b) => {
-          val bb = b.select(col("user_id").as("__uid"), col("bn").as("__bn"))
-          base.join(bb, col("user_id") === col("__uid"), "full_outer")
+          // UNION + one hash aggregate, not a full-outer join: both
+          // sides hold at most one row per key (the store is keyed; the
+          // batch is pre-aggregated), so the per-key merge is a 2-row
+          // group — one shuffle with map-side partial aggregation,
+          // where the full-outer form shuffled BOTH sides and ran a
+          // join. Semantics identical to the fenced full-outer (r8):
+          // null aggregates mark the side absent from the group.
+          val tagged = base
+            .select(col("user_id"), col("n"), col("bid"), col("bn"),
+                    lit(null).cast("long").as("__bn"))
+            .unionByName(b.select(col("user_id"),
+              lit(null).cast("long").as("n"),
+              lit(null).cast("long").as("bid"),
+              lit(null).cast("long").as("bn"),
+              col("bn").as("__bn")))
+          tagged.groupBy(col("user_id"))
+            .agg(max(col("n")).as("__rn"), max(col("bid")).as("__rbid"),
+                 max(col("bn")).as("__rbn"), max(col("__bn")).as("__b"))
             .select(
-              coalesce(col("user_id"), col("__uid")).as("user_id"),
-              when(col("n").isNull, col("__bn"))                 // key new to store
-                .when(col("__bn").isNull, col("n"))              // key absent from batch
-                .when(col("bid") === lit(batchId),
-                  col("n") - col("bn") + col("__bn"))            // replayed batch
-                .otherwise(col("n") + col("__bn")).as("n"),      // fresh batch
-              when(col("__bn").isNull, col("bid"))
+              col("user_id"),
+              when(col("__rn").isNull, col("__b"))              // key new to store
+                .when(col("__b").isNull, col("__rn"))           // key absent from batch
+                .when(col("__rbid") === lit(batchId),
+                  col("__rn") - col("__rbn") + col("__b"))      // replayed batch
+                .otherwise(col("__rn") + col("__b")).as("n"),   // fresh batch
+              when(col("__b").isNull, col("__rbid"))
                 .otherwise(lit(batchId)).as("bid"),
-              when(col("__bn").isNull, col("bn"))
-                .otherwise(col("__bn")).as("bn"))
+              when(col("__b").isNull, col("__rbn"))
+                .otherwise(col("__b")).as("bn"))
         })
   }
 

@@ -539,6 +539,119 @@ class KeyedStoreSpec extends AnyFunSuite {
     KeyedStore.drop(spark, name)
   }
 
+  test("a writer blocked on a contended region does NOT obstruct disjoint writers") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val name = "graft_keyed_spec_backoff"
+    KeyedStore.create(spark, name,
+      (0L until 200L).map(i => (i, 0L)).toDF("k", "n"),
+      "k", targetRowsPerRegion = 16)
+    // A holds key 0's region lock inside its merge; B wants the SAME
+    // region and must wait in admission — while it waits it must hold
+    // NOTHING (the round-8 code parked B's wait INSIDE the table mutex,
+    // so a disjoint C queued behind B behind A). C (opposite end of the
+    // key space) must complete while B is still blocked.
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    def addA(a: DataFrame, b: DataFrame): DataFrame = {
+      aEntered.countDown()
+      assert(aRelease.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+    }
+    def add(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+    val fa = Future(KeyedStore.mergeInto(spark, name, "k",
+      Seq((0L, 1L)).toDF("k", "n"), addA).count())
+    assert(aEntered.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    val fb = Future(KeyedStore.mergeInto(spark, name, "k",
+      Seq((0L, 100L)).toDF("k", "n"), add).count())
+    Thread.sleep(1500) // B reaches admission and starts backing off
+    assert(!fb.isCompleted, "B finished while A held its region lock")
+    val t0 = System.currentTimeMillis()
+    Await.result(Future(KeyedStore.mergeInto(spark, name, "k",
+      (190L until 200L).map(i => (i, 10L)).toDF("k", "n"), add).count()),
+      120.seconds)
+    val cMs = System.currentTimeMillis() - t0
+    assert(!fb.isCompleted, s"B finished before A released (after ${cMs}ms)")
+    aRelease.countDown()
+    Await.result(fa, 300.seconds)
+    Await.result(fb, 300.seconds)
+    val byK = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(0L) == 101L, s"A+B must both land on k=0: ${byK(0L)}")
+    (190L until 200L).foreach(k => assert(byK(k) == 10L))
+    KeyedStore.drop(spark, name)
+  }
+
+  test("a WIDE writer (fanout-cap fallback) is fenced when its table mutex is usurped") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val name = "graft_keyed_spec_widefence"
+    KeyedStore.create(spark, name,
+      (0L until 200L).map(i => (i, 0L)).toDF("k", "n"), "k",
+      targetRowsPerRegion = 16)
+    val lock = KeyedStore.location(spark, name)
+      .resolveSibling(name + ".graft-lock")
+    val prevBeat = KeyedStore.LockHeartbeatMs
+    val prevCap = KeyedStore.RegionLockFanoutCap
+    KeyedStore.LockHeartbeatMs = 100L
+    KeyedStore.RegionLockFanoutCap = 2
+    try {
+      // Batch spans >cap regions → the writer keeps the TABLE mutex
+      // (structural-grade exclusion) instead of per-region locks. A
+      // usurper of THAT mutex must fence it exactly like the region
+      // path — the wide writer can never report a clean result.
+      def usurpingMerge(a: DataFrame, b: DataFrame): DataFrame = {
+        java.nio.file.Files.write(lock, "usurper-token".getBytes("UTF-8"))
+        Thread.sleep(600)
+        a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+      }
+      val ex = intercept[IllegalStateException] {
+        KeyedStore.mergeInto(spark, name, "k",
+          Seq((0L, 1L), (100L, 1L), (199L, 1L)).toDF("k", "n"),
+          usurpingMerge)
+      }
+      assert(ex.getMessage.contains("fenced"), s"wrong failure: $ex")
+    } finally {
+      KeyedStore.LockHeartbeatMs = prevBeat
+      KeyedStore.RegionLockFanoutCap = prevCap
+      java.nio.file.Files.deleteIfExists(lock)
+      KeyedStore.drop(spark, name)
+    }
+  }
+
+  test("region-directory chunk cache is bounded (orphan chunks can't grow it forever)") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_chunkcap"
+    val prevChunk = KeyedStore.RegionDirChunkTarget
+    val prevCap = KeyedStore.RegionChunkCacheCap
+    KeyedStore.RegionDirChunkTarget = 4
+    KeyedStore.RegionChunkCacheCap = 8
+    try {
+      KeyedStore.create(spark, name,
+        (0L until 320L).map(i => (i, 0L)).toDF("k", "n"),
+        "k", targetRowsPerRegion = 16) // ~20 regions → ~5 chunks
+      // Every merge rewrites >=1 chunk under a FRESH uuid name; without
+      // the cap the cache would hold every generation ever read.
+      (1 to 12).foreach { g =>
+        KeyedStore.invalidateDirCache(spark, name)
+        KeyedStore.mergeInto(spark, name, "k",
+          Seq((5L * g, 1L)).toDF("k", "n"),
+          (a, b) => a.unionByName(b).groupBy(col("k"))
+            .agg(sum(col("n")).as("n")))
+      }
+      assert(KeyedStore.regionChunkCacheSize <= KeyedStore.RegionChunkCacheCap,
+        s"chunk cache grew past the cap: ${KeyedStore.regionChunkCacheSize}")
+    } finally {
+      KeyedStore.RegionDirChunkTarget = prevChunk
+      KeyedStore.RegionChunkCacheCap = prevCap
+      KeyedStore.drop(spark, name)
+    }
+  }
+
   test("a writer whose region lock is usurped mid-write is FENCED, not silently clean") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
@@ -783,6 +896,118 @@ class KeyedStoreSpec extends AnyFunSuite {
     val orWant = rm.rangeIdx(50L, 60L).map(i => rm.regions(i).kr).toSet ++
       rm.holdingIdx(150L).map(i => rm.regions(i).kr)
     assert(orScan.exists(_.subsetOf(orWant)), s"got $orScan want ⊆ $orWant")
+  }
+
+  test("SQL JOIN pruning: store JOIN probe-keys prunes regions via DPP, no API call") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_sqljoin"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.size >= 8)
+    // Probe keys are DATA (a filtered FILE relation, so the selective
+    // filter survives to the optimized plan — a local relation would be
+    // constant-folded and Spark's DPP requires a filter to key on), not
+    // literals: the multiGet shape from raw SQL. Low key range so the
+    // dynamic prune has regions to cut.
+    val probeDir =
+      java.nio.file.Files.createTempDirectory("graft_sqljoin_probe").toString
+    (0L until 200L).toDF("pk").write.mode("overwrite").parquet(probeDir)
+    spark.read.parquet(probeDir).createOrReplaceTempView("graft_sqljoin_probe")
+    val joined = spark.sql(
+      s"""SELECT s.k, s.v FROM $name s
+         |JOIN (SELECT pk FROM graft_sqljoin_probe
+         |      WHERE pk % 7 = 0 AND pk <= 40) p
+         |  ON s.k = p.pk ORDER BY s.k""".stripMargin)
+    assert(joined.collect().map(_.getLong(0)).toSeq ==
+      (0L to 40L by 7L).toSeq)
+    val p = joined.queryExecution.executedPlan.toString
+    // The rewrite handed the region mapping to Spark's own DPP: the
+    // store scan's PartitionFilters carry a dynamic pruning expression
+    // on kr (runtime prune reusing the join's broadcast).
+    assert(p.contains("dynamicpruningexpression"), p.take(4000))
+    assert(p.contains("__graft_kr"), p.take(4000))
+    // Runtime evidence: the store scan read FEWER partitions than the
+    // table has regions (probe keys live in the low-key regions only).
+    val scans = joined.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    val storeScan = scans.find(_.metadata.get("Location")
+      .exists(_.contains(name)))
+    storeScan.foreach { sc =>
+      val read = sc.metrics.get("numPartitions").map(_.value)
+      assert(read.forall(_ < rm.regions.size),
+        s"expected a runtime prune: read $read of ${rm.regions.size} regions")
+    }
+    // LEFT SEMI (store on the left) rewrites the same way.
+    val semi = spark.sql(
+      s"""SELECT s.k FROM $name s LEFT SEMI JOIN
+         |(SELECT pk FROM graft_sqljoin_probe WHERE pk % 7 = 0 AND pk <= 40) p
+         |  ON s.k = p.pk ORDER BY s.k""".stripMargin)
+    assert(semi.collect().map(_.getLong(0)).toSeq == (0L to 40L by 7L).toSeq)
+    assert(semi.queryExecution.optimizedPlan.toString.contains("__graft_kr"),
+      semi.queryExecution.optimizedPlan.toString.take(3000))
+    // LEFT ANTI must NOT be rewritten (extra conjuncts would WIDEN the
+    // keep set — wrong); result equals the plain anti join.
+    val anti = spark.sql(
+      s"""SELECT count(*) AS n FROM $name s LEFT ANTI JOIN
+         |(SELECT pk FROM graft_sqljoin_probe WHERE pk % 7 = 0 AND pk <= 40) p
+         |  ON s.k = p.pk""".stripMargin)
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("__graft_kr"))
+    assert(anti.collect().head.getLong(0) == 200L - (0L to 40L by 7L).size)
+  }
+
+  test("SQL JOIN pruning is straddle-safe: residence != coverage still matches") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_sqljoin_straddle"
+    // Straddle can't be manufactured through create (repartitionByRange
+    // keeps equal keys together) — it arises when directory BOUNDS
+    // drift to overlap (the contract holdingIdx/expandTouched defend
+    // everywhere else). Simulate exactly that: after a normal create,
+    // rewrite the sidecar so region i+1's min DROPS to region i's max —
+    // the boundary key's COVERAGE region becomes i+1 while its rows
+    // RESIDE in i. A coverage-only equi-conjunct would prune the row's
+    // real home away; the holding-closure explode must keep it.
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm0 = KeyedStore.readRegions(spark, name)
+    assert(rm0.regions.size >= 8)
+    val i = rm0.regions.size / 2
+    val boundaryKey = rm0.regions(i - 1).max.asInstanceOf[Long]
+    val keyB64 = java.util.Base64.getEncoder.encodeToString("k".getBytes)
+    val lines = s"long,16,$keyB64" +: rm0.regions.zipWithIndex.map {
+      case (r, j) =>
+        val mn = if (j == i) boundaryKey else r.min.asInstanceOf[Long]
+        s"${r.kr},${r.rows},$mn,${r.max.asInstanceOf[Long]}"
+    }
+    java.nio.file.Files.write(
+      KeyedStore.location(spark, name).resolve("_graft_regions"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    KeyedStore.invalidateDirCache(spark, name)
+    val rm = KeyedStore.readRegions(spark, name)
+    // The boundary key now straddles: coverage is region i, residence i-1.
+    assert(rm.holdingIdx(boundaryKey).size > 1)
+    val cov = rm.coverageIdx(boundaryKey)
+    assert(rm.holdingClosures(cov).size > 1,
+      s"closure of $cov must span the straddle: ${rm.holdingClosures(cov)}")
+    val probeDir =
+      java.nio.file.Files.createTempDirectory("graft_straddle_probe").toString
+    Seq(boundaryKey, boundaryKey + 1)
+      .toDF("pk").write.mode("overwrite").parquet(probeDir)
+    spark.read.parquet(probeDir)
+      .createOrReplaceTempView("graft_straddle_probe")
+    val joined = spark.sql(
+      s"""SELECT s.k, s.v FROM $name s
+         |JOIN (SELECT pk FROM graft_straddle_probe WHERE pk >= 0) p
+         |  ON s.k = p.pk ORDER BY s.k""".stripMargin)
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_kr"))
+    // Both keys found, exactly once each — the row resident BELOW its
+    // coverage region survives the prune, and no key is duplicated by
+    // the explode (distinct kr copies match disjoint store rows).
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((boundaryKey, s"v$boundaryKey"),
+          (boundaryKey + 1, s"v${boundaryKey + 1}")))
   }
 
   test("SQL region pruning handles string keys (lexicographic directory)") {
