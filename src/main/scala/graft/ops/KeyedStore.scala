@@ -347,6 +347,19 @@ object KeyedStore {
     * destroyed the successor's lock while it believed it held the
     * mutex, exactly the two-writer interleave the lock exists to
     * prevent; the successor now at worst FENCES (LockHandle scaladoc).
+    *
+    * Documented residual (the lease-expiry window every mtime-lease
+    * lock carries): between a mis-judged takeover and the holder's next
+    * heartbeat (≤ LockHeartbeatMs), holder and claimant can both run —
+    * the holder's DATA writes in that window interleave with the
+    * claimant's before the fence fails the holder's call. The fence
+    * guarantees the holder never REPORTS clean (so callers retry /
+    * verify per the [[graft.Graft.keyedMergeInto]] contract), and the
+    * sidecar read-modify-write serializes on its own lock, so the
+    * directory can't tear — but data-file interleaving within the
+    * window is possible, exactly as it is for an expired-lease writer
+    * in any lease-based store. Operators size LockStaleMs ≫ GC pause /
+    * FS hiccup for this reason.
     */
   private[graft] def takeover(p: Path, claimantToken: String,
                               staleToken: String): Unit = {
@@ -554,8 +567,15 @@ object KeyedStore {
           if (rm.regions.map(r => (r.kr, r.min)) ==
               rm0.regions.map(r => (r.kr, r.min))) touched0
           else recompute(rm)
-        if (touched.size > RegionLockFanoutCap) {
-          // Wide writer: keep the table mutex (structural-grade exclusion).
+        if (touched.size > RegionLockFanoutCap ||
+            touched.size == rm.regions.size) {
+          // Wide writer: keep the table mutex (structural-grade
+          // exclusion). Also the whole-table case at ANY size — a batch
+          // touching every region excludes every possible peer either
+          // way, so N region-lock files + a marker buy nothing over the
+          // one mutex already held (micro-batch sinks into small stores
+          // hit this constantly; the per-write file ops were the
+          // dominant fixed cost).
           drainSharedMarkers(spark, name)
         } else {
           val it = touched.sorted.iterator

@@ -371,7 +371,18 @@ object TextOps {
         lit(0L)))
         .select(col("key"), col("offset"))
     } else {
-      val b = totals.withColumn("sb", expr(s"key div $bucketSize"))
+      // LAZY persist of each level's input: every level references its
+      // totals TWICE (the within-super-bucket window and the recursed
+      // super-totals), and Catalyst expands a doubly-referenced subtree
+      // into two clones whose exchanges do NOT reuse — so without this
+      // the input's whole lineage re-executes 2^levels times (measured:
+      // the seq-pack tokenize pass ran 10× through the 3-level
+      // hierarchy). The persist is lazy (composes into downstream
+      // plans without an eager job), spill-safe, and tiny — level-0
+      // input is already n/bucketSize aggregate rows, deeper levels
+      // shrink by bucketSize× each.
+      val t = totals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = t.withColumn("sb", expr(s"key div $bucketSize"))
       val within = b.withColumn("pfx", coalesce(
         sum(col("tot")).over(
           Window.partitionBy(col("sb")).orderBy(col("key"))
@@ -403,8 +414,12 @@ object TextOps {
   def packShards(docs: DataFrame, budgetChars: Long = 20000L,
                  bucketSize: Int = 256, levels: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Lazy persist: `b` feeds BOTH the windowed-prefix branch and the
+    // bucket-totals branch; un-persisted, the doubly-referenced subtree
+    // clones and the docs scan runs twice (see exclusiveOffsets).
     val b = docs.select(col("doc_id"), col("n_chars"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val within = b.withColumn("pfx_within",
       sum(col("n_chars")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
@@ -1088,17 +1103,26 @@ object TextOps {
       expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
         .cast("long").as("n_tokens"))
     val b = toked.withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    // LAZY persist of the windowed relation: it feeds both the bucket
+    // totals and the final join. The round-6 assumption that the two
+    // consumers would share one exchange via ReusedExchange was WRONG —
+    // the doubly-referenced subtree clones with fresh exprIds and
+    // nothing reuses, so the regexp tokenization over full document
+    // text (the dominant cost) ran once PER CLONE: with the offsets
+    // hierarchy's own doubling, 10 scans per evaluation (round-9 plan
+    // audit). Persisted (4 small columns/doc, spill-safe, lazily
+    // materialized so the operator still composes), the tokenize runs
+    // exactly once.
     val within = b.withColumn("pfx_within",
       sum(col("n_tokens")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket totals come off the WINDOWED relation (max inclusive prefix
     // ≡ Σ n_tokens per bucket — prefixes are monotone over non-negative
-    // counts), not off `b` directly: both consumers then share the single
-    // hash-partition-by-bucket exchange (ReusedExchange), so the regexp
-    // tokenization over full document text — the dominant cost — runs
-    // once instead of twice.
+    // counts), so the totals branch reads the persisted blocks, never
+    // re-tokenizes.
     val offsets = exclusiveOffsets(
       within.groupBy(col("bucket"))
         .agg(max(col("pfx_within") + col("n_tokens")).as("tot"))
