@@ -128,12 +128,18 @@ object AnalyticsOps {
 
   /** Library form over a (user_id, event_type, ts_us) relation. */
   def funnelStages(ev: DataFrame): DataFrame = {
+    // v and c are persisted (one row per funnel user): each feeds the
+    // next stage's filter AND the final report join — un-persisted, the
+    // earlier stages' event scans re-ran per reference (round-9 audit:
+    // 6 event scans for 3 stages).
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ts_us") > col("t_view"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("ts_us") > col("t_click"))
@@ -571,12 +577,19 @@ object AnalyticsOps {
   def assocRules(items: DataFrame, basket: String, item: String,
                  minPair: Long = 2, topN: Int = 100,
                  maxBasketItems: Int = 64): DataFrame = {
+    // Persisted: the deduplicated basket relation feeds the basket
+    // count, the item counts, and the capped pair generation — three
+    // references, each otherwise re-running the repartition+dedup
+    // pipeline (round-9 plan audit: 7 fact scans in this query).
     val li = items
       .select(col(basket).as("basket"), col(item).as("p1"))
       .repartition(col("basket"))
       .dropDuplicates("basket", "p1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = li.agg(countDistinct(col("basket")).as("n_baskets"))
+    // Item counts attach to both rule directions; persisted (|items| rows).
     val ic = li.groupBy(col("p1")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // WHALE-BASKET CAP on the pair generation only: a basket contributes
     // pairs from its `maxBasketItems` smallest item keys (deterministic,
     // so the oracle mirrors it). The self-join's per-basket cost is
@@ -593,11 +606,15 @@ object AnalyticsOps {
           .partitionBy(col("basket")).orderBy(col("p1"))))
       .filter(col("__bn") <= maxBasketItems)
       .drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = capped.toDF("basket", "p2")
+    // Persisted (pair aggregate, ≥minPair only): both rule directions
+    // union over it.
     val pairs = capped.join(b, Seq("basket")).filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minPair)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = pairs
       .select(col("p1").as("ante"), col("p2").as("cons"), col("c12"))
       .unionByName(

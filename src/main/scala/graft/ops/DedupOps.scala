@@ -116,8 +116,16 @@ object DedupOps {
     // why this is exact in practice and oracle-reproducible).
     val hs = shingleIndex(docs)
       .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+    // Lazy persist of the signature relation: it feeds the prefix index
+    // AND both verify joins — un-persisted, Catalyst clones each
+    // reference and the tokenize→shingle→hash→collect_set pipeline (the
+    // corpus-scale cost) re-executes per clone (round-9 plan audit: 6
+    // documents scans per evaluation across this operator). The cache
+    // is the tokenized corpus as sorted hash arrays — spill-safe, and
+    // strictly smaller than re-tokenizing N×.
     val sigs = hs.groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_set(col("h"))).as("hset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = sigs.select(col("doc_id"), col("lang"), explode(expr(
       s"slice(hset, 1, cast(size(hset) - ceil(size(hset) * $threshold - 1e-9) + 1 as int))"))
       .as("h"))
@@ -125,7 +133,9 @@ object DedupOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("lang"), col("h"))
+    // Persisted: the prefix-index self-join references `rare` twice.
     val rare = prefix.join(rareShingles, Seq("lang", "h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = rare.as("a")
       .join(rare.as("b"),
             col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
@@ -158,8 +168,12 @@ object DedupOps {
                        dfCap: Int = 50): DataFrame = {
     val hs = shingleIndex(docs)
       .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+    // Persisted for the same multi-reference reason as
+    // [[ngramJaccardPairs]]: prefix, full index (×2), and both verify
+    // joins all read the signatures.
     val sigs = hs.groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_set(col("h"))).as("hset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = sigs.select(col("doc_id"), col("lang"), explode(expr(
       s"slice(hset, 1, cast(size(hset) - ceil(size(hset) * $threshold - 1e-9) + 1 as int))"))
       .as("h"))
@@ -207,8 +221,13 @@ object DedupOps {
   private def minhashCore(docs: DataFrame, numPerms: Int, bandRows: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(numPerms % bandRows == 0, "numPerms must be a multiple of bandRows")
+    // Persisted: the shingle-hash relation feeds the signature aggregate
+    // here AND the verify-signature build in the callers — un-persisted,
+    // the tokenize+shingle pass runs once per reference (round-9 plan
+    // audit: 8 documents scans in the estimate query).
     val hsFull = shingleIndex(docs)
       .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Perm hashes reduce mod P; a,b < P and h < P so a*h+b < 2^62 — no
     // Long overflow. (Verification uses the FULL 60-bit hashes: the %P
     // reduction is fine for min-hashing but would collide too often for
@@ -229,6 +248,7 @@ object DedupOps {
     val bands = withSig
       .select(col("doc_id"), col("lang"),
               posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
             col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
@@ -264,7 +284,10 @@ object DedupOps {
     val allV =
       if (maxDist == 1) s"array_union(array(tok), $d1)"
       else s"array_distinct(concat(array(tok), $d1, $d2))"
+    // Persisted: the neighborhood index is self-joined (two references)
+    // — FastSS's whole point is building this index once.
     val variants = terms.select(col("tok"), explode(expr(allV)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     variants.as("a")
       .join(variants.as("b"),
             col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
@@ -282,8 +305,11 @@ object DedupOps {
     * neighborhood join, not the typo synthesis.
     */
   def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted: vocab feeds the typo derivation AND the union (the
+    // tokenize+distinct would otherwise run per reference).
     val vocab = documents(spark, dir)
       .select(explode(TextFns.toks).as("tok")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val typos = vocab.filter(length(col("tok")) >= 4)
       .select(concat(substring(col("tok"), 1, 1),
                      expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
@@ -299,6 +325,7 @@ object DedupOps {
   def qFuzzyMatch2(spark: SparkSession, dir: String): DataFrame = {
     val vocab = documents(spark, dir)
       .select(explode(TextFns.toks).as("tok")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val typos1 = vocab.filter(length(col("tok")) >= 4)
       .select(concat(substring(col("tok"), 1, 1),
                      expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
@@ -319,10 +346,15 @@ object DedupOps {
     */
   def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val numPerms = 32
-    val (hsFull, withSig, cand) = minhashCore(documents(spark, dir), numPerms, 4)
+    val (hsFull, withSig, cand0) = minhashCore(documents(spark, dir), numPerms, 4)
+    // Persisted: the candidate pairs feed the agreement count AND the
+    // exact-Jaccard verify; the exploded signature feeds both sides of
+    // the per-perm agreement join.
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigLong = withSig.select(col("doc_id"),
       posexplode(array((1 to numPerms).map(j => col(s"sig$j")): _*))
         .as(Seq("j", "mh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agree = cand
       .join(sigLong.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sigLong.as("sb"),
@@ -390,8 +422,11 @@ object DedupOps {
     val bandCols = (0 until nBands).map { j =>
       expr(s"shiftright(fp, ${offsets(j)}) & ${(1L << widths(j)) - 1}L")
     }
+    // Persisted: the band relation is self-joined — un-persisted, the
+    // token-count + 60-column fingerprint aggregate runs twice.
     val bands = fp.select(col("doc_id"), col("lang"), col("fp"),
                           posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
             col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
@@ -438,10 +473,16 @@ object DedupOps {
     val bandCols = (0 until bands).map { j =>
       expr(s"shiftright(bucket, ${j * planesPerBand}) & ${(1 << planesPerBand) - 1}")
     }
+    // Persisted: the narrow banded relation is self-joined — the plane
+    // dot-products (the CPU cost per vector) would otherwise run twice.
+    // The vector payload deliberately stays UN-cached: va/vb re-read the
+    // source columns for just the candidate pairs, which beats pinning
+    // the full embedding table in memory at corpus scale.
     val banded = embs
       .withColumn("bucket", SimilarityOps.bucketCol(totalPlanes))
       .select(col("vec_id"), col("label"),
               posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"),
             col("a.label") === col("b.label") && col("a.band_id") === col("b.band_id") &&

@@ -655,6 +655,9 @@ object EventOps {
     val first = p.groupBy(col("user_id"))
       .agg(min(col("ts_us")).as("t0"))
       .select(col("user_id"), expr(s"t0 div $weekUs").as("cohort_week"))
+      // Persisted (one row per purchasing user): feeds cohort sizes AND
+      // the age join — un-persisted, the purchase scan re-ran per ref.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = first.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("n_users"))
     val curve = p.join(first, Seq("user_id"))
@@ -690,6 +693,9 @@ object EventOps {
               expr(s"unix_micros(ts) div $dayUs % 2").as("half"))
       .groupBy(col("bucket"), col("half"))
       .agg(count(lit(1)).as("c"))
+      // Persisted (|buckets|·2 rows): both halves and both totals read
+      // it — un-persisted, 4 event scans (round-9 audit).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.filter(col("half") === 0)
       .select(col("bucket"), col("c").as("c_a"))
     val b = bucketed.filter(col("half") === 1)
@@ -906,6 +912,10 @@ object EventOps {
       .select(col("event_type"), col("event_id"),
               expr("cast(round(value * 100) as bigint)").as("value_c"))
     val med = groupMedian(ev, "event_type", "value_c", "event_id")
+      // Persisted (per-type rows): broadcast into the deviation pass and
+      // joined in the report — the first median's rank passes would
+      // otherwise run twice.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dev = ev
       .join(broadcast(med.select(col("event_type"), col("med2_c"))),
             Seq("event_type"))

@@ -114,11 +114,21 @@ object GraphOps {
     * The count is orientation-independent, so the DuckDB oracle verifies
     * it with the simpler id-ordered formulation.
     */
-  def triangleCount(und: DataFrame): DataFrame = {
-    // und: distinct undirected edges as (u, v) with u < v.
+  def triangleCount(und0: DataFrame): DataFrame = {
+    // und: distinct undirected edges as (u, v) with u < v. PERSISTED
+    // (lazily): the edge relation is referenced by the degree count,
+    // the ranking joins, the edge-count aggregate, and through
+    // `directed` three more times — un-persisted, Catalyst clones the
+    // doubly-referenced subtrees and the caller's whole edge-build
+    // pipeline (a multi-way fact join at 100 TB) re-executes up to 18×
+    // (round-9 plan audit). Same adjacency-persist discipline as
+    // [[randomWalks]]/[[shortestPaths]]; the derived relations persisted
+    // below are degree- and edge-sized, never bigger than the graph.
+    val und = und0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Total order: lexicographic (deg, id) compared as a STRUCT — strict
     // because ids are distinct, and valid for ANY id/degree domain (the
     // packed deg*2^31+id form silently collides once ids or degrees
@@ -135,6 +145,7 @@ object GraphOps {
       when(col("ru") < col("rv"), col("ru")).otherwise(col("rv")).as("ra"),
       when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
       when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Wedges centered at the low-rank node: (a)->(b), (a)->(c), rb < rc;
     // a triangle closes when the directed edge (b)->(c) exists.
     val e1 = directed.select(col("a"), col("b"), col("rb"))
@@ -342,10 +353,16 @@ object GraphOps {
     * attaching them is two narrow equi-joins on the node key; the rest is
     * one partial-combined global aggregate. Nothing here sorts.
     */
-  def degreeAssortativity(und: DataFrame): DataFrame = {
+  def degreeAssortativity(und0: DataFrame): DataFrame = {
+    // Lazy persist: und feeds the degree union (×2) and the moment
+    // join; deg feeds two attach joins — un-persisted, the caller's
+    // edge pipeline re-executed 5× (round-9 plan audit; see
+    // [[triangleCount]]).
+    val und = und0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und
       .join(deg.select(col("node").as("u"), col("d").as("da")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("d").as("db")), Seq("v"))

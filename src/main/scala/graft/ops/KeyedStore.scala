@@ -219,6 +219,7 @@ object KeyedStore {
       rm(loc)
     }
     dirCache.remove(sidecar(spark, name).toString)
+    writeStageLocks.remove(name.toLowerCase)
   }
 
   /** Filesystem location of the table's data (test hook for the

@@ -145,10 +145,14 @@ object SimilarityOps {
   def annIvf(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
              nassign: Int = 2, nprobe: Int = 4, k: Int = 10): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
+    // Persisted (numCentroids rows): the sample codebook is broadcast
+    // from two branches (assignment + probes); un-persisted each re-runs
+    // the md5 sort-limit over the corpus.
     val cent = e
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def withCentCos(df: DataFrame): DataFrame =
       df.join(broadcast(cent), lit(true))
         .withColumn("c_cos", dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
@@ -269,6 +273,11 @@ object SimilarityOps {
       .select(col("c_id"),
         expr("transform(pcs, p -> cast(p.cm as double) / 1000000.0)").as("cv"),
         expr("round(cast(aggregate(pcs, cast(0 as bigint), (a, p) -> a + p.cm * p.cm) as double) / 1000000000000.0, 6)").as("cnorm"))
+      // Persisted (k rows): every caller references the codebook from
+      // at least two plan branches, and un-persisted each reference
+      // re-runs the whole Lloyd round over the corpus (round-9 plan
+      // audit: 5-9 embedding scans per kmeans-family query).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** IVF probing over the kmeans-refined codebook — the production ANN
@@ -322,7 +331,11 @@ object SimilarityOps {
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val embs = embeddings(spark, dir)
+    // Persisted (|queries|·k rows): the ground truth joins against every
+    // approximate path — un-persisted, the brute-force pass re-runs per
+    // comparison (round-9 plan audit: 40 embedding scans in this query).
     val bf = annBruteforce(embs, col("q_id") < 5).select(col("q_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def hits(apx: DataFrame, name: String): DataFrame =
       bf.join(apx.select(col("q_id"), col("neighbor_id")), Seq("q_id", "neighbor_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as(name))
@@ -374,9 +387,15 @@ object SimilarityOps {
     */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame = {
+    // Persisted: `e` feeds the probe fanout AND the bucket join — the
+    // per-vector plane projections (the CPU cost) would otherwise run
+    // twice. This caches the vector payload too; for an all-vectors kNN
+    // build that is the standard trade (the operator touches every
+    // vector from two sides regardless), spill-safe via MEMORY_AND_DISK.
     val e = embs.withColumn("bucket", bucketCol(planes))
       .select(col("vec_id"), col("bucket"), col("embedding"),
               norm2("embedding").as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= hamming)
     val probes = e.select(col("vec_id").as("q_id"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
@@ -449,8 +468,12 @@ object SimilarityOps {
     val e = embs.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     val cent = kmeansCentroids(embs, k)
+    // Persisted: `assigned` feeds both sides of the within-cluster pair
+    // join AND the member counts — the broadcast-argmin assignment pass
+    // would otherwise run three times.
     val assigned = assignNearest(e, cent.select(col("c_id"), col("cv")))
       .withColumn("nrm", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("c_id"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("c_id"), col("vec_id").as("vec_b"),

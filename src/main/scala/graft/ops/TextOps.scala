@@ -246,7 +246,11 @@ object TextOps {
     * rows), so the corpus makes one filtered pass and one aggregate.
     */
   def langRebalance(docs: DataFrame): DataFrame = {
+    // Persisted (|langs| rows): counts is referenced through nMin, the
+    // keep-rule join, and the report join — un-persisted, each clone
+    // re-scanned the corpus (round-9 plan audit: 10 scans here).
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nMin = counts.agg(min(col("n_before")).as("n_min"))
     val withN = counts.crossJoin(broadcast(nMin))
     val kept = docs
@@ -257,6 +261,7 @@ object TextOps {
     val per = withN.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_before"),
               coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Flatness invariant as a pinned flag (exact cross-multiplied
     // rationals): the after-mix max/min ratio must not exceed the
     // before-mix ratio.
@@ -346,7 +351,14 @@ object TextOps {
   /** Exclusive prefix sum of `tot` in `key` order over a (key, tot)
     * relation, fully distributed: cumsum within `key div bucketSize`
     * super-buckets (parallel), super-bucket totals offset by RECURSING
-    * the same construction — each level is bucketSize× smaller. The
+    * the same construction — each level is bucketSize× smaller.
+    *
+    * Cache contract: each call lazily persists its per-level totals
+    * (see the inline comment for why); the entries are small
+    * aggregates, but a long-lived session building MANY manifests
+    * should `spark.catalog.clearCache()` between builds (Bench/Verify
+    * already do) — the cache is keyed by plan, so repeated calls over
+    * new inputs accumulate entries. The
     * recursion depth is STRUCTURAL (fixed `levels`, no data-dependent
     * count): a count() here would eagerly re-execute the entire upstream
     * pipeline when composed (measured 5× on the e2e capstone), while a
@@ -590,8 +602,12 @@ object TextOps {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(TextFns.toks).as("tok"))
+    // df derives from the persisted tf aggregate (one row per (doc, tok),
+    // so rows-per-token ≡ distinct docs per token — exactly equal), so
+    // the corpus tokenize runs once, not per aggregation.
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -624,18 +640,21 @@ object TextOps {
       pmod(TextFns.hash60(concat(lit("cms"), seedCol, lit(":"), tok)), lit(W))
 
     // ONE tokenization pass: both the sketch and the exact top-k hang off
-    // the SAME token-count aggregate, so the scan + explode + token
-    // exchange are physically shared (ReuseExchange — the two consumers'
-    // aggregate subtrees are identical, PLANS.md shows the ReusedExchange
-    // node). The sketch then sums pre-counted tokens: its input is the
-    // distinct-token relation, not the corpus, and still collapses to
-    // <= D*W cells map-side before its (tiny) exchange.
+    // the SAME persisted token-count aggregate. The sketch then sums
+    // pre-counted tokens: its input is the distinct-token relation, not
+    // the corpus, and still collapses to <= D*W cells map-side before
+    // its (tiny) exchange.
     val tokCounts = docs.select(explode(TextFns.toks).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      // Persisted (vocab rows): the round-9 plan audit showed the
+      // ReuseExchange claim above does not hold in the final plan —
+      // sketch and exact-top-k each re-ran the corpus tokenization.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = tokCounts
       .select(explode(seeds).as("seed"), col("token"), col("exact_cnt"))
       .groupBy(col("seed"), bucket(col("seed"), col("token")).as("bucket"))
       .agg(sum(col("exact_cnt")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // D*W cells; fed to total + probe join
     val exact = tokCounts
       .orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
     // N falls out of the sketch itself (each seed row partitions all
@@ -675,8 +694,13 @@ object TextOps {
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // Marginal c1 derives from the bigram aggregate itself (c1 =
+    // Σ_w2 c12 — exactly equal integer counts), so the corpus-scale
+    // bigram explode runs ONCE into the persisted c12 instead of once
+    // per aggregation (the round-9 lineage-clone audit).
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     c12.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
               round(col("c12") / col("c1"), 6).as("p_cond"))
@@ -703,10 +727,14 @@ object TextOps {
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // All three marginals derive from the persisted bigram aggregate
+    // (c1 = Σ_w2 c12, c2 = Σ_w1 c12, Nb = Σ c12 — exactly equal integer
+    // counts), so the corpus explode runs once, not four times.
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val nb = bg.agg(count(lit(1)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val nb = c12.agg(sum(col("c12")).as("nb"))
     c12.filter(col("c12") >= 5)
       .join(c1, "w1").join(c2, "w2")
       .crossJoin(broadcast(nb))
@@ -836,11 +864,14 @@ object TextOps {
   def qTermSearch(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "join")
     val docs = documents(spark, dir)
+    // Persisted (query-term postings only): feeds idf AND the score join
+    // — un-persisted, the corpus tokenize ran per reference.
     val tf = docs
       .select(col("doc_id"), explode(TextFns.toks).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .select(col("token"), col("df"),
@@ -870,13 +901,17 @@ object TextOps {
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "join", "data")
     val docs = documents(spark, dir)
+    // lens (2 longs/doc) and the query-term postings are each referenced
+    // twice; persisted so the two tokenize passes run once each.
     val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = docs
       .select(col("doc_id"), explode(TextFns.toks).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"), col("df"), col("n_docs"), col("total_dl"),
@@ -906,12 +941,14 @@ object TextOps {
     val terms = Seq("spark", "join", "data")
     val docs = documents(spark, dir)
     val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = docs
       .select(col("doc_id"), explode(TextFns.toks).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"),
@@ -1028,6 +1065,10 @@ object TextOps {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+      // Persisted: the shared-exchange claim above did NOT hold in the
+      // final plan (round-9 audit: 3 corpus explodes); c12/c1/score all
+      // read this per-(doc,bigram) aggregate.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
     val c1 = bgc.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val nll = c12.join(c1, Seq("w1"))
@@ -1213,6 +1254,9 @@ object TextOps {
   def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
     val joint = documents(spark, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+      // Persisted (|langs|·|sources| rows): marginals + total + the cell
+      // join all read it — un-persisted, 4 corpus scans (round-9 audit).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
     val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
     val n = joint.agg(sum(col("n_xy")).as("n_total"))
@@ -1284,6 +1328,7 @@ object TextOps {
   def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
     val joint = documents(spark, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // see qMutualInfo
     val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
     val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
     val n = joint.agg(sum(col("n_xy")).as("n_total"))

@@ -174,12 +174,17 @@ object KeyedRegionPrune extends Rule[LogicalPlan] with PredicateHelper {
       // Idempotence / user intent: a condition already constraining kr
       // (a prior firing, or an explicit kr equi-join) is left alone.
       if !cond.references.contains(krAttr)
+      // The probe expression must genuinely come from the probe side —
+      // references.nonEmpty excludes key = <literal> (a foldable "probe"
+      // is the Filter case's business, where blooms also apply).
       probeKey <- splitConjunctivePredicates(cond).collectFirst {
         case EqualTo(a: Attribute, b)
             if a.semanticEquals(keyAttr) && b.deterministic &&
+              b.references.nonEmpty &&
               b.references.subsetOf(probe.outputSet) => b
         case EqualTo(b, a: Attribute)
             if a.semanticEquals(keyAttr) && b.deterministic &&
+              b.references.nonEmpty &&
               b.references.subsetOf(probe.outputSet) => b
       }
       storeK <- withKr(store, krAttr)

@@ -99,4 +99,39 @@ class FacadeSpec extends AnyFunSuite {
     assert(Graft.keyedScan(spark, name, "k", 0L, 200L).count() == 33)
     Graft.keyedDrop(spark, name)
   }
+
+  test("keyedMergeInto surfaces the fenced-writer contract to facade callers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val name = "graft_facade_fenced"
+    Graft.keyedCreate(spark, name,
+      (0L until 32L).map(i => (i, 0L)).toDF("k", "n"), "k",
+      targetRowsPerRegion = 8)
+    val rm = ops.KeyedStore.readRegions(spark, name)
+    val kr = rm.regions(rm.coverageIdx(0L)).kr
+    val lock = ops.KeyedStore.location(spark, name)
+      .resolveSibling(name + s".region-$kr.graft-lock")
+    val prevBeat = ops.KeyedStore.LockHeartbeatMs
+    ops.KeyedStore.LockHeartbeatMs = 100L
+    try {
+      // A foreign claimant usurps the region lock mid-merge: the facade
+      // call must throw the documented IllegalStateException — the
+      // contract Graft.keyedMergeInto's scaladoc tells callers to handle
+      // — and never report a clean result.
+      val ex = intercept[IllegalStateException] {
+        Graft.keyedMergeInto(spark, name, "k",
+          Seq((0L, 1L)).toDF("k", "n"),
+          (a, b) => {
+            java.nio.file.Files.write(lock, "usurper".getBytes("UTF-8"))
+            Thread.sleep(600)
+            a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+          })
+      }
+      assert(ex.getMessage.contains("fenced"), s"wrong failure: $ex")
+    } finally {
+      ops.KeyedStore.LockHeartbeatMs = prevBeat
+      java.nio.file.Files.deleteIfExists(lock)
+      Graft.keyedDrop(spark, name)
+    }
+  }
 }

@@ -231,6 +231,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("copurchase pair stage: one repartition exchange, reused by the self-join") {
+    // Cache substitution is global by canonical plan: another operator's
+    // persisted basket relation (assocRules' `li` over the same fixture)
+    // would replace this query's repartition subtree with a cache read —
+    // value-identical, but this test asserts the UNCACHED plan shape.
+    spark.catalog.clearCache()
     val df = ops.AnalyticsOps.qCopurchase(spark, Sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
