@@ -279,7 +279,8 @@ object AnalyticsOps {
       .localCheckpoint()
     val counts = parts.groupBy(col("__grk_pid")).agg(count(lit(1)).as("tot"))
     val offs = TextOps.exclusiveOffsets(
-        counts.select(col("__grk_pid").as("key"), col("tot")), 256, 1)
+        counts.select(col("__grk_pid").as("key"), col("tot")), 256, 1,
+        reuseInput = false) // counts are one agg over the checkpoint
       .select(col("key").as("__grk_pid"), col("offset").as("__grk_off"))
     val totals = counts.agg(sum(col("tot")).as("n"))
     parts.join(offs, Seq("__grk_pid"))

@@ -380,7 +380,8 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = TextOps.exclusiveOffsets(
         parts.groupBy(col("pid")).agg(sum(col("d")).as("tot"))
-          .select(col("pid").as("key"), col("tot")), 256, 2)
+          .select(col("pid").as("key"), col("tot")), 256, 2,
+        reuseInput = false) // totals are one agg over the checkpoint
       .select(col("key").as("pid"), col("offset"))
     val live = parts.withColumn("pfx", sum(col("d")).over(wb))
       .join(offs, Seq("pid"))

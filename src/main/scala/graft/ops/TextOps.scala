@@ -358,7 +358,12 @@ object TextOps {
     * aggregates, but a long-lived session building MANY manifests
     * should `spark.catalog.clearCache()` between builds (Bench/Verify
     * already do) — the cache is keyed by plan, so repeated calls over
-    * new inputs accumulate entries. The
+    * new inputs accumulate entries. Callers whose `totals` lineage is
+    * ALREADY materialized (one aggregate over a localCheckpoint —
+    * [[graft.ops.AnalyticsOps.globalRank]], peakConcurrency) pass
+    * `reuseInput = false`: for them the per-level duplication is a
+    * cheap block re-read and the cache-materialization jobs cost more
+    * than they save (measured +0.3 s on q_peak_concurrency at sf0.1). The
     * recursion depth is STRUCTURAL (fixed `levels`, no data-dependent
     * count): a count() here would eagerly re-execute the entire upstream
     * pipeline when composed (measured 5× on the e2e capstone), while a
@@ -374,7 +379,8 @@ object TextOps {
     * to a broadcast at fixture scale.
     */
   private[graft] def exclusiveOffsets(totals: DataFrame, bucketSize: Int,
-                                      levels: Int): DataFrame = {
+                                      levels: Int,
+                                      reuseInput: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (levels <= 0) {
       totals.withColumn("offset", coalesce(
@@ -393,7 +399,10 @@ object TextOps {
       // plans without an eager job), spill-safe, and tiny — level-0
       // input is already n/bucketSize aggregate rows, deeper levels
       // shrink by bucketSize× each.
-      val t = totals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t =
+        if (reuseInput)
+          totals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else totals
       val b = t.withColumn("sb", expr(s"key div $bucketSize"))
       val within = b.withColumn("pfx", coalesce(
         sum(col("tot")).over(
@@ -402,7 +411,8 @@ object TextOps {
         lit(0L)))
       val supTotals = b.groupBy(col("sb")).agg(sum(col("tot")).as("tot"))
         .select(col("sb").as("key"), col("tot"))
-      val supOffsets = exclusiveOffsets(supTotals, bucketSize, levels - 1)
+      val supOffsets = exclusiveOffsets(supTotals, bucketSize, levels - 1,
+        reuseInput)
         .select(col("key").as("sb"), col("offset").as("sb_offset"))
       within.join(supOffsets, Seq("sb"))
         .select(col("key"), (col("sb_offset") + col("pfx")).as("offset"))
