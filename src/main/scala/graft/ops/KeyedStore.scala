@@ -1175,7 +1175,17 @@ object KeyedStore {
     * localCheckpoint so the touched partitions are read and overwritten
     * in ONE pass — no staging copy (at multi-executor scale, substitute
     * a reliable checkpoint dir for the same break-the-cycle effect).
-    * Serialized against other writers by the table lock.
+    * Writers serialize per REGION ([[withRegionLocks]]); disjoint
+    * writers run concurrently.
+    *
+    * The RETURNED relation (here and in [[mergeInto]]) is a raw
+    * full-table read taken after this writer's locks are released:
+    * evaluate it only while no CONCURRENT writer is active, or read
+    * through [[get]]/[[scan]] — under concurrent region overwrites its
+    * file listing can reference just-replaced files (a transient
+    * FAILED_READ_FILE, never silent corruption; the read-isolation
+    * contract in the class scaladoc). Streaming sinks discard it;
+    * KeyedStoreSoakSpec's concurrent soak pins the distinction.
     */
   def upsert(spark: SparkSession, name: String, key: String,
              changes: DataFrame): DataFrame = {

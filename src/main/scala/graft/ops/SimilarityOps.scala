@@ -330,7 +330,12 @@ object SimilarityOps {
     * 0.6/0.5/0.6).
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // The eval harness drives FOUR retrieval paths over one vector set —
+    // persisting the source table is the right trade here (and only
+    // here: the operators themselves leave the choice to their caller).
+    // The per-path residual scans then read the cache, not parquet.
     val embs = embeddings(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Persisted (|queries|·k rows): the ground truth joins against every
     // approximate path — un-persisted, the brute-force pass re-runs per
     // comparison (round-9 plan audit: 40 embedding scans in this query).

@@ -132,4 +132,61 @@ class KeyedStoreSoakSpec extends AnyFunSuite {
     runSoak(seed = 41L, ops = 14)
     runSoak(seed = 1207L, ops = 14)
   }
+
+  test("concurrent soak: contending + disjoint additive writers each land exactly once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val name = "graft_keyed_soak_conc"
+    // Additive counters: commutative merge, so ANY admission order gives
+    // the same totals — the oracle is exact whatever interleaving the
+    // round-9 back-off admission path produces. Writer pairs (w, w+3)
+    // share a key range (region-lock contention → back-off → re-admit)
+    // while the three ranges are mutually disjoint (concurrent
+    // admission); a structural normalizer op runs CONCURRENTLY with
+    // round 2's writers to stress the marker drain.
+    KeyedStore.create(spark, name,
+      (0L until 192L).map(k => (k, 0L)).toDF("k", "n"),
+      "k", targetRowsPerRegion = 16)
+    def add(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+      a.unionByName(b).groupBy(col("k")).agg(sum(col("n")).as("n"))
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    (1 to 3).foreach { round =>
+      val writers = (0 until 6).map { w =>
+        val lo = (w % 3) * 64L
+        val keys = (lo until lo + 40L).toSeq
+        keys.foreach(k => expected(k) += 1L)
+        // The RETURNED relation is a raw full-table read — evaluating
+        // it while peers overwrite their regions is exactly the
+        // non-isolated read the scaladoc excludes (file listing races a
+        // peer's replace → FAILED_READ_FILE; this soak's first run
+        // proved it). Real sinks discard the return value; totals are
+        // checked after the round drains.
+        () => { KeyedStore.mergeInto(spark, name, "k",
+          keys.map(k => (k, 1L)).toDF("k", "n"), add); () }
+      }
+      val fs = writers.map(f => Future(f()))
+      val structural =
+        if (round == 2) Some(Future(KeyedStore.mergeSmallRegions(spark, name, "k")))
+        else None
+      fs.foreach(Await.result(_, 600.seconds))
+      structural.foreach(Await.result(_, 600.seconds))
+    }
+    val byK = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK.size == 192, s"key count drifted: ${byK.size}")
+    (0L until 192L).foreach { k =>
+      assert(byK(k) == expected(k),
+        s"k=$k got ${byK(k)} want ${expected(k)} — a batch was lost or doubled")
+    }
+    // Directory still consistent after the churn.
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.map(_.rows).sum == 192)
+    val mins = rm.regions.map(_.min.asInstanceOf[Long])
+    assert(mins == mins.sorted)
+    KeyedStore.drop(spark, name)
+  }
 }
