@@ -38,6 +38,7 @@ object ExplainDump {
       "q_keyed_bloom" -> "Row-bloom GET: absent probes rejected by per-region blooms before any scan; present keys resolve normally",
       "q_sql_keyed_pushdown" -> "Raw-SQL keyed read: KeyedRegionPrune injects kr IN (...) from the region directory (+ blooms for IN probes); PartitionFilters + PushedFilters with no API call",
       "q_sql_keyed_join" -> "Raw-SQL multiGet shape: join rewrite equates kr with the probe key's holding region (boundary-bucket + closure explode) so Spark's own DPP prunes the store scan at runtime via broadcast reuse",
+      "q_time_travel_get" -> "Versioned point-GET: probes route to their covering manifest leaves driver-side — the scan lists O(keys) files, with the key IN-list pushed for row-group skipping below",
       "q_vstore_compact" -> "Versioned-store OPTIMIZE: post-compact snapshot read — identical rows, bin-packed leaves",
       "q_incr_view_cdc" -> "Incremental view refresh: v1 view + per-bucket CDC deltas (full-outer diff), never a v2 rescan",
       "q_quota_sample" -> "Per-language quota via graft_topk: bounded map-side heaps, tiny exchange",

@@ -252,6 +252,12 @@ object Graft {
   def vstoreAsOfTimestamp(spark: SparkSession, dir: String,
                           tsMillis: Long): DataFrame =
     ops.VersionedStore.asOfTimestamp(spark, dir, tsMillis)
+  /** Point-GET at a version with manifest FILE SKIPPING: O(keys) data
+    * leaves read at any table size (the lakehouse data-skipping read as
+    * a serving-layer GET; [[ops.VersionedStore.getAsOf]]). */
+  def vstoreGetAsOf(spark: SparkSession, dir: String, version: Int,
+                    key: String, keys: Seq[Any]): DataFrame =
+    ops.VersionedStore.getAsOf(spark, dir, version, key, keys)
   /** Drop data/manifests outside the last `keepLast` versions.
     * `graceMs` keeps expiring snapshots readable for pinned readers
     * that long; in-flight commits are protected independently by the

@@ -1026,6 +1026,28 @@ object SourceSinkOps {
     tmp
   }
 
+  /** Versioned point-GET with manifest FILE SKIPPING
+    * ([[VersionedStore.getAsOf]]): probed keys route to their covering
+    * data leaf by binary search over the version's manifest — O(keys)
+    * files read at any table size, the lakehouse data-skipping read as
+    * a serving-layer GET. Probes cover every change class of the v2
+    * snapshot: an updated key (15: +111), a surviving key (5) and its
+    * insert-derived neighbor (6: +7), a DELETED key (10 — must return
+    * nothing), and an absent +10M probe. VersionedStoreSpec pins the
+    * file-count contract; the oracle recomputes v2 and filters.
+    */
+  def qTimeTravelGet(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = twoSnapshotStore(spark, dir)
+    try VersionedStore
+      .getAsOf(spark, tmp, 2, "o_orderkey",
+               Seq(5L, 6L, 10L, 15L, 10000005L))
+      .select(col("o_orderkey"), col("cents"))
+      .orderBy(col("o_orderkey"), col("cents"))
+      .localCheckpoint()
+    finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+  }
+
   def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val tmp = twoSnapshotStore(spark, dir)
     def summary(version: Int) = VersionedStore.asOf(spark, tmp, version)

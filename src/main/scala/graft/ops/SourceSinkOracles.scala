@@ -318,6 +318,22 @@ object SourceSinkOracles {
     // Mirrors SourceSinkOps.qTimeTravel: v1 = the base slice; v2 = the
     // U/I/D change set applied (k%3=0 updated +111, k%3=1 deleted,
     // k%3=2 untouched plus a k+1 insert at +7).
+    // File-skipped point-GET at v2 must equal the recomputed v2 filtered
+    // to the probes (routing is value-neutral; 10 is deleted in v2,
+    // 10000005 absent everywhere).
+    "q_time_travel_get" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |v2 AS (
+        |  SELECT k, cents + 111 AS cents FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, cents FROM base WHERE k % 3 = 2
+        |  UNION ALL SELECT k + 1, cents + 7 FROM base WHERE k % 3 = 2)
+        |SELECT k AS o_orderkey, CAST(cents AS BIGINT) AS cents FROM v2
+        |WHERE k IN (5, 6, 10, 15, 10000005)
+        |ORDER BY o_orderkey, cents""".stripMargin,
+
     "q_time_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

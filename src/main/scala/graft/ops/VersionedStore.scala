@@ -705,4 +705,47 @@ object VersionedStore {
     else
       spark.read.parquet(s"$dir/schema")
   }
+
+  /** Driver-side twin of [[hashCol]] (`hash60(cast(key as string))`), so
+    * point-GET routing and the leaf assignment can never drift. The
+    * caller's values must render like the SQL cast — integral and string
+    * keys do (the store's practical key domains); fractional types don't
+    * and must go through [[asOf]].
+    */
+  private def driverHash(v: Any): Long = {
+    val s = v match {
+      case n: java.lang.Number => n.longValue().toString
+      case other => other.toString
+    }
+    java.lang.Long.parseLong(TextFns.md5Hex(s).substring(0, 15), 16)
+  }
+
+  /** Point-GET at a version with FILE SKIPPING — the data-skipping read
+    * the lakehouse formats derive from their manifest statistics, here
+    * exact by construction: manifest entries are disjoint and cover the
+    * 60-bit key-hash space, so each probed key maps to EXACTLY ONE leaf
+    * (binary search over the cached manifest, driver-side control flow).
+    * The scan reads O(keys) data files — at 10⁶ leaves a 3-key GET opens
+    * 3 files — and the key IN-list pushes into the key-sorted leaves for
+    * row-group skipping below that. Absent keys cost at most their one
+    * covering leaf; keys hashing into a never-written range cost zero.
+    * This is the serving-layer read [[KeyedStore.get]] provides for the
+    * mutable store, at any retained VERSION of this one — [[asOf]]
+    * composes with arbitrary predicates but always lists every leaf.
+    */
+  def getAsOf(spark: SparkSession, dir: String, version: Int, key: String,
+              keys: Seq[Any]): DataFrame = {
+    val entries = readManifest(dir, version) // sorted by minH, total cover
+    val bounds = entries.map(_.minH)
+    val paths = keys.iterator
+      .map(k => entries(graft.functions.RangeFunctions
+        .indexOf(bounds, driverHash(k))(Ordering.Long)).path)
+      .filter(_.nonEmpty)
+      .toSeq.distinct
+    val base =
+      if (paths.nonEmpty)
+        spark.read.parquet(paths.map(p => s"$dir/data/$p"): _*)
+      else spark.read.parquet(s"$dir/schema")
+    base.filter(col(key).isin(keys: _*))
+  }
 }

@@ -43,6 +43,41 @@ class VersionedStoreSpec extends AnyFunSuite {
     finally s.close()
   }
 
+  test("getAsOf: point-GET reads only the covering leaves, at any version") {
+    val dir = freshDir()
+    // Small per-file target → many leaves, so skipping is observable.
+    ops.VersionedStore.init(spark, dir,
+      (0L until 2000L).map(k => (k, k * 10L)).toDF("k", "v"), "k",
+      targetRowsPerFile = 64)
+    ops.VersionedStore.commit(spark, dir,
+      Seq((42L, "U", 99999L), (5000L, "I", 1L), (7L, "D", 0L))
+        .toDF("k", "op", "v"), "k")
+    val allLeaves = ops.VersionedStore.asOf(spark, dir, 2).inputFiles.length
+    assert(allLeaves >= 16, s"fixture should have many leaves: $allLeaves")
+    // Values: updated, inserted, surviving, deleted (absent), never-there.
+    val got = ops.VersionedStore
+      .getAsOf(spark, dir, 2, "k", Seq(42L, 5000L, 3L, 7L, 123456L))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((42L, 99999L), (5000L, 1L), (3L, 30L)))
+    // File skipping: 5 probes hash to ≤5 covering LEAVES — the scan's
+    // leaf list is O(keys), not O(table) (a leaf dir may hold more than
+    // one part file; the unit of skipping is the leaf).
+    val gotLeaves = got.inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length
+    assert(gotLeaves <= 5,
+      s"expected ≤5 leaves for 5 probes, got $gotLeaves of $allLeaves files")
+    // Time travel composes: at v1 the deleted key is still present and
+    // the update hasn't happened.
+    val v1 = ops.VersionedStore.getAsOf(spark, dir, 1, "k", Seq(42L, 7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1 == Set((42L, 420L), (7L, 70L)))
+    // Agreement with the full-scan path under the same predicate.
+    val full = ops.VersionedStore.asOf(spark, dir, 2)
+      .filter(col("k").isin(42L, 5000L, 3L, 7L, 123456L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("snapshot isolation: v1 readable and unchanged after two commits") {
     val dir = freshDir()
     val base = (1L to 200L).map(k => (k, k * 10)).toDF("k", "v")
