@@ -386,6 +386,29 @@ object ScaleSmoke {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
+      // Versioned point-GET: O(keys) leaves read at any table size —
+      // wall time must stay ~flat from 1x to FACTORx (leaf count scales
+      // with the data at the fixed 8192-row target).
+      if (wanted("vstore_pointget")) {
+        import spark.implicits._
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_scale_vget_$tag"
+        graft.streaming.EventStream.deleteRecursively(
+          java.nio.file.Paths.get(store))
+        ops.VersionedStore.init(spark, store,
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents")),
+          "o_orderkey", targetRowsPerFile = 8192)
+        val nLeaves = ops.VersionedStore.asOf(spark, store, 1)
+          .inputFiles.length
+        val t0 = System.nanoTime()
+        val rows = ops.VersionedStore.getAsOf(spark, store, 1, "o_orderkey",
+          Seq(100L, 2000L, 5000L, 10000100L)).count()
+        println(f"SCALE vstore_pointget_$tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows leaves=$nLeaves")
+        graft.streaming.EventStream.deleteRecursively(
+          java.nio.file.Paths.get(store))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
       if (wanted("vstore_1key_commit")) {
         import spark.implicits._
         val store = s"${System.getProperty("java.io.tmpdir")}/graft_scale_vstore_$tag"
