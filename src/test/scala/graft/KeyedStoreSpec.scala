@@ -959,6 +959,42 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(anti.collect().head.getLong(0) == 200L - (0L to 40L by 7L).size)
   }
 
+  test("SQL JOIN pruning: store on the RIGHT side and string-keyed stores") {
+    import spark.implicits._
+    // Store on the right of the join (probe first in the FROM list).
+    val name = "graft_keyed_spec_sqljoin_right"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val probeDir =
+      java.nio.file.Files.createTempDirectory("graft_sqljoin_r").toString
+    (0L until 200L).toDF("pk").write.mode("overwrite").parquet(probeDir)
+    spark.read.parquet(probeDir).createOrReplaceTempView("graft_right_probe")
+    val joined = spark.sql(
+      s"""SELECT s.k, s.v FROM
+         |(SELECT pk FROM graft_right_probe WHERE pk % 9 = 0 AND pk <= 30) p
+         |JOIN $name s ON p.pk = s.k ORDER BY s.k""".stripMargin)
+    assert(joined.collect().map(_.getLong(0)).toSeq == Seq(0L, 9L, 18L, 27L))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_kr"),
+      joined.queryExecution.optimizedPlan.toString.take(3000))
+    // String-keyed store: the rewrite's bucket search runs over the
+    // lexicographic directory (StringBoundaryBucket + closure literal).
+    val sname = "graft_keyed_spec_sqljoin_str"
+    val rows = (0 until 160).map(i => (f"key$i%03d", i)).toDF("rk", "n")
+    KeyedStore.create(spark, sname, rows, "rk", targetRowsPerRegion = 16)
+    (40 until 50).map(i => f"key$i%03d").toDF("prk")
+      .write.mode("overwrite").parquet(probeDir + "_s")
+    spark.read.parquet(probeDir + "_s")
+      .createOrReplaceTempView("graft_str_probe")
+    val sj = spark.sql(
+      s"""SELECT s.rk, s.n FROM $sname s
+         |JOIN (SELECT prk FROM graft_str_probe WHERE prk >= 'key045') p
+         |  ON s.rk = p.prk ORDER BY s.rk""".stripMargin)
+    assert(sj.collect().map(_.getInt(1)).toSeq == (45 to 49))
+    assert(sj.queryExecution.optimizedPlan.toString.contains("__graft_kr"),
+      sj.queryExecution.optimizedPlan.toString.take(3000))
+    KeyedStore.drop(spark, name)
+    KeyedStore.drop(spark, sname)
+  }
+
   test("SQL JOIN pruning is straddle-safe: residence != coverage still matches") {
     import spark.implicits._
     val name = "graft_keyed_spec_sqljoin_straddle"
