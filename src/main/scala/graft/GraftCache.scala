@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry of every relation the graft operators
+  * persist, with one release point — [[GraftCache.release]] (surfaced as
+  * `Graft.releaseCaches`).
+  *
+  * Why it exists: many operators reference a derived relation
+  * (signatures, codebooks, degree/posting aggregates) from two or more
+  * plan branches. Catalyst clones a doubly-referenced subtree with fresh
+  * exprIds and nothing reliably dedups the clones at execution, so the
+  * shared lineage re-executes once PER BRANCH — the round-9 plan audit
+  * measured up to 40 re-scans of one source in a single query. The fix
+  * is a lazy `persist(MEMORY_AND_DISK)` of the shared DERIVED relation;
+  * but Spark's CacheManager holds SQL cache entries until an explicit
+  * unpersist (the ContextCleaner never reaps them), so a long-lived
+  * session calling cached operators over ever-new inputs would
+  * accumulate memory+disk cache without bound.
+  *
+  * The contract, in one place instead of 50 scaladocs:
+  *
+  *   - Every operator-internal persist goes through [[cached]], which
+  *     tags the entry to its SparkSession here. The persist stays LAZY —
+  *     operators still compose into downstream plans without forcing an
+  *     eager job.
+  *   - A caller that invokes graft operators repeatedly over new inputs
+  *     calls `Graft.releaseCaches(spark)` once the results of a batch
+  *     are materialized (written, collected, or no longer referenced).
+  *     This unpersists ONLY graft-tracked entries — the caller's own
+  *     `df.persist()`/`spark.catalog.cacheTable` entries are untouched,
+  *     unlike `spark.catalog.clearCache()`.
+  *   - Releasing while a returned (unmaterialized) DataFrame is still
+  *     held is SAFE for correctness — the plan simply recomputes without
+  *     the cache on its next action (Spark semantics of unpersisting a
+  *     lazily-cached plan) — it only forfeits the dedup the persist paid
+  *     for, so release after materialization, not before.
+  *
+  * Tracking holds a strong reference per persist call until released —
+  * bounded by the operator calls between releases, the same lifetime the
+  * cache entries themselves have. Entries whose session has been stopped
+  * are dropped harmlessly on release. CacheLifecycleSpec is the gate:
+  * operators leave zero CacheManager entries behind after release, and a
+  * user cache survives it.
+  */
+object GraftCache {
+  private val tracked =
+    new java.util.IdentityHashMap[SparkSession,
+      scala.collection.mutable.ArrayBuffer[Dataset[_]]]
+
+  /** Lazily persist `ds` (MEMORY_AND_DISK) and track it for
+    * session-scoped release. All operator-internal persists route here.
+    */
+  def cached[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.synchronized {
+      var buf = tracked.get(ds.sparkSession)
+      if (buf == null) {
+        buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+        tracked.put(ds.sparkSession, buf)
+      }
+      buf += ds
+    }
+    ds
+  }
+
+  /** Unpersist every graft-tracked relation of `spark` (non-blocking;
+    * caller caches untouched). Returns the number of entries released.
+    */
+  def release(spark: SparkSession): Int = {
+    val drained = tracked.synchronized {
+      val buf = tracked.remove(spark)
+      if (buf == null) Seq.empty else buf.toSeq
+    }
+    var n = 0
+    drained.foreach { ds =>
+      // A stopped session throws from unpersist; the entry died with it.
+      try { ds.unpersist(blocking = false); n += 1 }
+      catch { case _: IllegalStateException | _: NullPointerException => () }
+    }
+    n
+  }
+
+  /** Entries currently tracked for `spark` (test/monitoring hook). */
+  def trackedCount(spark: SparkSession): Int = tracked.synchronized {
+    val buf = tracked.get(spark)
+    if (buf == null) 0 else buf.size
+  }
+
+  /** Import-friendly postfix form: `df.graftCached` ≡ `cached(df)`. */
+  implicit class GraftCachedOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def graftCached: Dataset[T] = cached(ds)
+  }
+}
