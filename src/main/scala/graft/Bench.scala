@@ -17,6 +17,77 @@ import java.nio.file.{Files, Paths}
   * could not absorb.
   */
 object Bench {
+  /** Per-query seconds out of a bench record: either a full
+    * `bench_out.json` line or a driver `BENCH_r*.json`, whose `tail`
+    * field holds only the last ~2000 chars of that line, `\"`-escaped
+    * and usually starting MID-record (past the `"queries":` marker).
+    * So: unescape first, then anchor at the marker when present and
+    * scan the whole text otherwise. Only `q_*` keys with numeric values
+    * match — `errors` values and `suspect` entries are quoted strings
+    * and never do. (The pre-round-11 parse required the marker on the
+    * RAW text: it never matched a tail file, the prior map was always
+    * empty, and the guard had been silently inert since round 8.)
+    */
+  private[graft] def parsePriorTimes(txt: String): Map[String, Double] = {
+    val un = txt.replace("\\\"", "\"")
+    val start = un.indexOf("\"queries\":")
+    val body = if (start >= 0) un.substring(start) else un
+    "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Prior-round per-query times from `dir`: prefer `bench_out.json`
+    * (the FULL record of the latest driver bench — at guard time it
+    * still holds the prior round; this run overwrites it only at the
+    * end), else the newest `BENCH_r*.json` tail. Empty where neither
+    * exists (e.g. focused probes run from /tmp), which disables the
+    * guard rather than mis-flagging against nothing.
+    */
+  private[graft] def priorTimes(dir: java.io.File): Map[String, Double] = {
+    val full = new java.io.File(dir, "bench_out.json")
+    val fromFull =
+      if (full.isFile)
+        parsePriorTimes(new String(Files.readAllBytes(full.toPath), "UTF-8"))
+      else Map.empty[String, Double]
+    if (fromFull.nonEmpty) fromFull
+    else {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.toPath))
+          case _ => None
+        })
+      if (files.isEmpty) Map.empty
+      else parsePriorTimes(
+        new String(Files.readAllBytes(files.maxBy(_._1)._2), "UTF-8"))
+    }
+  }
+
+  private[graft] def deviant(t: Double, pv: Double): Boolean =
+    t > 2 * pv && t - pv > 0.5
+
+  /** The deviation guard: re-run any >2x-vs-prior mover via `rerun`
+    * (which returns the SUCCESSFUL re-run times only — a crashed
+    * re-run's time-to-failure must not lower the record), keep the min
+    * of all runs, and flag it suspect if still deviant. Errored rows
+    * pass through untouched. Pure so BenchGuardSpec can drive it with a
+    * synthetic runner.
+    */
+  private[graft] def applyGuard(
+      results: Seq[(String, Double, Option[String])],
+      prior: Map[String, Double],
+      rerun: String => Seq[Double])
+      : Seq[(String, Double, Option[String], Boolean)] =
+    results.map { case (name, t, err) =>
+      if (err.nonEmpty || !prior.get(name).exists(deviant(t, _)))
+        (name, t, err, false)
+      else {
+        val good = rerun(name)
+        val best = if (good.nonEmpty) math.min(t, good.min) else t
+        (name, best, err, prior.get(name).exists(deviant(best, _)))
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,9 +123,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // Per-query isolation: drop persisted/localCheckpoint blocks so one
-      // query's storage doesn't linger in the block manager and inflate
-      // queries that happen to run later in the alphabet.
+      // Per-query isolation: release graft-tracked caches (also drops
+      // their CacheManager entries), then any remaining persisted/
+      // localCheckpoint blocks, so one query's storage doesn't linger in
+      // the block manager and inflate queries later in the alphabet.
+      GraftCache.release(spark, blocking = true)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
@@ -62,53 +135,27 @@ object Bench {
     }
     // Deviation guard: a min-of-2 can still record a sustained machine
     // contention window (round 7 carried 16 inflated rows into the
-    // permanent record). Any query whose min exceeds 2x its value in the
-    // repo's latest BENCH_r*.json (and by >0.5 s absolute) is re-run
+    // permanent record). Any query whose min exceeds 2x its prior-round
+    // value ([[priorTimes]]: bench_out.json, else the newest
+    // BENCH_r*.json tail; >0.5 s absolute too) is re-run
     // twice more and the min of all runs kept; a survivor is flagged in
     // "suspect" so the record carries its own health note instead of a
     // silent regression-or-artifact ambiguity.
-    val prior: Map[String, Double] = {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val files = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f.toPath))
-          case _ => None
-        })
-      if (files.isEmpty) Map.empty
-      else {
-        val txt = new String(Files.readAllBytes(files.maxBy(_._1)._2), "UTF-8")
-        val start = txt.indexOf("\"queries\":")
-        if (start < 0) Map.empty
-        else "\"(q[A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
-          .findAllMatchIn(txt.substring(start))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val prior = priorTimes(new java.io.File("."))
+    val guarded = applyGuard(results, prior, rerun = { name =>
+      val retimes = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-    }
-    def deviant(t: Double, pv: Double): Boolean = t > 2 * pv && t - pv > 0.5
-    val guarded = results.map { case (name, t, err) =>
-      if (err.nonEmpty || !prior.get(name).exists(deviant(t, _)))
-        (name, t, err, false)
-      else {
-        // Only SUCCESSFUL re-runs may lower the recorded time: a crashed
-        // re-run returns fast, and its time-to-failure must not be
-        // mistaken for the query's cost (the original timed runs already
-        // proved the query green).
-        val retimes = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
-        val good = retimes.collect { case (rt, true) => rt }
-        val best = if (good.nonEmpty) math.min(t, good.min) else t
-        (name, best, err, prior.get(name).exists(deviant(best, _)))
-      }
-    }
+      GraftCache.release(spark, blocking = true)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      retimes.collect { case (rt, true) => rt }
+    })
     val qs = guarded.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = guarded.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }

@@ -275,6 +275,25 @@ object Graft {
     df.filter(org.apache.spark.sql.functions.call_function(
       "graft_topk", key, order, tiebreak, org.apache.spark.sql.functions.lit(k)))
 
+  // cache lifecycle — see [[GraftCache]] for the contract
+  /** Unpersist every relation the graft operators persisted internally
+    * for `spark` (signatures, codebooks, frontier/posting aggregates —
+    * the shared-lineage dedup persists). The caller's own
+    * `df.persist()` / `cacheTable` entries are untouched. Call once per
+    * batch after results are materialized; a long-lived session that
+    * never releases accumulates MEMORY_AND_DISK cache without bound
+    * (Spark's ContextCleaner does not reap SQL cache entries). Returns
+    * the number of entries released. */
+  def releaseCaches(spark: SparkSession, blocking: Boolean = false): Int =
+    GraftCache.release(spark, blocking)
+  /** Batch scope: run `body` (any number of graft operator calls), then
+    * release every operator-internal cache on exit — including when the
+    * body throws. Materialize results INSIDE the scope (write/collect);
+    * a DataFrame escaping the scope stays correct but recomputes its
+    * lineage without the cache on its next action. */
+  def withCacheScope[T](spark: SparkSession)(body: => T): T =
+    try body finally GraftCache.release(spark)
+
   // flight-report reproduction surface (events-shaped input, FIXTURES.md §3)
   def flightReport(spark: SparkSession, dir: String): DataFrame =
     ops.FlightOps.qFlightReport(spark, dir)

@@ -37,6 +37,16 @@ import org.apache.spark.storage.StorageLevel
   *     lazily-cached plan) — it only forfeits the dedup the persist paid
   *     for, so release after materialization, not before.
   *
+  * Scope note: this registry covers the SQL-cache (CacheManager) leak
+  * class only. Iterative operators also `localCheckpoint` loop state;
+  * those blocks are NOT CacheManager entries — per-round intermediates
+  * are freed inside the loops, and a block backing a RETURNED relation
+  * must outlive the call (its lineage is truncated — unpersisting it
+  * would make the result unrecomputable, not merely slower) and is
+  * reaped by Spark's ContextCleaner once the caller drops the
+  * reference. CacheManager entries have no such GC path, hence this
+  * registry.
+  *
   * Tracking holds a strong reference per persist call until released —
   * bounded by the operator calls between releases, the same lifetime the
   * cache entries themselves have. Entries whose session has been stopped
@@ -65,10 +75,12 @@ object GraftCache {
     ds
   }
 
-  /** Unpersist every graft-tracked relation of `spark` (non-blocking;
-    * caller caches untouched). Returns the number of entries released.
+  /** Unpersist every graft-tracked relation of `spark` (caller caches
+    * untouched). `blocking = true` waits for the block drop — tests and
+    * memory-pressure callers use it; the default is async. Returns the
+    * number of entries released.
     */
-  def release(spark: SparkSession): Int = {
+  def release(spark: SparkSession, blocking: Boolean = false): Int = {
     val drained = tracked.synchronized {
       val buf = tracked.remove(spark)
       if (buf == null) Seq.empty else buf.toSeq
@@ -76,7 +88,7 @@ object GraftCache {
     var n = 0
     drained.foreach { ds =>
       // A stopped session throws from unpersist; the entry died with it.
-      try { ds.unpersist(blocking = false); n += 1 }
+      try { ds.unpersist(blocking); n += 1 }
       catch { case _: IllegalStateException | _: NullPointerException => () }
     }
     n

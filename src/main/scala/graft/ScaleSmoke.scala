@@ -111,6 +111,7 @@ object ScaleSmoke {
         // probe's storage doesn't linger and poison later measurements
         // (observed: late-battery probes 4-8x inflated once dozens of
         // checkpointed relations had accumulated in the block manager).
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
@@ -216,6 +217,7 @@ object ScaleSmoke {
         val rows = ops.KeyedStore.get(spark, name, "o_orderkey", probes).count()
         println(f"SCALE keyed_bloom_fixed_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows")
         ops.KeyedStore.drop(spark, name)
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -238,6 +240,7 @@ object ScaleSmoke {
         println(f"SCALE vstore_compact_fixed_$tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=1")
         graft.streaming.EventStream.deleteRecursively(
           java.nio.file.Paths.get(store))
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -284,6 +287,7 @@ object ScaleSmoke {
                min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
           .orderBy(col("bin")).count()
         println(f"SCALE seq_pack_agg_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n3")
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
@@ -313,6 +317,7 @@ object ScaleSmoke {
           f"   regions=$nReg read=${ops.KeyedStore.sidecarBytesRead.get()}" +
           f" written=${ops.KeyedStore.sidecarBytesWritten.get()}")
         ops.KeyedStore.drop(spark, name)
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -362,6 +367,7 @@ object ScaleSmoke {
         println(f"SCALE disjoint_sink_overlap_$tag%-4s seq=$tSeq%6.2f s  conc=$tCon%6.2f s" +
           f"   overlap=${tSeq / tCon}%4.2fx")
         ops.KeyedStore.drop(spark, name)
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -383,6 +389,7 @@ object ScaleSmoke {
             "o_orderstatus", "o_totalprice"))
         println(f"SCALE keyed_1key_merge_$tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=1")
         ops.KeyedStore.drop(spark, name)
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -406,6 +413,7 @@ object ScaleSmoke {
         println(f"SCALE vstore_pointget_$tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$rows leaves=$nLeaves")
         graft.streaming.EventStream.deleteRecursively(
           java.nio.file.Paths.get(store))
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -425,6 +433,7 @@ object ScaleSmoke {
         println(f"SCALE vstore_1key_commit_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=1")
         graft.streaming.EventStream.deleteRecursively(
           java.nio.file.Paths.get(store))
+        GraftCache.release(spark, blocking = true)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }

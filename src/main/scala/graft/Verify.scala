@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release operator-internal caches between queries: 200+ queries in
+      // one session would otherwise accumulate every persisted signature/
+      // codebook relation for the whole run (GraftCache contract).
+      GraftCache.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

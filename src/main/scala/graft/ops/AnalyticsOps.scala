@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -134,12 +135,12 @@ object AnalyticsOps {
     // 6 event scans for 3 stages).
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("ts_us") > col("t_view"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
       .filter(col("ts_us") > col("t_click"))
@@ -586,11 +587,11 @@ object AnalyticsOps {
       .select(col(basket).as("basket"), col(item).as("p1"))
       .repartition(col("basket"))
       .dropDuplicates("basket", "p1")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val nb = li.agg(countDistinct(col("basket")).as("n_baskets"))
     // Item counts attach to both rule directions; persisted (|items| rows).
     val ic = li.groupBy(col("p1")).agg(count(lit(1)).as("c1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // WHALE-BASKET CAP on the pair generation only: a basket contributes
     // pairs from its `maxBasketItems` smallest item keys (deterministic,
     // so the oracle mirrors it). The self-join's per-basket cost is
@@ -607,7 +608,7 @@ object AnalyticsOps {
           .partitionBy(col("basket")).orderBy(col("p1"))))
       .filter(col("__bn") <= maxBasketItems)
       .drop("__bn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val b = capped.toDF("basket", "p2")
     // Persisted (pair aggregate, ≥minPair only): both rule directions
     // union over it.
@@ -615,7 +616,7 @@ object AnalyticsOps {
       .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minPair)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val directed = pairs
       .select(col("p1").as("ante"), col("p2").as("cons"), col("c12"))
       .unionByName(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -125,7 +126,7 @@ object DedupOps {
     // strictly smaller than re-tokenizing N×.
     val sigs = hs.groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_set(col("h"))).as("hset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val prefix = sigs.select(col("doc_id"), col("lang"), explode(expr(
       s"slice(hset, 1, cast(size(hset) - ceil(size(hset) * $threshold - 1e-9) + 1 as int))"))
       .as("h"))
@@ -135,7 +136,7 @@ object DedupOps {
       .select(col("lang"), col("h"))
     // Persisted: the prefix-index self-join references `rare` twice.
     val rare = prefix.join(rareShingles, Seq("lang", "h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val cand = rare.as("a")
       .join(rare.as("b"),
             col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
@@ -173,7 +174,7 @@ object DedupOps {
     // joins all read the signatures.
     val sigs = hs.groupBy(col("doc_id"), col("lang"))
       .agg(sort_array(collect_set(col("h"))).as("hset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val prefix = sigs.select(col("doc_id"), col("lang"), explode(expr(
       s"slice(hset, 1, cast(size(hset) - ceil(size(hset) * $threshold - 1e-9) + 1 as int))"))
       .as("h"))
@@ -227,7 +228,7 @@ object DedupOps {
     // audit: 8 documents scans in the estimate query).
     val hsFull = shingleIndex(docs)
       .select(col("doc_id"), col("lang"), TextFns.hash60(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // Perm hashes reduce mod P; a,b < P and h < P so a*h+b < 2^62 — no
     // Long overflow. (Verification uses the FULL 60-bit hashes: the %P
     // reduction is fine for min-hashing but would collide too often for
@@ -248,7 +249,7 @@ object DedupOps {
     val bands = withSig
       .select(col("doc_id"), col("lang"),
               posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val cand = bands.as("a")
       .join(bands.as("b"),
             col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
@@ -287,7 +288,7 @@ object DedupOps {
     // Persisted: the neighborhood index is self-joined (two references)
     // — FastSS's whole point is building this index once.
     val variants = terms.select(col("tok"), explode(expr(allV)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     variants.as("a")
       .join(variants.as("b"),
             col("a.v") === col("b.v") && col("a.tok") < col("b.tok"))
@@ -309,7 +310,7 @@ object DedupOps {
     // tokenize+distinct would otherwise run per reference).
     val vocab = documents(spark, dir)
       .select(explode(TextFns.toks).as("tok")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val typos = vocab.filter(length(col("tok")) >= 4)
       .select(concat(substring(col("tok"), 1, 1),
                      expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
@@ -325,7 +326,7 @@ object DedupOps {
   def qFuzzyMatch2(spark: SparkSession, dir: String): DataFrame = {
     val vocab = documents(spark, dir)
       .select(explode(TextFns.toks).as("tok")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val typos1 = vocab.filter(length(col("tok")) >= 4)
       .select(concat(substring(col("tok"), 1, 1),
                      expr("substring(tok, 3, length(tok) - 2)")).as("tok"))
@@ -350,11 +351,11 @@ object DedupOps {
     // Persisted: the candidate pairs feed the agreement count AND the
     // exact-Jaccard verify; the exploded signature feeds both sides of
     // the per-perm agreement join.
-    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = cand0.graftCached
     val sigLong = withSig.select(col("doc_id"),
       posexplode(array((1 to numPerms).map(j => col(s"sig$j")): _*))
         .as(Seq("j", "mh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val agree = cand
       .join(sigLong.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sigLong.as("sb"),
@@ -426,7 +427,7 @@ object DedupOps {
     // token-count + 60-column fingerprint aggregate runs twice.
     val bands = fp.select(col("doc_id"), col("lang"), col("fp"),
                           posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     bands.as("a")
       .join(bands.as("b"),
             col("a.lang") === col("b.lang") && col("a.band_id") === col("b.band_id") &&
@@ -482,7 +483,7 @@ object DedupOps {
       .withColumn("bucket", SimilarityOps.bucketCol(totalPlanes))
       .select(col("vec_id"), col("label"),
               posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val cand = banded.as("a")
       .join(banded.as("b"),
             col("a.label") === col("b.label") && col("a.band_id") === col("b.band_id") &&
@@ -525,18 +526,18 @@ object DedupOps {
     // branches would otherwise each execute the (expensive) pair-
     // generation pipeline — 2× the heaviest stage for free. Released as
     // soon as the symmetric edge set is materialized.
-    val p = pairs.persist()
+    val p = pairs.graftCached
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist()
+      .graftCached
     edges.count() // materialize every partition, then drop the pairs cache
     p.unpersist()
     // Initialization already folds in round 0: label = min(id, neighbors).
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .persist()
+      .graftCached
     var persisted = labels
     // localCheckpoint storage is NOT released by Dataset.unpersist (that
     // only clears cache-manager entries), so each round tracks the

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -658,7 +659,7 @@ object EventOps {
       .select(col("user_id"), expr(s"t0 div $weekUs").as("cohort_week"))
       // Persisted (one row per purchasing user): feeds cohort sizes AND
       // the age join — un-persisted, the purchase scan re-ran per ref.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val sizes = first.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("n_users"))
     val curve = p.join(first, Seq("user_id"))
@@ -696,7 +697,7 @@ object EventOps {
       .agg(count(lit(1)).as("c"))
       // Persisted (|buckets|·2 rows): both halves and both totals read
       // it — un-persisted, 4 event scans (round-9 audit).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val a = bucketed.filter(col("half") === 0)
       .select(col("bucket"), col("c").as("c_a"))
     val b = bucketed.filter(col("half") === 1)
@@ -916,7 +917,7 @@ object EventOps {
       // Persisted (per-type rows): broadcast into the deviation pass and
       // joined in the report — the first median's rank passes would
       // otherwise run twice.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val dev = ev
       .join(broadcast(med.select(col("event_type"), col("med2_c"))),
             Seq("event_type"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,7 +43,7 @@ object GraphOps {
     val out = edges.groupBy(col("src")).agg(sum(col("wgt")).as("out_w"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val e = edges.join(out, Seq("src")).persist()
+    val e = edges.join(out, Seq("src")).graftCached
     var rank = nodes.crossJoin(broadcast(
         nodes.agg(count(lit(1)).as("n_nodes"))))
       .select(col("node"), expr("1000000L div n_nodes").as("pr"),
@@ -124,11 +125,11 @@ object GraphOps {
     // (round-9 plan audit). Same adjacency-persist discipline as
     // [[randomWalks]]/[[shortestPaths]]; the derived relations persisted
     // below are degree- and edge-sized, never bigger than the graph.
-    val und = und0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = und0.graftCached
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // Total order: lexicographic (deg, id) compared as a STRUCT — strict
     // because ids are distinct, and valid for ANY id/degree domain (the
     // packed deg*2^31+id form silently collides once ids or degrees
@@ -145,7 +146,7 @@ object GraphOps {
       when(col("ru") < col("rv"), col("ru")).otherwise(col("rv")).as("ra"),
       when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
       when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // Wedges centered at the low-rank node: (a)->(b), (a)->(c), rb < rc;
     // a triangle closes when the directed edge (b)->(c) exists.
     val e1 = directed.select(col("a"), col("b"), col("rb"))
@@ -226,9 +227,9 @@ object GraphOps {
     // basket self-join + aggregate — measured 4× the total runtime).
     val sym = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .graftCached
     var settled = sources.select(col("node"), lit(0L).as("dist"))
-    var frontier = settled.persist()
+    var frontier = settled.graftCached
     (1 to maxHops).foreach { h =>
       val next = frontier
         .join(sym, frontier("node") === sym("u"))
@@ -236,7 +237,7 @@ object GraphOps {
         .distinct()
         .join(settled.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("dist"))
-        .persist()
+        .graftCached
       next.count() // materialize before unpersisting the parent frontier
       frontier.unpersist()
       settled = settled.union(next)
@@ -244,7 +245,7 @@ object GraphOps {
     }
     // Materialize the (small: one row per reached node) result, then drop
     // the adjacency cache — same lifecycle as dedupClusters' edge persist.
-    val out = settled.persist()
+    val out = settled.graftCached
     out.count()
     sym.unpersist()
     frontier.unpersist()
@@ -265,7 +266,7 @@ object GraphOps {
     // edge relation feeds both the source-node aggregate and the BFS
     // adjacency (previously each re-ran the whole pair-explosion
     // pipeline — the single heaviest slice of this query's cost).
-    val edges = copurchaseEdges(spark, dir, minOrders = 2).persist()
+    val edges = copurchaseEdges(spark, dir, minOrders = 2).graftCached
     val src = edges.agg(least(min(col("u")), min(col("v"))).as("node"))
     val out = shortestPaths(edges, src, maxHops = 4)
       .orderBy(col("dist"), col("node"))
@@ -314,7 +315,7 @@ object GraphOps {
     // caller's edge pipeline per round.
     val sym = und.select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+      .graftCached
     val nodes = sym.select(col("u").as("node")).distinct()
     var cur = nodes.select(col("node").as("walk_id"), col("node"))
     var acc = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
@@ -327,7 +328,7 @@ object GraphOps {
       acc = acc.union(
         cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node")))
     }
-    val out = acc.persist()
+    val out = acc.graftCached
     out.count()
     sym.unpersist()
     out
@@ -358,11 +359,11 @@ object GraphOps {
     // join; deg feeds two attach joins — un-persisted, the caller's
     // edge pipeline re-executed 5× (round-9 plan audit; see
     // [[triangleCount]]).
-    val und = und0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = und0.graftCached
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     und
       .join(deg.select(col("node").as("u"), col("d").as("da")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("d").as("db")), Seq("v"))

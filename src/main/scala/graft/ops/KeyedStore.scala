@@ -545,17 +545,72 @@ object KeyedStore {
     *
     * The drain in [[withStructuralLock]] + this marker give the classic
     * shared/exclusive pair built from create-exclusive files alone.
-    * Admission is not FIFO: a writer can in principle lose the re-admit
-    * race repeatedly, bounded by the LockWaitMs deadline — the same
-    * timeout contract the old blocking wait had, minus the collateral
-    * serialization.
+    * Admission among writers of ONE JVM is seniority-ordered (see
+    * [[regionWaiters]]): blocked writers queue by a global ticket,
+    * juniors defer to the oldest waiter on a path, and backoff is
+    * jittered-exponential with seniors re-probing fastest — so no
+    * same-JVM writer loses the re-admit race unboundedly. Writers on
+    * OTHER JVMs don't see this queue and remain timeout-bounded by the
+    * LockWaitMs deadline, the original contract.
     */
+  /** JVM-local seniority queue for writers blocked on a region lock:
+    * blocked-path → tickets (global monotonic order) of the writers
+    * waiting on it. Admission deference: a writer does not take a
+    * region lock a MORE SENIOR waiter is queued on — it reports itself
+    * blocked instead — so once a blocked writer is the oldest on its
+    * path, no later arrival can snipe the re-admit race and starvation
+    * is bounded by the current holders draining, not by luck. Sets are
+    * re-added idempotently every retry (heals the empty-set removal
+    * race) and deregistered on admit/timeout via the caller's finally.
+    * Cross-JVM writers are invisible here and stay timeout-bounded —
+    * the pre-round-11 contract for everyone.
+    */
+  private val waiterTicketSeq = new AtomicLong(0)
+  private val regionWaiters =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]]
+
+  private[graft] def registerWaiter(p: Path, ticket: Long): Unit =
+    regionWaiters.computeIfAbsent(p.toString,
+      _ => new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]())
+      .add(ticket)
+
+  private[graft] def deregisterWaiter(p: Path, ticket: Long): Unit = {
+    val s = regionWaiters.get(p.toString)
+    if (s != null) {
+      s.remove(ticket)
+      if (s.isEmpty) regionWaiters.remove(p.toString, s)
+    }
+  }
+
+  private[graft] def seniorWaiterOn(p: Path, ticket: Long): Boolean = {
+    val s = regionWaiters.get(p.toString)
+    s != null && !s.isEmpty && s.first() < ticket
+  }
+
+  /** Waiters queued ahead of `ticket` on `p` (backoff weight). */
+  private[graft] def waiterRank(p: Path, ticket: Long): Int = {
+    val s = regionWaiters.get(p.toString)
+    if (s == null) 0 else s.headSet(ticket).size
+  }
+
+  /** Test hook: how many admission attempts the LAST [[withRegionLocks]]
+    * call on this thread took (1 = admitted first try). The fairness
+    * spec's starvation bound reads this per worker thread. */
+  private[graft] val lastAdmitAttempts = new ThreadLocal[Integer]
+
   private def withRegionLocks[T](spark: SparkSession, name: String,
                                  rm0: RegionMap, touched0: Seq[Int],
                                  recompute: RegionMap => Seq[Int])
                                 (body: (RegionMap, Long, Seq[Int]) => T): T = {
     val deadline = System.currentTimeMillis() + LockWaitMs
-    while (true) {
+    // Seniority is assigned on ENTRY (not on first block): two writers
+    // racing the same region admit in arrival order once either queues.
+    val myTicket = waiterTicketSeq.incrementAndGet()
+    var lastBlocked: Option[Path] = None
+    var attempts = 0
+    try {
+      while (true) {
       val table = acquireLock(lockPath(spark, name))
       val tableBeat = new HeartbeatGroup(Seq(table))
       val held = scala.collection.mutable.ArrayBuffer.empty[LockHandle]
@@ -582,7 +637,10 @@ object KeyedStore {
           val it = touched.sorted.iterator
           while (blocked.isEmpty && it.hasNext) {
             val p = regionLockPath(spark, name, it.next())
-            tryAcquireLock(p) match {
+            // Defer to a more senior queued waiter even when the lock
+            // file is free — taking it would restart their wait.
+            if (seniorWaiterOn(p, myTicket)) blocked = Some(p)
+            else tryAcquireLock(p) match {
               case Some(h) => held += h
               case None => blocked = Some(p)
             }
@@ -599,6 +657,7 @@ object KeyedStore {
           }
         }
         if (blocked.isEmpty) {
+          lastAdmitAttempts.set(attempts + 1)
           val r = body(rm, target, touched)
           failIfFenced(if (tableReleased) held.toSeq else Seq(table))
           return r
@@ -613,9 +672,24 @@ object KeyedStore {
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"KeyedStore: timed out waiting for region lock ${blocked.get}")
-      Thread.sleep(20)
-    }
-    throw new IllegalStateException("unreachable")
+      attempts += 1
+      // Queue on the blocked path (idempotent re-add each retry; moves
+      // with us if a directory change shifts which region blocks us),
+      // then back off jittered-exponentially, seniors sleeping least:
+      // juniors defer above, so the oldest waiter re-probes fastest and
+      // wins the free lock instead of racing N peers in lockstep.
+      if (lastBlocked.exists(_ != blocked.get))
+        deregisterWaiter(lastBlocked.get, myTicket)
+      registerWaiter(blocked.get, myTicket)
+      lastBlocked = Some(blocked.get)
+      val base = math.min(80L, 5L << math.min(attempts, 4))
+      val jitter =
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(base)
+      Thread.sleep(base / 2 + jitter +
+        math.min(waiterRank(blocked.get, myTicket), 8) * 10L)
+      }
+      throw new IllegalStateException("unreachable")
+    } finally lastBlocked.foreach(p => deregisterWaiter(p, myTicket))
   }
 
   // -------- per-region row blooms (HBase HFile ROW-bloom analog) --------
@@ -805,16 +879,39 @@ object KeyedStore {
     * are write-once under fresh uuid names, so entries never go stale —
     * but dead entries can accumulate (a crashed writer's orphan chunks
     * are GC'd by [[repair]] on a different JVM, or a dropped table's
-    * chunks vanish with the directory), so the cache is CAPPED: past
-    * [[RegionChunkCacheCap]] entries it is cleared whole (immutable
-    * write-once content — a refill is one read per live chunk, and a
-    * working set that genuinely exceeds the cap just degrades to
-    * read-through). GC paths additionally evict what they delete.
+    * chunks vanish with the directory), so the cache is a CAPPED
+    * access-ordered LRU: crossing [[RegionChunkCacheCap]] evicts only
+    * the coldest entry per insert — the warm working set survives,
+    * unlike the pre-round-11 `clear()`-everything, whose thundering-herd
+    * refill re-read every live chunk — and the per-entry eviction inside
+    * the map's own lock closes the old size-check/put race that let
+    * concurrent inserts overshoot the cap. A working set that genuinely
+    * exceeds the cap degrades to read-through, as before. GC paths
+    * additionally evict what they delete.
     */
   @volatile private[graft] var RegionChunkCacheCap = 4096
 
-  private val regionChunkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]
+  /** LRU construction, factored so ChunkCacheSpec can pin the policy
+    * (bounded size, warm survival, no empty-window) directly. */
+  private[graft] def newChunkCache(): java.util.Map[String, IndexedSeq[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, IndexedSeq[String]](
+          256, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, IndexedSeq[String]]): Boolean = {
+          // Evict down to the cap ourselves (and return false, per the
+          // LinkedHashMap contract for self-modifying overrides): the
+          // cap is a live knob — when a test or operator shrinks it,
+          // one-eldest-per-put would never drain the excess.
+          while (size() > RegionChunkCacheCap) {
+            val it = entrySet().iterator()
+            it.next(); it.remove()
+          }
+          false
+        }
+      })
+
+  private val regionChunkCache = newChunkCache()
 
   /** Test hook: entry count of the chunk cache (pins the bound). */
   private[graft] def regionChunkCacheSize: Int = regionChunkCache.size
@@ -828,7 +925,7 @@ object KeyedStore {
       sidecarBytesRead.addAndGet(bytes.length)
       val lines = new String(bytes, "UTF-8").split("\n", -1)
         .iterator.filter(_.nonEmpty).toIndexedSeq
-      if (regionChunkCache.size >= RegionChunkCacheCap) regionChunkCache.clear()
+      // The LRU evicts its own eldest inside put() — no size check here.
       regionChunkCache.put(cp.toString, lines)
       lines
     }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,7 +153,7 @@ object SimilarityOps {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     def withCentCos(df: DataFrame): DataFrame =
       df.join(broadcast(cent), lit(true))
         .withColumn("c_cos", dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
@@ -277,7 +278,7 @@ object SimilarityOps {
       // at least two plan branches, and un-persisted each reference
       // re-runs the whole Lloyd round over the corpus (round-9 plan
       // audit: 5-9 embedding scans per kmeans-family query).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
   }
 
   /** IVF probing over the kmeans-refined codebook — the production ANN
@@ -335,12 +336,12 @@ object SimilarityOps {
     // here: the operators themselves leave the choice to their caller).
     // The per-path residual scans then read the cache, not parquet.
     val embs = embeddings(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // Persisted (|queries|·k rows): the ground truth joins against every
     // approximate path — un-persisted, the brute-force pass re-runs per
     // comparison (round-9 plan audit: 40 embedding scans in this query).
     val bf = annBruteforce(embs, col("q_id") < 5).select(col("q_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     def hits(apx: DataFrame, name: String): DataFrame =
       bf.join(apx.select(col("q_id"), col("neighbor_id")), Seq("q_id", "neighbor_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as(name))
@@ -400,7 +401,7 @@ object SimilarityOps {
     val e = embs.withColumn("bucket", bucketCol(planes))
       .select(col("vec_id"), col("bucket"), col("embedding"),
               norm2("embedding").as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val masks = (0 until (1 << planes)).filter(Integer.bitCount(_) <= hamming)
     val probes = e.select(col("vec_id").as("q_id"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
@@ -478,7 +479,7 @@ object SimilarityOps {
     // would otherwise run three times.
     val assigned = assignNearest(e, cent.select(col("c_id"), col("cv")))
       .withColumn("nrm", expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val a = assigned.select(col("c_id"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("c_id"), col("vec_id").as("vec_b"),

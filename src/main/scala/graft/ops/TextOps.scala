@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -250,7 +251,7 @@ object TextOps {
     // keep-rule join, and the report join — un-persisted, each clone
     // re-scanned the corpus (round-9 plan audit: 10 scans here).
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val nMin = counts.agg(min(col("n_before")).as("n_min"))
     val withN = counts.crossJoin(broadcast(nMin))
     val kept = docs
@@ -261,7 +262,7 @@ object TextOps {
     val per = withN.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_before"),
               coalesce(col("n_after"), lit(0L)).as("n_after"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // Flatness invariant as a pinned flag (exact cross-multiplied
     // rationals): the after-mix max/min ratio must not exceed the
     // before-mix ratio.
@@ -401,7 +402,7 @@ object TextOps {
       // shrink by bucketSize× each.
       val t =
         if (reuseInput)
-          totals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          totals.graftCached
         else totals
       val b = t.withColumn("sb", expr(s"key div $bucketSize"))
       val within = b.withColumn("pfx", coalesce(
@@ -441,7 +442,7 @@ object TextOps {
     // clones and the docs scan runs twice (see exclusiveOffsets).
     val b = docs.select(col("doc_id"), col("n_chars"))
       .withColumn("bucket", expr(s"doc_id div $bucketSize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val within = b.withColumn("pfx_within",
       sum(col("n_chars")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
@@ -616,7 +617,7 @@ object TextOps {
     // so rows-per-token ≡ distinct docs per token — exactly equal), so
     // the corpus tokenize runs once, not per aggregation.
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
@@ -659,12 +660,12 @@ object TextOps {
       // Persisted (vocab rows): the round-9 plan audit showed the
       // ReuseExchange claim above does not hold in the final plan —
       // sketch and exact-top-k each re-ran the corpus tokenization.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val sketch = tokCounts
       .select(explode(seeds).as("seed"), col("token"), col("exact_cnt"))
       .groupBy(col("seed"), bucket(col("seed"), col("token")).as("bucket"))
       .agg(sum(col("exact_cnt")).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // D*W cells; fed to total + probe join
+      .graftCached // D*W cells; fed to total + probe join
     val exact = tokCounts
       .orderBy(col("exact_cnt").desc, col("token").asc).limit(k)
     // N falls out of the sketch itself (each seed row partitions all
@@ -709,7 +710,7 @@ object TextOps {
     // bigram explode runs ONCE into the persisted c12 instead of once
     // per aggregation (the round-9 lineage-clone audit).
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     c12.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
@@ -741,7 +742,7 @@ object TextOps {
     // (c1 = Σ_w2 c12, c2 = Σ_w1 c12, Nb = Σ c12 — exactly equal integer
     // counts), so the corpus explode runs once, not four times.
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val nb = c12.agg(sum(col("c12")).as("nb"))
@@ -881,7 +882,7 @@ object TextOps {
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .select(col("token"), col("df"),
@@ -914,14 +915,14 @@ object TextOps {
     // lens (2 longs/doc) and the query-term postings are each referenced
     // twice; persisted so the two tokenize passes run once each.
     val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = docs
       .select(col("doc_id"), explode(TextFns.toks).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"), col("df"), col("n_docs"), col("total_dl"),
@@ -951,14 +952,14 @@ object TextOps {
     val terms = Seq("spark", "join", "data")
     val docs = documents(spark, dir)
     val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = docs
       .select(col("doc_id"), explode(TextFns.toks).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("token"),
@@ -1078,7 +1079,7 @@ object TextOps {
       // Persisted: the shared-exchange claim above did NOT hold in the
       // final plan (round-9 audit: 3 corpus explodes); c12/c1/score all
       // read this per-(doc,bigram) aggregate.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c12"))
     val c1 = bgc.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     val nll = c12.join(c1, Seq("w1"))
@@ -1169,7 +1170,7 @@ object TextOps {
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - col("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     // Bucket totals come off the WINDOWED relation (max inclusive prefix
     // ≡ Σ n_tokens per bucket — prefixes are monotone over non-negative
     // counts), so the totals branch reads the persisted blocks, never
@@ -1266,7 +1267,7 @@ object TextOps {
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
       // Persisted (|langs|·|sources| rows): marginals + total + the cell
       // join all read it — un-persisted, 4 corpus scans (round-9 audit).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
     val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
     val n = joint.agg(sum(col("n_xy")).as("n_total"))
@@ -1338,7 +1339,7 @@ object TextOps {
   def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
     val joint = documents(spark, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // see qMutualInfo
+      .graftCached // see qMutualInfo
     val mx = joint.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
     val my = joint.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
     val n = joint.agg(sum(col("n_xy")).as("n_total"))

@@ -709,11 +709,22 @@ object VersionedStore {
   /** Driver-side twin of [[hashCol]] (`hash60(cast(key as string))`), so
     * point-GET routing and the leaf assignment can never drift. The
     * caller's values must render like the SQL cast — integral and string
-    * keys do (the store's practical key domains); fractional types don't
-    * and must go through [[asOf]].
+    * keys do (the store's practical key domains). Floating-point /
+    * decimal values are REJECTED at runtime, not truncated: SQL renders
+    * a double `3.0` as `"3.0"` while `Number.longValue` would render
+    * `"3"`, so a truncated hash routes the probe to the wrong leaf and
+    * the GET silently returns empty rows (the round-9 ADVICE finding).
     */
   private def driverHash(v: Any): Long = {
     val s = v match {
+      case _: java.lang.Double | _: java.lang.Float | _: java.math.BigDecimal |
+           _: scala.math.BigDecimal =>
+        throw new IllegalArgumentException(
+          s"getAsOf: fractional numeric key $v (${v.getClass.getSimpleName}) " +
+            "cannot be routed by the driver-side key hash — its SQL string " +
+            "rendering differs from the integral form, so the probe would " +
+            "silently read the wrong leaf. Read via " +
+            "asOf(dir, version).filter(col(key) === ...) instead.")
       case n: java.lang.Number => n.longValue().toString
       case other => other.toString
     }

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.storage.StorageLevel
+
+/** The [[GraftCache]] contract gate: every operator-internal persist is
+  * tracked per-session and released in one call, without touching the
+  * caller's own caches. Suites run sequentially in the one forked test
+  * JVM (build.sbt forks, testForkedParallel stays false), so the
+  * persistent-RDD id sets observed here are not racing another suite.
+  */
+class CacheLifecycleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def persistentIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def resetStorage(): Unit = {
+    GraftCache.release(spark, blocking = true)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+  }
+
+  test("operators leave zero cache entries behind after releaseCaches; " +
+       "a user cache survives") {
+    import spark.implicits._
+    resetStorage()
+
+    // The user's own cache — must survive the graft release untouched.
+    val userDf = spark.range(1000).toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
+    userDf.count()
+    assert(userDf.storageLevel.useMemory)
+    val baseline = persistentIds
+
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+
+    // A batch of cached operators spanning three ops files (TextOps,
+    // DedupOps, GraphOps all persist shared derived relations), each
+    // MATERIALIZED so the lazy persists actually allocate blocks.
+    Graft.tfidfTopTerms(docs, k = 2).count()
+    Graft.minhashLshPairs(docs).count()
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "wgt")
+    Graft.pageRank(edges, iters = 2).count()
+
+    assert(GraftCache.trackedCount(spark) > 0,
+      "operators must route persists through GraftCache.cached")
+    val afterOps = persistentIds
+    val graftAdded = afterOps -- baseline
+    assert(graftAdded.nonEmpty,
+      "materialized operator persists must show as persistent RDDs")
+
+    val released = Graft.releaseCaches(spark, blocking = true)
+    assert(released > 0)
+    assert(GraftCache.trackedCount(spark) == 0)
+    val afterRelease = persistentIds
+    // Zero SQL-cache (CacheManager) leftovers. localCheckpoint blocks
+    // are a different mechanism: iterative operators free their own
+    // per-round intermediates, and a block backing a RETURNED relation
+    // cannot be freed by release (the truncated lineage could not
+    // recompute) — the ContextCleaner reaps it once the caller drops the
+    // reference, unlike SQL cache entries which leak forever.
+    val leftovers = afterRelease & graftAdded
+    val rdds = spark.sparkContext.getPersistentRDDs
+    assert(leftovers.forall(id => rdds(id).isCheckpointed),
+      s"non-localCheckpoint graft persists survived release: " +
+        leftovers.filterNot(id => rdds(id).isCheckpointed))
+    leftovers.foreach(id => rdds(id).unpersist(blocking = true))
+    // The user's cache is untouched — entry still present and still
+    // answering from storage.
+    assert(userDf.storageLevel.useMemory)
+    assert(afterRelease.contains(baseline.head) || baseline.subsetOf(afterRelease))
+    userDf.unpersist(blocking = true)
+  }
+
+  test("releaseCaches on a session with nothing tracked is a no-op") {
+    resetStorage()
+    assert(GraftCache.trackedCount(spark) == 0)
+    assert(Graft.releaseCaches(spark) == 0)
+  }
+
+  test("release is safe while a returned lazy DataFrame is still held: " +
+       "the plan recomputes without the cache") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    resetStorage()
+    val pairs = Graft.minhashLshPairs(docs) // NOT materialized yet
+    assert(GraftCache.trackedCount(spark) > 0)
+    Graft.releaseCaches(spark, blocking = true)
+    assert(GraftCache.trackedCount(spark) == 0)
+    // Correctness survives the early release — only the dedup is lost.
+    assert(pairs.count() >= 0L)
+    GraftCache.release(spark, blocking = true)
+  }
+
+  test("withCacheScope releases on exit, including when the body throws") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    resetStorage()
+    val n = Graft.withCacheScope(spark) {
+      Graft.tfidfTopTerms(docs, k = 1).count()
+    }
+    assert(n > 0L)
+    assert(GraftCache.trackedCount(spark) == 0)
+
+    val boom = intercept[RuntimeException] {
+      Graft.withCacheScope(spark) {
+        Graft.tfidfTopTerms(docs, k = 1).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(boom.getMessage == "boom")
+    assert(GraftCache.trackedCount(spark) == 0,
+      "a throwing scope body must still release the tracked caches")
+  }
+}

@@ -78,6 +78,32 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(full == got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("getAsOf rejects fractional numeric keys instead of silently " +
+       "truncating them to the wrong leaf") {
+    val dir = freshDir()
+    ops.VersionedStore.init(spark, dir,
+      (0L until 100L).map(k => (k, k * 10L)).toDF("k", "v"), "k",
+      targetRowsPerFile = 16)
+    // Truncating 1.5 → "1" would hash to key 1's leaf and return empty
+    // rows for a probe the caller spelled differently — fail fast and
+    // point at the asOf escape hatch instead.
+    for (bad <- Seq(1.5d, 3.0d, 2.5f, BigDecimal("4.2"),
+                    new java.math.BigDecimal("7.0"))) {
+      val e = intercept[IllegalArgumentException] {
+        ops.VersionedStore.getAsOf(spark, dir, 1, "k", Seq(bad)).collect()
+      }
+      assert(e.getMessage.contains("fractional numeric key"), s"$bad: $e")
+      assert(e.getMessage.contains("asOf("), s"$bad must direct to asOf")
+    }
+    // Integral and string keys are unaffected (ints widen like the cast).
+    assert(ops.VersionedStore.getAsOf(spark, dir, 1, "k", Seq(42L, 7))
+      .collect().map(_.getLong(1)).toSet == Set(420L, 70L))
+    // A mixed probe list fails whole — no partial silent read.
+    intercept[IllegalArgumentException] {
+      ops.VersionedStore.getAsOf(spark, dir, 1, "k", Seq(42L, 1.5d)).collect()
+    }
+  }
+
   test("snapshot isolation: v1 readable and unchanged after two commits") {
     val dir = freshDir()
     val base = (1L to 200L).map(k => (k, k * 10)).toDF("k", "v")
