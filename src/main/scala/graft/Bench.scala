@@ -36,12 +36,17 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Prior-round per-query times from `dir`: prefer `bench_out.json`
-    * (the FULL record of the latest driver bench — at guard time it
-    * still holds the prior round; this run overwrites it only at the
-    * end), else the newest `BENCH_r*.json` tail. Empty where neither
-    * exists (e.g. focused probes run from /tmp), which disables the
-    * guard rather than mis-flagging against nothing.
+  /** Prior-round per-query times from `dir`: the newest
+    * `BENCH_r*.json` tail MERGED with `bench_out.json` (the FULL record
+    * of the latest bench in this directory — at guard time it still
+    * holds the prior run; this run overwrites it only at the end),
+    * bench_out.json winning per key. A MERGE, not a preference: a
+    * focused `SPARK_GRAFT_ONLY` run also writes bench_out.json, and if
+    * its few keys replaced the whole map the next full run's guard
+    * would be silently disarmed for every other query — the exact
+    * vacuous-`suspect` failure this parse rewrite exists to end. Empty
+    * where neither file exists (e.g. probes from /tmp), which disables
+    * the guard rather than mis-flagging against nothing.
     */
   private[graft] def priorTimes(dir: java.io.File): Map[String, Double] = {
     val full = new java.io.File(dir, "bench_out.json")
@@ -49,18 +54,17 @@ object Bench {
       if (full.isFile)
         parsePriorTimes(new String(Files.readAllBytes(full.toPath), "UTF-8"))
       else Map.empty[String, Double]
-    if (fromFull.nonEmpty) fromFull
-    else {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f.toPath))
-          case _ => None
-        })
-      if (files.isEmpty) Map.empty
+    val re = "BENCH_r(\\d+)\\.json".r
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f.toPath))
+        case _ => None
+      })
+    val fromTail =
+      if (files.isEmpty) Map.empty[String, Double]
       else parsePriorTimes(
         new String(Files.readAllBytes(files.maxBy(_._1)._2), "UTF-8"))
-    }
+    fromTail ++ fromFull
   }
 
   private[graft] def deviant(t: Double, pv: Double): Boolean =
@@ -127,17 +131,14 @@ object Bench {
       // their CacheManager entries), then any remaining persisted/
       // localCheckpoint blocks, so one query's storage doesn't linger in
       // the block manager and inflate queries later in the alphabet.
-      GraftCache.release(spark, blocking = true)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
+      GraftCache.releaseAllStorage(spark)
       (name, times.min, err)
     }
     // Deviation guard: a min-of-2 can still record a sustained machine
     // contention window (round 7 carried 16 inflated rows into the
     // permanent record). Any query whose min exceeds 2x its prior-round
-    // value ([[priorTimes]]: bench_out.json, else the newest
-    // BENCH_r*.json tail; >0.5 s absolute too) is re-run
+    // value ([[priorTimes]]: the newest BENCH_r*.json tail merged with
+    // bench_out.json; >0.5 s absolute too) is re-run
     // twice more and the min of all runs kept; a survivor is flagged in
     // "suspect" so the record carries its own health note instead of a
     // silent regression-or-artifact ambiguity.
@@ -150,10 +151,7 @@ object Bench {
           catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      GraftCache.release(spark, blocking = true)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
+      GraftCache.releaseAllStorage(spark)
       retimes.collect { case (rt, true) => rt }
     })
     val qs = guarded.map { case (k, v, _, _) => s"\"" + k + "\":" + v }

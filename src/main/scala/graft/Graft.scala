@@ -290,7 +290,14 @@ object Graft {
     * release every operator-internal cache on exit — including when the
     * body throws. Materialize results INSIDE the scope (write/collect);
     * a DataFrame escaping the scope stays correct but recomputes its
-    * lineage without the cache on its next action. */
+    * lineage without the cache on its next action.
+    *
+    * The release is SESSION-scoped, not scope-local: concurrent scopes
+    * (or a concurrent bare operator call) on the SAME SparkSession will
+    * have their in-flight caches released by whichever scope exits
+    * first — correct but slow (shared lineages recompute per branch).
+    * Run concurrent batches on separate sessions
+    * (`spark.newSession()`), or release at one coordinated point. */
   def withCacheScope[T](spark: SparkSession)(body: => T): T =
     try body finally GraftCache.release(spark)
 

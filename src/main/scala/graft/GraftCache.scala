@@ -65,6 +65,7 @@ object GraftCache {
   def cached[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.synchronized {
+      pruneStoppedLocked()
       var buf = tracked.get(ds.sparkSession)
       if (buf == null) {
         buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
@@ -73,6 +74,22 @@ object GraftCache {
       buf += ds
     }
     ds
+  }
+
+  /** Drop registry entries whose session has been STOPPED without a
+    * release call (a host that churns short-lived sessions would
+    * otherwise pin every dead session's plan graph here forever — the
+    * leak class this registry exists to fix, reintroduced one level
+    * up). Their cache blocks died with the SparkContext; only the
+    * bookkeeping is left to drop. Caller holds the `tracked` monitor.
+    * O(live sessions) — a handful — on each cached() call.
+    */
+  private def pruneStoppedLocked(): Unit = {
+    val it = tracked.entrySet().iterator()
+    while (it.hasNext) {
+      val k = it.next().getKey
+      if (k.sparkContext == null || k.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** Unpersist every graft-tracked relation of `spark` (caller caches
@@ -98,6 +115,26 @@ object GraftCache {
   def trackedCount(spark: SparkSession): Int = tracked.synchronized {
     val buf = tracked.get(spark)
     if (buf == null) 0 else buf.size
+  }
+
+  /** Sessions currently holding tracked entries (test/monitoring hook;
+    * stopped sessions are pruned lazily on the next [[cached]]). */
+  private[graft] def trackedSessions: Int =
+    tracked.synchronized(tracked.size)
+
+  /** Full storage-isolation sweep for harnesses (Bench/Verify/
+    * ScaleSmoke between queries, spec setup): release tracked caches,
+    * then unpersist EVERY remaining persistent RDD (this is what frees
+    * localCheckpoint blocks — Dataset.unpersist does not) and clear the
+    * SQL cache. Deliberately scorched-earth — it drops USER caches too
+    * (clearCache is shared-state-wide), so it is for harness isolation,
+    * not for library callers: they want [[release]].
+    */
+  private[graft] def releaseAllStorage(spark: SparkSession): Unit = {
+    release(spark, blocking = true)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
   }
 
   /** Import-friendly postfix form: `df.graftCached` ≡ `cached(df)`. */

@@ -111,10 +111,7 @@ object ScaleSmoke {
         // probe's storage doesn't linger and poison later measurements
         // (observed: late-battery probes 4-8x inflated once dozens of
         // checkpointed relations had accumulated in the block manager).
-        GraftCache.release(spark, blocking = true)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
+        GraftCache.releaseAllStorage(spark)
       }
     Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
       println(s"SCALE ---- $tag ($dir)")
@@ -287,10 +284,7 @@ object ScaleSmoke {
                min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
           .orderBy(col("bin")).count()
         println(f"SCALE seq_pack_agg_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n3")
-        GraftCache.release(spark, blocking = true)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        spark.catalog.clearCache()
+        GraftCache.releaseAllStorage(spark)
       }
 
       // Sidecar IO per 1-key merge with the region count SCALING with

@@ -585,7 +585,11 @@ object KeyedStore {
 
   private[graft] def seniorWaiterOn(p: Path, ticket: Long): Boolean = {
     val s = regionWaiters.get(p.toString)
-    s != null && !s.isEmpty && s.first() < ticket
+    // headSet view, NOT isEmpty-then-first(): a concurrent deregister
+    // between those two calls would throw NoSuchElementException and
+    // crash an innocent writer. The view is race-free — a ticket
+    // removed mid-check just reads as "no senior waiter".
+    s != null && !s.headSet(ticket).isEmpty
   }
 
   /** Waiters queued ahead of `ticket` on `p` (backoff weight). */
@@ -888,6 +892,13 @@ object KeyedStore {
     * concurrent inserts overshoot the cap. A working set that genuinely
     * exceeds the cap degrades to read-through, as before. GC paths
     * additionally evict what they delete.
+    *
+    * One global mutex (and a get() that relinks for access order) is a
+    * deliberate trade: this cache serves DRIVER-side region-directory
+    * routing — O(directory chunks) lookups per query/write, not
+    * per-row — so hold times are nanoseconds against file-IO-scale
+    * misses. If a profile ever shows contention here, segment the lock
+    * before reaching for a lock-free approximate-LRU.
     */
   @volatile private[graft] var RegionChunkCacheCap = 4096
 

@@ -44,12 +44,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m.values.forall(v => v >= 0 && v < 3600))
   }
 
-  test("priorTimes prefers bench_out.json over the BENCH tail") {
+  test("priorTimes MERGES the BENCH tail with bench_out.json " +
+       "(full record wins per key; a partial record cannot disarm the " +
+       "guard for the other queries)") {
     val dir = Files.createTempDirectory("benchguard").toFile
+    // A focused SPARK_GRAFT_ONLY run left a bench_out.json with ONE
+    // query — its fresher time must win for that key, while the tail
+    // still arms the guard for everything else.
     Files.writeString(Paths.get(dir.getPath, "bench_out.json"),
-      """{"queries":{"q_a":2.0}}""")
+      """{"queries":{"q_shard_pack":2.0}}""")
     Files.writeString(Paths.get(dir.getPath, "BENCH_r07.json"), tailStyle)
-    assert(Bench.priorTimes(dir) == Map("q_a" -> 2.0))
+    val merged = Bench.priorTimes(dir)
+    assert(merged("q_shard_pack") == 2.0)          // full record wins
+    assert(merged("q_shortest_path") == 6.659418889) // tail fills the rest
+    assert(merged.size == 4)
     // without the full record, the tail is the source
     Files.delete(Paths.get(dir.getPath, "bench_out.json"))
     assert(Bench.priorTimes(dir)("q_shard_pack") == 0.28)

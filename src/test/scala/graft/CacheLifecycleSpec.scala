@@ -15,12 +15,7 @@ class CacheLifecycleSpec extends AnyFunSuite {
   private def persistentIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  private def resetStorage(): Unit = {
-    GraftCache.release(spark, blocking = true)
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    spark.catalog.clearCache()
-  }
+  private def resetStorage(): Unit = GraftCache.releaseAllStorage(spark)
 
   test("operators leave zero cache entries behind after releaseCaches; " +
        "a user cache survives") {

@@ -46,6 +46,36 @@ class LockFairnessSpec extends AnyFunSuite {
     KeyedStore.deregisterWaiter(q, 1L)
   }
 
+  test("seniorWaiterOn never throws while registrations churn " +
+       "concurrently (isEmpty-then-first would NoSuchElementException)") {
+    val p = path("/fairness/race/region-0.lock")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val churn = new Thread(() => {
+      var i = 0L
+      while (!stop.get()) {
+        KeyedStore.registerWaiter(p, 10L + (i % 3))
+        KeyedStore.deregisterWaiter(p, 10L + (i % 3))
+        i += 1
+      }
+    })
+    val probes = (0 until 3).map(_ => new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get() && i < 200000) {
+          // Any boolean is fine mid-churn; an exception is the bug.
+          KeyedStore.seniorWaiterOn(p, 11L)
+          KeyedStore.waiterRank(p, 11L)
+          i += 1
+        }
+      } catch { case t: Throwable => failed.set(t); stop.set(true) }
+    }))
+    churn.start(); probes.foreach(_.start())
+    probes.foreach(_.join(30000)); stop.set(true); churn.join(5000)
+    assert(failed.get() == null,
+      s"seniority probe threw under churn: ${failed.get()}")
+  }
+
   test("hot-region writers all admit in bounded attempts, fair-ish order") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
