@@ -99,4 +99,63 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.deviant(0.4, 0.1))  // 4x but only +0.3 s — micro-query noise
     assert(!Bench.deviant(1.9, 1.0))  // +0.9 s but under 2x
   }
+
+  test("property: a rendered bench line round-trips through " +
+       "parsePriorTimes, raw and tail-escaped") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val qname = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(cs => "q_" + cs.mkString))
+    val entry = for { k <- qname; v <- Gen.chooseNum(0.001, 3600.0) } yield (k, v)
+    val record = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, entry))
+      .map(_.toMap)
+    val p = Prop.forAll(record) { m =>
+      val line = "{\"metric\":\"total\",\"value\":" + m.values.sum +
+        ",\"unit\":\"sec\",\"queries\":{" +
+        m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") +
+        "},\"errors\":{},\"n_err\":0,\"suspect\":[],\"sf\":\"x\"}"
+      // the driver's tail form: escaped quotes, truncated to a mid-record
+      // suffix (drop a prefix so it starts inside the queries map)
+      val esc = line.replace("\"", "\\\"")
+      val tail = "{\"n\": 5, \"tail\": \"" +
+        esc.substring(math.min(esc.length / 3, esc.indexOf("queries"))) + "\"}"
+      val full = Bench.parsePriorTimes(line)
+      val fromTail = Bench.parsePriorTimes(tail)
+      // full parse is exact; tail parse is a subset (prefix truncated)
+      full == m && fromTail.forall { case (k, v) => m.get(k).contains(v) } &&
+        fromTail.nonEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: applyGuard never raises a time, never flags a " +
+       "non-deviant row, and re-runs exactly the deviant error-free rows") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val row = for {
+      n <- Gen.chooseNum(1, 6).map(i => s"q_$i")
+      t <- Gen.chooseNum(0.01, 10.0)
+      e <- Gen.option(Gen.const("boom"))
+    } yield (n, t, e)
+    val rows = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, row))
+    val priorG = Gen.mapOf(Gen.zip(Gen.chooseNum(1, 6).map(i => s"q_$i"),
+      Gen.chooseNum(0.01, 10.0)))
+    val rerunT = Gen.chooseNum(0.005, 12.0)
+    val p = Prop.forAll(rows, priorG, rerunT) { (rs, prior, rt) =>
+      var calls = 0
+      val out = Bench.applyGuard(rs, prior, { _ => calls += 1; Seq(rt) })
+      out.zip(rs).zipWithIndex.forall { case (((n2, t2, e2, flag), (n1, t1, e1)), i) =>
+        val wasDeviant = e1.isEmpty && prior.get(n1).exists(Bench.deviant(t1, _))
+        n2 == n1 && e2 == e1 &&
+          t2 <= t1 + 1e-12 &&                       // never raised
+          (!flag || wasDeviant) &&                  // flag implies deviant input
+          (if (!wasDeviant) t2 == t1 else t2 == math.min(t1, rt)) &&
+          (flag == (wasDeviant && prior.get(n1).exists(Bench.deviant(t2, _))))
+      } && calls == rs.count { case (n, t, e) =>
+        e.isEmpty && prior.get(n).exists(Bench.deviant(t, _)) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
 }
