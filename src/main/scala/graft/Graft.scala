@@ -287,19 +287,21 @@ object Graft {
   def releaseCaches(spark: SparkSession, blocking: Boolean = false): Int =
     GraftCache.release(spark, blocking)
   /** Batch scope: run `body` (any number of graft operator calls), then
-    * release every operator-internal cache on exit — including when the
-    * body throws. Materialize results INSIDE the scope (write/collect);
-    * a DataFrame escaping the scope stays correct but recomputes its
-    * lineage without the cache on its next action.
+    * release exactly the operator-internal caches created by calls made
+    * on THIS thread inside the scope — including when the body throws.
+    * Materialize results INSIDE the scope (write/collect); a DataFrame
+    * escaping the scope stays correct but recomputes its lineage
+    * without the cache on its next action.
     *
-    * The release is SESSION-scoped, not scope-local: concurrent scopes
-    * (or a concurrent bare operator call) on the SAME SparkSession will
-    * have their in-flight caches released by whichever scope exits
-    * first — correct but slow (shared lineages recompute per branch).
-    * Run concurrent batches on separate sessions
-    * (`spark.newSession()`), or release at one coordinated point. */
+    * Tracking is scope-local (thread-local stack), so concurrent scopes
+    * on the SAME SparkSession are independent — neither can release the
+    * other's in-flight caches. Operator calls the body dispatches to
+    * other threads are tracked in the session bucket instead; sweep
+    * those with [[releaseCaches]]. The `spark` parameter anchors the
+    * API (a scope serves one session's batch) and keeps call sites
+    * self-documenting. */
   def withCacheScope[T](spark: SparkSession)(body: => T): T =
-    try body finally GraftCache.release(spark)
+    GraftCache.withScope(body)
 
   // flight-report reproduction surface (events-shaped input, FIXTURES.md §3)
   def flightReport(spark: SparkSession, dir: String): DataFrame =

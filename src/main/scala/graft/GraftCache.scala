@@ -62,18 +62,55 @@ object GraftCache {
   /** Lazily persist `ds` (MEMORY_AND_DISK) and track it for
     * session-scoped release. All operator-internal persists route here.
     */
+  /** Scope-local tracking: [[withScope]] pushes a buffer for the
+    * CURRENT THREAD; `cached` calls made on that thread while the scope
+    * is open land in the innermost scope buffer instead of the session
+    * bucket, and the scope releases exactly them on exit. So two
+    * concurrent scopes on one SparkSession cannot release each other's
+    * in-flight caches — each thread's operator calls belong to its own
+    * scope. Operator calls a scope body hands to OTHER threads fall
+    * back to the session bucket (released by `releaseCaches`, not by
+    * this scope).
+    */
+  private val scopeStack =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[Dataset[_]]]] {
+      override def initialValue():
+          List[scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
+    }
+
   def cached[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked.synchronized {
-      pruneStoppedLocked()
-      var buf = tracked.get(ds.sparkSession)
-      if (buf == null) {
-        buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
-        tracked.put(ds.sparkSession, buf)
-      }
-      buf += ds
+    scopeStack.get() match {
+      case buf :: _ => buf += ds
+      case Nil =>
+        tracked.synchronized {
+          pruneStoppedLocked()
+          var buf = tracked.get(ds.sparkSession)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+            tracked.put(ds.sparkSession, buf)
+          }
+          buf += ds
+        }
     }
     ds
+  }
+
+  /** Run `body` with a fresh scope buffer on this thread's stack and
+    * unpersist exactly that buffer's entries on exit (throwing bodies
+    * included). Nested scopes release innermost-first, each only its
+    * own entries. Surfaced as `Graft.withCacheScope`. */
+  def withScope[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopeStack.set(buf :: scopeStack.get())
+    try body
+    finally {
+      scopeStack.set(scopeStack.get().tail)
+      buf.foreach { ds =>
+        try ds.unpersist(blocking = false)
+        catch { case _: IllegalStateException | _: NullPointerException => () }
+      }
+    }
   }
 
   /** Drop registry entries whose session has been STOPPED without a

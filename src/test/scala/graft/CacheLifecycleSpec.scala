@@ -90,6 +90,78 @@ class CacheLifecycleSpec extends AnyFunSuite {
     GraftCache.release(spark, blocking = true)
   }
 
+  private def awaitGone(ids: Set[Int]): Unit = {
+    // scope exit unpersists non-blocking; drain is prompt but async
+    val deadline = System.currentTimeMillis() + 10000
+    while ((persistentIds & ids).nonEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert((persistentIds & ids).isEmpty,
+      s"scope entries not drained: ${persistentIds & ids}")
+  }
+
+  test("a scope releases only its own thread's caches — concurrent " +
+       "scopes on one session are independent") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    resetStorage()
+    val bReady = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bAdded: Set[Int] = Set.empty
+    @volatile var survived = false
+    @volatile var err: Throwable = null
+    val b = new Thread(() => {
+      try Graft.withCacheScope(spark) {
+        val before = persistentIds
+        Graft.tfidfTopTerms(docs, k = 2).count()
+        bAdded = persistentIds -- before
+        bReady.countDown()
+        aDone.await()
+        // Thread A's scope has exited; B's in-flight caches must have
+        // survived it (the pre-round-11 session-global release here
+        // would have dropped them and silently re-instated the
+        // N-rescans pathology).
+        survived = bAdded.nonEmpty && bAdded.subsetOf(persistentIds)
+      } catch { case t: Throwable => err = t; bReady.countDown() }
+    })
+    b.start()
+    bReady.await()
+    // Distinct operator AND input slice: an identical canonical plan
+    // would cache-substitute into B's entries and confound the check.
+    Graft.withCacheScope(spark) {
+      Graft.minhashLshPairs(docs.filter(col("doc_id") % 2 === 0)).count()
+    }
+    aDone.countDown()
+    b.join(120000)
+    assert(err == null, s"scope-B thread failed: $err")
+    assert(survived, "scope A's exit released scope B's in-flight caches")
+    awaitGone(bAdded) // B's own exit drains its entries
+    resetStorage()
+  }
+
+  test("nested scopes release innermost-first, each only its own entries") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    resetStorage()
+    var outerAdded: Set[Int] = Set.empty
+    var innerAdded: Set[Int] = Set.empty
+    Graft.withCacheScope(spark) {
+      val b0 = persistentIds
+      Graft.tfidfTopTerms(docs, k = 1).count()
+      outerAdded = persistentIds -- b0
+      Graft.withCacheScope(spark) {
+        val b1 = persistentIds
+        Graft.minhashLshPairs(docs).count()
+        innerAdded = persistentIds -- b1
+      }
+      awaitGone(innerAdded)
+      assert(outerAdded.nonEmpty && outerAdded.subsetOf(persistentIds),
+        "inner scope exit must not touch the outer scope's entries")
+    }
+    awaitGone(outerAdded)
+    assert(GraftCache.trackedCount(spark) == 0)
+  }
+
   test("withCacheScope releases on exit, including when the body throws") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "lang", "text")
