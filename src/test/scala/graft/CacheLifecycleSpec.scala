@@ -70,6 +70,42 @@ class CacheLifecycleSpec extends AnyFunSuite {
     userDf.unpersist(blocking = true)
   }
 
+  test("the leak curve itself: ever-new inputs grow the cache without " +
+       "release, stay flat with a scope per batch") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    resetStorage()
+    val base = persistentIds.size
+    // The long-lived-session pathology: each batch runs over a NEW
+    // input slice (distinct canonical plans — same-plan batches would
+    // be deduped by the CacheManager and mask the growth), nobody
+    // releases. Storage accumulates monotonically per batch.
+    val growth = (0 until 3).map { i =>
+      Graft.tfidfTopTerms(docs.filter(col("doc_id") % 7 === i), k = 1).count()
+      persistentIds.size
+    }
+    assert(growth.zip(growth.drop(1)).forall { case (a, b) => b > a } &&
+           growth.head > base,
+      s"unreleased batches must accumulate storage: base=$base $growth")
+    resetStorage()
+    // Same batches, each inside a scope: storage returns to baseline
+    // after every batch — the session stays flat indefinitely.
+    val flat = (0 until 3).map { i =>
+      Graft.withCacheScope(spark) {
+        Graft.tfidfTopTerms(docs.filter(col("doc_id") % 7 === i), k = 1).count()
+      }
+      // scope exit unpersists non-blocking; poll the drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (persistentIds.size > base &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      persistentIds.size
+    }
+    assert(flat.forall(_ == base),
+      s"scoped batches must return to baseline: base=$base $flat")
+    assert(GraftCache.trackedCount(spark) == 0)
+  }
+
   test("releaseCaches on a session with nothing tracked is a no-op") {
     resetStorage()
     assert(GraftCache.trackedCount(spark) == 0)
