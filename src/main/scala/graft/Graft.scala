@@ -101,6 +101,11 @@ object Graft {
   def annIvfKmeans(embs: DataFrame, queryPred: Column, numCentroids: Int = 8,
                    nprobe: Int = 2, k: Int = 10): DataFrame =
     ops.SimilarityOps.annIvfKmeans(embs, queryPred, numCentroids, nprobe, k)
+  /** Two-stage retrieval: int8-quantized coarse scan (1 byte/dim, exact
+    * BIGINT scores) → exact float rescore of the top k·expand. */
+  def annQuantizedRescore(embs: DataFrame, queryPred: Column, k: Int = 10,
+                          expand: Int = 4): DataFrame =
+    ops.SimilarityOps.annQuantizedRescore(embs, queryPred, k, expand)
   /** All-vectors kNN edge relation via multiprobe sign-LSH. */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame =

@@ -770,6 +770,39 @@ object PipelineOracles {
     // produce the codebook, then the q_ann_ivf probe pattern runs on it.
     "q_ann_ivf_kmeans" -> ANN_IVF_KMEANS,
 
+    // Mirrors SimilarityOps.annQuantizedRescore: q_embed_quantize's int8
+    // codes (identical absmax arithmetic), exact BIGINT coarse dot (int8
+    // magnitudes keep list_dot_product on DOUBLE[] exact: |dot| ≤
+    // 127²·64 ≪ 2^53), top-40 candidates by (iscore, vec_id), then the
+    // ANN_BF float-cosine rescore restricted to those candidates.
+    "q_ann_quantized_rescore" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
+        |      FROM m WHERE amax > 0),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, qv8 AS q_qv8
+        |      FROM e WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT q.q_id, e.vec_id, e.v, e.nrm, q.q_v, q.q_nrm,
+        |         CAST(list_dot_product(e.qv8::DOUBLE[], q.q_qv8::DOUBLE[]) AS BIGINT) AS iscore
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY iscore DESC, vec_id ASC) AS crank
+        |  FROM coarse),
+        |rescored AS (
+        |  SELECT q_id, vec_id,
+        |         list_dot_product(q_v, v) / (sqrt(q_nrm) * sqrt(nrm)) AS c
+        |  FROM cand WHERE crank <= 40),
+        |ranked AS (
+        |  SELECT q_id, vec_id, c,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY c DESC, vec_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
     // is fine at oracle scale; the Spark side computes the same prefix

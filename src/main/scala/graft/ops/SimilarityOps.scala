@@ -204,6 +204,54 @@ object SimilarityOps {
               expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("qsum"))
       .orderBy(col("vec_id"))
 
+  /** Two-stage retrieval: int8-quantized coarse scan → exact float
+    * rescore — the production memory-bandwidth path for similarity
+    * search at scale. The coarse pass scores candidates on the int8
+    * CODES (1 byte/dim instead of 4: a bandwidth-bound scan reads 4×
+    * less, and integer MACs are the SIMD fast path), keeps the top
+    * `k·expand` per query by exact BIGINT dot (no float drift to
+    * oracle-mismatch), then rescores only that candidate set with the
+    * exact float cosine and returns the top `k`. Quantization is the
+    * [[quantizeEmbeddings]] scheme verbatim (per-vector symmetric
+    * absmax int8), so code and oracle share one arithmetic.
+    *
+    * Scale notes: the coarse join is the same broadcast-query/one-pass
+    * corpus scan as [[annBruteforce]] — the win here is per-byte, not
+    * per-candidate; for candidate reduction it composes unchanged with
+    * [[annIvf]]'s cell routing (quantize within probed cells — IVF-PQ's
+    * shape). Dropping a true neighbor whose int8 score fell below the
+    * cut is the quantization recall cost; SimilaritySpec pins a recall
+    * floor against the brute-force baseline, q_ann_recall-style.
+    */
+  def annQuantizedRescore(embs: DataFrame, queryPred: Column, k: Int = 10,
+                          expand: Int = 4): DataFrame = {
+    val e = embs
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("amax", expr(
+        "aggregate(v, cast(0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("qv8", expr(
+        "transform(v, x -> cast(round(x * 127.0 / amax) as int))"))
+      .withColumn("nrm", norm2("embedding"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("qv8"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"), col("qv8").as("q_qv8"))
+    val coarse = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("iscore", expr(
+        "aggregate(zip_with(qv8, q_qv8, (x, y) -> cast(x as bigint) * y), " +
+          "cast(0 as bigint), (a, z) -> a + z)"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("iscore").desc, col("vec_id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * expand)
+    val rescored = cand
+      .withColumn("cos",
+        dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    topK(rescored, k)
+  }
+
   /** Nearest-centroid assignment: broadcast the k centroids, one linear
     * pass over the vectors. Distance = |v|² - 2·v·c + |c|² from the same
     * left-to-right folds the ANN oracles bit-match; argmin ties resolve
@@ -522,4 +570,7 @@ object SimilarityOps {
 
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(embeddings(spark, dir), col("vec_id") < 5)
+
+  def qAnnQuantizedRescore(spark: SparkSession, dir: String): DataFrame =
+    annQuantizedRescore(embeddings(spark, dir), col("vec_id") < 5)
 }
