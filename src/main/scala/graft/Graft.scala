@@ -106,6 +106,13 @@ object Graft {
   def annQuantizedRescore(embs: DataFrame, queryPred: Column, k: Int = 10,
                           expand: Int = 4): DataFrame =
     ops.SimilarityOps.annQuantizedRescore(embs, queryPred, k, expand)
+  /** IVF-PQ-shaped retrieval: IVF cell routing × int8 coarse scores ×
+    * float rescore of survivors fetched by id. */
+  def annIvfPq(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
+               nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
+               expand: Int = 4): DataFrame =
+    ops.SimilarityOps.annIvfPq(embs, queryPred, numCentroids, nassign,
+      nprobe, k, expand)
   /** All-vectors kNN edge relation via multiprobe sign-LSH. */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame =

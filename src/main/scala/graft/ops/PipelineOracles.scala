@@ -803,6 +803,51 @@ object PipelineOracles {
         |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    // Mirrors SimilarityOps.annIvfPq: ANN_IVF's md5 codebook + cell
+    // routing CTEs over the QUANTIZED relation, int8 coarse scores
+    // within probed cells (exact BIGINT via DOUBLE list_dot_product),
+    // top-40 candidates, float rescore by id join.
+    "q_ann_ivf_pq" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
+        |      FROM m0 WHERE amax > 0),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |vc AS (
+        |  SELECT e.vec_id, e.qv8, cent.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assign AS (SELECT vec_id AS m_id, qv8 AS m_qv8, c_id FROM vc WHERE rn <= 2),
+        |probes AS (SELECT vec_id AS q_id, qv8 AS q_qv8, c_id FROM vc
+        |           WHERE vec_id < 5 AND rn <= 4),
+        |coarse AS (
+        |  SELECT p.q_id, a.m_id,
+        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
+        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id
+        |  GROUP BY p.q_id, a.m_id),
+        |cand AS (
+        |  SELECT q_id, m_id FROM (
+        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY iscore DESC, m_id ASC) AS crank
+        |    FROM coarse) WHERE crank <= 40),
+        |rescored AS (
+        |  SELECT cd.q_id, cd.m_id,
+        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
+        |  FROM cand cd
+        |  JOIN e t ON t.vec_id = cd.m_id
+        |  JOIN e q ON q.vec_id = cd.q_id),
+        |ranked AS (
+        |  SELECT q_id, m_id, c,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY c DESC, m_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
     // is fine at oracle scale; the Spark side computes the same prefix

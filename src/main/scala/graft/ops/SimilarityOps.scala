@@ -223,9 +223,11 @@ object SimilarityOps {
     * cut is the quantization recall cost; SimilaritySpec pins a recall
     * floor against the brute-force baseline, q_ann_recall-style.
     */
-  def annQuantizedRescore(embs: DataFrame, queryPred: Column, k: Int = 10,
-                          expand: Int = 4): DataFrame = {
-    val e = embs
+  /** `(vec_id, embedding, nrm, qv8)` with the [[quantizeEmbeddings]]
+    * int8 absmax codes attached — the "stored codes column" both
+    * quantized retrieval paths scan. */
+  private def withInt8Codes(embs: DataFrame): DataFrame =
+    embs
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("amax", expr(
         "aggregate(v, cast(0 as double), (a, x) -> greatest(a, abs(x)))"))
@@ -234,13 +236,21 @@ object SimilarityOps {
         "transform(v, x -> cast(round(x * 127.0 / amax) as int))"))
       .withColumn("nrm", norm2("embedding"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("qv8"))
+
+  /** Exact BIGINT dot of two int8 code columns (|dot| ≤ 127²·dim — no
+    * overflow, no float drift). */
+  private def int8Dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as bigint) * y), " +
+      "cast(0 as bigint), (acc, z) -> acc + z)")
+
+  def annQuantizedRescore(embs: DataFrame, queryPred: Column, k: Int = 10,
+                          expand: Int = 4): DataFrame = {
+    val e = withInt8Codes(embs)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
               col("nrm").as("q_nrm"), col("qv8").as("q_qv8"))
     val coarse = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("iscore", expr(
-        "aggregate(zip_with(qv8, q_qv8, (x, y) -> cast(x as bigint) * y), " +
-          "cast(0 as bigint), (a, z) -> a + z)"))
+      .withColumn("iscore", int8Dot("qv8", "q_qv8"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("iscore").desc, col("vec_id").asc)
     val cand = coarse.withColumn("crank", row_number().over(wc))
@@ -571,6 +581,76 @@ object SimilarityOps {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     annIvf(embeddings(spark, dir), col("vec_id") < 5)
 
+  /** IVF-PQ-shaped retrieval: IVF cell routing × int8 coarse scoring ×
+    * exact float rescore — the two candidate reductions composed. The
+    * probed cells bound WHICH vectors are scored (~nprobe/numCentroids
+    * of the corpus at scale), the int8 codes bound the BYTES the coarse
+    * scan reads (1/dim instead of 4), and the float vectors are fetched
+    * by id only for the k·expand survivors (the rescore joins back to
+    * the table rather than dragging float arrays through the candidate
+    * aggregate — at 100 TB the codes live hot, the floats don't).
+    * Routing is [[annIvf]]'s deterministic md5 codebook verbatim;
+    * quantization is [[quantizeEmbeddings]]'s. The quantized relation
+    * is persisted once ([[GraftCache]]) — it feeds assignment, probes,
+    * and both rescore joins, and un-persisted each branch would re-run
+    * the corpus quantization (the round-9 lineage-clone lesson).
+    */
+  def annIvfPq(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
+               nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
+               expand: Int = 4): DataFrame = {
+    val eq = withInt8Codes(embs).graftCached
+    val cent = eq
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+              col("nrm").as("c_nrm"))
+      .graftCached
+    def withCentCos(df: DataFrame): DataFrame =
+      df.join(broadcast(cent), lit(true))
+        .withColumn("c_cos",
+          dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+    val assign = withCentCos(eq)
+      .groupBy(col("vec_id"))
+      .agg(first(col("qv8")).as("m_qv8"),
+           slice(array_sort(collect_list(
+             struct((-col("c_cos")).as("nc"), col("c_id")))), 1, nassign).as("top"))
+      .select(col("vec_id").as("m_id"), col("m_qv8"),
+              explode(col("top.c_id")).as("c_id"))
+    val probes = withCentCos(eq.filter(queryPred))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("qv8").as("q_qv8"), col("c_id"))
+    // Coarse: int8 scores within probed cells only; a pair reachable
+    // through two shared cells collapses to one row (max = the single
+    // deterministic score).
+    val coarse = probes.join(assign, Seq("c_id"))
+      .filter(col("m_id") =!= col("q_id"))
+      .withColumn("iscore", int8Dot("m_qv8", "q_qv8"))
+      .groupBy(col("q_id"), col("m_id"))
+      .agg(max(col("iscore")).as("iscore"))
+    val cand = coarse
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("iscore").desc, col("m_id").asc)))
+      .filter(col("crank") <= k * expand)
+      .select(col("q_id"), col("m_id"))
+    // Rescore: fetch floats by id for survivors only.
+    val rescored = cand
+      .join(eq.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
+                      col("nrm").as("m_nrm")), Seq("m_id"))
+      .join(broadcast(eq.filter(queryPred).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))), Seq("q_id"))
+      .withColumn("cos",
+        dot("q_emb", "m_emb") / (sqrt(col("q_nrm")) * sqrt(col("m_nrm"))))
+      .withColumnRenamed("m_id", "neighbor_id")
+    topK(rescored, k)
+  }
+
   def qAnnQuantizedRescore(spark: SparkSession, dir: String): DataFrame =
     annQuantizedRescore(embeddings(spark, dir), col("vec_id") < 5)
+
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPq(embeddings(spark, dir), col("vec_id") < 5)
 }

@@ -71,6 +71,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ recall@10 tracks plain IVF (int8 coarse + rescore loses " +
+       "almost nothing on top of cell routing)") {
+    val bf = ops.SimilarityOps.qAnnBruteforce(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = ops.SimilarityOps.qAnnIvf(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val pq = ops.SimilarityOps.qAnnIvfPq(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    def mean(m: Map[Long, Set[Long]]): Double = {
+      val rs = bf.keys.map(q =>
+        m.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / bf(q).size)
+      rs.sum / rs.size
+    }
+    val (rIvf, rPq) = (mean(ivf), mean(pq))
+    // The cell routing dominates recall loss; the quantized coarse stage
+    // with 4x expansion + exact rescore gives back nearly every neighbor
+    // the cells admitted.
+    assert(rPq >= rIvf - 0.05,
+      s"IVF-PQ recall $rPq fell more than 0.05 below plain IVF $rIvf")
+    assert(rPq >= 0.3, s"IVF-PQ recall@10 too low: $rPq")
+  }
+
   test("CosineDot expression equals the declarative fold (interpreted + codegen)") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
