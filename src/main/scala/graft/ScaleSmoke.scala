@@ -122,6 +122,9 @@ object ScaleSmoke {
       time(s"pipeline_e2e_$tag", dir)(d => ops.TextOps.qPipelineE2e(spark, d))
       time(s"shard_pack_$tag", dir)(d => ops.TextOps.qShardPack(spark, d))
       time(s"ann_ivf_$tag", dir)(d => ops.SimilarityOps.qAnnIvf(spark, d))
+      time(s"ann_quant_rescore_$tag", dir)(d =>
+        ops.SimilarityOps.qAnnQuantizedRescore(spark, d))
+      time(s"ann_ivf_pq_$tag", dir)(d => ops.SimilarityOps.qAnnIvfPq(spark, d))
       time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
