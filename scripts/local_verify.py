@@ -50,8 +50,13 @@ def approx_eq(a, b):
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
     return a == b
 
+import os
+only = {k.strip() for k in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if k.strip()}
+
 fails = 0
 for name in sorted(oracle):
+    if only and name not in only:
+        continue
     sql = oracle[name]
     spark_dir = OUT / name
     if not spark_dir.exists():
@@ -91,5 +96,6 @@ for name in sorted(oracle):
         flag = "exact" if exact else "APPROX-ONLY (hash would differ!)"
         print(f"PASS {name} ({len(s_rows)} rows, {flag})")
 
-print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+checked = len([n for n in oracle if not only or n in only])
+print(f"\n{checked - fails}/{checked} passed")
 sys.exit(1 if fails else 0)

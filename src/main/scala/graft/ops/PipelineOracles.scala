@@ -126,6 +126,79 @@ object PipelineOracles {
       |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
       |FROM scored WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  private val ANN_QR =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
+        |      FROM m WHERE amax > 0),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, qv8 AS q_qv8
+        |      FROM e WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT q.q_id, e.vec_id, e.v, e.nrm, q.q_v, q.q_nrm,
+        |         CAST(list_dot_product(e.qv8::DOUBLE[], q.q_qv8::DOUBLE[]) AS BIGINT) AS iscore
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY iscore DESC, vec_id ASC) AS crank
+        |  FROM coarse),
+        |rescored AS (
+        |  SELECT q_id, vec_id,
+        |         list_dot_product(q_v, v) / (sqrt(q_nrm) * sqrt(nrm)) AS c
+        |  FROM cand WHERE crank <= 40),
+        |ranked AS (
+        |  SELECT q_id, vec_id, c,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY c DESC, vec_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  // Mirrors SimilarityOps.annIvfPq: ANN_IVF's md5 codebook + cell
+  // routing CTEs over the QUANTIZED relation, int8 coarse scores
+  // within probed cells (exact BIGINT via DOUBLE list_dot_product),
+  // top-40 candidates, float rescore by id join.
+  private val ANN_PQ =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
+        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
+        |      FROM m0 WHERE amax > 0),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |vc AS (
+        |  SELECT e.vec_id, e.qv8, cent.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assign AS (SELECT vec_id AS m_id, qv8 AS m_qv8, c_id FROM vc WHERE rn <= 2),
+        |probes AS (SELECT vec_id AS q_id, qv8 AS q_qv8, c_id FROM vc
+        |           WHERE vec_id < 5 AND rn <= 4),
+        |coarse AS (
+        |  SELECT p.q_id, a.m_id,
+        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
+        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id
+        |  GROUP BY p.q_id, a.m_id),
+        |cand AS (
+        |  SELECT q_id, m_id FROM (
+        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY iscore DESC, m_id ASC) AS crank
+        |    FROM coarse) WHERE crank <= 40),
+        |rescored AS (
+        |  SELECT cd.q_id, cd.m_id,
+        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
+        |  FROM cand cd
+        |  JOIN e t ON t.vec_id = cd.m_id
+        |  JOIN e q ON q.vec_id = cd.q_id),
+        |ranked AS (
+        |  SELECT q_id, m_id, c,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY c DESC, m_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** doc → distinct word-3-shingle CTE fragment (lang-carrying).
     * Scalar `range()` + `list_transform` + `unnest` — DuckDB 1.0 does not
     * allow column arguments to the generate_series table function.
@@ -775,78 +848,9 @@ object PipelineOracles {
     // magnitudes keep list_dot_product on DOUBLE[] exact: |dot| ≤
     // 127²·64 ≪ 2^53), top-40 candidates by (iscore, vec_id), then the
     // ANN_BF float-cosine rescore restricted to those candidates.
-    "q_ann_quantized_rescore" ->
-      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
-        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
-        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
-        |      FROM m WHERE amax > 0),
-        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, qv8 AS q_qv8
-        |      FROM e WHERE vec_id < 5),
-        |coarse AS (
-        |  SELECT q.q_id, e.vec_id, e.v, e.nrm, q.q_v, q.q_nrm,
-        |         CAST(list_dot_product(e.qv8::DOUBLE[], q.q_qv8::DOUBLE[]) AS BIGINT) AS iscore
-        |  FROM q JOIN e ON e.vec_id <> q.q_id),
-        |cand AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY iscore DESC, vec_id ASC) AS crank
-        |  FROM coarse),
-        |rescored AS (
-        |  SELECT q_id, vec_id,
-        |         list_dot_product(q_v, v) / (sqrt(q_nrm) * sqrt(nrm)) AS c
-        |  FROM cand WHERE crank <= 40),
-        |ranked AS (
-        |  SELECT q_id, vec_id, c,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY c DESC, vec_id ASC) AS rank
-        |  FROM rescored)
-        |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_quantized_rescore" -> ANN_QR,
 
-    // Mirrors SimilarityOps.annIvfPq: ANN_IVF's md5 codebook + cell
-    // routing CTEs over the QUANTIZED relation, int8 coarse scores
-    // within probed cells (exact BIGINT via DOUBLE list_dot_product),
-    // top-40 candidates, float rescore by id join.
-    "q_ann_ivf_pq" ->
-      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |m0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
-        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
-        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
-        |      FROM m0 WHERE amax > 0),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
-        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |vc AS (
-        |  SELECT e.vec_id, e.qv8, cent.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
-        |                    cent.c_id ASC) AS rn
-        |  FROM e CROSS JOIN cent),
-        |assign AS (SELECT vec_id AS m_id, qv8 AS m_qv8, c_id FROM vc WHERE rn <= 2),
-        |probes AS (SELECT vec_id AS q_id, qv8 AS q_qv8, c_id FROM vc
-        |           WHERE vec_id < 5 AND rn <= 4),
-        |coarse AS (
-        |  SELECT p.q_id, a.m_id,
-        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
-        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id
-        |  GROUP BY p.q_id, a.m_id),
-        |cand AS (
-        |  SELECT q_id, m_id FROM (
-        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY iscore DESC, m_id ASC) AS crank
-        |    FROM coarse) WHERE crank <= 40),
-        |rescored AS (
-        |  SELECT cd.q_id, cd.m_id,
-        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
-        |  FROM cand cd
-        |  JOIN e t ON t.vec_id = cd.m_id
-        |  JOIN e q ON q.vec_id = cd.q_id),
-        |ranked AS (
-        |  SELECT q_id, m_id, c,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY c DESC, m_id ASC) AS rank
-        |  FROM rescored)
-        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf_pq" -> ANN_PQ,
 
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
@@ -1313,22 +1317,31 @@ object PipelineOracles {
          |ivf AS (SELECT q_id, neighbor_id FROM ($ANN_IVF)),
          |lsh AS (SELECT q_id, neighbor_id FROM ($ANN_LSH)),
          |ivfk AS (SELECT q_id, neighbor_id FROM ($ANN_IVF_KMEANS)),
+         |qr AS (SELECT q_id, neighbor_id FROM ($ANN_QR)),
+         |pq AS (SELECT q_id, neighbor_id FROM ($ANN_PQ)),
          |h AS (
          |  SELECT bf.q_id, count(*) AS n_exact,
          |         CAST(count(i.neighbor_id) AS BIGINT) AS h_ivf,
          |         CAST(count(l.neighbor_id) AS BIGINT) AS h_lsh,
-         |         CAST(count(k.neighbor_id) AS BIGINT) AS h_ivfk
+         |         CAST(count(k.neighbor_id) AS BIGINT) AS h_ivfk,
+         |         CAST(count(r.neighbor_id) AS BIGINT) AS h_qr,
+         |         CAST(count(p.neighbor_id) AS BIGINT) AS h_pq
          |  FROM bf
          |  LEFT JOIN ivf i ON i.q_id = bf.q_id AND i.neighbor_id = bf.neighbor_id
          |  LEFT JOIN lsh l ON l.q_id = bf.q_id AND l.neighbor_id = bf.neighbor_id
          |  LEFT JOIN ivfk k ON k.q_id = bf.q_id AND k.neighbor_id = bf.neighbor_id
+         |  LEFT JOIN qr r ON r.q_id = bf.q_id AND r.neighbor_id = bf.neighbor_id
+         |  LEFT JOIN pq p ON p.q_id = bf.q_id AND p.neighbor_id = bf.neighbor_id
          |  GROUP BY bf.q_id
          |)
          |SELECT q_id, n_exact,
          |       round(CAST(h_ivf AS DOUBLE) / n_exact, 3) AS recall_ivf,
          |       round(CAST(h_lsh AS DOUBLE) / n_exact, 3) AS recall_lsh,
          |       round(CAST(h_ivfk AS DOUBLE) / n_exact, 3) AS recall_ivf_kmeans,
-         |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok
+         |       round(CAST(h_qr AS DOUBLE) / n_exact, 3) AS recall_quant_rescore,
+         |       round(CAST(h_pq AS DOUBLE) / n_exact, 3) AS recall_ivf_pq,
+         |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok,
+         |       true AS quant_rescore_mean_ok, true AS ivf_pq_mean_ok
          |FROM h ORDER BY q_id""".stripMargin,
 
     // DuckDB twin of the custom graft_sliding generator: lateral

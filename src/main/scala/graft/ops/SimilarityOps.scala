@@ -225,8 +225,10 @@ object SimilarityOps {
     */
   /** `(vec_id, embedding, nrm, qv8)` with the [[quantizeEmbeddings]]
     * int8 absmax codes attached — the "stored codes column" both
-    * quantized retrieval paths scan. */
-  private def withInt8Codes(embs: DataFrame): DataFrame =
+    * quantized retrieval paths scan. `private[ops]`: [[AnnIndexOps]]
+    * quantizes with the same arithmetic when building / querying the
+    * store-persisted index. */
+  private[ops] def withInt8Codes(embs: DataFrame): DataFrame =
     embs
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("amax", expr(
@@ -407,20 +409,34 @@ object SimilarityOps {
       .join(hits(annIvf(embs, col("vec_id") < 5), "h_ivf"), Seq("q_id"), "left")
       .join(hits(annLsh(embs, col("vec_id") < 5), "h_lsh"), Seq("q_id"), "left")
       .join(hits(annIvfKmeans(embs, col("vec_id") < 5), "h_ivfk"), Seq("q_id"), "left")
+      .join(hits(annQuantizedRescore(embs, col("vec_id") < 5), "h_qr"),
+        Seq("q_id"), "left")
+      .join(hits(annIvfPq(embs, col("vec_id") < 5), "h_pq"), Seq("q_id"), "left")
       .select(col("q_id"), col("n_exact"),
         coalesce(col("h_ivf"), lit(0L)).as("h_ivf"),
         coalesce(col("h_lsh"), lit(0L)).as("h_lsh"),
-        coalesce(col("h_ivfk"), lit(0L)).as("h_ivfk"))
+        coalesce(col("h_ivfk"), lit(0L)).as("h_ivfk"),
+        coalesce(col("h_qr"), lit(0L)).as("h_qr"),
+        coalesce(col("h_pq"), lit(0L)).as("h_pq"))
     // Mean recall from exact integer totals (sum of hits / sum of k) —
-    // order-independent, unlike avg() over per-query doubles.
+    // order-independent, unlike avg() over per-query doubles. Quantized
+    // rescore's floor is high (0.80): its only loss is the int8 coarse
+    // cut, and the exact rescore recovers nearly everything at 4x
+    // expansion (measured ≈1.0 across SFs). IVF-PQ inherits the cell-
+    // routing loss, so its floor sits with IVF's class (0.50 — strictly
+    // the IVF floor minus the small coarse-cut allowance).
     val flags = per.agg(
       (sum(col("h_ivf")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_mean_ok"),
       (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.50).as("lsh_mean_ok"),
-      (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"))
+      (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"),
+      (sum(col("h_qr")).cast("double") / sum(col("n_exact")) >= 0.80).as("quant_rescore_mean_ok"),
+      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.50).as("ivf_pq_mean_ok"))
     per.select(col("q_id"), col("n_exact"),
         round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),
         round(col("h_lsh").cast("double") / col("n_exact"), 3).as("recall_lsh"),
-        round(col("h_ivfk").cast("double") / col("n_exact"), 3).as("recall_ivf_kmeans"))
+        round(col("h_ivfk").cast("double") / col("n_exact"), 3).as("recall_ivf_kmeans"),
+        round(col("h_qr").cast("double") / col("n_exact"), 3).as("recall_quant_rescore"),
+        round(col("h_pq").cast("double") / col("n_exact"), 3).as("recall_ivf_pq"))
       .crossJoin(broadcast(flags))
       .orderBy(col("q_id"))
   }
