@@ -125,6 +125,8 @@ object ScaleSmoke {
       time(s"ann_quant_rescore_$tag", dir)(d =>
         ops.SimilarityOps.qAnnQuantizedRescore(spark, d))
       time(s"ann_ivf_pq_$tag", dir)(d => ops.SimilarityOps.qAnnIvfPq(spark, d))
+      time(s"ann_index_serve_$tag", dir)(d =>
+        ops.AnnIndexOps.qAnnIndexServe(spark, d))
       time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store-persisted ANN index: the [[SimilarityOps.annIvfPq]] pipeline
+  * with its two derived relations — codebook and int8 posting lists —
+  * made DURABLE in a [[KeyedStore]] table, so serving a query batch
+  * never recomputes (or even scans) the corpus. This is the production
+  * split retrieval systems make: the index is built once (and appended
+  * to incrementally), queries touch only the probed slice of it, and
+  * the full-width float vectors stay cold until the final rescore.
+  *
+  * One keyed table holds the whole index under HBase-style composite
+  * row keys — the row-key design the reference forfeits by choosing
+  * UUIDs (`HPopulate/src/main/java/org/northeastern/Main.java:54-73`
+  * pre-splits regions it then can't range-read; SURVEY.md §1.4):
+  *
+  *  - `b<c_id%012d>`              → codebook row (c_id, emb, nrm)
+  *  - `c<c_id%012d>#m<m_id%012d>` → posting row (c_id, m_id, qv8)
+  *
+  * Rows are sparse across the two shapes (unused columns NULL) — the
+  * HBase sparse-column-family model. Because the store's regions are
+  * KEY ranges and postings sort by (cell, member), each cell's posting
+  * list is CONTIGUOUS: a probe is a range SCAN that prunes to the
+  * regions actually holding that cell (PartitionFilters) with the key
+  * range pushed into the sorted parquet (PushedFilters) — O(probed
+  * cells' postings) IO, never O(index), at any corpus size. The tiny
+  * codebook is one `b*`-prefix scan, broadcast for routing.
+  *
+  * Incremental maintenance ([[appendBatch]]) assigns a new vector
+  * batch against the FROZEN stored codebook (re-clustering is an
+  * offline rebuild, not a per-batch job — the standard IVF serving
+  * practice) and upserts the new posting rows; composite keys are
+  * unique per (cell, member), so the merge is a pure insert that
+  * rewrites only the regions covering the new keys (O(changed
+  * regions), the store's copy-on-write contract).
+  *
+  * Key layout bound: ids must fit %012d (< 10^12) for the zero-padded
+  * lexicographic order to equal numeric order; [[idxKey]] guards it.
+  * Results are IDENTICAL to [[SimilarityOps.annIvfPq]] by construction
+  * (same codebook/assignment/probe/rescore stages, shared code), which
+  * is exactly what the oracle pins.
+  */
+object AnnIndexOps {
+  import graft.GraftCache.GraftCachedOps
+  import graft.Tables._
+  import SimilarityOps.{withInt8Codes, pqCodebook, pqAssign, pqProbes,
+    pqCoarseRescore, norm2}
+
+  private val IdCap = 1000000000000L // %012d zero-pad bound
+
+  private def guardId(c: Column): Column =
+    when(c >= IdCap || c < 0, raise_error(concat(
+      lit("AnnIndexOps: id out of key-layout range [0, 10^12): "),
+      c.cast("string")))).otherwise(c)
+
+  /** `c<cell>#m<member>` composite posting key. */
+  private def postingKey(cell: Column, member: Column): Column =
+    format_string("c%012d#m%012d", guardId(cell), guardId(member))
+
+  /** Build the index table `name` from scratch: codebook + postings in
+    * one CTAS. `targetRowsPerRegion` is deliberately small relative to
+    * corpus row counts so cells span multiple regions and the serving
+    * scan's pruning is real, not vacuous.
+    */
+  def buildIndex(spark: SparkSession, name: String, embs: DataFrame,
+                 numCentroids: Int = 16, nassign: Int = 2,
+                 targetRowsPerRegion: Long = 512): Unit = {
+    // create() runs several actions over the union (count, write,
+    // region stats); without the persists each would re-quantize the
+    // corpus and re-derive the codebook (the lineage-clone rule).
+    val eq = withInt8Codes(embs).graftCached
+    val cent = pqCodebook(eq, numCentroids).graftCached
+    val codebookRows = cent.select(
+      format_string("b%012d", guardId(col("c_id"))).as("row_key"),
+      col("c_id"), col("c_emb").as("emb"), col("c_nrm").as("nrm"))
+    val postingRows = pqAssign(eq, cent, nassign).select(
+      postingKey(col("c_id"), col("m_id")).as("row_key"),
+      col("c_id"), col("m_id"), col("m_qv8").as("qv8"))
+    KeyedStore.create(spark, name,
+      codebookRows.unionByName(postingRows, allowMissingColumns = true),
+      "row_key", targetRowsPerRegion)
+  }
+
+  /** The stored codebook, via one tiny `b*`-prefix range scan. */
+  private def storedCodebook(spark: SparkSession, name: String): DataFrame =
+    KeyedStore.scan(spark, name, "row_key", "b", "bz")
+      .select(col("c_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+
+  /** Append a new vector batch to an existing index: quantize, assign
+    * against the FROZEN stored codebook, insert the posting rows.
+    * Only the regions covering the new composite keys are rewritten.
+    */
+  def appendBatch(spark: SparkSession, name: String,
+                  newEmbs: DataFrame, nassign: Int = 2): Unit = {
+    val cent = storedCodebook(spark, name)
+    // upsert() references the change set from several plan branches
+    // (coverage-region probe, anti-join key list, merged rows).
+    val changes = pqAssign(withInt8Codes(newEmbs), cent, nassign).select(
+      postingKey(col("c_id"), col("m_id")).as("row_key"),
+      lit("I").as("op"), col("c_id"), col("m_id"),
+      col("m_qv8").as("qv8"),
+      lit(null).cast("array<float>").as("emb"),
+      lit(null).cast("double").as("nrm"))
+      .graftCached
+    // The returned full-table read is deliberately discarded (the
+    // store's read-isolation contract); reads go through scan.
+    KeyedStore.upsert(spark, name, "row_key", changes)
+    ()
+  }
+
+  /** Serve a query batch off the stored index: quantize + route the
+    * queries against the stored codebook, range-scan ONLY the probed
+    * cells' posting lists, int8-coarse-score and float-rescore via the
+    * shared [[SimilarityOps.pqCoarseRescore]] tail. `corpus` supplies
+    * the cold float vectors (queries by `queryPred`; survivors fetched
+    * by id) — it is scanned for O(queries + survivors) rows, never
+    * fully. The probed-cell id list is control-plane metadata (≤
+    * nprobe·|queries|, bounded by numCentroids distinct values —
+    * the same discipline as the store's own region-id collects).
+    */
+  def serve(spark: SparkSession, name: String, corpus: DataFrame,
+            queryPred: Column, nprobe: Int = 4, k: Int = 10,
+            expand: Int = 4): DataFrame = {
+    val cent = storedCodebook(spark, name)
+    // A serving query arrives as a raw float vector: quantize inline
+    // (per-query work over the tiny filtered set).
+    // Referenced twice (cell-id collect + the coarse join) — without
+    // the persist each reference re-quantizes and re-routes the batch.
+    val probes = pqProbes(withInt8Codes(corpus.filter(queryPred)),
+      lit(true), cent, nprobe).graftCached
+    val cells = probes.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members =
+      if (cells.isEmpty) // no queries matched queryPred
+        spark.range(0).select(col("id").as("c_id"), col("id").as("m_id"),
+          lit(null).cast("array<int>").as("m_qv8"))
+      else cells.map { c =>
+        KeyedStore.scan(spark, name, "row_key",
+          f"c$c%012d#", f"c$c%012d#z")
+          .select(col("c_id"), col("m_id"), col("qv8").as("m_qv8"))
+      }.reduce(_.union(_))
+    val floats = corpus.select(col("vec_id"), col("embedding"),
+      norm2("embedding").as("nrm"))
+    pqCoarseRescore(probes, members, floats, queryPred, k, expand)
+  }
+
+  // ---- driver-contract wrappers (oracle-pinned defaults) ----
+
+  private def storeName(prefix: String, dir: String): String =
+    prefix + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Build-then-serve over the full corpus — results identical to
+    * [[SimilarityOps.annIvfPq]] (same stages, persisted in between),
+    * which the shared ANN_PQ oracle pins.
+    */
+  def qAnnIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_idx_", dir)
+    val embs = embeddings(spark, dir)
+    buildIndex(spark, name, embs)
+    serve(spark, name, embs, col("vec_id") < 5)
+  }
+
+  /** Incremental index maintenance: build from the 90% base slice
+    * (codebook frozen from base), append the 10% delta batch through
+    * [[appendBatch]], serve over the union. The oracle assigns ALL
+    * vectors against the base-only codebook — exactly what
+    * build-then-append produces.
+    */
+  def qAnnIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_inc_", dir)
+    val embs = embeddings(spark, dir)
+    buildIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
+    appendBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    serve(spark, name, embs, col("vec_id") < 5)
+  }
+}

@@ -199,6 +199,18 @@ object PipelineOracles {
         |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Incremental-index oracle: ANN_PQ with ONE change — the codebook
+    * draws from the 90% base slice only. The Spark path builds from
+    * base, FREEZES the codebook, and appends the delta batch against
+    * it, so every vector (base and delta alike) ends up assigned to
+    * the base-only codebook — which is exactly this SQL. */
+  private val AnnPqIncremental = {
+    val s = ANN_PQ.replace("cn FROM e\n",
+      "cn FROM e WHERE vec_id % 10 <> 0\n")
+    require(s != ANN_PQ, "ANN_PQ codebook anchor moved — update the replace")
+    s
+  }
+
   /** doc → distinct word-3-shingle CTE fragment (lang-carrying).
     * Scalar `range()` + `list_transform` + `unnest` — DuckDB 1.0 does not
     * allow column arguments to the generate_series table function.
@@ -851,6 +863,15 @@ object PipelineOracles {
     "q_ann_quantized_rescore" -> ANN_QR,
 
     "q_ann_ivf_pq" -> ANN_PQ,
+
+    // Store-served index (AnnIndexOps): same stages as annIvfPq with the
+    // codebook + postings persisted in a KeyedStore between build and
+    // serve — results are identical by construction, so the oracle IS
+    // ANN_PQ. The row pins that the store round-trip (parquet codes,
+    // composite-key range scans, sparse columns) is invisible to results.
+    "q_ann_index_serve" -> ANN_PQ,
+
+    "q_ann_index_incremental" -> AnnPqIncremental,
 
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window

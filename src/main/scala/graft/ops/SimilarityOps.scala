@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
   import graft.Tables._
 
-  private[ops] def norm2(v: String): Column =
+  private[graft] def norm2(v: String): Column =
     expr(s"aggregate($v, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
 
   private[ops] def dot(a: String, b: String): Column =
@@ -228,7 +228,7 @@ object SimilarityOps {
     * quantized retrieval paths scan. `private[ops]`: [[AnnIndexOps]]
     * quantizes with the same arithmetic when building / querying the
     * store-persisted index. */
-  private[ops] def withInt8Codes(embs: DataFrame): DataFrame =
+  private[graft] def withInt8Codes(embs: DataFrame): DataFrame =
     embs
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("amax", expr(
@@ -241,7 +241,7 @@ object SimilarityOps {
 
   /** Exact BIGINT dot of two int8 code columns (|dot| ≤ 127²·dim — no
     * overflow, no float drift). */
-  private def int8Dot(a: String, b: String): Column = expr(
+  private[ops] def int8Dot(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as bigint) * y), " +
       "cast(0 as bigint), (acc, z) -> acc + z)")
 
@@ -615,33 +615,63 @@ object SimilarityOps {
                nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
                expand: Int = 4): DataFrame = {
     val eq = withInt8Codes(embs).graftCached
-    val cent = eq
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val cent = pqCodebook(eq, numCentroids).graftCached
+    pqCoarseRescore(
+      pqProbes(eq, queryPred, cent, nprobe),
+      pqAssign(eq, cent, nassign),
+      eq, queryPred, k, expand)
+  }
+
+  /** The fixed-size md5-sample codebook over a quantized relation —
+    * `(c_id, c_emb, c_nrm)`, [[annIvf]]'s derivation verbatim (a
+    * TakeOrdered, never a full sort). Shared by [[annIvfPq]] and the
+    * store-persisted index ([[AnnIndexOps]]). */
+  private[graft] def pqCodebook(eq: DataFrame, numCentroids: Int): DataFrame =
+    eq.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
               col("nrm").as("c_nrm"))
-      .graftCached
-    def withCentCos(df: DataFrame): DataFrame =
-      df.join(broadcast(cent), lit(true))
-        .withColumn("c_cos",
-          dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
-    val assign = withCentCos(eq)
+
+  private def withCentCos(df: DataFrame, cent: DataFrame): DataFrame =
+    df.join(broadcast(cent), lit(true))
+      .withColumn("c_cos",
+        dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+
+  /** Multi-assign posting rows `(c_id, m_id, m_qv8)`: every vector to
+    * its `nassign` nearest cells, map-side argmin (the exchange carries
+    * n·nassign rows, never n×k). This relation IS the index payload the
+    * store-backed path persists. */
+  private[graft] def pqAssign(eq: DataFrame, cent: DataFrame,
+                            nassign: Int): DataFrame =
+    withCentCos(eq, cent)
       .groupBy(col("vec_id"))
       .agg(first(col("qv8")).as("m_qv8"),
            slice(array_sort(collect_list(
              struct((-col("c_cos")).as("nc"), col("c_id")))), 1, nassign).as("top"))
       .select(col("vec_id").as("m_id"), col("m_qv8"),
               explode(col("top.c_id")).as("c_id"))
-    val probes = withCentCos(eq.filter(queryPred))
+
+  /** Per-query probe rows `(q_id, q_qv8, c_id)` — nprobe nearest cells;
+    * the window runs over |queries|·k rows only. */
+  private[graft] def pqProbes(eq: DataFrame, queryPred: Column,
+                            cent: DataFrame, nprobe: Int): DataFrame =
+    withCentCos(eq.filter(queryPred), cent)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("c_cos").desc, col("c_id").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("qv8").as("q_qv8"), col("c_id"))
-    // Coarse: int8 scores within probed cells only; a pair reachable
-    // through two shared cells collapses to one row (max = the single
-    // deterministic score).
-    val coarse = probes.join(assign, Seq("c_id"))
+
+  /** The serving tail shared by [[annIvfPq]] and [[AnnIndexOps]]: int8
+    * coarse scores within probed cells (a pair reachable through two
+    * shared cells collapses via max — identical score on every copy),
+    * top k·expand candidates by (iscore, m_id), then the exact float
+    * rescore fetching vectors by id for survivors only. `floats` needs
+    * `(vec_id, embedding, nrm)`; extra columns are projected away. */
+  private[graft] def pqCoarseRescore(probes: DataFrame, members: DataFrame,
+                                   floats: DataFrame, queryPred: Column,
+                                   k: Int, expand: Int): DataFrame = {
+    val coarse = probes.join(members, Seq("c_id"))
       .filter(col("m_id") =!= col("q_id"))
       .withColumn("iscore", int8Dot("m_qv8", "q_qv8"))
       .groupBy(col("q_id"), col("m_id"))
@@ -652,11 +682,10 @@ object SimilarityOps {
           .orderBy(col("iscore").desc, col("m_id").asc)))
       .filter(col("crank") <= k * expand)
       .select(col("q_id"), col("m_id"))
-    // Rescore: fetch floats by id for survivors only.
     val rescored = cand
-      .join(eq.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
-                      col("nrm").as("m_nrm")), Seq("m_id"))
-      .join(broadcast(eq.filter(queryPred).select(col("vec_id").as("q_id"),
+      .join(floats.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
+                          col("nrm").as("m_nrm")), Seq("m_id"))
+      .join(broadcast(floats.filter(queryPred).select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))), Seq("q_id"))
       .withColumn("cos",
         dot("q_emb", "m_emb") / (sqrt(col("q_nrm")) * sqrt(col("m_nrm"))))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Store-persisted ANN index (AnnIndexOps): result parity with the
+  * in-memory pipeline, incremental-append semantics, and that the
+  * composite-key layout actually buys range pruning.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import ops.{AnnIndexOps, KeyedStore, SimilarityOps}
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("store-served retrieval is identical to the in-memory IVF-PQ pipeline") {
+    val served = rowsOf(AnnIndexOps.qAnnIndexServe(spark, Sf))
+    val inMem = rowsOf(SimilarityOps.qAnnIvfPq(spark, Sf))
+    assert(served == inMem)
+  }
+
+  test("incremental append equals one-shot assignment against the frozen base codebook") {
+    val embs = Tables.embeddings(spark, Sf)
+    val incremental = rowsOf(AnnIndexOps.qAnnIndexIncremental(spark, Sf))
+    // Control: the whole corpus assigned/probed against the BASE-slice
+    // codebook, composed from the shared pipeline stages in memory —
+    // exactly what build(base) + append(delta) must produce.
+    val eqFull = SimilarityOps.withInt8Codes(embs)
+    val centBase = SimilarityOps.pqCodebook(
+      SimilarityOps.withInt8Codes(embs.filter(col("vec_id") % 10 =!= 0)), 16)
+    val pred = col("vec_id") < 5
+    val floats = embs.select(col("vec_id"), col("embedding"),
+      SimilarityOps.norm2("embedding").as("nrm"))
+    val control = rowsOf(SimilarityOps.pqCoarseRescore(
+      SimilarityOps.pqProbes(eqFull, pred, centBase, 4),
+      SimilarityOps.pqAssign(eqFull, centBase, 2),
+      floats, pred, 10, 4))
+    assert(incremental == control)
+  }
+
+  test("composite keys make a cell probe range-prune to a strict region subset") {
+    val name = "graft_ann_idx_spec"
+    AnnIndexOps.buildIndex(spark, name, Tables.embeddings(spark, Sf),
+      targetRowsPerRegion = 128)
+    val rm = KeyedStore.readRegions(spark, name)
+    assert(rm.regions.size >= 4,
+      s"fixture index should span several regions, got ${rm.regions.size}")
+    // The codebook prefix scan and any single cell's posting scan each
+    // touch a strict subset of regions — the serving IO bound.
+    val bIdx = rm.rangeIdx("b", "bz")
+    assert(bIdx.size < rm.regions.size, "codebook scan must prune")
+    val someCell = KeyedStore.scan(spark, name, "row_key", "c", "cz")
+      .select(col("c_id")).distinct().limit(1)
+      .collect().head.getLong(0)
+    val cIdx = rm.rangeIdx(f"c$someCell%012d#", f"c$someCell%012d#z")
+    assert(cIdx.nonEmpty && cIdx.size < rm.regions.size,
+      s"cell scan must prune: ${cIdx.size} of ${rm.regions.size}")
+  }
+
+  test("id outside the %012d key layout is rejected, not silently mis-sorted") {
+    import spark.implicits._
+    val bad = Seq((1000000000000L, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      AnnIndexOps.buildIndex(spark, "graft_ann_idx_badkey", bad,
+        numCentroids = 1, nassign = 1)
+    }
+    assert(ex.getMessage.contains("key-layout range") ||
+      Option(ex.getCause).exists(_.getMessage.contains("key-layout range")),
+      s"unexpected: $ex")
+  }
+}
