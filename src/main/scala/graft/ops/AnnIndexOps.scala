@@ -136,11 +136,12 @@ object AnnIndexOps {
       if (cells.isEmpty) // no queries matched queryPred
         spark.range(0).select(col("id").as("c_id"), col("id").as("m_id"),
           lit(null).cast("array<int>").as("m_qv8"))
-      else cells.map { c =>
-        KeyedStore.scan(spark, name, "row_key",
-          f"c$c%012d#", f"c$c%012d#z")
+      else // ONE multi-range scan over all probed cells' posting lists —
+           // a per-cell scan union would be a plan-size bomb past a few
+           // dozen cells (the HBase MultiRowRangeFilter shape).
+        KeyedStore.scanMulti(spark, name, "row_key",
+          cells.toSeq.map(c => (f"c$c%012d#", f"c$c%012d#z")))
           .select(col("c_id"), col("m_id"), col("qv8").as("m_qv8"))
-      }.reduce(_.union(_))
     val floats = corpus.select(col("vec_id"), col("embedding"),
       norm2("embedding").as("nrm"))
     pqCoarseRescore(probes, members, floats, queryPred, k, expand)

@@ -1275,6 +1275,33 @@ object KeyedStore {
       .drop("kr")
   }
 
+  /** Multi-range SCAN — the HBase MultiRowRangeFilter analog: ONE table
+    * read pruned to the union of regions intersecting ANY of the
+    * [from, to] ranges (PartitionFilters), with the OR-of-ranges
+    * predicate pushed into the key-sorted files (row-group min/max
+    * skipping applies per range). One range behaves exactly like
+    * [[scan]]; N ranges cost one scan, not N — the per-range union of
+    * [[scan]] calls is a plan-size bomb past a few dozen ranges. The
+    * range list is driver-side control plane (each range is a plan
+    * literal pair): for a DATA-sized range set, stage the ranges as a
+    * DataFrame and join, [[getBatch]]-style.
+    */
+  def scanMulti(spark: SparkSession, name: String, key: String,
+                ranges: Seq[(Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "scanMulti needs at least one range")
+    val rm = readRegions(spark, name)
+    val krs = ranges
+      .flatMap { case (from, to) => rm.rangeIdx(from, to) }
+      .distinct.map(rm.regions(_).kr)
+    val pred = ranges
+      .map { case (from, to) => col(key) >= lit(from) && col(key) <= lit(to) }
+      .reduce(_ || _)
+    spark.table(name)
+      .filter(col("kr").isin(krs: _*))
+      .filter(pred)
+      .drop("kr")
+  }
+
   /** MERGE a change set (`op` ∈ U/I/D rows, [[SourceSinkOps.mergeUpsert]]
     * semantics) into the table, rewriting only the regions that contain
     * changed keys; returns the post-merge table. Base rows keep their

@@ -62,6 +62,26 @@ class KeyedStoreSpec extends AnyFunSuite {
       p.contains("LessThanOrEqual(k,80)"), p.take(3000))
   }
 
+  test("scanMulti: N ranges in ONE scan, pruned to the union of regions") {
+    val name = "graft_keyed_spec_multi"
+    KeyedStore.create(spark, name, mkRows(200), "k", targetRowsPerRegion = 16)
+    val rm = KeyedStore.readRegions(spark, name)
+    val ranges = Seq[(Any, Any)]((10L, 20L), (95L, 105L), (180L, 185L))
+    val scanned = KeyedStore.scanMulti(spark, name, "k", ranges)
+    assert(scanned.collect().map(_.getLong(0)).sorted.toSeq ==
+      ((10L to 20L) ++ (95L to 105L) ++ (180L to 185L)))
+    // Union prune list: covers all three ranges, far from the table.
+    val selected = ranges.flatMap { case (f, t) => rm.rangeIdx(f, t) }.distinct
+    assert(selected.size < rm.regions.size / 2,
+      s"expected a small union prune list, got $selected of ${rm.regions.size}")
+    val p = scanned.queryExecution.executedPlan.toString
+    // ONE file scan (a per-range union would have three), partition-pruned,
+    // with the OR-of-ranges pushed down.
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("PartitionFilters: [") && p.contains("kr#"), p.take(3000))
+    assert(p.contains("Or(And(GreaterThanOrEqual(k,10)"), p.take(3000))
+  }
+
   test("a 1-key upsert rewrites exactly one region; siblings byte-identical") {
     import spark.implicits._
     val name = "graft_keyed_spec_one"
