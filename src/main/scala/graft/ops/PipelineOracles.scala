@@ -211,6 +211,62 @@ object PipelineOracles {
     s
   }
 
+  /** Mirrors SimilarityOps.mmrRerank: greedy maximal-marginal-relevance
+    * over the brute-force top-40 pool, UNROLLED k=10 steps (the
+    * q_pagerank unrolling precedent — DuckDB recursive CTEs can't carry
+    * the selected set cleanly). Step i: among pool rows not yet in the
+    * accumulator, per-candidate maxsim to the selected set, argmax of
+    * `0.5·rel − 0.5·maxsim` with (score DESC, m_id ASC) tie-break —
+    * exactly the Scala group loop's strict-`>` over ascending ids. All
+    * arithmetic is the shared left-to-right double folds, so the match
+    * is bit-exact. `pool`/`acc` carry MATERIALIZED hints: each step
+    * references its predecessor 3×, so inlined CTEs expand ~3^k scans
+    * of the embeddings parquet and exhaust the fd limit.
+    */
+  private val MmrOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e0),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM e WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT q.q_id, e.vec_id AS m_id, e.v, e.nrm,
+        |         list_dot_product(q.q_v, e.v) / (sqrt(q.q_nrm) * sqrt(e.nrm)) AS rel
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |pool AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rel DESC, m_id ASC) AS pr FROM cand)
+        |  WHERE pr <= 40),
+        |sel1 AS (SELECT q_id, m_id, v, nrm, rel, 1 AS rank, 0.5 * rel AS mmr
+        |         FROM pool WHERE pr = 1),
+        |acc1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to 10).map { i =>
+      val p = i - 1
+      s"""sel$i AS (
+         |  SELECT q_id, m_id, v, nrm, rel, $i AS rank, mmr FROM (
+         |    SELECT p.q_id, p.m_id, p.v, p.nrm, p.rel,
+         |           0.5 * p.rel - 0.5 * ms.maxsim AS mmr,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY 0.5 * p.rel - 0.5 * ms.maxsim DESC, p.m_id ASC) AS rn
+         |    FROM pool p
+         |    JOIN (
+         |      SELECT p2.q_id, p2.m_id,
+         |             max(list_dot_product(p2.v, s.v) / (sqrt(p2.nrm) * sqrt(s.nrm))) AS maxsim
+         |      FROM pool p2 JOIN acc$p s ON s.q_id = p2.q_id
+         |      GROUP BY p2.q_id, p2.m_id) ms
+         |      ON ms.q_id = p.q_id AND ms.m_id = p.m_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM acc$p x
+         |                      WHERE x.q_id = p.q_id AND x.m_id = p.m_id))
+         |  WHERE rn = 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc$p UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }
+    val tail =
+      """SELECT q_id, rank, m_id AS neighbor_id,
+        |       round(rel, 3) AS cos, round(mmr, 3) AS mmr
+        |FROM acc10 ORDER BY q_id, rank""".stripMargin
+    (Seq(base) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
   /** doc → distinct word-3-shingle CTE fragment (lang-carrying).
     * Scalar `range()` + `list_transform` + `unnest` — DuckDB 1.0 does not
     * allow column arguments to the generate_series table function.
@@ -872,6 +928,14 @@ object PipelineOracles {
     "q_ann_index_serve" -> ANN_PQ,
 
     "q_ann_index_incremental" -> AnnPqIncremental,
+
+    // Streaming twin of the incremental index: the delta drains as
+    // AvailableNow micro-batches through appendBatch (insert-only,
+    // replay-idempotent, order-commutative), so the final store — and
+    // the serve result — is identical to the one-shot append.
+    "q_stream_ann_index" -> AnnPqIncremental,
+
+    "q_mmr_rerank" -> MmrOracle,
 
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window

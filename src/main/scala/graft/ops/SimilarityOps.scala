@@ -698,4 +698,97 @@ object SimilarityOps {
 
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     annIvfPq(embeddings(spark, dir), col("vec_id") < 5)
+
+  private[ops] case class MmrCand(q_id: Long, m_id: Long, rel: Double,
+                                  embedding: Seq[Float], nrm: Double)
+  private[ops] case class MmrPick(q_id: Long, rank: Int, neighbor_id: Long,
+                                  cos: Double, mmr: Double)
+
+  /** Sequential left-to-right double fold over float arrays — the same
+    * summation order as the SQL `aggregate`/`zip_with` dot and DuckDB's
+    * `list_dot_product` on DOUBLE[], so per-group Scala arithmetic is
+    * bit-identical to the oracle's. */
+  private def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Maximal-marginal-relevance diversified rerank — the retrieval
+    * post-pass that trades pure relevance for coverage (a near-duplicate
+    * of an already-picked result is worth little in a training batch or
+    * a RAG context window). Greedy: pick argmax
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` k times from a
+    * relevance top-`pool` candidate set; ties break to the smallest id.
+    *
+    * Shape: the pool build is [[annBruteforce]]'s broadcast-query scan
+    * (swap in any ANN path's candidates at scale), and the inherently
+    * sequential-in-k greedy runs per QUERY GROUP via typed
+    * `flatMapGroups` — the per-group imperative surface (SURVEY §2.6's
+    * reducer analog), O(k·pool) work on ≤pool rows per group, fully
+    * parallel across queries, no driver loop, no cross-group state.
+    * Every comparison is on doubles produced by the same left-to-right
+    * folds the oracle evaluates ([[dotD]]), so the k-step UNROLLED
+    * DuckDB oracle matches bit-for-bit.
+    */
+  def mmrRerank(embs: DataFrame, queryPred: Column, pool: Int = 40,
+                k: Int = 10, lambda: Double = 0.5): DataFrame = {
+    import embs.sparkSession.implicits._
+    val e = embs.select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                     col("nrm").as("q_nrm"))
+      .filter(queryPred)
+    val pooled = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("rel",
+        dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id").asc)))
+      .filter(col("pr") <= pool)
+      .select(col("q_id"), col("vec_id").as("m_id"), col("rel"),
+              col("embedding"), col("nrm"))
+      .as[MmrCand]
+    val picks = pooled.groupByKey(_.q_id).flatMapGroups { (qid, it) =>
+      // Ascending-id order + strict `>` ⇒ ties resolve to the smallest
+      // m_id, the oracle's (score DESC, m_id ASC) row_number semantics.
+      val cands = it.toArray.sortBy(_.m_id)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+      val chosen = scala.collection.mutable.HashSet.empty[Long]
+      val res = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      val n = math.min(k, cands.length)
+      while (res.length < n) {
+        var best: MmrCand = null
+        var bestScore = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cands.length) {
+          val c = cands(ci)
+          if (!chosen(c.m_id)) {
+            val score =
+              if (selected.isEmpty) lambda * c.rel
+              else {
+                var ms = Double.NegativeInfinity
+                selected.foreach { s =>
+                  val sim = dotD(c.embedding, s.embedding) /
+                    (math.sqrt(c.nrm) * math.sqrt(s.nrm))
+                  if (sim > ms) ms = sim
+                }
+                lambda * c.rel - (1 - lambda) * ms
+              }
+            if (score > bestScore) { bestScore = score; best = c }
+          }
+          ci += 1
+        }
+        selected += best
+        chosen += best.m_id
+        res += MmrPick(qid, res.length + 1, best.m_id, best.rel, bestScore)
+      }
+      res.iterator
+    }
+    picks.toDF()
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 3).as("cos"), round(col("mmr"), 3).as("mmr"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerank(embeddings(spark, dir), col("vec_id") < 5)
 }

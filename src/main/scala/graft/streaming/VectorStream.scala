@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming vector ingestion into the store-persisted ANN index — the
+  * serving-side maintenance loop: an offline build freezes the codebook
+  * ([[graft.ops.AnnIndexOps.buildIndex]]), then every arriving vector
+  * micro-batch is assigned against that codebook and appended to the
+  * posting lists ([[graft.ops.AnnIndexOps.appendBatch]]) while the
+  * index stays continuously serveable. Re-clustering remains an offline
+  * rebuild — the standard IVF practice; the stream never moves existing
+  * postings.
+  *
+  * Exactly-once audit (the foreachBatch sink discipline): an append is
+  * an upsert of composite `c<cell>#m<member>` keys whose VALUES are a
+  * pure function of the frozen codebook and the vector — a replayed
+  * batch re-inserts byte-identical rows over themselves (content
+  * no-op), and batches with disjoint vectors commute, so the final
+  * store is independent of how the source files happen to batch and
+  * needs no batch-id fence (same class as [[EventStream]]'s
+  * latest-wins merge, unlike its additive top-k sink).
+  */
+object VectorStream {
+  import graft.ops.{AnnIndexOps, KeyedStore}
+
+  /** Driver-checked row: build from the 90% base slice, drain the 10%
+    * delta as a 2-file AvailableNow stream (one file per micro-batch)
+    * through appendBatch, then serve queries over the union — the
+    * result is identical to the batch [[AnnIndexOps.qAnnIndexIncremental]]
+    * path, so the row shares its base-codebook oracle.
+    */
+  def qStreamAnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ann_index"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_annidx")
+    val srcDir = tmp.resolve("src").toString
+    val embs = graft.Tables.embeddings(spark, dir)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    delta.repartition(2).write.mode("overwrite").parquet(srcDir)
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    KeyedStore.drop(spark, name) // defensive: stale prior run
+    try {
+      AnnIndexOps.buildIndex(spark, name,
+        embs.filter(col("vec_id") % 10 =!= 0))
+      val stream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          if (!batch.isEmpty)
+            AnnIndexOps.appendBatch(spark, name, batch.toDF())
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_ann_index: stream did not drain within 120 s — " +
+            "refusing to serve a partially appended index")
+      }
+      // Materialize before the temp store is dropped (fixture-scale;
+      // at real scale the index table IS durable and outlives the job).
+      AnnIndexOps.serve(spark, name, embs, col("vec_id") < 5)
+        .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      KeyedStore.drop(spark, name)
+      EventStream.deleteRecursively(tmp)
+    }
+  }
+}

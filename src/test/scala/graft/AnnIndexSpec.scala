@@ -59,6 +59,25 @@ class AnnIndexSpec extends AnyFunSuite {
       s"cell scan must prune: ${cIdx.size} of ${rm.regions.size}")
   }
 
+  test("streaming micro-batch appends equal the batch incremental path") {
+    val streamed = rowsOf(streaming.VectorStream.qStreamAnnIndex(spark, Sf))
+    val batch = rowsOf(AnnIndexOps.qAnnIndexIncremental(spark, Sf))
+    assert(streamed == batch)
+  }
+
+  test("appendBatch replay is a content no-op (the exactly-once audit)") {
+    val name = "graft_ann_idx_replay"
+    val embs = Tables.embeddings(spark, Sf)
+    AnnIndexOps.buildIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    def content() = spark.table(name).drop("kr")
+      .collect().map(_.toString).sorted.toSeq
+    AnnIndexOps.appendBatch(spark, name, delta)
+    val once = content()
+    AnnIndexOps.appendBatch(spark, name, delta)
+    assert(content() == once, "replayed append changed the store")
+  }
+
   test("id outside the %012d key layout is rejected, not silently mis-sorted") {
     import spark.implicits._
     val bad = Seq((1000000000000L, Array.fill(4)(1.0f)))

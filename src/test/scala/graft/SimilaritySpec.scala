@@ -93,6 +93,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rPq >= 0.3, s"IVF-PQ recall@10 too low: $rPq")
   }
 
+  test("MMR rank-1 is the relevance argmax; picks are distinct pool members") {
+    val bf1 = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mmr = ops.SimilarityOps.qMmrRerank(spark, Sf).collect()
+    val byQ = mmr.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q")
+      assert(rows.map(_.getLong(2)).distinct.length == 10, s"dup pick for $q")
+      val r1 = rows.find(_.getInt(1) == 1).get.getLong(2)
+      assert(r1 == bf1(q), s"rank-1 must be the relevance argmax for $q")
+    }
+  }
+
+  test("MMR prefers a diverse candidate over a redundant higher-relevance one") {
+    import spark.implicits._
+    // Query [1,0]; 1 is the top pick, 2 a near-duplicate of 1 with the
+    // 2nd-highest relevance, 3 less relevant but pointing away from 1.
+    // Pure relevance ranks (1, 2); MMR at λ=0.5 must rank (1, 3).
+    val embs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.436f)),
+      (2L, Array(0.89f, 0.44f)),
+      (3L, Array(0.8f, -0.436f))
+    ).toDF("vec_id", "embedding")
+    val rel2 = ops.SimilarityOps.annBruteforce(embs, col("q_id") === 0, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(rel2 == Seq((1, 1L), (2, 2L)), s"fixture precondition: $rel2")
+    val mmr2 = ops.SimilarityOps.mmrRerank(embs, col("vec_id") === 0,
+      pool = 3, k = 2).collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(mmr2 == Seq((1, 1L), (2, 3L)), s"got $mmr2")
+  }
+
   test("CosineDot expression equals the declarative fold (interpreted + codegen)") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
