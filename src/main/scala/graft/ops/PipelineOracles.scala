@@ -937,6 +937,104 @@ object PipelineOracles {
 
     "q_mmr_rerank" -> MmrOracle,
 
+    // Mirrors SimilarityOps.hybridRrf: BM25 (q_bm25's CTEs verbatim)
+    // top-20 rank fused with the dense cosine top-20 rank for query
+    // vector 0 by exact-integer RRF ppb: 10⁹ // (60 + r), missing side
+    // contributes 0. The rrf terms are computed from the RAW (nullable)
+    // ranks in a subquery — DuckDB's lateral alias binding must never
+    // see the coalesced 0 (which would score an absent doc as rank 0).
+    "q_hybrid_rrf" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM lens),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |       WHERE token IN ('spark', 'join', 'data') GROUP BY 1, 2),
+        |idf AS (SELECT token, ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+        |               n_docs, total_dl
+        |        FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / (CAST(idf.total_dl AS DOUBLE) / idf.n_docs))) * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM tf JOIN idf USING (token) JOIN lens USING (doc_id)),
+        |bm AS (SELECT doc_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+        |       FROM c GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, rl FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rl
+        |    FROM bm) WHERE rl <= 20),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+        |denser AS (
+        |  SELECT vec_id AS doc_id, rd FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
+        |                      e.vec_id ASC) AS rd
+        |    FROM q JOIN e ON e.vec_id <> q.q_id) WHERE rd <= 20),
+        |f AS (
+        |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.rl, d.rd
+        |  FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+        |SELECT doc_id, coalesce(rl, 0) AS r_lex, coalesce(rd, 0) AS r_dense,
+        |       coalesce(1000000000 // (60 + rl), 0) +
+        |       coalesce(1000000000 // (60 + rd), 0) AS rrf_ppb
+        |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Mirrors SimilarityOps.hardNegatives: ANN_BF's scan with the
+    // label-disagreement predicate in the join, top-5 per query.
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+        |      FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, e.label,
+        |         list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) AS c,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_dot_product(q.qv, e.v) / (sqrt(q.qn) * sqrt(e.nrm)) DESC,
+        |                    e.vec_id ASC) AS rank
+        |  FROM q JOIN e ON e.vec_id <> q.q_id AND e.label <> q.q_label)
+        |SELECT q_id, rank, vec_id AS neg_id, round(c, 3) AS cos,
+        |       label AS neg_label
+        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors SimilarityOps.embeddingDrift: ANN_IVF's md5 codebook drawn
+    // from the BASE slice, nearest-1 cell assignment of every vector,
+    // per-cell (p−q)·ln(p/q) PSI in micro-nats with ONE rounding per
+    // cell and NULL for one-sided cells (q_psi_drift's rules).
+    "q_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, vec_id % 10 = 0 AS is_delta, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+        |         WHERE NOT is_delta ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |vc AS (
+        |  SELECT e.vec_id, e.is_delta, cent.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |hist AS (
+        |  SELECT c_id,
+        |         CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+        |         CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+        |  FROM vc WHERE rn = 1 GROUP BY c_id),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+        |               CAST(sum(n_delta) AS BIGINT) AS t_delta FROM hist)
+        |SELECT c_id, n_base, n_delta,
+        |       CAST(CASE WHEN n_base > 0 AND n_delta > 0 THEN
+        |         round((CAST(n_base AS DOUBLE) / t_base -
+        |                CAST(n_delta AS DOUBLE) / t_delta) *
+        |               ln((CAST(n_base AS DOUBLE) / t_base) /
+        |                  (CAST(n_delta AS DOUBLE) / t_delta)) * 1000000)
+        |       END AS BIGINT) AS psi_micronat
+        |FROM hist CROSS JOIN tot ORDER BY c_id""".stripMargin,
+
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window
     // is fine at oracle scale; the Spark side computes the same prefix

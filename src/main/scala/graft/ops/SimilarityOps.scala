@@ -791,4 +791,133 @@ object SimilarityOps {
 
   def qMmrRerank(spark: SparkSession, dir: String): DataFrame =
     mmrRerank(embeddings(spark, dir), col("vec_id") < 5)
+
+  /** Reciprocal-rank-fusion hybrid retrieval — the standard RAG serving
+    * shape: a lexical BM25 ranking and a dense cosine ranking are fused
+    * by rank alone, `score(d) = Σ 1/(60 + rank_i(d))`, so neither
+    * retriever's score scale has to be calibrated against the other
+    * (Cormack et al., SIGIR'09). Scores are exact-integer ppb
+    * (`10⁹ div (60 + r)` — the repo's integer-scaled-rational rule; at
+    * pool ranks ≤ 20 every reciprocal is a distinct BIGINT), a doc
+    * missing from one list contributes 0 from it, ties break to the
+    * smaller doc_id.
+    *
+    * Shape: each retriever's top-`poolK` cut is a distributed
+    * TakeOrdered (never a global rank window over the full scored
+    * relation); the rank-assigning windows then see ≤ poolK rows. The
+    * fusion is a full-outer join of two ≤ poolK-row relations — driver-
+    * trivial at any corpus size; all the scale weight stays in the two
+    * retrievers, which are the already-audited BM25 posting-list path
+    * and the ANN family (swap [[annBruteforce]] for any of them).
+    */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+                queryVecId: Long, poolK: Int = 20, k: Int = 10,
+                rrfK: Int = 60): DataFrame = {
+    val lex = TextOps.bm25Scores(docs, terms)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(poolK)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_lex"))
+    val dense = annBruteforce(embs, col("q_id") === queryVecId, k = poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_dense"), lit(0)).as("r_dense"),
+        (coalesce(expr(s"1000000000 div ($rrfK + r_lex)"), lit(0L)) +
+         coalesce(expr(s"1000000000 div ($rrfK + r_dense)"), lit(0L)))
+          .as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(documents(spark, dir), embeddings(spark, dir),
+              Seq("spark", "join", "data"), queryVecId = 0L)
+
+  /** Hard-negative mining for contrastive training (DPR/SimCSE recipe):
+    * for each query vector, the top-k most-similar vectors with a
+    * DIFFERENT label — the negatives that actually move a contrastive
+    * loss, where random negatives are trivially separable. Same
+    * broadcast-query corpus scan as [[annBruteforce]] with the label
+    * disagreement folded into the join predicate (pruned before any
+    * scoring work); at scale the scan swaps for any ANN candidate
+    * path + the label filter.
+    */
+  def hardNegatives(embs: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val e = embs.select(col("vec_id"), col("label"), col("embedding"),
+                        norm2("embedding").as("nrm"))
+    val q = e.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+                     col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .filter(queryPred)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+           col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos",
+        dot("q_emb", "embedding") / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+              round(col("cos"), 3).as("cos"), col("label").as("neg_label"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(embeddings(spark, dir), col("vec_id") < 5)
+
+  /** Embedding-distribution drift monitor: PSI between the base corpus
+    * and a new batch over the IVF cell histogram — the production check
+    * that an embedding model / data mix hasn't shifted under a FROZEN
+    * serving index (when this fires, the codebook needs an offline
+    * rebuild — the same contract [[AnnIndexOps.appendBatch]] freezes).
+    * Codebook = [[annIvf]]'s deterministic md5 sample drawn from the
+    * BASE slice only; every vector (both slices) assigns to its single
+    * nearest cell via the same broadcast + map-side-aggregate argmax
+    * shape (no window over the corpus); per-cell PSI contribution
+    * `(p−q)·ln(p/q)` in micro-nats with ONE rounding per cell and NULL
+    * for one-sided cells — [[EventOps.qPsiDrift]]'s determinism rules
+    * verbatim.
+    */
+  def embeddingDrift(embs: DataFrame, deltaPred: Column,
+                     numCentroids: Int = 16): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"),
+                        norm2("embedding").as("nrm"), deltaPred.as("is_delta"))
+    val cent = e.filter(!col("is_delta"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+              col("nrm").as("c_nrm"))
+    val assign = e.join(broadcast(cent), lit(true))
+      .withColumn("c_cos",
+        dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
+      .groupBy(col("vec_id"))
+      .agg(first(col("is_delta")).as("is_delta"),
+           slice(array_sort(collect_list(
+             struct((-col("c_cos")).as("nc"), col("c_id")))), 1, 1).as("top"))
+      .select(col("vec_id"), col("is_delta"), explode(col("top.c_id")).as("c_id"))
+    // Persisted (≤ numCentroids rows): the totals broadcast and the
+    // report both read it — un-persisted, the corpus assignment runs
+    // twice (lineage-clone rule).
+    val hist = assign.groupBy(col("c_id"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+           sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      .graftCached
+    val tot = hist.agg(sum(col("n_base")).as("t_base"),
+                       sum(col("n_delta")).as("t_delta"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("c_id"), col("n_base"), col("n_delta"),
+        expr(
+          "cast(case when n_base > 0 and n_delta > 0 then " +
+          "round((cast(n_base as double) / t_base - " +
+          "cast(n_delta as double) / t_delta) * " +
+          "ln((cast(n_base as double) / t_base) / " +
+          "(cast(n_delta as double) / t_delta)) * 1000000) end as bigint)")
+          .as("psi_micronat"))
+      .orderBy(col("c_id"))
+  }
+
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(embeddings(spark, dir), col("vec_id") % 10 === 0)
 }

@@ -909,9 +909,11 @@ object TextOps {
     * aggregate — at 100 TB this runs off the precomputed inverted index
     * (q_inverted_index) with no corpus scan at all.
     */
-  def qBm25(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "join", "data")
-    val docs = documents(spark, dir)
+  /** `(doc_id, score_micro, n_terms_hit)` — the full BM25-scored
+    * relation [[qBm25]] cuts to top-20 and the hybrid RRF fusion
+    * ([[SimilarityOps.hybridRrf]]) re-ranks against a dense retriever.
+    * OR semantics (docs hitting ≥1 query term). */
+  private[ops] def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     // lens (2 longs/doc) and the query-term postings are each referenced
     // twice; persisted so the two tokenize passes run once each.
     val lens = docs.select(col("doc_id"), size(TextFns.toks).as("dl"))
@@ -933,9 +935,12 @@ object TextOps {
         "cast(round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (cast(total_dl as double) / n_docs))) * 1000000.0) as bigint)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_micro")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(documents(spark, dir), Seq("spark", "join", "data"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(20)
-  }
 
   /** MRR@10 ranking evaluation of the BM25 retriever — the eval loop any
     * retrieval stack ships with. Per query term, documents rank by the

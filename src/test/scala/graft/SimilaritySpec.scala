@@ -126,6 +126,87 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mmr2 == Seq((1, 1L), (2, 3L)), s"got $mmr2")
   }
 
+  test("hybrid RRF equals a driver-side fusion of its two retrievers") {
+    val lex = ops.TextOps.qBm25(spark, Sf).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val dense = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
+      .filter(col("q_id") === 0).collect()
+      .map(r => r.getLong(2) -> r.getInt(1)).toMap
+    // qBm25/qAnnBruteforce cut at 20/10; rebuild the op's poolK=20 dense
+    // list from annBruteforce directly so the fusion check is honest.
+    val dense20 = ops.SimilarityOps
+      .annBruteforce(Tables.embeddings(spark, Sf), col("q_id") === 0, k = 20)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    assert(dense.forall { case (d, r) => dense20.get(d).contains(r) })
+    def rrf(r: Option[Int]): Long = r.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+    val expect = (lex.keySet ++ dense20.keySet).toSeq
+      .map(d => (d, rrf(lex.get(d)) + rrf(dense20.get(d))))
+      .sortBy { case (d, s) => (-s, d) }
+      .take(10)
+    val got = ops.SimilarityOps.qHybridRrf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
+  test("hard negatives never share the query's label and rank by cosine") {
+    val labels = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = ops.SimilarityOps.qHardNegatives(spark, Sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, picks) =>
+      assert(picks.length == 5, s"query $q")
+      assert(picks.map(_.getLong(2)).distinct.length == 5, s"dup neg for $q")
+      picks.foreach { p =>
+        assert(p.getInt(4) != labels(q), s"query $q picked its own label")
+        assert(p.getInt(4) == labels(p.getLong(2)), s"label col mismatch for $q")
+      }
+      val cosByRank = picks.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosByRank.zip(cosByRank.tail).forall { case (a, b) => a >= b },
+        s"cos not non-increasing for $q")
+    }
+  }
+
+  test("embedding drift: identical delta distribution scores exactly zero PSI") {
+    import spark.implicits._
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 7 + j) * 100).toFloat))
+    }
+    // Delta = a verbatim copy of base under new ids: every copy assigns
+    // to its original's cell, shares match exactly, ln(1) = 0.
+    val delta = base.map { case (i, v) => (i + 100L, v) }
+    val embs = (base ++ delta).toDF("vec_id", "embedding")
+    val out = ops.SimilarityOps
+      .embeddingDrift(embs, col("vec_id") >= 100, numCentroids = 4)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 40 && out.map(_.getLong(2)).sum == 40)
+    out.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) == 0L, s"cell ${r.getLong(0)}: $r")
+    }
+  }
+
+  test("embedding drift: a shifted delta yields positive PSI; " +
+       "contributions are never negative") {
+    import spark.implicits._
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 7 + j) * 100).toFloat))
+    }
+    // Delta concentrated on one base vector's direction: its cell gains
+    // mass, others lose or empty out (NULL) — PSI must flag it.
+    val delta = (0L until 10L).map { i =>
+      (200L + i, base(3)._2.map(x => x * (1.0f + 0.001f * i)))
+    }
+    val embs = (base ++ delta).toDF("vec_id", "embedding")
+    val out = ops.SimilarityOps
+      .embeddingDrift(embs, col("vec_id") >= 200, numCentroids = 4)
+      .collect()
+    val psis = out.filterNot(_.isNullAt(3)).map(_.getLong(3))
+    assert(psis.forall(_ >= 0L), s"(p-q)ln(p/q) is non-negative: ${psis.toSeq}")
+    assert(psis.exists(_ > 0L), "shifted delta must move some cell's PSI")
+    // Real-table sanity: the sf fixture row is deterministic and
+    // non-negative too.
+    val real = ops.SimilarityOps.qEmbeddingDrift(spark, Sf).collect()
+    assert(real.filterNot(_.isNullAt(3)).forall(_.getLong(3) >= 0L))
+  }
+
   test("CosineDot expression equals the declarative fold (interpreted + codegen)") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
