@@ -127,6 +127,12 @@ object ScaleSmoke {
       time(s"ann_ivf_pq_$tag", dir)(d => ops.SimilarityOps.qAnnIvfPq(spark, d))
       time(s"ann_index_serve_$tag", dir)(d =>
         ops.AnnIndexOps.qAnnIndexServe(spark, d))
+      time(s"mmr_rerank_$tag", dir)(d => ops.SimilarityOps.qMmrRerank(spark, d))
+      time(s"hybrid_rrf_$tag", dir)(d => ops.SimilarityOps.qHybridRrf(spark, d))
+      time(s"hard_negatives_$tag", dir)(d =>
+        ops.SimilarityOps.qHardNegatives(spark, d))
+      time(s"embed_drift_$tag", dir)(d =>
+        ops.SimilarityOps.qEmbeddingDrift(spark, d))
       time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))

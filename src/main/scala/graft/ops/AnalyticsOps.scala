@@ -715,4 +715,51 @@ object AnalyticsOps {
               expr("n * 1000000L div n_tot").as("ppm"))
       .orderBy(col("digit"))
   }
+
+  /** k-anonymity / l-diversity audit over the quasi-identifier pair
+    * (nation, market segment) — the re-identification check a governed
+    * training-data release runs before shipping user-derived records
+    * (Sweeney 2002; Machanavajjhala et al. 2007). Per QI group: size n
+    * (k-anonymity: every group ≥ k means no record is distinguishable
+    * within fewer than k), distinct sensitive values l (l-diversity:
+    * a group whose members all share one sensitive value leaks it even
+    * at size ≥ k — here the coarse account-balance bucket). Flags are
+    * exact ints at k=5 / l=3. ONE hash aggregate on the QI key;
+    * count_distinct partial-aggregates per partition — at 100 TB the
+    * group table is |QI combinations| ≪ rows and nothing else shuffles.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+              expr("cast(floor(c_acctbal / 1000.0) as bigint)").as("sens"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l"),
+              when(col("n") >= 5, 1).otherwise(0).as("k_ok"),
+              when(col("l") >= 3, 1).otherwise(0).as("l_ok"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Suppression-based k-anonymization APPLY — the remediation step:
+    * records in QI groups smaller than k get their quasi-identifiers
+    * generalized to `*` (full suppression, the deterministic baseline
+    * generalization), everything else passes through; the output
+    * re-audits itself with the post-suppression group sizes. The group
+    * sizes are a tiny aggregate joined back BROADCAST (|QI groups| ≪
+    * rows at any scale) — no window over the corpus, no second shuffle
+    * of the fact side.
+    */
+  def qAnonymizeSuppress(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val sizes = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val sup = cust.join(broadcast(sizes), Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_custkey"),
+        when(col("n") >= 5, col("c_nationkey").cast("string"))
+          .otherwise(lit("*")).as("nation_out"),
+        when(col("n") >= 5, col("c_mktsegment"))
+          .otherwise(lit("*")).as("segment_out"))
+    sup.groupBy(col("nation_out"), col("segment_out"))
+      .agg(count(lit(1)).as("n_out"), min(col("c_custkey")).as("min_key"))
+      .orderBy(col("nation_out"), col("segment_out"))
+  }
 }

@@ -288,6 +288,31 @@ object AnalyticsOracles {
         |SELECT digit, n, n * 1000000 // n_tot AS ppm
         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
 
+    // Mirrors AnalyticsOps.qKAnonymity: QI = (nation, segment), sensitive
+    // = coarse acctbal bucket; exact-integer flags at k=5 / l=3.
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l,
+        |       CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS k_ok,
+        |       CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |            THEN 1 ELSE 0 END AS l_ok
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors AnalyticsOps.qAnonymizeSuppress: groups under k=5 get both
+    // quasi-identifiers suppressed to '*', then the output re-audits.
+    "q_anonymize_suppress" ->
+      """WITH sizes AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (
+        |  SELECT c.c_custkey,
+        |         CASE WHEN n >= 5 THEN c.c_nationkey::VARCHAR ELSE '*' END AS nation_out,
+        |         CASE WHEN n >= 5 THEN c.c_mktsegment ELSE '*' END AS segment_out
+        |  FROM customer c JOIN sizes USING (c_nationkey, c_mktsegment))
+        |SELECT nation_out, segment_out, count(*) AS n_out,
+        |       min(c_custkey) AS min_key
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // The O(full) recompute the O(delta) incremental merge must equal.
     "q_incr_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -211,6 +211,41 @@ object PipelineOracles {
     s
   }
 
+  /** Mirrors SimilarityOps.embeddingDrift (and its streaming twin
+    * q_stream_drift): ANN_IVF's md5 codebook drawn from the BASE slice,
+    * nearest-1 cell assignment of every vector, per-cell (p−q)·ln(p/q)
+    * PSI in micro-nats with ONE rounding per cell and NULL for
+    * one-sided cells (q_psi_drift's rules).
+    */
+  private val DriftOracle: String =
+    """WITH e AS (
+        |  SELECT vec_id, vec_id % 10 = 0 AS is_delta, embedding::DOUBLE[] AS v,
+        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+        |         WHERE NOT is_delta ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |vc AS (
+        |  SELECT e.vec_id, e.is_delta, cent.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |hist AS (
+        |  SELECT c_id,
+        |         CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+        |         CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+        |  FROM vc WHERE rn = 1 GROUP BY c_id),
+        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+        |               CAST(sum(n_delta) AS BIGINT) AS t_delta FROM hist)
+        |SELECT c_id, n_base, n_delta,
+        |       CAST(CASE WHEN n_base > 0 AND n_delta > 0 THEN
+        |         round((CAST(n_base AS DOUBLE) / t_base -
+        |                CAST(n_delta AS DOUBLE) / t_delta) *
+        |               ln((CAST(n_base AS DOUBLE) / t_base) /
+        |                  (CAST(n_delta AS DOUBLE) / t_delta)) * 1000000)
+        |       END AS BIGINT) AS psi_micronat
+        |FROM hist CROSS JOIN tot ORDER BY c_id""".stripMargin
+
   /** Mirrors SimilarityOps.mmrRerank: greedy maximal-marginal-relevance
     * over the brute-force top-40 pool, UNROLLED k=10 steps (the
     * q_pagerank unrolling precedent — DuckDB recursive CTEs can't carry
@@ -1006,34 +1041,13 @@ object PipelineOracles {
     // from the BASE slice, nearest-1 cell assignment of every vector,
     // per-cell (p−q)·ln(p/q) PSI in micro-nats with ONE rounding per
     // cell and NULL for one-sided cells (q_psi_drift's rules).
-    "q_embedding_drift" ->
-      """WITH e AS (
-        |  SELECT vec_id, vec_id % 10 = 0 AS is_delta, embedding::DOUBLE[] AS v,
-        |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
-        |         WHERE NOT is_delta ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |vc AS (
-        |  SELECT e.vec_id, e.is_delta, cent.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
-        |                    cent.c_id ASC) AS rn
-        |  FROM e CROSS JOIN cent),
-        |hist AS (
-        |  SELECT c_id,
-        |         CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
-        |         CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
-        |  FROM vc WHERE rn = 1 GROUP BY c_id),
-        |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
-        |               CAST(sum(n_delta) AS BIGINT) AS t_delta FROM hist)
-        |SELECT c_id, n_base, n_delta,
-        |       CAST(CASE WHEN n_base > 0 AND n_delta > 0 THEN
-        |         round((CAST(n_base AS DOUBLE) / t_base -
-        |                CAST(n_delta AS DOUBLE) / t_delta) *
-        |               ln((CAST(n_base AS DOUBLE) / t_base) /
-        |                  (CAST(n_delta AS DOUBLE) / t_delta)) * 1000000)
-        |       END AS BIGINT) AS psi_micronat
-        |FROM hist CROSS JOIN tot ORDER BY c_id""".stripMargin,
+    "q_embedding_drift" -> DriftOracle,
+
+    // Streaming twin: delta cell counts accumulate through the fenced
+    // additive store merge; the final histogram — and the PSI report —
+    // is identical to the batch monitor's.
+    "q_stream_drift" -> DriftOracle,
+
 
     // Mirrors TextOps.packShards: shard = floor(exclusive prefix sum of
     // n_chars in doc_id order / 20000). The oracle's single global window

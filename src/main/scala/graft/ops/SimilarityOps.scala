@@ -880,33 +880,47 @@ object SimilarityOps {
     * for one-sided cells — [[EventOps.qPsiDrift]]'s determinism rules
     * verbatim.
     */
-  def embeddingDrift(embs: DataFrame, deltaPred: Column,
-                     numCentroids: Int = 16): DataFrame = {
-    val e = embs.select(col("vec_id"), col("embedding"),
-                        norm2("embedding").as("nrm"), deltaPred.as("is_delta"))
-    val cent = e.filter(!col("is_delta"))
+  /** The drift codebook: [[annIvf]]'s deterministic md5 sample drawn
+    * from the rows satisfying basePred (the frozen serving slice). */
+  private[graft] def driftCodebook(embs: DataFrame, basePred: Column,
+                                   numCentroids: Int): DataFrame =
+    embs.filter(basePred)
+      .select(col("vec_id"), col("embedding"), norm2("embedding").as("nrm"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
               col("nrm").as("c_nrm"))
-    val assign = e.join(broadcast(cent), lit(true))
+
+  /** `(vec_id, carry…, c_id)` — each vector's single nearest cell via the
+    * broadcast + map-side-aggregate argmax (no window over the corpus);
+    * `carry` columns ride through the aggregate with `first` (exactly one
+    * row per vec_id group feeds them). Shared by the batch and streaming
+    * drift monitors. */
+  private[graft] def nearestCell(vecs: DataFrame, cent: DataFrame,
+                                 carry: Seq[String] = Nil): DataFrame = {
+    val e = vecs.select(
+      (Seq(col("vec_id"), col("embedding"), norm2("embedding").as("nrm")) ++
+        carry.map(col)): _*)
+    val firsts = carry.map(c => first(col(c)).as(c))
+    val top = slice(array_sort(collect_list(
+      struct((-col("c_cos")).as("nc"), col("c_id")))), 1, 1).as("top")
+    e.join(broadcast(cent), lit(true))
       .withColumn("c_cos",
         dot("embedding", "c_emb") / (sqrt(col("nrm")) * sqrt(col("c_nrm"))))
       .groupBy(col("vec_id"))
-      .agg(first(col("is_delta")).as("is_delta"),
-           slice(array_sort(collect_list(
-             struct((-col("c_cos")).as("nc"), col("c_id")))), 1, 1).as("top"))
-      .select(col("vec_id"), col("is_delta"), explode(col("top.c_id")).as("c_id"))
-    // Persisted (≤ numCentroids rows): the totals broadcast and the
-    // report both read it — un-persisted, the corpus assignment runs
-    // twice (lineage-clone rule).
-    val hist = assign.groupBy(col("c_id"))
-      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
-           sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
-      .graftCached
-    val tot = hist.agg(sum(col("n_base")).as("t_base"),
-                       sum(col("n_delta")).as("t_delta"))
-    hist.crossJoin(broadcast(tot))
+      .agg(top, firsts: _*)
+      .select((Seq(col("vec_id")) ++ carry.map(col) :+
+        explode(col("top.c_id")).as("c_id")): _*)
+  }
+
+  /** PSI report off a `(c_id, n_base, n_delta)` histogram — one rounding
+    * per cell, NULL for one-sided cells. The histogram is graftCached
+    * here (the totals broadcast and the report both read it). */
+  private[graft] def psiFromHist(hist: DataFrame): DataFrame = {
+    val h = hist.graftCached
+    val tot = h.agg(sum(col("n_base")).as("t_base"),
+                    sum(col("n_delta")).as("t_delta"))
+    h.crossJoin(broadcast(tot))
       .select(col("c_id"), col("n_base"), col("n_delta"),
         expr(
           "cast(case when n_base > 0 and n_delta > 0 then " +
@@ -916,6 +930,16 @@ object SimilarityOps {
           "(cast(n_delta as double) / t_delta)) * 1000000) end as bigint)")
           .as("psi_micronat"))
       .orderBy(col("c_id"))
+  }
+
+  def embeddingDrift(embs: DataFrame, deltaPred: Column,
+                     numCentroids: Int = 16): DataFrame = {
+    val flagged = embs.withColumn("is_delta", deltaPred)
+    val cent = driftCodebook(flagged, !col("is_delta"), numCentroids)
+    val assign = nearestCell(flagged, cent, carry = Seq("is_delta"))
+    psiFromHist(assign.groupBy(col("c_id"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+           sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta")))
   }
 
   def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =

@@ -526,15 +526,28 @@ object EventStream {
     */
   private[graft] def addCountsIntoStore(spark: SparkSession, storeTable: String,
                                         batch: DataFrame, batchId: Long,
-                                        targetRowsPerRegion: Long): Unit = {
-    val counts = batch.groupBy(col("user_id")).agg(count(lit(1)).as("bn"))
+                                        targetRowsPerRegion: Long): Unit =
+    additiveFencedMerge(spark, storeTable, "user_id",
+      batch.groupBy(col("user_id")).agg(count(lit(1)).as("bn")),
+      batchId, targetRowsPerRegion)
+
+  /** The fenced additive merge itself, generalized over the key column —
+    * `counts` must hold one `(keyCol, bn)` row per key for this batch.
+    * Shared by the per-user count sink above and the per-cell drift
+    * histogram sink ([[VectorStream.qStreamDrift]]); the fence semantics
+    * (and StreamingSpec's double-apply pin) are unchanged.
+    */
+  private[graft] def additiveFencedMerge(spark: SparkSession, storeTable: String,
+                                         keyCol: String, counts: DataFrame,
+                                         batchId: Long,
+                                         targetRowsPerRegion: Long): Unit = {
     if (!graft.ops.KeyedStore.exists(spark, storeTable))
       graft.ops.KeyedStore.create(spark, storeTable,
-        counts.select(col("user_id"), col("bn").as("n"),
+        counts.select(col(keyCol), col("bn").as("n"),
           lit(batchId).as("bid"), col("bn")),
-        "user_id", targetRowsPerRegion)
+        keyCol, targetRowsPerRegion)
     else
-      graft.ops.KeyedStore.mergeInto(spark, storeTable, "user_id", counts,
+      graft.ops.KeyedStore.mergeInto(spark, storeTable, keyCol, counts,
         (base, b) => {
           // UNION + one hash aggregate, not a full-outer join: both
           // sides hold at most one row per key (the store is keyed; the
@@ -544,18 +557,18 @@ object EventStream {
           // join. Semantics identical to the fenced full-outer (r8):
           // null aggregates mark the side absent from the group.
           val tagged = base
-            .select(col("user_id"), col("n"), col("bid"), col("bn"),
+            .select(col(keyCol), col("n"), col("bid"), col("bn"),
                     lit(null).cast("long").as("__bn"))
-            .unionByName(b.select(col("user_id"),
+            .unionByName(b.select(col(keyCol),
               lit(null).cast("long").as("n"),
               lit(null).cast("long").as("bid"),
               lit(null).cast("long").as("bn"),
               col("bn").as("__bn")))
-          tagged.groupBy(col("user_id"))
+          tagged.groupBy(col(keyCol))
             .agg(max(col("n")).as("__rn"), max(col("bid")).as("__rbid"),
                  max(col("bn")).as("__rbn"), max(col("__bn")).as("__b"))
             .select(
-              col("user_id"),
+              col(keyCol),
               when(col("__rn").isNull, col("__b"))              // key new to store
                 .when(col("__b").isNull, col("__rn"))           // key absent from batch
                 .when(col("__rbid") === lit(batchId),

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.Trigger
   * latest-wins merge, unlike its additive top-k sink).
   */
 object VectorStream {
-  import graft.ops.{AnnIndexOps, KeyedStore}
+  import graft.ops.{AnnIndexOps, KeyedStore, SimilarityOps}
 
   /** Driver-checked row: build from the 90% base slice, drain the 10%
     * delta as a 2-file AvailableNow stream (one file per micro-batch)
@@ -65,6 +65,69 @@ object VectorStream {
       // at real scale the index table IS durable and outlives the job).
       AnnIndexOps.serve(spark, name, embs, col("vec_id") < 5)
         .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      KeyedStore.drop(spark, name)
+      EventStream.deleteRecursively(tmp)
+    }
+  }
+
+  /** Streaming drift monitor — [[graft.ops.SimilarityOps.embeddingDrift]]
+    * run the way production runs it: the delta batch arrives as
+    * micro-batches, each is assigned against the FROZEN base codebook
+    * and its per-cell counts are merged into a durable histogram store
+    * through [[EventStream.additiveFencedMerge]] (counts are additive,
+    * NOT idempotent — this sink needs the in-row (bid, bn) replay fence
+    * the index-append sink above doesn't). The PSI read-out over
+    * base-histogram ∪ store equals the batch monitor exactly, so the
+    * row shares its oracle.
+    */
+  def qStreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_drift_store"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_drift")
+    val srcDir = tmp.resolve("src").toString
+    val embs = graft.Tables.embeddings(spark, dir)
+    val basePred = col("vec_id") % 10 =!= 0
+    val delta = embs.filter(!basePred)
+    delta.repartition(2).write.mode("overwrite").parquet(srcDir)
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    KeyedStore.drop(spark, name) // defensive: stale prior run
+    try {
+      // Frozen codebook, materialized once (16 rows) so per-batch
+      // closures don't re-derive it from the corpus.
+      val cent = SimilarityOps.driftCodebook(embs, basePred, 16)
+        .localCheckpoint()
+      val stream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            val counts = SimilarityOps.nearestCell(batch.toDF(), cent)
+              .groupBy(col("c_id")).agg(count(lit(1)).as("bn"))
+            EventStream.additiveFencedMerge(spark, name, "c_id", counts,
+              bid, targetRowsPerRegion = 8)
+          }
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_drift: stream did not drain within 120 s — refusing " +
+            "to report PSI off a partially merged histogram")
+      }
+      val baseHist = SimilarityOps.nearestCell(embs.filter(basePred), cent)
+        .groupBy(col("c_id")).agg(count(lit(1)).as("n_base"))
+      val deltaHist = spark.table(name)
+        .select(col("c_id"), col("n").as("n_delta"))
+      val hist = baseHist.join(deltaHist, Seq("c_id"), "full_outer")
+        .select(col("c_id"),
+                coalesce(col("n_base"), lit(0L)).as("n_base"),
+                coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      SimilarityOps.psiFromHist(hist).localCheckpoint()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       KeyedStore.drop(spark, name)

@@ -358,6 +358,31 @@ class AnalyticsExtSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("k-anonymity audit counts are consistent and suppression heals every violation") {
+    val cust = graft.Tables.customer(spark, Sf).collect()
+    val audit = ops.AnalyticsOps.qKAnonymity(spark, Sf).collect()
+    // Group sizes conserve the row count; l ≤ n always.
+    assert(audit.map(_.getLong(2)).sum == cust.length)
+    audit.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), r.toString)
+      assert((r.getInt(4) == 1) == (r.getLong(2) >= 5), r.toString)
+      assert((r.getInt(5) == 1) == (r.getLong(3) >= 3), r.toString)
+    }
+    // After suppression, every surviving NON-suppressed group still has
+    // n ≥ k (suppression only removes groups, never shrinks one), and
+    // total rows conserve.
+    val out = ops.AnalyticsOps.qAnonymizeSuppress(spark, Sf).collect()
+    assert(out.map(_.getLong(2)).sum == cust.length)
+    out.filter(r => r.getString(0) != "*").foreach { r =>
+      assert(r.getLong(2) >= 5, s"unsuppressed group under k: $r")
+    }
+    // The '*' bucket size equals the sum of the audit's violating groups.
+    val violMass = audit.filter(_.getInt(4) == 0).map(_.getLong(2)).sum
+    val starMass = out.filter(r => r.getString(0) == "*")
+      .map(_.getLong(2)).sum
+    assert(starMass == violMass, s"star=$starMass viol=$violMass")
+  }
+
   test("globalRank: parallelism follows spark.sql.shuffle.partitions when unpinned") {
     import spark.implicits._
     val df = spark.range(1000).toDF("id")

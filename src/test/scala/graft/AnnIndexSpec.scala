@@ -65,6 +65,16 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming drift monitor equals the batch PSI report") {
+    // (c_id, n_base, n_delta, psi_micronat|null) — not the serve schema.
+    def psiRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val streamed = psiRows(streaming.VectorStream.qStreamDrift(spark, Sf))
+    val batch = psiRows(ops.SimilarityOps.qEmbeddingDrift(spark, Sf))
+    assert(streamed == batch)
+  }
+
   test("appendBatch replay is a content no-op (the exactly-once audit)") {
     val name = "graft_ann_idx_replay"
     val embs = Tables.embeddings(spark, Sf)
