@@ -93,7 +93,13 @@ object ExplainDump {
       "q_pit_join" -> "Point-in-time join: user-co-partitioned SMJ with interval residual, <=1 match per event",
       "q_session_paths" -> "Journey mining: per-user sessionization window, in-row struct sort, one row per session at the exchange",
       "q_mrr_eval" -> "Ranking eval: graft_topk bounded heaps cut to 10/term before the rank window",
-      "q_split_leakage" -> "Leakage audit: digest-grouped split counts, one summary aggregate")
+      "q_split_leakage" -> "Leakage audit: digest-grouped split counts, one summary aggregate",
+      "q_ann_index_serve" -> "Store-served IVF-PQ: ONE multi-range store scan (scanMulti) covers all probed cells' regions; corpus floats fetched by id only for the k*expand survivors",
+      "q_mmr_rerank" -> "MMR rerank: broadcast-query pool build, then the k-sequential greedy runs per query GROUP via typed flatMapGroups over <=pool rows — parallel across queries, no driver loop",
+      "q_hybrid_rrf" -> "RRF fusion: each retriever cut is a distributed TakeOrdered; rank windows see <=20 rows; the fuse is a tiny full-outer join",
+      "q_hard_negatives" -> "Hard negatives: label disagreement folded into the broadcast join predicate — pruned before any scoring work",
+      "q_embedding_drift" -> "Drift PSI: broadcast codebook, map-side-aggregate argmax assignment, 16-row histogram with broadcast totals — no window over the corpus",
+      "q_k_anonymity" -> "k-anonymity/l-diversity: ONE hash aggregate on the QI key with partial count-distinct; |QI groups| rows at the exchange")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

@@ -176,4 +176,23 @@ object AnnIndexOps {
     appendBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
     serve(spark, name, embs, col("vec_id") < 5)
   }
+
+  /** Index maintenance — the major-compaction pass: incremental appends
+    * grow exactly the regions covering hot cells (fixed boundaries make
+    * them bloat past the create target), so after enough batches the
+    * store runs a [[KeyedStore.rebalance]] that re-derives balanced
+    * key-range regions from the current rows. Serving is
+    * result-invisible by construction (same rows, same keys, new
+    * layout) — the row shares the incremental oracle, and AnnIndexSpec
+    * pins that the post-rebalance region directory is actually
+    * re-balanced, not just equal-valued.
+    */
+  def qAnnIndexRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_reb_", dir)
+    val embs = embeddings(spark, dir)
+    buildIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
+    appendBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    KeyedStore.rebalance(spark, name, "row_key", targetRowsPerRegion = 512)
+    serve(spark, name, embs, col("vec_id") < 5)
+  }
 }

@@ -964,6 +964,11 @@ object PipelineOracles {
 
     "q_ann_index_incremental" -> AnnPqIncremental,
 
+    // Rebalance is a pure layout rewrite (same rows, same keys, new
+    // regions) — serving over the compacted index equals the
+    // incremental result by construction.
+    "q_ann_index_rebalance" -> AnnPqIncremental,
+
     // Streaming twin of the incremental index: the delta drains as
     // AvailableNow micro-batches through appendBatch (insert-only,
     // replay-idempotent, order-commutative), so the final store — and

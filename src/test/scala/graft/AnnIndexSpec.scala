@@ -59,6 +59,30 @@ class AnnIndexSpec extends AnyFunSuite {
       s"cell scan must prune: ${cIdx.size} of ${rm.regions.size}")
   }
 
+  test("rebalance re-derives the region directory; serving is unchanged") {
+    val name = "graft_ann_reb_spec"
+    val embs = Tables.embeddings(spark, Sf)
+    AnnIndexOps.buildIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0),
+      targetRowsPerRegion = 64)
+    AnnIndexOps.appendBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    val pre = rowsOf(AnnIndexOps.serve(spark, name, embs, col("vec_id") < 5))
+    val preR = KeyedStore.readRegions(spark, name).regions
+    val total = preR.map(_.rows).sum
+    val deltaPostings = 2 * embs.filter(col("vec_id") % 10 === 0).count()
+    // Appends never add regions (fixed boundaries): the pre directory is
+    // still sized for the BASE row count. Rebalance re-derives
+    // ceil(current/target) regions from what's actually there.
+    assert(preR.size == ((total - deltaPostings + 63) / 64).toInt,
+      s"pre ${preR.size} regions for ${total - deltaPostings} base rows")
+    KeyedStore.rebalance(spark, name, "row_key", targetRowsPerRegion = 64)
+    val postR = KeyedStore.readRegions(spark, name).regions
+    assert(postR.map(_.rows).sum == total, "rebalance must not drop rows")
+    assert(postR.size == ((total + 63) / 64).toInt,
+      s"post ${postR.size} regions for $total rows")
+    val post = rowsOf(AnnIndexOps.serve(spark, name, embs, col("vec_id") < 5))
+    assert(post == pre, "layout rewrite changed serving results")
+  }
+
   test("streaming micro-batch appends equal the batch incremental path") {
     val streamed = rowsOf(streaming.VectorStream.qStreamAnnIndex(spark, Sf))
     val batch = rowsOf(AnnIndexOps.qAnnIndexIncremental(spark, Sf))
