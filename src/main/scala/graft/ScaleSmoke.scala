@@ -127,6 +127,8 @@ object ScaleSmoke {
       time(s"ann_ivf_pq_$tag", dir)(d => ops.SimilarityOps.qAnnIvfPq(spark, d))
       time(s"ann_index_serve_$tag", dir)(d =>
         ops.AnnIndexOps.qAnnIndexServe(spark, d))
+      time(s"ann_index_rebal_$tag", dir)(d =>
+        ops.AnnIndexOps.qAnnIndexRebalance(spark, d))
       time(s"mmr_rerank_$tag", dir)(d => ops.SimilarityOps.qMmrRerank(spark, d))
       time(s"hybrid_rrf_$tag", dir)(d => ops.SimilarityOps.qHybridRrf(spark, d))
       time(s"hard_negatives_$tag", dir)(d =>
