@@ -570,6 +570,24 @@ object PipelineOracles {
         |FROM est, total
         |ORDER BY exact_cnt DESC, token ASC""".stripMargin,
 
+    // Mirrors TextOps.distinctNgrams: per-source distinct-1/distinct-2
+    // shares in exact ppm; bigrams are the q_bigram_lm adjacent pairs.
+    "q_distinct_ngrams" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT source, unnest(toks) AS w FROM t),
+        |uni AS (SELECT source, count(*) AS n_uni, count(DISTINCT w) AS d_uni
+        |        FROM u GROUP BY 1),
+        |t2 AS (SELECT source, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT source, toks[CAST(i + 1 AS INT)] AS w1,
+        |              toks[CAST(i + 2 AS INT)] AS w2
+        |       FROM t2, unnest(range(0, len(toks) - 1)) u(i)),
+        |bi AS (SELECT source, count(*) AS n_bi, count(DISTINCT (w1, w2)) AS d_bi
+        |       FROM bg GROUP BY 1)
+        |SELECT source, n_uni, d_uni, n_bi, d_bi,
+        |       d_uni * 1000000 // n_uni AS distinct1_ppm,
+        |       d_bi * 1000000 // n_bi AS distinct2_ppm
+        |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin,
+
     "q_bigram_lm" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

@@ -722,6 +722,36 @@ object TextOps {
   def qBigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLm(documents(spark, dir))
 
+  /** Generation-diversity metric (distinct-n, Li et al. 2016): per
+    * source, distinct unigrams / total and distinct bigrams / total in
+    * exact ppm — the corpus-health check that a synthetic-data or
+    * aggressive-dedup pipeline hasn't collapsed diversity (mode
+    * collapse reads as a falling distinct-2). Two hash aggregates with
+    * partial count_distinct; the bigram relation is [[bigramLm]]'s
+    * adjacent-pair transform, so both n-gram spaces match the LM rows'.
+    */
+  def distinctNgrams(docs: DataFrame): DataFrame = {
+    val uni = docs.select(col("source"), explode(TextFns.toks).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_uni"), countDistinct(col("w")).as("d_uni"))
+    val bi = docs.withColumn("toks", TextFns.toks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bi"),
+           countDistinct(col("b.w1"), col("b.w2")).as("d_bi"))
+    uni.join(bi, Seq("source"))
+      .select(col("source"), col("n_uni"), col("d_uni"), col("n_bi"), col("d_bi"),
+        expr("d_uni * 1000000L div n_uni").as("distinct1_ppm"),
+        expr("d_bi * 1000000L div n_bi").as("distinct2_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def qDistinctNgrams(spark: SparkSession, dir: String): DataFrame =
+    distinctNgrams(documents(spark, dir))
+
   /** Top-20 collocations by pointwise mutual information over corpus
     * bigrams: PMI = ln(c12·Nb / (c1•·c•2)) with every count exact (the
     * bigram total and both directional marginals), min support 5, ranked

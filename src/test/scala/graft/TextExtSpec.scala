@@ -14,6 +14,25 @@ class TextExtSpec extends AnyFunSuite {
   private def hash60(s: String): Long =
     java.lang.Long.parseLong(ops.TextFns.md5Hex(s).substring(0, 15), 16)
 
+  test("distinct-n diversity: hand fixture exact; real rows bounded") {
+    import spark.implicits._
+    val docs = Seq(("s0", "a a a"), ("s0", "a b c")).toDF("source", "text")
+    val got = ops.TextOps.distinctNgrams(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // unigrams: 6 total, {a,b,c} distinct; bigrams: (a,a)x2,(a,b),(b,c).
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 3L, 4L, 3L)), r.toString)
+    assert(r.getLong(5) == 500000L && r.getLong(6) == 750000L, r.toString)
+    ops.TextOps.qDistinctNgrams(spark, Sf).collect().foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1) && row.getLong(4) <= row.getLong(3))
+      assert(row.getLong(5) <= 1000000L && row.getLong(6) <= 1000000L)
+      // distinct-2 >= distinct-1 share is the natural-text signature
+      // (bigram space is sparser); holds on every fixture source.
+      assert(row.getLong(6) >= row.getLong(5), row.toString)
+    }
+  }
+
   test("vocab coverage: token mass conserved, oov bounded") {
     val rows = ops.TextOps.qVocabCoverage(spark, Sf).collect()
     val total = graft.Tables.documents(spark, Sf)
