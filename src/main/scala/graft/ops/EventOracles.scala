@@ -541,6 +541,39 @@ object EventOracles {
         |       ewma_num // ewma_den AS ewma_c
         |FROM s ORDER BY user_id, ts_us, event_id""".stripMargin,
 
+    // Mirrors GraphOps.qLpaCommunities: 3 UNROLLED synchronous LPA
+    // rounds (the q_pagerank unrolling precedent) over the >=2-basket
+    // co-purchase graph; per round, argmax neighbor label with
+    // (count DESC, lbl ASC) row_number = Spark's max_by struct
+    // tie-break. adj/l3 MATERIALIZED: each round references adj and the
+    // prior level, so default inlining re-derives the basket self-join
+    // per level.
+    "q_lpa_communities" -> {
+      val steps = (1 to 3).map { i =>
+        val p = i - 1
+        s"""l$i AS ${if (i == 3) "MATERIALIZED " else ""}(
+           |  SELECT a AS node, lbl FROM (
+           |    SELECT v.a, v.lbl,
+           |           row_number() OVER (PARTITION BY v.a
+           |             ORDER BY v.c DESC, v.lbl ASC) AS rn
+           |    FROM (SELECT adj.a, p.lbl, count(*) AS c
+           |          FROM adj JOIN l$p p ON adj.b = p.node
+           |          GROUP BY 1, 2) v) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
+         |pp AS (
+         |  SELECT a.p AS p1, b.p AS p2
+         |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM pp
+         |                     UNION ALL SELECT p2, p1 FROM pp),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM adj),
+         |$steps,
+         |sizes AS (SELECT lbl, count(*) AS community_n FROM l3 GROUP BY 1)
+         |SELECT node, lbl AS community, community_n
+         |FROM l3 JOIN sizes USING (lbl) ORDER BY node""".stripMargin
+    },
+
     // Mirrors GraphOps.qShortestPath: bounded-hop BFS layering as a
     // recursive CTE — UNION-dedup'd (node, dist) pairs with the hop cap,
     // min(dist) per node collapses to the BFS distance.

@@ -275,11 +275,62 @@ object GraphOps {
     out
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007): l₀(v) = v; each round every node adopts the most frequent
+    * label among its NEIGHBORS, ties to the smallest label; a FIXED
+    * `iters` rounds keeps the schedule deterministic and the oracle
+    * unrollable (async LPA is visitation-order-dependent by
+    * construction — useless against an oracle and non-reproducible
+    * across cluster sizes). Per round: one equi-join of the symmetrized
+    * adjacency to the (node, long) label relation, a (node, lbl) count,
+    * and a `max_by` struct argmax — O(edges) shuffled rows per round,
+    * no window over the graph; same persist-materialize-release
+    * round lifecycle as [[shortestPaths]].
+    */
+  def lpaCommunities(und: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .graftCached
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .graftCached
+    (1 to iters).foreach { _ =>
+      val next = sym
+        .join(labels.select(col("node").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max_by(col("lbl"),
+          struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
+        .select(col("a").as("node"), col("lbl"))
+        .graftCached
+      next.count() // materialize before releasing the parent round
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Driver row: LPA communities of the ≥2-basket co-purchase graph
+    * after 3 synchronous rounds — (node, community label) per node plus
+    * the community size attached by a tiny self-aggregate join.
+    */
+  def qLpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir, minOrders = 2).graftCached
+    val labels = lpaCommunities(edges, iters = 3)
+    edges.unpersist()
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_n"))
+    labels.join(broadcast(sizes), Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("community_n"))
+      .orderBy(col("node"))
+  }
+
   /** Undirected co-purchase edges `(u, v)` with `u < v`: parts sharing at
     * least `minOrders` order baskets. Basket-co-partitioned self-join,
     * per-order pair fan-out bounded by C(basket size, 2).
     */
-  private def copurchaseEdges(spark: SparkSession, dir: String,
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String,
                               minOrders: Int): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("p1"))

@@ -10,6 +10,35 @@ import org.scalatest.funsuite.AnyFunSuite
 class IndexGraphSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("LPA: two disjoint triangles each converge to their min label") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                  (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val out = ops.GraphOps.lpaCommunities(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L), out.toString)
+  }
+
+  test("LPA equals a driver-side synchronous reference run") {
+    val es = ops.GraphOps.copurchaseEdges(spark, Sf, minOrders = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val rows = ops.GraphOps.qLpaCommunities(spark, Sf).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl)
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)), r.toString))
+  }
+
   test("triangle count: known graph (K4 + pendant) has exactly 4 triangles") {
     import spark.implicits._
     // K4 over {1,2,3,4} (4 triangles) plus pendant edge 4-5 (no new ones).
