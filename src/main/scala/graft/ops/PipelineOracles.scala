@@ -570,6 +570,19 @@ object PipelineOracles {
         |FROM est, total
         |ORDER BY exact_cnt DESC, token ASC""".stripMargin,
 
+    // Mirrors TextOps.featureHash: shared md5 hash60 bucket map mod
+    // 1024; vec_md5 digests the bucket-ORDERED pairs (numeric order —
+    // Spark sorts the (bucket, c) structs, not the rendered strings).
+    "q_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |      FROM t),
+        |c AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       md5(string_agg(bucket || ':' || c, ',' ORDER BY bucket)) AS vec_md5
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Mirrors TextOps.distinctNgrams: per-source distinct-1/distinct-2
     // shares in exact ppm; bigrams are the q_bigram_lm adjacent pairs.
     "q_distinct_ngrams" ->

@@ -752,6 +752,33 @@ object TextOps {
   def qDistinctNgrams(spark: SparkSession, dir: String): DataFrame =
     distinctNgrams(documents(spark, dir))
 
+  /** Feature-hashed bag-of-words vectorizer (HashingTF; Weinberger et
+    * al. 2009): token → bucket `hash60("fh:" + token) % 1024`, per-doc
+    * sparse count vector summarized as (nnz, n_tokens, vec_md5) where
+    * vec_md5 digests the bucket-ordered `bucket:count` pairs — the
+    * fixed-dimension feature-extraction step of a classical ML pipeline,
+    * with the digest making the WHOLE vector oracle-checkable without
+    * materializing 1024 columns. Two hash aggregates ((doc, bucket)
+    * then doc); the in-row struct sort runs over ≤1024 entries.
+    * Collisions are the scheme's documented tradeoff — both engines
+    * share the md5 bucket map, so they collide identically.
+    */
+  def featureHash(docs: DataFrame, dim: Int = 1024): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.toks).as("w"))
+      .select(col("doc_id"),
+              (TextFns.hash60(concat(lit("fh:"), col("w"))) % dim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"), sum(col("c")).as("n_tokens"),
+           md5(concat_ws(",", expr(
+             "transform(array_sort(collect_list(struct(bucket, c))), " +
+               "s -> concat(s.bucket, ':', s.c))"))).as("vec_md5"))
+      .orderBy(col("doc_id"))
+
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    featureHash(documents(spark, dir))
+
   /** Top-20 collocations by pointwise mutual information over corpus
     * bigrams: PMI = ln(c12·Nb / (c1•·c•2)) with every count exact (the
     * bigram total and both directional marginals), min support 5, ranked

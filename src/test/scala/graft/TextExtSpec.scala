@@ -14,6 +14,27 @@ class TextExtSpec extends AnyFunSuite {
   private def hash60(s: String): Long =
     java.lang.Long.parseLong(ops.TextFns.md5Hex(s).substring(0, 15), 16)
 
+  test("feature hash: hand fixture matches a driver-computed vector digest") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b a")).toDF("doc_id", "text")
+    def bucket(w: String): Long = hash60("fh:" + w) % 1024
+    val (ba, bb) = (bucket("a"), bucket("b"))
+    assert(ba != bb, "fixture needs collision-free tokens")
+    val pairs = Seq(ba -> 2L, bb -> 1L).sortBy(_._1)
+      .map { case (b, c) => s"$b:$c" }.mkString(",")
+    val expectMd5 = ops.TextFns.md5Hex(pairs)
+    val r = ops.TextOps.featureHash(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((7L, 2L, 3L, expectMd5)), r.toString)
+    // Real rows: nnz bounded by dim and token count, mass conserved.
+    val total = graft.Tables.documents(spark, Sf)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val rows = ops.TextOps.qFeatureHash(spark, Sf).collect()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r2 => assert(r2.getLong(1) <= 1024 &&
+      r2.getLong(1) <= r2.getLong(2), r2.toString))
+  }
+
   test("distinct-n diversity: hand fixture exact; real rows bounded") {
     import spark.implicits._
     val docs = Seq(("s0", "a a a"), ("s0", "a b c")).toDF("source", "text")
