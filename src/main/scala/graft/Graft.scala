@@ -281,6 +281,55 @@ object Graft {
   def vstoreCompact(spark: SparkSession, dir: String, key: String): Int =
     ops.VersionedStore.compact(spark, dir, key)
 
+  // retrieval serving: reranking, fusion, mining, monitoring
+  /** Maximal-marginal-relevance diversified rerank of the relevance
+    * top-`pool` ([[ops.SimilarityOps.mmrRerank]]). */
+  def mmrRerank(embs: DataFrame, queryPred: Column, pool: Int = 40,
+                k: Int = 10, lambda: Double = 0.5): DataFrame =
+    ops.SimilarityOps.mmrRerank(embs, queryPred, pool, k, lambda)
+  /** BM25 × dense reciprocal-rank fusion in exact-integer ppb
+    * ([[ops.SimilarityOps.hybridRrf]]). */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+                queryVecId: Long, poolK: Int = 20, k: Int = 10): DataFrame =
+    ops.SimilarityOps.hybridRrf(docs, embs, terms, queryVecId, poolK, k)
+  /** Top-k most-similar vectors with a DIFFERENT label — contrastive
+    * hard-negative mining ([[ops.SimilarityOps.hardNegatives]]). */
+  def hardNegatives(embs: DataFrame, queryPred: Column, k: Int = 5): DataFrame =
+    ops.SimilarityOps.hardNegatives(embs, queryPred, k)
+  /** PSI drift of a delta slice vs the base corpus over the IVF cell
+    * histogram ([[ops.SimilarityOps.embeddingDrift]]). */
+  def embeddingDrift(embs: DataFrame, deltaPred: Column,
+                     numCentroids: Int = 16): DataFrame =
+    ops.SimilarityOps.embeddingDrift(embs, deltaPred, numCentroids)
+
+  // durable ANN index (KeyedStore-backed IVF-PQ; [[ops.AnnIndexOps]])
+  def annIndexBuild(spark: SparkSession, name: String, embs: DataFrame,
+                    numCentroids: Int = 16, nassign: Int = 2,
+                    targetRowsPerRegion: Long = 512): Unit =
+    ops.AnnIndexOps.buildIndex(spark, name, embs, numCentroids, nassign,
+      targetRowsPerRegion)
+  def annIndexAppend(spark: SparkSession, name: String, newEmbs: DataFrame,
+                     nassign: Int = 2): Unit =
+    ops.AnnIndexOps.appendBatch(spark, name, newEmbs, nassign)
+  def annIndexServe(spark: SparkSession, name: String, corpus: DataFrame,
+                    queryPred: Column, nprobe: Int = 4, k: Int = 10,
+                    expand: Int = 4): DataFrame =
+    ops.AnnIndexOps.serve(spark, name, corpus, queryPred, nprobe, k, expand)
+
+  // graph communities, text features, governance
+  /** Synchronous LPA communities, fixed deterministic rounds
+    * ([[ops.GraphOps.lpaCommunities]]). */
+  def lpaCommunities(und: DataFrame, iters: Int = 3): DataFrame =
+    ops.GraphOps.lpaCommunities(und, iters)
+  /** Per-source distinct-1/distinct-2 generation diversity in exact ppm
+    * ([[ops.TextOps.distinctNgrams]]). */
+  def distinctNgrams(docs: DataFrame): DataFrame =
+    ops.TextOps.distinctNgrams(docs)
+  /** Feature-hashed bag-of-words with an oracle-checkable vector digest
+    * ([[ops.TextOps.featureHash]]). */
+  def featureHash(docs: DataFrame, dim: Int = 1024): DataFrame =
+    ops.TextOps.featureHash(docs, dim)
+
   // per-key top-k via the custom physical operator (requires extensions)
   def topKPerKey(df: DataFrame, key: Column, order: Column,
                  tiebreak: Column, k: Int): DataFrame =

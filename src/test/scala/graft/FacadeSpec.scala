@@ -100,6 +100,31 @@ class FacadeSpec extends AnyFunSuite {
     Graft.keyedDrop(spark, name)
   }
 
+  test("retrieval/governance facade methods dispatch to their operators") {
+    import spark.implicits._
+    // LPA: the hand-traced two-triangle fixture, via the facade.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                  (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val lpa = Graft.lpaCommunities(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // Drift: a verbatim-copy delta is exactly zero PSI, via the facade.
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(4)(j => (math.cos(i * 3 + j) * 10).toFloat))
+    }
+    val embs = (base ++ base.map { case (i, v) => (i + 100L, v) })
+      .toDF("vec_id", "embedding")
+    val drift = Graft.embeddingDrift(embs,
+      org.apache.spark.sql.functions.col("vec_id") >= 100,
+      numCentroids = 2).collect()
+    assert(drift.forall(r => !r.isNullAt(3) && r.getLong(3) == 0L))
+    // Feature hash: digest parity with the op (same defaults).
+    val docs = Seq((1L, "x y x")).toDF("doc_id", "text")
+    assert(Graft.featureHash(docs).collect().toSeq ==
+      ops.TextOps.featureHash(docs).collect().toSeq)
+  }
+
   test("keyedMergeInto surfaces the fenced-writer contract to facade callers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, sum}
