@@ -49,7 +49,7 @@ object ScaleSmoke {
     (0 until factor).map { c =>
       docs.select(
         (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
-        col("lang"), col("n_chars"),
+        col("lang"), col("source"), col("n_chars"),
         (if (c == 0) col("text")
          else array_join(transform(split(col("text"), " "),
            w => concat(w, lit(s"_$c"))), " ")).as("text"))
@@ -136,6 +136,9 @@ object ScaleSmoke {
       time(s"embed_drift_$tag", dir)(d =>
         ops.SimilarityOps.qEmbeddingDrift(spark, d))
       time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
+      time(s"lpa_communities_$tag", dir)(d => ops.GraphOps.qLpaCommunities(spark, d))
+      time(s"feature_hash_$tag", dir)(d => ops.TextOps.qFeatureHash(spark, d))
+      time(s"distinct_ngrams_$tag", dir)(d => ops.TextOps.qDistinctNgrams(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
       time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))

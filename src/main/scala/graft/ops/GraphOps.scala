@@ -288,8 +288,13 @@ object GraphOps {
     * round lifecycle as [[shortestPaths]].
     */
   def lpaCommunities(und: DataFrame, iters: Int = 3): DataFrame = {
+    // Cached PRE-PARTITIONED on the join key: every round joins labels
+    // on b, and the cached partitioning means only the (node-sized)
+    // label side shuffles per round — the edge list shuffles once at
+    // build, not once per round.
     val sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("b"))
       .graftCached
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
