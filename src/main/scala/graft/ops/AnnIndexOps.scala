@@ -110,6 +110,31 @@ object AnnIndexOps {
     ()
   }
 
+  /** Delete a vector batch from the index: their posting keys are
+    * recomputed against the FROZEN stored codebook — the same pure
+    * function [[appendBatch]] inserts by, so the delete hits exactly
+    * the keys the append wrote — and removed via a [[KeyedStore
+    * .mergeInto]] whose merge is an anti-join (only regions covering
+    * the doomed keys rewrite; regions the delete empties are dropped).
+    * Codebook rows stay: a centroid is an immutable cell ANCHOR, not a
+    * member — cells anchored at a deleted vector keep serving their
+    * remaining members (offline rebuild re-draws anchors, same as for
+    * appends that drift the distribution). Idempotent by construction:
+    * re-deleting absent keys anti-joins to a no-op.
+    */
+  def deleteBatch(spark: SparkSession, name: String,
+                  embs: DataFrame, nassign: Int = 2): Unit = {
+    val cent = storedCodebook(spark, name)
+    val doomed = pqAssign(withInt8Codes(embs), cent, nassign)
+      .select(postingKey(col("c_id"), col("m_id")).as("row_key"))
+      .graftCached
+    // The returned full-table read is deliberately discarded (the
+    // store's read-isolation contract); reads go through scan.
+    KeyedStore.mergeInto(spark, name, "row_key", doomed,
+      (base, b) => base.join(b, Seq("row_key"), "left_anti"))
+    ()
+  }
+
   /** Serve a query batch off the stored index: quantize + route the
     * queries against the stored codebook, range-scan ONLY the probed
     * cells' posting lists, int8-coarse-score and float-rescore via the
@@ -174,6 +199,19 @@ object AnnIndexOps {
     val embs = embeddings(spark, dir)
     buildIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
     appendBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    serve(spark, name, embs, col("vec_id") < 5)
+  }
+
+  /** GDPR-shaped forget: build from the FULL corpus, delete the 10%
+    * slice's postings, serve — results rank only surviving members
+    * while routing through the unchanged full-corpus codebook (the
+    * oracle restricts ANN_PQ's member assignment, nothing else).
+    */
+  def qAnnIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_del_", dir)
+    val embs = embeddings(spark, dir)
+    buildIndex(spark, name, embs)
+    deleteBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
     serve(spark, name, embs, col("vec_id") < 5)
   }
 

@@ -211,6 +211,17 @@ object PipelineOracles {
     s
   }
 
+  /** Delete oracle: ANN_PQ with ONE change — member assignment excludes
+    * the deleted slice. Codebook, probes, and float rescore stay
+    * full-corpus: the Spark path deletes POSTING rows only, and serve
+    * routes through the unchanged stored codebook. */
+  private val AnnPqDelete = {
+    val s = ANN_PQ.replace("m_qv8, c_id FROM vc WHERE rn <= 2)",
+      "m_qv8, c_id FROM vc WHERE rn <= 2 AND vec_id % 10 <> 0)")
+    require(s != ANN_PQ, "ANN_PQ assign anchor moved — update the replace")
+    s
+  }
+
   /** Mirrors SimilarityOps.embeddingDrift (and its streaming twin
     * q_stream_drift): ANN_IVF's md5 codebook drawn from the BASE slice,
     * nearest-1 cell assignment of every vector, per-cell (p−q)·ln(p/q)
@@ -999,6 +1010,8 @@ object PipelineOracles {
     // regions) — serving over the compacted index equals the
     // incremental result by construction.
     "q_ann_index_rebalance" -> AnnPqIncremental,
+
+    "q_ann_index_delete" -> AnnPqDelete,
 
     // Streaming twin of the incremental index: the delta drains as
     // AvailableNow micro-batches through appendBatch (insert-only,

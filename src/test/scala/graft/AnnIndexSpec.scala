@@ -99,6 +99,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("deleteBatch removes exactly the slice's postings, keeps the codebook, " +
+       "and re-deleting is a no-op") {
+    val name = "graft_ann_del_spec"
+    val embs = Tables.embeddings(spark, Sf)
+    AnnIndexOps.buildIndex(spark, name, embs)
+    val deletedIds = embs.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val preCodebook = KeyedStore.scan(spark, name, "row_key", "b", "bz")
+      .collect().map(_.toString).sorted.toSeq
+    AnnIndexOps.deleteBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    def postings() = KeyedStore.scan(spark, name, "row_key", "c", "cz")
+      .select(col("m_id")).collect().map(_.getLong(0))
+    val after = postings()
+    assert(after.nonEmpty && !after.exists(deletedIds), "deleted ids survive")
+    assert(KeyedStore.scan(spark, name, "row_key", "b", "bz")
+      .collect().map(_.toString).sorted.toSeq == preCodebook,
+      "delete must not touch codebook rows")
+    val once = after.sorted.toSeq
+    AnnIndexOps.deleteBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    assert(postings().sorted.toSeq == once, "re-delete changed the store")
+  }
+
   test("appendBatch replay is a content no-op (the exactly-once audit)") {
     val name = "graft_ann_idx_replay"
     val embs = Tables.embeddings(spark, Sf)
