@@ -321,6 +321,10 @@ object Graft {
     * ([[ops.GraphOps.lpaCommunities]]). */
   def lpaCommunities(und: DataFrame, iters: Int = 3): DataFrame =
     ops.GraphOps.lpaCommunities(und, iters)
+  /** Fixed-round k-core peel with edge-count early stop
+    * ([[ops.GraphOps.kCore]]). */
+  def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame =
+    ops.GraphOps.kCore(und, k, rounds)
   /** Per-source distinct-1/distinct-2 generation diversity in exact ppm
     * ([[ops.TextOps.distinctNgrams]]). */
   def distinctNgrams(docs: DataFrame): DataFrame =

@@ -574,6 +574,33 @@ object EventOracles {
          |FROM l3 JOIN sizes USING (lbl) ORDER BY node""".stripMargin
     },
 
+    // Mirrors GraphOps.qKcore: 3 UNROLLED synchronous peel rounds (the
+    // q_lpa_communities precedent) over the >=2-basket co-purchase
+    // graph — each level keeps edges whose BOTH endpoints had degree
+    // >= 3 in the previous level. e0/e1/e2/e3 MATERIALIZED: every level
+    // references its predecessor 3x (two IN-subqueries + the projection),
+    // so default inlining re-derives the basket self-join 3^level times.
+    "q_kcore" -> {
+      val peels = (1 to 3).map { i =>
+        val p = i - 1
+        s"""d$i AS (SELECT node, count(*) AS d FROM (
+           |  SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
+           |e$i AS MATERIALIZED (
+           |  SELECT u, v FROM e$p
+           |  WHERE u IN (SELECT node FROM d$i WHERE d >= 3)
+           |    AND v IN (SELECT node FROM d$i WHERE d >= 3))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$peels
+         |SELECT node, count(*) AS core_deg FROM (
+         |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
     // Mirrors GraphOps.qShortestPath: bounded-hop BFS layering as a
     // recursive CTE — UNION-dedup'd (node, dist) pairs with the hop cap,
     // min(dist) per node collapses to the BFS distance.

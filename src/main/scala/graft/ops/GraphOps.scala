@@ -331,6 +331,64 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** k-core peel (Seidman 1983): `rounds` synchronous rounds of dropping
+    * every node whose degree in the CURRENT subgraph is below `k`, the
+    * standard spam/bot-farm and low-engagement filter a web-graph corpus
+    * curation pass runs before sampling. A FIXED round count keeps the
+    * schedule deterministic and the oracle unrollable (the [[
+    * lpaCommunities]] precedent); peeling a converged graph is a no-op,
+    * so the early stop below (edge-count fixpoint — a node can only
+    * leave by losing an edge, so stable edges ⇒ stable nodes) can never
+    * disagree with the oracle's full unroll. Per round: one endpoint
+    * count (partial-aggregated) and two semi-joins of the edge relation
+    * against the surviving node set — O(edges) shuffled rows per round,
+    * no window over the graph; same persist-materialize-release round
+    * lifecycle as [[shortestPaths]]. Output: each surviving node with
+    * its degree inside the final core subgraph.
+    */
+  def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = und.select(col("u"), col("v")).graftCached
+    var prevEdges = edges.count() // materialize + the round-0 fixpoint base
+    var converged = false
+    (1 to rounds).foreach { _ =>
+      if (!converged) {
+        val alive = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("node"))
+        val next = edges
+          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .graftCached
+        val n = next.count() // materialize before releasing the parent
+        edges.unpersist()
+        edges = next
+        converged = n == prevEdges
+        prevEdges = n
+      }
+    }
+    val out = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .graftCached
+    out.count()
+    edges.unpersist()
+    out
+  }
+
+  /** Driver row: 3-round 3-core peel of the ≥2-basket co-purchase graph.
+    * At sf0.01 every round removes real mass (the fixpoint is deeper
+    * than 3 rounds — deliberate: the operator is the fixed-round BSP
+    * schedule, production runs raise `rounds` and let the early stop
+    * finish the tail); the sf0.001 fixture graph is already min-degree-3
+    * so the peel is a verified no-op there.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    kCore(copurchaseEdges(spark, dir, minOrders = 2), k = 3, rounds = 3)
+      .orderBy(col("node"))
+
   /** Undirected co-purchase edges `(u, v)` with `u < v`: parts sharing at
     * least `minOrders` order baskets. Basket-co-partitioned self-join,
     * per-order pair fan-out bounded by C(basket size, 2).

@@ -39,6 +39,35 @@ class IndexGraphSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)), r.toString))
   }
 
+  test("k-core: triangle + pendant chain peels to the triangle in 2 rounds") {
+    import spark.implicits._
+    // Triangle {1,2,3} plus chain 3-4-5: round 1 drops 5 (deg 1), round 2
+    // drops 4 (its degree fell to 1 when 5 left) — the cascade a
+    // single-pass degree filter misses; round 3 is the no-op fixpoint.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val out = ops.GraphOps.kCore(und, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), out.toString)
+  }
+
+  test("k-core: early stop at the fixpoint — extra rounds change nothing") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val r3 = ops.GraphOps.kCore(und, k = 2, rounds = 3).collect()
+      .map(_.toString).sorted.toSeq
+    val r10 = ops.GraphOps.kCore(und, k = 2, rounds = 10).collect()
+      .map(_.toString).sorted.toSeq
+    assert(r3 == r10)
+  }
+
+  test("k-core: a tree has an empty 2-core") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(ops.GraphOps.kCore(und, k = 2, rounds = 4).count() == 0L)
+  }
+
   test("triangle count: known graph (K4 + pendant) has exactly 4 triangles") {
     import spark.implicits._
     // K4 over {1,2,3,4} (4 triangles) plus pendant edge 4-5 (no new ones).
