@@ -113,6 +113,15 @@ object Graft {
                expand: Int = 4): DataFrame =
     ops.SimilarityOps.annIvfPq(embs, queryPred, numCentroids, nassign,
       nprobe, k, expand)
+  /** Metadata-filtered vector search: [[annIvfPq]] constrained to
+    * neighbors sharing the query's `label`, pre-filtered before the
+    * candidate cut ([[ops.SimilarityOps.annIvfPqFiltered]]). */
+  def annIvfPqFiltered(embs: DataFrame, queryPred: Column,
+                       numCentroids: Int = 16, nassign: Int = 2,
+                       nprobe: Int = 4, k: Int = 10,
+                       expand: Int = 4): DataFrame =
+    ops.SimilarityOps.annIvfPqFiltered(embs, queryPred, numCentroids,
+      nassign, nprobe, k, expand)
   /** All-vectors kNN edge relation via multiprobe sign-LSH. */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame =

@@ -199,6 +199,54 @@ object PipelineOracles {
         |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Filtered-search oracle: ANN_PQ verbatim except (a) `e` carries the
+    * label column and (b) the coarse join requires member label ==
+    * query label — BEFORE the crank<=40 cut, mirroring the pre-filter
+    * placement in SimilarityOps.annIvfPqFiltered. Codebook, probes,
+    * and rescore are unchanged. */
+  private val AnnPqFiltered =
+    """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |m0 AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+        |e AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm,
+        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
+        |      FROM m0 WHERE amax > 0),
+        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |vc AS (
+        |  SELECT e.vec_id, e.label, e.qv8, cent.c_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+        |                    cent.c_id ASC) AS rn
+        |  FROM e CROSS JOIN cent),
+        |assign AS (SELECT vec_id AS m_id, label AS m_label, qv8 AS m_qv8, c_id
+        |           FROM vc WHERE rn <= 2),
+        |probes AS (SELECT vec_id AS q_id, label AS q_label, qv8 AS q_qv8, c_id FROM vc
+        |           WHERE vec_id < 5 AND rn <= 4),
+        |coarse AS (
+        |  SELECT p.q_id, a.m_id,
+        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
+        |  FROM probes p JOIN assign a
+        |    ON a.c_id = p.c_id AND a.m_id <> p.q_id AND a.m_label = p.q_label
+        |  GROUP BY p.q_id, a.m_id),
+        |cand AS (
+        |  SELECT q_id, m_id FROM (
+        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY iscore DESC, m_id ASC) AS crank
+        |    FROM coarse) WHERE crank <= 40),
+        |rescored AS (
+        |  SELECT cd.q_id, cd.m_id,
+        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
+        |  FROM cand cd
+        |  JOIN e t ON t.vec_id = cd.m_id
+        |  JOIN e q ON q.vec_id = cd.q_id),
+        |ranked AS (
+        |  SELECT q_id, m_id, c,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY c DESC, m_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Incremental-index oracle: ANN_PQ with ONE change — the codebook
     * draws from the 90% base slice only. The Spark path builds from
     * base, FREEZES the codebook, and appends the delta batch against
@@ -996,6 +1044,7 @@ object PipelineOracles {
     "q_ann_quantized_rescore" -> ANN_QR,
 
     "q_ann_ivf_pq" -> ANN_PQ,
+    "q_ann_filtered" -> AnnPqFiltered,
 
     // Store-served index (AnnIndexOps): same stages as annIvfPq with the
     // codebook + postings persisted in a KeyedStore between build and

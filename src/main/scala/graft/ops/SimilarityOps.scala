@@ -670,9 +670,14 @@ object SimilarityOps {
     * `(vec_id, embedding, nrm)`; extra columns are projected away. */
   private[graft] def pqCoarseRescore(probes: DataFrame, members: DataFrame,
                                    floats: DataFrame, queryPred: Column,
-                                   k: Int, expand: Int): DataFrame = {
+                                   k: Int, expand: Int,
+                                   pairFilter: Column = lit(true)): DataFrame = {
+    // `pairFilter` (over extra probe-/member-side columns the caller
+    // attached) runs BEFORE the candidate cut: filtered search must
+    // truncate within the admissible set, or a selective filter starves
+    // the top-k out of the k·expand survivors ([[annIvfPqFiltered]]).
     val coarse = probes.join(members, Seq("c_id"))
-      .filter(col("m_id") =!= col("q_id"))
+      .filter(col("m_id") =!= col("q_id") && pairFilter)
       .withColumn("iscore", int8Dot("m_qv8", "q_qv8"))
       .groupBy(col("q_id"), col("m_id"))
       .agg(max(col("iscore")).as("iscore"))
@@ -698,6 +703,40 @@ object SimilarityOps {
 
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
     annIvfPq(embeddings(spark, dir), col("vec_id") < 5)
+
+  /** Filtered vector search — [[annIvfPq]] constrained to neighbors
+    * sharing the query's `label`, the metadata-predicate retrieval every
+    * production vector store serves ("nearest within this tenant /
+    * language / shard"). The constraint is PRE-FILTERED at the candidate
+    * stage: member labels ride the posting rows into the coarse join and
+    * the label-mismatched pairs drop BEFORE the k·expand truncation
+    * (post-filtering a top-k under-fills it by ~the filter's selectivity
+    * — with 10 uniform labels, ~9 of every 10 survivors would be culled
+    * after the cut). At scale the label is a stored posting-list column
+    * (exactly as qv8 is in [[AnnIndexOps]]), so the pre-filter costs
+    * zero extra IO; here the attach is one co-partitioned equi-join on
+    * m_id. The query side is a broadcast of the (tiny) filtered query
+    * batch's labels.
+    */
+  def annIvfPqFiltered(embs: DataFrame, queryPred: Column,
+                       numCentroids: Int = 16, nassign: Int = 2,
+                       nprobe: Int = 4, k: Int = 10,
+                       expand: Int = 4): DataFrame = {
+    val eq = withInt8Codes(embs).graftCached
+    val cent = pqCodebook(eq, numCentroids).graftCached
+    val members = pqAssign(eq, cent, nassign)
+      .join(embs.select(col("vec_id").as("m_id"), col("label").as("m_label")),
+            Seq("m_id"))
+    val probes = pqProbes(eq, queryPred, cent, nprobe)
+      .join(broadcast(embs.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))),
+        Seq("q_id"))
+    pqCoarseRescore(probes, members, eq, queryPred, k, expand,
+      pairFilter = col("m_label") === col("q_label"))
+  }
+
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqFiltered(embeddings(spark, dir), col("vec_id") < 5)
 
   private[ops] case class MmrCand(q_id: Long, m_id: Long, rel: Double,
                                   embedding: Seq[Float], nrm: Double)

@@ -93,6 +93,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rPq >= 0.3, s"IVF-PQ recall@10 too low: $rPq")
   }
 
+  test("filtered search: every neighbor shares the query's label, k fills, " +
+       "and recall vs label-restricted brute force clears the floor") {
+    val labels = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = ops.SimilarityOps.qAnnFiltered(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(2)} label mismatch vs query ${r.getLong(0)}")
+    }
+    val byQ = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    // Pre-filtering before the candidate cut keeps k full on fixtures
+    // (~45 admissible members per label; a post-filtered top-k would
+    // hold ~1 of 10).
+    byQ.foreach { case (q, ns) => assert(ns.size == 10, s"query $q under-filled") }
+    // Exact same-label top-10, driver-side, double cosine.
+    val e = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      s / math.sqrt(na * nb)
+    }
+    val recalls = e.filter(_._1 < 5).map { case (q, qv, ql) =>
+      val truth = e.filter(t => t._1 != q && t._3 == ql)
+        .map(t => (cos(qv, t._2), t._1)).sortBy { case (c, id) => (-c, id) }
+        .take(10).map(_._2).toSet
+      byQ.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    // Cell routing bounds recall exactly as in plain IVF-PQ (the label
+    // filter removes ~90% of candidates but also ~90% of the truth set's
+    // competitors); random 10-of-~45 same-label picks would score ~0.22.
+    assert(mean >= 0.35, s"mean filtered recall@10 too low: $mean")
+  }
+
   test("MMR rank-1 is the relevance argmax; picks are distinct pool members") {
     val bf1 = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
       .filter(col("rank") === 1).collect()
