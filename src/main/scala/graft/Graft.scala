@@ -289,6 +289,11 @@ object Graft {
     * version, or 0 if nothing needed packing. */
   def vstoreCompact(spark: SparkSession, dir: String, key: String): Int =
     ops.VersionedStore.compact(spark, dir, key)
+  /** Rollback-as-commit to an earlier version — zero data rewrite, the
+    * target's manifest republished as version N+1; history stays
+    * time-travel-readable ([[ops.VersionedStore.restore]]). */
+  def vstoreRestore(dir: String, toVersion: Int): Int =
+    ops.VersionedStore.restore(dir, toVersion)
 
   // retrieval serving: reranking, fusion, mining, monitoring
   /** Maximal-marginal-relevance diversified rerank of the relevance

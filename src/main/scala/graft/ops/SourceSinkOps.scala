@@ -1066,6 +1066,39 @@ object SourceSinkOps {
       java.nio.file.Paths.get(tmp))
   }
 
+  /** RESTORE — rollback-as-commit ([[VersionedStore.restore]]): after
+    * the v2 change set, roll the table back to v1 as version 3 (zero
+    * data rewrite — v3's manifest is v1's chunk list shared verbatim)
+    * and prove it three ways in one result: the per-version summaries
+    * (v3's row must EQUAL v1's), v2 still time-travel-readable after
+    * the restore (rollback preserves history), and the v3-vs-v1 diff
+    * empty (`n_diff_rows = 0` via two anti-joins, the symmetric
+    * difference).
+    */
+  def qVstoreRestore(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = twoSnapshotStore(spark, dir)
+    try {
+      val v3 = VersionedStore.restore(tmp, toVersion = 1)
+      def summary(version: Int) = VersionedStore.asOf(spark, tmp, version)
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("o_orderkey")).as("n_keys"),
+             sum(col("cents")).as("tot_c"))
+        .select(lit(version).as("version"), col("n_rows"), col("n_keys"),
+                col("tot_c"))
+      val s1 = VersionedStore.asOf(spark, tmp, 1)
+      val s3 = VersionedStore.asOf(spark, tmp, v3)
+      val diff = s1.exceptAll(s3).unionAll(s3.exceptAll(s1))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(99).as("version"), col("n_rows"),
+                lit(0L).as("n_keys"), lit(0L).as("tot_c"))
+      summary(1).unionByName(summary(2)).unionByName(summary(v3))
+        .unionByName(diff)
+        .orderBy(col("version"))
+        .localCheckpoint()
+    } finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(tmp))
+  }
+
   /** Snapshot diff — the CDC/incremental-consumption read between two
     * [[VersionedStore]] versions: per change class (added / removed /
     * updated / unchanged), row count and exact net value delta, off ONE

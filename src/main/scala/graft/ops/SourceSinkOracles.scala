@@ -352,6 +352,29 @@ object SourceSinkOracles {
         |FROM v2
         |ORDER BY version""".stripMargin,
 
+    // Mirrors SourceSinkOps.qVstoreRestore: v3 = restore-to-v1, so its
+    // summary row repeats v1's; version 99 is the v3-vs-v1 symmetric
+    // difference, zero by construction.
+    "q_vstore_restore" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |v2 AS (
+        |  SELECT k, cents + 111 AS cents FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, cents FROM base WHERE k % 3 = 2
+        |  UNION ALL SELECT k + 1, cents + 7 FROM base WHERE k % 3 = 2)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |       count(DISTINCT k) AS n_keys, CAST(sum(cents) AS BIGINT) AS tot_c
+        |FROM base
+        |UNION ALL
+        |SELECT 2, count(*), count(DISTINCT k), CAST(sum(cents) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), count(DISTINCT k), CAST(sum(cents) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 99, 0, 0, 0
+        |ORDER BY version""".stripMargin,
+
     // Mirrors SourceSinkOps.qSnapshotDiff over the same two snapshots.
     "q_snapshot_diff" ->
       """WITH base AS (

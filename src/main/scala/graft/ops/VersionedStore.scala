@@ -679,6 +679,47 @@ object VersionedStore {
     at.map(_._1).max
   }
 
+  /** RESTORE — the lakehouse rollback verb (Delta `RESTORE TABLE ...
+    * VERSION AS OF`): publish a NEW version whose manifest is
+    * `toVersion`'s chunk list verbatim. Zero data rewrite and O(list)
+    * metadata work at any table size — the restored snapshot's leaves
+    * and chunk files are SHARED, which is precisely what file-
+    * granularity copy-on-write buys (an engine that restored by
+    * re-writing rows would pay O(table)). Rollback-as-commit, not
+    * history rewrite: every pre-restore version (including the one
+    * being rolled back) stays time-travel-readable until [[vacuum]],
+    * the restore shows up in CDC diffs like any commit, and [[vacuum]]
+    * keeps the shared files live because liveness is derived from
+    * surviving manifests, not version order. Publishes optimistically
+    * like [[commit]] (a racing committer wins version N+1; restore
+    * re-reads and retries — the restored CONTENT is version-pinned, so
+    * retries republish the same list). Legacy flat manifests are
+    * chunk-converted on the way through, exactly as [[commit]] does.
+    */
+  def restore(dir: String, toVersion: Int): Int = {
+    val (_, chunkTarget) = readMeta(dir)
+    var attempt = 0
+    while (attempt < MaxPublishRetries) {
+      val cur = currentVersion(dir)
+      require(toVersion >= 1 && toVersion <= cur,
+        s"VersionedStore.restore: version $toVersion not in [1, $cur] at $dir")
+      val mf = manifestFile(dir, toVersion)
+      if (!Files.exists(mf))
+        throw new IllegalArgumentException(
+          s"VersionedStore.restore: version $toVersion already vacuumed at $dir")
+      val refs = readListRefs(mf).getOrElse(
+        packChunks(dir, readManifestFile(dir, mf), chunkTarget).toIndexedSeq)
+      try {
+        publishList(dir, cur + 1, refs)
+        return cur + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"VersionedStore.restore: lost the publish race $attempt times at $dir")
+  }
+
   /** Test hook: `version`'s chunk refs as sorted (minH, maxH, entries)
     * — None for a legacy flat manifest. Pins the disjoint-sorted-chunk
     * invariant that [[commit]]'s two-level routing assumes.

@@ -128,6 +128,47 @@ class VersionedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("restore: rollback-as-commit shares v1's manifest verbatim, keeps " +
+       "history, and the store keeps committing on top") {
+    val dir = freshDir()
+    val base = (1L to 200L).map(k => (k, k * 10)).toDF("k", "v")
+    ops.VersionedStore.init(spark, dir, base, "k", targetRowsPerFile = 16)
+    ops.VersionedStore.commit(spark, dir,
+      (2L to 200L by 2).map(k => (k, "U", k * 100)).toDF("k", "op", "v"), "k")
+    val leavesBefore = leafDirs(dir)
+    val v3 = ops.VersionedStore.restore(dir, toVersion = 1)
+    assert(v3 == 3)
+    // Zero data rewrite: the restore wrote no new leaf directory, and
+    // v3's chunk list IS v1's.
+    assert(leafDirs(dir) == leavesBefore, "restore must not write data")
+    assert(ops.VersionedStore.chunkRangesOf(dir, 3) ==
+           ops.VersionedStore.chunkRangesOf(dir, 1))
+    // Content: v3 == v1; v2 still time-travel-readable (history kept).
+    val v1 = ops.VersionedStore.asOf(spark, dir, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ops.VersionedStore.asOf(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == v1)
+    val v2 = ops.VersionedStore.asOf(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(v2(2L) == 200L, "v2 must still show the rolled-back update")
+    // The store is fully live after a restore: a commit lands as v4 on
+    // the RESTORED content.
+    ops.VersionedStore.commit(spark, dir,
+      Seq((1L, "U", 777L)).toDF("k", "op", "v"), "k")
+    val v4 = ops.VersionedStore.asOf(spark, dir, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(v4(1L) == 777L && v4(2L) == 20L,
+      "v4 must stack on the restored (v1) content, not on v2")
+    // Vacuum derives liveness from surviving manifests: dropping the
+    // old versions keeps the restored snapshot's shared files live.
+    ops.VersionedStore.vacuum(dir, keepLast = 2)
+    assert(ops.VersionedStore.asOf(spark, dir, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == v4)
+    // Guard rails: out-of-range versions are rejected.
+    intercept[IllegalArgumentException](ops.VersionedStore.restore(dir, 0))
+    intercept[IllegalArgumentException](ops.VersionedStore.restore(dir, 99))
+  }
+
   test("compact: bin-packs shrunken leaves; rows identical; history intact") {
     val dir = freshDir()
     val base = (1L to 1000L).map(k => (k, k * 10)).toDF("k", "v")
