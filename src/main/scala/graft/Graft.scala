@@ -31,6 +31,11 @@ object Graft {
     ops.DedupOps.dedupClusters(pairs, maxIters)
   def dedupApply(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame =
     ops.DedupOps.dedupApply(docs, pairs, maxIters)
+  /** Quality-aware dedup apply: keep the highest-TTR member of each
+    * near-dup cluster ([[ops.DedupOps.dedupKeepBest]]). */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
+                    maxIters: Int = 20): DataFrame =
+    ops.DedupOps.dedupKeepBest(docs, pairs, maxIters)
   /** Edit-distance-1 term pairs via deletion-neighborhood equi-join.
     * `terms`: one `tok: STRING` column. */
   def fuzzyTermPairs(terms: DataFrame): DataFrame =

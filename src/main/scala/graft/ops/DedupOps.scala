@@ -645,6 +645,42 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware dedup apply — keep the BEST member of each near-dup
+    * cluster, not the min-id one: real curation keeps the highest-
+    * quality copy (the cleanest OCR, the least-truncated mirror) and
+    * drops the rest. Quality key = distinct-token ratio in exact ppm
+    * (`n_distinct · 10⁶ div n_tokens` — BIGINT on both engines, no
+    * float tie ambiguity), ties to the smallest doc_id via the max_by
+    * struct trick. Same cluster machinery as [[dedupApply]]
+    * ([[dedupClusters]] label propagation); the winner argmax is one
+    * aggregate over cluster members (cluster-sized, tiny next to the
+    * pair mining), and the final keep is an anti-join — the corpus is
+    * never shuffled on anything but doc_id.
+    */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
+                    maxIters: Int = 20): DataFrame = {
+    // Both cached: quality feeds the winner argmax AND the final attach;
+    // members feeds the argmax AND the dropped anti-join (un-persisted,
+    // each clone re-runs tokenization / the whole CC loop).
+    val quality = docs.withColumn("toks", TextFns.toks)
+      .select(col("doc_id"), expr(
+        "cast(size(array_distinct(toks)) as bigint) * 1000000 div size(toks)")
+        .as("ttr_ppm"))
+      .graftCached
+    val members = dedupClusters(pairs, maxIters).graftCached
+    val winners = members.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("ttr_ppm"), (-col("doc_id")).as("nd"))).as("doc_id"))
+    val dropped = members
+      .join(winners, Seq("cluster_id", "doc_id"), "left_anti")
+      .select(col("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("ttr_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -714,6 +750,11 @@ object DedupOps {
   def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     dedupApply(docs, ngramJaccardPairs(docs))
+  }
+
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    dedupKeepBest(docs, ngramJaccardPairs(docs))
   }
 
   /** Exact-substring duplication scan — the fixed-window approximation of

@@ -1232,6 +1232,38 @@ object PipelineOracles {
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
 
+    // Mirrors DedupOps.dedupKeepBest: per near-dup component keep the
+    // member with the highest distinct-token ratio (exact ppm BIGINT),
+    // ties to the smallest doc_id — the (ttr DESC, id ASC) row_number
+    // is Spark's max_by struct tie-break.
+    "q_dedup_keep_best" ->
+      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")}$HASHJ,
+         |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+         |),
+         |memb AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |         FROM r GROUP BY a),
+         |q AS (SELECT doc_id,
+         |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |          * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+         |      FROM documents),
+         |win AS (
+         |  SELECT doc_id FROM (
+         |    SELECT m.doc_id, row_number() OVER (PARTITION BY m.cluster_id
+         |             ORDER BY q.ttr_ppm DESC, m.doc_id ASC) AS rn
+         |    FROM memb m JOIN q USING (doc_id)) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT doc_id FROM memb
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM win))
+         |SELECT d.doc_id, d.lang, d.n_chars, q.ttr_ppm
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // NOTE (intentional asymmetry): the Spark side verifies candidate
     // pairs on 60-bit hash-set intersections (verifyByHashSets), while
     // this oracle intersects the shingle STRINGS — so a 60-bit collision

@@ -73,6 +73,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("dedupKeepBest keeps the highest-TTR cluster member, ties to min id, " +
+       "singletons untouched") {
+    import spark.implicits._
+    // Cluster {1,2,3}: doc 2 has the best distinct-token ratio (1.0)
+    // and must win over the min-id canonical dedupApply would keep.
+    // Cluster {10,11}: equal TTR — the tie goes to doc 10. Doc 9 is a
+    // singleton (no pair) and is always kept.
+    val docs = Seq(
+      (1L, "en", 7L, "a a a a"),        // ttr 250000
+      (2L, "en", 7L, "w x y z"),        // ttr 1000000
+      (3L, "en", 7L, "b b c c"),        // ttr 500000
+      (9L, "en", 3L, "solo doc"),
+      (10L, "en", 3L, "p q"),           // ttr 1000000
+      (11L, "en", 3L, "r s")            // ttr 1000000
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = ops.DedupOps.dedupKeepBest(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet == Set(2L, 9L, 10L), out.toString)
+    assert(out(2L) == 1000000L && out(10L) == 1000000L)
+  }
+
   test("embedding cosine near-dup: pairs ordered, cos >= 0.45, within label") {
     val rows = ops.DedupOps.qDedupEmbeddingCosine(spark, Sf).collect()
     rows.foreach { r =>
