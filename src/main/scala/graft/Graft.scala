@@ -344,6 +344,10 @@ object Graft {
     * ([[ops.GraphOps.kCore]]). */
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame =
     ops.GraphOps.kCore(und, k, rounds)
+  /** α=0.5 temperature-smoothed domain mixture plan in exact ppm
+    * ([[ops.TextOps.mixturePlan]]). */
+  def mixturePlan(docs: DataFrame): DataFrame =
+    ops.TextOps.mixturePlan(docs)
   /** Per-source distinct-1/distinct-2 generation diversity in exact ppm
     * ([[ops.TextOps.distinctNgrams]]). */
   def distinctNgrams(docs: DataFrame): DataFrame =

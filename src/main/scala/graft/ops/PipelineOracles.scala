@@ -1320,6 +1320,28 @@ object PipelineOracles {
     // Temperature-0.5 language rebalance: keep iff h²·n_l < 10¹²·n_min
     // (exact integers, HUGEINT products); flatness flag from exact
     // cross-multiplied rationals.
+    // Mirrors TextOps.mixturePlan: α=0.5 temperature mixture in exact
+    // integers — the isq CASE yields the true floor-sqrt on both
+    // engines; epochs cross-multiplied in HUGEINT (= Spark's
+    // DECIMAL(38,0)) before the floor division.
+    "q_mixture_plan" ->
+      """WITH per0 AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |per AS (
+        |  SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+        |                 WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS isq
+        |  FROM (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s0 FROM per0)),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |               CAST(sum(isq) AS BIGINT) AS tot_isq FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |       n_tokens * 1000000 // tot_tokens AS share_ppm,
+        |       isq * 1000000 // tot_isq AS smooth_ppm,
+        |       CAST((isq * 1000000 // tot_isq)::HUGEINT * tot_tokens // n_tokens
+        |            AS BIGINT) AS epochs_ppm
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
     "q_lang_rebalance" ->
       """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
         |mn AS (SELECT min(n_before) AS n_min FROM c),

@@ -275,6 +275,47 @@ object TextOps {
   def qLangRebalance(spark: SparkSession, dir: String): DataFrame =
     langRebalance(documents(spark, dir))
 
+  /** Temperature-smoothed domain mixture plan — the α = 0.5 sampling
+    * rule of the multilingual pretraining recipes (mBERT; Conneau &
+    * Lample 2019, XLM): sample source i with probability ∝ √tokensᵢ, so
+    * low-resource domains are boosted without letting any domain
+    * dominate. Everything is EXACT integer arithmetic: token counts by
+    * the shared whitespace tokenizer, √ via an integer-corrected
+    * `floor(sqrt(·))` (the two-sided adjustment makes the result the
+    * true ⌊√n⌋ even where the double rounds wrong — bit-identical on
+    * both engines), shares in ppm by BIGINT `div`, and the per-domain
+    * epoch factor (target tokens ÷ actual tokens, >10⁶ ppm means
+    * upsampling) cross-multiplied in DECIMAL(38,0) before the division
+    * so 100 TB token totals cannot overflow. One hash aggregate over
+    * the corpus + a broadcast single-row totals join — the planning
+    * pass costs one scan at any scale.
+    */
+  def mixturePlan(docs: DataFrame): DataFrame = {
+    // |sources| rows; referenced by the totals aggregate AND the final
+    // projection (un-persisted, each clone re-tokenizes the corpus).
+    val per = docs.withColumn("toks", TextFns.toks)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(col("toks")).cast("long")).as("n_tokens"))
+      .withColumn("s0", expr("cast(floor(sqrt(n_tokens)) as bigint)"))
+      .withColumn("isq", expr(
+        "case when (s0 + 1) * (s0 + 1) <= n_tokens then s0 + 1 " +
+          "when s0 * s0 > n_tokens then s0 - 1 else s0 end"))
+      .graftCached
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+                      sum(col("isq")).as("tot_isq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tot_tokens").as("share_ppm"),
+        expr("isq * 1000000 div tot_isq").as("smooth_ppm"),
+        expr("cast(isq * 1000000 div tot_isq as decimal(38,0)) " +
+          "* tot_tokens div n_tokens").cast("long").as("epochs_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def qMixturePlan(spark: SparkSession, dir: String): DataFrame =
+    mixturePlan(documents(spark, dir))
+
   /** Context-window chunking — split each document into fixed-size token
     * windows with overlap (the sequence-preparation stage before
     * tokenization/packing). One `posexplode` per row over a transform of

@@ -65,6 +65,50 @@ class TextExtSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture plan: α=0.5 smoothing exact on a hand fixture; " +
+       "integer sqrt corrected at square boundaries; boosts monotone") {
+    import spark.implicits._
+    // A: 100 tokens, B: 400 → isq 10/20, smooth 333333/666666 ppm,
+    // epochs (smooth·500 div tokens) = 1666665 / 833332 ppm: the small
+    // domain is upsampled ~1.67x, the big one downsampled to ~0.83x.
+    val docs = Seq(
+      (1L, Seq.fill(100)("t").mkString(" "), "en", "A", 0L),
+      (2L, Seq.fill(400)("t").mkString(" "), "en", "B", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = ops.TextOps.mixturePlan(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(m("A") == ((100L, 200000L, 333333L, 1666665L)), m.toString)
+    assert(m("B") == ((400L, 800000L, 666666L, 833332L)), m.toString)
+    // Square-boundary correction: 255 vs 256 tokens must floor-sqrt to
+    // 15 vs 16 (smooth 483870 / 516129 over tot_isq 31).
+    val edge = Seq(
+      (1L, Seq.fill(255)("t").mkString(" "), "en", "A", 0L),
+      (2L, Seq.fill(256)("t").mkString(" "), "en", "B", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = ops.TextOps.mixturePlan(edge).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(e == Map("A" -> 483870L, "B" -> 516129L), e.toString)
+    // On the real corpus: shares are distributions (sum to 10⁶ ppm less
+    // only floor loss), and the plan conserves the token budget —
+    // Σ epochsᵢ·tokensᵢ recovers the corpus total within floor rounding.
+    // (Strict per-pair boost monotonicity does NOT hold in integer
+    // arithmetic: ⌊√t⌋/t sawtooths between adjacent squares — e.g.
+    // 37/1441 < 38/1479 — so it is deliberately not asserted.)
+    val real = ops.TextOps.qMixturePlan(spark, Sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val n = real.size
+    val totT = real.map(_._1).sum
+    val shareSum = real.map(_._2).sum
+    val smoothSum = real.map(_._3).sum
+    assert(shareSum > 1000000L - n && shareSum <= 1000000L, shareSum.toString)
+    assert(smoothSum > 1000000L - n && smoothSum <= 1000000L, smoothSum.toString)
+    val planned = real.map { case (t, _, _, ep) => ep * t / 1000000L }.sum
+    assert(math.abs(planned - totT) <= totT / 500,
+      s"budget not conserved: planned $planned vs $totT")
+    real.foreach { case (_, _, _, ep) => assert(ep > 0L) }
+  }
+
   test("winnowing: exact parity with a driver brute force; gap guarantee") {
     val w = 4
     val got = ops.TextOps.qWinnowFingerprint(spark, Sf).collect()
