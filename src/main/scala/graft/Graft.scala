@@ -36,6 +36,10 @@ object Graft {
   def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
                     maxIters: Int = 20): DataFrame =
     ops.DedupOps.dedupKeepBest(docs, pairs, maxIters)
+  /** Perceptual-hash (aHash) image near-dup pairs, banded + verified
+    * ([[ops.MultimodalOps.imagePhashPairs]]). */
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    ops.MultimodalOps.imagePhashPairs(docs, maxHamming)
   /** Edit-distance-1 term pairs via deletion-neighborhood equi-join.
     * `terms`: one `tok: STRING` column. */
   def fuzzyTermPairs(terms: DataFrame): DataFrame =

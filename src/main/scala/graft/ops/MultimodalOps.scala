@@ -121,6 +121,73 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash image near-dup — the aHash scheme (average hash,
+    * the classic of the pHash family): decode → 8×8 box-downsample →
+    * threshold each cell against the image mean → 64-bit fingerprint;
+    * near-duplicates are fingerprint pairs within `maxHamming`. The
+    * threshold is the EXACT integer comparison `cell·64 > total` (no
+    * division, no float), so the bit pattern is engine-reproducible.
+    *
+    * Shape: decode+hash runs per partition via `mapPartitions` (the
+    * codec-init batch shape, [[qImageFeatures]]); everything after is
+    * declarative — candidates from a 4×16-bit banded self-equi-join
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal, so
+    * recall is COMPLETE at this threshold — [[DedupOps.simhashPairs]]'
+    * scheme), verified by one codegen'd `bit_count(xor)`. Never
+    * all-pairs; at 100 TB a hot band key (e.g. the all-zero hash of
+    * blank images) follows the df-cap discipline of the LSH paths —
+    * cap or quarantine the bucket, the blank-image class is a dedup
+    * cluster by itself.
+    */
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.GraftCache.GraftCachedOps
+    // Hash relation cached: both sides of the band self-join reference
+    // it (un-persisted, the decode pipeline runs twice).
+    val hashes = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val rz = FakeDecode.resizeHalf(FakeDecode.decode(b.payload))
+          var s = 0L
+          rz.foreach(_.foreach(s += _))
+          var h = 0L
+          var j = 0
+          var r = 0
+          while (r < rz.length) {
+            var c = 0
+            while (c < rz.length) {
+              if (rz(r)(c).toLong * 64 > s) h |= (1L << j)
+              j += 1; c += 1
+            }
+            r += 1
+          }
+          (b.doc_id, h)
+        }
+      }
+      .toDF("doc_id", "ahash")
+      .graftCached
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key",
+        expr("shiftrightunsigned(ahash, band * 16) & 65535"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b") // a pair can share several bands
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame =
+    imagePhashPairs(documents(spark, dir))
+
   /** STUB — deterministic fake audio decoder: the payload bytes are
     * treated as a PCM-ish sample stream centered at 100 (the fixture is
     * ASCII text, so letters sit above and spaces/digits below the

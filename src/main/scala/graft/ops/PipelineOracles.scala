@@ -1558,6 +1558,33 @@ object PipelineOracles {
     // decimal tie at 1e-7 would require the double to equal odd/128,
     // impossible for s/len with len ≤ 64 (see the derivation in
     // MultimodalOps).
+    // Mirrors MultimodalOps.imagePhashPairs byte-for-byte: same 16x16
+    // decode as q_image_features, 8x8 box downsample by index
+    // arithmetic (i -> cell (i//16//2)*8 + (i%16)//2), exact-integer
+    // threshold rv*64 > total. The oracle verifies hamming PER BIT over
+    // all pairs (oracle-scale brute force); the Spark side's banded
+    // candidates + bit_count(xor) are recall-complete at hamming <= 3
+    // by pigeonhole, so the two pair sets coincide.
+    "q_image_phash" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i < len THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END AS v
+        |  FROM d, generate_series(0, 255) t(i)),
+        |rz AS (
+        |  SELECT doc_id, (i // 16 // 2) * 8 + (i % 16) // 2 AS j,
+        |         CAST(sum(v) // 4 AS BIGINT) AS rv
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(rv) AS BIGINT) AS s FROM rz GROUP BY 1),
+        |bits AS (
+        |  SELECT rz.doc_id, j, CASE WHEN rv * 64 > s THEN 1 ELSE 0 END AS bit
+        |  FROM rz JOIN tot ON tot.doc_id = rz.doc_id)
+        |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+        |       CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits bb ON a.j = bb.j AND a.doc_id < bb.doc_id
+        |GROUP BY 1, 2 HAVING hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Byte-level twin of MultimodalOps.FakeAudio: all features are exact
     // integers (centered-byte energy, mean crossings, per-frame sums
     // digested as decimal strings), so no float formatting is involved

@@ -59,6 +59,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == 4) // 400 bytes = 7 frames (6 full + remainder), every 2nd
   }
 
+  test("image phash pairs equal a driver-side brute force (banding loses " +
+       "nothing at hamming <= 3); constant image hashes to 0") {
+    def ahash(bytes: Array[Byte]): Long = {
+      val rz = FakeDecode.resizeHalf(FakeDecode.decode(bytes))
+      var s = 0L
+      rz.foreach(_.foreach(s += _))
+      var h = 0L; var j = 0
+      for (r <- rz.indices; c <- rz.indices) {
+        if (rz(r)(c).toLong * 64 > s) h |= (1L << j)
+        j += 1
+      }
+      h
+    }
+    // Constant payload: every cell equals the mean, no strict >, hash 0.
+    assert(ahash(Array.fill[Byte](256)(65)) == 0L)
+    val hs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ahash(r.getString(1).getBytes("UTF-8")))
+      .sortBy(_._1)
+    val truth = (for {
+      i <- hs.indices; k <- (i + 1) until hs.length
+      ham = java.lang.Long.bitCount(hs(i)._2 ^ hs(k)._2)
+      if ham <= 3
+    } yield (hs(i)._1, hs(k)._1, ham.toLong)).toSet
+    val got = graft.ops.MultimodalOps.qImagePhash(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth,
+      s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    assert(truth.nonEmpty, "fixture should contain near-dup images")
+  }
+
   test("qMultimodalMeta digests match driver-side md5") {
     val row = ops.MultimodalOps.qMultimodalMeta(spark, Sf).head()
     val doc = graft.Tables.documents(spark, Sf)
