@@ -255,6 +255,11 @@ object Graft {
                      targetRowsPerRegion: Long =
                        ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
     ops.KeyedStore.rebalance(spark, name, key, targetRowsPerRegion)
+  /** TTL retention sweep — delete rows with `tsCol` < cutoff, rewriting
+    * only the regions that hold one ([[ops.KeyedStore.expire]]). */
+  def keyedExpire(spark: SparkSession, name: String, key: String,
+                  tsCol: String, cutoff: Long): Long =
+    ops.KeyedStore.expire(spark, name, key, tsCol, cutoff)
   /** Crash-recovery sweep: drop partitions the region directory doesn't
     * list (orphans of a crashed split/merge) and orphan bloom files;
     * returns partitions reclaimed. */

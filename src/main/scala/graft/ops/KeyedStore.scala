@@ -1718,6 +1718,33 @@ object KeyedStore {
     * the major-compaction / region-split pass that absorbs growth after
     * many upserts (fixed boundaries make hot boundary regions grow).
     */
+  /** TTL expiry — the HBase per-column-family TTL analog
+    * (`HColumnDescriptor.setTimeToLive`) as an explicit maintenance
+    * pass: delete every row whose `tsCol` value is strictly below
+    * `cutoff`. Expired KEYS come from one table read with the age
+    * predicate pushed into parquet (column-pruned to key + ts); the
+    * delete is a [[mergeInto]] anti-join, so only regions actually
+    * holding an expired row are rewritten — O(expired regions) writes,
+    * the store's CoW contract (a TTL sweep over a mostly-young table
+    * costs almost nothing; on a time-correlated key it touches only the
+    * oldest regions, the HBase compaction-expiry behavior). The key
+    * list is localCheckpoint-pinned BEFORE the merge so the discovery
+    * scan cannot race the rewrite it triggers. Idempotent: a second
+    * sweep at the same cutoff finds nothing. Returns rows expired.
+    */
+  def expire(spark: SparkSession, name: String, key: String,
+             tsCol: String, cutoff: Long): Long = {
+    val expired = spark.table(name)
+      .filter(col(tsCol) < cutoff)
+      .select(col(key))
+      .localCheckpoint()
+    val n = expired.count()
+    if (n > 0)
+      mergeInto(spark, name, key, expired,
+        (base, b) => base.join(b, Seq(key), "left_anti"))
+    n
+  }
+
   def rebalance(spark: SparkSession, name: String, key: String,
                 targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit =
     withStructuralLock(spark, name) {

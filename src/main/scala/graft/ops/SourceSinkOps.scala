@@ -288,6 +288,33 @@ object SourceSinkOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TTL retention sweep — [[KeyedStore.expire]] driven end-to-end: an
+    * event store keyed by event_id expires everything older than the
+    * corpus midpoint timestamp ((min+max) div 2 — deterministic at any
+    * SF), then reports the surviving per-type profile plus the expired
+    * count. The post-sweep `min_ts_us` per type proves no old row
+    * survived; `n_expired` + Σ n_rows conserve the corpus. The sweep
+    * rewrites only regions holding expired rows (KeyedStoreSpec pins
+    * byte-identical young regions on a time-correlated key).
+    */
+  def qKeyedTtl(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_keyed_ttl_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ev = events(spark, dir).select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    KeyedStore.create(spark, name, ev, "event_id",
+      targetRowsPerRegion = 2048)
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect().head
+    val cutoff = (mm.getLong(0) + mm.getLong(1)) / 2
+    val nExpired = KeyedStore.expire(spark, name, "event_id", "ts_us", cutoff)
+    KeyedStore.scan(spark, name, "event_id", Long.MinValue, Long.MaxValue)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), min(col("ts_us")).as("min_ts_us"),
+           sum(col("value_c")).as("sum_value_c"))
+      .withColumn("n_expired", lit(nExpired))
+      .orderBy(col("event_type"))
+  }
+
   /** Keyed point-GET with ABSENT keys — the row-bloom fast path (the
     * HBase HFile ROW-bloom capability over the same regions
     * `Main.java:54-73` pre-splits): the store's per-region bloom sidecar

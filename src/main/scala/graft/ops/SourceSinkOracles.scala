@@ -116,6 +116,23 @@ object SourceSinkOracles {
         |FROM events WHERE event_id IN (10, 20, 30, 40, 50)
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors SourceSinkOps.qKeyedTtl: survivors at or past the midpoint
+    // cutoff, plus the expired count; both engines floor the midpoint
+    // (Scala Long / and DuckDB // agree on positive operands).
+    "q_keyed_ttl" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |c AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cutoff FROM ev)
+        |SELECT event_type, count(*) AS n_rows,
+        |       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+        |       CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ev, c WHERE ts_us < cutoff)
+        |         AS n_expired
+        |FROM ev, c WHERE ts_us >= cutoff
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Bloom pruning is IO-only: the GET must equal the plain IN filter
     // (absent probes match nothing).
     "q_keyed_bloom" ->

@@ -281,6 +281,30 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(rm.regions.map(_.rows).sum == 64L - keys.size)
   }
 
+  test("TTL expire: old rows gone, young regions byte-identical, " +
+       "idempotent, no-op sweep rewrites nothing") {
+    import spark.implicits._
+    val name = "graft_spec_ttl"
+    // Time-correlated key (ts == k): expired rows live only in the
+    // low-key regions, so every young region must survive untouched.
+    val rows = (0L until 512L).map(k => (k, k, s"v$k")).toDF("k", "ts", "v")
+    KeyedStore.create(spark, name, rows, "k", targetRowsPerRegion = 64)
+    val before = digests(name)
+    val n = KeyedStore.expire(spark, name, "k", "ts", cutoff = 100L)
+    assert(n == 100L)
+    val kept = KeyedStore.scan(spark, name, "k", Long.MinValue, Long.MaxValue)
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (100L until 512L), s"head=${kept.take(3)}")
+    val after = digests(name)
+    // Regions holding only keys >= 128 (clear of the expired range and
+    // of any region straddling the cutoff) are shared byte-identically.
+    val youngShared = before.keys.filter(p => after.get(p) == before.get(p))
+    assert(youngShared.nonEmpty, "some young region should be untouched")
+    // Idempotent: same cutoff again is a no-op and rewrites NOTHING.
+    assert(KeyedStore.expire(spark, name, "k", "ts", cutoff = 100L) == 0L)
+    assert(digests(name) == after, "no-op sweep must not rewrite files")
+  }
+
   test("mergeInto: caller-supplied merge; only holding regions rewritten") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
