@@ -288,6 +288,58 @@ object SourceSinkOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Secondary index over the keyed store — the HBase-ecosystem answer
+    * to "query by a non-key column" (Phoenix global secondary indexes;
+    * the reference's own Secondary job re-sorts by a value field the
+    * row key can't serve). The index is just ANOTHER keyed table whose
+    * composite key is `<indexed-value>#<primary-key %012d>`, so an
+    * equality query on the indexed column is a PREFIX RANGE SCAN that
+    * prunes to the regions holding that value's run, followed by a
+    * primary [[KeyedStore.getBatch]] for the full rows — O(matching
+    * rows) IO on both legs at any table size, never a table scan.
+    * Updates are the Phoenix dual write: primary upsert + index
+    * delete(old key)/insert(new key) — demonstrated here by flipping
+    * the lowest non-purchase event to 'purchase' and serving through
+    * the maintained index (the oracle applies the same flip
+    * relationally). The moved id and its old type are two single-row
+    * control-plane collects.
+    */
+  def qKeyedSecondaryIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirSafe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val p = "graft_keyed_secp_" + dirSafe
+    val i = "graft_keyed_seci_" + dirSafe
+    val ev = events(spark, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    KeyedStore.create(spark, p, ev, "event_id", targetRowsPerRegion = 2048)
+    KeyedStore.create(spark, i,
+      ev.select(format_string("%s#%012d", col("event_type"), col("event_id"))
+          .as("ikey"),
+        col("event_id").as("ref_id")),
+      "ikey", targetRowsPerRegion = 2048)
+    val mv = ev.filter(col("event_type") =!= "purchase")
+      .agg(min(col("event_id"))).collect().head.getLong(0)
+    val oldType = ev.filter(col("event_id") === mv)
+      .select(col("event_type")).collect().head.getString(0)
+    // Dual write: primary U, then index delete(old)/insert(new). The
+    // returned full-table reads are discarded (read-isolation contract).
+    KeyedStore.upsert(spark, p, "event_id",
+      ev.filter(col("event_id") === mv)
+        .select(col("event_id"), lit("U").as("op"),
+                lit("purchase").as("event_type"), col("value_c")))
+    KeyedStore.mergeInto(spark, i, "ikey",
+      Seq(f"$oldType%s#$mv%012d").toDF("ikey"),
+      (base, d) => base.join(d, Seq("ikey"), "left_anti"))
+    KeyedStore.upsert(spark, i, "ikey",
+      Seq((f"purchase#$mv%012d", "I", mv)).toDF("ikey", "op", "ref_id"))
+    // Serve: index prefix range scan -> ids -> primary batch get.
+    val ids = KeyedStore.scan(spark, i, "ikey", "purchase#", "purchase#z")
+      .select(col("ref_id").as("event_id"))
+    KeyedStore.getBatch(spark, p, "event_id", ids)
+      .select(col("event_id"), col("event_type"), col("value_c"))
+      .orderBy(col("event_id"))
+  }
+
   /** TTL retention sweep — [[KeyedStore.expire]] driven end-to-end: an
     * event store keyed by event_id expires everything older than the
     * corpus midpoint timestamp ((min+max) div 2 — deterministic at any

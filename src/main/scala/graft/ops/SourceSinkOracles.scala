@@ -116,6 +116,23 @@ object SourceSinkOracles {
         |FROM events WHERE event_id IN (10, 20, 30, 40, 50)
         |ORDER BY event_id""".stripMargin,
 
+    // Mirrors SourceSinkOps.qKeyedSecondaryIndex: the index-served
+    // equality query equals the relational filter AFTER the dual-write
+    // flip of the lowest non-purchase event to 'purchase'.
+    "q_keyed_secondary_index" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |m AS (SELECT min(event_id) AS mid FROM ev WHERE event_type <> 'purchase')
+        |SELECT event_id,
+        |       CASE WHEN event_id = mid THEN 'purchase' ELSE event_type END
+        |         AS event_type,
+        |       value_c
+        |FROM ev, m
+        |WHERE event_type = 'purchase' OR event_id = mid
+        |ORDER BY event_id""".stripMargin,
+
     // Mirrors SourceSinkOps.qKeyedTtl: survivors at or past the midpoint
     // cutoff, plus the expired count; both engines floor the midpoint
     // (Scala Long / and DuckDB // agree on positive operands).

@@ -281,6 +281,40 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(rm.regions.map(_.rows).sum == 64L - keys.size)
   }
 
+  test("secondary index: prefix-scan serve equals the direct filter; " +
+       "dual-write update moves the index row") {
+    import spark.implicits._
+    val p = "graft_spec_secp"
+    val i = "graft_spec_seci"
+    val rows = (0L until 300L).map(k => (k, if (k % 3 == 0) "red" else "blue", k * 7))
+      .toDF("k", "color", "v")
+    KeyedStore.create(spark, p, rows, "k", targetRowsPerRegion = 64)
+    KeyedStore.create(spark, i,
+      rows.select(format_string("%s#%012d", col("color"), col("k")).as("ikey"),
+        col("k").as("ref_k")),
+      "ikey", targetRowsPerRegion = 64)
+    def serveRed(): Seq[Long] = {
+      val ids = KeyedStore.scan(spark, i, "ikey", "red#", "red#z")
+        .select(col("ref_k").as("k"))
+      KeyedStore.getBatch(spark, p, "k", ids)
+        .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(serveRed() == (0L until 300L by 3L), "index serve != direct filter")
+    // Dual write: k=1 turns red.
+    KeyedStore.upsert(spark, p, "k",
+      Seq((1L, "U", "red", 7L)).toDF("k", "op", "color", "v"))
+    KeyedStore.mergeInto(spark, i, "ikey", Seq(f"blue#${1L}%012d").toDF("ikey"),
+      (base, d) => base.join(d, Seq("ikey"), "left_anti"))
+    KeyedStore.upsert(spark, i, "ikey",
+      Seq((f"red#${1L}%012d", "I", 1L)).toDF("ikey", "op", "ref_k"))
+    assert(serveRed() == (Seq(1L) ++ (0L until 300L by 3L)).sorted,
+      "updated key missing from the index serve")
+    // The old index row is gone: a blue-prefix scan no longer yields 1.
+    val blue = KeyedStore.scan(spark, i, "ikey", "blue#", "blue#z")
+      .select(col("ref_k")).collect().map(_.getLong(0)).toSet
+    assert(!blue.contains(1L), "stale index row survived the dual write")
+  }
+
   test("TTL expire: old rows gone, young regions byte-identical, " +
        "idempotent, no-op sweep rewrites nothing") {
     import spark.implicits._
