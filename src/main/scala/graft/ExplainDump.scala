@@ -99,7 +99,14 @@ object ExplainDump {
       "q_hybrid_rrf" -> "RRF fusion: each retriever cut is a distributed TakeOrdered; rank windows see <=20 rows; the fuse is a tiny full-outer join",
       "q_hard_negatives" -> "Hard negatives: label disagreement folded into the broadcast join predicate — pruned before any scoring work",
       "q_embedding_drift" -> "Drift PSI: broadcast codebook, map-side-aggregate argmax assignment, 16-row histogram with broadcast totals — no window over the corpus",
-      "q_k_anonymity" -> "k-anonymity/l-diversity: ONE hash aggregate on the QI key with partial count-distinct; |QI groups| rows at the exchange")
+      "q_k_anonymity" -> "k-anonymity/l-diversity: ONE hash aggregate on the QI key with partial count-distinct; |QI groups| rows at the exchange",
+      "q_kcore" -> "k-core peel: per round one endpoint count + two semi-joins against the surviving node set, O(edges) shuffled rows, edge-count early stop",
+      "q_ann_filtered" -> "Filtered vector search: member labels ride the posting rows into the coarse join; the label filter runs BEFORE the k*expand cut",
+      "q_image_phash" -> "aHash near-dup: mapPartitions decode+hash, 4x16-bit banded self-equi-join candidates, codegen'd bit_count(xor) verify — never all-pairs",
+      "q_keyed_ttl" -> "TTL sweep: pushed-down age scan finds expired keys; the delete anti-join rewrites only regions holding one",
+      "q_keyed_secondary_index" -> "Secondary index: prefix range scan over the index table's regions, then a primary getBatch pruned to the holding regions",
+      "q_curriculum_order" -> "Curriculum interleave: distributed globalRank + closed-form rank-in-bin projection — no per-bin window, no second shuffle",
+      "q_dedup_keep_best" -> "Quality-aware dedup: cluster-member argmax by exact-ppm TTR (max_by struct), anti-join keep — corpus shuffles only on doc_id")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

@@ -357,6 +357,10 @@ object Graft {
     * ([[ops.TextOps.mixturePlan]]). */
   def mixturePlan(docs: DataFrame): DataFrame =
     ops.TextOps.mixturePlan(docs)
+  /** Balanced curriculum ordering: quality deciles interleaved
+    * round-robin ([[ops.TextOps.curriculumOrder]]). */
+  def curriculumOrder(docs: DataFrame): DataFrame =
+    ops.TextOps.curriculumOrder(docs)
   /** Per-source distinct-1/distinct-2 generation diversity in exact ppm
     * ([[ops.TextOps.distinctNgrams]]). */
   def distinctNgrams(docs: DataFrame): DataFrame =

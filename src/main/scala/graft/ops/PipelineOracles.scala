@@ -1320,6 +1320,32 @@ object PipelineOracles {
     // Temperature-0.5 language rebalance: keep iff h²·n_l < 10¹²·n_min
     // (exact integers, HUGEINT products); flatness flag from exact
     // cross-multiplied rationals.
+    // Mirrors TextOps.curriculumOrder: DuckDB's standard-SQL ntile
+    // assigns the same contiguous runs as the Spark side's ntile
+    // arithmetic (the q_spend_deciles contract), so rank_in_bin can be
+    // the per-bin row_number here while Spark derives it closed-form.
+    "q_curriculum_order" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |           * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, ttr_ppm,
+        |         row_number() OVER w AS grank,
+        |         ntile(10) OVER w AS bin
+        |  FROM q WINDOW w AS (ORDER BY ttr_ppm DESC, doc_id)),
+        |b AS (
+        |  SELECT doc_id, ttr_ppm, CAST(bin AS INT) AS bin,
+        |         row_number() OVER (PARTITION BY bin ORDER BY grank)
+        |           AS rank_in_bin
+        |  FROM r)
+        |SELECT doc_id, ttr_ppm, bin,
+        |       CAST(rank_in_bin AS BIGINT) AS rank_in_bin,
+        |       CAST((rank_in_bin - 1) * 10 + bin - 1 AS BIGINT)
+        |         AS curriculum_pos
+        |FROM b ORDER BY curriculum_pos, doc_id""".stripMargin,
+
     // Mirrors TextOps.mixturePlan: α=0.5 temperature mixture in exact
     // integers — the isq CASE yields the true floor-sqrt on both
     // engines; epochs cross-multiplied in HUGEINT (= Spark's

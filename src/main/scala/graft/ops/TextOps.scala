@@ -316,6 +316,40 @@ object TextOps {
   def qMixturePlan(spark: SparkSession, dir: String): DataFrame =
     mixturePlan(documents(spark, dir))
 
+  /** Balanced curriculum ordering — the batch-mixing pass that feeds a
+    * training run so EVERY data window sees the full quality spectrum
+    * (round-robin over quality deciles; the standard alternative to
+    * easy-first curricula when quality annealing is handled by a later
+    * schedule). Quality key = distinct-token ratio in exact ppm, decile
+    * by the distributed [[AnalyticsOps.globalRank]] + ntile arithmetic
+    * — and the rank WITHIN a decile needs no second shuffle: ntile
+    * assigns each bin one contiguous grank run, so the bin's start is
+    * closed-form from (n, bin) and `rank_in_bin = grank − start + 1`
+    * is a projection. `curriculum_pos = (rank_in_bin − 1)·10 + bin − 1`
+    * interleaves the bins; positions are unique because (rank, bin)
+    * pairs are. No global single-partition window anywhere — the rank
+    * is the two-phase distributed one.
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val scored = docs.withColumn("toks", TextFns.toks)
+      .select(col("doc_id"), expr(
+        "cast(size(array_distinct(toks)) as bigint) * 1000000 div size(toks)")
+        .as("ttr_ppm"))
+    AnalyticsOps.globalRank(scored, Seq(col("ttr_ppm").desc, col("doc_id")))
+      .withColumn("bin", AnalyticsOps.ntileBucket(10))
+      .withColumn("bstart", expr(
+        "case when bin <= n % 10 then (bin - 1) * (n div 10 + 1) + 1 " +
+          "else (n % 10) * (n div 10 + 1) + (bin - 1 - n % 10) * (n div 10) + 1 end"))
+      .select(col("doc_id"), col("ttr_ppm"), col("bin"),
+        (col("grank") - col("bstart") + 1).as("rank_in_bin"),
+        ((col("grank") - col("bstart")) * 10 + col("bin") - 1)
+          .as("curriculum_pos"))
+      .orderBy(col("curriculum_pos"), col("doc_id"))
+  }
+
+  def qCurriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrder(documents(spark, dir))
+
   /** Context-window chunking — split each document into fixed-size token
     * windows with overlap (the sequence-preparation stage before
     * tokenization/packing). One `posexplode` per row over a transform of

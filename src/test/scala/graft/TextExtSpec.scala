@@ -109,6 +109,25 @@ class TextExtSpec extends AnyFunSuite {
     real.foreach { case (_, _, _, ep) => assert(ep > 0L) }
   }
 
+  test("curriculum order: closed-form rank-in-bin equals per-bin " +
+       "renumbering; positions unique; first window spans all deciles") {
+    val rows = ops.TextOps.qCurriculumOrder(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.map(_._5).distinct.length == rows.length, "positions collide")
+    // Within each bin, rank_in_bin must be exactly the 1-based index in
+    // (ttr DESC, doc_id) order — the arithmetic vs the obvious window.
+    rows.groupBy(_._3).foreach { case (bin, rs) =>
+      rs.sortBy(t => (-t._2, t._1)).zipWithIndex.foreach { case (t, i) =>
+        assert(t._4 == i + 1, s"bin $bin: rank ${t._4} at index $i")
+      }
+    }
+    val first = rows.sortBy(_._5).take(10).map(_._3).sorted.toSeq
+    assert(first == (1 to 10), s"first batch window not bin-complete: $first")
+    val sizes = rows.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, "ntile bins must differ by <= 1")
+  }
+
   test("winnowing: exact parity with a driver brute force; gap guarantee") {
     val w = 4
     val got = ops.TextOps.qWinnowFingerprint(spark, Sf).collect()
