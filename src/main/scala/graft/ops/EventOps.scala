@@ -467,6 +467,35 @@ object EventOps {
     * rows broadcast back) + one filter pass — no windows, no sort; the
     * shape survives any corpus size.
     */
+  /** Temporal train/val/test split — the leakage-safe protocol for
+    * time-ordered data (a hash split like [[TextOps.trainSplit]] leaks
+    * the future into training whenever the task is forecasting).
+    * Boundaries are EXACT 70/15/15 RANK cuts over (ts, event_id) —
+    * `grank·100 ≤ n·70` integer comparisons on the distributed
+    * [[AnalyticsOps.globalRank]], not an approximate timestamp
+    * quantile — so every engine and every cluster size draws the
+    * identical boundary even through duplicate timestamps (the
+    * event_id tie-break totalizes the order). Output: per-split
+    * profile; time-disjointness (max train ts ≤ min val ts ≤ …) holds
+    * by construction and is spec-pinned.
+    */
+  def qTemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr("cast(round(value * 100) as bigint)").as("value_c"))
+    AnalyticsOps.globalRank(ev, Seq(col("ts_us"), col("event_id")))
+      .withColumn("split",
+        when(col("grank") * 100 <= col("n") * 70, "train")
+          .when(col("grank") * 100 <= col("n") * 85, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("min_ts_us"),
+           max(col("ts_us")).as("max_ts_us"),
+           sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("split"))
+  }
+
   def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("event_id"), col("event_type"),

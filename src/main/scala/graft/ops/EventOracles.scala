@@ -623,6 +623,30 @@ object EventOracles {
         |SELECT node, CAST(dist AS BIGINT) AS dist
         |FROM d ORDER BY dist, node""".stripMargin,
 
+    // Mirrors EventOps.qTemporalSplit: exact 70/15/15 rank cuts over
+    // (ts, event_id) — grank*100 <= n*70 integer comparisons on both
+    // engines; the oracle's single global window is fine at oracle
+    // scale, the Spark side ranks distributed.
+    "q_temporal_split" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY ts_us, event_id) AS grank,
+        |         count(*) OVER () AS n
+        |  FROM ev),
+        |s AS (
+        |  SELECT *, CASE WHEN grank * 100 <= n * 70 THEN 'train'
+        |                 WHEN grank * 100 <= n * 85 THEN 'val'
+        |                 ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT split, count(*) AS n_events,
+        |       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+        |       CAST(max(ts_us) AS BIGINT) AS max_ts_us,
+        |       CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
     // Mirrors EventOps.qAnomalyZscore: exact micro-unit moments (S2 in
     // HUGEINT = Spark's DECIMAL(38,0)), one shared IEEE z expression.
     "q_anomaly_zscore" ->

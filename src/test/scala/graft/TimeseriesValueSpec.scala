@@ -25,6 +25,21 @@ class TimeseriesValueSpec extends AnyFunSuite {
     assert(r.exists(_.getAs[Long]("n") == 0L))
   }
 
+  test("temporal split: exact 70/15/15 rank sizes, time-disjoint, conserves") {
+    val rows = ops.EventOps.qTemporalSplit(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val n = rows.values.map(_._1).sum
+    val nTrain = n * 70 / 100
+    val nVal = n * 85 / 100 - nTrain
+    assert(rows("train")._1 == nTrain && rows("val")._1 == nVal &&
+           rows("test")._1 == n - nTrain - nVal, rows.toString)
+    // Time-disjoint: duplicate timestamps can straddle a boundary (the
+    // event_id tie-break splits them deterministically), hence <=.
+    assert(rows("train")._3 <= rows("val")._2, "train leaks past val start")
+    assert(rows("val")._3 <= rows("test")._2, "val leaks past test start")
+  }
+
   test("new users daily: cumulative total equals distinct-user count") {
     val r = ops.EventOps.qNewUsersDaily(spark, Sf).collect()
     val dbs = r.map(_.getAs[Long]("db"))
