@@ -137,8 +137,19 @@ object ScaleSmoke {
         ops.SimilarityOps.qEmbeddingDrift(spark, d))
       time(s"kmeans_$tag", dir)(d => ops.SimilarityOps.qKmeans(spark, d))
       time(s"lpa_communities_$tag", dir)(d => ops.GraphOps.qLpaCommunities(spark, d))
+      time(s"kcore_$tag", dir)(d => ops.GraphOps.qKcore(spark, d))
       time(s"feature_hash_$tag", dir)(d => ops.TextOps.qFeatureHash(spark, d))
       time(s"distinct_ngrams_$tag", dir)(d => ops.TextOps.qDistinctNgrams(spark, d))
+      time(s"ann_filtered_$tag", dir)(d => ops.SimilarityOps.qAnnFiltered(spark, d))
+      time(s"ann_index_delete_$tag", dir)(d => ops.AnnIndexOps.qAnnIndexDelete(spark, d))
+      time(s"image_phash_$tag", dir)(d => ops.MultimodalOps.qImagePhash(spark, d))
+      time(s"keyed_ttl_$tag", dir)(d => ops.SourceSinkOps.qKeyedTtl(spark, d))
+      time(s"keyed_secidx_$tag", dir)(d =>
+        ops.SourceSinkOps.qKeyedSecondaryIndex(spark, d))
+      time(s"dedup_keep_best_$tag", dir)(d => ops.DedupOps.qDedupKeepBest(spark, d))
+      time(s"mixture_plan_$tag", dir)(d => ops.TextOps.qMixturePlan(spark, d))
+      time(s"curriculum_$tag", dir)(d => ops.TextOps.qCurriculumOrder(spark, d))
+      time(s"vstore_restore_$tag", dir)(d => ops.SourceSinkOps.qVstoreRestore(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
       time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))

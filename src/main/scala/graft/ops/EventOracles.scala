@@ -577,7 +577,7 @@ object EventOracles {
     // Mirrors GraphOps.qKcore: 3 UNROLLED synchronous peel rounds (the
     // q_lpa_communities precedent) over the >=2-basket co-purchase
     // graph — each level keeps edges whose BOTH endpoints had degree
-    // >= 3 in the previous level. e0/e1/e2/e3 MATERIALIZED: every level
+    // >= 2 in the previous level. e0/e1/e2/e3 MATERIALIZED: every level
     // references its predecessor 3x (two IN-subqueries + the projection),
     // so default inlining re-derives the basket self-join 3^level times.
     "q_kcore" -> {
@@ -587,8 +587,8 @@ object EventOracles {
            |  SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
            |e$i AS MATERIALIZED (
            |  SELECT u, v FROM e$p
-           |  WHERE u IN (SELECT node FROM d$i WHERE d >= 3)
-           |    AND v IN (SELECT node FROM d$i WHERE d >= 3))""".stripMargin
+           |  WHERE u IN (SELECT node FROM d$i WHERE d >= 2)
+           |    AND v IN (SELECT node FROM d$i WHERE d >= 2))""".stripMargin
       }.mkString(",\n")
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
          |e0 AS MATERIALIZED (

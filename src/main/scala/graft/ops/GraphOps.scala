@@ -378,15 +378,19 @@ object GraphOps {
     out
   }
 
-  /** Driver row: 3-round 3-core peel of the ≥2-basket co-purchase graph.
-    * At sf0.01 every round removes real mass (the fixpoint is deeper
-    * than 3 rounds — deliberate: the operator is the fixed-round BSP
-    * schedule, production runs raise `rounds` and let the early stop
-    * finish the tail); the sf0.001 fixture graph is already min-degree-3
+  /** Driver row: 3-round 2-core peel of the ≥2-basket co-purchase graph
+    * (drop pendant trees, keep the cyclic core). k = 2 because the
+    * graph THINS with SF — baskets spread over 10× the parts at each
+    * step up, so a 3-core that holds 935 nodes at sf0.01 is empty at
+    * sf0.1 while the 2-core stays non-trivial at every fixture SF
+    * (200 / ~1.5k / 13 nodes). At sf0.01 every round removes real mass
+    * (the fixpoint is deeper than 3 rounds — deliberate: the operator
+    * is the fixed-round BSP schedule, production raises `rounds` and
+    * lets the early stop finish); the sf0.001 graph is min-degree-3,
     * so the peel is a verified no-op there.
     */
   def qKcore(spark: SparkSession, dir: String): DataFrame =
-    kCore(copurchaseEdges(spark, dir, minOrders = 2), k = 3, rounds = 3)
+    kCore(copurchaseEdges(spark, dir, minOrders = 2), k = 2, rounds = 3)
       .orderBy(col("node"))
 
   /** Undirected co-purchase edges `(u, v)` with `u < v`: parts sharing at
