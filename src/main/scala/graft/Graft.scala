@@ -357,6 +357,10 @@ object Graft {
     * ([[ops.TextOps.mixturePlan]]). */
   def mixturePlan(docs: DataFrame): DataFrame =
     ops.TextOps.mixturePlan(docs)
+  /** Deterministic resample applying the mixture plan's epoch factors
+    * ([[ops.TextOps.mixtureApply]]). */
+  def mixtureApply(docs: DataFrame): DataFrame =
+    ops.TextOps.mixtureApply(docs)
   /** Balanced curriculum ordering: quality deciles interleaved
     * round-robin ([[ops.TextOps.curriculumOrder]]). */
   def curriculumOrder(docs: DataFrame): DataFrame =

@@ -1320,6 +1320,46 @@ object PipelineOracles {
     // Temperature-0.5 language rebalance: keep iff h²·n_l < 10¹²·n_min
     // (exact integers, HUGEINT products); flatness flag from exact
     // cross-multiplied rationals.
+    // Mirrors TextOps.mixtureApply: the plan CTEs verbatim, then the
+    // per-doc copies arithmetic with the md5-threshold fractional
+    // epoch; HUGEINT only where the plan oracle needed it.
+    "q_mixture_apply" ->
+      """WITH per0 AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |per AS (
+        |  SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+        |                 WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS isq
+        |  FROM (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s0 FROM per0)),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |               CAST(sum(isq) AS BIGINT) AS tot_isq FROM per),
+        |plan AS (
+        |  SELECT source,
+        |         CAST((isq * 1000000 // tot_isq)::HUGEINT * tot_tokens // n_tokens
+        |              AS BIGINT) AS epochs_ppm
+        |  FROM per CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 1000000 AS h
+        |  FROM documents),
+        |cp AS (
+        |  SELECT d.source, d.n_toks,
+        |         epochs_ppm // 1000000 +
+        |           CASE WHEN d.h < epochs_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN plan USING (source)),
+        |o AS (
+        |  SELECT source, count(*) AS n_docs_in,
+        |         CAST(sum(copies) AS BIGINT) AS n_copies_out,
+        |         CAST(sum(copies * n_toks) AS BIGINT) AS tokens_out
+        |  FROM cp GROUP BY source),
+        |t2 AS (SELECT CAST(sum(tokens_out) AS BIGINT) AS tot_out FROM o)
+        |SELECT source, n_docs_in, n_copies_out, tokens_out,
+        |       tokens_out * 1000000 // tot_out AS achieved_ppm
+        |FROM o CROSS JOIN t2 ORDER BY source""".stripMargin,
+
     // Mirrors TextOps.curriculumOrder: DuckDB's standard-SQL ntile
     // assigns the same contiguous runs as the Spark side's ntile
     // arithmetic (the q_spend_deciles contract), so rank_in_bin can be

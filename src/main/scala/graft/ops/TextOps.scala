@@ -316,6 +316,45 @@ object TextOps {
   def qMixturePlan(spark: SparkSession, dir: String): DataFrame =
     mixturePlan(documents(spark, dir))
 
+  /** Apply the [[mixturePlan]] — turn per-domain epoch factors into an
+    * actual deterministic resample: document d of source i is emitted
+    * `⌊epochsᵢ⌋` times plus one more iff
+    * `hash60("mix:"+doc_id) mod 10⁶ < epochsᵢ mod 10⁶` — the
+    * fractional-epoch Bernoulli drawn from the SAME md5-threshold rule
+    * [[langRebalance]] downsamples by (reproducible at any parallelism,
+    * E[copies] = epochsᵢ exactly). Reported per source: replicated doc
+    * and token mass plus the achieved mixture share — which converges
+    * on the plan's smooth_ppm as the law of large numbers kicks in.
+    * Shape: the plan is |sources| rows broadcast onto one corpus pass;
+    * the copies column is arithmetic, never an explode (a downstream
+    * shard writer materializes repeats; the ACCOUNTING never should).
+    */
+  def mixtureApply(docs: DataFrame): DataFrame = {
+    val plan = mixturePlan(docs).select(col("source"), col("epochs_ppm"))
+    val per = docs.withColumn("toks", TextFns.toks)
+      .select(col("doc_id"), col("source"),
+              size(col("toks")).cast("long").as("n_toks"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("h", pmod(TextFns.hash60(
+        concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L)))
+      .withColumn("copies", expr(
+        "epochs_ppm div 1000000 + if(h < epochs_ppm % 1000000, 1, 0)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_in"),
+           sum(col("copies")).as("n_copies_out"),
+           sum(expr("copies * n_toks")).as("tokens_out"))
+      .graftCached
+    val tot = per.agg(sum(col("tokens_out")).as("tot_out"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs_in"), col("n_copies_out"),
+              col("tokens_out"),
+              expr("tokens_out * 1000000 div tot_out").as("achieved_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def qMixtureApply(spark: SparkSession, dir: String): DataFrame =
+    mixtureApply(documents(spark, dir))
+
   /** Balanced curriculum ordering — the batch-mixing pass that feeds a
     * training run so EVERY data window sees the full quality spectrum
     * (round-robin over quality deciles; the standard alternative to

@@ -128,6 +128,36 @@ class TextExtSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1, "ntile bins must differ by <= 1")
   }
 
+  test("mixture apply: copies match a driver recount; achieved mixture " +
+       "tracks the smoothed plan within the Bernoulli noise bound") {
+    val plan = ops.TextOps.qMixturePlan(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toMap // source -> (n_tokens, smooth_ppm, epochs_ppm)
+    val docs = graft.Tables.documents(spark, Sf)
+      .selectExpr("doc_id", "source", "size(split(text, ' ')) as n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val applied = ops.TextOps.qMixtureApply(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // Driver recount of the copies rule per source.
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val ep = plan(src)._3
+      val expected = ds.map { case (id, _, n) =>
+        val h = hash60("mix:" + id) % 1000000L
+        val copies = ep / 1000000L + (if (h < ep % 1000000L) 1L else 0L)
+        (copies, copies * n)
+      }
+      assert(applied(src)._2 == expected.map(_._1).sum, s"$src copies")
+      assert(applied(src)._3 == expected.map(_._2).sum, s"$src tokens")
+    }
+    // Achieved share tracks the plan's smooth share: each source draws
+    // ~25 Bernoulli(frac) copies, so allow a generous 10% of 10^6.
+    applied.foreach { case (src, (_, _, _, ach)) =>
+      assert(math.abs(ach - plan(src)._2) < 100000L,
+        s"$src achieved $ach vs smooth ${plan(src)._2}")
+    }
+  }
+
   test("winnowing: exact parity with a driver brute force; gap guarantee") {
     val w = 4
     val got = ops.TextOps.qWinnowFingerprint(spark, Sf).collect()
