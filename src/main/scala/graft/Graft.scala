@@ -122,6 +122,11 @@ object Graft {
                expand: Int = 4): DataFrame =
     ops.SimilarityOps.annIvfPq(embs, queryPred, numCentroids, nassign,
       nprobe, k, expand)
+  /** Late-interaction (ColBERT MaxSim) retrieval over sub-vector facets
+    * ([[ops.SimilarityOps.annLateInteraction]]). */
+  def annLateInteraction(embs: DataFrame, queryPred: Column, k: Int = 10,
+                         parts: Int = 4): DataFrame =
+    ops.SimilarityOps.annLateInteraction(embs, queryPred, k, parts)
   /** Metadata-filtered vector search: [[annIvfPq]] constrained to
     * neighbors sharing the query's `label`, pre-filtered before the
     * candidate cut ([[ops.SimilarityOps.annIvfPqFiltered]]). */

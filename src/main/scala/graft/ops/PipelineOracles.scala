@@ -199,6 +199,36 @@ object PipelineOracles {
         |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors SimilarityOps.annLateInteraction: 16 pair cosines over the
+    * 4×16-dim sub-vector slices, per-facet greatest, explicit
+    * left-to-right facet sum — the same fold orders as the Spark
+    * projection, so doubles (and therefore ranks) agree bit-for-bit. */
+  private val AnnLateInteraction: String = {
+    val parts = 4
+    val dim = 16
+    def sl(t: String, i: Int) = s"$t.v[${i * dim + 1}:${(i + 1) * dim}]"
+    val norms = (0 until parts).map(i =>
+      s"list_dot_product(v[${i * dim + 1}:${(i + 1) * dim}], " +
+        s"v[${i * dim + 1}:${(i + 1) * dim}]) AS n$i").mkString(", ")
+    val score = (0 until parts).map { i =>
+      (0 until parts).map { j =>
+        s"list_dot_product(${sl("q", i)}, ${sl("d", j)}) / (sqrt(q.n$i) * sqrt(d.n$j))"
+      }.mkString("greatest(", ", ", ")")
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, $norms FROM e),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS neighbor_id,
+       |         $score AS li
+       |  FROM s q JOIN s d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, neighbor_id, li,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY li DESC, neighbor_id) AS rank
+       |      FROM p)
+       |SELECT q_id, rank, neighbor_id, round(li, 3) AS li_score
+       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Filtered-search oracle: ANN_PQ verbatim except (a) `e` carries the
     * label column and (b) the coarse join requires member label ==
     * query label — BEFORE the crank<=40 cut, mirroring the pre-filter
@@ -1045,6 +1075,7 @@ object PipelineOracles {
 
     "q_ann_ivf_pq" -> ANN_PQ,
     "q_ann_filtered" -> AnnPqFiltered,
+    "q_ann_late_interaction" -> AnnLateInteraction,
 
     // Store-served index (AnnIndexOps): same stages as annIvfPq with the
     // codebook + postings persisted in a KeyedStore between build and

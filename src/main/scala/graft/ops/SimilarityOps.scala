@@ -738,6 +738,61 @@ object SimilarityOps {
   def qAnnFiltered(spark: SparkSession, dir: String): DataFrame =
     annIvfPqFiltered(embeddings(spark, dir), col("vec_id") < 5)
 
+  /** Late-interaction retrieval — the ColBERT MaxSim scoring paradigm
+    * (Khattab & Zaharia, SIGIR'20): both sides carry MULTIPLE vectors
+    * and `score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ)` — every query facet finds
+    * its own best-matching doc facet, which single-vector cosine
+    * collapses away. The fixture's multi-vector representation is the
+    * embedding split into `parts` contiguous sub-vectors (a real system
+    * stores per-token vectors; the SCORING algebra — and everything
+    * Spark-side — is identical). Brute-force scoring over the corpus
+    * with the query batch broadcast ([[annBruteforce]]'s shape); all
+    * 16 pair cosines + the 4 maxes + the explicit left-to-right sum
+    * are one codegen'd projection, so the scan stays one pass. At
+    * scale the coarse candidate stage composes unchanged (route on the
+    * pooled single vector via IVF, late-interact only survivors — the
+    * ColBERTv2/PLAID split).
+    */
+  def annLateInteraction(embs: DataFrame, queryPred: Column, k: Int = 10,
+                         parts: Int = 4): DataFrame = {
+    val dim = 64 / parts
+    val sub = (p: String, i: Int) =>
+      s"transform(slice($p, ${i * dim + 1}, $dim), x -> cast(x as double))"
+    val e = embs.select(
+      col("vec_id") +:
+        (0 until parts).flatMap(i => Seq(
+          expr(sub("embedding", i)).as(s"dv$i"),
+          expr(s"aggregate(${sub("embedding", i)}, cast(0 as double), " +
+            "(a, x) -> a + x * x)").as(s"dn$i"))): _*)
+    val q = e.filter(queryPred).select(
+      col("vec_id").as("q_id") +:
+        (0 until parts).flatMap(i => Seq(
+          col(s"dv$i").as(s"qv$i"), col(s"dn$i").as(s"qn$i"))): _*)
+    val maxSims = (0 until parts).map { i =>
+      val cosRow = (0 until parts).map { j =>
+        s"(aggregate(zip_with(qv$i, dv$j, (x, y) -> x * y), " +
+          s"cast(0 as double), (a, z) -> a + z) / (sqrt(qn$i) * sqrt(dn$j)))"
+      }
+      // greatest() needs >= 2 children; parts=1 is the plain-cosine
+      // degenerate case (spec-pinned identity with annBruteforce).
+      if (cosRow.size == 1) cosRow.head
+      else cosRow.mkString("greatest(", ", ", ")")
+    }
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("li_score", expr(maxSims.mkString(" + ")))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("li_score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+              round(col("li_score"), 3).as("li_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def qAnnLateInteraction(spark: SparkSession, dir: String): DataFrame =
+    annLateInteraction(embeddings(spark, dir), col("vec_id") < 5)
+
   private[ops] case class MmrCand(q_id: Long, m_id: Long, rel: Double,
                                   embedding: Seq[Float], nrm: Double)
   private[ops] case class MmrPick(q_id: Long, rank: Int, neighbor_id: Long,

@@ -132,6 +132,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.35, s"mean filtered recall@10 too low: $mean")
   }
 
+  test("late interaction: parts=1 degenerates to plain cosine; parts=4 " +
+       "matches a driver-side MaxSim brute force") {
+    // Identity check: with one sub-vector the facet max IS the cosine,
+    // so the ranking must equal annBruteforce exactly.
+    val bf = ops.SimilarityOps.qAnnBruteforce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val li1 = ops.SimilarityOps
+      .annLateInteraction(Tables.embeddings(spark, Sf), col("vec_id") < 5,
+        parts = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(li1.toSeq == bf.toSeq, "parts=1 must equal plain cosine top-k")
+    // parts=4: full driver recompute with the same left-to-right folds.
+    val e = Tables.embeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def maxSim(q: Array[Double], d: Array[Double]): Double =
+      (0 until 4).map { i =>
+        val qi = q.slice(i * 16, i * 16 + 16)
+        val qn = math.sqrt(dot(qi, qi))
+        (0 until 4).map { j =>
+          val dj = d.slice(j * 16, j * 16 + 16)
+          dot(qi, dj) / (qn * math.sqrt(dot(dj, dj)))
+        }.max
+      }.sum
+    val got = ops.SimilarityOps.qAnnLateInteraction(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+    e.filter(_._1 < 5).foreach { case (qid, qv) =>
+      val truth = e.filter(_._1 != qid)
+        .map { case (id, dv) => (maxSim(qv, dv), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(10)
+      val rows = got(qid).sortBy(_.getInt(1))
+      rows.zip(truth).foreach { case (r, (s, id)) =>
+        assert(r.getLong(2) == id, s"q=$qid rank=${r.getInt(1)}")
+        assert(math.abs(r.getDouble(3) - s) < 5e-4, s"q=$qid score")
+      }
+    }
+  }
+
   test("MMR rank-1 is the relevance argmax; picks are distinct pool members") {
     val bf1 = ops.SimilarityOps.qAnnBruteforce(spark, Sf)
       .filter(col("rank") === 1).collect()
