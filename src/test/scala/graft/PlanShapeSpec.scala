@@ -293,6 +293,51 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL discovery read pushes the age predicate and prunes columns") {
+    import spark.implicits._
+    val name = "graft_plan_ttl"
+    ops.KeyedStore.create(spark, name,
+      (0L until 64L).map(k => (k, k, s"v$k")).toDF("k", "ts", "v"),
+      "k", targetRowsPerRegion = 16)
+    // The exact read shape KeyedStore.expire issues for discovery.
+    val p = physical(spark.table(name).filter(col("ts") < 10L).select(col("k")))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,10)]"),
+      p.take(3000))
+    assert(!p.contains("v#") || !p.contains("ReadSchema: struct<k:bigint,ts:bigint,v"),
+      "payload column must be pruned from the discovery scan")
+  }
+
+  test("image phash candidates are an equi-join — no all-pairs plan") {
+    val p = physical(ops.MultimodalOps.qImagePhash(spark, Sf))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("curriculum order: rank/bin come from the distributed globalRank — " +
+       "no data-scale global window, no ntile fallback") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = ops.TextOps.qCurriculumOrder(spark, Sf)
+    // globalRank's offset hierarchy windows over PARTITION-COUNT-sized
+    // relations are fine (the prefix-sum recursion rule); what must not
+    // appear is more than one global window or any ntile over the data.
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val nGlobal = windows.count(_.partitionSpec.isEmpty)
+    assert(nGlobal <= 1, s"$nGlobal global windows of ${windows.size}")
+    assert(!physical(df).contains("ntile"), "fell back to a global ntile")
+  }
+
+  test("k-core rounds peel via semi-joins, never cartesian") {
+    val p = physical(ops.GraphOps.qKcore(spark, Sf))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("filtered ANN broadcasts the query-label side") {
+    val p = physical(ops.SimilarityOps.qAnnFiltered(spark, Sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("m_label"),
+      p.take(3000))
+  }
+
   test("hot paths compile to whole-stage codegen") {
     val df = ops.FlightOps.qGroupMonthSumCount(spark, Sf)
     df.collect() // materialize so AQE finalizes the plan
