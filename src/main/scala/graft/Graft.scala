@@ -358,6 +358,10 @@ object Graft {
     * ([[ops.GraphOps.kCore]]). */
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame =
     ops.GraphOps.kCore(und, k, rounds)
+  /** Fixed-round k-truss peel (edge triangle-support analog of k-core)
+    * ([[ops.GraphOps.kTruss]]). */
+  def kTruss(und: DataFrame, k: Int, rounds: Int): DataFrame =
+    ops.GraphOps.kTruss(und, k, rounds)
   /** α=0.5 temperature-smoothed domain mixture plan in exact ppm
     * ([[ops.TextOps.mixturePlan]]). */
   def mixturePlan(docs: DataFrame): DataFrame =

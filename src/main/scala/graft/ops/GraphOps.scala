@@ -126,6 +126,27 @@ object GraphOps {
     // [[randomWalks]]/[[shortestPaths]]; the derived relations persisted
     // below are degree- and edge-sized, never bigger than the graph.
     val und = und0.graftCached
+    val tri = trianglesOf(und).agg(count(lit(1)).as("n_triangles"))
+    val nNodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .agg(countDistinct(col("node")).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tri) // three broadcast single-row joins
+  }
+
+  /** One row `(a, b, c)` per triangle of the undirected graph `und`
+    * (`(u, v)` with u < v — pass it cached or checkpointed; the degree
+    * and directed relations cached here are edge-sized). Degree-ordered
+    * edge
+    * orientation: every wedge fans out from its low-(deg, id) endpoint
+    * and the closing check is an equi-join on the wedge tips — the
+    * standard O(m^1.5)-work distributed schedule (a degree-d celebrity
+    * contributes d wedges as a tip, never d² as a center). Shared by
+    * [[triangleCount]] (which only counts the rows) and [[kTruss]]
+    * (which explodes each triple into its three undirected edges for
+    * per-edge support).
+    */
+  private def trianglesOf(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -153,11 +174,77 @@ object GraphOps {
     val e2 = directed.select(col("a"), col("b").as("c"), col("rb").as("rc"))
     val wedges = e1.join(e2, Seq("a")).filter(col("rb") < col("rc"))
     val closing = directed.select(col("a").as("b"), col("b").as("c"))
-    val tri = wedges.join(closing, Seq("b", "c")).agg(count(lit(1)).as("n_triangles"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = und.agg(count(lit(1)).as("n_edges"))
-    nNodes.crossJoin(nEdges).crossJoin(tri) // three broadcast single-row joins
+    wedges.join(closing, Seq("b", "c")).select(col("a"), col("b"), col("c"))
   }
+
+  /** Per-edge triangle support of the CURRENT subgraph: each triangle
+    * contributes one count to each of its three undirected edges. */
+  private def edgeSupport(edges: DataFrame): DataFrame =
+    trianglesOf(edges)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+               greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+               greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+               greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+
+  /** k-truss peel (Cohen 2008): `rounds` synchronous rounds of dropping
+    * every edge whose triangle SUPPORT in the current subgraph is below
+    * k−2 — the edge-strength analog of [[kCore]]'s node peel, and the
+    * standard cohesive-community core (an edge survives only while
+    * embedded in enough mutual neighborhoods; spam follower farms pass
+    * k-core but fail k-truss because their edges share no triangles).
+    * Per round: one degree-ordered triangle enumeration (O(m^1.5)
+    * wedge work, never all-pairs), an explode to 3 edge rows per
+    * triangle, one (u, v) count, and the support filter — O(edges +
+    * triangles) shuffled rows. Fixed `rounds` keeps the schedule
+    * deterministic and the oracle unrollable; the edge-count early
+    * stop can never disagree with the oracle's full unroll (a stable
+    * round removes nothing, and peeling a stable graph is a no-op).
+    * Output: the surviving edges with their support INSIDE the final
+    * subgraph (recomputed once after the last peel).
+    */
+  def kTruss(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    // localCheckpoint EVERY round, not persist: the support pass
+    // references the edge relation ~8× (degree attach ×2, orientation,
+    // wedge sides, closing edge, the filter join), so an un-truncated
+    // plan tree grows ~8× PER ROUND and the plan-description string
+    // alone OOMs the driver by round 3 (measured on the K4 spec
+    // fixture). Checkpoint blocks of dropped rounds are reaped by the
+    // ContextCleaner — the [[pageRank]] loop discipline.
+    var edges = und.select(col("u"), col("v")).localCheckpoint()
+    var prevEdges = edges.count()
+    var converged = false
+    (1 to rounds).foreach { _ =>
+      if (!converged) {
+        val next = edges.join(edgeSupport(edges), Seq("u", "v"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val n = next.count()
+        edges = next
+        converged = n == prevEdges
+        prevEdges = n
+      }
+    }
+    edges.join(edgeSupport(edges), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
+  /** Driver row: 2-round 3-truss of the ≥2-basket co-purchase graph —
+    * every surviving edge sits in ≥ 1 triangle of the surviving
+    * subgraph after each peel. Non-trivial at every fixture SF
+    * (2,244 / 181 / 3 edges); two rounds because each round carries a
+    * full triangle enumeration (production raises `rounds` and lets
+    * the early stop finish the converged tail).
+    */
+  def qKtruss(spark: SparkSession, dir: String): DataFrame =
+    kTruss(copurchaseEdges(spark, dir, minOrders = 2), k = 3, rounds = 2)
+      .orderBy(col("u"), col("v"))
 
   /** Driver row: triangles of the customer↔supplier nation co-trade graph
     * (an undirected edge whenever any lineitem ships a supplier's part

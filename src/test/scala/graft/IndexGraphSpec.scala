@@ -62,6 +62,29 @@ class IndexGraphSpec extends AnyFunSuite {
     assert(r3 == r10)
   }
 
+  test("k-truss: K4 + hanging triangle — 4-truss keeps only K4; " +
+       "3-truss keeps both with correct supports") {
+    import spark.implicits._
+    // K4 over {1,2,3,4} (each edge in 2 triangles) + triangle {4,5,6}
+    // attached at node 4 (each of its edges in exactly 1 triangle).
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+                  (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val t4 = ops.GraphOps.kTruss(und, k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+                            (2L, 4L), (3L, 4L)), t4.toString)
+    assert(t4.values.forall(_ == 2L), s"K4 edges must each sit in 2 triangles: $t4")
+    val t3 = ops.GraphOps.kTruss(und, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3.size == 9 && t3((4L, 5L)) == 1L && t3((1L, 2L)) == 2L, t3.toString)
+  }
+
+  test("k-truss: a triangle-free graph peels to nothing; extra rounds idle") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v") // C4
+    assert(ops.GraphOps.kTruss(und, k = 3, rounds = 5).count() == 0L)
+  }
+
   test("k-core: a tree has an empty 2-core") {
     import spark.implicits._
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
