@@ -106,7 +106,10 @@ object ExplainDump {
       "q_keyed_ttl" -> "TTL sweep: pushed-down age scan finds expired keys; the delete anti-join rewrites only regions holding one",
       "q_keyed_secondary_index" -> "Secondary index: prefix range scan over the index table's regions, then a primary getBatch pruned to the holding regions",
       "q_curriculum_order" -> "Curriculum interleave: distributed globalRank + closed-form rank-in-bin projection — no per-bin window, no second shuffle",
-      "q_dedup_keep_best" -> "Quality-aware dedup: cluster-member argmax by exact-ppm TTR (max_by struct), anti-join keep — corpus shuffles only on doc_id")
+      "q_dedup_keep_best" -> "Quality-aware dedup: cluster-member argmax by exact-ppm TTR (max_by struct), anti-join keep — corpus shuffles only on doc_id",
+      "q_ann_late_interaction" -> "Late interaction: 16 facet cosines + 4 maxes + the facet sum in ONE codegen'd projection over the broadcast-query corpus scan",
+      "q_ktruss" -> "k-truss rounds: degree-ordered triangle enumeration, 3-edge explode, support filter — localCheckpoint truncates the ~8x/round plan growth",
+      "q_temporal_split" -> "Temporal split: distributed globalRank cuts, no data-scale global window")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

@@ -150,6 +150,11 @@ object ScaleSmoke {
       time(s"mixture_plan_$tag", dir)(d => ops.TextOps.qMixturePlan(spark, d))
       time(s"curriculum_$tag", dir)(d => ops.TextOps.qCurriculumOrder(spark, d))
       time(s"vstore_restore_$tag", dir)(d => ops.SourceSinkOps.qVstoreRestore(spark, d))
+      time(s"ktruss_$tag", dir)(d => ops.GraphOps.qKtruss(spark, d))
+      time(s"ann_late_inter_$tag", dir)(d =>
+        ops.SimilarityOps.qAnnLateInteraction(spark, d))
+      time(s"mixture_apply_$tag", dir)(d => ops.TextOps.qMixtureApply(spark, d))
+      time(s"temporal_split_$tag", dir)(d => ops.EventOps.qTemporalSplit(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
       time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))
