@@ -1731,6 +1731,14 @@ object KeyedStore {
     * list is localCheckpoint-pinned BEFORE the merge so the discovery
     * scan cannot race the rewrite it triggers. Idempotent: a second
     * sweep at the same cutoff finds nothing. Returns rows expired.
+    *
+    * Concurrency: the DELETE takes the regular region locks, but the
+    * discovery read is a plain table scan — run the sweep as a
+    * maintenance pass (no concurrent writers), the same single-
+    * maintainer assumption [[rebalance]] documents. A concurrent
+    * writer's rewrite under the discovery scan surfaces as a read
+    * retry, never a wrong delete (the pinned key list is re-resolved
+    * against the locked base inside the merge).
     */
   def expire(spark: SparkSession, name: String, key: String,
              tsCol: String, cutoff: Long): Long = {

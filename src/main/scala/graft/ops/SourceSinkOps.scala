@@ -303,6 +303,15 @@ object SourceSinkOps {
     * the maintained index (the oracle applies the same flip
     * relationally). The moved id and its old type are two single-row
     * control-plane collects.
+    *
+    * Consistency note: the dual write is two independent store commits
+    * (primary, then index) — between them a reader can see the new
+    * primary row under the old index key, exactly the eventual-
+    * consistency window Phoenix GLOBAL indexes have (its transactional
+    * mode buys atomicity with a cross-table write-ahead protocol this
+    * engine deliberately doesn't carry). Writers must apply the two
+    * legs in this order so a failed index write leaves a FINDABLE row,
+    * never a dangling index entry.
     */
   def qKeyedSecondaryIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
