@@ -338,16 +338,18 @@ object Graft {
   // durable ANN index (KeyedStore-backed IVF-PQ; [[ops.AnnIndexOps]])
   def annIndexBuild(spark: SparkSession, name: String, embs: DataFrame,
                     numCentroids: Int = 16, nassign: Int = 2,
-                    targetRowsPerRegion: Long = 512): Unit =
+                    targetRowsPerRegion: Long = 512,
+                    withLabels: Boolean = false): Unit =
     ops.AnnIndexOps.buildIndex(spark, name, embs, numCentroids, nassign,
-      targetRowsPerRegion)
+      targetRowsPerRegion, withLabels)
   def annIndexAppend(spark: SparkSession, name: String, newEmbs: DataFrame,
                      nassign: Int = 2): Unit =
     ops.AnnIndexOps.appendBatch(spark, name, newEmbs, nassign)
   def annIndexServe(spark: SparkSession, name: String, corpus: DataFrame,
                     queryPred: Column, nprobe: Int = 4, k: Int = 10,
-                    expand: Int = 4): DataFrame =
-    ops.AnnIndexOps.serve(spark, name, corpus, queryPred, nprobe, k, expand)
+                    expand: Int = 4, sameLabelOnly: Boolean = false): DataFrame =
+    ops.AnnIndexOps.serve(spark, name, corpus, queryPred, nprobe, k, expand,
+      sameLabelOnly)
 
   // graph communities, text features, governance
   /** Synchronous LPA communities, fixed deterministic rounds

@@ -64,9 +64,15 @@ object AnnIndexOps {
     * corpus row counts so cells span multiple regions and the serving
     * scan's pruning is real, not vacuous.
     */
+  /** `withLabels = true` stores each member's metadata label AS A
+    * POSTING COLUMN — the production filtered-search layout: the
+    * pre-filter then costs zero extra IO at serve time because the
+    * filter column arrives with the bytes the coarse scan reads anyway
+    * ([[SimilarityOps.annIvfPqFiltered]]'s scale claim, made real). */
   def buildIndex(spark: SparkSession, name: String, embs: DataFrame,
                  numCentroids: Int = 16, nassign: Int = 2,
-                 targetRowsPerRegion: Long = 512): Unit = {
+                 targetRowsPerRegion: Long = 512,
+                 withLabels: Boolean = false): Unit = {
     // create() runs several actions over the union (count, write,
     // region stats); without the persists each would re-quantize the
     // corpus and re-derive the codebook (the lineage-clone rule).
@@ -75,9 +81,15 @@ object AnnIndexOps {
     val codebookRows = cent.select(
       format_string("b%012d", guardId(col("c_id"))).as("row_key"),
       col("c_id"), col("c_emb").as("emb"), col("c_nrm").as("nrm"))
-    val postingRows = pqAssign(eq, cent, nassign).select(
+    val postingRows0 = pqAssign(eq, cent, nassign).select(
       postingKey(col("c_id"), col("m_id")).as("row_key"),
       col("c_id"), col("m_id"), col("m_qv8").as("qv8"))
+    val postingRows =
+      if (withLabels)
+        postingRows0.join(
+          embs.select(col("vec_id").as("m_id"), col("label").as("m_label")),
+          Seq("m_id"))
+      else postingRows0
     KeyedStore.create(spark, name,
       codebookRows.unionByName(postingRows, allowMissingColumns = true),
       "row_key", targetRowsPerRegion)
@@ -147,29 +159,45 @@ object AnnIndexOps {
     */
   def serve(spark: SparkSession, name: String, corpus: DataFrame,
             queryPred: Column, nprobe: Int = 4, k: Int = 10,
-            expand: Int = 4): DataFrame = {
+            expand: Int = 4, sameLabelOnly: Boolean = false): DataFrame = {
     val cent = storedCodebook(spark, name)
     // A serving query arrives as a raw float vector: quantize inline
     // (per-query work over the tiny filtered set).
     // Referenced twice (cell-id collect + the coarse join) — without
     // the persist each reference re-quantizes and re-routes the batch.
-    val probes = pqProbes(withInt8Codes(corpus.filter(queryPred)),
-      lit(true), cent, nprobe).graftCached
+    val probes0 = pqProbes(withInt8Codes(corpus.filter(queryPred)),
+      lit(true), cent, nprobe)
+    val probes = (if (sameLabelOnly)
+      probes0.join(broadcast(corpus.filter(queryPred)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"))),
+        Seq("q_id"))
+    else probes0).graftCached
     val cells = probes.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).sorted
+    val memberCols =
+      Seq(col("c_id"), col("m_id"), col("qv8").as("m_qv8")) ++
+        (if (sameLabelOnly) Seq(col("m_label")) else Nil)
     val members =
       if (cells.isEmpty) // no queries matched queryPred
-        spark.range(0).select(col("id").as("c_id"), col("id").as("m_id"),
-          lit(null).cast("array<int>").as("m_qv8"))
+        spark.range(0).select(
+          Seq(col("id").as("c_id"), col("id").as("m_id"),
+            lit(null).cast("array<int>").as("m_qv8")) ++
+            (if (sameLabelOnly) Seq(lit(null).cast("int").as("m_label"))
+             else Nil): _*)
       else // ONE multi-range scan over all probed cells' posting lists —
            // a per-cell scan union would be a plan-size bomb past a few
-           // dozen cells (the HBase MultiRowRangeFilter shape).
+           // dozen cells (the HBase MultiRowRangeFilter shape). With
+           // sameLabelOnly the label arrives AS A POSTING COLUMN of that
+           // same scan — the filter costs zero extra IO (the layout
+           // [[buildIndex]]'s withLabels stores).
         KeyedStore.scanMulti(spark, name, "row_key",
           cells.toSeq.map(c => (f"c$c%012d#", f"c$c%012d#z")))
-          .select(col("c_id"), col("m_id"), col("qv8").as("m_qv8"))
+          .select(memberCols: _*)
     val floats = corpus.select(col("vec_id"), col("embedding"),
       norm2("embedding").as("nrm"))
-    pqCoarseRescore(probes, members, floats, queryPred, k, expand)
+    pqCoarseRescore(probes, members, floats, queryPred, k, expand,
+      pairFilter =
+        if (sameLabelOnly) col("m_label") === col("q_label") else lit(true))
   }
 
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
@@ -213,6 +241,20 @@ object AnnIndexOps {
     buildIndex(spark, name, embs)
     deleteBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
     serve(spark, name, embs, col("vec_id") < 5)
+  }
+
+  /** Filtered search served off the DURABLE index: the label is stored
+    * as a posting-list column ([[buildIndex]] withLabels), so the
+    * same-label constraint rides the one multi-range posting scan —
+    * zero extra IO, pre-filtered before the candidate cut. Results are
+    * identical to the in-memory [[SimilarityOps.annIvfPqFiltered]] by
+    * construction (shared stages), which the shared oracle pins.
+    */
+  def qAnnIndexFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_fil_", dir)
+    val embs = embeddings(spark, dir)
+    buildIndex(spark, name, embs, withLabels = true)
+    serve(spark, name, embs, col("vec_id") < 5, sameLabelOnly = true)
   }
 
   /** Index maintenance — the major-compaction pass: incremental appends

@@ -1093,6 +1093,11 @@ object PipelineOracles {
 
     "q_ann_index_delete" -> AnnPqDelete,
 
+    // Store-served filtered search: the label rides the posting rows,
+    // the serve composes the same shared stages — result identical to
+    // the in-memory filtered path by construction.
+    "q_ann_index_filtered" -> AnnPqFiltered,
+
     // Streaming twin of the incremental index: the delta drains as
     // AvailableNow micro-batches through appendBatch (insert-only,
     // replay-idempotent, order-commutative), so the final store — and

@@ -121,6 +121,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postings().sorted.toSeq == once, "re-delete changed the store")
   }
 
+  test("filtered serve off the store equals the in-memory filtered path; " +
+       "labels are stored posting columns") {
+    val name = "graft_ann_fil_spec"
+    val embs = Tables.embeddings(spark, Sf)
+    AnnIndexOps.buildIndex(spark, name, embs, withLabels = true)
+    val served = AnnIndexOps
+      .serve(spark, name, embs, col("vec_id") < 5, sameLabelOnly = true)
+      .collect().map(_.toString).toSeq
+    val inMem = ops.SimilarityOps
+      .annIvfPqFiltered(embs, col("vec_id") < 5)
+      .collect().map(_.toString).toSeq
+    assert(served == inMem, "store round-trip changed the filtered result")
+    // The label really is a posting column (no serve-time label join).
+    val postings = KeyedStore.scan(spark, name, "row_key", "c", "cz")
+    assert(postings.columns.contains("m_label"))
+    assert(postings.filter(col("m_label").isNull).count() == 0L,
+      "every posting row must carry its member's label")
+  }
+
   test("appendBatch replay is a content no-op (the exactly-once audit)") {
     val name = "graft_ann_idx_replay"
     val embs = Tables.embeddings(spark, Sf)
