@@ -439,14 +439,23 @@ object GraphOps {
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        val alive = edges.select(col("u").as("node"))
+        // Filter against the DEAD set (deg < k), not the alive set: a
+        // peel round removes a FRONTIER — after round 1 the dead set is
+        // tiny relative to the graph, so AQE plans both anti-joins as
+        // broadcasts and the edge relation never reshuffles; the
+        // semi-join-on-alive formulation shuffles O(edges) rows per
+        // round unconditionally. Semantically identical (every endpoint
+        // is in the degree relation), and on a pathological round where
+        // most nodes die AQE falls back to the shuffle anti-join — the
+        // same cost the alive form always pays.
+        val dead = edges.select(col("u").as("node"))
           .unionAll(edges.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k)
+          .filter(col("d") < k)
           .select(col("node"))
         val next = edges
-          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .join(dead.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(dead.select(col("node").as("v")), Seq("v"), "left_anti")
           .select(col("u"), col("v"))
           .graftCached
         val n = next.count() // materialize before releasing the parent
