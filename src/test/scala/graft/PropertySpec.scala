@@ -227,6 +227,62 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: kCore and kTruss equal driver-side fixpoint peels on " +
+       "random graphs") {
+    import TestSpark.spark
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(3, 10)
+      m <- Gen.chooseNum(2, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    def coreRef(es: List[(Long, Long)], k: Int): Map[Long, Long] = {
+      var edges = es.toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = edges.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+        changed = next.size != edges.size
+        edges = next
+      }
+      edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    def suppOf(e: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = e.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      e.toSeq.map { case (u, v) =>
+        (u, v) -> adj(u).intersect(adj(v)).size.toLong }.toMap
+    }
+    def trussRef(es: List[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+      var edges = es.toSet
+      var changed = true
+      while (changed) {
+        val s = suppOf(edges)
+        val next = edges.filter(e => s(e) >= k - 2)
+        changed = next.size != edges.size
+        edges = next
+      }
+      suppOf(edges)
+    }
+    val p = Prop.forAll(edgeGen) { es =>
+      val df = es.toDF("u", "v")
+      // rounds far past any fixpoint on <= 10 nodes: the early stop must
+      // land the operators exactly on the reference fixpoints.
+      val gotCore = ops.GraphOps.kCore(df, k = 2, rounds = 15).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotTruss = ops.GraphOps.kTruss(df, k = 3, rounds = 15).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      gotCore == coreRef(es, 2) && gotTruss == trussRef(es, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: funnel stage counts equal a driver-side reference on random event sets") {
     import TestSpark.spark
     import spark.implicits._
