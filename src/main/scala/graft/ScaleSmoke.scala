@@ -142,6 +142,8 @@ object ScaleSmoke {
       time(s"distinct_ngrams_$tag", dir)(d => ops.TextOps.qDistinctNgrams(spark, d))
       time(s"ann_filtered_$tag", dir)(d => ops.SimilarityOps.qAnnFiltered(spark, d))
       time(s"ann_index_delete_$tag", dir)(d => ops.AnnIndexOps.qAnnIndexDelete(spark, d))
+      time(s"ann_index_filt_$tag", dir)(d =>
+        ops.AnnIndexOps.qAnnIndexFiltered(spark, d))
       time(s"image_phash_$tag", dir)(d => ops.MultimodalOps.qImagePhash(spark, d))
       time(s"keyed_ttl_$tag", dir)(d => ops.SourceSinkOps.qKeyedTtl(spark, d))
       time(s"keyed_secidx_$tag", dir)(d =>

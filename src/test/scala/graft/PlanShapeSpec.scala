@@ -326,9 +326,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!physical(df).contains("ntile"), "fell back to a global ntile")
   }
 
-  test("k-core rounds peel via semi-joins, never cartesian") {
+  test("k-core rounds peel via anti-joins against the dead set, " +
+       "never cartesian") {
+    // The final plan reads the operator's cached output; the round
+    // shape shows through the InMemoryRelation's reprinted child.
     val p = physical(ops.GraphOps.qKcore(spark, Sf))
-    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
