@@ -157,6 +157,7 @@ object ScaleSmoke {
         ops.SimilarityOps.qAnnLateInteraction(spark, d))
       time(s"mixture_apply_$tag", dir)(d => ops.TextOps.qMixtureApply(spark, d))
       time(s"temporal_split_$tag", dir)(d => ops.EventOps.qTemporalSplit(spark, d))
+      time(s"m4_downsample_$tag", dir)(d => ops.EventOps.qM4Downsample(spark, d))
       time(s"exact_dedup_$tag", dir)(d => ops.DedupOps.qDedupExact(spark, d))
       time(s"heavy_hitters_$tag", dir)(d => ops.TextOps.qHeavyHitters(spark, d))
       time(s"para_dedup_$tag", dir)(d => ops.ScrubOps.qParagraphDedup(spark, d))

@@ -467,6 +467,48 @@ object EventOps {
     * rows broadcast back) + one filter pass — no windows, no sort; the
     * shape survives any corpus size.
     */
+  /** M4 downsampling (Jugel et al., VLDB 2014) — the error-free
+    * line-chart reduction: per series and fixed TIME bucket (the pixel
+    * column), keep the first, last, minimum and maximum points; a line
+    * chart of the ≤4W surviving points renders pixel-identically to
+    * the full series at width W. One hash aggregate over the corpus —
+    * bucket id is `(ts − min_ts)·W div span` arithmetic off a
+    * broadcast single-row extent, each extreme an arg-min/max with a
+    * FULL lexicographic tie-break struct ((value, ts, id) for the
+    * value extremes, (ts, id) for the endpoints) so both engines pick
+    * identical points. All BIGINT; n_points counts the bucket's raw
+    * rows (the compression evidence).
+    */
+  def m4Downsample(events: DataFrame, width: Int = 32): DataFrame = {
+    val ev = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr("cast(round(value * 100) as bigint)").as("value_c"))
+    val extent = ev.agg(min(col("ts_us")).as("t0"),
+      (max(col("ts_us")) - min(col("ts_us")) + 1).as("span"))
+    ev.crossJoin(broadcast(extent))
+      .withColumn("bucket", expr(s"(ts_us - t0) * $width div span"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min_by(struct(col("ts_us"), col("value_c")),
+               struct(col("ts_us"), col("event_id"))).as("p_first"),
+        max_by(struct(col("ts_us"), col("value_c")),
+               struct(col("ts_us"), col("event_id"))).as("p_last"),
+        min_by(struct(col("ts_us"), col("value_c")),
+               struct(col("value_c"), col("ts_us"), col("event_id"))).as("p_min"),
+        max_by(struct(col("ts_us"), col("value_c")),
+               struct(col("value_c"), col("ts_us"), col("event_id"))).as("p_max"))
+      .select(col("event_type"), col("bucket"), col("n_points"),
+        col("p_first.ts_us").as("t_first"), col("p_first.value_c").as("v_first"),
+        col("p_last.ts_us").as("t_last"), col("p_last.value_c").as("v_last"),
+        col("p_min.ts_us").as("t_min"), col("p_min.value_c").as("v_min"),
+        col("p_max.ts_us").as("t_max"), col("p_max.value_c").as("v_max"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def qM4Downsample(spark: SparkSession, dir: String): DataFrame =
+    m4Downsample(events(spark, dir))
+
   /** Temporal train/val/test split — the leakage-safe protocol for
     * time-ordered data (a hash split like [[TextOps.trainSplit]] leaks
     * the future into training whenever the task is forecasting).

@@ -659,6 +659,40 @@ object EventOracles {
         |SELECT node, CAST(dist AS BIGINT) AS dist
         |FROM d ORDER BY dist, node""".stripMargin,
 
+    // Mirrors EventOps.qM4Downsample: first/last/min/max per (type,
+    // 32-bucket) with FULL lexicographic tie-breaks matching the Spark
+    // side's min_by/max_by struct keys (max picks the LATER/LARGER row
+    // on ties — hence the DESC chains).
+    "q_m4_downsample" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |x AS (SELECT min(ts_us) AS t0,
+        |             max(ts_us) - min(ts_us) + 1 AS span FROM ev),
+        |b AS (SELECT ev.*, (ts_us - t0) * 32 // span AS bucket FROM ev, x),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts_us, event_id) AS rf,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts_us DESC, event_id DESC) AS rl,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY value_c, ts_us, event_id) AS rmin,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY value_c DESC, ts_us DESC, event_id DESC) AS rmax
+        |  FROM b)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_points,
+        |       CAST(max(CASE WHEN rf = 1 THEN ts_us END) AS BIGINT) AS t_first,
+        |       CAST(max(CASE WHEN rf = 1 THEN value_c END) AS BIGINT) AS v_first,
+        |       CAST(max(CASE WHEN rl = 1 THEN ts_us END) AS BIGINT) AS t_last,
+        |       CAST(max(CASE WHEN rl = 1 THEN value_c END) AS BIGINT) AS v_last,
+        |       CAST(max(CASE WHEN rmin = 1 THEN ts_us END) AS BIGINT) AS t_min,
+        |       CAST(max(CASE WHEN rmin = 1 THEN value_c END) AS BIGINT) AS v_min,
+        |       CAST(max(CASE WHEN rmax = 1 THEN ts_us END) AS BIGINT) AS t_max,
+        |       CAST(max(CASE WHEN rmax = 1 THEN value_c END) AS BIGINT) AS v_max
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Mirrors EventOps.qTemporalSplit: exact 70/15/15 rank cuts over
     // (ts, event_id) — grank*100 <= n*70 integer comparisons on both
     // engines; the oracle's single global window is fine at oracle

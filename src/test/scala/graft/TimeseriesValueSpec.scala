@@ -25,6 +25,36 @@ class TimeseriesValueSpec extends AnyFunSuite {
     assert(r.exists(_.getAs[Long]("n") == 0L))
   }
 
+  test("M4 downsample equals a driver recompute; buckets bounded; " +
+       "point mass conserves") {
+    val raw = ops.EventOps.qM4Downsample(spark, Sf) // materializes extent too
+    val ev = Tables.events(spark, Sf)
+      .selectExpr("event_type", "event_id", "unix_micros(ts) as ts_us",
+        "cast(round(value * 100) as bigint) as value_c")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val t0 = ev.map(_._3).min
+    val span = ev.map(_._3).max - t0 + 1
+    val expected = ev.groupBy(e => (e._1, (e._3 - t0) * 32 / span)).map {
+      case ((ty, b), rows) =>
+        val first = rows.minBy(e => (e._3, e._2))
+        val last = rows.maxBy(e => (e._3, e._2))
+        val mn = rows.minBy(e => (e._4, e._3, e._2))
+        val mx = rows.maxBy(e => (e._4, e._3, e._2))
+        (ty, b) -> ((rows.length.toLong, first._3, first._4, last._3, last._4,
+                     mn._3, mn._4, mx._3, mx._4))
+    }
+    val got = raw.collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+    }.toMap
+    assert(got == expected,
+      s"diff=${(expected.toSet -- got.toSet).take(2)}")
+    assert(got.keys.map(_._2).forall(b => b >= 0 && b < 32))
+    assert(got.values.map(_._1).sum == ev.length.toLong, "point mass lost")
+  }
+
   test("temporal split: exact 70/15/15 rank sizes, time-disjoint, conserves") {
     val rows = ops.EventOps.qTemporalSplit(spark, Sf).collect()
       .map(r => r.getString(0) ->
