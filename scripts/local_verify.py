@@ -52,6 +52,12 @@ def approx_eq(a, b):
 
 import os
 only = {k.strip() for k in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if k.strip()}
+unknown = only - set(oracle)
+if unknown:
+    # A typo'd name would otherwise skip everything and "0/0 passed"
+    # would exit 0 — a focused run silently checking nothing.
+    print(f"ERROR: SPARK_GRAFT_ONLY names not in oracle map: {sorted(unknown)}")
+    sys.exit(2)
 
 fails = 0
 for name in sorted(oracle):
@@ -98,4 +104,7 @@ for name in sorted(oracle):
 
 checked = len([n for n in oracle if not only or n in only])
 print(f"\n{checked - fails}/{checked} passed")
+if checked == 0:
+    print("ERROR: zero queries checked")
+    sys.exit(2)
 sys.exit(1 if fails else 0)

@@ -25,8 +25,17 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(keys) => SparkEntry.queries.view.filterKeys(keys).toMap
-      case None       => SparkEntry.queries
+      case Some(keys) =>
+        // A typo'd name would otherwise silently dump nothing and the
+        // focused run would "pass" having checked zero queries.
+        val unknown = keys -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[verify] unknown SPARK_GRAFT_ONLY keys: ${unknown.toSeq.sorted.mkString(",")}")
+          sys.exit(2)
+        }
+        SparkEntry.queries.view.filterKeys(keys).toMap
+      case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * One keyed table holds the whole index under HBase-style composite
   * row keys — the row-key design the reference forfeits by choosing
-  * UUIDs (`HPopulate/src/main/java/org/northeastern/Main.java:54-73`
-  * pre-splits regions it then can't range-read; SURVEY.md §1.4):
+  * UUIDs (`HPopulate/src/main/java/org/northeastern/Main.java:97`
+  * assigns `UUID.randomUUID` row keys, so the regions its createTable
+  * pre-splits at `Main.java:54-73` can never be range-read;
+  * SURVEY.md §1.4):
   *
   *  - `b<c_id%012d>`              → codebook row (c_id, emb, nrm)
   *  - `c<c_id%012d>#m<m_id%012d>` → posting row (c_id, m_id, qv8)

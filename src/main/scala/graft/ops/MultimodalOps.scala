@@ -130,9 +130,11 @@ object MultimodalOps {
     *
     * Shape: decode+hash runs per partition via `mapPartitions` (the
     * codec-init batch shape, [[qImageFeatures]]); everything after is
-    * declarative — candidates from a 4×16-bit banded self-equi-join
-    * (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal, so
-    * recall is COMPLETE at this threshold — [[DedupOps.simhashPairs]]'
+    * declarative — candidates from a `(maxHamming+1)`-band self-equi-
+    * join over the 64 hash bits (pigeonhole: hamming ≤ maxHamming ⇒
+    * at least one of maxHamming+1 bands equal, so recall is COMPLETE
+    * at the requested threshold for ANY maxHamming < 64 — the band
+    * count is DERIVED from the threshold, [[DedupOps.simhashPairs]]'
     * scheme), verified by one codegen'd `bit_count(xor)`. Never
     * all-pairs; at 100 TB a hot band key (e.g. the all-zero hash of
     * blank images) follows the df-cap discipline of the LSH paths —
@@ -168,10 +170,25 @@ object MultimodalOps {
       }
       .toDF("doc_id", "ahash")
       .graftCached
+    // Band layout derived from the threshold: maxHamming+1 contiguous
+    // bit ranges partitioning the 64 bits (widths differ by ≤1 bit when
+    // 64 doesn't divide evenly) — the pigeonhole completeness guarantee
+    // then TRACKS maxHamming instead of silently capping at 3.
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val lo = bounds(i)
+      val w  = bounds(i + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(i).as("band"),
+        expr(s"shiftrightunsigned(ahash, $lo) & ${mask}L").as("key"))
+    }
     val banded = hashes.select(col("doc_id"), col("ahash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("key",
-        expr("shiftrightunsigned(ahash, band * 16) & 65535"))
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

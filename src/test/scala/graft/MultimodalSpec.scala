@@ -88,6 +88,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == truth,
       s"missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
     assert(truth.nonEmpty, "fixture should contain near-dup images")
+
+    // Band count derives from the threshold: at maxHamming=5 the join
+    // runs 6 bands and recall stays complete (the old fixed-4-band
+    // layout silently lost pairs with hamming in [4,5]).
+    val truth5 = (for {
+      i <- hs.indices; k <- (i + 1) until hs.length
+      ham = java.lang.Long.bitCount(hs(i)._2 ^ hs(k)._2)
+      if ham <= 5
+    } yield (hs(i)._1, hs(k)._1, ham.toLong)).toSet
+    val got5 = graft.ops.MultimodalOps
+      .imagePhashPairs(graft.Tables.documents(spark, Sf), maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got5 == truth5,
+      s"missing=${(truth5 -- got5).take(3)} extra=${(got5 -- truth5).take(3)}")
+    assert(truth5.size > truth.size, "fixture should have pairs in hamming (3,5]")
+    intercept[IllegalArgumentException] {
+      graft.ops.MultimodalOps.imagePhashPairs(
+        graft.Tables.documents(spark, Sf), maxHamming = 64)
+    }
   }
 
   test("qMultimodalMeta digests match driver-side md5") {
