@@ -48,7 +48,9 @@ object AnnIndexOps {
   import graft.GraftCache.GraftCachedOps
   import graft.Tables._
   import SimilarityOps.{withInt8Codes, pqCodebook, pqAssign, pqProbes,
-    pqCoarseRescore, norm2}
+    pqCoarseRescore, norm2, withDoubleVecs, pqSubCodebooks, pqEncode,
+    pqAssignPayload, pqProbesPayload, adcLut, adcCoarseRescore, PqM, PqKSub,
+    PqDim}
 
   private val IdCap = 1000000000000L // %012d zero-pad bound
 
@@ -202,6 +204,86 @@ object AnnIndexOps {
         if (sameLabelOnly) col("m_label") === col("q_label") else lit(true))
   }
 
+  // ---- True-PQ index (per-subspace codebooks, ADC serving) ----
+
+  /** Build a TRUE product-quantized index: the coarse IVF codebook plus
+    * m per-subspace PQ codebooks ([[SimilarityOps.pqSubCodebooks]]) made
+    * durable beside postings that store only the m-code array + the
+    * exact reconstructed norm — 16 bytes per member at the defaults vs
+    * the int8 index's 64. Key layout extends [[buildIndex]]'s:
+    *
+    *  - `b<c_id%012d>`              → coarse codebook row (c_id, emb, nrm)
+    *  - `p<s%03d>#<code%012d>`      → PQ sub-codebook row (sub_id,
+    *                                  sub_code, scv, snrm_u)
+    *  - `c<c_id%012d>#m<m_id%012d>` → posting row (c_id, m_id, pqc, rnrm_u)
+    *
+    * `b* < c* < p*` lexicographically, so each shape is one contiguous
+    * key range; the PQ codebook is m·kSub rows — one tiny prefix scan,
+    * broadcast at serve time to build the query LUTs. */
+  def buildPqIndex(spark: SparkSession, name: String, embs: DataFrame,
+                   numCentroids: Int = 16, nassign: Int = 2,
+                   m: Int = PqM, kSub: Int = PqKSub,
+                   targetRowsPerRegion: Long = 512): Unit = {
+    val e = withDoubleVecs(embs).graftCached
+    val cent = pqCodebook(e, numCentroids).graftCached
+    val cb = pqSubCodebooks(e, m, kSub) // graftCached inside
+    val codes = pqEncode(e, cb, m)
+    val codebookRows = cent.select(
+      format_string("b%012d", guardId(col("c_id"))).as("row_key"),
+      col("c_id"), col("c_emb").as("emb"), col("c_nrm").as("nrm"))
+    val subCbRows = cb.select(
+      format_string("p%03d#%012d", col("s"),
+        guardId(col("code").cast("long"))).as("row_key"),
+      col("s").as("sub_id"), col("code").cast("long").as("sub_code"),
+      col("scv"), col("snrm_u"))
+    val postingRows = pqAssignPayload(e.join(codes, Seq("vec_id")), cent,
+        nassign, Seq("pqc", "rnrm_u"))
+      .select(postingKey(col("c_id"), col("m_id")).as("row_key"),
+        col("c_id"), col("m_id"), col("m_pqc").as("pqc"),
+        col("m_rnrm_u").as("rnrm_u"))
+    KeyedStore.create(spark, name,
+      codebookRows
+        .unionByName(subCbRows, allowMissingColumns = true)
+        .unionByName(postingRows, allowMissingColumns = true),
+      "row_key", targetRowsPerRegion)
+  }
+
+  /** Serve off the true-PQ index via asymmetric distance: route the
+    * query batch through the stored coarse codebook, build each query's
+    * LUT against the stored sub-codebooks (one `p*`-prefix scan, m·kSub
+    * rows, broadcast), then ONE multi-range scan of the probed cells'
+    * posting lists — each posting read is m codes + one bigint, the 4×
+    * byte cut over int8 that is PQ's point at scale — scored by m map
+    * lookups, cut to k·expand, and float-rescored by id. */
+  def servePq(spark: SparkSession, name: String, corpus: DataFrame,
+              queryPred: Column, nprobe: Int = 4, k: Int = 10,
+              expand: Int = 8, m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
+    val cent = storedCodebook(spark, name)
+    val cb = KeyedStore.scan(spark, name, "row_key", "p", "pz")
+      .select(col("sub_id").cast("int").as("s"),
+              col("sub_code").cast("int").as("code"),
+              col("scv"), col("snrm_u"))
+    val q = withDoubleVecs(corpus.filter(queryPred)).graftCached
+    val probes = pqProbesPayload(q, lit(true), cent, nprobe, Nil).graftCached
+    val cells = probes.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members =
+      if (cells.isEmpty)
+        spark.range(0).select(col("id").as("c_id"), col("id").as("m_id"),
+          lit(null).cast("array<int>").as("m_pqc"),
+          lit(null).cast("bigint").as("m_rnrm_u"))
+      else
+        KeyedStore.scanMulti(spark, name, "row_key",
+          cells.toSeq.map(c => (f"c$c%012d#", f"c$c%012d#z")))
+          .select(col("c_id"), col("m_id"), col("pqc").as("m_pqc"),
+                  col("rnrm_u").as("m_rnrm_u"))
+    val lut = adcLut(q, cb, m, kSub)
+    val floats = corpus.select(col("vec_id"), col("embedding"),
+      norm2("embedding").as("nrm"))
+    adcCoarseRescore(probes, members, lut, floats, queryPred, k, expand,
+      m, kSub)
+  }
+
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
 
   private def storeName(prefix: String, dir: String): String =
@@ -257,6 +339,30 @@ object AnnIndexOps {
     val embs = embeddings(spark, dir)
     buildIndex(spark, name, embs, withLabels = true)
     serve(spark, name, embs, col("vec_id") < 5, sameLabelOnly = true)
+  }
+
+  /** True-PQ build-then-ADC-serve, with the index-size accounting
+    * attached to every row: `pq_code_bytes` = members·(m + 8) + the
+    * m·kSub·subdim·8-byte codebook vs `int8_code_bytes` = members·dim —
+    * the flag pins that the m×8-bit representation beats int8×dim
+    * storage (16+ε vs 64 bytes/vector at the defaults; at production
+    * kSub=256 the codebook grows 16× and is still corpus-independent).
+    * Serve results are identical to [[SimilarityOps.annPqAdc]] by
+    * construction (shared stages around the store round-trip). */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_adc_", dir)
+    val embs = embeddings(spark, dir)
+    buildPqIndex(spark, name, embs)
+    val served = servePq(spark, name, embs, col("vec_id") < 5)
+    val sd = PqDim / PqM
+    val sizes = withDoubleVecs(embs)
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (col("n") * (PqM + 8) + lit(PqM * PqKSub * sd * 8)).cast("long")
+          .as("pq_code_bytes"),
+        (col("n") * PqDim).cast("long").as("int8_code_bytes"))
+      .withColumn("pq_smaller", col("pq_code_bytes") < col("int8_code_bytes"))
+    served.crossJoin(broadcast(sizes)).orderBy(col("q_id"), col("rank"))
   }
 
   /** Index maintenance — the major-compaction pass: incremental appends

@@ -199,6 +199,125 @@ object PipelineOracles {
         |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Mirrors SimilarityOps.annPqAdc / AnnIndexOps.servePq: TRUE product
+    * quantization. Per-subspace codebooks from one exact-integer Lloyd
+    * round over the shared md5 seed sample (kmeansCentroids' arithmetic
+    * per subspace: micro-unit BIGINT sums, floor(S/n + 0.5) means, exact
+    * Σcm² norms), members encoded to m codes + an exact reconstructed
+    * norm, IVF cell routing as in ANN_PQ, ADC scoring = |q|² − 2·Σ_s
+    * LUT[s,code_s] + rnrm_u/1e12 (every dot a left-to-right fold both
+    * engines share; the norm an exact integer), k·expand cut ASC, exact
+    * float rescore. The LUT joins unroll the m map lookups. */
+  private val AnnAdc: String = {
+    val m = 8; val kSub = 32; val sd = 8
+    val lutJoins = (0 until m).map(i =>
+      s"  JOIN lut l$i ON l$i.q_id = pr.q_id AND l$i.s = $i " +
+        s"AND l$i.code = pr.pqc[${i + 1}]").mkString("\n")
+    val adotSum = (0 until m).map(i => s"l$i.ldot").mkString(" + ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+       |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM m0 WHERE amax > 0),
+       |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+       |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+       |vc AS (
+       |  SELECT e.vec_id, cent.c_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+       |                    cent.c_id ASC) AS rn
+       |  FROM e CROSS JOIN cent),
+       |sub AS (SELECT vec_id, s, list_slice(v, s*$sd+1, s*$sd+$sd) AS sv
+       |        FROM e, generate_series(0, ${m - 1}) t(s)),
+       |sdv AS (SELECT vec_id, v,
+       |               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+       |        FROM e),
+       |c0 AS (SELECT s, rk - 1 AS code, list_slice(v, s*$sd+1, s*$sd+$sd) AS cv0
+       |       FROM sdv, generate_series(0, ${m - 1}) t(s) WHERE rk <= $kSub),
+       |c0w AS (SELECT s, code, cv0, list_dot_product(cv0, cv0) AS nc0 FROM c0),
+       |a1 AS (
+       |  SELECT s, code, sv FROM (
+       |    SELECT sub.vec_id, sub.s, c0w.code, sub.sv,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY list_dot_product(sub.sv, sub.sv)
+       |                      - 2 * list_dot_product(sub.sv, c0w.cv0) + c0w.nc0,
+       |                      c0w.code) AS rn
+       |    FROM sub JOIN c0w ON c0w.s = sub.s) WHERE rn = 1),
+       |dims AS (
+       |  SELECT s, code, j AS pos,
+       |         SUM(CAST(round(sv[j] * 1000000.0) AS BIGINT)) AS sm, count(*) AS n
+       |  FROM a1, generate_series(1, $sd) t(j) GROUP BY 1, 2, 3),
+       |cmt AS (SELECT s, code, pos,
+       |               CAST(floor(sm / (n::DOUBLE) + 0.5) AS BIGINT) AS cm FROM dims),
+       |cb AS (SELECT s, code, list(cm::DOUBLE / 1000000.0 ORDER BY pos) AS scv,
+       |              CAST(SUM(cm * cm) AS BIGINT) AS snrm_u
+       |       FROM cmt GROUP BY s, code),
+       |a2 AS (
+       |  SELECT vec_id, s, code, snrm_u FROM (
+       |    SELECT sub.vec_id, sub.s, cb.code, cb.snrm_u,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |             ORDER BY list_dot_product(sub.sv, sub.sv)
+       |                      - 2 * list_dot_product(sub.sv, cb.scv)
+       |                      + CAST(cb.snrm_u AS DOUBLE) / 1000000000000.0,
+       |                      cb.code) AS rn
+       |    FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+       |codes AS (SELECT vec_id, list(code ORDER BY s) AS pqc,
+       |                 CAST(SUM(snrm_u) AS BIGINT) AS rnrm_u
+       |          FROM a2 GROUP BY vec_id),
+       |assign AS (SELECT vc.vec_id AS m_id, vc.c_id, c.pqc, c.rnrm_u
+       |           FROM vc JOIN codes c ON c.vec_id = vc.vec_id WHERE vc.rn <= 2),
+       |probes AS (SELECT vec_id AS q_id, c_id FROM vc WHERE vec_id < 5 AND rn <= 4),
+       |qrel AS (SELECT vec_id AS q_id, v AS qv, nrm AS q_nrm FROM e WHERE vec_id < 5),
+       |lut AS (SELECT q.q_id, cb.s, cb.code,
+       |               list_dot_product(list_slice(q.qv, cb.s*$sd+1, cb.s*$sd+$sd), cb.scv) AS ldot
+       |        FROM qrel q CROSS JOIN cb),
+       |pairs AS (
+       |  SELECT p.q_id, a.m_id, a.pqc, a.rnrm_u
+       |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id),
+       |scored AS (
+       |  SELECT pr.q_id, pr.m_id, pr.rnrm_u, $adotSum AS adot
+       |  FROM pairs pr
+       |$lutJoins),
+       |coarse AS (
+       |  SELECT s0.q_id, s0.m_id,
+       |         min(q.q_nrm - 2 * s0.adot
+       |             + CAST(s0.rnrm_u AS DOUBLE) / 1000000000000.0) AS adist
+       |  FROM scored s0 JOIN qrel q ON q.q_id = s0.q_id
+       |  GROUP BY s0.q_id, s0.m_id),
+       |cand AS (
+       |  SELECT q_id, m_id FROM (
+       |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist ASC, m_id ASC) AS crank
+       |    FROM coarse) WHERE crank <= 80),
+       |rescored AS (
+       |  SELECT cd.q_id, cd.m_id,
+       |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
+       |  FROM cand cd
+       |  JOIN e t ON t.vec_id = cd.m_id
+       |  JOIN e q ON q.vec_id = cd.q_id),
+       |ranked AS (
+       |  SELECT q_id, m_id, c,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY c DESC, m_id ASC) AS rank
+       |  FROM rescored)
+       |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** q_ann_pq: AnnAdc's serve result with the index-size accounting
+    * columns (exact integers from the member count) cross-joined on. */
+  private val AnnAdcSized: String = {
+    val m = 8; val kSub = 32; val sd = 8; val dim = 64
+    s"""WITH r AS ($AnnAdc),
+       |n0 AS (SELECT count(*) AS n FROM (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0)),
+       |sz AS (SELECT CAST(n * ${m + 8} + ${m * kSub * sd * 8} AS BIGINT) AS pq_code_bytes,
+       |              CAST(n * $dim AS BIGINT) AS int8_code_bytes FROM n0)
+       |SELECT r.q_id, r.rank, r.neighbor_id, r.cos,
+       |       sz.pq_code_bytes, sz.int8_code_bytes,
+       |       sz.pq_code_bytes < sz.int8_code_bytes AS pq_smaller
+       |FROM r CROSS JOIN sz ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Mirrors SimilarityOps.annLateInteraction: 16 pair cosines over the
     * 4×16-dim sub-vector slices, per-facet greatest, explicit
     * left-to-right facet sum — the same fold orders as the Spark
@@ -1074,6 +1193,7 @@ object PipelineOracles {
     "q_ann_quantized_rescore" -> ANN_QR,
 
     "q_ann_ivf_pq" -> ANN_PQ,
+    "q_ann_pq" -> AnnAdcSized,
     "q_ann_filtered" -> AnnPqFiltered,
     "q_ann_late_interaction" -> AnnLateInteraction,
 
@@ -1797,19 +1917,22 @@ object PipelineOracles {
          |ivfk AS (SELECT q_id, neighbor_id FROM ($ANN_IVF_KMEANS)),
          |qr AS (SELECT q_id, neighbor_id FROM ($ANN_QR)),
          |pq AS (SELECT q_id, neighbor_id FROM ($ANN_PQ)),
+         |adc AS (SELECT q_id, neighbor_id FROM ($AnnAdc)),
          |h AS (
          |  SELECT bf.q_id, count(*) AS n_exact,
          |         CAST(count(i.neighbor_id) AS BIGINT) AS h_ivf,
          |         CAST(count(l.neighbor_id) AS BIGINT) AS h_lsh,
          |         CAST(count(k.neighbor_id) AS BIGINT) AS h_ivfk,
          |         CAST(count(r.neighbor_id) AS BIGINT) AS h_qr,
-         |         CAST(count(p.neighbor_id) AS BIGINT) AS h_pq
+         |         CAST(count(p.neighbor_id) AS BIGINT) AS h_pq,
+         |         CAST(count(a.neighbor_id) AS BIGINT) AS h_adc
          |  FROM bf
          |  LEFT JOIN ivf i ON i.q_id = bf.q_id AND i.neighbor_id = bf.neighbor_id
          |  LEFT JOIN lsh l ON l.q_id = bf.q_id AND l.neighbor_id = bf.neighbor_id
          |  LEFT JOIN ivfk k ON k.q_id = bf.q_id AND k.neighbor_id = bf.neighbor_id
          |  LEFT JOIN qr r ON r.q_id = bf.q_id AND r.neighbor_id = bf.neighbor_id
          |  LEFT JOIN pq p ON p.q_id = bf.q_id AND p.neighbor_id = bf.neighbor_id
+         |  LEFT JOIN adc a ON a.q_id = bf.q_id AND a.neighbor_id = bf.neighbor_id
          |  GROUP BY bf.q_id
          |)
          |SELECT q_id, n_exact,
@@ -1818,8 +1941,10 @@ object PipelineOracles {
          |       round(CAST(h_ivfk AS DOUBLE) / n_exact, 3) AS recall_ivf_kmeans,
          |       round(CAST(h_qr AS DOUBLE) / n_exact, 3) AS recall_quant_rescore,
          |       round(CAST(h_pq AS DOUBLE) / n_exact, 3) AS recall_ivf_pq,
+         |       round(CAST(h_adc AS DOUBLE) / n_exact, 3) AS recall_pq_adc,
          |       true AS ivf_mean_ok, true AS lsh_mean_ok, true AS ivf_kmeans_mean_ok,
-         |       true AS quant_rescore_mean_ok, true AS ivf_pq_mean_ok
+         |       true AS quant_rescore_mean_ok, true AS ivf_pq_mean_ok,
+         |       true AS pq_adc_mean_ok
          |FROM h ORDER BY q_id""".stripMargin,
 
     // DuckDB twin of the custom graft_sliding generator: lateral

@@ -412,12 +412,14 @@ object SimilarityOps {
       .join(hits(annQuantizedRescore(embs, col("vec_id") < 5), "h_qr"),
         Seq("q_id"), "left")
       .join(hits(annIvfPq(embs, col("vec_id") < 5), "h_pq"), Seq("q_id"), "left")
+      .join(hits(annPqAdc(embs, col("vec_id") < 5), "h_adc"), Seq("q_id"), "left")
       .select(col("q_id"), col("n_exact"),
         coalesce(col("h_ivf"), lit(0L)).as("h_ivf"),
         coalesce(col("h_lsh"), lit(0L)).as("h_lsh"),
         coalesce(col("h_ivfk"), lit(0L)).as("h_ivfk"),
         coalesce(col("h_qr"), lit(0L)).as("h_qr"),
-        coalesce(col("h_pq"), lit(0L)).as("h_pq"))
+        coalesce(col("h_pq"), lit(0L)).as("h_pq"),
+        coalesce(col("h_adc"), lit(0L)).as("h_adc"))
     // Mean recall from exact integer totals (sum of hits / sum of k) —
     // order-independent, unlike avg() over per-query doubles. Quantized
     // rescore's floor is high (0.80): its only loss is the int8 coarse
@@ -430,13 +432,19 @@ object SimilarityOps {
       (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.50).as("lsh_mean_ok"),
       (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"),
       (sum(col("h_qr")).cast("double") / sum(col("n_exact")) >= 0.80).as("quant_rescore_mean_ok"),
-      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.50).as("ivf_pq_mean_ok"))
+      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.50).as("ivf_pq_mean_ok"),
+      // True-PQ ADC: round-12 measured mean recall@10 0.58/0.62/0.56
+      // across sf0.001/0.01/0.1 at m=8/kSub=32/expand=8 — the IVF-class
+      // floor (cell routing dominates; the PQ coarse loss is recovered
+      // by the 8× rescore expansion).
+      (sum(col("h_adc")).cast("double") / sum(col("n_exact")) >= 0.50).as("pq_adc_mean_ok"))
     per.select(col("q_id"), col("n_exact"),
         round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),
         round(col("h_lsh").cast("double") / col("n_exact"), 3).as("recall_lsh"),
         round(col("h_ivfk").cast("double") / col("n_exact"), 3).as("recall_ivf_kmeans"),
         round(col("h_qr").cast("double") / col("n_exact"), 3).as("recall_quant_rescore"),
-        round(col("h_pq").cast("double") / col("n_exact"), 3).as("recall_ivf_pq"))
+        round(col("h_pq").cast("double") / col("n_exact"), 3).as("recall_ivf_pq"),
+        round(col("h_adc").cast("double") / col("n_exact"), 3).as("recall_pq_adc"))
       .crossJoin(broadcast(flags))
       .orderBy(col("q_id"))
   }
@@ -643,24 +651,43 @@ object SimilarityOps {
     * store-backed path persists. */
   private[graft] def pqAssign(eq: DataFrame, cent: DataFrame,
                             nassign: Int): DataFrame =
+    pqAssignPayload(eq, cent, nassign, Seq("qv8"))
+
+  /** [[pqAssign]] generalized over the per-member payload columns that
+    * ride the posting rows (`qv8` for the int8 index, `pqc`/`rnrm_u`
+    * for the true-PQ one) — each emitted with an `m_` prefix. */
+  private[graft] def pqAssignPayload(eq: DataFrame, cent: DataFrame,
+                                     nassign: Int,
+                                     payload: Seq[String]): DataFrame = {
+    val aggs = payload.map(p => first(col(p)).as("m_" + p)) :+
+      slice(array_sort(collect_list(
+        struct((-col("c_cos")).as("nc"), col("c_id")))), 1, nassign).as("top")
     withCentCos(eq, cent)
       .groupBy(col("vec_id"))
-      .agg(first(col("qv8")).as("m_qv8"),
-           slice(array_sort(collect_list(
-             struct((-col("c_cos")).as("nc"), col("c_id")))), 1, nassign).as("top"))
-      .select(col("vec_id").as("m_id"), col("m_qv8"),
-              explode(col("top.c_id")).as("c_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id").as("m_id") +: payload.map(p => col("m_" + p)) :+
+        explode(col("top.c_id")).as("c_id"): _*)
+  }
 
   /** Per-query probe rows `(q_id, q_qv8, c_id)` — nprobe nearest cells;
     * the window runs over |queries|·k rows only. */
   private[graft] def pqProbes(eq: DataFrame, queryPred: Column,
                             cent: DataFrame, nprobe: Int): DataFrame =
+    pqProbesPayload(eq, queryPred, cent, nprobe, Seq("qv8"))
+
+  /** [[pqProbes]] with caller-chosen payload columns (emitted with a
+    * `q_` prefix); the ADC path carries none — its per-query state is
+    * the LUT, joined separately. */
+  private[graft] def pqProbesPayload(eq: DataFrame, queryPred: Column,
+                                     cent: DataFrame, nprobe: Int,
+                                     payload: Seq[String]): DataFrame =
     withCentCos(eq.filter(queryPred), cent)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("c_cos").desc, col("c_id").asc)))
       .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("qv8").as("q_qv8"), col("c_id"))
+      .select(col("vec_id").as("q_id") +:
+        payload.map(p => col(p).as("q_" + p)) :+ col("c_id"): _*)
 
   /** The serving tail shared by [[annIvfPq]] and [[AnnIndexOps]]: int8
     * coarse scores within probed cells (a pair reachable through two
@@ -687,6 +714,15 @@ object SimilarityOps {
           .orderBy(col("iscore").desc, col("m_id").asc)))
       .filter(col("crank") <= k * expand)
       .select(col("q_id"), col("m_id"))
+    exactRescoreTail(cand, floats, queryPred, k)
+  }
+
+  /** The exact float-cosine rescore every coarse path ends in: fetch
+    * vectors by id for the `(q_id, m_id)` survivors only (the corpus is
+    * never re-scanned wide), score, top k. Shared by the int8 and ADC
+    * coarse stages. */
+  private[graft] def exactRescoreTail(cand: DataFrame, floats: DataFrame,
+                                      queryPred: Column, k: Int): DataFrame = {
     val rescored = cand
       .join(floats.select(col("vec_id").as("m_id"), col("embedding").as("m_emb"),
                           col("nrm").as("m_nrm")), Seq("m_id"))
@@ -737,6 +773,210 @@ object SimilarityOps {
 
   def qAnnFiltered(spark: SparkSession, dir: String): DataFrame =
     annIvfPqFiltered(embeddings(spark, dir), col("vec_id") < 5)
+
+  // ---- True product quantization (per-subspace codebooks) + ADC ----
+
+  /** PQ defaults at fixture scale: m subspaces × kSub codes each. In
+    * production kSub is 256 (one byte per code exactly); 32 keeps the
+    * oracle's unrolled training tractable while exercising every stage.
+    * m=8 (8-dim subspaces) over the fixture's 64-dim embeddings: the
+    * round-12 DuckDB sweep measured min recall@10 across sf0.001/0.01/
+    * 0.1 of 0.56 at m=8/kSub=32/expand=8 vs 0.30 at m=4/kSub=16/
+    * expand=4 — finer subspaces cut quantization error far faster than
+    * they cost bytes (8 codes + 8-byte norm = 16 B/vector, still 4×
+    * under int8×64). */
+  private[graft] val PqM = 8
+  private[graft] val PqKSub = 32
+  private[graft] val PqDim = 64
+
+  /** `(vec_id, embedding, v, nrm)` with `v` the double-widened vector —
+    * the shared float-side relation of the PQ family. Zero vectors are
+    * excluded exactly as [[withInt8Codes]] excludes them, so every
+    * retrieval path ranks the same member set. */
+  private[graft] def withDoubleVecs(embs: DataFrame): DataFrame =
+    embs
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("amax", expr(
+        "aggregate(v, cast(0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("amax") > 0)
+      .select(col("vec_id"), col("embedding"), col("v"),
+              norm2("embedding").as("nrm"))
+
+  /** `(vec_id, s, sv)` — each vector split into its m contiguous
+    * subvectors (a pure projection; the explode fans out m× but every
+    * row is dim/m doubles, so total bytes are unchanged). */
+  private def pqSubs(e: DataFrame, m: Int): DataFrame = {
+    val sd = PqDim / m
+    e.select(col("vec_id"), col("v"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .withColumn("sv", expr(s"slice(v, s * $sd + 1, $sd)"))
+      .select(col("vec_id"), col("s"), col("sv"))
+  }
+
+  /** True per-subspace PQ codebooks `(s, code, scv, snrm_u)` — the
+    * Jégou-style product quantizer: the vector space is a product of m
+    * orthogonal subspaces, each with its own kSub-entry codebook, so a
+    * vector compresses to m one-byte codes (m·log₂kSub bits) instead of
+    * dim int8s. Training is [[kmeansCentroids]]' exact-arithmetic Lloyd
+    * round applied per subspace: one shared md5-sampled seed set (the
+    * kSub vectors with smallest md5(vec_id), each subspace taking its
+    * slice), one argmin assignment over subvectors, one exact integer
+    * micro-unit mean update. `snrm_u` is the centroid's EXACT squared
+    * norm in micro²-units (Σcm², a BIGINT) — stored so reconstructed
+    * member norms stay bit-stable across engines. Every stage is
+    * order-independent (integer sums, IEEE division of exact ints), so
+    * the DuckDB oracle reproduces the codebook bit-for-bit.
+    *
+    * Cost: the assignment broadcast is m·kSub tiny rows; the update is
+    * a (m·kSub·subdim)-group aggregate with map-side partials — at
+    * 100 TB the training pass is one corpus scan + one small exchange,
+    * same as one Lloyd round of plain k-means. */
+  private[graft] def pqSubCodebooks(e: DataFrame, m: Int = PqM,
+                                    kSub: Int = PqKSub): DataFrame = {
+    val sd = PqDim / m
+    val sub = pqSubs(e, m)
+      .withColumn("nsv", expr(
+        "aggregate(sv, cast(0 as double), (a, x) -> a + x * x)"))
+    val seeds = e.withColumn("ckey", md5(col("vec_id").cast("string")))
+      .orderBy(col("ckey"), col("vec_id")).limit(kSub)
+      .withColumn("code", (row_number().over(
+        Window.orderBy(col("ckey"), col("vec_id"))) - 1).cast("int"))
+    val c0 = seeds.select(col("code"), col("v"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .withColumn("cv0", expr(s"slice(v, s * $sd + 1, $sd)"))
+      .withColumn("nc0", expr(
+        "aggregate(cv0, cast(0 as double), (a, x) -> a + x * x)"))
+      .select(col("s"), col("code"), col("cv0"), col("nc0"))
+    val a1 = sub.join(broadcast(c0), Seq("s"))
+      .withColumn("dist", expr(
+        "nsv - 2 * aggregate(zip_with(sv, cv0, (x, y) -> x * y), " +
+          "cast(0 as double), (a, z) -> a + z) + nc0"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("code"), col("sv")),
+                  struct(col("dist"), col("code"))).as("mm"))
+      .select(col("s"), col("mm.code").as("code"), col("mm.sv").as("sv"))
+    val dims = a1
+      .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg(sum(expr("cast(round(x * 1000000.0) as bigint)")).as("sm"),
+           count(lit(1)).as("n"))
+      .withColumn("cm", expr("cast(floor(sm / cast(n as double) + 0.5) as bigint)"))
+    dims.groupBy(col("s"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pcs"))
+      .select(col("s"), col("code"),
+        expr("transform(pcs, p -> cast(p.cm as double) / 1000000.0)").as("scv"),
+        expr("aggregate(pcs, cast(0 as bigint), (a, p) -> a + p.cm * p.cm)").as("snrm_u"))
+      // k·m rows referenced by encode, the LUT, and the store build —
+      // un-persisted each branch re-runs the Lloyd round over the corpus.
+      .graftCached
+  }
+
+  /** PQ-encode every vector against trained sub-codebooks: `(vec_id,
+    * pqc, rnrm_u)` where `pqc` is the m-code array (THE compressed
+    * representation — m bytes at kSub ≤ 256) and `rnrm_u` the exact
+    * reconstructed squared norm Σ snrm_u(s, code_s) in micro²-units
+    * (8 bytes/vector, stored so ADC can rank by true reconstructed
+    * distance without touching the codebook at serve time). */
+  private[graft] def pqEncode(e: DataFrame, cb: DataFrame,
+                              m: Int = PqM): DataFrame = {
+    val sub = pqSubs(e, m)
+      .withColumn("nsv", expr(
+        "aggregate(sv, cast(0 as double), (a, x) -> a + x * x)"))
+    val cbw = cb.withColumn("nc",
+      col("snrm_u").cast("double") / lit(1.0e12))
+    sub.join(broadcast(cbw), Seq("s"))
+      .withColumn("dist", expr(
+        "nsv - 2 * aggregate(zip_with(sv, scv, (x, y) -> x * y), " +
+          "cast(0 as double), (a, z) -> a + z) + nc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("code"), col("snrm_u")),
+                  struct(col("dist"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("s"), col("mm.code").as("code"),
+              col("mm.snrm_u").as("snrm_u"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(
+        struct(col("s"), col("code"), col("snrm_u")))).as("scs"))
+      .select(col("vec_id"),
+        expr("transform(scs, t -> t.code)").as("pqc"),
+        expr("aggregate(scs, cast(0 as bigint), (a, t) -> a + t.snrm_u)").as("rnrm_u"))
+  }
+
+  /** Per-query asymmetric-distance lookup table: ONE small map per
+    * query, lut[s·kSub + code] = q_subvector(s)·scv(s,code). m·kSub
+    * entries (64 doubles at the defaults) — the classic ADC trick: the
+    * query side is computed exactly once against the codebook, and
+    * scoring a member is m map lookups + m−1 adds, no vector math. */
+  private[graft] def adcLut(q: DataFrame, cb: DataFrame, m: Int,
+                            kSub: Int): DataFrame = {
+    val sd = PqDim / m
+    q.select(col("vec_id").as("q_id"), col("v"), col("nrm").as("q_nrm"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .withColumn("qsv", expr(s"slice(v, s * $sd + 1, $sd)"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("ldot", expr(
+        "aggregate(zip_with(qsv, scv, (x, y) -> x * y), " +
+          "cast(0 as double), (a, z) -> a + z)"))
+      .withColumn("idx",
+        col("s").cast("int") * lit(kSub) + col("code").cast("int"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_nrm")).as("q_nrm"),
+           map_from_entries(collect_list(
+             struct(col("idx"), col("ldot")))).as("lut"))
+  }
+
+  /** ADC coarse scan + exact rescore: score each probed posting by the
+    * reconstructed L2 distance |q|² − 2·Σ_s lut[s,code_s] + |recon|²
+    * (adot from m map lookups, |recon|² from the stored exact integer),
+    * keep k·expand per query (dist ASC), then [[exactRescoreTail]].
+    * `members` needs `(c_id, m_id, m_pqc, m_rnrm_u)` — at the store
+    * the coarse scan reads m+8 bytes per member instead of dim int8s. */
+  private[graft] def adcCoarseRescore(probes: DataFrame, members: DataFrame,
+                                      lut: DataFrame, floats: DataFrame,
+                                      queryPred: Column, k: Int, expand: Int,
+                                      m: Int, kSub: Int): DataFrame = {
+    val adotExpr = (0 until m)
+      .map(s => s"element_at(lut, ${s * kSub} + element_at(m_pqc, ${s + 1}))")
+      .mkString(" + ")
+    val coarse = probes.join(members, Seq("c_id"))
+      .filter(col("m_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id"))
+      .withColumn("adot", expr(adotExpr))
+      .withColumn("adist", expr(
+        "q_nrm - 2 * adot + cast(m_rnrm_u as double) / 1000000000000.0"))
+      // A pair reachable through two shared cells carries the same adist
+      // on both copies — min() collapses the duplicates deterministically.
+      .groupBy(col("q_id"), col("m_id"))
+      .agg(min(col("adist")).as("adist"))
+    val cand = coarse
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist").asc, col("m_id").asc)))
+      .filter(col("crank") <= k * expand)
+      .select(col("q_id"), col("m_id"))
+    exactRescoreTail(cand, floats, queryPred, k)
+  }
+
+  /** IVF + true-PQ retrieval with asymmetric-distance scoring — the
+    * in-memory twin of [[AnnIndexOps.servePq]] (identical results by
+    * construction: shared stages). Compared with [[annIvfPq]]'s int8
+    * path, the member payload shrinks from dim bytes to m codes + one
+    * stored norm (16 bytes at the defaults vs 64): at 100 TB the coarse
+    * scan is memory-bandwidth-bound, so the 4× byte cut is the whole
+    * point of PQ — and the float vectors still only move for the
+    * k·expand rescore survivors. */
+  def annPqAdc(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
+               nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
+               expand: Int = 8, m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
+    val e = withDoubleVecs(embs).graftCached
+    val cent = pqCodebook(e, numCentroids).graftCached
+    val cb = pqSubCodebooks(e, m, kSub)
+    val codes = pqEncode(e, cb, m)
+    val members = pqAssignPayload(e.join(codes, Seq("vec_id")), cent, nassign,
+      Seq("pqc", "rnrm_u"))
+    val probes = pqProbesPayload(e, queryPred, cent, nprobe, Nil)
+    val lut = adcLut(e.filter(queryPred), cb, m, kSub)
+    adcCoarseRescore(probes, members, lut, e, queryPred, k, expand, m, kSub)
+  }
 
   /** Late-interaction retrieval — the ColBERT MaxSim scoring paradigm
     * (Khattab & Zaharia, SIGIR'20): both sides carry MULTIPLE vectors

@@ -153,6 +153,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(content() == once, "replayed append changed the store")
   }
 
+  test("true-PQ store serve equals the in-memory ADC pipeline; the size " +
+       "columns prove the m-byte code beats int8×dim") {
+    val out = AnnIndexOps.qAnnPq(spark, Sf)
+    val served = rowsOf(out.select("q_id", "rank", "neighbor_id", "cos"))
+    val inMem = rowsOf(SimilarityOps.annPqAdc(
+      Tables.embeddings(spark, Sf), col("vec_id") < 5))
+    assert(served == inMem, "store round-trip changed ADC results")
+    val head = out.select("pq_code_bytes", "int8_code_bytes", "pq_smaller").head()
+    val n = SimilarityOps.withDoubleVecs(Tables.embeddings(spark, Sf)).count()
+    val m = SimilarityOps.PqM; val kSub = SimilarityOps.PqKSub
+    val sd = SimilarityOps.PqDim / m
+    assert(head.getLong(0) == n * (m + 8) + m * kSub * sd * 8)
+    assert(head.getLong(1) == n * SimilarityOps.PqDim)
+    assert(head.getBoolean(2), "PQ index must be smaller than int8 codes")
+  }
+
+  test("stored PQ postings are self-consistent: codes index the stored " +
+       "sub-codebooks and rnrm_u is the exact sum of their norms") {
+    val name = "graft_ann_adc_spec"
+    AnnIndexOps.buildPqIndex(spark, name, Tables.embeddings(spark, Sf))
+    val m = SimilarityOps.PqM; val kSub = SimilarityOps.PqKSub
+    val cb = KeyedStore.scan(spark, name, "row_key", "p", "pz")
+      .select("sub_id", "sub_code", "scv", "snrm_u").collect()
+    assert(cb.nonEmpty, "no stored sub-codebook rows")
+    val norm = cb.map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(3)).toMap
+    cb.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < m)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < kSub)
+      assert(r.getSeq[Double](2).length == SimilarityOps.PqDim / m)
+    }
+    val postings = KeyedStore.scan(spark, name, "row_key", "c", "cz")
+      .select("m_id", "pqc", "rnrm_u")
+      .where(col("pqc").isNotNull).collect()
+    assert(postings.nonEmpty)
+    postings.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == m, s"member ${r.getLong(0)}: ${codes.length} codes")
+      val expect = codes.zipWithIndex.map { case (c, s) => norm((s, c)) }.sum
+      assert(r.getLong(2) == expect,
+        s"member ${r.getLong(0)}: stored rnrm_u ${r.getLong(2)} != $expect")
+    }
+  }
+
   test("id outside the %012d key layout is rejected, not silently mis-sorted") {
     import spark.implicits._
     val bad = Seq((1000000000000L, Array.fill(4)(1.0f)))
