@@ -199,6 +199,48 @@ object PipelineOracles {
         |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** BPE merge-learning oracle machinery (TextOps.bpeTrain /
+    * bpeFertility): fixed-round unrolled training. Each round r has
+    * `i{r}` (adjacent-pair explode), `g{r}` (the argmax merge — ties
+    * lexicographic on the pair), and `w{r}` (the merged word table via a
+    * greedy left-to-right list_reduce fold, Spark's aggregate() twin —
+    * element type LIST(VARCHAR) so accumulator and element unify). */
+  private val BpeRounds = 16
+
+  /** The fold applying merge `g.l + g.r` to a syms column — shared by
+    * the training and apply chains. */
+  private def bpeFold(syms: String, g: String): String =
+    s"""list_reduce(list_transform($syms, x -> [x]),
+       |          (acc, x) -> CASE WHEN acc[-1] = $g.l AND x[1] = $g.r
+       |                      THEN list_append(list_slice(acc, 1, len(acc) - 1), $g.l || $g.r)
+       |                      ELSE list_append(acc, x[1]) END)""".stripMargin
+
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs, so a 16-level
+    // chain would re-evaluate w0 exponentially often (fd exhaustion —
+    // the same hazard the MMR oracle hit).
+    sb ++= """w0 AS MATERIALIZED (
+             |  SELECT list_transform(generate_series(1, length(word)), i -> word[i]) AS syms,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             |        FROM documents) t
+             |  WHERE length(word) >= 2
+             |  GROUP BY word)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |i$r AS (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i FROM w${r - 1}),
+                |g$r AS MATERIALIZED (SELECT l, r, CAST(sum(n) AS BIGINT) AS n_pair
+                |        FROM (SELECT syms[i] AS l, syms[i + 1] AS r, n FROM i$r)
+                |        GROUP BY l, r ORDER BY n_pair DESC, l, r LIMIT 1)""".stripMargin
+      if (r < rounds)
+        sb ++= s""",
+                  |w$r AS MATERIALIZED (SELECT ${bpeFold("w.syms", "g")} AS syms, w.n
+                  |        FROM w${r - 1} w CROSS JOIN g$r g)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Mirrors SimilarityOps.annPqAdc / AnnIndexOps.servePq: TRUE product
     * quantization. Per-subspace codebooks from one exact-integer Lloyd
     * round over the shared md5 seed sample (kmeansCentroids' arithmetic
@@ -875,6 +917,45 @@ object PipelineOracles {
         |SELECT substr(word, CAST(i AS INT), 2) AS pair,
         |       CAST(sum(n) AS BIGINT) AS n_pair
         |FROM pos GROUP BY 1 ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+
+    // Mirrors TextOps.bpeTrain: 16 unrolled BPE rounds — per round the
+    // pair-frequency argmax (ties lexicographic) and a list_reduce fold
+    // applying the merge greedily left-to-right, exactly Spark's
+    // aggregate() fold. See bpeCtes.
+    "q_bpe_train" -> {
+      val rounds = BpeRounds
+      val picks = (1 to rounds).map(r =>
+        s"SELECT $r AS merge_round, l AS lhs, r AS rhs, l || r AS merged, n_pair FROM g$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bpeCtes(rounds)}
+         |SELECT * FROM (
+         |  $picks
+         |) ORDER BY merge_round""".stripMargin
+    },
+
+    // Mirrors TextOps.bpeFertility: the q_bpe_train rounds train the
+    // merges; a parallel fold chain applies them to the per-language
+    // word tables; exact integer totals per lang.
+    "q_bpe_fertility" -> {
+      val rounds = BpeRounds
+      val applies = (1 to rounds).map(r =>
+        s"""a$r AS MATERIALIZED (SELECT a.lang, a.word, ${bpeFold("a.syms", "g")} AS syms, a.n
+           |        FROM a${r - 1} a CROSS JOIN g$r g)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH ${bpeCtes(rounds)},
+         |a0 AS MATERIALIZED (
+         |  SELECT lang, word,
+         |         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |        FROM documents) t
+         |  GROUP BY lang, word),
+         |$applies
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_occurrences,
+         |       CAST(sum(n * length(word)) AS BIGINT) AS n_chars,
+         |       CAST(sum(n * len(syms)) AS BIGINT) AS n_bpe_tokens
+         |FROM a$rounds GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // Mirrors TextOps.qTokenZipf: top-100 token ranks, micro-nat ln
     // rounding, exact-integer regression num/den.

@@ -1394,6 +1394,117 @@ object TextOps {
       .limit(20)
   }
 
+  /** Iterative BPE merge LEARNING (Sennrich et al. 2016) — [[qBpeMerges]]'
+    * one-round statistics closed into the training loop: per round, count
+    * adjacent symbol-pair frequencies over the distinct-word table, take
+    * the argmax (ties broken lexicographically on the pair — identical
+    * string collation on both engines for the [a-z]+ symbol alphabet),
+    * apply the merge to every word, repeat. The merge-apply is a single
+    * left-to-right `aggregate` fold per word — greedy non-overlapping
+    * exactly like the reference algorithm ("aaaa" + (a,a) → [aa, aa]) —
+    * and each round's argmax is ONE collected row (the convergence-scalar
+    * class: 16 single-row collects, never data). Word tables
+    * `localCheckpoint` every round — 16 nested fold expressions would
+    * otherwise blow codegen and plan-depth limits (the kTruss lesson).
+    *
+    * Scale: the heavy pass is the ONE corpus scan building the word
+    * frequency table; all 16 rounds run over |distinct words| rows with
+    * counts attached, independent of corpus repetition — exactly how
+    * production BPE trainers stay tractable at 100 TB.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .select(expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"),
+              col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = words
+        // Merged-out words shrink to one symbol; Spark's sequence(1, 0)
+        // DESCENDS ([1, 0]) rather than being empty, so they must drop
+        // before the pair explode (DuckDB's generate_series(1, 0) is
+        // empty — the engines differ exactly here).
+        .filter(size(col("syms")) >= 2)
+        .select(col("syms"), col("n"),
+                explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+        .select(expr("element_at(syms, i)").as("l"),
+                expr("element_at(syms, i + 1)").as("r"), col("n"))
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, np) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // Symbols are concatenations of [a-z] chars by construction; the
+        // guard keeps the literal injection below trivially safe.
+        require(l.matches("[a-z]+") && rt.matches("[a-z]+"), s"bad symbol: $l|$rt")
+        merges += ((r, l, rt, l + rt, np))
+        words = words.select(expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             |  (acc, x) -> case
+             |    when size(acc) = 0 then array(x)
+             |    when element_at(acc, -1) = '$l' and x = '$rt'
+             |      then concat(slice(acc, 1, size(acc) - 1), array('${l + rt}'))
+             |    else concat(acc, array(x)) end)""".stripMargin).as("syms"),
+          col("n"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_round", "lhs", "rhs", "merged", "n_pair")
+      .orderBy(col("merge_round"))
+  }
+
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(documents(spark, dir))
+
+  /** Tokenizer fertility under the LEARNED merges: train [[bpeTrain]]'s
+    * 16 merges on the corpus, apply them to the per-language word tables,
+    * and report exact per-language totals — occurrences, characters, and
+    * post-merge BPE tokens (16 merges cut tokens/chars measurably; the
+    * regex-pretokenizer twin is [[qTokenizerFertility]]). The apply pass
+    * is the same per-word fold, run once per merge over distinct
+    * (lang, word) rows. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 16): DataFrame = {
+    val m = bpeTrain(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    var words = docs
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("word"),
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"),
+        col("n"))
+      .localCheckpoint()
+    m.foreach { case (l, rt, lr) =>
+      words = words.select(col("lang"), col("word"), expr(
+        s"""aggregate(syms, cast(array() as array<string>),
+           |  (acc, x) -> case
+           |    when size(acc) = 0 then array(x)
+           |    when element_at(acc, -1) = '$l' and x = '$rt'
+           |      then concat(slice(acc, 1, size(acc) - 1), array('$lr'))
+           |    else concat(acc, array(x)) end)""".stripMargin).as("syms"),
+        col("n"))
+        .localCheckpoint()
+    }
+    words
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_occurrences"),
+           sum(col("n") * length(col("word"))).as("n_chars"),
+           sum(col("n") * size(col("syms"))).as("n_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeFertility(documents(spark, dir))
+
   /** Zipf-law fit over the token frequency distribution: least-squares
     * slope of ln(freq) on ln(rank) across the top 100 tokens — the
     * corpus-health diagnostic (natural text ≈ −1; a slope collapsing

@@ -270,4 +270,36 @@ class TextExtSpec extends AnyFunSuite {
       assert(r.getString(5) == top)
     }
   }
+
+  test("BPE training: round 1 is q_bpe_merges' argmax; merges apply " +
+       "greedily left-to-right; learned merges shrink fertility") {
+    import spark.implicits._
+    val merges = ops.TextOps.qBpeTrain(spark, Sf).collect()
+    assert(merges.length == 16)
+    assert(merges.map(_.getInt(0)).toSeq == (1 to 16))
+    merges.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+    // Round 1 equals the single-round statistics query's top pair.
+    val top1 = ops.TextOps.qBpeMerges(spark, Sf).head()
+    assert(merges(0).getString(3) == top1.getString(0))
+    assert(merges(0).getLong(4) == top1.getLong(1))
+    // Greedy non-overlapping apply on a constructed corpus: "aaaa"
+    // merges to [aa, aa], "aab" to [a, ab]-style pairs — pinned via a
+    // two-round train on a tiny doc table.
+    val tiny = Seq((1L, "aaaa aaaa ab"), (2L, "aaaa ab ab")).toDF("doc_id", "text")
+    val m2 = ops.TextOps.bpeTrain(tiny, rounds = 2).collect()
+    // Pair counts: (a,a) = 3 per "aaaa" × 3 occurrences = 9; (a,b) = 3.
+    assert(m2(0).getString(3) == "aa" && m2(0).getLong(4) == 9)
+    // After merging (a,a): "aaaa" → [aa, aa] (greedy, non-overlapping),
+    // so round 2 sees (aa,aa) = 3 and (a,b) = 3 — tie breaks to (a,b).
+    assert(m2(1).getString(3) == "ab" && m2(1).getLong(4) == 3)
+    // Fertility: tokens bounded by chars (strict: 16 merges fired) and
+    // at least one token per occurrence.
+    ops.TextOps.qBpeFertility(spark, Sf).collect().foreach { r =>
+      val (occ, chars, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(toks < chars, s"${r.getString(0)}: merges fired nowhere")
+      assert(toks >= occ)
+    }
+  }
 }
