@@ -136,6 +136,22 @@ object Graft {
                        expand: Int = 4): DataFrame =
     ops.SimilarityOps.annIvfPqFiltered(embs, queryPred, numCentroids,
       nassign, nprobe, k, expand)
+  /** True-PQ retrieval (per-subspace codebooks, asymmetric distance). */
+  def annPqAdc(embs: DataFrame, queryPred: Column, numCentroids: Int = 16,
+               nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
+               expand: Int = 8): DataFrame =
+    ops.SimilarityOps.annPqAdc(embs, queryPred, numCentroids, nassign,
+      nprobe, k, expand)
+  /** Iterative BPE merge learning over the corpus word table. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 16): DataFrame =
+    ops.TextOps.bpeTrain(docs, rounds)
+  /** Cross-store GDPR forget: keyed store + versioned store + ANN index.
+    * Soft on the versioned leg until [[ops.VersionedStore.vacuum]]. */
+  def forgetCascade(spark: SparkSession, keyedName: String, keyedKey: String,
+                    vstoreDir: String, vstoreKey: String, annName: String,
+                    doomedIds: DataFrame, doomedEmbs: DataFrame): Unit =
+    ops.ScrubOps.forgetCascade(spark, keyedName, keyedKey, vstoreDir,
+      vstoreKey, annName, doomedIds, doomedEmbs)
   /** All-vectors kNN edge relation via multiprobe sign-LSH. */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame =

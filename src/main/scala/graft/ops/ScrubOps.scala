@@ -117,4 +117,92 @@ object ScrubOps {
 
   def qParagraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedup(documents(spark, dir))
+
+  /** Cross-store GDPR forget: erase one id set EVERYWHERE it lives in a
+    * serving stack — the KeyedStore row store (anti-join merge; only the
+    * regions covering doomed keys rewrite), the VersionedStore (a DELETE
+    * commit: CDC-visible, auditable), and the ANN index
+    * ([[AnnIndexOps.deleteBatch]]: the doomed posting keys recomputed
+    * against the frozen codebook). Idempotent by construction on every
+    * leg — re-forgetting absent ids anti-joins/changes/deletes nothing.
+    *
+    * ERASURE BOUNDARY: the versioned leg is a soft delete until vacuum.
+    * Time travel to a pre-forget version still reads the forgotten rows
+    * (by design — rollback safety and audit), so GDPR-complete erasure
+    * is forget + [[VersionedStore.vacuum]] once the retention window
+    * allows dropping pre-forget versions. ScrubForgetSpec pins both
+    * sides of that boundary.
+    */
+  def forgetCascade(spark: SparkSession,
+                    keyedName: String, keyedKey: String,
+                    vstoreDir: String, vstoreKey: String,
+                    annName: String,
+                    doomedIds: DataFrame,
+                    doomedEmbs: DataFrame): Unit = {
+    // Keyed leg. The returned full-table read is discarded (the store's
+    // read-isolation contract); reads go through scan/get.
+    KeyedStore.mergeInto(spark, keyedName, keyedKey, doomedIds,
+      (base, b) => base.join(b, Seq(keyedKey), "left_anti"))
+    // Versioned leg: delete rows carry the head payload (commit's change
+    // schema); absent ids join to nothing, so a replay commits an empty
+    // change set — a content no-op version.
+    val head = VersionedStore.asOf(spark, vstoreDir,
+      VersionedStore.currentVersion(vstoreDir))
+    VersionedStore.commit(spark, vstoreDir,
+      head.join(doomedIds, Seq(vstoreKey)).withColumn("op", lit("D")),
+      vstoreKey)
+    // ANN leg.
+    AnnIndexOps.deleteBatch(spark, annName, doomedEmbs)
+    ()
+  }
+
+  /** Driver row: build the three stores over documents/embeddings,
+    * forget `id % 10 == 3`, forget AGAIN (replay), and report exact
+    * row counts per (leg, phase) — including the pre-forget version
+    * read AFTER the forget, pinning that time travel still serves it
+    * (the vacuum-is-erasure contract). All counts are closed-form over
+    * the base tables, so the oracle recomputes them without any store.
+    */
+  def qForgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val keyedName = "graft_forget_docs_" + sfx
+    val annName = "graft_forget_ann_" + sfx
+    val docsRows = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val embs = embeddings(spark, dir)
+    val vdir = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    try {
+      KeyedStore.create(spark, keyedName, docsRows, "doc_id", 128)
+      VersionedStore.init(spark, vdir, docsRows, "doc_id")
+      AnnIndexOps.buildIndex(spark, annName, embs)
+      val doomedIds = docsRows.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+      val doomedEmbs = embs.filter(col("vec_id") % 10 === 3)
+      def keyedN() = KeyedStore.scan(spark, keyedName, "doc_id",
+        0L, Long.MaxValue).count()
+      def postingsN() = KeyedStore.scan(spark, annName, "row_key",
+        "c", "cz").count()
+      def headN() = VersionedStore.asOf(spark, vdir,
+        VersionedStore.currentVersion(vdir)).count()
+      val (kb, ab) = (keyedN(), postingsN())
+      forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id", annName,
+        doomedIds, doomedEmbs)
+      val (ka, aa, ha) = (keyedN(), postingsN(), headN())
+      val v1After = VersionedStore.asOf(spark, vdir, 1).count()
+      forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id", annName,
+        doomedIds, doomedEmbs)
+      val (kr, ar, hr) = (keyedN(), postingsN(), headN())
+      Seq(
+        ("keyed", "before", kb), ("keyed", "after", ka),
+        ("keyed", "after_reforget", kr),
+        ("vstore", "pre_forget_version", v1After),
+        ("vstore", "head_after", ha), ("vstore", "head_after_reforget", hr),
+        ("ann", "postings_before", ab), ("ann", "postings_after", aa),
+        ("ann", "postings_after_reforget", ar))
+        .toDF("leg", "phase", "n_rows")
+        .orderBy(col("leg"), col("phase"))
+    } finally graft.streaming.EventStream.deleteRecursively(
+      java.nio.file.Paths.get(vdir))
+  }
 }

@@ -57,5 +57,32 @@ object ScrubOracles {
         |  round((count(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
         |          / CAST(count(*) AS DOUBLE), 6) AS kept_ratio
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors ScrubOps.qForgetCascade: every phase count is closed-form
+    // over the base tables. Keyed/vstore legs count documents; the ANN
+    // leg counts posting rows = 2 per member (nassign=2 of 16 cells,
+    // always exactly two), members being the amax>0 vectors. The
+    // pre-forget version still reads the full table (vacuum is the
+    // erasure boundary); re-forget phases equal the forgotten state.
+    "q_forget_cascade" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM documents
+        |      WHERE doc_id % 10 <> 3),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM embeddings
+        |       WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |me AS (SELECT CAST(count(*) AS BIGINT) AS me FROM embeddings
+        |       WHERE vec_id % 10 <> 3
+        |         AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0)
+        |SELECT * FROM (
+        |  SELECT 'keyed' AS leg, 'before' AS phase, n AS n_rows FROM n
+        |  UNION ALL SELECT 'keyed', 'after', m FROM m
+        |  UNION ALL SELECT 'keyed', 'after_reforget', m FROM m
+        |  UNION ALL SELECT 'vstore', 'pre_forget_version', n FROM n
+        |  UNION ALL SELECT 'vstore', 'head_after', m FROM m
+        |  UNION ALL SELECT 'vstore', 'head_after_reforget', m FROM m
+        |  UNION ALL SELECT 'ann', 'postings_before', 2 * ne FROM ne
+        |  UNION ALL SELECT 'ann', 'postings_after', 2 * me FROM me
+        |  UNION ALL SELECT 'ann', 'postings_after_reforget', 2 * me FROM me
+        |) ORDER BY leg, phase""".stripMargin,
   )
 }
