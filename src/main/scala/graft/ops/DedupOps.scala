@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.GraftCache.GraftCachedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators — the core training-data-pipeline capability
@@ -792,4 +793,84 @@ object DedupOps {
 
   def qSubstrDedup(spark: SparkSession, dir: String): DataFrame =
     substrDupStats(documents(spark, dir))
+
+  /** Substring-dedup APPLY (Lee et al. 2022's removal pass, on
+    * [[substrDupStats]]' fixed-window approximation of the suffix-array
+    * scan): REMOVE every cross-document duplicated span from each text.
+    * Duplicated windows become char intervals, overlapping intervals
+    * merge into islands per document (the running-end-max island
+    * technique of [[EventOps.qIntervalMerge]] — windows overlap at
+    * stride < win, so duplicated RUNS collapse into one island exactly
+    * like the paper's ≥k-token spans), and the survivor text is the
+    * ordered concatenation of the uncovered segments. Output pins the
+    * splice bit-for-bit (survivor md5) plus exact conservation columns:
+    * removed_chars + surviving_chars == n_chars on every row.
+    *
+    * Scale shape: windows are linear in corpus bytes; duplicate
+    * detection is one content groupBy (hash the window at 100 TB);
+    * island merge and segment splice are per-DOCUMENT windows (high-
+    * cardinality partitions, a few rows each) — no global sort, and the
+    * text column only rides the final segment substring projection.
+    */
+  def substrDedupApply(docs: DataFrame, win: Int = 40,
+                       stride: Int = 20): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("n_chars"))
+    val wins = base.select(col("doc_id"), col("n_chars"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length(text) - ${win - 1}, 1), $stride), " +
+            s"p -> struct(p, substring(text, p, $win) as win))")).as("w"))
+      .select(col("doc_id"), col("n_chars"),
+              col("w.p").as("p"), col("w.win").as("win"))
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("win"))
+    val dw = wins.join(dup, Seq("win"))
+      .select(col("doc_id"), col("p").as("s"),
+              least(col("p") + lit(win - 1), col("n_chars")).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val isl = dw
+      .withColumn("pe", max(col("e")).over(
+        wPrev.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns", when(col("pe").isNull || col("s") > col("pe"), 1)
+        .otherwise(0))
+      .withColumn("iid", sum(col("ns")).over(
+        wPrev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"))
+    val islanded = isl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("i_e") - col("i_s") + 1).as("removed_chars"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("i_s"))
+    val gaps = isl
+      .withColumn("seg_s",
+        coalesce(lag(col("i_e"), 1).over(wIsl) + 1, lit(1)))
+      .select(col("doc_id"), col("seg_s"), (col("i_s") - 1).as("seg_e"))
+    val tails = isl.groupBy(col("doc_id")).agg(max(col("i_e")).as("me"))
+      .join(base.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), (col("me") + 1).as("seg_s"),
+              col("n_chars").as("seg_e"))
+    val sv = gaps.unionByName(tails)
+      .filter(col("seg_s") <= col("seg_e"))
+      .join(base.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("seg_s"),
+        expr("substring(text, seg_s, seg_e - seg_s + 1)").as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(seg_s, seg))), t -> t.seg), '')").as("sv"))
+    base.join(islanded, Seq("doc_id"), "left")
+      .join(sv, Seq("doc_id"), "left")
+      .withColumn("survivor",
+        when(col("n_islands").isNull, col("text"))
+          .otherwise(coalesce(col("sv"), lit(""))))
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(col("survivor")).as("surviving_chars"),
+        md5(col("survivor")).as("surviving_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qSubstrApply(spark: SparkSession, dir: String): DataFrame =
+    substrDedupApply(documents(spark, dir))
 }

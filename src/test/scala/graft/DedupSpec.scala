@@ -228,4 +228,64 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard"))).sum / rows.length
     assert(mae <= 0.15, s"mean abs error $mae")
   }
+
+  test("substring-dedup apply conserves mass and matches a driver splice " +
+       "on a constructed shared-span corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Every fixture row conserves: removed + surviving == original.
+    val rows = ops.DedupOps.qSubstrApply(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) + r.getInt(4) == r.getInt(1),
+        s"doc ${r.getLong(0)}: ${r.getLong(3)} + ${r.getInt(4)} != ${r.getInt(1)}")
+    }
+    assert(rows.exists(_.getLong(3) > 0), "fixture has no duplicated spans")
+    assert(rows.exists(_.getLong(3) == 0), "fixture is entirely duplicated")
+    // Constructed corpus: docs 1 and 2 share one exact 80-char span
+    // placed at offsets EQUAL MOD STRIDE (25 and 45) — the fixed-window
+    // scheme only catches stride-aligned repeats (the documented
+    // approximation of the suffix-array scan); two overlapping windows
+    // match -> one merged island per doc. Doc 3 is clean.
+    val shared = ("the quick brown fox jumps over the lazy dog again and " +
+      "again until the very day ends").take(80)
+    assert(shared.length == 80)
+    val d1 = "A" * 25 + shared + "B" * 17
+    val d2 = "C" * 45 + shared + "D" * 3
+    val d3 = "unique text that appears nowhere else in this tiny corpus"
+    val tiny = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = ops.DedupOps.substrDedupApply(tiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // Driver-side splice for doc 1: duplicated windows are those 40-char
+    // windows (stride 20) whose content also occurs in doc 2.
+    def winsOf(t: String): Seq[(Int, String)] = {
+      val starts = 1 to math.max(t.length - 39, 1) by 20
+      starts.map(p => (p, t.substring(p - 1, math.min(p + 39, t.length))))
+    }
+    val w2 = winsOf(d2).map(_._2).toSet
+    val dupIv = winsOf(d1).filter { case (_, w) => w2.contains(w) }
+      .map { case (p, w) => (p, p + w.length - 1) }
+    assert(dupIv.nonEmpty, "constructed span produced no duplicated window")
+    // merge islands
+    val merged = dupIv.sortBy(identity).foldLeft(List.empty[(Int, Int)]) {
+      case (acc, (s, e)) if acc.nonEmpty && s <= acc.head._2 =>
+        (acc.head._1, math.max(acc.head._2, e)) :: acc.tail
+      case (acc, iv) => iv :: acc
+    }.reverse
+    val removed = merged.map { case (s, e) => e - s + 1 }.sum
+    val keep = new StringBuilder
+    var pos = 1
+    merged.foreach { case (s, e) =>
+      keep ++= d1.substring(pos - 1, s - 1); pos = e + 1
+    }
+    keep ++= d1.substring(pos - 1)
+    val r1 = out(1L)
+    assert(r1.getLong(3) == removed, s"removed ${r1.getLong(3)} != $removed")
+    assert(r1.getInt(4) == keep.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(keep.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r1.getString(5) == md, "survivor splice differs from driver")
+    // The clean doc survives untouched.
+    assert(out(3L).getLong(3) == 0 && out(3L).getInt(4) == d3.length)
+  }
 }
