@@ -109,7 +109,10 @@ object ExplainDump {
       "q_dedup_keep_best" -> "Quality-aware dedup: cluster-member argmax by exact-ppm TTR (max_by struct), anti-join keep — corpus shuffles only on doc_id",
       "q_ann_late_interaction" -> "Late interaction: 16 facet cosines + 4 maxes + the facet sum in ONE codegen'd projection over the broadcast-query corpus scan",
       "q_ktruss" -> "k-truss rounds: degree-ordered triangle enumeration, 3-edge explode, support filter — localCheckpoint truncates the ~8x/round plan growth",
-      "q_temporal_split" -> "Temporal split: distributed globalRank cuts, no data-scale global window")
+      "q_temporal_split" -> "Temporal split: distributed globalRank cuts, no data-scale global window",
+      "q_m4_downsample" -> "M4 downsample: broadcast extent scalar, then ONE hash aggregate per (series, pixel) — min_by/max_by partials, no window anywhere",
+      "q_ann_pq" -> "True-PQ ADC serve: stored sub-codebooks broadcast into per-query LUT maps; posting scan reads m codes + one bigint per member; float rescore by id",
+      "q_substr_apply" -> "Substring-dedup apply: duplicated-window islands per doc (running end-max), survivor splice via sorted segment concat — text only rides the final projection")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

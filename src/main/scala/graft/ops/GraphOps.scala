@@ -435,7 +435,13 @@ object GraphOps {
     */
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = und.select(col("u"), col("v")).graftCached
-    var prevEdges = edges.count() // materialize + the round-0 fixpoint base
+    // No round-0 count: round 1's materialization populates the edge
+    // cache (all three same-job references read the one InMemoryRelation)
+    // and its count doubles as the first fixpoint base — one fewer
+    // action on the job-count-dominated fixture cost (r11 verdict #6).
+    // The early stop therefore engages from round 2; a converged input
+    // graph costs one extra (no-op) peel round, never a wrong answer.
+    var prevEdges = -1L
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
@@ -465,13 +471,13 @@ object GraphOps {
         prevEdges = n
       }
     }
-    val out = edges.select(col("u").as("node"))
+    // The output aggregate is returned UNMATERIALIZED over the cached
+    // final edge relation: the caller's one action computes it, and the
+    // GraftCache per-query release (Verify/Bench) frees the edge cache —
+    // the old cache-count-unpersist tail was a whole extra job.
+    edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
-      .graftCached
-    out.count()
-    edges.unpersist()
-    out
   }
 
   /** Driver row: 3-round 2-core peel of the ≥2-basket co-purchase graph

@@ -313,6 +313,23 @@ class PlanShapeSpec extends AnyFunSuite {
            !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("m4 downsample: one hash aggregate over (series, pixel) — no window, " +
+       "extent is a broadcast scalar") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = ops.EventOps.qM4Downsample(spark, Sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, s"${windows.size} windows — M4 must be pure aggregation")
+    val p = physical(df)
+    // min_by/max_by partials collapse map-side: exactly one grouped hash
+    // aggregate pair (plus the single-row extent aggregate), no sort of
+    // the event relation beyond the output orderBy.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "extent scalar should broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg <= 6, s"$nAgg HashAggregate nodes — more than extent + M4 pairs:\n${p.take(3000)}")
+  }
+
   test("curriculum order: rank/bin come from the distributed globalRank — " +
        "no data-scale global window, no ntile fallback") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
