@@ -957,6 +957,53 @@ object PipelineOracles {
          |FROM a$rounds GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // Mirrors TextOps.qualityClassify: md5-closed-form bucket weights,
+    // exact BIGINT dot product, pass = score >= 0.
+    "q_quality_classify" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket,
+         |         count(*) AS c
+         |  FROM t GROUP BY 1, 2),
+         |wt AS (
+         |  SELECT i AS bucket,
+         |         CAST(('0x' || substr(md5('qw:' || i), 1, 15)) AS BIGINT) % 2001 - 1000 AS wgt
+         |  FROM generate_series(0, 1023) g(i))
+         |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(sum(c * wgt) AS BIGINT) AS score,
+         |       CAST(sum(c * wgt) AS BIGINT) >= 0 AS quality_pass
+         |FROM b JOIN wt USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextOps.qPipelineClassified: classifier gate -> keep-first
+    // exact dedup among survivors -> per-language report.
+    "q_pipeline_classified" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket,
+         |         count(*) AS c
+         |  FROM t GROUP BY 1, 2),
+         |wt AS (
+         |  SELECT i AS bucket,
+         |         CAST(('0x' || substr(md5('qw:' || i), 1, 15)) AS BIGINT) % 2001 - 1000 AS wgt
+         |  FROM generate_series(0, 1023) g(i)),
+         |s AS (
+         |  SELECT doc_id, CAST(sum(c * wgt) AS BIGINT) AS score
+         |  FROM b JOIN wt USING (bucket) GROUP BY doc_id
+         |  HAVING CAST(sum(c * wgt) AS BIGINT) >= 0),
+         |dd AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars, s.score,
+         |         row_number() OVER (PARTITION BY md5(d.text)
+         |           ORDER BY d.doc_id) AS rn
+         |  FROM documents d JOIN s USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(sum(score) AS BIGINT) AS total_score
+         |FROM dd WHERE rn = 1
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Mirrors TextOps.qTokenZipf: top-100 token ranks, micro-nat ln
     // rounding, exact-integer regression num/den.
     "q_token_zipf" ->

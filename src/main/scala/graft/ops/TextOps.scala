@@ -893,6 +893,67 @@ object TextOps {
   def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
     featureHash(documents(spark, dir))
 
+  /** The quality classifier's per-bucket weight relation: `dim` rows of
+    * deterministic integer weights in [-1000, 1000] (the [[SimilarityOps
+    * .planeWeights]] md5 closed form, so the oracle reproduces every
+    * weight in SQL). In production this relation IS a trained fastText/
+    * logistic-regression weight vector loaded from a model store — same
+    * shape, same broadcast join. */
+  private[graft] def qualityWeights(spark: SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      (TextFns.hash60(concat(lit("qw:"), col("id").cast("string")))
+        % 2001 - 1000).as("wgt"))
+
+  /** Quality-classifier INFERENCE over the [[featureHash]]ed bag of
+    * words — the fastText-style linear gate every corpus curation
+    * pipeline runs (Brown et al. 2020's quality filter shape): score =
+    * Σ_buckets count·weight as an exact BIGINT dot product (|c·w| ≤
+    * 1000·n_tokens — no float anywhere, so the margin is hash-pinned),
+    * pass = score ≥ 0. The model side is a broadcast join of the
+    * dim-row weight relation onto the (doc, bucket, count) aggregate —
+    * at 100 TB the corpus side partial-aggregates map-side and the
+    * model never exceeds one broadcast, exactly how a trained
+    * classifier serves in a Spark pipeline. */
+  def qualityClassify(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), explode(TextFns.toks).as("w"))
+      .select(col("doc_id"),
+        (TextFns.hash60(concat(lit("fh:"), col("w"))) % dim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(qualityWeights(spark, dim)), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"), sum(col("c")).as("n_tokens"),
+           sum(col("c") * col("wgt")).as("score"))
+      .withColumn("quality_pass", col("score") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
+  def qQualityClassify(spark: SparkSession, dir: String): DataFrame =
+    qualityClassify(documents(spark, dir))
+
+  /** Classifier-gated pipeline: [[qualityClassify]] as the quality gate,
+    * exact content dedup among the survivors (keep-first by doc_id per
+    * text digest — gate BEFORE dedup, so a high-scoring duplicate of a
+    * rejected doc survives), per-language corpus report. The three
+    * stages compose in one plan: gate join → digest window → language
+    * aggregate, with only (digest, doc_id) pairs and per-doc scalars in
+    * any exchange. */
+  def qPipelineClassified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val kept = qualityClassify(docs).filter(col("quality_pass"))
+      .select(col("doc_id"), col("score"))
+    val deduped = docs
+      .join(kept, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    deduped.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           sum(col("score")).as("total_score"))
+      .orderBy(col("lang"))
+  }
+
   /** Top-20 collocations by pointwise mutual information over corpus
     * bigrams: PMI = ln(c12·Nb / (c1•·c•2)) with every count exact (the
     * bigram total and both directional marginals), min support 5, ranked

@@ -271,6 +271,31 @@ class TextExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quality classifier: exact driver-side dot product; the gate " +
+       "splits the corpus; the model side broadcasts") {
+    import org.apache.spark.sql.functions._
+    val df = ops.TextOps.qQualityClassify(spark, Sf)
+    val rows = df.collect()
+    val nPass = rows.count(_.getBoolean(4))
+    assert(nPass > 0 && nPass < rows.length,
+      s"degenerate gate: $nPass/${rows.length} pass")
+    // Driver recompute of one doc's score from raw text.
+    def h60(s: String): Long = {
+      val hex = ops.TextFns.md5Hex(s).substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val doc = graft.Tables.documents(spark, Sf).orderBy(col("doc_id")).head()
+    val toks = doc.getAs[String]("text").split(" ", -1)
+    val score = toks.groupBy(w => h60("fh:" + w) % 1024).map {
+      case (b, ws) => ws.length.toLong * (h60("qw:" + b) % 2001 - 1000)
+    }.sum
+    val got = rows.find(_.getLong(0) == doc.getAs[Long]("doc_id")).get
+    assert(got.getLong(3) == score, s"score ${got.getLong(3)} != $score")
+    assert(got.getLong(2) == toks.length)
+    // Model attach is a broadcast join, corpus side never reshuffles for it.
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("BPE training: round 1 is q_bpe_merges' argmax; merges apply " +
        "greedily left-to-right; learned merges shrink fertility") {
     import spark.implicits._
