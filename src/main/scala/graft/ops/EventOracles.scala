@@ -10,6 +10,33 @@ object EventOracles {
   private val H = 3600000000L  // 1 hour in microseconds
   private val HH = 1800000000L // 30 min in microseconds
 
+  /** `rounds` UNROLLED synchronous 2-core peel rounds (the
+    * q_lpa_communities precedent) over the >=2-basket co-purchase
+    * graph — each level keeps edges whose BOTH endpoints had degree
+    * >= 2 in the previous level. Every e-level MATERIALIZED: each is
+    * referenced 3x (two IN-subqueries + the projection), so default
+    * inlining would re-derive the basket self-join 3^level times. */
+  private def kcoreOracle(rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT node, count(*) AS d FROM (
+         |  SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e$p
+         |  WHERE u IN (SELECT node FROM d$i WHERE d >= 2)
+         |    AND v IN (SELECT node FROM d$i WHERE d >= 2))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$peels
+       |SELECT node, count(*) AS core_deg FROM (
+       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // Batch twin of the AvailableNow windowed-state drain: exact
     // centi-unit integer sums, so incremental state == batch bit-for-bit.
@@ -580,26 +607,14 @@ object EventOracles {
     // >= 2 in the previous level. e0/e1/e2/e3 MATERIALIZED: every level
     // references its predecessor 3x (two IN-subqueries + the projection),
     // so default inlining re-derives the basket self-join 3^level times.
-    "q_kcore" -> {
-      val peels = (1 to 3).map { i =>
-        val p = i - 1
-        s"""d$i AS (SELECT node, count(*) AS d FROM (
-           |  SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
-           |e$i AS MATERIALIZED (
-           |  SELECT u, v FROM e$p
-           |  WHERE u IN (SELECT node FROM d$i WHERE d >= 2)
-           |    AND v IN (SELECT node FROM d$i WHERE d >= 2))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
-         |e0 AS MATERIALIZED (
-         |  SELECT a.p AS u, b.p AS v
-         |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |$peels
-         |SELECT node, count(*) AS core_deg FROM (
-         |  SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
-         |GROUP BY 1 ORDER BY node""".stripMargin
-    },
+    "q_kcore" -> kcoreOracle(3),
+
+    // Mirrors GraphOps.qKcoreFull (peel-until-fixpoint, cap 64): the
+    // oracle unrolls 8 rounds — more than any fixture's measured
+    // fixpoint depth (1/4/6 at sf0.001/0.01/0.1); post-fixpoint rounds
+    // are no-ops on both engines, so the adaptive schedule and ANY
+    // sufficient unroll agree exactly.
+    "q_kcore_full" -> kcoreOracle(8),
 
     // Mirrors GraphOps.qKtruss: 2 UNROLLED support-peel rounds + a final
     // support pass. The oracle enumerates triangles id-ordered

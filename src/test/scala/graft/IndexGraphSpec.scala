@@ -60,6 +60,17 @@ class IndexGraphSpec extends AnyFunSuite {
     val r10 = ops.GraphOps.kCore(und, k = 2, rounds = 10).collect()
       .map(_.toString).sorted.toSeq
     assert(r3 == r10)
+    // Cap-independence on the real fixture graph: the adaptive row's
+    // generous cap (64) and a just-sufficient round count agree exactly
+    // (the q_kcore_full oracle contract).
+    val full = ops.GraphOps.qKcoreFull(spark, Sf).collect()
+      .map(_.toString).toSeq
+    val r8 = ops.GraphOps.kCore(
+        ops.GraphOps.copurchaseEdges(spark, Sf, minOrders = 2),
+        k = 2, rounds = 8)
+      .orderBy(org.apache.spark.sql.functions.col("node")).collect()
+      .map(_.toString).toSeq
+    assert(full == r8)
   }
 
   test("k-truss: K4 + hanging triangle — 4-truss keeps only K4; " +
