@@ -459,11 +459,18 @@ object GraphOps {
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
           .filter(col("d") < k)
           .select(col("node"))
+        // localCheckpoint, NOT persist: each round's plan references the
+        // previous round's ~5x (dead twice + two anti-joins + the
+        // projection), so an un-truncated logical plan grows ~5^round and
+        // the ANALYZER itself hangs past depth ~5 (the kTruss plan-depth
+        // lesson — q_kcore_full's 6-round sf0.1 fixpoint hit it; the old
+        // 3-round cap never did). Lazy checkpoint + count = one action
+        // that materializes the round AND truncates the plan.
         val next = edges
           .join(dead.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(dead.select(col("node").as("v")), Seq("v"), "left_anti")
           .select(col("u"), col("v"))
-          .graftCached
+          .localCheckpoint(false)
         val n = next.count() // materialize before releasing the parent
         edges.unpersist()
         edges = next

@@ -164,7 +164,6 @@ object ScrubOps {
     * the base tables, so the oracle recomputes them without any store.
     */
   def qForgetCascade(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val keyedName = "graft_forget_docs_" + sfx
     val annName = "graft_forget_ann_" + sfx
@@ -179,28 +178,38 @@ object ScrubOps {
       val doomedIds = docsRows.filter(col("doc_id") % 10 === 3)
         .select(col("doc_id"))
       val doomedEmbs = embs.filter(col("vec_id") % 10 === 3)
-      def keyedN() = KeyedStore.scan(spark, keyedName, "doc_id",
-        0L, Long.MaxValue).count()
-      def postingsN() = KeyedStore.scan(spark, annName, "row_key",
-        "c", "cz").count()
-      def headN() = VersionedStore.asOf(spark, vdir,
-        VersionedStore.currentVersion(vdir)).count()
-      val (kb, ab) = (keyedN(), postingsN())
+      // Each phase boundary is ONE action: the per-store count
+      // aggregates union into a single tiny relation and eager-
+      // localCheckpoint materializes them at that instant (9 separate
+      // count() jobs made this a fixture-cost outlier).
+      def cnt(leg: String, phase: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(leg).as("leg"), lit(phase).as("phase"), col("n_rows"))
+      def keyed() = KeyedStore.scan(spark, keyedName, "doc_id",
+        0L, Long.MaxValue)
+      def postings() = KeyedStore.scan(spark, annName, "row_key", "c", "cz")
+      def head() = VersionedStore.asOf(spark, vdir,
+        VersionedStore.currentVersion(vdir))
+      def phase(rows: DataFrame*): DataFrame =
+        rows.reduce(_.unionByName(_)).localCheckpoint()
+      val before = phase(
+        cnt("keyed", "before", keyed()),
+        cnt("ann", "postings_before", postings()))
       forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id", annName,
         doomedIds, doomedEmbs)
-      val (ka, aa, ha) = (keyedN(), postingsN(), headN())
-      val v1After = VersionedStore.asOf(spark, vdir, 1).count()
+      val after = phase(
+        cnt("keyed", "after", keyed()),
+        cnt("ann", "postings_after", postings()),
+        cnt("vstore", "head_after", head()),
+        cnt("vstore", "pre_forget_version",
+          VersionedStore.asOf(spark, vdir, 1)))
       forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id", annName,
         doomedIds, doomedEmbs)
-      val (kr, ar, hr) = (keyedN(), postingsN(), headN())
-      Seq(
-        ("keyed", "before", kb), ("keyed", "after", ka),
-        ("keyed", "after_reforget", kr),
-        ("vstore", "pre_forget_version", v1After),
-        ("vstore", "head_after", ha), ("vstore", "head_after_reforget", hr),
-        ("ann", "postings_before", ab), ("ann", "postings_after", aa),
-        ("ann", "postings_after_reforget", ar))
-        .toDF("leg", "phase", "n_rows")
+      val reforget = phase(
+        cnt("keyed", "after_reforget", keyed()),
+        cnt("ann", "postings_after_reforget", postings()),
+        cnt("vstore", "head_after_reforget", head()))
+      before.unionByName(after).unionByName(reforget)
         .orderBy(col("leg"), col("phase"))
     } finally graft.streaming.EventStream.deleteRecursively(
       java.nio.file.Paths.get(vdir))
