@@ -225,6 +225,23 @@ object ScaleSmoke {
       time(s"mrr_eval_$tag", dir)(d => ops.TextOps.qMrrEval(spark, d))
       time(s"snaive_$tag", dir)(d => ops.EventOps.qSnaiveBacktest(spark, d))
       time(s"split_leak_$tag", dir)(d => ops.TextOps.qSplitLeakage(spark, d))
+      // Round-12 additions: true-PQ ADC retrieval (in-memory + durable),
+      // BPE merge learning (16 sequential argmax rounds over the distinct-
+      // word table — should scale with |distinct words|, not corpus
+      // repetition), the substring-dedup apply splice, the classifier
+      // gate + its composed pipeline, the GDPR cascade (3 store builds +
+      // 2 cascades, fixed commit overhead amortizing with data), and the
+      // adaptive-rounds k-core.
+      time(s"ann_pq_adc_$tag", dir)(d =>
+        ops.SimilarityOps.annPqAdc(Tables.embeddings(spark, d), col("vec_id") < 5))
+      time(s"ann_pq_store_$tag", dir)(d => ops.AnnIndexOps.qAnnPq(spark, d))
+      time(s"bpe_train_$tag", dir)(d => ops.TextOps.qBpeTrain(spark, d))
+      time(s"bpe_fertility_$tag", dir)(d => ops.TextOps.qBpeFertility(spark, d))
+      time(s"substr_apply_$tag", dir)(d => ops.DedupOps.qSubstrApply(spark, d))
+      time(s"quality_classify_$tag", dir)(d => ops.TextOps.qQualityClassify(spark, d))
+      time(s"pipeline_class_$tag", dir)(d => ops.TextOps.qPipelineClassified(spark, d))
+      time(s"forget_cascade_$tag", dir)(d => ops.ScrubOps.qForgetCascade(spark, d))
+      time(s"kcore_full_$tag", dir)(d => ops.GraphOps.qKcoreFull(spark, d))
       time(s"time_travel_$tag", dir)(d => ops.SourceSinkOps.qTimeTravel(spark, d))
       time(s"snapshot_diff_$tag", dir)(d => ops.SourceSinkOps.qSnapshotDiff(spark, d))
       time(s"vstore_compact_$tag", dir)(d => ops.SourceSinkOps.qVstoreCompact(spark, d))

@@ -433,6 +433,30 @@ object GraphOps {
     * lifecycle as [[shortestPaths]]. Output: each surviving node with
     * its degree inside the final core subgraph.
     */
+  /** One synchronous peel round: drop every edge touching a node whose
+    * degree in `edges` is below `k`. Filters against the DEAD set
+    * (deg < k), not the alive set: a peel round removes a FRONTIER —
+    * after round 1 the dead set is tiny relative to the graph, so AQE
+    * plans both anti-joins as broadcasts and the edge relation never
+    * reshuffles; the semi-join-on-alive formulation shuffles O(edges)
+    * rows per round unconditionally. Semantically identical (every
+    * endpoint is in the degree relation), and on a pathological round
+    * where most nodes die AQE falls back to the shuffle anti-join — the
+    * same cost the alive form always pays. Exposed private[graft] so
+    * PlanShapeSpec pins the round shape (the checkpointed loop truncates
+    * it out of the final plan). */
+  private[graft] def peelRound(edges: DataFrame, k: Int): DataFrame = {
+    val dead = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .filter(col("d") < k)
+      .select(col("node"))
+    edges
+      .join(dead.select(col("node").as("u")), Seq("u"), "left_anti")
+      .join(dead.select(col("node").as("v")), Seq("v"), "left_anti")
+      .select(col("u"), col("v"))
+  }
+
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = und.select(col("u"), col("v")).graftCached
     // No round-0 count: round 1's materialization populates the edge
@@ -445,20 +469,6 @@ object GraphOps {
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        // Filter against the DEAD set (deg < k), not the alive set: a
-        // peel round removes a FRONTIER — after round 1 the dead set is
-        // tiny relative to the graph, so AQE plans both anti-joins as
-        // broadcasts and the edge relation never reshuffles; the
-        // semi-join-on-alive formulation shuffles O(edges) rows per
-        // round unconditionally. Semantically identical (every endpoint
-        // is in the degree relation), and on a pathological round where
-        // most nodes die AQE falls back to the shuffle anti-join — the
-        // same cost the alive form always pays.
-        val dead = edges.select(col("u").as("node"))
-          .unionAll(edges.select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("d"))
-          .filter(col("d") < k)
-          .select(col("node"))
         // localCheckpoint, NOT persist: each round's plan references the
         // previous round's ~5x (dead twice + two anti-joins + the
         // projection), so an un-truncated logical plan grows ~5^round and
@@ -466,11 +476,7 @@ object GraphOps {
         // lesson — q_kcore_full's 6-round sf0.1 fixpoint hit it; the old
         // 3-round cap never did). Lazy checkpoint + count = one action
         // that materializes the round AND truncates the plan.
-        val next = edges
-          .join(dead.select(col("node").as("u")), Seq("u"), "left_anti")
-          .join(dead.select(col("node").as("v")), Seq("v"), "left_anti")
-          .select(col("u"), col("v"))
-          .localCheckpoint(false)
+        val next = peelRound(edges, k).localCheckpoint(false)
         val n = next.count() // materialize before releasing the parent
         edges.unpersist()
         edges = next

@@ -345,9 +345,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("k-core rounds peel via anti-joins against the dead set, " +
        "never cartesian") {
-    // The final plan reads the operator's cached output; the round
-    // shape shows through the InMemoryRelation's reprinted child.
-    val p = physical(ops.GraphOps.qKcore(spark, Sf))
+    // The loop localCheckpoints each round (plan truncation — the
+    // analyzer hangs on the un-truncated ~5^round plan), so the final
+    // plan is a LogicalRDD; pin the ROUND plan directly instead.
+    val round = ops.GraphOps.peelRound(
+      ops.GraphOps.copurchaseEdges(spark, Sf, minOrders = 2), k = 2)
+    val p = physical(round)
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
