@@ -223,11 +223,11 @@ object AnnIndexOps {
   def buildPqIndex(spark: SparkSession, name: String, embs: DataFrame,
                    numCentroids: Int = 16, nassign: Int = 2,
                    m: Int = PqM, kSub: Int = PqKSub,
-                   targetRowsPerRegion: Long = 512): Unit = {
+                   targetRowsPerRegion: Long = 512,
+                   withLabels: Boolean = false): Unit = {
     val e = withDoubleVecs(embs).graftCached
     val cent = pqCodebook(e, numCentroids).graftCached
     val cb = pqSubCodebooks(e, m, kSub) // graftCached inside
-    val codes = pqEncode(e, cb, m)
     val codebookRows = cent.select(
       format_string("b%012d", guardId(col("c_id"))).as("row_key"),
       col("c_id"), col("c_emb").as("emb"), col("c_nrm").as("nrm"))
@@ -236,16 +236,62 @@ object AnnIndexOps {
         guardId(col("code").cast("long"))).as("row_key"),
       col("s").as("sub_id"), col("code").cast("long").as("sub_code"),
       col("scv"), col("snrm_u"))
-    val postingRows = pqAssignPayload(e.join(codes, Seq("vec_id")), cent,
-        nassign, Seq("pqc", "rnrm_u"))
-      .select(postingKey(col("c_id"), col("m_id")).as("row_key"),
-        col("c_id"), col("m_id"), col("m_pqc").as("pqc"),
-        col("m_rnrm_u").as("rnrm_u"))
+    val postingRows0 = pqPostingRows(e, cent, cb, nassign, m)
+    val postingRows =
+      if (withLabels)
+        postingRows0.join(
+          embs.select(col("vec_id").as("m_id"), col("label").as("m_label")),
+          Seq("m_id"))
+      else postingRows0
     KeyedStore.create(spark, name,
       codebookRows
         .unionByName(subCbRows, allowMissingColumns = true)
         .unionByName(postingRows, allowMissingColumns = true),
       "row_key", targetRowsPerRegion)
+  }
+
+  /** PQ posting rows for a vector batch against GIVEN codebooks —
+    * shared by [[buildPqIndex]] (freshly trained) and [[appendPqBatch]]
+    * (frozen, read from the store). */
+  private def pqPostingRows(e: DataFrame, cent: DataFrame, cb: DataFrame,
+                            nassign: Int, m: Int): DataFrame = {
+    val codes = pqEncode(e, cb, m)
+    pqAssignPayload(e.join(codes, Seq("vec_id")), cent,
+        nassign, Seq("pqc", "rnrm_u"))
+      .select(postingKey(col("c_id"), col("m_id")).as("row_key"),
+        col("c_id"), col("m_id"), col("m_pqc").as("pqc"),
+        col("m_rnrm_u").as("rnrm_u"))
+  }
+
+  /** The stored PQ sub-codebooks, via one tiny `p*`-prefix scan. */
+  private def storedSubCodebooks(spark: SparkSession, name: String): DataFrame =
+    KeyedStore.scan(spark, name, "row_key", "p", "pz")
+      .select(col("sub_id").cast("int").as("s"),
+              col("sub_code").cast("int").as("code"),
+              col("scv"), col("snrm_u"))
+
+  /** Append a new vector batch to a true-PQ index: encode against the
+    * FROZEN stored sub-codebooks, route against the frozen coarse
+    * codebook, insert posting rows — re-training is an offline rebuild,
+    * exactly [[appendBatch]]'s serving practice. Only the regions
+    * covering the new composite keys rewrite. */
+  def appendPqBatch(spark: SparkSession, name: String, newEmbs: DataFrame,
+                    nassign: Int = 2, m: Int = PqM): Unit = {
+    val cent = storedCodebook(spark, name)
+    val cb = storedSubCodebooks(spark, name).graftCached
+    val changes = pqPostingRows(withDoubleVecs(newEmbs), cent, cb, nassign, m)
+      .withColumn("op", lit("I"))
+      .withColumn("emb", lit(null).cast("array<float>"))
+      .withColumn("nrm", lit(null).cast("double"))
+      .withColumn("sub_id", lit(null).cast("int"))
+      .withColumn("sub_code", lit(null).cast("bigint"))
+      .withColumn("scv", lit(null).cast("array<double>"))
+      .withColumn("snrm_u", lit(null).cast("bigint"))
+      .graftCached
+    // The returned full-table read is deliberately discarded (the
+    // store's read-isolation contract); reads go through scan.
+    KeyedStore.upsert(spark, name, "row_key", changes)
+    ()
   }
 
   /** Serve off the true-PQ index via asymmetric distance: route the
@@ -257,31 +303,45 @@ object AnnIndexOps {
     * lookups, cut to k·expand, and float-rescored by id. */
   def servePq(spark: SparkSession, name: String, corpus: DataFrame,
               queryPred: Column, nprobe: Int = 4, k: Int = 10,
-              expand: Int = 8, m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
+              expand: Int = 8, m: Int = PqM, kSub: Int = PqKSub,
+              sameLabelOnly: Boolean = false): DataFrame = {
     val cent = storedCodebook(spark, name)
-    val cb = KeyedStore.scan(spark, name, "row_key", "p", "pz")
-      .select(col("sub_id").cast("int").as("s"),
-              col("sub_code").cast("int").as("code"),
-              col("scv"), col("snrm_u"))
+    val cb = storedSubCodebooks(spark, name)
     val q = withDoubleVecs(corpus.filter(queryPred)).graftCached
-    val probes = pqProbesPayload(q, lit(true), cent, nprobe, Nil).graftCached
+    val probes0 = pqProbesPayload(q, lit(true), cent, nprobe, Nil)
+    // With sameLabelOnly the query label rides the probe rows and the
+    // member label arrives AS A POSTING COLUMN of the one multi-range
+    // scan — the pre-filter costs zero extra IO ([[serve]]'s layout).
+    val probes = (if (sameLabelOnly)
+      probes0.join(broadcast(corpus.filter(queryPred)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"))),
+        Seq("q_id"))
+    else probes0).graftCached
     val cells = probes.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).sorted
+    val memberCols =
+      Seq(col("c_id"), col("m_id"), col("pqc").as("m_pqc"),
+        col("rnrm_u").as("m_rnrm_u")) ++
+        (if (sameLabelOnly) Seq(col("m_label")) else Nil)
     val members =
       if (cells.isEmpty)
-        spark.range(0).select(col("id").as("c_id"), col("id").as("m_id"),
-          lit(null).cast("array<int>").as("m_pqc"),
-          lit(null).cast("bigint").as("m_rnrm_u"))
+        spark.range(0).select(
+          Seq(col("id").as("c_id"), col("id").as("m_id"),
+            lit(null).cast("array<int>").as("m_pqc"),
+            lit(null).cast("bigint").as("m_rnrm_u")) ++
+            (if (sameLabelOnly) Seq(lit(null).cast("int").as("m_label"))
+             else Nil): _*)
       else
         KeyedStore.scanMulti(spark, name, "row_key",
           cells.toSeq.map(c => (f"c$c%012d#", f"c$c%012d#z")))
-          .select(col("c_id"), col("m_id"), col("pqc").as("m_pqc"),
-                  col("rnrm_u").as("m_rnrm_u"))
+          .select(memberCols: _*)
     val lut = adcLut(q, cb, m, kSub)
     val floats = corpus.select(col("vec_id"), col("embedding"),
       norm2("embedding").as("nrm"))
     adcCoarseRescore(probes, members, lut, floats, queryPred, k, expand,
-      m, kSub)
+      m, kSub,
+      pairFilter =
+        if (sameLabelOnly) col("m_label") === col("q_label") else lit(true))
   }
 
   // ---- driver-contract wrappers (oracle-pinned defaults) ----
@@ -363,6 +423,30 @@ object AnnIndexOps {
         (col("n") * PqDim).cast("long").as("int8_code_bytes"))
       .withColumn("pq_smaller", col("pq_code_bytes") < col("int8_code_bytes"))
     served.crossJoin(broadcast(sizes)).orderBy(col("q_id"), col("rank"))
+  }
+
+  /** True-PQ incremental maintenance: build from the 90% base slice
+    * (coarse codebook AND sub-codebooks frozen from base), append the
+    * 10% delta through [[appendPqBatch]], serve over the union — the
+    * oracle encodes ALL vectors against base-trained codebooks, exactly
+    * what build-then-append produces. */
+  def qAnnPqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_adcinc_", dir)
+    val embs = embeddings(spark, dir)
+    buildPqIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
+    appendPqBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    servePq(spark, name, embs, col("vec_id") < 5)
+  }
+
+  /** Label-filtered search off the true-PQ index: member labels are
+    * posting columns ([[buildPqIndex]] withLabels), query labels ride
+    * the probes, and the equality filter runs BEFORE the k·expand cut —
+    * the [[qAnnIndexFiltered]] layout on the 16-byte PQ postings. */
+  def qAnnPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_adcfil_", dir)
+    val embs = embeddings(spark, dir)
+    buildPqIndex(spark, name, embs, withLabels = true)
+    servePq(spark, name, embs, col("vec_id") < 5, sameLabelOnly = true)
   }
 
   /** Index maintenance — the major-compaction pass: incremental appends

@@ -250,39 +250,53 @@ object PipelineOracles {
     * LUT[s,code_s] + rnrm_u/1e12 (every dot a left-to-right fold both
     * engines share; the norm an exact integer), k·expand cut ASC, exact
     * float rescore. The LUT joins unroll the m map lookups. */
-  private val AnnAdc: String = {
+  /** Parameterized builder: `trainCond` restricts the relations the
+    * CODEBOOKS train on (coarse sample + PQ seed sample + the Lloyd
+    * assignment pass) — the incremental row trains on the base slice
+    * and encodes everything, exactly build-then-append. `sameLabel`
+    * adds the member-label = query-label pre-filter to the candidate
+    * join (BEFORE the k·expand cut). */
+  private def annAdcSql(trainCond: String = "",
+                        sameLabel: Boolean = false): String = {
     val m = 8; val kSub = 32; val sd = 8
     val lutJoins = (0 until m).map(i =>
       s"  JOIN lut l$i ON l$i.q_id = pr.q_id AND l$i.s = $i " +
         s"AND l$i.code = pr.pqc[${i + 1}]").mkString("\n")
     val adotSum = (0 until m).map(i => s"l$i.ldot").mkString(" + ")
-    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |m0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
-       |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM m0 WHERE amax > 0),
-       |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
+    val lbl = if (sameLabel) ", label" else ""
+    val lblE = if (sameLabel) ", e.label" else ""
+    val lblVc = if (sameLabel) ", vc.label" else ""
+    val lblPair = if (sameLabel) " AND a.label = p.label" else ""
+    s"""WITH e0 AS (SELECT vec_id$lbl, embedding::DOUBLE[] AS v FROM embeddings),
+       |m0 AS (SELECT vec_id$lbl, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+       |e AS (SELECT vec_id$lbl, v, list_dot_product(v, v) AS nrm FROM m0 WHERE amax > 0),
+       |et AS (SELECT * FROM e $trainCond),
+       |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM et
        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
        |vc AS (
-       |  SELECT e.vec_id, cent.c_id,
+       |  SELECT e.vec_id$lblE, cent.c_id,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
        |                    cent.c_id ASC) AS rn
        |  FROM e CROSS JOIN cent),
        |sub AS (SELECT vec_id, s, list_slice(v, s*$sd+1, s*$sd+$sd) AS sv
        |        FROM e, generate_series(0, ${m - 1}) t(s)),
+       |subT AS (SELECT vec_id, s, list_slice(v, s*$sd+1, s*$sd+$sd) AS sv
+       |         FROM et, generate_series(0, ${m - 1}) t(s)),
        |sdv AS (SELECT vec_id, v,
        |               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
-       |        FROM e),
+       |        FROM et),
        |c0 AS (SELECT s, rk - 1 AS code, list_slice(v, s*$sd+1, s*$sd+$sd) AS cv0
        |       FROM sdv, generate_series(0, ${m - 1}) t(s) WHERE rk <= $kSub),
        |c0w AS (SELECT s, code, cv0, list_dot_product(cv0, cv0) AS nc0 FROM c0),
        |a1 AS (
        |  SELECT s, code, sv FROM (
-       |    SELECT sub.vec_id, sub.s, c0w.code, sub.sv,
-       |           row_number() OVER (PARTITION BY sub.vec_id, sub.s
-       |             ORDER BY list_dot_product(sub.sv, sub.sv)
-       |                      - 2 * list_dot_product(sub.sv, c0w.cv0) + c0w.nc0,
+       |    SELECT subT.vec_id, subT.s, c0w.code, subT.sv,
+       |           row_number() OVER (PARTITION BY subT.vec_id, subT.s
+       |             ORDER BY list_dot_product(subT.sv, subT.sv)
+       |                      - 2 * list_dot_product(subT.sv, c0w.cv0) + c0w.nc0,
        |                      c0w.code) AS rn
-       |    FROM sub JOIN c0w ON c0w.s = sub.s) WHERE rn = 1),
+       |    FROM subT JOIN c0w ON c0w.s = subT.s) WHERE rn = 1),
        |dims AS (
        |  SELECT s, code, j AS pos,
        |         SUM(CAST(round(sv[j] * 1000000.0) AS BIGINT)) AS sm, count(*) AS n
@@ -304,16 +318,16 @@ object PipelineOracles {
        |codes AS (SELECT vec_id, list(code ORDER BY s) AS pqc,
        |                 CAST(SUM(snrm_u) AS BIGINT) AS rnrm_u
        |          FROM a2 GROUP BY vec_id),
-       |assign AS (SELECT vc.vec_id AS m_id, vc.c_id, c.pqc, c.rnrm_u
+       |assign AS (SELECT vc.vec_id AS m_id$lblVc, vc.c_id, c.pqc, c.rnrm_u
        |           FROM vc JOIN codes c ON c.vec_id = vc.vec_id WHERE vc.rn <= 2),
-       |probes AS (SELECT vec_id AS q_id, c_id FROM vc WHERE vec_id < 5 AND rn <= 4),
+       |probes AS (SELECT vec_id AS q_id$lbl, c_id FROM vc WHERE vec_id < 5 AND rn <= 4),
        |qrel AS (SELECT vec_id AS q_id, v AS qv, nrm AS q_nrm FROM e WHERE vec_id < 5),
        |lut AS (SELECT q.q_id, cb.s, cb.code,
        |               list_dot_product(list_slice(q.qv, cb.s*$sd+1, cb.s*$sd+$sd), cb.scv) AS ldot
        |        FROM qrel q CROSS JOIN cb),
        |pairs AS (
        |  SELECT p.q_id, a.m_id, a.pqc, a.rnrm_u
-       |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id),
+       |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id$lblPair),
        |scored AS (
        |  SELECT pr.q_id, pr.m_id, pr.rnrm_u, $adotSum AS adot
        |  FROM pairs pr
@@ -343,6 +357,16 @@ object PipelineOracles {
        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
+
+  private val AnnAdc: String = annAdcSql()
+
+  /** q_ann_pq_incremental: codebooks trained on the 90% base slice,
+    * everything encoded/assigned/served against them. */
+  private val AnnAdcIncremental: String =
+    annAdcSql(trainCond = "WHERE vec_id % 10 <> 0")
+
+  /** q_ann_pq_filtered: the member-label pre-filter before the cut. */
+  private val AnnAdcFiltered: String = annAdcSql(sameLabel = true)
 
   /** q_ann_pq: AnnAdc's serve result with the index-size accounting
     * columns (exact integers from the member count) cross-joined on. */
@@ -1390,6 +1414,8 @@ object PipelineOracles {
 
     "q_ann_ivf_pq" -> ANN_PQ,
     "q_ann_pq" -> AnnAdcSized,
+    "q_ann_pq_incremental" -> AnnAdcIncremental,
+    "q_ann_pq_filtered" -> AnnAdcFiltered,
     "q_ann_filtered" -> AnnPqFiltered,
     "q_ann_late_interaction" -> AnnLateInteraction,
 

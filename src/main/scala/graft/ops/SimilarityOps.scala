@@ -933,12 +933,15 @@ object SimilarityOps {
   private[graft] def adcCoarseRescore(probes: DataFrame, members: DataFrame,
                                       lut: DataFrame, floats: DataFrame,
                                       queryPred: Column, k: Int, expand: Int,
-                                      m: Int, kSub: Int): DataFrame = {
+                                      m: Int, kSub: Int,
+                                      pairFilter: Column = lit(true)): DataFrame = {
     val adotExpr = (0 until m)
       .map(s => s"element_at(lut, ${s * kSub} + element_at(m_pqc, ${s + 1}))")
       .mkString(" + ")
+    // `pairFilter` runs BEFORE the candidate cut (the filtered-search
+    // pre-filter placement — [[pqCoarseRescore]]'s rule).
     val coarse = probes.join(members, Seq("c_id"))
-      .filter(col("m_id") =!= col("q_id"))
+      .filter(col("m_id") =!= col("q_id") && pairFilter)
       .join(broadcast(lut), Seq("q_id"))
       .withColumn("adot", expr(adotExpr))
       .withColumn("adist", expr(

@@ -196,6 +196,31 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ incremental append replays as a content no-op; filtered PQ " +
+       "serve returns only same-label neighbors") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, Sf)
+    val name = "graft_ann_adcinc_spec"
+    AnnIndexOps.buildPqIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    def content() = KeyedStore.scan(spark, name, "row_key", "", "~")
+      .select("row_key", "c_id", "m_id", "rnrm_u")
+      .collect().map(_.toString).sorted.toSeq
+    AnnIndexOps.appendPqBatch(spark, name, delta)
+    val once = content()
+    AnnIndexOps.appendPqBatch(spark, name, delta)
+    assert(content() == once, "replayed PQ append changed the store")
+    // Filtered serve: label constraint holds on every result row.
+    val out = AnnIndexOps.qAnnPqFiltered(spark, Sf)
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.collect().foreach { r =>
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)),
+        s"q ${r.getLong(0)} got cross-label neighbor ${r.getLong(2)}")
+    }
+    assert(out.count() == 50)
+  }
+
   test("id outside the %012d key layout is rejected, not silently mis-sorted") {
     import spark.implicits._
     val bad = Seq((1000000000000L, Array.fill(4)(1.0f)))
