@@ -37,6 +37,44 @@ object EventOracles {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** `rounds` UNROLLED support-peel rounds + a final support pass
+    * (mirrors GraphOps.kTruss at k=3). The oracle enumerates triangles
+    * id-ordered (a < b < c); support counts are orientation-independent,
+    * so they equal the Spark side's degree-ordered enumeration exactly.
+    * Every e-level MATERIALIZED (each referenced by three triangle-join
+    * legs + the filter). */
+  private def ktrussOracle(rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""t$i AS (
+         |  SELECT x.u AS a, x.v AS b, y.v AS c
+         |  FROM e$p x JOIN e$p y ON y.u = x.u AND x.v < y.v
+         |  JOIN e$p z ON z.u = x.v AND z.v = y.v),
+         |s$i AS (SELECT u, v, count(*) AS sup FROM (
+         |  SELECT a AS u, b AS v FROM t$i UNION ALL SELECT a, c FROM t$i
+         |  UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$p e JOIN s$i s ON s.u = e.u AND s.v = e.v
+         |  WHERE s.sup >= 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$peels,
+       |tf AS (
+       |  SELECT x.u AS a, x.v AS b, y.v AS c
+       |  FROM e$rounds x JOIN e$rounds y ON y.u = x.u AND x.v < y.v
+       |  JOIN e$rounds z ON z.u = x.v AND z.v = y.v),
+       |sf AS (SELECT u, v, count(*) AS sup FROM (
+       |  SELECT a AS u, b AS v FROM tf UNION ALL SELECT a, c FROM tf
+       |  UNION ALL SELECT b, c FROM tf) GROUP BY 1, 2)
+       |SELECT e.u, e.v, CAST(coalesce(sf.sup, 0) AS BIGINT) AS support
+       |FROM e$rounds e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+       |ORDER BY e.u, e.v""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // Batch twin of the AvailableNow windowed-state drain: exact
     // centi-unit integer sums, so incremental state == batch bit-for-bit.
@@ -620,37 +658,12 @@ object EventOracles {
     // support pass. The oracle enumerates triangles id-ordered
     // (a < b < c); support counts are orientation-independent, so they
     // equal the Spark side's degree-ordered enumeration exactly.
-    "q_ktruss" -> {
-      val peels = (1 to 2).map { i =>
-        val p = i - 1
-        s"""t$i AS (
-           |  SELECT x.u AS a, x.v AS b, y.v AS c
-           |  FROM e$p x JOIN e$p y ON y.u = x.u AND x.v < y.v
-           |  JOIN e$p z ON z.u = x.v AND z.v = y.v),
-           |s$i AS (SELECT u, v, count(*) AS sup FROM (
-           |  SELECT a AS u, b AS v FROM t$i UNION ALL SELECT a, c FROM t$i
-           |  UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2),
-           |e$i AS MATERIALIZED (
-           |  SELECT e.u, e.v FROM e$p e JOIN s$i s ON s.u = e.u AND s.v = e.v
-           |  WHERE s.sup >= 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
-         |e0 AS MATERIALIZED (
-         |  SELECT a.p AS u, b.p AS v
-         |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |$peels,
-         |tf AS (
-         |  SELECT x.u AS a, x.v AS b, y.v AS c
-         |  FROM e2 x JOIN e2 y ON y.u = x.u AND x.v < y.v
-         |  JOIN e2 z ON z.u = x.v AND z.v = y.v),
-         |sf AS (SELECT u, v, count(*) AS sup FROM (
-         |  SELECT a AS u, b AS v FROM tf UNION ALL SELECT a, c FROM tf
-         |  UNION ALL SELECT b, c FROM tf) GROUP BY 1, 2)
-         |SELECT e.u, e.v, CAST(coalesce(sf.sup, 0) AS BIGINT) AS support
-         |FROM e2 e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
-         |ORDER BY e.u, e.v""".stripMargin
-    },
+    "q_ktruss" -> ktrussOracle(2),
+
+    // Mirrors GraphOps.qKtrussFull (peel-until-fixpoint, cap 32): oracle
+    // unrolled 3 rounds > the measured fixpoint depth of 2 at every
+    // fixture SF; post-fixpoint rounds are no-ops on both engines.
+    "q_ktruss_full" -> ktrussOracle(3),
 
     // Mirrors GraphOps.qShortestPath: bounded-hop BFS layering as a
     // recursive CTE — UNION-dedup'd (node, dist) pairs with the hop cap,

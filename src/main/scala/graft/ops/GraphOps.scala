@@ -216,15 +216,18 @@ object GraphOps {
     // alone OOMs the driver by round 3 (measured on the K4 spec
     // fixture). Checkpoint blocks of dropped rounds are reaped by the
     // ContextCleaner — the [[pageRank]] loop discipline.
-    var edges = und.select(col("u"), col("v")).localCheckpoint()
-    var prevEdges = edges.count()
+    // No round-0 count (the kCore fold): round 1's count materializes
+    // the base checkpoint lazily; the early stop engages from round 2 —
+    // a converged input costs one no-op round, never a wrong answer.
+    var edges = und.select(col("u"), col("v")).localCheckpoint(false)
+    var prevEdges = -1L
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
         val next = edges.join(edgeSupport(edges), Seq("u", "v"), "left")
           .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
           .select(col("u"), col("v"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val n = next.count()
         edges = next
         converged = n == prevEdges
@@ -244,6 +247,15 @@ object GraphOps {
     */
   def qKtruss(spark: SparkSession, dir: String): DataFrame =
     kTruss(copurchaseEdges(spark, dir, minOrders = 2), k = 3, rounds = 2)
+      .orderBy(col("u"), col("v"))
+
+  /** Adaptive truss peel: [[kTruss]] UNTIL FIXPOINT under a generous cap
+    * (32 ≫ the measured depth of 2 at every fixture SF) — the
+    * [[qKcoreFull]] schedule on the edge-strength peel. The oracle
+    * unrolls 3 rounds; peeling a stable subgraph is a no-op on both
+    * engines, so any sufficient unroll equals the adaptive run. */
+  def qKtrussFull(spark: SparkSession, dir: String): DataFrame =
+    kTruss(copurchaseEdges(spark, dir, minOrders = 2), k = 3, rounds = 32)
       .orderBy(col("u"), col("v"))
 
   /** Driver row: triangles of the customer↔supplier nation co-trade graph
