@@ -1445,6 +1445,9 @@ object PipelineOracles {
     // replay-idempotent, order-commutative), so the final store — and
     // the serve result — is identical to the one-shot append.
     "q_stream_ann_index" -> AnnPqIncremental,
+    // Streaming PQ appends drain to the same state as the batch
+    // incremental row by the content-no-op argument above it.
+    "q_stream_pq_index" -> AnnAdcIncremental,
 
     "q_mmr_rerank" -> MmrOracle,
 

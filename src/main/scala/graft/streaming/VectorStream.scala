@@ -72,6 +72,54 @@ object VectorStream {
     }
   }
 
+  /** The true-PQ twin of [[qStreamAnnIndex]]: offline build freezes BOTH
+    * codebooks (coarse cells + per-subspace PQ), each arriving batch is
+    * PQ-encoded and routed against them ([[AnnIndexOps.appendPqBatch]])
+    * and appended as 16-byte posting rows. The same exactly-once class:
+    * posting keys and values are pure functions of the frozen codebooks
+    * and the vector, so replays are content no-ops and batches commute —
+    * no fence needed. Results equal the batch
+    * [[AnnIndexOps.qAnnPqIncremental]], whose oracle the row shares.
+    */
+  def qStreamPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_pq_index"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_pqidx")
+    val srcDir = tmp.resolve("src").toString
+    val embs = graft.Tables.embeddings(spark, dir)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    delta.repartition(2).write.mode("overwrite").parquet(srcDir)
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    KeyedStore.drop(spark, name) // defensive: stale prior run
+    try {
+      AnnIndexOps.buildPqIndex(spark, name,
+        embs.filter(col("vec_id") % 10 =!= 0))
+      val stream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          if (!batch.isEmpty)
+            AnnIndexOps.appendPqBatch(spark, name, batch.toDF())
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_pq_index: stream did not drain within 120 s — " +
+            "refusing to serve a partially appended index")
+      }
+      AnnIndexOps.servePq(spark, name, embs, col("vec_id") < 5)
+        .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      KeyedStore.drop(spark, name)
+      EventStream.deleteRecursively(tmp)
+    }
+  }
+
   /** Streaming drift monitor — [[graft.ops.SimilarityOps.embeddingDrift]]
     * run the way production runs it: the delta batch arrives as
     * micro-batches, each is assigned against the FROZEN base codebook
