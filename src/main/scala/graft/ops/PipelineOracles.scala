@@ -981,6 +981,20 @@ object PipelineOracles {
          |FROM a$rounds GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // Mirrors TextOps.phraseSearch('window join'): positional postings,
+    // adjacency via w[i]/w[i+1]; Spark's 0-based posexplode maps to
+    // DuckDB's 1-based index as p0 = i - 1.
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id, i FROM t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+        |  WHERE w[i] = 'window' AND w[i + 1] = 'join')
+        |SELECT doc_id, count(*) AS n_matches,
+        |       CAST(min(i) - 1 AS INT) AS first_pos,
+        |       CAST(max(i) - 1 AS INT) AS last_pos
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Mirrors TextOps.qualityClassify: md5-closed-form bucket weights,
     // exact BIGINT dot product, pass = score >= 0.
     "q_quality_classify" ->

@@ -893,6 +893,35 @@ object TextOps {
   def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
     featureHash(documents(spark, dir))
 
+  /** Positional phrase search — the exact-adjacency retrieval the
+    * AND-semantics [[qTermSearch]] can't express: a document matches
+    * when the phrase's tokens occur at CONSECUTIVE positions. The plan
+    * is the positional-postings shape a search engine runs: one
+    * tokenize-with-position pass, each phrase term's posting list
+    * filtered BEFORE any join (term selectivity prunes first), then
+    * adjacency = an equi-join on (doc_id, pos − term_offset) — never a
+    * string re-scan, never a cartesian. At 100 TB the postings relation
+    * is the shared tokenize output and each leg is a pushed-down filter
+    * of it; the joins carry only (doc_id, p0) pairs.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFns.toks).as(Seq("pos", "tok")))
+    val legs = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+           min(col("p0")).as("first_pos"), max(col("p0")).as("last_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(documents(spark, dir), Seq("window", "join"))
+
   /** The quality classifier's per-bucket weight relation: `dim` rows of
     * deterministic integer weights in [-1000, 1000] (the [[SimilarityOps
     * .planeWeights]] md5 closed form, so the oracle reproduces every

@@ -271,6 +271,35 @@ class TextExtSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search: exact adjacency incl. overlapping matches; " +
+       "3-term phrases and absent phrases behave") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "x a b c y a b c"),   // two matches of "a b c" at 1 and 5
+      (2L, "a a a b"),           // overlapping "a a" at 0 and 1
+      (3L, "c b a")              // reversed order: no match
+    ).toDF("doc_id", "text")
+    val m3 = ops.TextOps.phraseSearch(tiny, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m3 == Map(1L -> ((2L, 1, 5))), m3.toString)
+    val m2 = ops.TextOps.phraseSearch(tiny, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m2 == Map(2L -> ((2L, 0, 1))), m2.toString)
+    assert(ops.TextOps.phraseSearch(tiny, Seq("z", "q")).count() == 0)
+    // Fixture row matches a driver regex scan over the raw text.
+    val got = ops.TextOps.qPhraseSearch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        r.getLong(0) -> toks.indices.dropRight(1)
+          .count(i => toks(i) == "window" && toks(i + 1) == "join").toLong
+      }.filter(_._2 > 0).toMap
+    assert(got == want)
+  }
+
   test("quality classifier: exact driver-side dot product; the gate " +
        "splits the corpus; the model side broadcasts") {
     import org.apache.spark.sql.functions._
