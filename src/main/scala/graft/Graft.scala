@@ -145,6 +145,19 @@ object Graft {
   /** Iterative BPE merge learning over the corpus word table. */
   def bpeTrain(docs: DataFrame, rounds: Int = 16): DataFrame =
     ops.TextOps.bpeTrain(docs, rounds)
+  /** Tokenizer fertility under learned BPE merges, per language. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 16): DataFrame =
+    ops.TextOps.bpeFertility(docs, rounds)
+  /** Remove cross-document duplicated spans (Lee et al. apply pass). */
+  def substrDedupApply(docs: DataFrame, win: Int = 40,
+                       stride: Int = 20): DataFrame =
+    ops.DedupOps.substrDedupApply(docs, win, stride)
+  /** Linear quality-classifier inference over hashed bag-of-words. */
+  def qualityClassify(docs: DataFrame, dim: Int = 1024): DataFrame =
+    ops.TextOps.qualityClassify(docs, dim)
+  /** Exact-adjacency positional phrase search. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    ops.TextOps.phraseSearch(docs, phrase)
   /** Cross-store GDPR forget: keyed store + versioned store + ANN index.
     * Soft on the versioned leg until [[ops.VersionedStore.vacuum]]. */
   def forgetCascade(spark: SparkSession, keyedName: String, keyedKey: String,
