@@ -425,6 +425,48 @@ object AnnIndexOps {
     served.crossJoin(broadcast(sizes)).orderBy(col("q_id"), col("rank"))
   }
 
+  /** Delete a vector batch from the true-PQ index: posting keys depend
+    * only on the COARSE assignment (cell, member) — a pure function of
+    * the frozen stored codebook — so the delete recomputes exactly the
+    * keys the build/append wrote and anti-join-removes them; codebook
+    * rows stay ([[deleteBatch]]'s cell-anchor rule). Idempotent. */
+  def deletePqBatch(spark: SparkSession, name: String, embs: DataFrame,
+                    nassign: Int = 2): Unit = {
+    val cent = storedCodebook(spark, name)
+    val doomed = pqAssignPayload(withDoubleVecs(embs), cent, nassign, Nil)
+      .select(postingKey(col("c_id"), col("m_id")).as("row_key"))
+      .graftCached
+    // The returned full-table read is deliberately discarded (the
+    // store's read-isolation contract); reads go through scan.
+    KeyedStore.mergeInto(spark, name, "row_key", doomed,
+      (base, b) => base.join(b, Seq("row_key"), "left_anti"))
+    ()
+  }
+
+  /** GDPR-shaped forget off the PQ index: full build, delete the 10%
+    * slice's postings, serve — rank only survivors while routing through
+    * the unchanged full-corpus codebooks. */
+  def qAnnPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_adcdel_", dir)
+    val embs = embeddings(spark, dir)
+    buildPqIndex(spark, name, embs)
+    deletePqBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    servePq(spark, name, embs, col("vec_id") < 5)
+  }
+
+  /** PQ-index major compaction: incremental appends bloat exactly the
+    * regions covering hot cells; rebalance re-derives balanced key-range
+    * regions — serving result-invisible by construction (the row shares
+    * the incremental oracle). */
+  def qAnnPqRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val name = storeName("graft_ann_adcreb_", dir)
+    val embs = embeddings(spark, dir)
+    buildPqIndex(spark, name, embs.filter(col("vec_id") % 10 =!= 0))
+    appendPqBatch(spark, name, embs.filter(col("vec_id") % 10 === 0))
+    KeyedStore.rebalance(spark, name, "row_key", targetRowsPerRegion = 512)
+    servePq(spark, name, embs, col("vec_id") < 5)
+  }
+
   /** True-PQ incremental maintenance: build from the 90% base slice
     * (coarse codebook AND sub-codebooks frozen from base), append the
     * 10% delta through [[appendPqBatch]], serve over the union — the

@@ -257,7 +257,8 @@ object PipelineOracles {
     * adds the member-label = query-label pre-filter to the candidate
     * join (BEFORE the k·expand cut). */
   private def annAdcSql(trainCond: String = "",
-                        sameLabel: Boolean = false): String = {
+                        sameLabel: Boolean = false,
+                        memberCond: String = ""): String = {
     val m = 8; val kSub = 32; val sd = 8
     val lutJoins = (0 until m).map(i =>
       s"  JOIN lut l$i ON l$i.q_id = pr.q_id AND l$i.s = $i " +
@@ -319,7 +320,7 @@ object PipelineOracles {
        |                 CAST(SUM(snrm_u) AS BIGINT) AS rnrm_u
        |          FROM a2 GROUP BY vec_id),
        |assign AS (SELECT vc.vec_id AS m_id$lblVc, vc.c_id, c.pqc, c.rnrm_u
-       |           FROM vc JOIN codes c ON c.vec_id = vc.vec_id WHERE vc.rn <= 2),
+       |           FROM vc JOIN codes c ON c.vec_id = vc.vec_id WHERE vc.rn <= 2$memberCond),
        |probes AS (SELECT vec_id AS q_id$lbl, c_id FROM vc WHERE vec_id < 5 AND rn <= 4),
        |qrel AS (SELECT vec_id AS q_id, v AS qv, nrm AS q_nrm FROM e WHERE vec_id < 5),
        |lut AS (SELECT q.q_id, cb.s, cb.code,
@@ -367,6 +368,12 @@ object PipelineOracles {
 
   /** q_ann_pq_filtered: the member-label pre-filter before the cut. */
   private val AnnAdcFiltered: String = annAdcSql(sameLabel = true)
+
+  /** q_ann_pq_delete: member assignment excludes the deleted slice;
+    * codebooks, probes, and the float rescore stay full-corpus (the
+    * Spark path deletes POSTING rows only). */
+  private val AnnAdcDelete: String =
+    annAdcSql(memberCond = " AND vc.vec_id % 10 <> 0")
 
   /** q_ann_pq: AnnAdc's serve result with the index-size accounting
     * columns (exact integers from the member count) cross-joined on. */
@@ -1430,6 +1437,9 @@ object PipelineOracles {
     "q_ann_pq" -> AnnAdcSized,
     "q_ann_pq_incremental" -> AnnAdcIncremental,
     "q_ann_pq_filtered" -> AnnAdcFiltered,
+    "q_ann_pq_delete" -> AnnAdcDelete,
+    // Rebalance is a pure layout rewrite — serving equals incremental.
+    "q_ann_pq_rebalance" -> AnnAdcIncremental,
     "q_ann_filtered" -> AnnPqFiltered,
     "q_ann_late_interaction" -> AnnLateInteraction,
 
