@@ -242,6 +242,9 @@ object ScaleSmoke {
       time(s"pipeline_class_$tag", dir)(d => ops.TextOps.qPipelineClassified(spark, d))
       time(s"forget_cascade_$tag", dir)(d => ops.ScrubOps.qForgetCascade(spark, d))
       time(s"kcore_full_$tag", dir)(d => ops.GraphOps.qKcoreFull(spark, d))
+      time(s"ktruss_full_$tag", dir)(d => ops.GraphOps.qKtrussFull(spark, d))
+      time(s"phrase_search_$tag", dir)(d => ops.TextOps.qPhraseSearch(spark, d))
+      time(s"ann_pq_delete_$tag", dir)(d => ops.AnnIndexOps.qAnnPqDelete(spark, d))
       time(s"time_travel_$tag", dir)(d => ops.SourceSinkOps.qTimeTravel(spark, d))
       time(s"snapshot_diff_$tag", dir)(d => ops.SourceSinkOps.qSnapshotDiff(spark, d))
       time(s"vstore_compact_$tag", dir)(d => ops.SourceSinkOps.qVstoreCompact(spark, d))
