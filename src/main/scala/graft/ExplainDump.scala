@@ -112,7 +112,9 @@ object ExplainDump {
       "q_temporal_split" -> "Temporal split: distributed globalRank cuts, no data-scale global window",
       "q_m4_downsample" -> "M4 downsample: broadcast extent scalar, then ONE hash aggregate per (series, pixel) — min_by/max_by partials, no window anywhere",
       "q_ann_pq" -> "True-PQ ADC serve: stored sub-codebooks broadcast into per-query LUT maps; posting scan reads m codes + one bigint per member; float rescore by id",
-      "q_substr_apply" -> "Substring-dedup apply: duplicated-window islands per doc (running end-max), survivor splice via sorted segment concat — text only rides the final projection")
+      "q_substr_apply" -> "Substring-dedup apply: duplicated-window islands per doc (running end-max), survivor splice via sorted segment concat — text only rides the final projection",
+      "q_phrase_search" -> "Positional phrase retrieval: per-term filtered posting legs (selectivity prunes before any join), adjacency equi-join on (doc_id, pos - offset)",
+      "q_quality_classify" -> "Linear quality gate: broadcast per-bucket weight relation joined onto the hashed-BoW aggregate; exact BIGINT dot, no UDF")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")
