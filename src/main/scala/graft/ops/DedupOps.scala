@@ -873,4 +873,17 @@ object DedupOps {
 
   def qSubstrApply(spark: SparkSession, dir: String): DataFrame =
     substrDedupApply(documents(spark, dir))
+
+  /** ALIGNMENT-FREE exact-span removal: [[substrDedupApply]] at stride
+    * 1 — every position's 40-char window is hashed, so ANY duplicated
+    * span ≥ 40 chars is caught regardless of offset (the strided row's
+    * documented blind spot, closed; this is Lee et al.'s ExactSubstr
+    * semantics for the fixed threshold without a suffix array). Cost is
+    * the stride× window blowup — linear in corpus bytes times win — and
+    * at 100 TB the production path feeds the SAME island/splice tail
+    * from winnowing-selected positions ([[TextOps.qWinnowFingerprint]]'s
+    * guarantee: any shared span ≥ w+k−1 shares a fingerprint), paying
+    * the full stride-1 scan only inside candidate documents. */
+  def qSubstrApplyExact(spark: SparkSession, dir: String): DataFrame =
+    substrDedupApply(documents(spark, dir), win = 40, stride = 1)
 }

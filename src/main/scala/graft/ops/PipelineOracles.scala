@@ -375,6 +375,69 @@ object PipelineOracles {
   private val AnnAdcDelete: String =
     annAdcSql(memberCond = " AND vc.vec_id % 10 <> 0")
 
+  private def substrApplySql(stride: Int): String =
+    s"""WITH d AS (SELECT doc_id, text, strlen(text) AS n_chars FROM documents),
+        |w AS (
+        |  SELECT d.doc_id, d.n_chars, gs.p, substr(d.text, gs.p, 40) AS win
+        |  FROM d,
+        |       LATERAL (SELECT unnest(generate_series(
+        |         1, greatest(len(d.text) - 39, 1), $stride)) AS p) gs
+        |), dup AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.p AS s, least(w.p + 39, w.n_chars) AS e
+        |  FROM w JOIN dup ON w.win = dup.win
+        |), mrk AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                IS NULL
+        |              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM dw
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM mrk
+        |), mi AS (
+        |  SELECT doc_id, iid, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |         CAST(SUM(i_e - i_s + 1) AS BIGINT) AS removed_chars
+        |  FROM mi GROUP BY 1
+        |), gaps AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(i_e) OVER (PARTITION BY doc_id ORDER BY i_s) + 1,
+        |                  1) AS seg_s,
+        |         i_s - 1 AS seg_e
+        |  FROM mi
+        |), tails AS (
+        |  SELECT mi.doc_id, max(mi.i_e) + 1 AS seg_s, max(d.n_chars) AS seg_e
+        |  FROM mi JOIN d USING (doc_id) GROUP BY mi.doc_id
+        |), segs AS (
+        |  SELECT u.doc_id, u.seg_s,
+        |         substr(d.text, CAST(u.seg_s AS INT),
+        |                CAST(u.seg_e - u.seg_s + 1 AS INT)) AS seg
+        |  FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) u
+        |  JOIN d USING (doc_id)
+        |  WHERE u.seg_s <= u.seg_e
+        |), sv AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY seg_s) AS sv
+        |  FROM segs GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.n_chars,
+        |       coalesce(a.n_islands, 0) AS n_islands,
+        |       coalesce(a.removed_chars, 0) AS removed_chars,
+        |       strlen(CASE WHEN a.n_islands IS NULL THEN d.text
+        |                   ELSE coalesce(sv.sv, '') END) AS surviving_chars,
+        |       md5(CASE WHEN a.n_islands IS NULL THEN d.text
+        |                ELSE coalesce(sv.sv, '') END) AS surviving_md5
+        |FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN sv USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
   /** q_ann_pq: AnnAdc's serve result with the index-size accounting
     * columns (exact integers from the member count) cross-joined on. */
   private val AnnAdcSized: String = {
@@ -1169,68 +1232,11 @@ object PipelineOracles {
     // uncovered segments back together (string_agg ordered by segment
     // start = Spark's sorted-collect array_join). Conservation is
     // pinned in-row: removed + surviving = n_chars.
-    "q_substr_apply" ->
-      """WITH d AS (SELECT doc_id, text, strlen(text) AS n_chars FROM documents),
-        |w AS (
-        |  SELECT d.doc_id, d.n_chars, gs.p, substr(d.text, gs.p, 40) AS win
-        |  FROM d,
-        |       LATERAL (SELECT unnest(generate_series(
-        |         1, greatest(len(d.text) - 39, 1), 20)) AS p) gs
-        |), dup AS (
-        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
-        |), dw AS (
-        |  SELECT w.doc_id, w.p AS s, least(w.p + 39, w.n_chars) AS e
-        |  FROM w JOIN dup ON w.win = dup.win
-        |), mrk AS (
-        |  SELECT doc_id, s, e,
-        |         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |                IS NULL
-        |              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |              THEN 1 ELSE 0 END AS ns
-        |  FROM dw
-        |), isl AS (
-        |  SELECT doc_id, s, e,
-        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
-        |  FROM mrk
-        |), mi AS (
-        |  SELECT doc_id, iid, min(s) AS i_s, max(e) AS i_e
-        |  FROM isl GROUP BY 1, 2
-        |), agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
-        |         CAST(SUM(i_e - i_s + 1) AS BIGINT) AS removed_chars
-        |  FROM mi GROUP BY 1
-        |), gaps AS (
-        |  SELECT doc_id,
-        |         coalesce(lag(i_e) OVER (PARTITION BY doc_id ORDER BY i_s) + 1,
-        |                  1) AS seg_s,
-        |         i_s - 1 AS seg_e
-        |  FROM mi
-        |), tails AS (
-        |  SELECT mi.doc_id, max(mi.i_e) + 1 AS seg_s, max(d.n_chars) AS seg_e
-        |  FROM mi JOIN d USING (doc_id) GROUP BY mi.doc_id
-        |), segs AS (
-        |  SELECT u.doc_id, u.seg_s,
-        |         substr(d.text, CAST(u.seg_s AS INT),
-        |                CAST(u.seg_e - u.seg_s + 1 AS INT)) AS seg
-        |  FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) u
-        |  JOIN d USING (doc_id)
-        |  WHERE u.seg_s <= u.seg_e
-        |), sv AS (
-        |  SELECT doc_id, string_agg(seg, '' ORDER BY seg_s) AS sv
-        |  FROM segs GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, d.n_chars,
-        |       coalesce(a.n_islands, 0) AS n_islands,
-        |       coalesce(a.removed_chars, 0) AS removed_chars,
-        |       strlen(CASE WHEN a.n_islands IS NULL THEN d.text
-        |                   ELSE coalesce(sv.sv, '') END) AS surviving_chars,
-        |       md5(CASE WHEN a.n_islands IS NULL THEN d.text
-        |                ELSE coalesce(sv.sv, '') END) AS surviving_md5
-        |FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN sv USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_substr_apply" -> substrApplySql(20),
+
+    // Alignment-free variant (DedupOps.qSubstrApplyExact): stride 1 —
+    // every duplicated 40-char span is caught regardless of offset.
+    "q_substr_apply_exact" -> substrApplySql(1),
 
     // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
     // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →

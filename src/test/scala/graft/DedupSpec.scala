@@ -287,5 +287,20 @@ class DedupSpec extends AnyFunSuite {
     assert(r1.getString(5) == md, "survivor splice differs from driver")
     // The clean doc survives untouched.
     assert(out(3L).getLong(3) == 0 && out(3L).getInt(4) == d3.length)
+
+    // Stride 1 closes the alignment blind spot: the same span at
+    // offsets NOT equal mod 20 is invisible to the strided pass but
+    // fully removed by the alignment-free one.
+    val misaligned = Seq(
+      (1L, "A" * 25 + shared + "B" * 17),
+      (2L, "C" * 41 + shared + "D" * 3)).toDF("doc_id", "text")
+    val strided = ops.DedupOps.substrDedupApply(misaligned).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(strided.values.forall(_ == 0L), s"strided caught $strided")
+    val exact = ops.DedupOps.substrDedupApply(misaligned, stride = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // Windows cover the whole 80-char span (positions 0..40 of it), so
+    // the merged island is at least the span minus nothing: 80 chars.
+    assert(exact.values.forall(_ >= 80L), s"exact missed: $exact")
   }
 }
