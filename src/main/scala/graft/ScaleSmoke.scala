@@ -238,6 +238,7 @@ object ScaleSmoke {
       time(s"bpe_train_$tag", dir)(d => ops.TextOps.qBpeTrain(spark, d))
       time(s"bpe_fertility_$tag", dir)(d => ops.TextOps.qBpeFertility(spark, d))
       time(s"substr_apply_$tag", dir)(d => ops.DedupOps.qSubstrApply(spark, d))
+      time(s"substr_exact_$tag", dir)(d => ops.DedupOps.qSubstrApplyExact(spark, d))
       time(s"quality_classify_$tag", dir)(d => ops.TextOps.qQualityClassify(spark, d))
       time(s"pipeline_class_$tag", dir)(d => ops.TextOps.qPipelineClassified(spark, d))
       time(s"forget_cascade_$tag", dir)(d => ops.ScrubOps.qForgetCascade(spark, d))
