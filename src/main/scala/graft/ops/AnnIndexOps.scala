@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * One keyed table holds the whole index under HBase-style composite
   * row keys — the row-key design the reference forfeits by choosing
   * UUIDs (`HPopulate/src/main/java/org/northeastern/Main.java:97`
-  * assigns `UUID.randomUUID` row keys, so the regions its createTable
-  * pre-splits at `Main.java:54-73` can never be range-read;
-  * SURVEY.md §1.4):
+  * assigns `UUID.randomUUID` row keys, so related rows scatter across
+  * the keyspace: no range read or scan locality is ever possible over
+  * its FlightTable; SURVEY.md §1.4):
   *
   *  - `b<c_id%012d>`              → codebook row (c_id, emb, nrm)
   *  - `c<c_id%012d>#m<m_id%012d>` → posting row (c_id, m_id, qv8)
@@ -407,6 +407,9 @@ object AnnIndexOps {
     * the flag pins that the m×8-bit representation beats int8×dim
     * storage (16+ε vs 64 bytes/vector at the defaults; at production
     * kSub=256 the codebook grows 16× and is still corpus-independent).
+    * Both size columns count each member's CODE bytes once — the stored
+    * index additionally duplicates each posting nassign× (same factor on
+    * both sides, so the comparison flag is unaffected).
     * Serve results are identical to [[SimilarityOps.annPqAdc]] by
     * construction (shared stages around the store round-trip). */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {

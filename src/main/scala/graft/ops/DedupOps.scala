@@ -886,4 +886,75 @@ object DedupOps {
     * the full stride-1 scan only inside candidate documents. */
   def qSubstrApplyExact(spark: SparkSession, dir: String): DataFrame =
     substrDedupApply(documents(spark, dir), win = 40, stride = 1)
+
+  /** WINNOWING-GATED exact-span removal — [[qSubstrApplyExact]]'s
+    * semantics at the cost structure the 100 TB path needs (the plan
+    * [[substrDedupApply]]'s scaladoc names): a cheap hash-only
+    * fingerprint pass selects CANDIDATE documents, and only those pay
+    * the stride-1 window materialization + content groupBy + island
+    * splice. Results are IDENTICAL to the ungated stride-1 pass by the
+    * winnowing guarantee (Schleimer/Wilkerson/Aiken 2003): with kc-char
+    * shingles winnowed over wc = win−kc+1 positions, any substring of
+    * length ≥ wc+kc−1 = win shared by two documents spans at least one
+    * FULL winnow window aligned identically in both — the min hash of
+    * that window is the same value on both sides, so both documents
+    * emit the same fingerprint and both become candidates. Every
+    * duplicated window (a shared span of exactly `win` chars) therefore
+    * has ALL its containing documents in the candidate set, and dup
+    * detection within the candidates equals global detection; hash
+    * collisions can only ADD candidates (detection re-checks content),
+    * never lose one. SubstrGateSpec pins result-equality with
+    * [[qSubstrApplyExact]] on the fixture.
+    *
+    * Short documents (len < win) have a single whole-text window that
+    * can only equal another SHORT document's whole text (long-doc
+    * windows are exactly `win` chars), so they gate on an exact text
+    * groupBy among themselves — no fingerprints needed.
+    *
+    * Scale shape: the fingerprint pass carries 8-byte xxhash64 values
+    * (never window strings) at winnow density ~2/(wc+1) after the
+    * per-doc distinct; the candidate set is doc_ids only. At 100 TB
+    * the expensive stride-1 stage runs over the (typically small)
+    * duplicated slice of the corpus instead of all of it. */
+  def substrDedupApplyGated(docs: DataFrame, win: Int = 40): DataFrame = {
+    val kc = win / 2      // shingle chars
+    val wc = win - kc + 1 // winnow window positions: wc + kc - 1 = win
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("n_chars"))
+    val grams = base.filter(col("n_chars") >= win)
+      .select(col("doc_id"), (col("n_chars") - (kc - 1)).as("np"),
+        posexplode(expr(
+          s"transform(sequence(1, length(text) - ${kc - 1}), " +
+            s"p -> xxhash64(substring(text, p, $kc)))")).as(Seq("pos", "h")))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, wc - 1)
+    val fps = grams
+      .withColumn("fp", min(col("h")).over(wnd))
+      .filter(col("pos") <= col("np") - wc) // full windows only (0-based)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+    val sharedFps = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val candLong = fps.join(sharedFps, Seq("fp")).select(col("doc_id"))
+    val short = base.filter(col("n_chars") < win)
+    val candShort = short.join(
+        short.groupBy(col("text"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("text")),
+        Seq("text"))
+      .select(col("doc_id"))
+    val cand = candLong.unionByName(candShort).distinct()
+    val gated = substrDedupApply(docs.join(cand, Seq("doc_id")),
+      win, stride = 1)
+    val passthrough = base.join(cand, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"),
+        lit(0L).as("n_islands"), lit(0L).as("removed_chars"),
+        col("n_chars").as("surviving_chars"),
+        md5(col("text")).as("surviving_md5"))
+    gated.unionByName(passthrough).orderBy(col("doc_id"))
+  }
+
+  def qSubstrApplyGated(spark: SparkSession, dir: String): DataFrame =
+    substrDedupApplyGated(documents(spark, dir))
 }

@@ -16,7 +16,7 @@ object EventOracles {
     * >= 2 in the previous level. Every e-level MATERIALIZED: each is
     * referenced 3x (two IN-subqueries + the projection), so default
     * inlining would re-derive the basket self-join 3^level times. */
-  private def kcoreOracle(rounds: Int): String = {
+  private def kcoreOracle(rounds: Int, selfCheck: Boolean = false): String = {
     val peels = (1 to rounds).map { i =>
       val p = i - 1
       s"""d$i AS (SELECT node, count(*) AS d FROM (
@@ -26,14 +26,26 @@ object EventOracles {
          |  WHERE u IN (SELECT node FROM d$i WHERE d >= 2)
          |    AND v IN (SELECT node FROM d$i WHERE d >= 2))""".stripMargin
     }.mkString(",\n")
+    // selfCheck (fixpoint rows only): the engine side peels UNTIL
+    // FIXPOINT, so the oracle's unroll is valid only if its last round
+    // was a no-op. A fixture whose fixpoint is deeper than the unroll
+    // would make the ORACLE the wrong side — fail it loudly instead of
+    // pinning a confident wrong answer.
+    val chk = if (selfCheck)
+      s""",
+         |chk AS (SELECT CASE WHEN (SELECT count(*) FROM e$rounds) =
+         |  (SELECT count(*) FROM e${rounds - 1}) THEN 1
+         |  ELSE CAST(error('kcore oracle unrolled $rounds rounds but the fixture fixpoint is deeper') AS INT) END AS ok)""".stripMargin
+    else ""
+    val from = if (selfCheck) ", chk WHERE chk.ok = 1" else ""
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS p FROM lineitem),
        |e0 AS MATERIALIZED (
        |  SELECT a.p AS u, b.p AS v
        |  FROM li a JOIN li b ON a.basket = b.basket AND a.p < b.p
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       |$peels
+       |$peels$chk
        |SELECT node, count(*) AS core_deg FROM (
-       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)$from
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
@@ -43,7 +55,7 @@ object EventOracles {
     * so they equal the Spark side's degree-ordered enumeration exactly.
     * Every e-level MATERIALIZED (each referenced by three triangle-join
     * legs + the filter). */
-  private def ktrussOracle(rounds: Int): String = {
+  private def ktrussOracle(rounds: Int, selfCheck: Boolean = false): String = {
     val peels = (1 to rounds).map { i =>
       val p = i - 1
       s"""t$i AS (
@@ -69,9 +81,18 @@ object EventOracles {
        |  JOIN e$rounds z ON z.u = x.v AND z.v = y.v),
        |sf AS (SELECT u, v, count(*) AS sup FROM (
        |  SELECT a AS u, b AS v FROM tf UNION ALL SELECT a, c FROM tf
-       |  UNION ALL SELECT b, c FROM tf) GROUP BY 1, 2)
+       |  UNION ALL SELECT b, c FROM tf) GROUP BY 1, 2)${
+      // Same loud under-unroll guard as kcoreOracle: the fixpoint rows'
+      // oracle is only right when its last peel round changed nothing.
+      if (selfCheck)
+        s""",
+           |chk AS (SELECT CASE WHEN (SELECT count(*) FROM e$rounds) =
+           |  (SELECT count(*) FROM e${rounds - 1}) THEN 1
+           |  ELSE CAST(error('ktruss oracle unrolled $rounds rounds but the fixture fixpoint is deeper') AS INT) END AS ok)""".stripMargin
+      else ""}
        |SELECT e.u, e.v, CAST(coalesce(sf.sup, 0) AS BIGINT) AS support
-       |FROM e$rounds e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+       |FROM e$rounds e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v${
+      if (selfCheck) " CROSS JOIN chk WHERE chk.ok = 1" else ""}
        |ORDER BY e.u, e.v""".stripMargin
   }
 
@@ -651,8 +672,10 @@ object EventOracles {
     // oracle unrolls 8 rounds — more than any fixture's measured
     // fixpoint depth (1/4/6 at sf0.001/0.01/0.1); post-fixpoint rounds
     // are no-ops on both engines, so the adaptive schedule and ANY
-    // sufficient unroll agree exactly.
-    "q_kcore_full" -> kcoreOracle(8),
+    // sufficient unroll agree exactly. selfCheck asserts the last round
+    // WAS a no-op, so an under-unrolled oracle errors instead of
+    // pinning a wrong answer against a correct engine.
+    "q_kcore_full" -> kcoreOracle(8, selfCheck = true),
 
     // Mirrors GraphOps.qKtruss: 2 UNROLLED support-peel rounds + a final
     // support pass. The oracle enumerates triangles id-ordered
@@ -663,7 +686,8 @@ object EventOracles {
     // Mirrors GraphOps.qKtrussFull (peel-until-fixpoint, cap 32): oracle
     // unrolled 3 rounds > the measured fixpoint depth of 2 at every
     // fixture SF; post-fixpoint rounds are no-ops on both engines.
-    "q_ktruss_full" -> ktrussOracle(3),
+    // selfCheck errors loudly if a fixture's fixpoint outgrows the unroll.
+    "q_ktruss_full" -> ktrussOracle(3, selfCheck = true),
 
     // Mirrors GraphOps.qShortestPath: bounded-hop BFS layering as a
     // recursive CTE — UNION-dedup'd (node, dist) pairs with the hop cap,

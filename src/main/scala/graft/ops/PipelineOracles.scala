@@ -375,8 +375,11 @@ object PipelineOracles {
   private val AnnAdcDelete: String =
     annAdcSql(memberCond = " AND vc.vec_id % 10 <> 0")
 
+  // length() (CHARACTER semantics) throughout — the Spark side splices
+  // by character positions, and DuckDB strlen() counts BYTES, which
+  // diverges (and breaks the conservation column) on non-ASCII text.
   private def substrApplySql(stride: Int): String =
-    s"""WITH d AS (SELECT doc_id, text, strlen(text) AS n_chars FROM documents),
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
         |w AS (
         |  SELECT d.doc_id, d.n_chars, gs.p, substr(d.text, gs.p, 40) AS win
         |  FROM d,
@@ -431,7 +434,7 @@ object PipelineOracles {
         |SELECT d.doc_id, d.n_chars,
         |       coalesce(a.n_islands, 0) AS n_islands,
         |       coalesce(a.removed_chars, 0) AS removed_chars,
-        |       strlen(CASE WHEN a.n_islands IS NULL THEN d.text
+        |       length(CASE WHEN a.n_islands IS NULL THEN d.text
         |                   ELSE coalesce(sv.sv, '') END) AS surviving_chars,
         |       md5(CASE WHEN a.n_islands IS NULL THEN d.text
         |                ELSE coalesce(sv.sv, '') END) AS surviving_md5

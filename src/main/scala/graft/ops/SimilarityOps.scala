@@ -792,10 +792,21 @@ object SimilarityOps {
   /** `(vec_id, embedding, v, nrm)` with `v` the double-widened vector —
     * the shared float-side relation of the PQ family. Zero vectors are
     * excluded exactly as [[withInt8Codes]] excludes them, so every
-    * retrieval path ranks the same member set. */
+    * retrieval path ranks the same member set.
+    *
+    * The PQ family slices subvectors at fixed PqDim/m offsets, so it is
+    * NOT dimension-generic (unlike the int8 path): a dim > PqDim vector
+    * would silently drop its tail from codes/LUT/norms, a dim < PqDim
+    * one would produce empty trailing subspaces. The guard fails the
+    * first action loudly instead. */
   private[graft] def withDoubleVecs(embs: DataFrame): DataFrame =
     embs
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", expr(
+        s"case when size(embedding) = $PqDim " +
+          "then transform(embedding, x -> cast(x as double)) " +
+          s"else raise_error(concat('PQ path requires $PqDim-dim embeddings, " +
+          "got dim=', cast(size(embedding) as string), " +
+          "' at vec_id=', cast(vec_id as string))) end"))
       .withColumn("amax", expr(
         "aggregate(v, cast(0 as double), (a, x) -> greatest(a, abs(x)))"))
       .filter(col("amax") > 0)
@@ -903,7 +914,7 @@ object SimilarityOps {
 
   /** Per-query asymmetric-distance lookup table: ONE small map per
     * query, lut[s·kSub + code] = q_subvector(s)·scv(s,code). m·kSub
-    * entries (64 doubles at the defaults) — the classic ADC trick: the
+    * entries (256 doubles at the m=8/kSub=32 defaults) — the classic ADC trick: the
     * query side is computed exactly once against the codebook, and
     * scoring a member is m map lookups + m−1 adds, no vector math. */
   private[graft] def adcLut(q: DataFrame, cb: DataFrame, m: Int,
