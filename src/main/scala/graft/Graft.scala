@@ -152,6 +152,11 @@ object Graft {
   def substrDedupApply(docs: DataFrame, win: Int = 40,
                        stride: Int = 20): DataFrame =
     ops.DedupOps.substrDedupApply(docs, win, stride)
+  /** [[substrDedupApply]] at stride 1 with winnowing-gated candidate
+    * selection — identical results, stride-1 cost paid only inside
+    * candidate documents (the 100 TB path). */
+  def substrDedupApplyGated(docs: DataFrame, win: Int = 40): DataFrame =
+    ops.DedupOps.substrDedupApplyGated(docs, win)
   /** Linear quality-classifier inference over hashed bag-of-words. */
   def qualityClassify(docs: DataFrame, dim: Int = 1024): DataFrame =
     ops.TextOps.qualityClassify(docs, dim)

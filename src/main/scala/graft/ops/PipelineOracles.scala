@@ -1241,6 +1241,12 @@ object PipelineOracles {
     // every duplicated 40-char span is caught regardless of offset.
     "q_substr_apply_exact" -> substrApplySql(1),
 
+    // Winnowing-gated variant (DedupOps.qSubstrApplyGated): IDENTICAL
+    // semantics to the ungated stride-1 pass (the winnow guarantee makes
+    // gating lossless — SubstrGateSpec pins engine-side equality), so
+    // the oracle IS the stride-1 SQL.
+    "q_substr_apply_gated" -> substrApplySql(1),
+
     // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
     // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →
     // prefix-sum shard packing → per-shard manifest.

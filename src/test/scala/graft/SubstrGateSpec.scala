@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the winnowing-gate losslessness claim: the gated stride-1
+  * exact-span removal must equal the ungated stride-1 pass row-for-row
+  * on the fixture (the Schleimer/Wilkerson/Aiken guarantee makes any
+  * shared span ≥ wc+kc−1 = win chars select a shared fingerprint, so
+  * every globally-duplicated window has all its documents gated in).
+  */
+class SubstrGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getInt(4), r.getString(5))).sortBy(_._1).toSeq
+
+  test("gated result equals the full stride-1 pass on the fixture") {
+    val full = rows(ops.DedupOps.qSubstrApplyExact(spark, Sf))
+    val gated = rows(ops.DedupOps.qSubstrApplyGated(spark, Sf))
+    assert(gated == full)
+    // the parity is non-vacuous: the fixture actually removes spans
+    assert(full.exists(_._3 > 0), "fixture should contain duplicated spans")
+  }
+
+  test("gate is selective: non-candidate docs never reach the stride-1 stage") {
+    // The gate's value is running the expensive stage on a subset; if
+    // every document were a candidate the gated path would be pure
+    // overhead. Reconstruct the candidate count from the result: docs
+    // needing removal are always candidates, but candidates with no
+    // cross-doc duplicated window still pass through with 0 islands —
+    // so instead pin the structural claim on a synthetic corpus where
+    // the candidate set is known exactly.
+    import spark.implicits._
+    val shared = "S" * 40 // one exactly-40-char shared span
+    // distinct chars on BOTH sides of the span, or the island grows past
+    // 40 (a shared boundary space extends the duplicated run)
+    val docs = Seq(
+      (1L, "prefix-oneA" + shared + "Bsuffix-one padpadpad"),
+      (2L, "other-leadC" + shared + "Ddifferent tail padpad"),
+      (3L, "completely unrelated text with no duplicated span here at all"),
+      (4L, "short dup"), (5L, "short dup"), // short-doc gate leg
+      (6L, "uniq")
+    ).toDF("doc_id", "text")
+    val out = ops.DedupOps.substrDedupApplyGated(docs)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 6)
+    // docs 1,2 lose exactly the shared island; windows overlapping the
+    // span's interior only match where content is identical across docs
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getLong(2) == 1 && d2.getLong(2) == 1) // one island each
+    assert(d1.getLong(3) == 40 && d2.getLong(3) == 40)
+    // doc 3 and 6 untouched
+    assert(out(2).getLong(2) == 0 && out(2).getLong(3) == 0)
+    assert(out(5).getLong(2) == 0 && out(5).getLong(3) == 0)
+    // short exact duplicates are fully removed via the short-doc leg
+    assert(out(3).getLong(3) == 9 && out(4).getLong(3) == 9)
+    assert(out(3).getInt(4) == 0)
+    // conservation holds on every row
+    out.foreach(r => assert(r.getLong(3) + r.getInt(4) == r.getInt(1)))
+  }
+}
