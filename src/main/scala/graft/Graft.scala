@@ -148,6 +148,13 @@ object Graft {
   /** Tokenizer fertility under learned BPE merges, per language. */
   def bpeFertility(docs: DataFrame, rounds: Int = 16): DataFrame =
     ops.TextOps.bpeFertility(docs, rounds)
+  /** Corpus-wide token-id encoding under learned BPE merges. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 16): DataFrame =
+    ops.TextOps.bpeEncode(docs, rounds)
+  /** Sequence packing fed by learned-BPE token counts. */
+  def packSequencesBpe(docs: DataFrame, rounds: Int = 16,
+                       binTokens: Long = 2048L): DataFrame =
+    ops.TextOps.packSequencesBpe(docs, rounds, binTokens)
   /** Remove cross-document duplicated spans (Lee et al. apply pass). */
   def substrDedupApply(docs: DataFrame, win: Int = 40,
                        stride: Int = 20): DataFrame =

@@ -241,6 +241,56 @@ object PipelineOracles {
     sb.toString
   }
 
+  /** The BPE-ENCODE oracle prefix shared by q_bpe_encode and
+    * q_seq_pack_bpe: the bpeCtes training rounds, an apply chain
+    * x0..xN over ALL distinct words (unlike the training table, no
+    * length >= 2 filter), the learned vocabulary (base chars 1..26,
+    * merge outputs 26 + first producing round, deduped by min round),
+    * and the per-word exact aggregates `enc(word, n_ids, idsum, wsum)`
+    * plus the positional corpus explode `dw(doc_id, wp, word)`.
+    * `tail` is the final SELECT (or, with tailIsCte, further CTEs +
+    * final SELECT). */
+  private def bpeEncodeSql(tail: String, tailIsCte: Boolean = false): String = {
+    val rounds = BpeRounds
+    val applies = (1 to rounds).map(r =>
+      s"""x$r AS MATERIALIZED (SELECT x.word, ${bpeFold("x.syms", "g")} AS syms
+         |        FROM x${r - 1} x CROSS JOIN g$r g)""".stripMargin)
+      .mkString(",\n")
+    val picks = (1 to rounds)
+      .map(r => s"SELECT $r AS mr, l || r AS merged FROM g$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(rounds)},
+       |x0 AS MATERIALIZED (
+       |  SELECT DISTINCT word,
+       |         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents) t),
+       |$applies,
+       |vocab AS (
+       |  SELECT chr(CAST(96 + i AS INT)) AS sym, CAST(i AS BIGINT) AS id
+       |  FROM generate_series(1, 26) g(i)
+       |  UNION ALL
+       |  SELECT merged, CAST(26 + min(mr) AS BIGINT) FROM ($picks) GROUP BY merged),
+       |encu AS (
+       |  SELECT t.word, t.j, v.id
+       |  FROM (SELECT x.word, gi.j, x.syms[gi.j] AS sym
+       |        FROM x$rounds x,
+       |             LATERAL (SELECT unnest(generate_series(1, len(x.syms))) AS j) gi) t
+       |  JOIN vocab v USING (sym)),
+       |enc AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_ids,
+       |         CAST(sum(id) AS BIGINT) AS idsum,
+       |         CAST(sum(j * id) AS BIGINT) AS wsum
+       |  FROM encu GROUP BY word),
+       |dw AS (
+       |  SELECT doc_id, i - 1 AS wp, words[i] AS word
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+       |        FROM documents) d,
+       |       LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) g)${
+      if (tailIsCte) "," else ""}
+       |$tail""".stripMargin
+  }
+
   /** Mirrors SimilarityOps.annPqAdc / AnnIndexOps.servePq: TRUE product
     * quantization. Per-subspace codebooks from one exact-integer Lloyd
     * round over the shared md5 seed sample (kmeansCentroids' arithmetic
@@ -1053,6 +1103,42 @@ object PipelineOracles {
          |       CAST(sum(n * len(syms)) AS BIGINT) AS n_bpe_tokens
          |FROM a$rounds GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // Mirrors TextOps.bpeEncode: the q_bpe_train rounds learn the
+    // merges; x0..x16 applies them over ALL distinct words (no >=2
+    // length filter — 1-char words encode too); vocab = base chars
+    // 1..26 + merge outputs at 26 + first producing round; per-doc
+    // exact aggregates over the (doc, word_pos) explode joined to the
+    // encoded word table.
+    "q_bpe_encode" -> bpeEncodeSql(
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(n_ids) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(sum(length(word)) AS BIGINT) AS n_alpha_chars,
+        |       CAST(sum((wp + 1) * 1024 * idsum + wsum) AS BIGINT) AS ids_fp,
+        |       CAST(sum(n_ids) AS BIGINT) * 1000000
+        |         // CAST(count(*) AS BIGINT) AS fertility_micro
+        |FROM dw JOIN enc USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Mirrors TextOps.packSequencesBpe: the learned-BPE per-doc token
+    // counts (0 for wordless docs) feed the q_seq_pack prefix-sum
+    // packing tail.
+    "q_seq_pack_bpe" -> bpeEncodeSql(
+      """dcnt AS (
+        |  SELECT doc_id, CAST(sum(n_ids) AS BIGINT) AS n_tokens
+        |  FROM dw JOIN enc USING (word) GROUP BY doc_id),
+        |t AS (
+        |  SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens
+        |  FROM documents d LEFT JOIN dcnt c USING (doc_id)),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |         coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |  FROM t)
+        |SELECT off // 2048 AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin, tailIsCte = true),
 
     // Mirrors TextOps.phraseSearch('window join'): positional postings,
     // adjacency via w[i]/w[i+1]; Spark's 0-based posexplode maps to

@@ -1420,6 +1420,15 @@ object TextOps {
     val toked = docs.select(col("doc_id"),
       expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
         .cast("long").as("n_tokens"))
+    packSequencesBy(toked, binTokens, bucketSize, levels)
+  }
+
+  /** [[packSequences]]' packing tail over a caller-supplied per-document
+    * token-count relation `(doc_id, n_tokens)` — lets the packer consume
+    * REAL tokenizer counts ([[qSeqPackBpe]]) instead of the regex
+    * pre-tokenizer's. */
+  def packSequencesBy(toked: DataFrame, binTokens: Long = 2048L,
+                      bucketSize: Int = 256, levels: Int = 3): DataFrame = {
     val b = toked.withColumn("bucket", expr(s"doc_id div $bucketSize"))
     // LAZY persist of the windowed relation: it feeds both the bucket
     // totals and the final join. The round-6 assumption that the two
@@ -1460,6 +1469,29 @@ object TextOps {
 
   def qSeqPack(spark: SparkSession, dir: String): DataFrame =
     packSequences(documents(spark, dir))
+
+  /** Sequence packing fed by the LEARNED tokenizer: per-document token
+    * counts come from [[bpeEncode]]'s chain (merges applied over the
+    * distinct-word table, counts joined back), so bins hold real
+    * learned-BPE token mass instead of the regex pre-tokenizer's
+    * approximation — the actual pre-training packing input. Documents
+    * with no [a-z] words pack with zero tokens (they still occupy a
+    * manifest row slot at their offset). */
+  def packSequencesBpe(docs: DataFrame, rounds: Int = 16,
+                       binTokens: Long = 2048L): DataFrame = {
+    val enc = bpeEncodedWords(docs, rounds)
+    val counts = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(enc.select(col("word"), col("n_ids")), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("n_ids")).as("n_tokens"))
+    val toked = docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    packSequencesBy(toked, binTokens)
+  }
+
+  def qSeqPackBpe(spark: SparkSession, dir: String): DataFrame =
+    packSequencesBpe(documents(spark, dir))
 
   /** One statistics round of BPE merge learning: the adjacent-character
     * pair frequencies over the word-frequency table — the argmax of this
@@ -1594,6 +1626,89 @@ object TextOps {
 
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame =
     bpeFertility(documents(spark, dir))
+
+  /** The distinct-word relation ENCODED under [[bpeTrain]]'s learned
+    * merges: `(word, n_ids, idsum, wsum)` where the ids are token ids in
+    * the learned vocabulary — base chars a..z = 1..26, each merge output
+    * = 26 + its (first) merge round — and the aggregates are the exact
+    * integers the per-document encode needs (token count, Σid, Σ j·id
+    * with j the 1-based in-word position). The merge application is the
+    * same greedy left-to-right fold as [[bpeFertility]], run once per
+    * merge over DISTINCT words only (corpus-repetition-independent); a
+    * symbol missing from the vocabulary (impossible by construction —
+    * every fold output is a base char or a merge output) raises loudly
+    * rather than nulling out. */
+  private def bpeEncodedWords(docs: DataFrame, rounds: Int): DataFrame = {
+    val m = bpeTrain(docs, rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    val vocab: Map[String, Long] =
+      (('a' to 'z').zipWithIndex.map { case (c, i) => c.toString -> (i + 1).toLong } ++
+        m.groupBy(_._4).view.mapValues(rs => 26L + rs.map(_._1).min).toSeq).toMap
+    var words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .distinct()
+      .select(col("word"),
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"))
+      .localCheckpoint()
+    m.foreach { case (_, l, rt, lr) =>
+      require(l.matches("[a-z]+") && rt.matches("[a-z]+"), s"bad symbol: $l|$rt")
+      words = words.select(col("word"), expr(
+        s"""aggregate(syms, cast(array() as array<string>),
+           |  (acc, x) -> case
+           |    when size(acc) = 0 then array(x)
+           |    when element_at(acc, -1) = '$l' and x = '$rt'
+           |      then concat(slice(acc, 1, size(acc) - 1), array('${lr}'))
+           |    else concat(acc, array(x)) end)""".stripMargin).as("syms"))
+        .localCheckpoint()
+    }
+    val vocabCol = map(vocab.toSeq.sortBy(_._1)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    words
+      .withColumn("ids", transform(col("syms"), s => element_at(vocabCol, s)))
+      .withColumn("ids", expr(
+        "case when exists(ids, x -> x is null) " +
+          "then raise_error(concat('bpeEncode: symbol outside vocab in word ', word)) " +
+          "else ids end"))
+      .select(col("word"), size(col("ids")).cast("long").as("n_ids"),
+        expr("aggregate(ids, cast(0 as bigint), (a, x) -> a + x)").as("idsum"),
+        expr("aggregate(zip_with(ids, sequence(1, size(ids)), (x, j) -> x * j), " +
+          "cast(0 as bigint), (a, z) -> a + z)").as("wsum"))
+  }
+
+  /** BPE ENCODER — tokenize the corpus into token-id sequences under the
+    * [[bpeTrain]]-learned vocabulary (the pass a real pipeline runs
+    * between tokenizer training and sequence packing; [[qSeqPackBpe]]
+    * consumes it). Per document: word count, learned-BPE token count,
+    * alpha char mass, an exact order-pinning sequence checksum
+    * (Σ over words of (word_pos+1)·1024·Σid + Σ j·id — every term an
+    * exact BIGINT), and tokens-per-word fertility in integer micro
+    * units.
+    *
+    * Scale shape: merges apply over DISTINCT words (the [[bpeTrain]]
+    * invariant); the only corpus-width work is the word explode and one
+    * equi-join of (doc, word_pos, word) onto the encoded word table —
+    * at 100 TB the join key is a word hash and the encoded table is
+    * vocabulary-sized (often broadcastable). Documents with no [a-z]
+    * words carry no tokens and emit no row (the oracle drops them the
+    * same way). */
+  def bpeEncode(docs: DataFrame, rounds: Int = 16): DataFrame = {
+    val enc = bpeEncodedWords(docs, rounds)
+    docs.select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("wp", "word")))
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_ids")).as("n_bpe_tokens"),
+           sum(length(col("word")).cast("long")).as("n_alpha_chars"),
+           sum((col("wp") + 1) * lit(1024L) * col("idsum") + col("wsum"))
+             .as("ids_fp"))
+      .withColumn("fertility_micro", expr("n_bpe_tokens * 1000000L div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(documents(spark, dir))
 
   /** Zipf-law fit over the token frequency distribution: least-squares
     * slope of ln(freq) on ln(rank) across the top 100 tokens — the

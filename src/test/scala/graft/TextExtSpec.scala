@@ -356,4 +356,34 @@ class TextExtSpec extends AnyFunSuite {
       assert(toks >= occ)
     }
   }
+
+  test("BPE encode: exact token ids on a constructed corpus; corpus " +
+       "totals agree with fertility; packing consumes the learned counts") {
+    import spark.implicits._
+    // Train on "aaaa bb": merges (a,a)->aa, (aa,aa)->aaaa, (b,b)->bb,
+    // then exhaustion. Vocab: a..z = 1..26, aa = 27, aaaa = 28, bb = 29.
+    val tiny = Seq((1L, "aaaa bb")).toDF("doc_id", "text")
+    val enc = ops.TextOps.bpeEncode(tiny).collect()
+    assert(enc.length == 1)
+    val r = enc(0)
+    assert(r.getLong(1) == 2L, "n_words")       // aaaa, bb
+    assert(r.getLong(2) == 2L, "n_bpe_tokens")  // [28], [29]
+    assert(r.getLong(3) == 6L, "n_alpha_chars")
+    // ids_fp = 1*1024*28 + 1*28  +  2*1024*29 + 1*29
+    assert(r.getLong(4) == 1024L * 28 + 28 + 2048L * 29 + 29, "ids_fp")
+    assert(r.getLong(5) == 1000000L, "fertility_micro")
+    // Fixture-level consistency: per-doc token totals equal the
+    // per-language fertility totals (same merges, same fold).
+    val encTotal = ops.TextOps.qBpeEncode(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    val fertTotal = ops.TextOps.qBpeFertility(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    assert(encTotal == fertTotal)
+    // Packing consumes the learned counts: bin token mass conserves the
+    // encode totals, and every fixture document lands in exactly one bin.
+    val packed = ops.TextOps.qSeqPackBpe(spark, Sf).collect()
+    assert(packed.map(_.getLong(2)).sum == encTotal)
+    assert(packed.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, Sf).count())
+  }
 }
