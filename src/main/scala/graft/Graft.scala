@@ -164,9 +164,14 @@ object Graft {
     * candidate documents (the 100 TB path). */
   def substrDedupApplyGated(docs: DataFrame, win: Int = 40): DataFrame =
     ops.DedupOps.substrDedupApplyGated(docs, win)
-  /** Linear quality-classifier inference over hashed bag-of-words. */
+  /** Linear quality-classifier inference over hashed bag-of-words,
+    * serving the [[qualityTrain]]-learned perceptron weights. */
   def qualityClassify(docs: DataFrame, dim: Int = 1024): DataFrame =
     ops.TextOps.qualityClassify(docs, dim)
+  /** Fixed-round exact-integer batch-perceptron training trajectory. */
+  def qualityTrain(docs: DataFrame, dim: Int = 1024,
+                   rounds: Int = 8): DataFrame =
+    ops.TextOps.qualityTrain(docs, dim, rounds)
   /** Exact-adjacency positional phrase search. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
     ops.TextOps.phraseSearch(docs, phrase)

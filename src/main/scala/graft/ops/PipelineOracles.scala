@@ -241,6 +241,67 @@ object PipelineOracles {
     sb.toString
   }
 
+  /** Perceptron-training oracle machinery (TextOps.perceptronFit):
+    * hashed-BoW counts `b`, teacher labels `lab` (sign≥0 of the md5
+    * closed-form teacher score on RAW counts), dense corpus bucket sums
+    * `sb`, scalar doc count `dn`, dense zero weights `w0`, and per
+    * unrolled round r: the misclassified set `x{r}` under the CENTERED
+    * margin D·(c·w) − Σw·s, its sparse gradient `g{r}` plus the y-sum
+    * scalar `ag{r}`, and the 1/r-decayed truncated-division update
+    * `w{r}` — every step an exact integer sum/div, bit-identical to
+    * Spark's. MATERIALIZED on b/lab/x/w: each is referenced by the
+    * next round (and b by every round). */
+  private val QtRounds = 8
+
+  private def qualityTrainCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """b AS MATERIALIZED (
+             |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id,
+             |               CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |              FROM documents))
+             |  GROUP BY 1, 2),
+             |tw AS (SELECT i AS bucket,
+             |              CAST(('0x' || substr(md5('qw:' || i), 1, 15)) AS BIGINT) % 2001 - 1000 AS twgt
+             |       FROM generate_series(0, 1023) g(i)),
+             |lab AS MATERIALIZED (
+             |  SELECT doc_id, CASE WHEN CAST(sum(c * twgt) AS BIGINT) >= 0
+             |                 THEN 1 ELSE -1 END AS y
+             |  FROM b JOIN tw USING (bucket) GROUP BY doc_id),
+             |sb AS MATERIALIZED (
+             |  SELECT i AS bucket, CAST(coalesce(t.s, 0) AS BIGINT) AS s
+             |  FROM generate_series(0, 1023) g(i)
+             |  LEFT JOIN (SELECT bucket, sum(c) AS s FROM b GROUP BY 1) t
+             |    ON t.bucket = i),
+             |dn AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+             |w0 AS (SELECT i AS bucket, CAST(0 AS BIGINT) AS wgt
+             |       FROM generate_series(0, 1023) g(i))""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |ws${r - 1} AS (SELECT CAST(sum(w.wgt * s.s) AS BIGINT) AS ws
+                |        FROM w${r - 1} w JOIN sb s USING (bucket)),
+                |x$r AS MATERIALIZED (
+                |  SELECT m.doc_id, l.y FROM (
+                |    SELECT b.doc_id, CAST(sum(b.c * w.wgt) AS BIGINT) AS dot
+                |    FROM b JOIN w${r - 1} w USING (bucket) GROUP BY 1) m
+                |  JOIN lab l USING (doc_id)
+                |  WHERE l.y * (m.dot * (SELECT d FROM dn) - (SELECT ws FROM ws${r - 1})) <= 0),
+                |ag$r AS (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS ym FROM x$r),
+                |g$r AS (SELECT b.bucket, CAST(sum(x.y * b.c) AS BIGINT) AS gs
+                |        FROM b JOIN x$r x USING (doc_id) GROUP BY 1),
+                |w$r AS MATERIALIZED (
+                |  SELECT bucket, CAST(wgt + CASE WHEN gg < 0 THEN -((-gg) // $r)
+                |                             ELSE gg // $r END AS BIGINT) AS wgt
+                |  FROM (SELECT w.bucket, w.wgt,
+                |               CAST(coalesce(g.gs, 0) * (SELECT d FROM dn)
+                |                    - s.s * (SELECT ym FROM ag$r) AS BIGINT) AS gg
+                |        FROM w${r - 1} w LEFT JOIN g$r g USING (bucket)
+                |        JOIN sb s USING (bucket)))""".stripMargin
+    }
+    sb.toString
+  }
+
   /** The BPE-ENCODE oracle prefix shared by q_bpe_encode and
     * q_seq_pack_bpe: the bpeCtes training rounds, an apply chain
     * x0..xN over ALL distinct words (unlike the training table, no
@@ -1154,42 +1215,49 @@ object PipelineOracles {
         |       CAST(max(i) - 1 AS INT) AS last_pos
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Mirrors TextOps.qualityClassify: md5-closed-form bucket weights,
-    // exact BIGINT dot product, pass = score >= 0.
+    // Mirrors TextOps.qualityTrain: the unrolled perceptron trajectory —
+    // per round the misclassified count and exact weight aggregates.
+    "q_quality_train" -> {
+      val rows = (1 to QtRounds).map(r =>
+        s"""SELECT $r AS round,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM x$r) AS n_mis,
+           |  (SELECT CAST(sum(abs(wgt)) AS BIGINT) FROM w$r) AS w_l1,
+           |  (SELECT CAST(sum((bucket + 1) * wgt) AS BIGINT) FROM w$r) AS w_checksum""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${qualityTrainCtes(QtRounds)}
+         |SELECT * FROM (
+         |  $rows
+         |) ORDER BY round""".stripMargin
+    },
+
+    // Mirrors TextOps.qualityClassify: the LEARNED perceptron weights
+    // (q_quality_train's final round) served as the exact centered
+    // margin D·(c·w) − Σw·s, pass = score >= 0.
     "q_quality_classify" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |b AS (
-         |  SELECT doc_id,
-         |         CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket,
-         |         count(*) AS c
-         |  FROM t GROUP BY 1, 2),
-         |wt AS (
-         |  SELECT i AS bucket,
-         |         CAST(('0x' || substr(md5('qw:' || i), 1, 15)) AS BIGINT) % 2001 - 1000 AS wgt
-         |  FROM generate_series(0, 1023) g(i))
+      s"""WITH ${qualityTrainCtes(QtRounds)},
+         |wsf AS (SELECT CAST(sum(w.wgt * s.s) AS BIGINT) AS ws
+         |        FROM w$QtRounds w JOIN sb s USING (bucket))
          |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |       CAST(sum(c * wgt) AS BIGINT) AS score,
-         |       CAST(sum(c * wgt) AS BIGINT) >= 0 AS quality_pass
-         |FROM b JOIN wt USING (bucket)
+         |       CAST(sum(c * wgt) * (SELECT d FROM dn)
+         |            - (SELECT ws FROM wsf) AS BIGINT) AS score,
+         |       CAST(sum(c * wgt) * (SELECT d FROM dn)
+         |            - (SELECT ws FROM wsf) AS BIGINT) >= 0 AS quality_pass
+         |FROM b JOIN w$QtRounds USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Mirrors TextOps.qPipelineClassified: classifier gate -> keep-first
-    // exact dedup among survivors -> per-language report.
+    // Mirrors TextOps.qPipelineClassified: classifier gate (LEARNED
+    // perceptron weights) -> keep-first exact dedup among survivors ->
+    // per-language report.
     "q_pipeline_classified" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |b AS (
-         |  SELECT doc_id,
-         |         CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 1024 AS bucket,
-         |         count(*) AS c
-         |  FROM t GROUP BY 1, 2),
-         |wt AS (
-         |  SELECT i AS bucket,
-         |         CAST(('0x' || substr(md5('qw:' || i), 1, 15)) AS BIGINT) % 2001 - 1000 AS wgt
-         |  FROM generate_series(0, 1023) g(i)),
+      s"""WITH ${qualityTrainCtes(QtRounds)},
+         |wsf AS (SELECT CAST(sum(w.wgt * s.s) AS BIGINT) AS ws
+         |        FROM w$QtRounds w JOIN sb s USING (bucket)),
          |s AS (
-         |  SELECT doc_id, CAST(sum(c * wgt) AS BIGINT) AS score
-         |  FROM b JOIN wt USING (bucket) GROUP BY doc_id
-         |  HAVING CAST(sum(c * wgt) AS BIGINT) >= 0),
+         |  SELECT doc_id, CAST(sum(c * wgt) * (SELECT d FROM dn)
+         |                      - (SELECT ws FROM wsf) AS BIGINT) AS score
+         |  FROM b JOIN w$QtRounds USING (bucket) GROUP BY doc_id
+         |  HAVING CAST(sum(c * wgt) * (SELECT d FROM dn)
+         |              - (SELECT ws FROM wsf) AS BIGINT) >= 0),
          |dd AS (
          |  SELECT d.doc_id, d.lang, d.n_chars, s.score,
          |         row_number() OVER (PARTITION BY md5(d.text)
