@@ -47,10 +47,10 @@ import org.apache.spark.sql.functions._
 object AnnIndexOps {
   import graft.GraftCache.GraftCachedOps
   import graft.Tables._
-  import SimilarityOps.{withInt8Codes, pqCodebook, pqAssign, pqProbes,
-    pqCoarseRescore, norm2, withDoubleVecs, pqSubCodebooks, pqEncode,
-    pqAssignPayload, pqProbesPayload, adcLut, adcCoarseRescore, PqM, PqKSub,
-    PqDim}
+  import SimilarityOps.{withInt8Codes, pqCodebook, pqCodebookRefined,
+    pqAssign, pqProbes, pqCoarseRescore, norm2, withDoubleVecs,
+    pqSubCodebooks, pqEncode, pqAssignPayload, pqProbesPayload, adcLut,
+    adcCoarseRescore, PqM, PqKSub, PqDim}
 
   private val IdCap = 1000000000000L // %012d zero-pad bound
 
@@ -226,7 +226,10 @@ object AnnIndexOps {
                    targetRowsPerRegion: Long = 512,
                    withLabels: Boolean = false): Unit = {
     val e = withDoubleVecs(embs).graftCached
-    val cent = pqCodebook(e, numCentroids).graftCached
+    // Lloyd-refined coarse router (round-13 recall fix — see
+    // SimilarityOps.pqCodebookRefined; raw-sample routing was the PQ
+    // recall bottleneck). graftCached inside, like the sub-codebooks.
+    val cent = pqCodebookRefined(e, numCentroids)
     val cb = pqSubCodebooks(e, m, kSub) // graftCached inside
     val codebookRows = cent.select(
       format_string("b%012d", guardId(col("c_id"))).as("row_key"),
@@ -281,7 +284,10 @@ object AnnIndexOps {
     val cb = storedSubCodebooks(spark, name).graftCached
     val changes = pqPostingRows(withDoubleVecs(newEmbs), cent, cb, nassign, m)
       .withColumn("op", lit("I"))
-      .withColumn("emb", lit(null).cast("array<float>"))
+      // array<double>: the PQ index's codebook rows store the REFINED
+      // centroids (micro-mean doubles), unlike the int8 index's raw
+      // float sample.
+      .withColumn("emb", lit(null).cast("array<double>"))
       .withColumn("nrm", lit(null).cast("double"))
       .withColumn("sub_id", lit(null).cast("int"))
       .withColumn("sub_code", lit(null).cast("bigint"))

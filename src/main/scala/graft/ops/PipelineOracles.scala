@@ -383,8 +383,26 @@ object PipelineOracles {
        |m0 AS (SELECT vec_id$lbl, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
        |e AS (SELECT vec_id$lbl, v, list_dot_product(v, v) AS nrm FROM m0 WHERE amax > 0),
        |et AS (SELECT * FROM e $trainCond),
-       |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM et
-       |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+       |cseed AS (SELECT vec_id AS c_id, v AS cv,
+       |                 list_dot_product(v, v) AS nc FROM et
+       |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+       |ca AS (
+       |  SELECT c_id, v FROM (
+       |    SELECT et.vec_id, cs.c_id, et.v,
+       |           row_number() OVER (PARTITION BY et.vec_id
+       |             ORDER BY et.nrm - 2 * list_dot_product(et.v, cs.cv) + cs.nc,
+       |                      cs.c_id) AS rn
+       |    FROM et CROSS JOIN cseed cs) WHERE rn = 1),
+       |cdims AS (
+       |  SELECT c_id, j AS pos,
+       |         SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS sm, count(*) AS n
+       |  FROM ca, generate_series(1, 64) t(j) GROUP BY 1, 2),
+       |cent AS MATERIALIZED (
+       |  SELECT c_id, list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv,
+       |         CAST(SUM(cm * cm) AS BIGINT)::DOUBLE / 1000000000000.0 AS cn
+       |  FROM (SELECT c_id, pos,
+       |               CAST(floor(sm / (n::DOUBLE) + 0.5) AS BIGINT) AS cm
+       |        FROM cdims) GROUP BY c_id),
        |vc AS (
        |  SELECT e.vec_id$lblE, cent.c_id,
        |         row_number() OVER (PARTITION BY e.vec_id

@@ -433,11 +433,14 @@ object SimilarityOps {
       (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"),
       (sum(col("h_qr")).cast("double") / sum(col("n_exact")) >= 0.80).as("quant_rescore_mean_ok"),
       (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.50).as("ivf_pq_mean_ok"),
-      // True-PQ ADC: round-12 measured mean recall@10 0.58/0.62/0.56
-      // across sf0.001/0.01/0.1 at m=8/kSub=32/expand=8 — the IVF-class
-      // floor (cell routing dominates; the PQ coarse loss is recovered
-      // by the 8× rescore expansion).
-      (sum(col("h_adc")).cast("double") / sum(col("n_exact")) >= 0.50).as("pq_adc_mean_ok"))
+      // True-PQ ADC with the round-13 Lloyd-refined coarse router:
+      // measured mean recall@10 0.68/0.68/0.66 across sf0.001/0.01/0.1
+      // at m=8/kSub=32/expand=8 (up from 0.58/0.62/0.56 on the raw
+      // sample router — routing loss, not quantization error, was the
+      // bottleneck). Floor 0.60; the swept-and-rejected alternatives
+      // (k-means++ seeding, second Lloyd round) are recorded in
+      // ROUND13_NOTES and pqCodebookRefined's scaladoc.
+      (sum(col("h_adc")).cast("double") / sum(col("n_exact")) >= 0.60).as("pq_adc_mean_ok"))
     per.select(col("q_id"), col("n_exact"),
         round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),
         round(col("h_lsh").cast("double") / col("n_exact"), 3).as("recall_lsh"),
@@ -639,6 +642,64 @@ object SimilarityOps {
       .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
               col("nrm").as("c_nrm"))
+
+  /** [[pqCodebook]]'s md5 seed sample refined by ONE exact-integer Lloyd
+    * round ([[kmeansCentroids]]' arithmetic: L2 argmin assignment with
+    * c_id tie-break, micro-unit BIGINT dimension means, exact Σcm²
+    * norms) — the TRUE-PQ family's coarse router since round 13.
+    *
+    * Why: the ADC recall sweep measured min recall@10 across SFs of
+    * 0.66 with the refined router vs 0.56 for the raw sample — routing
+    * loss, not quantization error, was the PQ recall bottleneck.
+    * k-means++/farthest-point seeding (the other candidate) measured
+    * WORSE on the near-uniform fixture embeddings (min 0.60 for every
+    * kpp combination, and kpp SUB-codebook seeding alone dropped to
+    * 0.50) — with no cluster structure, spread-to-the-hull seeds are a
+    * regression while refined MEANS still cut intra-cell variance; a
+    * second Lloyd round also regressed (0.56 at sf0.1). Numbers in
+    * ROUND13_NOTES; the swept negative results are why this is one
+    * Lloyd round over md5 seeds and nothing fancier.
+    *
+    * `c_id` stays the seed's vec_id (key-layout stable); empty cells
+    * cannot occur while seeds are corpus vectors (each assigns to
+    * itself at distance 0, ties to the lower c_id) except under
+    * duplicate seed vectors, where the higher-id twin drops — both
+    * engines drop it identically. Requires [[withDoubleVecs]]' `v`. */
+  private[graft] def pqCodebookRefined(e: DataFrame,
+                                       numCentroids: Int): DataFrame = {
+    val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv0"))
+      .withColumn("nc0", expr(
+        "aggregate(cv0, cast(0 as double), (a, x) -> a + x * x)"))
+    val a1 = e
+      .withColumn("nv", expr(
+        "aggregate(v, cast(0 as double), (a, x) -> a + x * x)"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("dist", expr(
+        "nv - 2 * aggregate(zip_with(v, cv0, (x, y) -> x * y), " +
+          "cast(0 as double), (a, z) -> a + z) + nc0"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c_id"), col("v")),
+        struct(col("dist"), col("c_id"))).as("mm"))
+      .select(col("mm.c_id").as("c_id"), col("mm.v").as("v"))
+    val dims = a1
+      .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(expr("cast(round(x * 1000000.0) as bigint)")).as("sm"),
+        count(lit(1)).as("n"))
+      .withColumn("cm",
+        expr("cast(floor(sm / cast(n as double) + 0.5) as bigint)"))
+    dims.groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pcs"))
+      .select(col("c_id"),
+        expr("transform(pcs, p -> cast(p.cm as double) / 1000000.0)")
+          .as("c_emb"),
+        (expr("aggregate(pcs, cast(0 as bigint), (a, p) -> a + p.cm * p.cm)")
+          .cast("double") / lit(1.0e12)).as("c_nrm"))
+      // k rows referenced by assignment, probes, and the store build.
+      .graftCached
+  }
 
   private def withCentCos(df: DataFrame, cent: DataFrame): DataFrame =
     df.join(broadcast(cent), lit(true))
@@ -982,7 +1043,7 @@ object SimilarityOps {
                nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
                expand: Int = 8, m: Int = PqM, kSub: Int = PqKSub): DataFrame = {
     val e = withDoubleVecs(embs).graftCached
-    val cent = pqCodebook(e, numCentroids).graftCached
+    val cent = pqCodebookRefined(e, numCentroids)
     val cb = pqSubCodebooks(e, m, kSub)
     val codes = pqEncode(e, cb, m)
     val members = pqAssignPayload(e.join(codes, Seq("vec_id")), cent, nassign,
