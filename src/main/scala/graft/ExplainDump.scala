@@ -114,7 +114,10 @@ object ExplainDump {
       "q_ann_pq" -> "True-PQ ADC serve: stored sub-codebooks broadcast into per-query LUT maps; posting scan reads m codes + one bigint per member; float rescore by id",
       "q_substr_apply" -> "Substring-dedup apply: duplicated-window islands per doc (running end-max), survivor splice via sorted segment concat — text only rides the final projection",
       "q_phrase_search" -> "Positional phrase retrieval: per-term filtered posting legs (selectivity prunes before any join), adjacency equi-join on (doc_id, pos - offset)",
-      "q_quality_classify" -> "Linear quality gate: broadcast per-bucket weight relation joined onto the hashed-BoW aggregate; exact BIGINT dot, no UDF")
+      "q_quality_classify" -> "Linear quality gate serving the LEARNED perceptron weights: broadcast model join onto the hashed-BoW aggregate; centered-margin score, exact BIGINT arithmetic, no UDF",
+      "q_substr_apply_gated" -> "Winnowing-gated exact-span removal: hash-only fingerprint pass selects candidates; only they pay the stride-1 window groupBy + island splice",
+      "q_bpe_encode" -> "BPE encoder: merges applied over DISTINCT words (checkpointed chain), doc explode equi-joined onto the vocabulary-sized encoded table",
+      "q_seq_pack_bpe" -> "Sequence packing from LEARNED token counts: encode chain feeds the distributed prefix-sum packing tail")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")
@@ -130,6 +133,72 @@ object ExplainDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+
+    // ---- Multi-action operators: per-round / per-leg plans + schedule.
+    // A single executedPlan can't show an iterative op (each round
+    // localCheckpoints, so the final plan is just a Scan ExistingRDD);
+    // these sections dump the LOOP BODY / each LEG's relation plus the
+    // schedule that drives it.
+    sb.append("\n# Multi-action operators — per-round / per-leg plans\n\n")
+    sb.append("Iterative and multi-store ops materialize each round/leg ")
+    sb.append("(`localCheckpoint` / store commit), so the query's own final ")
+    sb.append("plan is a scan of the last materialization. The plans below ")
+    sb.append("are the REPEATED UNIT each schedule drives.\n")
+    def dumpPhases(name: String, schedule: String,
+                   phases: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+      sb.append(s"\n## $name\n\n**Schedule:** $schedule\n")
+      phases.foreach { case (title, df) =>
+        df.collect()
+        sb.append(s"\n### $title\n\n```\n")
+        sb.append(df.queryExecution.executedPlan.toString.take(4000))
+        sb.append("\n```\n")
+      }
+    }
+    val docs = graft.Tables.documents(spark, dir)
+    val edges = ops.GraphOps.copurchaseEdges(spark, dir, minOrders = 2)
+      .localCheckpoint()
+    dumpPhases("q_kcore_full",
+      "peel UNTIL FIXPOINT under cap 64; per round the body below runs, " +
+        "localCheckpoint(lazy) + count materializes it (plan truncation — " +
+        "the analyzer hangs on the un-truncated ~5x/round tree), and the " +
+        "loop stops when the surviving edge count stops changing.",
+      Seq("one peel round (degree count + two semi-joins against the survivors)" ->
+        ops.GraphOps.peelRound(edges, 2)))
+    dumpPhases("q_ktruss_full",
+      "peel UNTIL FIXPOINT under cap 32; per round the body below runs " +
+        "(degree-ordered triangle enumeration, 3-edge explode, support " +
+        "filter), localCheckpoint + count per round, edge-count early stop; " +
+        "a final support pass over the surviving subgraph emits the output.",
+      Seq("one truss round (triangle support join + threshold filter)" ->
+        ops.GraphOps.trussRound(edges, 3)))
+    val words = ops.TextOps.bpeWords(docs).localCheckpoint()
+    val top = ops.TextOps.bpePairStats(words).collect()(0)
+    dumpPhases("q_bpe_train",
+      "16 rounds (or until pair exhaustion); per round: collect the ONE " +
+        "argmax row of the pair-stats plan (convergence-scalar class), " +
+        "apply the merge fold to the distinct-word table, localCheckpoint. " +
+        "The corpus is scanned once (word table build); every round runs " +
+        "over |distinct words| rows.",
+      Seq(
+        "per-round pair statistics + argmax (the collected merge decision)" ->
+          ops.TextOps.bpePairStats(words),
+        "per-round merge apply (greedy left-to-right fold projection)" ->
+          ops.TextOps.bpeApplyMerge(words, top.getString(0), top.getString(1))))
+    dumpPhases("q_quality_train",
+      "8 perceptron rounds; per round: margins + misclassified set " +
+        "(one pass over the cached design matrix, weights broadcast), " +
+        "then the decayed weight update (second pass, bucket aggregate); " +
+        "weights localCheckpoint each round; driver sees one stats row " +
+        "per round.",
+      ops.TextOps.perceptronPhasePlans(docs))
+    dumpPhases("q_forget_cascade",
+      "three store legs, each ONE action, idempotent: keyed anti-join " +
+        "merge (rewrites only regions covering doomed keys), versioned " +
+        "DELETE commit (CDC-visible; hard erasure = vacuum), ANN posting " +
+        "delete (keys recomputed from the frozen assignment). Phase " +
+        "counts around the legs fold into one checkpoint action each.",
+      ops.ScrubOps.forgetPhasePlans(spark, dir))
+
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()

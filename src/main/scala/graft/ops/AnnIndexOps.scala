@@ -138,11 +138,20 @@ object AnnIndexOps {
     * appends that drift the distribution). Idempotent by construction:
     * re-deleting absent keys anti-joins to a no-op.
     */
+  /** The doomed posting keys of a delete batch — a pure function of the
+    * FROZEN stored coarse assignment ([[deleteBatch]]'s core relation),
+    * exposed `private[graft]` for plan dumps and plan-shape specs. */
+  private[graft] def doomedPostingKeys(spark: SparkSession, name: String,
+                                       embs: DataFrame,
+                                       nassign: Int = 2): DataFrame = {
+    val cent = storedCodebook(spark, name)
+    pqAssign(withInt8Codes(embs), cent, nassign)
+      .select(postingKey(col("c_id"), col("m_id")).as("row_key"))
+  }
+
   def deleteBatch(spark: SparkSession, name: String,
                   embs: DataFrame, nassign: Int = 2): Unit = {
-    val cent = storedCodebook(spark, name)
-    val doomed = pqAssign(withInt8Codes(embs), cent, nassign)
-      .select(postingKey(col("c_id"), col("m_id")).as("row_key"))
+    val doomed = doomedPostingKeys(spark, name, embs, nassign)
       .graftCached
     // The returned full-table read is deliberately discarded (the
     // store's read-isolation contract); reads go through scan.

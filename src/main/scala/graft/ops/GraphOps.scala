@@ -207,6 +207,14 @@ object GraphOps {
     * Output: the surviving edges with their support INSIDE the final
     * subgraph (recomputed once after the last peel).
     */
+  /** ONE truss peel round over a (materialized) edge relation — the
+    * loop body of [[kTruss]], exposed `private[graft]` for plan dumps
+    * and plan-shape specs (the [[peelRound]] precedent). */
+  private[graft] def trussRound(edges: DataFrame, k: Int): DataFrame =
+    edges.join(edgeSupport(edges), Seq("u", "v"), "left")
+      .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+      .select(col("u"), col("v"))
+
   def kTruss(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     // localCheckpoint EVERY round, not persist: the support pass
@@ -224,9 +232,7 @@ object GraphOps {
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        val next = edges.join(edgeSupport(edges), Seq("u", "v"), "left")
-          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-          .select(col("u"), col("v"))
+        val next = trussRound(edges, k)
           .localCheckpoint(false)
         val n = next.count()
         edges = next

@@ -1021,6 +1021,49 @@ object TextOps {
     (w, dCount, bigW, stats.result())
   }
 
+  /** The perceptron round's two relations as PLAN-DUMPABLE DataFrames
+    * (a documented mirror of [[perceptronFit]]'s loop body under the
+    * zero round-1 state — the fit itself is behavior-pinned by the
+    * TextExtSpec driver-side recompute), for PLANS.md's multi-action
+    * section. */
+  private[graft] def perceptronPhasePlans(docs: DataFrame,
+                                          dim: Int = 1024): Seq[(String, DataFrame)] = {
+    val spark = docs.sparkSession
+    val counts = bowCounts(docs, dim).graftCached
+    val dCount = docs.count()
+    val labels = counts
+      .join(broadcast(teacherWeights(spark, dim)), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("twgt")).as("tm"))
+      .select(col("doc_id"), when(col("tm") >= 0, 1L).otherwise(-1L).as("y"))
+      .localCheckpoint()
+    val sb = spark.range(dim).select(col("id").as("bucket"))
+      .join(counts.groupBy(col("bucket")).agg(sum(col("c")).as("s")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("s"), lit(0L)).as("s"))
+      .localCheckpoint()
+    val w = spark.range(dim)
+      .select(col("id").as("bucket"), lit(0L).as("wgt")).localCheckpoint()
+    val mis = counts.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("wgt")).as("dot"))
+      .join(labels, Seq("doc_id"))
+      .filter(col("y") * (col("dot") * lit(dCount) - lit(0L)) <= 0)
+      .select(col("doc_id"), col("y"))
+    val update = w.join(
+        counts.join(mis.localCheckpoint(), Seq("doc_id"))
+          .groupBy(col("bucket")).agg(sum(col("y") * col("c")).as("gs")),
+        Seq("bucket"), "left")
+      .join(sb, Seq("bucket"))
+      .withColumn("gg",
+        coalesce(col("gs"), lit(0L)) * lit(dCount) - col("s") * lit(0L))
+      .withColumn("upd", when(col("gg") < 0, -expr("(-gg) div 1L"))
+        .otherwise(expr("gg div 1L")))
+      .select(col("bucket"), (col("wgt") + col("upd")).as("wgt"))
+    Seq(
+      "teacher labels (one pass over the cached design matrix)" -> labels,
+      "per-round margins + misclassified set (centered margin = D*(c.w) - broadcast scalar)" -> mis,
+      "per-round weight update (sparse gradient + bucket-sum scalar correction, 1/r trunc-div)" -> update)
+  }
+
   /** Quality-classifier TRAINING trajectory: one row per perceptron
     * round with the misclassified count and exact weight aggregates —
     * the convergence record a curation pipeline logs beside the model. */
@@ -1637,48 +1680,67 @@ object TextOps {
     * counts attached, independent of corpus repetition — exactly how
     * production BPE trainers stay tractable at 100 TB.
     */
-  def bpeTrain(docs: DataFrame, rounds: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
-    var words = docs
+  /** The BPE training word table: distinct words (length ≥ 2) with
+    * occurrence counts, split into character symbols — the loop state
+    * of [[bpeTrain]], exposed `private[graft]` for plan dumps. */
+  private[graft] def bpeWords(docs: DataFrame): DataFrame =
+    docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .filter(length(col("word")) >= 2)
       .select(expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"),
               col("n"))
-      .localCheckpoint()
+
+  /** One round's pair statistics + argmax over a word table — the
+    * per-round relation whose single collected row is the next merge. */
+  private[graft] def bpePairStats(words: DataFrame): DataFrame =
+    words
+      // Merged-out words shrink to one symbol; Spark's sequence(1, 0)
+      // DESCENDS ([1, 0]) rather than being empty, so they must drop
+      // before the pair explode (DuckDB's generate_series(1, 0) is
+      // empty — the engines differ exactly here).
+      .filter(size(col("syms")) >= 2)
+      .select(col("syms"), col("n"),
+              explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+      .select(expr("element_at(syms, i)").as("l"),
+              expr("element_at(syms, i + 1)").as("r"), col("n"))
+      .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("l"), col("r"))
+      .limit(1)
+
+  /** Apply one merge (l, rt) to a word table's `syms` column via the
+    * greedy left-to-right fold, preserving every other column — THE
+    * merge-apply projection shared by [[bpeTrain]], [[bpeFertility]]
+    * and [[bpeEncode]]'s chain. */
+  private[graft] def bpeApplyMerge(words: DataFrame, l: String,
+                                   rt: String): DataFrame = {
+    // Symbols are concatenations of [a-z] chars by construction; the
+    // guard keeps the literal injection below trivially safe.
+    require(l.matches("[a-z]+") && rt.matches("[a-z]+"), s"bad symbol: $l|$rt")
+    val folded = expr(
+      s"""aggregate(syms, cast(array() as array<string>),
+         |  (acc, x) -> case
+         |    when size(acc) = 0 then array(x)
+         |    when element_at(acc, -1) = '$l' and x = '$rt'
+         |      then concat(slice(acc, 1, size(acc) - 1), array('${l + rt}'))
+         |    else concat(acc, array(x)) end)""".stripMargin).as("syms")
+    words.select(words.columns.map(c =>
+      if (c == "syms") folded else col(c)): _*)
+  }
+
+  def bpeTrain(docs: DataFrame, rounds: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    var words = bpeWords(docs).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = words
-        // Merged-out words shrink to one symbol; Spark's sequence(1, 0)
-        // DESCENDS ([1, 0]) rather than being empty, so they must drop
-        // before the pair explode (DuckDB's generate_series(1, 0) is
-        // empty — the engines differ exactly here).
-        .filter(size(col("syms")) >= 2)
-        .select(col("syms"), col("n"),
-                explode(expr("sequence(1, size(syms) - 1)")).as("i"))
-        .select(expr("element_at(syms, i)").as("l"),
-                expr("element_at(syms, i + 1)").as("r"), col("n"))
-        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("n_pair"))
-        .orderBy(col("n_pair").desc, col("l"), col("r"))
-        .limit(1).collect()
+      val top = bpePairStats(words).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (l, rt, np) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        // Symbols are concatenations of [a-z] chars by construction; the
-        // guard keeps the literal injection below trivially safe.
-        require(l.matches("[a-z]+") && rt.matches("[a-z]+"), s"bad symbol: $l|$rt")
         merges += ((r, l, rt, l + rt, np))
-        words = words.select(expr(
-          s"""aggregate(syms, cast(array() as array<string>),
-             |  (acc, x) -> case
-             |    when size(acc) = 0 then array(x)
-             |    when element_at(acc, -1) = '$l' and x = '$rt'
-             |      then concat(slice(acc, 1, size(acc) - 1), array('${l + rt}'))
-             |    else concat(acc, array(x)) end)""".stripMargin).as("syms"),
-          col("n"))
-          .localCheckpoint()
+        words = bpeApplyMerge(words, l, rt).localCheckpoint()
         r += 1
       }
     }
@@ -1708,16 +1770,8 @@ object TextOps {
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"),
         col("n"))
       .localCheckpoint()
-    m.foreach { case (l, rt, lr) =>
-      words = words.select(col("lang"), col("word"), expr(
-        s"""aggregate(syms, cast(array() as array<string>),
-           |  (acc, x) -> case
-           |    when size(acc) = 0 then array(x)
-           |    when element_at(acc, -1) = '$l' and x = '$rt'
-           |      then concat(slice(acc, 1, size(acc) - 1), array('$lr'))
-           |    else concat(acc, array(x)) end)""".stripMargin).as("syms"),
-        col("n"))
-        .localCheckpoint()
+    m.foreach { case (l, rt, _) =>
+      words = bpeApplyMerge(words, l, rt).localCheckpoint()
     }
     words
       .groupBy(col("lang"))
@@ -1753,16 +1807,8 @@ object TextOps {
       .select(col("word"),
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"))
       .localCheckpoint()
-    m.foreach { case (_, l, rt, lr) =>
-      require(l.matches("[a-z]+") && rt.matches("[a-z]+"), s"bad symbol: $l|$rt")
-      words = words.select(col("word"), expr(
-        s"""aggregate(syms, cast(array() as array<string>),
-           |  (acc, x) -> case
-           |    when size(acc) = 0 then array(x)
-           |    when element_at(acc, -1) = '$l' and x = '$rt'
-           |      then concat(slice(acc, 1, size(acc) - 1), array('${lr}'))
-           |    else concat(acc, array(x)) end)""".stripMargin).as("syms"))
-        .localCheckpoint()
+    m.foreach { case (_, l, rt, _) =>
+      words = bpeApplyMerge(words, l, rt).localCheckpoint()
     }
     val vocabCol = map(vocab.toSeq.sortBy(_._1)
       .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)

@@ -355,6 +355,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("forget-cascade legs: keyed anti-join, versioned DELETE change " +
+       "set, ANN posting keys from the frozen assignment — no cartesian") {
+    val phases = ops.ScrubOps.forgetPhasePlans(spark, Sf)
+    val byName = phases.map { case (t, df) => t.split(":")(0) -> df }.toMap
+    val keyed = physical(byName("keyed leg"))
+    assert(keyed.contains("LeftAnti"), keyed.take(3000))
+    val vstore = physical(byName("versioned leg"))
+    // the DELETE set joins head rows to the (small) doomed id set
+    assert(vstore.contains("Join") || vstore.contains("BroadcastHashJoin"),
+      vstore.take(3000))
+    val ann = physical(byName("ann leg"))
+    // assignment routes via the broadcast stored codebook; posting keys
+    // are a projection of it — never a cartesian, never a corpus window
+    assert(ann.contains("BroadcastNestedLoopJoin") ||
+      ann.contains("BroadcastHashJoin"), ann.take(3000))
+    phases.foreach { case (t, df) =>
+      val p = physical(df)
+      assert(!p.contains("CartesianProduct"), s"$t: ${p.take(2000)}")
+    }
+  }
+
   test("filtered ANN broadcasts the query-label side") {
     val p = physical(ops.SimilarityOps.qAnnFiltered(spark, Sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("m_label"),
