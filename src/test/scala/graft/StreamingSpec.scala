@@ -250,6 +250,114 @@ class StreamingSpec extends AnyFunSuite {
     ops.KeyedStore.drop(spark, store)
   }
 
+  test("fault injection: crash AFTER a committed additive merge, restart " +
+       "from checkpoint — the in-row fence makes the replayed batch " +
+       "exactly-once") {
+    // The real at-least-once window: the foreachBatch sink commits its
+    // store merge, then the query dies BEFORE the checkpoint commit.
+    // On restart Spark replans the same batch from the offset WAL and
+    // re-runs the sink; without the (bid, bn) fence the counts would
+    // double. This exercises the fence through an actual query failure
+    // + checkpoint restart, not an in-process double-apply.
+    val store = "graft_crash_fence_store"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash_fence")
+    val srcDir = tmp.resolve("src").toString
+    val ev = graft.Tables.events(spark, Sf).select(col("event_id"), col("user_id"))
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    ops.KeyedStore.drop(spark, store)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          EventStream.addCountsIntoStore(spark, store, batch.toDF(), id,
+            targetRowsPerRegion = 64)
+          // crash after the store commit, before the checkpoint commit
+          if (id == 1 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after store commit")
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(180000), "stream did not drain in 180 s")
+      } finally if (q.isActive) q.stop()
+    }
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t => String.valueOf(t.getMessage).contains("injected crash")),
+        s"failure was not the injected crash: $ex")
+      assert(crashed.get(), "injection never fired")
+      run() // restart from the same checkpoint: batch 1 replays onto its committed merge
+      val got = spark.table(store).select(col("user_id"), col("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "replayed batch double-counted after crash-restart")
+    } finally {
+      ops.KeyedStore.drop(spark, store)
+      EventStream.deleteRecursively(tmp)
+    }
+  }
+
+  test("fault injection: crash AFTER a committed PQ index append, restart " +
+       "from checkpoint — pure-function posting rows make the replay a " +
+       "content no-op (no fence needed)") {
+    import graft.streaming.VectorStream
+    val name = "graft_crash_pq_index"
+    val clean = "graft_crash_pq_clean"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash_pq")
+    val srcDir = tmp.resolve("src").toString
+    val embs = graft.Tables.embeddings(spark, Sf)
+    val base = embs.filter(col("vec_id") % 10 =!= 0)
+    val delta = embs.filter(col("vec_id") % 10 === 0)
+    delta.repartition(2).write.mode("overwrite").parquet(srcDir)
+    ops.KeyedStore.drop(spark, name)
+    ops.KeyedStore.drop(spark, clean)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty)
+            ops.AnnIndexOps.appendPqBatch(spark, name, batch.toDF())
+          if (id == 0 && crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash after index append")
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(180000), "stream did not drain in 180 s")
+      } finally if (q.isActive) q.stop()
+    }
+    try {
+      ops.AnnIndexOps.buildPqIndex(spark, name, base)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+      assert(crashed.get(), "injection never fired")
+      run() // restart: batch 0 replays, re-inserting byte-identical posting rows
+      // Ground truth: the same build + ONE clean batch append, no stream.
+      ops.AnnIndexOps.buildPqIndex(spark, clean, base)
+      ops.AnnIndexOps.appendPqBatch(spark, clean, delta)
+      def postings(n: String) = ops.KeyedStore.scan(spark, n, "row_key", "c", "cz")
+        .select(col("row_key"), col("c_id"), col("m_id"),
+          col("pqc").cast("string"), col("rnrm_u"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val crashRestart = postings(name)
+      assert(crashRestart == postings(clean),
+        "crash-restart postings diverge from the clean one-shot append")
+      // no duplicate keys survived the replay
+      assert(crashRestart.map(_.head).distinct.size == crashRestart.size)
+    } finally {
+      ops.KeyedStore.drop(spark, name)
+      ops.KeyedStore.drop(spark, clean)
+      EventStream.deleteRecursively(tmp)
+    }
+  }
+
   test("mapGroupsWithState user totals == batch groupBy after drain") {
     val streamed = EventStream.runToMemory(
       spark, EventStream.userTotals(spark, Sf).toDF(), "t_user_totals",
