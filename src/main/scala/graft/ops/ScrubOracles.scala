@@ -76,13 +76,10 @@ object ScrubOracles {
         |SELECT * FROM (
         |  SELECT 'keyed' AS leg, 'before' AS phase, n AS n_rows FROM n
         |  UNION ALL SELECT 'keyed', 'after', m FROM m
-        |  UNION ALL SELECT 'keyed', 'after_reforget', m FROM m
         |  UNION ALL SELECT 'vstore', 'pre_forget_version', n FROM n
         |  UNION ALL SELECT 'vstore', 'head_after', m FROM m
-        |  UNION ALL SELECT 'vstore', 'head_after_reforget', m FROM m
         |  UNION ALL SELECT 'ann', 'postings_before', 2 * ne FROM ne
         |  UNION ALL SELECT 'ann', 'postings_after', 2 * me FROM me
-        |  UNION ALL SELECT 'ann', 'postings_after_reforget', 2 * me FROM me
         |) ORDER BY leg, phase""".stripMargin,
   )
 }

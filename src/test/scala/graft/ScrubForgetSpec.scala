@@ -44,6 +44,23 @@ class ScrubForgetSpec extends AnyFunSuite {
       assert(neighbors.intersect(doomed).isEmpty,
         s"forgotten ids served: ${neighbors.intersect(doomed).take(3)}")
 
+      // REPLAY idempotence (the at-least-once contract, pinned here so
+      // the sf0.1 driver row pays for one cascade, not two): re-running
+      // the whole cascade changes nothing on any leg.
+      ScrubOps.forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id",
+        annName, doomedIds, embs.filter(col("vec_id") % 10 === 3))
+      val keyedN = KeyedStore.scan(spark, keyedName, "doc_id",
+        0L, Long.MaxValue).count()
+      assert(keyedN == docsRows.count() - doomed.size,
+        "re-forget changed the keyed store")
+      val postingsN = KeyedStore.scan(spark, annName, "row_key", "c", "cz").count()
+      val liveEmb = embs.filter(
+        expr("aggregate(embedding, cast(0 as double), " +
+          "(a, x) -> greatest(a, abs(cast(x as double)))) > 0"))
+      assert(postingsN ==
+        2 * liveEmb.filter(col("vec_id") % 10 =!= 3).count(),
+        "re-forget changed the ANN postings")
+
       // Versioned head misses them; version 1 STILL reads them — time
       // travel is rollback/audit surface, not an erasure hole by accident.
       val headV = VersionedStore.currentVersion(vdir)
