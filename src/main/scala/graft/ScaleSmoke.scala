@@ -246,6 +246,16 @@ object ScaleSmoke {
       time(s"ktruss_full_$tag", dir)(d => ops.GraphOps.qKtrussFull(spark, d))
       time(s"phrase_search_$tag", dir)(d => ops.TextOps.qPhraseSearch(spark, d))
       time(s"ann_pq_delete_$tag", dir)(d => ops.AnnIndexOps.qAnnPqDelete(spark, d))
+      // Round-13 additions: winnowing-gated exact-span removal (the
+      // expensive stride-1 stage runs only inside candidate docs), the
+      // BPE encoder + learned-token packing (distinct-word fold chain +
+      // one corpus join), and the perceptron trainer (8 rounds over the
+      // cached narrow design matrix).
+      time(s"substr_gated_$tag", dir)(d => ops.DedupOps.qSubstrApplyGated(spark, d))
+      time(s"bpe_encode_$tag", dir)(d => ops.TextOps.qBpeEncode(spark, d))
+      time(s"seq_pack_bpe_$tag", dir)(d => ops.TextOps.qSeqPackBpe(spark, d))
+      time(s"quality_train_$tag", dir)(d => ops.TextOps.qQualityTrain(spark, d))
+      time(s"stream_pq_idx_$tag", dir)(d => graft.streaming.VectorStream.qStreamPqIndex(spark, d))
       time(s"time_travel_$tag", dir)(d => ops.SourceSinkOps.qTimeTravel(spark, d))
       time(s"snapshot_diff_$tag", dir)(d => ops.SourceSinkOps.qSnapshotDiff(spark, d))
       time(s"vstore_compact_$tag", dir)(d => ops.SourceSinkOps.qVstoreCompact(spark, d))
