@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
 object AnnIndexOps {
   import graft.GraftCache.GraftCachedOps
   import graft.Tables._
-  import SimilarityOps.{withInt8Codes, pqCodebook, pqCodebookRefined,
+  import SimilarityOps.{withInt8Codes, pqCodebookRefined,
     pqAssign, pqProbes, pqCoarseRescore, norm2, withDoubleVecs,
     pqSubCodebooks, pqEncode, pqAssignPayload, pqProbesPayload, adcLut,
     adcCoarseRescore, PqM, PqKSub, PqDim}
@@ -81,7 +81,8 @@ object AnnIndexOps {
     // region stats); without the persists each would re-quantize the
     // corpus and re-derive the codebook (the lineage-clone rule).
     val eq = withInt8Codes(embs).graftCached
-    val cent = pqCodebook(eq, numCentroids).graftCached
+    // Lloyd-refined router (round-13 second wave; graftCached inside).
+    val cent = pqCodebookRefined(eq, numCentroids)
     val codebookRows = cent.select(
       format_string("b%012d", guardId(col("c_id"))).as("row_key"),
       col("c_id"), col("c_emb").as("emb"), col("c_nrm").as("nrm"))
@@ -117,7 +118,9 @@ object AnnIndexOps {
       postingKey(col("c_id"), col("m_id")).as("row_key"),
       lit("I").as("op"), col("c_id"), col("m_id"),
       col("m_qv8").as("qv8"),
-      lit(null).cast("array<float>").as("emb"),
+      // array<double>: codebook rows store the Lloyd-REFINED centroids
+      // (micro-mean doubles) since round 13.
+      lit(null).cast("array<double>").as("emb"),
       lit(null).cast("double").as("nrm"))
       .graftCached
     // The returned full-table read is deliberately discarded (the

@@ -154,50 +154,84 @@ object PipelineOracles {
         |SELECT q_id, rank, vec_id AS neighbor_id, round(c, 3) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  // Mirrors SimilarityOps.annIvfPq: ANN_IVF's md5 codebook + cell
-  // routing CTEs over the QUANTIZED relation, int8 coarse scores
-  // within probed cells (exact BIGINT via DOUBLE list_dot_product),
-  // top-40 candidates, float rescore by id join.
-  private val ANN_PQ =
-    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |m0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
-        |e AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm,
-        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
-        |      FROM m0 WHERE amax > 0),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
-        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |vc AS (
-        |  SELECT e.vec_id, e.qv8, cent.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
-        |                    cent.c_id ASC) AS rn
-        |  FROM e CROSS JOIN cent),
-        |assign AS (SELECT vec_id AS m_id, qv8 AS m_qv8, c_id FROM vc WHERE rn <= 2),
-        |probes AS (SELECT vec_id AS q_id, qv8 AS q_qv8, c_id FROM vc
-        |           WHERE vec_id < 5 AND rn <= 4),
-        |coarse AS (
-        |  SELECT p.q_id, a.m_id,
-        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
-        |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id
-        |  GROUP BY p.q_id, a.m_id),
-        |cand AS (
-        |  SELECT q_id, m_id FROM (
-        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY iscore DESC, m_id ASC) AS crank
-        |    FROM coarse) WHERE crank <= 40),
-        |rescored AS (
-        |  SELECT cd.q_id, cd.m_id,
-        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
-        |  FROM cand cd
-        |  JOIN e t ON t.vec_id = cd.m_id
-        |  JOIN e q ON q.vec_id = cd.q_id),
-        |ranked AS (
-        |  SELECT q_id, m_id, c,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY c DESC, m_id ASC) AS rank
-        |  FROM rescored)
-        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  // Mirrors SimilarityOps.annIvfPq: the round-13 Lloyd-REFINED coarse
+  // codebook (md5 seeds + one exact-integer mean round, exactly
+  // pqCodebookRefined's arithmetic) + cell routing over the QUANTIZED
+  // relation, int8 coarse scores within probed cells (exact BIGINT via
+  // DOUBLE list_dot_product), top-40 candidates, float rescore by id
+  // join. Parameterized like annAdcSql: `trainCond` restricts what the
+  // codebook trains on (seed sample + Lloyd assignment pass),
+  // `sameLabel` adds the member-label pre-filter before the cut,
+  // `memberCond` restricts the posting assignment (the delete row).
+  private def annPqSql(trainCond: String = "",
+                       sameLabel: Boolean = false,
+                       memberCond: String = ""): String = {
+    val lbl = if (sameLabel) ", label" else ""
+    val lblE = if (sameLabel) ", e.label" else ""
+    val lblPair = if (sameLabel) " AND a.m_label = p.q_label" else ""
+    val assignLbl = if (sameLabel) "label AS m_label, " else ""
+    val probeLbl = if (sameLabel) "label AS q_label, " else ""
+    s"""WITH e0 AS (SELECT vec_id$lbl, embedding::DOUBLE[] AS v FROM embeddings),
+       |m0 AS (SELECT vec_id$lbl, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
+       |e AS (SELECT vec_id$lbl, v, list_dot_product(v, v) AS nrm,
+       |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
+       |      FROM m0 WHERE amax > 0),
+       |et AS (SELECT * FROM e $trainCond),
+       |cseed AS (SELECT vec_id AS c_id, v AS cv, nrm AS nc FROM et
+       |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+       |ca AS (
+       |  SELECT c_id, v FROM (
+       |    SELECT et.vec_id, cs.c_id, et.v,
+       |           row_number() OVER (PARTITION BY et.vec_id
+       |             ORDER BY et.nrm - 2 * list_dot_product(et.v, cs.cv) + cs.nc,
+       |                      cs.c_id) AS rn
+       |    FROM et CROSS JOIN cseed cs) WHERE rn = 1),
+       |cdims AS (
+       |  SELECT c_id, j AS pos,
+       |         SUM(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS sm, count(*) AS n
+       |  FROM ca, generate_series(1, 64) t(j) GROUP BY 1, 2),
+       |cent AS MATERIALIZED (
+       |  SELECT c_id, list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY pos) AS cv,
+       |         CAST(SUM(cm * cm) AS BIGINT)::DOUBLE / 1000000000000.0 AS cn
+       |  FROM (SELECT c_id, pos,
+       |               CAST(floor(sm / (n::DOUBLE) + 0.5) AS BIGINT) AS cm
+       |        FROM cdims) GROUP BY c_id),
+       |vc AS (
+       |  SELECT e.vec_id$lblE, e.qv8, cent.c_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
+       |                    cent.c_id ASC) AS rn
+       |  FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id AS m_id, ${assignLbl}qv8 AS m_qv8, c_id
+       |           FROM vc WHERE rn <= 2$memberCond),
+       |probes AS (SELECT vec_id AS q_id, ${probeLbl}qv8 AS q_qv8, c_id FROM vc
+       |           WHERE vec_id < 5 AND rn <= 4),
+       |coarse AS (
+       |  SELECT p.q_id, a.m_id,
+       |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
+       |  FROM probes p JOIN assign a ON a.c_id = p.c_id AND a.m_id <> p.q_id$lblPair
+       |  GROUP BY p.q_id, a.m_id),
+       |cand AS (
+       |  SELECT q_id, m_id FROM (
+       |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY iscore DESC, m_id ASC) AS crank
+       |    FROM coarse) WHERE crank <= 40),
+       |rescored AS (
+       |  SELECT cd.q_id, cd.m_id,
+       |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
+       |  FROM cand cd
+       |  JOIN e t ON t.vec_id = cd.m_id
+       |  JOIN e q ON q.vec_id = cd.q_id),
+       |ranked AS (
+       |  SELECT q_id, m_id, c,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY c DESC, m_id ASC) AS rank
+       |  FROM rescored)
+       |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  private val ANN_PQ = annPqSql()
 
   /** BPE merge-learning oracle machinery (TextOps.bpeTrain /
     * bpeFertility): fixed-round unrolled training. Each round r has
@@ -616,76 +650,25 @@ object PipelineOracles {
        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
-  /** Filtered-search oracle: ANN_PQ verbatim except (a) `e` carries the
-    * label column and (b) the coarse join requires member label ==
-    * query label — BEFORE the crank<=40 cut, mirroring the pre-filter
-    * placement in SimilarityOps.annIvfPqFiltered. Codebook, probes,
-    * and rescore are unchanged. */
-  private val AnnPqFiltered =
-    """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |m0 AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e0),
-        |e AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm,
-        |             list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS qv8
-        |      FROM m0 WHERE amax > 0),
-        |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM e
-        |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        |vc AS (
-        |  SELECT e.vec_id, e.label, e.qv8, cent.c_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_dot_product(e.v, cent.cv) / (sqrt(e.nrm) * sqrt(cent.cn)) DESC,
-        |                    cent.c_id ASC) AS rn
-        |  FROM e CROSS JOIN cent),
-        |assign AS (SELECT vec_id AS m_id, label AS m_label, qv8 AS m_qv8, c_id
-        |           FROM vc WHERE rn <= 2),
-        |probes AS (SELECT vec_id AS q_id, label AS q_label, qv8 AS q_qv8, c_id FROM vc
-        |           WHERE vec_id < 5 AND rn <= 4),
-        |coarse AS (
-        |  SELECT p.q_id, a.m_id,
-        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
-        |  FROM probes p JOIN assign a
-        |    ON a.c_id = p.c_id AND a.m_id <> p.q_id AND a.m_label = p.q_label
-        |  GROUP BY p.q_id, a.m_id),
-        |cand AS (
-        |  SELECT q_id, m_id FROM (
-        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY iscore DESC, m_id ASC) AS crank
-        |    FROM coarse) WHERE crank <= 40),
-        |rescored AS (
-        |  SELECT cd.q_id, cd.m_id,
-        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
-        |  FROM cand cd
-        |  JOIN e t ON t.vec_id = cd.m_id
-        |  JOIN e q ON q.vec_id = cd.q_id),
-        |ranked AS (
-        |  SELECT q_id, m_id, c,
-        |         row_number() OVER (PARTITION BY q_id
-        |           ORDER BY c DESC, m_id ASC) AS rank
-        |  FROM rescored)
-        |SELECT q_id, rank, m_id AS neighbor_id, round(c, 3) AS cos
-        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  /** Filtered-search oracle: annPqSql with the member-label == query
+    * label pre-filter on the coarse join — BEFORE the crank<=40 cut,
+    * mirroring SimilarityOps.annIvfPqFiltered. Codebook, probes, and
+    * rescore are unchanged. */
+  private val AnnPqFiltered = annPqSql(sameLabel = true)
 
-  /** Incremental-index oracle: ANN_PQ with ONE change — the codebook
-    * draws from the 90% base slice only. The Spark path builds from
-    * base, FREEZES the codebook, and appends the delta batch against
-    * it, so every vector (base and delta alike) ends up assigned to
-    * the base-only codebook — which is exactly this SQL. */
-  private val AnnPqIncremental = {
-    val s = ANN_PQ.replace("cn FROM e\n",
-      "cn FROM e WHERE vec_id % 10 <> 0\n")
-    require(s != ANN_PQ, "ANN_PQ codebook anchor moved — update the replace")
-    s
-  }
+  /** Incremental-index oracle: annPqSql with the codebook TRAINED on
+    * the 90% base slice only (seed sample + Lloyd assignment pass).
+    * The Spark path builds from base, FREEZES the codebook, and
+    * appends the delta batch against it, so every vector (base and
+    * delta alike) ends up assigned to the base-only codebook — which
+    * is exactly this SQL. */
+  private val AnnPqIncremental = annPqSql(trainCond = "WHERE vec_id % 10 <> 0")
 
-  /** Delete oracle: ANN_PQ with ONE change — member assignment excludes
-    * the deleted slice. Codebook, probes, and float rescore stay
+  /** Delete oracle: annPqSql with member assignment excluding the
+    * deleted slice. Codebook, probes, and float rescore stay
     * full-corpus: the Spark path deletes POSTING rows only, and serve
     * routes through the unchanged stored codebook. */
-  private val AnnPqDelete = {
-    val s = ANN_PQ.replace("m_qv8, c_id FROM vc WHERE rn <= 2)",
-      "m_qv8, c_id FROM vc WHERE rn <= 2 AND vec_id % 10 <> 0)")
-    require(s != ANN_PQ, "ANN_PQ assign anchor moved — update the replace")
-    s
-  }
+  private val AnnPqDelete = annPqSql(memberCond = " AND vec_id % 10 <> 0")
 
   /** Mirrors SimilarityOps.embeddingDrift (and its streaming twin
     * q_stream_drift): ANN_IVF's md5 codebook drawn from the BASE slice,

@@ -432,7 +432,10 @@ object SimilarityOps {
       (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.50).as("lsh_mean_ok"),
       (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"),
       (sum(col("h_qr")).cast("double") / sum(col("n_exact")) >= 0.80).as("quant_rescore_mean_ok"),
-      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.50).as("ivf_pq_mean_ok"),
+      // int8 IVF-PQ with the round-13 Lloyd-refined router: measured
+      // mean recall@10 0.74/0.72/0.80 across sf0.001/0.01/0.1 (up from
+      // 0.64/0.68/0.68 on the raw-sample router).
+      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.65).as("ivf_pq_mean_ok"),
       // True-PQ ADC with the round-13 Lloyd-refined coarse router:
       // measured mean recall@10 0.68/0.68/0.66 across sf0.001/0.01/0.1
       // at m=8/kSub=32/expand=8 (up from 0.58/0.62/0.56 on the raw
@@ -626,24 +629,17 @@ object SimilarityOps {
                nassign: Int = 2, nprobe: Int = 4, k: Int = 10,
                expand: Int = 4): DataFrame = {
     val eq = withInt8Codes(embs).graftCached
-    val cent = pqCodebook(eq, numCentroids).graftCached
+    // Lloyd-refined router (round-13 second wave): int8 min recall@10
+    // across SFs 0.64 → 0.72 — routing loss dominated here exactly as
+    // in the true-PQ family. graftCached inside.
+    val cent = pqCodebookRefined(eq, numCentroids)
     pqCoarseRescore(
       pqProbes(eq, queryPred, cent, nprobe),
       pqAssign(eq, cent, nassign),
       eq, queryPred, k, expand)
   }
 
-  /** The fixed-size md5-sample codebook over a quantized relation —
-    * `(c_id, c_emb, c_nrm)`, [[annIvf]]'s derivation verbatim (a
-    * TakeOrdered, never a full sort). Shared by [[annIvfPq]] and the
-    * store-persisted index ([[AnnIndexOps]]). */
-  private[graft] def pqCodebook(eq: DataFrame, numCentroids: Int): DataFrame =
-    eq.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(numCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-              col("nrm").as("c_nrm"))
-
-  /** [[pqCodebook]]'s md5 seed sample refined by ONE exact-integer Lloyd
+  /** The raw md5-sample codebook's seed sample refined by ONE exact-integer Lloyd
     * round ([[kmeansCentroids]]' arithmetic: L2 argmin assignment with
     * c_id tie-break, micro-unit BIGINT dimension means, exact Σcm²
     * norms) — the TRUE-PQ family's coarse router since round 13.
@@ -664,9 +660,15 @@ object SimilarityOps {
     * cannot occur while seeds are corpus vectors (each assigns to
     * itself at distance 0, ties to the lower c_id) except under
     * duplicate seed vectors, where the higher-id twin drops — both
-    * engines drop it identically. Requires [[withDoubleVecs]]' `v`. */
-  private[graft] def pqCodebookRefined(e: DataFrame,
+    * engines drop it identically. Derives its own double vectors from
+    * `embedding`, so both the ADC relation ([[withDoubleVecs]]) and the
+    * int8 one ([[withInt8Codes]], which carries no `v`) can train —
+    * round 13's second wave routes the int8 family through it too
+    * (int8 min recall@10 across SFs 0.64 → 0.72 measured). */
+  private[graft] def pqCodebookRefined(e0: DataFrame,
                                        numCentroids: Int): DataFrame = {
+    val e = e0.withColumn("v",
+      expr("transform(embedding, x -> cast(x as double))"))
     val seeds = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv0"))
@@ -820,7 +822,7 @@ object SimilarityOps {
                        nprobe: Int = 4, k: Int = 10,
                        expand: Int = 4): DataFrame = {
     val eq = withInt8Codes(embs).graftCached
-    val cent = pqCodebook(eq, numCentroids).graftCached
+    val cent = pqCodebookRefined(eq, numCentroids)
     val members = pqAssign(eq, cent, nassign)
       .join(embs.select(col("vec_id").as("m_id"), col("label").as("m_label")),
             Seq("m_id"))

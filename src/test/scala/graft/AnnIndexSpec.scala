@@ -28,7 +28,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // codebook, composed from the shared pipeline stages in memory —
     // exactly what build(base) + append(delta) must produce.
     val eqFull = SimilarityOps.withInt8Codes(embs)
-    val centBase = SimilarityOps.pqCodebook(
+    val centBase = SimilarityOps.pqCodebookRefined(
       SimilarityOps.withInt8Codes(embs.filter(col("vec_id") % 10 =!= 0)), 16)
     val pred = col("vec_id") < 5
     val floats = embs.select(col("vec_id"), col("embedding"),
