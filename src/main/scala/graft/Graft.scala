@@ -164,6 +164,9 @@ object Graft {
     * candidate documents (the 100 TB path). */
   def substrDedupApplyGated(docs: DataFrame, win: Int = 40): DataFrame =
     ops.DedupOps.substrDedupApplyGated(docs, win)
+  /** WITHIN-document repetition removal (keep-first span dedup). */
+  def selfRepApply(docs: DataFrame, win: Int = 40): DataFrame =
+    ops.DedupOps.selfRepApply(docs, win)
   /** Linear quality-classifier inference over hashed bag-of-words,
     * serving the [[qualityTrain]]-learned perceptron weights. */
   def qualityClassify(docs: DataFrame, dim: Int = 1024): DataFrame =

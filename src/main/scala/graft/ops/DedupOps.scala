@@ -816,18 +816,32 @@ object DedupOps {
                        stride: Int = 20): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("n_chars"))
-    val wins = base.select(col("doc_id"), col("n_chars"),
-        explode(expr(
-          s"transform(sequence(1, greatest(length(text) - ${win - 1}, 1), $stride), " +
-            s"p -> struct(p, substring(text, p, $win) as win))")).as("w"))
-      .select(col("doc_id"), col("n_chars"),
-              col("w.p").as("p"), col("w.win").as("win"))
+    val wins = windowsOf(base, win, stride)
     val dup = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("win"))
     val dw = wins.join(dup, Seq("win"))
       .select(col("doc_id"), col("p").as("s"),
               least(col("p") + lit(win - 1), col("n_chars")).as("e"))
+    spliceRemoval(base, dw)
+  }
+
+  /** The per-position window relation `(doc_id, n_chars, p, win)` every
+    * span-removal op explodes. */
+  private def windowsOf(base: DataFrame, win: Int, stride: Int): DataFrame =
+    base.select(col("doc_id"), col("n_chars"),
+        explode(expr(
+          s"transform(sequence(1, greatest(length(text) - ${win - 1}, 1), $stride), " +
+            s"p -> struct(p, substring(text, p, $win) as win))")).as("w"))
+      .select(col("doc_id"), col("n_chars"),
+              col("w.p").as("p"), col("w.win").as("win"))
+
+  /** The island-merge + splice tail shared by every span-removal op:
+    * removal intervals `dw(doc_id, s, e)` merge per document (running
+    * end-max), the uncovered segments splice back in order, and the
+    * standard report row (counts + conservation + survivor md5) comes
+    * out. Untouched documents pass through with zero islands. */
+  private def spliceRemoval(base: DataFrame, dw: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val isl = dw
       .withColumn("pe", max(col("e")).over(
@@ -886,6 +900,48 @@ object DedupOps {
     * the full stride-1 scan only inside candidate documents. */
   def qSubstrApplyExact(spark: SparkSession, dir: String): DataFrame =
     substrDedupApply(documents(spark, dir), win = 40, stride = 1)
+
+  /** WITHIN-document repetition removal — the self-repeat half of Lee
+    * et al. 2022's dedup (Gopher's rep-ngram filter SCORES in-doc
+    * repetition; this REMOVES it): every later occurrence of a
+    * `win`-char window whose content already appeared EARLIER in the
+    * SAME document becomes a removal interval (keep-first by position),
+    * and intervals island-merge + splice exactly like the cross-doc
+    * apply. This catches the loop/boilerplate repetition inside one
+    * crawled page that cross-document dedup never sees. Stride 1, so
+    * any self-repeated span ≥ win chars is caught at any alignment.
+    *
+    * Self-overlap semantics (pinned in SelfRepSpec): a character run
+    * like "aaaa…" repeats its own window at every offset, so all
+    * positions after the FIRST become one removal island — a length-L
+    * run survives as its first character plus nothing (the uncovered
+    * prefix [1, 1]), the aggressive-but-deterministic behavior the
+    * fixed-window approximation gives pathological runs.
+    *
+    * Scale shape: windows are linear in corpus bytes; the keep-first
+    * rule is a window-min over (doc, content) — every partition is one
+    * document's copies of one window (tiny), never corpus-wide; the
+    * splice tail is per-document. At 100 TB hash the window content
+    * for the partition key exactly as [[substrDupStats]] notes. */
+  def selfRepApply(docs: DataFrame, win: Int = 40): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("n_chars"))
+    val dw = windowsOf(base, win, stride = 1)
+      .withColumn("mp",
+        min(col("p")).over(Window.partitionBy(col("doc_id"), col("win"))))
+      .filter(col("p") > col("mp"))
+      .select(col("doc_id"), col("p").as("s"),
+              least(col("p") + lit(win - 1), col("n_chars")).as("e"))
+    spliceRemoval(base, dw)
+  }
+
+  /** Driver row at win=16: the fixture's ~300-char random-word docs
+    * contain no 40-char self-repeats (measured 0 docs at every SF), so
+    * the Lee-style default would make the row vacuous; 16 chars (~3
+    * words) finds genuine in-doc repetition at every SF (46/60/507
+    * docs). Production tunes win to its repeat threshold as usual. */
+  def qSelfrepApply(spark: SparkSession, dir: String): DataFrame =
+    selfRepApply(documents(spark, dir), win = 16)
 
   /** WINNOWING-GATED exact-span removal — [[qSubstrApplyExact]]'s
     * semantics at the cost structure the 100 TB path needs (the plan

@@ -541,19 +541,12 @@ object PipelineOracles {
   // length() (CHARACTER semantics) throughout — the Spark side splices
   // by character positions, and DuckDB strlen() counts BYTES, which
   // diverges (and breaks the conservation column) on non-ASCII text.
-  private def substrApplySql(stride: Int): String =
+  // `head` must define w (per-position windows) and dw (the removal
+  // intervals); the island/splice tail is shared by the cross-doc and
+  // within-doc removal oracles.
+  private def spliceSql(head: String): String =
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
-        |w AS (
-        |  SELECT d.doc_id, d.n_chars, gs.p, substr(d.text, gs.p, 40) AS win
-        |  FROM d,
-        |       LATERAL (SELECT unnest(generate_series(
-        |         1, greatest(len(d.text) - 39, 1), $stride)) AS p) gs
-        |), dup AS (
-        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
-        |), dw AS (
-        |  SELECT w.doc_id, w.p AS s, least(w.p + 39, w.n_chars) AS e
-        |  FROM w JOIN dup ON w.win = dup.win
-        |), mrk AS (
+        |$head, mrk AS (
         |  SELECT doc_id, s, e,
         |         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -603,6 +596,36 @@ object PipelineOracles {
         |                ELSE coalesce(sv.sv, '') END) AS surviving_md5
         |FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN sv USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  private def substrApplySql(stride: Int): String = spliceSql(
+    s"""w AS (
+       |  SELECT d.doc_id, d.n_chars, gs.p, substr(d.text, gs.p, 40) AS win
+       |  FROM d,
+       |       LATERAL (SELECT unnest(generate_series(
+       |         1, greatest(len(d.text) - 39, 1), $stride)) AS p) gs
+       |), dup AS (
+       |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+       |), dw AS (
+       |  SELECT w.doc_id, w.p AS s, least(w.p + 39, w.n_chars) AS e
+       |  FROM w JOIN dup ON w.win = dup.win
+       |)""".stripMargin)
+
+  // Mirrors DedupOps.selfRepApply: keep-first per (doc, window content),
+  // later occurrences become removal intervals, same island/splice tail.
+  // win=16 (the driver row's choice — 40 is vacuous on the short
+  // random-word fixture docs).
+  private def selfRepSql(win: Int): String = spliceSql(
+    s"""w AS (
+       |  SELECT d.doc_id, d.n_chars, gs.p, substr(d.text, gs.p, $win) AS win
+       |  FROM d,
+       |       LATERAL (SELECT unnest(generate_series(
+       |         1, greatest(len(d.text) - ${win - 1}, 1), 1)) AS p) gs
+       |), dw AS (
+       |  SELECT doc_id, p AS s, least(p + ${win - 1}, n_chars) AS e
+       |  FROM (SELECT doc_id, n_chars, p,
+       |               min(p) OVER (PARTITION BY doc_id, win) AS mp FROM w)
+       |  WHERE p > mp
+       |)""".stripMargin)
 
   /** q_ann_pq: AnnAdc's serve result with the index-size accounting
     * columns (exact integers from the member count) cross-joined on. */
@@ -1401,6 +1424,9 @@ object PipelineOracles {
     // gating lossless — SubstrGateSpec pins engine-side equality), so
     // the oracle IS the stride-1 SQL.
     "q_substr_apply_gated" -> substrApplySql(1),
+
+    // WITHIN-doc repetition removal (DedupOps.selfRepApply).
+    "q_selfrep_apply" -> selfRepSql(16),
 
     // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
     // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →
