@@ -167,6 +167,11 @@ object Graft {
   /** WITHIN-document repetition removal (keep-first span dedup). */
   def selfRepApply(docs: DataFrame, win: Int = 40): DataFrame =
     ops.DedupOps.selfRepApply(docs, win)
+  /** Suffix-array substring-duplication statistics: per-doc longest
+    * cross-document duplicated token span, exact at any length
+    * (distributed prefix doubling + adjacent-LCP descent). */
+  def suffixDedupStats(docs: DataFrame, rounds: Int = 7): DataFrame =
+    ops.DedupOps.suffixDedupStats(docs, rounds)
   /** Linear quality-classifier inference over hashed bag-of-words,
     * serving the [[qualityTrain]]-learned perceptron weights. */
   def qualityClassify(docs: DataFrame, dim: Int = 1024): DataFrame =

@@ -253,6 +253,7 @@ object ScaleSmoke {
       // cached narrow design matrix).
       time(s"substr_gated_$tag", dir)(d => ops.DedupOps.qSubstrApplyGated(spark, d))
       time(s"selfrep_apply_$tag", dir)(d => ops.DedupOps.qSelfrepApply(spark, d))
+      time(s"suffix_dedup_$tag", dir)(d => ops.DedupOps.qSuffixDedup(spark, d))
       time(s"bpe_encode_$tag", dir)(d => ops.TextOps.qBpeEncode(spark, d))
       time(s"seq_pack_bpe_$tag", dir)(d => ops.TextOps.qSeqPackBpe(spark, d))
       time(s"quality_train_$tag", dir)(d => ops.TextOps.qQualityTrain(spark, d))

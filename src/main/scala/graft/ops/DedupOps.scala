@@ -943,6 +943,169 @@ object DedupOps {
   def qSelfrepApply(spark: SparkSession, dir: String): DataFrame =
     selfRepApply(documents(spark, dir), win = 16)
 
+  /** TRUE SUFFIX-ARRAY substring-duplication statistics — the
+    * arbitrary-length exact answer the fixed-window family approximates
+    * (Lee et al. 2022's ExactSubstr machinery; the r12 notes named the
+    * suffix-array pass as the known remaining gap): per document, the
+    * length of the LONGEST token span shared verbatim with ANY other
+    * document — no window size, no stride, no blind spots.
+    *
+    * Distributed construction, never the O(corpus·doclen) suffix
+    * materialization:
+    *  - token-level suffix RANKS by prefix doubling (Manber–Myers):
+    *    `rounds` rounds of (rank[p], rank[p+2^k] | −1) → dense re-rank
+    *    via the [[AnalyticsOps.globalRank]] distributed rank (no global
+    *    window anywhere), each round one distinct + one rank + one join
+    *    over 8-byte rank rows, localCheckpoint per round (the analyzer
+    *    lesson);
+    *  - suffix-array ORDER = (final rank, doc_id, p) ranked once more
+    *    (identical suffixes tie on content; the id tie-break keeps
+    *    adjacency well-defined);
+    *  - adjacent-pair LCPs by BINARY DESCENT over the retained rank
+    *    tables (rank_k equal ⟺ first 2^k tokens equal), `rounds` joins
+    *    over the pairs relation, then clamped to both suffixes'
+    *    remaining lengths (two fully-equal ended suffixes compare equal
+    *    at every level — the clamp stops the overcount);
+    *  - per-document max over DOC-CROSSING adjacent pairs, crediting
+    *    both sides. This is exact: if suffixes s∈d, t∈e (d≠e) share L
+    *    tokens, every SA-adjacent LCP between them is ≥ L, and walking
+    *    from s toward t the first suffix from a doc ≠ d forms a
+    *    crossing adjacent pair whose d-side certifies L.
+    *
+    * The oracle is structurally INDEPENDENT: DuckDB materializes the
+    * suffix token lists outright and sorts them (affordable at oracle
+    * scale; list comparison is lexicographic with shorter-prefix-first,
+    * exactly the −1-padded rank order) — agreement pins the whole
+    * doubling + descent machinery against a direct implementation.
+    *
+    * `rounds` must cover the longest document (2^rounds ≥ max tokens);
+    * guarded loudly. Scale: every relation is O(corpus tokens) rows of
+    * ids and ranks; 2·rounds shuffles of 8-byte keys — the textbook
+    * distributed suffix ranking cost, independent of duplication rate.
+    */
+  def suffixDedupStats(docs: DataFrame, rounds: Int = 7): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextFns.toks).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val nTok = docs.select(col("doc_id"),
+      size(TextFns.toks).as("n_tokens")).graftCached
+    val maxTok = nTok.agg(max(col("n_tokens"))).head().getInt(0)
+    require(maxTok <= (1 << rounds),
+      s"suffixDedupStats: longest doc has $maxTok tokens > 2^$rounds — raise rounds")
+    // Round 0 — BUCKET-START token ranks, the Manber–Myers stable rank
+    // convention: rank(suffix) = #suffixes whose first token sorts
+    // strictly before. One vocabulary-sized distributed rank + one
+    // distributed exclusive prefix sum of the token counts — never a
+    // rank over the suffix relation itself.
+    val tokCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("tot"))
+    val tokRank = AnalyticsOps.globalRank(tokCounts, Seq(col("tok")))
+      .select(col("tok"), col("grank").as("tkey"), col("tot"))
+      .localCheckpoint()
+    val starts = TextOps.exclusiveOffsets(
+        tokRank.select(col("tkey").as("key"), col("tot")), 256, 2)
+      .select(col("key").as("tkey"), col("offset").as("r"))
+    val rk0 = toks.join(tokRank.select(col("tok"), col("tkey")), Seq("tok"))
+      .join(starts, Seq("tkey"))
+      .select(col("doc_id"), col("p"), col("r")).localCheckpoint()
+    // Doubling rounds with BUCKET REFINEMENT: bucket-start ranks are
+    // STABLE (a singleton group's rank never changes again), so each
+    // round re-ranks only the ACTIVE suffixes (groups of size ≥ 2) —
+    // the active set shrinks to the duplicated tail of the corpus and
+    // carries the round's whole cost — and the re-rank is a rank()
+    // window WITHIN each group (new rank = group start + #members with
+    // strictly smaller second key = rank() − 1), so window partitions
+    // are dup-cluster-sized, never global. No corpus-wide sort after
+    // round 0. Frozen singletons accumulate as checkpointed deltas;
+    // each level's full rank table (the descent's lookup side) is the
+    // lazy union of those leaves — AQE broadcasts the shrunken active
+    // side of the r2 lookup at fixture scale and degrades to a
+    // co-partitioned join at 100 TB.
+    var active = rk0
+    val frozen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def fullTable(act: DataFrame): DataFrame =
+      (frozen :+ act).reduce(_ unionByName _)
+    val tables = scala.collection.mutable.ArrayBuffer(rk0) // tables(k): 2^k tokens
+    for (k <- 0 until rounds) {
+      val span = 1 << k
+      val sizes = active.groupBy(col("r")).agg(count(lit(1)).as("gn"))
+        .filter(col("gn") >= 2).select(col("r"))
+      frozen += active.join(sizes, Seq("r"), "left_anti").localCheckpoint()
+      val act = active.join(sizes, Seq("r"))
+      val lookup = fullTable(act)
+        .select(col("doc_id"), (col("p") - span).as("p"), col("r").as("r2"))
+      active = act.join(lookup, Seq("doc_id", "p"), "left")
+        .select(col("doc_id"), col("p"), col("r"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+        .withColumn("nr", col("r") + rank().over(
+          Window.partitionBy(col("r")).orderBy(col("r2"))) - 1)
+        .select(col("doc_id"), col("p"), col("nr").as("r"))
+        .localCheckpoint()
+      tables += fullTable(active)
+    }
+    // SA positions: bucket-start rank + ordinal within the (fully-equal)
+    // final group — groups are dup-cluster-sized window partitions, and
+    // bucket starts make the result a gap-free global permutation.
+    val sa = fullTable(active).withColumn("sp",
+        col("r") + row_number().over(
+          Window.partitionBy(col("r")).orderBy(col("doc_id"), col("p"))) - 1)
+      .select(col("doc_id"), col("p"), col("sp"))
+      .localCheckpoint()
+    var pairs = sa.select(col("doc_id").as("d1"), col("p").as("p1"), col("sp"))
+      .join(sa.select(col("doc_id").as("d2"), col("p").as("p2"),
+        (col("sp") - 1).as("sp")), Seq("sp"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("p1"), col("d2"), col("p2"), lit(0L).as("l"))
+    // Binary LCP descent, ONE lazy chain: every level references the
+    // pairs relation once and a CHECKPOINTED rank table, so the plan
+    // grows linearly (~5 nodes/level) — no per-level materialization
+    // needed (unlike the doubling loop, whose rounds reference their
+    // predecessor twice). The TOP level uses the deepest (converged)
+    // table with span 2^rounds: equal converged ranks mean the
+    // suffixes are equal to their ends, the remaining-length clamp
+    // turns the overshoot into the exact value, and non-equal pairs
+    // (which share < half the converged compare width) are covered by
+    // the lower levels.
+    for (ki <- (tables.size - 1) to 0 by -1) {
+      val span = if (ki == tables.size - 1) (1L << rounds) else (1L << ki)
+      val sfx = s"_$ki"
+      pairs = pairs
+        .withColumn("pa" + sfx, col("p1") + col("l"))
+        .join(tables(ki).select(col("doc_id").as("d1"),
+          col("p").as("pa" + sfx), col("r").as("ra" + sfx)),
+          Seq("d1", "pa" + sfx), "left")
+        .withColumn("pb" + sfx, col("p2") + col("l"))
+        .join(tables(ki).select(col("doc_id").as("d2"),
+          col("p").as("pb" + sfx), col("r").as("rb" + sfx)),
+          Seq("d2", "pb" + sfx), "left")
+        .withColumn("l", when(col("ra" + sfx).isNotNull &&
+          col("rb" + sfx).isNotNull &&
+          col("ra" + sfx) === col("rb" + sfx),
+          col("l") + span).otherwise(col("l")))
+        .select(col("d1"), col("p1"), col("d2"), col("p2"), col("l"))
+    }
+    val lcp = pairs
+      .join(nTok.select(col("doc_id").as("d1"), col("n_tokens").as("nt1")),
+        Seq("d1"))
+      .join(nTok.select(col("doc_id").as("d2"), col("n_tokens").as("nt2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        least(col("l"), col("nt1") - col("p1") + 1,
+          col("nt2") - col("p2") + 1).as("lcp"))
+      // both credit legs read this — un-materialized, the whole descent
+      // chain would evaluate once per leg (the lineage-clone rule)
+      .localCheckpoint()
+    val mx = lcp.select(col("d1").as("doc_id"), col("lcp"))
+      .unionByName(lcp.select(col("d2").as("doc_id"), col("lcp")))
+      .groupBy(col("doc_id")).agg(max(col("lcp")).as("mx"))
+    nTok.join(mx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("mx"), lit(0L)).as("max_dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qSuffixDedup(spark: SparkSession, dir: String): DataFrame =
+    suffixDedupStats(documents(spark, dir))
+
   /** WINNOWING-GATED exact-span removal — [[qSubstrApplyExact]]'s
     * semantics at the cost structure the 100 TB path needs (the plan
     * [[substrDedupApply]]'s scaladoc names): a cheap hash-only

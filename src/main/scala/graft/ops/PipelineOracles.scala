@@ -1428,6 +1428,38 @@ object PipelineOracles {
     // WITHIN-doc repetition removal (DedupOps.selfRepApply).
     "q_selfrep_apply" -> selfRepSql(16),
 
+    // Mirrors DedupOps.suffixDedupStats — but STRUCTURALLY INDEPENDENT:
+    // the oracle materializes every suffix token list and sorts it
+    // (affordable at oracle scale; DuckDB list comparison is
+    // lexicographic, shorter-prefix-first — exactly the Spark side's
+    // −1-padded rank order), takes adjacent doc-crossing pairs, and
+    // computes each LCP by direct first-mismatch scan. nullif: DuckDB
+    // list_position returns 0 (not NULL) when no mismatch exists (one
+    // suffix is a prefix of the other) — the clamp case.
+    "q_suffix_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, i AS p, w[i:len(w)] AS suf
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |o AS MATERIALIZED (
+        |  SELECT doc_id, p, suf, row_number() OVER (ORDER BY suf, doc_id, p) AS sp
+        |  FROM s),
+        |pr AS (
+        |  SELECT a.suf AS s1, b.suf AS s2, a.doc_id AS d1, b.doc_id AS d2
+        |  FROM o a JOIN o b ON b.sp = a.sp + 1 AND a.doc_id <> b.doc_id),
+        |lc AS MATERIALIZED (
+        |  SELECT d1, d2,
+        |         coalesce(nullif(list_position(list_transform(
+        |             generate_series(1, least(len(s1), len(s2))),
+        |             i -> s1[i] <> s2[i]), true), 0) - 1,
+        |           least(len(s1), len(s2))) AS lcp
+        |  FROM pr),
+        |cred AS (SELECT d1 AS doc_id, lcp FROM lc UNION ALL SELECT d2, lcp FROM lc),
+        |mx AS (SELECT doc_id, max(lcp) AS mx FROM cred GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(mx.mx, 0) AS BIGINT) AS max_dup_tokens
+        |FROM t LEFT JOIN mx USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
     // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
     // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →
     // prefix-sum shard packing → per-shard manifest.
