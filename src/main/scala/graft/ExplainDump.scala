@@ -117,7 +117,9 @@ object ExplainDump {
       "q_quality_classify" -> "Linear quality gate serving the LEARNED perceptron weights: broadcast model join onto the hashed-BoW aggregate; centered-margin score, exact BIGINT arithmetic, no UDF",
       "q_substr_apply_gated" -> "Winnowing-gated exact-span removal: hash-only fingerprint pass selects candidates; only they pay the stride-1 window groupBy + island splice",
       "q_bpe_encode" -> "BPE encoder: merges applied over DISTINCT words (checkpointed chain), doc explode equi-joined onto the vocabulary-sized encoded table",
-      "q_seq_pack_bpe" -> "Sequence packing from LEARNED token counts: encode chain feeds the distributed prefix-sum packing tail")
+      "q_seq_pack_bpe" -> "Sequence packing from LEARNED token counts: encode chain feeds the distributed prefix-sum packing tail",
+      "q_selfrep_apply" -> "Within-doc repetition removal: keep-first window-min over (doc, content) partitions; shared island/splice tail",
+      "q_suffix_dedup" -> "Suffix-array LCP statistics: final plan = checkpointed rank-table leaves -> one lazy binary-descent join chain -> doc-crossing credit aggregate (the doubling rounds materialize per round; schedule in the scaladoc)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")
