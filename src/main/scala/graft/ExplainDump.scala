@@ -146,16 +146,21 @@ object ExplainDump {
     sb.append("(`localCheckpoint` / store commit), so the query's own final ")
     sb.append("plan is a scan of the last materialization. The plans below ")
     sb.append("are the REPEATED UNIT each schedule drives.\n")
-    def dumpPhases(name: String, schedule: String,
-                   phases: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    def dumpPhaseStrings(name: String, schedule: String,
+                         phases: Seq[(String, String)]): Unit = {
       sb.append(s"\n## $name\n\n**Schedule:** $schedule\n")
-      phases.foreach { case (title, df) =>
-        df.collect()
+      phases.foreach { case (title, plan) =>
         sb.append(s"\n### $title\n\n```\n")
-        sb.append(df.queryExecution.executedPlan.toString.take(4000))
+        sb.append(plan.take(4000))
         sb.append("\n```\n")
       }
     }
+    def dumpPhases(name: String, schedule: String,
+                   phases: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit =
+      dumpPhaseStrings(name, schedule, phases.map { case (title, df) =>
+        df.collect()
+        title -> df.queryExecution.executedPlan.toString
+      })
     val docs = graft.Tables.documents(spark, dir)
     val edges = ops.GraphOps.copurchaseEdges(spark, dir, minOrders = 2)
       .localCheckpoint()
@@ -193,7 +198,7 @@ object ExplainDump {
         "weights localCheckpoint each round; driver sees one stats row " +
         "per round.",
       ops.TextOps.perceptronPhasePlans(docs))
-    dumpPhases("q_forget_cascade",
+    dumpPhaseStrings("q_forget_cascade",
       "three store legs, each ONE action, idempotent: keyed anti-join " +
         "merge (rewrites only regions covering doomed keys), versioned " +
         "DELETE commit (CDC-visible; hard erasure = vacuum), ANN posting " +

@@ -501,6 +501,30 @@ object ScaleSmoke {
       }
     }
 
+    // Round-14: the de-skewed suffix-array rank path under a
+    // FREQUENCY-SKEWED corpus — every third token forced to one value
+    // (~33% corpus frequency), the shape the round-13 verdict flagged:
+    // the per-group rank()/row_number() windows would serialize a third
+    // of all suffixes through ONE window-sort task. The hot-token
+    // frequency passes 2^16 at both scales, so suffixDedupStats flips
+    // to deskewedGroupRank automatically; the probe's 1×→FACTOR× ratio
+    // is the verdict's ≤2× acceptance bar.
+    if (wanted("suffix_skew")) {
+      val skewDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_skew"
+      def skewify(d: DataFrame): DataFrame = d.withColumn("text",
+        expr("array_join(transform(split(text, ' '), " +
+          "(w, i) -> if(i % 3 = 2, 'hotxyz', w)), ' ')"))
+      skewify(docs).repartition(32)
+        .write.mode("overwrite").parquet(s"$skewDir/1x/documents.parquet")
+      skewify(Tables.documents(spark, scaled)).repartition(32)
+        .write.mode("overwrite").parquet(
+          s"$skewDir/${factor}x/documents.parquet")
+      time("suffix_skew_1x", s"$skewDir/1x")(d =>
+        ops.DedupOps.qSuffixDedup(spark, d))
+      time(s"suffix_skew_${factor}x", s"$skewDir/${factor}x")(d =>
+        ops.DedupOps.qSuffixDedup(spark, d))
+    }
+
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of
     // documents at dedup, so the drop set is corpus-scale, not "vanishing".
     // Build a corpus where every base doc has a near-identical twin (≥50%

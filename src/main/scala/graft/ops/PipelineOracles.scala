@@ -627,6 +627,77 @@ object PipelineOracles {
        |  WHERE p > mp
        |)""".stripMargin)
 
+  // Mirrors DedupOps.suffixDedupApply: per-SUFFIX max cross-doc LCP via
+  // the sorted-suffix order (runs of consecutive same-doc entries;
+  // nearest other-doc neighbor on each side; LCP = min of adjacent LCPs
+  // over the chain), token spans ≥ minTok become char intervals through
+  // a per-doc token-length prefix sum, then the shared island/splice
+  // tail. Adjacent LCPs come from DIRECT list first-mismatch scans (the
+  // q_suffix_dedup oracle's technique) — structurally independent of the
+  // Spark side's binary rank-table descent. The NULL-propagation CASE on
+  // the prefix min matters: sp = 1 has no predecessor, and a plain min()
+  // would skip the NULL and serve a same-doc lcp as a "crossing".
+  private def suffixApplySql(minTok: Int): String = spliceSql(
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS wt FROM d),
+       |sx AS MATERIALIZED (
+       |  SELECT doc_id, i AS p, wt[i:len(wt)] AS suf
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(wt))) AS i) g),
+       |o AS MATERIALIZED (
+       |  SELECT doc_id, p, suf, row_number() OVER (ORDER BY suf, doc_id, p) AS sp
+       |  FROM sx),
+       |al AS MATERIALIZED (
+       |  SELECT b.sp,
+       |         coalesce(nullif(list_position(list_transform(
+       |             generate_series(1, least(len(a.suf), len(b.suf))),
+       |             i -> a.suf[i] <> b.suf[i]), true), 0) - 1,
+       |           least(len(a.suf), len(b.suf))) AS lcp
+       |  FROM o a JOIN o b ON b.sp = a.sp + 1),
+       |rr AS (
+       |  SELECT doc_id, p, sp,
+       |         sp - row_number() OVER (PARTITION BY doc_id ORDER BY sp) AS rid
+       |  FROM o),
+       |rl AS MATERIALIZED (
+       |  SELECT rr.doc_id, rr.p, rr.sp, rr.rid, al.lcp
+       |  FROM rr LEFT JOIN al ON al.sp = rr.sp),
+       |pcx AS (
+       |  SELECT doc_id, p, sp, rid,
+       |         CASE WHEN max(CASE WHEN lcp IS NULL THEN 1 ELSE 0 END)
+       |                OVER (PARTITION BY doc_id, rid ORDER BY sp
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       |              THEN NULL
+       |              ELSE min(lcp) OVER (PARTITION BY doc_id, rid ORDER BY sp
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         END AS prevcross,
+       |         min(lcp) OVER (PARTITION BY doc_id, rid ORDER BY sp
+       |                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |           AS sufmin
+       |  FROM rl),
+       |outl AS (
+       |  SELECT re.doc_id, re.rid, al.lcp AS out_lcp
+       |  FROM (SELECT doc_id, rid, max(sp) AS bsp FROM rl GROUP BY 1, 2) re
+       |  LEFT JOIN al ON al.sp = re.bsp + 1),
+       |mcx AS (
+       |  SELECT pcx.doc_id, pcx.p,
+       |         greatest(coalesce(pcx.prevcross, 0),
+       |           coalesce(CASE WHEN ol.out_lcp IS NULL THEN NULL
+       |                         ELSE least(ol.out_lcp,
+       |                                    coalesce(pcx.sufmin, ol.out_lcp)) END,
+       |                    0)) AS mc
+       |  FROM pcx JOIN outl ol ON ol.doc_id = pcx.doc_id AND ol.rid = pcx.rid),
+       |cs AS (
+       |  SELECT doc_id, p, c_s, c_s + tl - 1 AS c_e FROM (
+       |    SELECT doc_id, p, tl,
+       |           1 + coalesce(sum(tl + 1) OVER (PARTITION BY doc_id ORDER BY p
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_s
+       |    FROM (SELECT doc_id, i AS p, length(wt[i]) AS tl
+       |          FROM t, LATERAL (SELECT unnest(generate_series(1, len(wt))) AS i) g2))),
+       |dw AS (
+       |  SELECT m.doc_id, a.c_s AS s, b.c_e AS e
+       |  FROM mcx m
+       |  JOIN cs a ON a.doc_id = m.doc_id AND a.p = m.p
+       |  JOIN cs b ON b.doc_id = m.doc_id AND b.p = m.p + m.mc - 1
+       |  WHERE m.mc >= $minTok)""".stripMargin)
+
   /** q_ann_pq: AnnAdc's serve result with the index-size accounting
     * columns (exact integers from the member count) cross-joined on. */
   private val AnnAdcSized: String = {
@@ -1420,10 +1491,42 @@ object PipelineOracles {
     "q_substr_apply_exact" -> substrApplySql(1),
 
     // Winnowing-gated variant (DedupOps.qSubstrApplyGated): IDENTICAL
-    // semantics to the ungated stride-1 pass (the winnow guarantee makes
-    // gating lossless — SubstrGateSpec pins engine-side equality), so
-    // the oracle IS the stride-1 SQL.
-    "q_substr_apply_gated" -> substrApplySql(1),
+    // removal semantics to the ungated stride-1 pass (the winnow
+    // guarantee makes gating lossless — SubstrGateSpec pins engine-side
+    // equality), PLUS the round-14 cost-honesty columns: gate_candidate
+    // / gate_scanned_chars reproduce the winnow selection exactly
+    // (hash60 char-shingle hashes, per-window list_min, ≥2-distinct-doc
+    // fingerprints; short docs gate on exact text equality).
+    "q_substr_apply_gated" -> {
+      val kc = 20; val wc = 21 // win = 40: wc + kc - 1 = 40
+      s"""WITH res AS (${substrApplySql(1)}),
+         |dd AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(generate_series(1, n_chars - ${kc - 1}),
+         |           p -> CAST(('0x' || substr(md5(substr(text, p, $kc)), 1, 15))
+         |                AS BIGINT)) AS h
+         |  FROM dd WHERE n_chars >= 40),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, f
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(generate_series(0, len(h) - $wc),
+         |            i -> list_min(h[i + 1:i + $wc]))) AS f
+         |        FROM hs)),
+         |shared AS (SELECT f FROM fp GROUP BY f HAVING count(DISTINCT doc_id) >= 2),
+         |candLong AS (SELECT DISTINCT doc_id FROM fp JOIN shared USING (f)),
+         |candShort AS (
+         |  SELECT doc_id FROM dd WHERE n_chars < 40 AND text IN (
+         |    SELECT text FROM dd WHERE n_chars < 40
+         |    GROUP BY text HAVING count(DISTINCT doc_id) >= 2)),
+         |cand AS (SELECT doc_id FROM candLong UNION SELECT doc_id FROM candShort)
+         |SELECT res.*,
+         |       CAST(CASE WHEN cand.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |         AS gate_candidate,
+         |       CAST(CASE WHEN cand.doc_id IS NULL THEN 0 ELSE res.n_chars END
+         |         AS BIGINT) AS gate_scanned_chars
+         |FROM res LEFT JOIN cand USING (doc_id)
+         |ORDER BY res.doc_id""".stripMargin
+    },
 
     // WITHIN-doc repetition removal (DedupOps.selfRepApply).
     "q_selfrep_apply" -> selfRepSql(16),
@@ -1459,6 +1562,12 @@ object PipelineOracles {
         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
         |       CAST(coalesce(mx.mx, 0) AS BIGINT) AS max_dup_tokens
         |FROM t LEFT JOIN mx USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // SUFFIX-ARRAY exact-span removal (DedupOps.suffixDedupApply):
+    // discover at any length, remove every occurrence of a cross-doc
+    // duplicated token span of ≥ 5 tokens (suffixApplySql's scaladoc
+    // explains the run/min-chain construction).
+    "q_suffix_apply" -> suffixApplySql(5),
 
     // Mirrors TextOps.qPipelineE2e: quality gate → cluster-apply dedup →
     // per-lang quota (rank DESC on md5-mod rscore, doc_id tiebreak) →

@@ -156,15 +156,18 @@ object ScrubOps {
     ()
   }
 
-  /** The three forget legs as PLAN-DUMPABLE relations over freshly
+  /** The three forget legs as RENDERED physical plans over freshly
     * built (tiny) stores — what each leg computes before its store
     * action, for PLANS.md's multi-action section and PlanShapeSpec.
     * The keyed leg's relation here scans the whole table for
     * illustration; the real [[KeyedStore.mergeInto]] applies the same
-    * anti-join to the TOUCHED regions only. Leaves its temp vstore dir
-    * behind (dev tooling only). */
+    * anti-join to the TOUCHED regions only. Each leg is collect()ed
+    * (so the rendered plan is the final AQE plan) BEFORE the finally
+    * block drops both catalog stores and deletes the temp vstore dir —
+    * earlier revisions returned lazy DataFrames and leaked a store
+    * pair + temp dir per caller (round-13 ADVICE). */
   private[graft] def forgetPhasePlans(spark: SparkSession,
-                                      dir: String): Seq[(String, DataFrame)] = {
+                                      dir: String): Seq[(String, String)] = {
     val sfx = "plans_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val keyedName = "graft_forget_docs_" + sfx
     val annName = "graft_forget_ann_" + sfx
@@ -172,20 +175,31 @@ object ScrubOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val embs = embeddings(spark, dir)
     val vdir = java.nio.file.Files.createTempDirectory("graft_forget_plans").toString
-    KeyedStore.create(spark, keyedName, docsRows, "doc_id", 128)
-    VersionedStore.init(spark, vdir, docsRows, "doc_id")
-    AnnIndexOps.buildIndex(spark, annName, embs)
-    val doomedIds = docsRows.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
-    val doomedEmbs = embs.filter(col("vec_id") % 10 === 3)
-    Seq(
-      "keyed leg: anti-join merge relation (mergeInto applies it to touched regions only)" ->
-        KeyedStore.scan(spark, keyedName, "doc_id", 0L, Long.MaxValue)
-          .join(doomedIds, Seq("doc_id"), "left_anti"),
-      "versioned leg: DELETE change set (head rows of the doomed ids; CDC-visible commit)" ->
-        VersionedStore.asOf(spark, vdir, VersionedStore.currentVersion(vdir))
-          .join(doomedIds, Seq("doc_id")).withColumn("op", lit("D")),
-      "ann leg: doomed posting keys (pure function of the frozen stored assignment)" ->
-        AnnIndexOps.doomedPostingKeys(spark, annName, doomedEmbs))
+    try {
+      KeyedStore.create(spark, keyedName, docsRows, "doc_id", 128)
+      VersionedStore.init(spark, vdir, docsRows, "doc_id")
+      AnnIndexOps.buildIndex(spark, annName, embs)
+      val doomedIds = docsRows.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+      val doomedEmbs = embs.filter(col("vec_id") % 10 === 3)
+      Seq(
+        "keyed leg: anti-join merge relation (mergeInto applies it to touched regions only)" ->
+          KeyedStore.scan(spark, keyedName, "doc_id", 0L, Long.MaxValue)
+            .join(doomedIds, Seq("doc_id"), "left_anti"),
+        "versioned leg: DELETE change set (head rows of the doomed ids; CDC-visible commit)" ->
+          VersionedStore.asOf(spark, vdir, VersionedStore.currentVersion(vdir))
+            .join(doomedIds, Seq("doc_id")).withColumn("op", lit("D")),
+        "ann leg: doomed posting keys (pure function of the frozen stored assignment)" ->
+          AnnIndexOps.doomedPostingKeys(spark, annName, doomedEmbs)
+      ).map { case (title, df) =>
+        df.collect()
+        title -> df.queryExecution.executedPlan.toString
+      }
+    } finally {
+      if (KeyedStore.exists(spark, keyedName)) KeyedStore.drop(spark, keyedName)
+      if (KeyedStore.exists(spark, annName)) KeyedStore.drop(spark, annName)
+      graft.streaming.EventStream.deleteRecursively(
+        java.nio.file.Paths.get(vdir))
+    }
   }
 
   /** Driver row: build the three stores over documents/embeddings,

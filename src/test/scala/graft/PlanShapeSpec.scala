@@ -357,23 +357,30 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("forget-cascade legs: keyed anti-join, versioned DELETE change " +
        "set, ANN posting keys from the frozen assignment — no cartesian") {
+    // forgetPhasePlans renders the executed plans itself (and drops its
+    // temp stores + vstore dir before returning — the round-13 ADVICE
+    // leak fix), so the assertions run over plan STRINGS here.
     val phases = ops.ScrubOps.forgetPhasePlans(spark, Sf)
-    val byName = phases.map { case (t, df) => t.split(":")(0) -> df }.toMap
-    val keyed = physical(byName("keyed leg"))
+    val byName = phases.map { case (t, p) => t.split(":")(0) -> p }.toMap
+    val keyed = byName("keyed leg")
     assert(keyed.contains("LeftAnti"), keyed.take(3000))
-    val vstore = physical(byName("versioned leg"))
+    val vstore = byName("versioned leg")
     // the DELETE set joins head rows to the (small) doomed id set
     assert(vstore.contains("Join") || vstore.contains("BroadcastHashJoin"),
       vstore.take(3000))
-    val ann = physical(byName("ann leg"))
+    val ann = byName("ann leg")
     // assignment routes via the broadcast stored codebook; posting keys
     // are a projection of it — never a cartesian, never a corpus window
     assert(ann.contains("BroadcastNestedLoopJoin") ||
       ann.contains("BroadcastHashJoin"), ann.take(3000))
-    phases.foreach { case (t, df) =>
-      val p = physical(df)
+    phases.foreach { case (t, p) =>
       assert(!p.contains("CartesianProduct"), s"$t: ${p.take(2000)}")
     }
+    // and the temp stores really are gone from the catalog
+    assert(!spark.catalog.tableExists(
+      "graft_forget_docs_plans_" + Sf.replaceAll("[^a-zA-Z0-9]", "_")))
+    assert(!spark.catalog.tableExists(
+      "graft_forget_ann_plans_" + Sf.replaceAll("[^a-zA-Z0-9]", "_")))
   }
 
   test("filtered ANN broadcasts the query-label side") {

@@ -59,5 +59,23 @@ class SubstrGateSpec extends AnyFunSuite {
     assert(out(3).getInt(4) == 0)
     // conservation holds on every row
     out.foreach(r => assert(r.getLong(3) + r.getInt(4) == r.getInt(1)))
+    // round-14 accounting columns: exactly docs 1,2 (shared long span)
+    // and 4,5 (short exact dups) are candidates; scanned mass = the
+    // candidates' chars, nothing else
+    val cands = out.filter(_.getLong(6) == 1L).map(_.getLong(0)).toSet
+    assert(cands == Set(1L, 2L, 4L, 5L))
+    out.foreach { r =>
+      val expect = if (r.getLong(6) == 1L) r.getInt(1).toLong else 0L
+      assert(r.getLong(7) == expect, s"doc ${r.getLong(0)} scanned chars")
+    }
+  }
+
+  test("win < 4 is rejected loudly (degenerate zero-length shingles)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ops.DedupOps.substrDedupApplyGated(docs, win = 2)
+    }
+    assert(e.getMessage.contains("degenerates the winnow gate"))
   }
 }

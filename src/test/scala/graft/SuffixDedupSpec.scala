@@ -31,6 +31,54 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(got(5L) == ((8L, 1L)))   // single tokens appear elsewhere
   }
 
+  test("de-skewed distributed rank path equals the window path " +
+       "(constructed corpus incl. a skewed token run, and the fixture)") {
+    import spark.implicits._
+    // one token at ~40% frequency — the shape that trips the de-skew
+    // threshold in production — plus duplicates and unique docs
+    val docs = Seq(
+      (1L, "hot hot hot hot a b c hot hot"),
+      (2L, "x hot hot hot hot y b c"),
+      (3L, "a b c hot hot hot hot hot"),
+      (4L, "hot hot hot hot a b c hot hot"),
+      (5L, "q r s t u")
+    ).toDF("doc_id", "text")
+    val win = rows(ops.DedupOps.suffixDedupStats(docs))
+    val dsk = rows(ops.DedupOps.suffixDedupStats(docs, deskewAbove = 0L))
+    assert(dsk == win, s"deskewed $dsk vs window $win")
+    // a real-text leg: a deterministic 1/5 slice of the fixture (the
+    // full fixture × both paths costs minutes on local[4]; the oracle
+    // already pins the default path corpus-wide)
+    val slice = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 5 === 0)
+    val fixWin = rows(ops.DedupOps.suffixDedupStats(slice))
+    val fixDsk = rows(ops.DedupOps.suffixDedupStats(slice, deskewAbove = 0L))
+    assert(fixDsk == fixWin)
+    assert(fixWin.values.exists(_._2 > 0), "slice should contain dups")
+  }
+
+  test("rounds auto-derive covers >128-token documents; explicit " +
+       "rounds still fails loudly; empty corpus yields empty output") {
+    import spark.implicits._
+    // 200 tokens > 2^7: the old fixed default (rounds = 7) hard-failed
+    val long1 = (1 to 200).map(i => s"t${i % 13}").mkString(" ")
+    val long2 = (41 to 240).map(i => s"t${i % 13}").mkString(" ")
+    val docs = Seq((1L, long1), (2L, long2), (3L, "zz yy xx")).toDF("doc_id", "text")
+    val got = rows(ops.DedupOps.suffixDedupStats(docs)) // auto rounds = 8
+    assert(got(1L)._1 == 200L && got(2L)._1 == 200L)
+    // both long docs repeat period-13 token cycles; shared span ≥ 13
+    assert(got(1L)._2 >= 13L && got(2L)._2 >= 13L)
+    assert(got(3L)._2 == 0L)
+    val e = intercept[IllegalArgumentException] {
+      ops.DedupOps.suffixDedupStats(docs, rounds = 7)
+    }
+    assert(e.getMessage.contains("raise rounds"))
+    val empty = ops.DedupOps.suffixDedupStats(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "max_dup_tokens") && empty.count() == 0L)
+  }
+
   test("fixture agrees with a driver-side sorted-suffix referee, and " +
        "window-family consistency holds") {
     val got = rows(ops.DedupOps.qSuffixDedup(spark, Sf))

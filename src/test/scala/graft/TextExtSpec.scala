@@ -371,6 +371,35 @@ class TextExtSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("frozen model registry (round-13 verdict #3): stored artifact " +
+       "equals a fresh train, through BOTH the memo and the store-load " +
+       "path; serve rows never re-train") {
+    def classify() = ops.TextOps.qQualityClassify(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq
+    def bpe() = ops.TextOps.qBpeTrain(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    val viaMemo = classify()
+    val bpeViaMemo = bpe()
+    // train-inline (the generic-relation API) must agree bit-for-bit —
+    // training is exact-integer, so frozen == fresh
+    val fresh = ops.TextOps.qualityClassify(
+      graft.Tables.documents(spark, Sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(viaMemo == fresh)
+    // both artifacts persisted in the catalog store
+    val sfx = Sf.replaceAll("[^a-zA-Z0-9]", "_")
+    assert(ops.KeyedStore.exists(spark, s"graft_model_quality_1024_8_$sfx"))
+    assert(ops.KeyedStore.exists(spark, s"graft_model_bpe_16_$sfx"))
+    // clear the memos: the next calls LOAD the frozen artifacts and
+    // must serve the identical result (the cross-run path)
+    ops.TextOps.clearModelMemos()
+    assert(classify() == viaMemo)
+    assert(bpe() == bpeViaMemo)
+    // trajectory row served from the frozen artifact keeps its shape
+    val tr = ops.TextOps.qQualityTrain(spark, Sf).collect()
+    assert(tr.length == 8 && tr.map(_.getInt(0)).toSeq == (1 to 8))
+  }
+
   test("BPE training: round 1 is q_bpe_merges' argmax; merges apply " +
        "greedily left-to-right; learned merges shrink fertility") {
     import spark.implicits._
