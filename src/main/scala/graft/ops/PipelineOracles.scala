@@ -165,7 +165,8 @@ object PipelineOracles {
   // `memberCond` restricts the posting assignment (the delete row).
   private def annPqSql(trainCond: String = "",
                        sameLabel: Boolean = false,
-                       memberCond: String = ""): String = {
+                       memberCond: String = "",
+                       nprobe: Int = 4): String = {
     val lbl = if (sameLabel) ", label" else ""
     val lblE = if (sameLabel) ", e.label" else ""
     val lblPair = if (sameLabel) " AND a.m_label = p.q_label" else ""
@@ -205,7 +206,7 @@ object PipelineOracles {
        |assign AS (SELECT vec_id AS m_id, ${assignLbl}qv8 AS m_qv8, c_id
        |           FROM vc WHERE rn <= 2$memberCond),
        |probes AS (SELECT vec_id AS q_id, ${probeLbl}qv8 AS q_qv8, c_id FROM vc
-       |           WHERE vec_id < 5 AND rn <= 4),
+       |           WHERE vec_id < 5 AND rn <= $nprobe),
        |coarse AS (
        |  SELECT p.q_id, a.m_id,
        |         max(CAST(list_dot_product(a.m_qv8::DOUBLE[], p.q_qv8::DOUBLE[]) AS BIGINT)) AS iscore
@@ -403,7 +404,8 @@ object PipelineOracles {
     * join (BEFORE the k·expand cut). */
   private def annAdcSql(trainCond: String = "",
                         sameLabel: Boolean = false,
-                        memberCond: String = ""): String = {
+                        memberCond: String = "",
+                        expand: Int = 8): String = {
     val m = 8; val kSub = 32; val sd = 8
     val lutJoins = (0 until m).map(i =>
       s"  JOIN lut l$i ON l$i.q_id = pr.q_id AND l$i.s = $i " +
@@ -506,7 +508,7 @@ object PipelineOracles {
        |  SELECT q_id, m_id FROM (
        |    SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
        |      ORDER BY adist ASC, m_id ASC) AS crank
-       |    FROM coarse) WHERE crank <= 80),
+       |    FROM coarse) WHERE crank <= ${10 * expand}),
        |rescored AS (
        |  SELECT cd.q_id, cd.m_id,
        |         list_dot_product(q.v, t.v) / (sqrt(q.nrm) * sqrt(t.nrm)) AS c
@@ -1339,6 +1341,25 @@ object PipelineOracles {
          |            - (SELECT ws FROM wsf) AS BIGINT) >= 0 AS quality_pass
          |FROM b JOIN w$QtRounds USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Streaming twin of q_quality_classify (DocStream.qStreamQualityGate):
+    // the frozen-model gate drained through micro-batches must equal the
+    // batch classifier's per-language aggregate — which is exactly this.
+    "q_stream_quality_gate" ->
+      s"""WITH ${qualityTrainCtes(QtRounds)},
+         |wsf AS (SELECT CAST(sum(w.wgt * s.s) AS BIGINT) AS ws
+         |        FROM w$QtRounds w JOIN sb s USING (bucket)),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c * wgt) * (SELECT d FROM dn)
+         |                      - (SELECT ws FROM wsf) AS BIGINT) AS score
+         |  FROM b JOIN w$QtRounds USING (bucket) GROUP BY doc_id)
+         |SELECT d.lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pass,
+         |       CAST(coalesce(sum(CASE WHEN sc.score >= 0 THEN sc.score END), 0)
+         |         AS BIGINT) AS passed_score
+         |FROM documents d JOIN sc USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // Mirrors TextOps.qPipelineClassified: classifier gate (LEARNED
     // perceptron weights) -> keep-first exact dedup among survivors ->
@@ -2502,8 +2523,8 @@ object PipelineOracles {
          |lsh AS (SELECT q_id, neighbor_id FROM ($ANN_LSH)),
          |ivfk AS (SELECT q_id, neighbor_id FROM ($ANN_IVF_KMEANS)),
          |qr AS (SELECT q_id, neighbor_id FROM ($ANN_QR)),
-         |pq AS (SELECT q_id, neighbor_id FROM ($ANN_PQ)),
-         |adc AS (SELECT q_id, neighbor_id FROM ($AnnAdc)),
+         |pq AS (SELECT q_id, neighbor_id FROM (${annPqSql(nprobe = 5)})),
+         |adc AS (SELECT q_id, neighbor_id FROM (${annAdcSql(expand = 12)})),
          |h AS (
          |  SELECT bf.q_id, count(*) AS n_exact,
          |         CAST(count(i.neighbor_id) AS BIGINT) AS h_ivf,

