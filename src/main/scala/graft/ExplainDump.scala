@@ -119,7 +119,9 @@ object ExplainDump {
       "q_bpe_encode" -> "BPE encoder: merges applied over DISTINCT words (checkpointed chain), doc explode equi-joined onto the vocabulary-sized encoded table",
       "q_seq_pack_bpe" -> "Sequence packing from LEARNED token counts: encode chain feeds the distributed prefix-sum packing tail",
       "q_selfrep_apply" -> "Within-doc repetition removal: keep-first window-min over (doc, content) partitions; shared island/splice tail",
-      "q_suffix_dedup" -> "Suffix-array LCP statistics: final plan = checkpointed rank-table leaves -> one lazy binary-descent join chain -> doc-crossing credit aggregate (the doubling rounds materialize per round; schedule in the scaladoc)")
+      "q_suffix_dedup" -> "Suffix-array LCP statistics: final plan = checkpointed rank-table leaves -> one lazy binary-descent join chain -> doc-crossing credit aggregate (the doubling rounds materialize per round; schedule in the scaladoc)",
+      "q_suffix_apply" -> "Suffix-array exact-span removal: adjacent-LCP descent chain -> per-(doc,run) window min-chains -> char-interval splice; windows partition by (doc, run), never global",
+      "q_crossmodal_retrieval" -> "Cross-modal serving: both stub towers + literal integer alignment heads fold into codegen'd projections; bounded query slice broadcast against the image corpus, per-query top-5 window")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Binary media payload row (codegen needs a public top-level class). */
@@ -261,4 +261,113 @@ object MultimodalOps {
             "frames_md5")
       .orderBy(col("doc_id"))
   }
+
+  /** CROSS-MODAL RETRIEVAL (round-13 verdict stretch item): text→image
+    * top-k over a SHARED embedding space — the CLIP serving shape
+    * (encode each modality → project through per-modality alignment
+    * heads into one space → cosine top-k), with the ENCODERS stubbed
+    * (this container ships no vision/text towers; the fixture pairs the
+    * two modalities by construction, both derived from the same doc) and
+    * every piece of Spark-side machinery real: per-modality feature
+    * extraction, integer projection heads, exact-integer projected
+    * vectors, a bounded broadcast query slice, and windowed top-k.
+    *
+    * - Image tower (stub): the first 256 payload bytes as eight 32-byte
+    *   band sums — exact integers, the byte-level twin of
+    *   [[qImageFeatures]]'s decode (`ascii('') = 0` zero-pads short
+    *   payloads exactly like [[FakeDecode.decode]]).
+    * - Text tower (stub): 8-bucket hashed bag-of-words counts over the
+    *   shared `fh:` hash family ([[TextOps]]' bowCounts scheme).
+    * - Alignment heads: per-modality 8×8 INTEGER matrices with entries
+    *   `hash60("cmI:j:d") % 17 − 8` (resp. `cmT:`), derived DRIVER-side
+    *   via [[graft.ops.TextFns.md5Hex]] (Catalyst never constant-folds
+    *   lambda expressions — the [[SimilarityOps.planeWeights]] lesson)
+    *   and baked in as literals, so projection is one codegen'd integer
+    *   expression per output dim and the DuckDB oracle re-derives the
+    *   exact same matrix in SQL. A real pipeline swaps the literals for
+    *   LEARNED head weights; nothing downstream changes.
+    * - Projected values stay LONGs (|y| ≤ 8·4064·8 < 2^19), dots and
+    *   norms are exact in BIGINT on both engines; only the final cosine
+    *   divides — same integers → bit-identical doubles → the float
+    *   round/order hazards of the ANN rows don't get worse here.
+    *
+    * Scale shape: the query side is a bounded slice (`doc_id % queryMod
+    * == queryRes`) broadcast against the image corpus — the brute-force
+    * BASELINE of the similarity family. The 100-TB path is the existing
+    * IVF/PQ serving machinery unchanged: projected vectors are ordinary
+    * fixed-dim embeddings, so cross-modal serving = [[AnnIndexOps]] over
+    * the image-side projections with text-side queries (recorded in
+    * SURVEY §6; the fixture's 8-dim space makes a separate indexed row
+    * pure duplication of q_ann_index_serve).
+    */
+  private[graft] def cmHead(tag: String): Array[Array[Long]] =
+    Array.tabulate(8, 8) { (j, d) =>
+      java.lang.Long.parseLong(
+        graft.ops.TextFns.md5Hex(s"cm$tag:$j:$d").take(15), 16) % 17 - 8
+    }
+
+  /** Project an 8-element LONG array column through a literal 8×8
+    * integer head: one integer sum-of-products expression per out-dim. */
+  private def projectHead(v: Column, head: Array[Array[Long]]): Column =
+    array((0 until 8).map { d =>
+      (0 until 8).map(j => v.getItem(j) * lit(head(j)(d))).reduce(_ + _)
+    }: _*)
+
+  private def dotL(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  def crossModalRetrieval(docs: DataFrame, k: Int = 5, queryMod: Int = 20,
+                          queryRes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Image tower: 32-byte band sums of the (zero-padded) first 256
+    // payload bytes. ascii(substring) past the end is 0 — the same
+    // zero-padding as FakeDecode.decode.
+    val bandSum = (j: Int) =>
+      (j * 32 until (j + 1) * 32)
+        .map(i => ascii(substring(col("text"), i + 1, 1)).cast("long"))
+        .reduce(_ + _)
+    val img = docs
+      .select(col("doc_id"), array((0 until 8).map(bandSum): _*).as("iv"))
+      .withColumn("y", projectHead(col("iv"), cmHead("I")))
+      .select(col("doc_id").as("img_doc"), col("y"),
+        dotL("y", "y").as("n2"))
+      .filter(col("n2") > 0)
+    // Text tower: 8-bucket hashed BoW counts, assembled into a dense
+    // 8-array via one group-by (no 8-way scan).
+    val tcounts = docs
+      .select(col("doc_id"), explode(TextFns.toks).as("w"))
+      .filter(pmod(col("doc_id"), lit(queryMod)) === queryRes)
+      .select(col("doc_id"),
+        (TextFns.hash60(concat(lit("fh:"), col("w"))) % 8).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val txt = tcounts
+      .groupBy(col("doc_id"))
+      .agg(map_from_arrays(collect_list(col("b")),
+        collect_list(col("c"))).as("m"))
+      .select(col("doc_id"),
+        array((0 until 8).map(j =>
+          coalesce(col("m").getItem(j.toLong), lit(0L))): _*).as("tv"))
+      .withColumn("qy", projectHead(col("tv"), cmHead("T")))
+      .select(col("doc_id").as("q_doc"), col("qy"),
+        dotL("qy", "qy").as("qn2"))
+      .filter(col("qn2") > 0)
+    // Cross join is the brute-force baseline by construction: every
+    // (query, image) pair is scored, with the bounded query slice on the
+    // broadcast side — image rows never shuffle.
+    val scored = img.crossJoin(broadcast(txt))
+      .withColumn("cos",
+        dotL("qy", "y").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy(col("q_doc"))
+      .orderBy(col("cos").desc, col("img_doc").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_doc"), col("rank"), col("img_doc"),
+        round(col("cos"), 3).as("cos"))
+      .orderBy(col("q_doc"), col("rank"))
+  }
+
+  def qCrossmodalRetrieval(spark: SparkSession, dir: String): DataFrame =
+    crossModalRetrieval(documents(spark, dir))
 }

@@ -2484,6 +2484,61 @@ object PipelineOracles {
         |       md5(substr(text, 1, 64)) AS head_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Mirrors MultimodalOps.crossModalRetrieval end to end: the two stub
+    // towers (32-byte band sums over the zero-padded 256-byte payload;
+    // 8-bucket fh:-hashed BoW counts), the md5-derived integer alignment
+    // heads (cmI/cmT, % 17 − 8), exact-BIGINT projections/dots/norms,
+    // and the one shared IEEE cosine + row_number top-5. Missing text
+    // buckets contribute 0 on both sides (dense-array fill in Spark ==
+    // absent join rows under SUM here).
+    "q_crossmodal_retrieval" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+        |hI AS (
+        |  SELECT j, dd,
+        |    CAST(('0x' || substr(md5('cmI:' || j::VARCHAR || ':' || dd::VARCHAR), 1, 15)) AS BIGINT) % 17 - 8 AS wt
+        |  FROM generate_series(0, 7) a(j), generate_series(0, 7) bb(dd)),
+        |hT AS (
+        |  SELECT j, dd,
+        |    CAST(('0x' || substr(md5('cmT:' || j::VARCHAR || ':' || dd::VARCHAR), 1, 15)) AS BIGINT) % 17 - 8 AS wt
+        |  FROM generate_series(0, 7) a(j), generate_series(0, 7) bb(dd)),
+        |b AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN i < len THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END AS v
+        |  FROM d, generate_series(0, 255) t(i)),
+        |iv AS (SELECT doc_id, i // 32 AS j, CAST(sum(v) AS BIGINT) AS f
+        |       FROM b GROUP BY 1, 2),
+        |iy AS (SELECT iv.doc_id, dd, CAST(sum(f * wt) AS BIGINT) AS y
+        |       FROM iv JOIN hI ON hI.j = iv.j GROUP BY 1, 2),
+        |inorm AS (SELECT doc_id, CAST(sum(y * y) AS BIGINT) AS n2
+        |          FROM iy GROUP BY 1 HAVING n2 > 0),
+        |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM d WHERE doc_id % 20 = 3),
+        |tc AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 8 AS j,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM tw GROUP BY 1, 2),
+        |ty AS (SELECT tc.doc_id, dd, CAST(sum(c * wt) AS BIGINT) AS y
+        |       FROM tc JOIN hT ON hT.j = tc.j GROUP BY 1, 2),
+        |tnorm AS (SELECT doc_id, CAST(sum(y * y) AS BIGINT) AS qn2
+        |          FROM ty GROUP BY 1 HAVING qn2 > 0),
+        |dotp AS (
+        |  SELECT ty.doc_id AS q_doc, iy.doc_id AS img_doc,
+        |         CAST(sum(ty.y * iy.y) AS BIGINT) AS dp
+        |  FROM ty JOIN iy ON ty.dd = iy.dd GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT q_doc, img_doc,
+        |         dp::DOUBLE / (sqrt(qn2::DOUBLE) * sqrt(n2::DOUBLE)) AS c
+        |  FROM dotp
+        |  JOIN tnorm ON tnorm.doc_id = q_doc
+        |  JOIN inorm ON inorm.doc_id = img_doc),
+        |rk AS (
+        |  SELECT q_doc, img_doc, c,
+        |         row_number() OVER (PARTITION BY q_doc
+        |           ORDER BY c DESC, img_doc ASC) AS rank
+        |  FROM cosd)
+        |SELECT q_doc, rank, img_doc, round(c, 3) AS cos
+        |FROM rk WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin,
+
     // ---- EventStream (batch twin of the AvailableNow drain) ----
     // Mirrors EventStream.ingestStatsOf: content-dedup then per-lang
     // exact-integer stats. The stream's dropDuplicates keeps the first
