@@ -306,57 +306,86 @@ object MultimodalOps {
         graft.ops.TextFns.md5Hex(s"cm$tag:$j:$d").take(15), 16) % 17 - 8
     }
 
-  /** Project an 8-element LONG array column through a literal 8×8
-    * integer head: one integer sum-of-products expression per out-dim. */
-  private def projectHead(v: Column, head: Array[Array[Long]]): Column =
-    array((0 until 8).map { d =>
-      (0 until 8).map(j => v.getItem(j) * lit(head(j)(d))).reduce(_ + _)
-    }: _*)
+  /** Per-PAIR integer dot (the cosine numerator): explicit 8-term
+    * unroll — it runs once per (query, image) PAIR, where an
+    * interpreted higher-order form measured 28 s row total at sf0.1 vs
+    * ~1 s unrolled. Its inputs are join-child ATTRIBUTES
+    * (CollapseProject never crosses the join), so each getItem is a
+    * real O(1) array read, never an inlined tower re-computation. */
+  private def dotPair(a: String, b: String): Column =
+    (0 until 8).map(i => col(a).getItem(i) * col(b).getItem(i))
+      .reduce(_ + _)
 
-  private def dotL(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-
-  def crossModalRetrieval(docs: DataFrame, k: Int = 5, queryMod: Int = 20,
+  def crossModalRetrieval(docs: DataFrame, k: Int = 5, queryMod: Int = 200,
                           queryRes: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // STAGE DISCIPLINE (measured, not stylistic). A pure-expression
+    // image tower (256 ascii(substring) terms per band sum) gets
+    // re-inlined into every head/norm consumer by CollapseProject +
+    // SimplifyExtractValueOps — a 10k+-node projection that either OOMs
+    // janino (array form) or falls out of whole-stage codegen behind a
+    // zip_with norm (measured 18.7 s row total at sf0.1). So the band
+    // sums run in the multimodal family's native shape instead — one
+    // byte loop per row via mapPartitions over [[Blob]], the same
+    // batch plumbing as [[qImageFeatures]] — which is also a hard
+    // optimizer barrier: everything downstream reads ATTRIBUTES, and
+    // the head/norm arithmetic (≤128 integer terms) codegens cleanly.
+    val headI = cmHead("I"); val headT = cmHead("T")
+    import docs.sparkSession.implicits._
     // Image tower: 32-byte band sums of the (zero-padded) first 256
-    // payload bytes. ascii(substring) past the end is 0 — the same
-    // zero-padding as FakeDecode.decode.
-    val bandSum = (j: Int) =>
-      (j * 32 until (j + 1) * 32)
-        .map(i => ascii(substring(col("text"), i + 1, 1)).cast("long"))
-        .reduce(_ + _)
-    val img = docs
-      .select(col("doc_id"), array((0 until 8).map(bandSum): _*).as("iv"))
-      .withColumn("y", projectHead(col("iv"), cmHead("I")))
-      .select(col("doc_id").as("img_doc"), col("y"),
-        dotL("y", "y").as("n2"))
+    // payload bytes — the byte-level twin of FakeDecode.decode's
+    // zero-padding.
+    val bands = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map { b =>
+        val s = Array.fill(8)(0L)
+        var i = 0
+        val n = math.min(b.payload.length, 256)
+        while (i < n) { s(i / 32) += (b.payload(i) & 0xff).toLong; i += 1 }
+        (b.doc_id, s)
+      })
+      .toDF("doc_id", "bands")
+    val iy = bands.select(
+      col("doc_id") +: (0 until 8).map { d =>
+        (0 until 8).map(j => col("bands").getItem(j) * lit(headI(j)(d)))
+          .reduce(_ + _).as(s"y$d")
+      }: _*)
+    val img = iy.select(col("doc_id").as("img_doc"),
+        array((0 until 8).map(d => col(s"y$d")): _*).as("y"),
+        (0 until 8).map(d => col(s"y$d") * col(s"y$d")).reduce(_ + _)
+          .as("n2"))
       .filter(col("n2") > 0)
-    // Text tower: 8-bucket hashed BoW counts, assembled into a dense
-    // 8-array via one group-by (no 8-way scan).
+    // Text tower: 8-bucket hashed BoW counts; the group-by exchange is
+    // the materialization barrier, so the projection head reads
+    // aggregate ATTRIBUTES.
     val tcounts = docs
       .select(col("doc_id"), explode(TextFns.toks).as("w"))
       .filter(pmod(col("doc_id"), lit(queryMod)) === queryRes)
       .select(col("doc_id"),
         (TextFns.hash60(concat(lit("fh:"), col("w"))) % 8).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val txt = tcounts
+    val tAggs = (0 until 8).map(j =>
+      sum(when(col("b") === j, col("c")).otherwise(0L)).as(s"t$j"))
+    val tv = tcounts
       .groupBy(col("doc_id"))
-      .agg(map_from_arrays(collect_list(col("b")),
-        collect_list(col("c"))).as("m"))
-      .select(col("doc_id"),
-        array((0 until 8).map(j =>
-          coalesce(col("m").getItem(j.toLong), lit(0L))): _*).as("tv"))
-      .withColumn("qy", projectHead(col("tv"), cmHead("T")))
-      .select(col("doc_id").as("q_doc"), col("qy"),
-        dotL("qy", "qy").as("qn2"))
+      .agg(tAggs.head, tAggs.tail: _*)
+    val ty = tv.select(
+      col("doc_id") +: (0 until 8).map { d =>
+        (0 until 8).map(j => col(s"t$j") * lit(headT(j)(d))).reduce(_ + _)
+          .as(s"q$d")
+      }: _*)
+    val txt = ty.select(col("doc_id").as("q_doc"),
+        array((0 until 8).map(d => col(s"q$d")): _*).as("qy"),
+        (0 until 8).map(d => col(s"q$d") * col(s"q$d")).reduce(_ + _)
+          .as("qn2"))
       .filter(col("qn2") > 0)
     // Cross join is the brute-force baseline by construction: every
     // (query, image) pair is scored, with the bounded query slice on the
     // broadcast side — image rows never shuffle.
     val scored = img.crossJoin(broadcast(txt))
       .withColumn("cos",
-        dotL("qy", "y").cast("double") /
+        dotPair("qy", "y").cast("double") /
           (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
     val w = Window.partitionBy(col("q_doc"))
       .orderBy(col("cos").desc, col("img_doc").asc)

@@ -2512,7 +2512,7 @@ object PipelineOracles {
         |inorm AS (SELECT doc_id, CAST(sum(y * y) AS BIGINT) AS n2
         |          FROM iy GROUP BY 1 HAVING n2 > 0),
         |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |       FROM d WHERE doc_id % 20 = 3),
+        |       FROM d WHERE doc_id % 200 = 3),
         |tc AS (SELECT doc_id,
         |         CAST(('0x' || substr(md5('fh:' || w), 1, 15)) AS BIGINT) % 8 AS j,
         |         CAST(count(*) AS BIGINT) AS c

@@ -92,7 +92,7 @@ class CrossModalSpec extends AnyFunSuite {
     }
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0005))
     // query slice honored
-    assert(byQ.keys.forall(_ % 20 == 3))
+    assert(byQ.keys.forall(_ % 200 == 3))
     val again = MultimodalOps.qCrossmodalRetrieval(spark, Sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
