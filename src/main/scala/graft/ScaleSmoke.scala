@@ -525,6 +525,21 @@ object ScaleSmoke {
         ops.DedupOps.qSuffixDedup(spark, d))
     }
 
+    // Round-14 rows: suffix-array span REMOVAL (the full SA build +
+    // adjacent-LCP min-chains + splice) and cross-modal retrieval
+    // (towers + broadcast bounded query slice × image corpus).
+    if (wanted("suffix_apply")) {
+      time("suffix_apply_1x", base)(d => ops.DedupOps.qSuffixApply(spark, d))
+      time(s"suffix_apply_${factor}x", scaled)(d =>
+        ops.DedupOps.qSuffixApply(spark, d))
+    }
+    if (wanted("crossmodal")) {
+      time("crossmodal_1x", base)(d =>
+        ops.MultimodalOps.qCrossmodalRetrieval(spark, d))
+      time(s"crossmodal_${factor}x", scaled)(d =>
+        ops.MultimodalOps.qCrossmodalRetrieval(spark, d))
+    }
+
     // dedupApply under HIGH duplication: real web corpora shed 30–80% of
     // documents at dedup, so the drop set is corpus-scale, not "vanishing".
     // Build a corpus where every base doc has a near-identical twin (≥50%

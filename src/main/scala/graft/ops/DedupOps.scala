@@ -586,14 +586,21 @@ object DedupOps {
       // ~4^iter and a sparse deep graph that needs 8+ rounds OOMs the
       // DRIVER on plan bookkeeping alone before any executor works.
       val beforeIds = sc.getPersistentRDDs.keySet.toSet
-      val next = (if (iter == 0) stepped else {
-        val ptr = stepped.select(col("id").as("label"), col("label").as("gl"))
-        stepped
-          .join(ptr, Seq("label"), "left")
-          .select(col("id"),
-                  least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
-                  col("prev"))
-      }).localCheckpoint(true)
+      // Reset-stats checkpoint: the round tree references the previous
+      // leaf ~4× (neighbor join, convergence carry, both pointer-jump
+      // sides), so an INHERITING checkpoint quadruples the estimated
+      // sizeInBytes DIGITS per round — a driver BigInteger hang on deep
+      // graphs, on top of the plan-size growth the comment above
+      // describes (GraftCheckpointBridge doc has the measured trace).
+      val next = org.apache.spark.sql.GraftCheckpointBridge
+        .localCheckpointResetStats(if (iter == 0) stepped else {
+          val ptr = stepped.select(col("id").as("label"), col("label").as("gl"))
+          stepped
+            .join(ptr, Seq("label"), "left")
+            .select(col("id"),
+                    least(col("label"), coalesce(col("gl"), col("label"))).as("label"),
+                    col("prev"))
+        })
       val myIds = sc.getPersistentRDDs.keySet.toSet.diff(beforeIds)
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       persisted.unpersist()
@@ -1114,13 +1121,27 @@ object DedupOps {
       val keyed = act.join(lookup, Seq("doc_id", "p"), "left")
         .select(col("doc_id"), col("p"), col("r"),
           coalesce(col("r2"), lit(-1L)).as("r2"))
-      active = (if (deskew)
-          deskewedGroupRank(keyed, Seq("r2"))
-        else
-          keyed.withColumn("nr", col("r") + rank().over(
-            Window.partitionBy(col("r")).orderBy(col("r2"))) - 1))
-        .select(col("doc_id"), col("p"), col("nr").as("r"))
-        .localCheckpoint()
+      val t0dbg = System.nanoTime()
+      // Round boundary: checkpoint WITHOUT inheriting estimated stats.
+      // Each round references its input leaf ~6 times multiplicatively
+      // (act self-pair via lookup, then the deskew join-back), so an
+      // inheriting localCheckpoint compounds sizeInBytes DIGITS 6× per
+      // round — measured 5.6M digits by round 6, hanging the driver in
+      // BigInteger math inside JoinSelection (GraftCheckpointBridge doc
+      // has the full trace). Runtime AQE stats drive the join choices
+      // instead.
+      active = org.apache.spark.sql.GraftCheckpointBridge
+        .localCheckpointResetStats(
+          (if (deskew)
+            deskewedGroupRank(keyed, Seq("r2"))
+          else
+            keyed.withColumn("nr", col("r") + rank().over(
+              Window.partitionBy(col("r")).orderBy(col("r2"))) - 1))
+          .select(col("doc_id"), col("p"), col("nr").as("r")))
+      if (sys.env.contains("GRAFT_SUFFIX_DEBUG"))
+        println(f"SUFFIXDBG round=$k deskew=$deskew " +
+          f"ckpt=${(System.nanoTime() - t0dbg) / 1e9}%.1f s " +
+          s"statsDigits=${active.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length}")
       tables += fullTable(active)
     }
     // SA positions: bucket-start rank + ordinal within the (fully-equal)
@@ -1171,6 +1192,13 @@ object DedupOps {
         ranked.select(col("grank").as("key"), col("__sd_cnt").as("tot")),
         256, 2, reuseInput = false)
       .select(col("key").as("grank"), col("offset").as("__sd_off"))
+    // The group-base subtraction below is LOAD-BEARING, not redundant:
+    // `rows` holds only the ACTIVE suffixes (groups of size ≥ 2), so the
+    // global exclusive offset counts active rows only, while `r` is a
+    // bucket-start rank over ALL suffixes including the frozen
+    // singletons — nr must be r + (off − group base), never off itself
+    // (a round-14 "simplification" to bare `off` was caught by
+    // SuffixDedupSpec's path-equality pin within minutes).
     val withOff = ranked.join(offs, Seq("grank")).localCheckpoint()
     val base = withOff.groupBy(col("r")).agg(min(col("__sd_off")).as("__sd_base"))
     val nrMap = withOff.join(base, Seq("r"))

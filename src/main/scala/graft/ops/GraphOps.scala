@@ -57,13 +57,19 @@ object GraphOps {
                 expr("pr * wgt div out_w").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("in_c"))
-      val next = rank.select(col("node"), col("n_nodes"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-                (expr("150000L div n_nodes") +
-                  expr("850000L * coalesce(in_c, 0L) div 1000000")).as("pr"),
-                col("n_nodes"))
-        .localCheckpoint()
+      // Reset-stats checkpoint: `rank` feeds both the contribution pass
+      // and the carry join (2 leaf references), so inherited estimated
+      // stats double their DIGITS per round — harmless at the fixture's
+      // 3 iterations, a driver-side BigInteger hang at the 20–50
+      // iterations production PageRank runs (GraftCheckpointBridge doc).
+      val next = org.apache.spark.sql.GraftCheckpointBridge
+        .localCheckpointResetStats(
+          rank.select(col("node"), col("n_nodes"))
+            .join(contrib, Seq("node"), "left")
+            .select(col("node"),
+                    (expr("150000L div n_nodes") +
+                      expr("850000L * coalesce(in_c, 0L) div 1000000")).as("pr"),
+                    col("n_nodes")))
       if (tolPpm > 0L) {
         val moved = rank.select(col("node"), col("pr").as("prev_pr"))
           .join(next, Seq("node"))
@@ -232,8 +238,11 @@ object GraphOps {
     var converged = false
     (1 to rounds).foreach { _ =>
       if (!converged) {
-        val next = trussRound(edges, k)
-          .localCheckpoint(false)
+        // Reset-stats checkpoint (see kCore): the ~8× leaf references
+        // below would otherwise compound estimated sizeInBytes digits
+        // 8× per round — driver-side BigInteger hang at depth.
+        val next = org.apache.spark.sql.GraftCheckpointBridge
+          .localCheckpointResetStats(trussRound(edges, k), eager = false)
         val n = next.count()
         edges = next
         converged = n == prevEdges
@@ -494,7 +503,14 @@ object GraphOps {
         // lesson — q_kcore_full's 6-round sf0.1 fixpoint hit it; the old
         // 3-round cap never did). Lazy checkpoint + count = one action
         // that materializes the round AND truncates the plan.
-        val next = peelRound(edges, k).localCheckpoint(false)
+        // Reset-stats checkpoint: peelRound references the leaf ~5×, so
+        // an INHERITING checkpoint also compounds the leaf's estimated
+        // sizeInBytes DIGITS 5× per round — exponential BigInteger
+        // growth that hangs the DRIVER in JoinSelection past depth ~8
+        // (GraftCheckpointBridge doc has the measured trace). AQE's
+        // runtime stats drive the per-round join choices instead.
+        val next = org.apache.spark.sql.GraftCheckpointBridge
+          .localCheckpointResetStats(peelRound(edges, k), eager = false)
         val n = next.count() // materialize before releasing the parent
         edges.unpersist()
         edges = next
