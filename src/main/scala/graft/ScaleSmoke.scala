@@ -519,10 +519,15 @@ object ScaleSmoke {
       skewify(Tables.documents(spark, scaled)).repartition(32)
         .write.mode("overwrite").parquet(
           s"$skewDir/${factor}x/documents.parquet")
+      // deskewAbove = 0 forces the deskew path at BOTH scales (the
+      // default threshold is task-sized, 2^22 — this probe measures the
+      // 100-TB path's scaling, not the default's routing).
       time("suffix_skew_1x", s"$skewDir/1x")(d =>
-        ops.DedupOps.qSuffixDedup(spark, d))
+        ops.DedupOps.suffixDedupStats(
+          Tables.documents(spark, d), 0, 0L))
       time(s"suffix_skew_${factor}x", s"$skewDir/${factor}x")(d =>
-        ops.DedupOps.qSuffixDedup(spark, d))
+        ops.DedupOps.suffixDedupStats(
+          Tables.documents(spark, d), 0, 0L))
     }
 
     // Round-14 rows: suffix-array span REMOVAL (the full SA build +

@@ -1008,11 +1008,19 @@ object DedupOps {
     * arithmetic computed by distributed rank + distributed prefix sum
     * with no per-group sort anywhere (round-13 verdict item #1;
     * SuffixDedupSpec pins path equality, ScaleSmoke probes a 30%-skew
-    * corpus). The fixture's uniform 31-word vocabulary stays on the
-    * cheaper window path.
+    * corpus).
+    *
+    * The threshold is "rows ONE window task can sort comfortably", not
+    * a skew detector: 2^22 ≈ 4M rows of (r, r2) longs sort in ~1 s in a
+    * single task, while the deskew machinery costs ~3 extra
+    * materializations per round (measured 4× the window path's wall
+    * time at equal scale — round-14 probes). A 100-TB Zipfian head
+    * (top token ~5% of 10^12 tokens ≈ 5·10^10) exceeds any task-sized
+    * threshold and deskews as intended; fixture-scale and moderate
+    * corpora stay on the cheap path.
     */
   def suffixDedupStats(docs: DataFrame, rounds: Int = 0,
-                       deskewAbove: Long = 1L << 16): DataFrame = {
+                       deskewAbove: Long = 1L << 22): DataFrame = {
     val idx = buildSuffixIndex(docs, rounds, deskewAbove)
     if (idx.isEmpty)
       return docs.select(col("doc_id"),
@@ -1294,7 +1302,7 @@ object DedupOps {
     * must agree exactly) and exact splices on constructed corpora.
     */
   def suffixDedupApply(docs: DataFrame, minTok: Int = 5, rounds: Int = 0,
-                       deskewAbove: Long = 1L << 16): DataFrame = {
+                       deskewAbove: Long = 1L << 22): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"),
       length(col("text")).as("n_chars"))
     val idxOpt = buildSuffixIndex(docs, rounds, deskewAbove)
