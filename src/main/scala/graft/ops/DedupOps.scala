@@ -1312,56 +1312,12 @@ object DedupOps {
     val idx = idxOpt.get
     // ALL adjacent SA pairs this time (the stats row keeps only doc-
     // crossing ones): the min-chains below need same-doc links too.
-    val pairs = idx.sa
-      .select(col("doc_id").as("d1"), col("p").as("p1"), col("sp"))
-      .join(idx.sa.select(col("doc_id").as("d2"), col("p").as("p2"),
-        (col("sp") - 1).as("sp")), Seq("sp"))
-      .select(col("d1"), col("p1"), col("d2"), col("p2"), lit(0L).as("l"))
-    // Adjacent LCP keyed by the LATER suffix's SA position ((d2, p2) is
-    // unique per pair, so the join-back recovers sp). Checkpointed: it
-    // feeds both window branches AND the run-exit join — un-materialized,
-    // the whole descent chain would run once per reference.
-    val al = clampLcp(lcpDescent(pairs, idx), idx.nTok)
-      .join(idx.sa.select(col("doc_id").as("d2"), col("p").as("p2"),
-        col("sp")), Seq("d2", "p2"))
-      .select(col("sp"), col("lcp"))
+    val rl = suffixLcpRelation(idx)
+      // feeds the two window branches AND the run-exit join —
+      // un-materialized, the whole descent chain would run once per
+      // reference (the lineage-clone rule)
       .localCheckpoint()
-    // Runs: gaps-and-islands over each doc's SA positions.
-    val runs = idx.sa.withColumn("rid",
-      col("sp") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("sp"))))
-    val rl = runs.join(al, Seq("sp"), "left").localCheckpoint()
-    val wPre = Window.partitionBy(col("doc_id"), col("rid"))
-      .orderBy(col("sp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFol = Window.partitionBy(col("doc_id"), col("rid"))
-      .orderBy(col("sp"))
-      .rowsBetween(1, Window.unboundedFollowing)
-    // lcp is NULL only at sp = 1 (no predecessor): a run containing it
-    // has NO crossing above — min() would skip the NULL and return a
-    // same-doc lcp, so the null must PROPAGATE, not drop.
-    val pc = rl
-      .withColumn("hasnull",
-        max(when(col("lcp").isNull, 1).otherwise(0)).over(wPre))
-      .withColumn("prevcross", when(col("hasnull") === 1,
-        lit(null).cast("long")).otherwise(min(col("lcp")).over(wPre)))
-      .withColumn("sufmin", min(col("lcp")).over(wFol))
-    // Run-exit LCP: the adjacent lcp at (run end + 1) crosses into the
-    // next doc's territory; NULL when the run closes the corpus.
-    val outl = rl.groupBy(col("doc_id"), col("rid"))
-      .agg(max(col("sp")).as("bsp"))
-      .join(al.select((col("sp") - 1).as("bsp"), col("lcp").as("out_lcp")),
-        Seq("bsp"), "left")
-      .select(col("doc_id"), col("rid"), col("out_lcp"))
-    val mc = pc.join(outl, Seq("doc_id", "rid"))
-      .withColumn("nextcross", when(col("out_lcp").isNull,
-          lit(null).cast("long"))
-        .otherwise(least(col("out_lcp"),
-          coalesce(col("sufmin"), col("out_lcp")))))
-      .select(col("doc_id"), col("p"),
-        greatest(coalesce(col("prevcross"), lit(0L)),
-          coalesce(col("nextcross"), lit(0L))).as("mc"))
-      .filter(col("mc") >= minTok)
+    val mc = crossDocMax(rl).filter(col("mc") >= minTok)
     // Token span → char interval via one per-doc prefix sum of token
     // lengths (tokens plus their internal separators are removed;
     // boundary separators survive — deterministic and oracle-mirrored).
@@ -1385,6 +1341,161 @@ object DedupOps {
 
   def qSuffixApply(spark: SparkSession, dir: String): DataFrame =
     suffixDedupApply(documents(spark, dir))
+
+  /** The SA + adjacent-LCP relation `(sp, doc_id, p, lcp)` — the
+    * suffix structure both the removal tail and the durable index
+    * serve from. `lcp` = LCP of the suffix at `sp` with the suffix at
+    * `sp − 1` (clamped to both remaining lengths; NULL at the first SA
+    * position, which has no predecessor). Keyed by the LATER suffix's
+    * SA position: (d2, p2) is unique per adjacent pair, so the join
+    * back onto the SA recovers `sp`. */
+  private def suffixLcpRelation(idx: SuffixIndex): DataFrame = {
+    val pairs = idx.sa
+      .select(col("doc_id").as("d1"), col("p").as("p1"), col("sp"))
+      .join(idx.sa.select(col("doc_id").as("d2"), col("p").as("p2"),
+        (col("sp") - 1).as("sp")), Seq("sp"))
+      .select(col("d1"), col("p1"), col("d2"), col("p2"), lit(0L).as("l"))
+    val al = clampLcp(lcpDescent(pairs, idx), idx.nTok)
+      .join(idx.sa.select(col("doc_id").as("d2"), col("p").as("p2"),
+        col("sp")), Seq("d2", "p2"))
+      .select(col("sp"), col("lcp"))
+    idx.sa.join(al, Seq("sp"), "left")
+      .select(col("sp"), col("doc_id"), col("p"), col("lcp"))
+  }
+
+  /** Per-SUFFIX max cross-document LCP `(doc_id, p, mc)` from the SA +
+    * adjacent-LCP relation — the run/min-chain construction shared by
+    * [[suffixDedupApply]] (which splices spans ≥ threshold) and the
+    * stored-index serve path (which aggregates the per-doc max):
+    * consecutive same-doc SA entries form RUNS (gaps-and-islands on
+    * `sp`), prevCross(i) = min adjacent lcp over [run start .. i] (the
+    * run start's lcp crosses into the previous doc), nextCross(i) =
+    * min over (i .. run end + 1] (the run-exit lcp crosses into the
+    * next doc), mc = max of the two (NULL side = corpus boundary).
+    * Windows partition by (doc, run) — never global. */
+  private[graft] def crossDocMax(saLcp: DataFrame): DataFrame = {
+    val al = saLcp.filter(col("lcp").isNotNull)
+      .select(col("sp"), col("lcp"))
+    // Runs: gaps-and-islands over each doc's SA positions.
+    val rl = saLcp.withColumn("rid",
+      col("sp") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("sp"))))
+    val wPre = Window.partitionBy(col("doc_id"), col("rid"))
+      .orderBy(col("sp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFol = Window.partitionBy(col("doc_id"), col("rid"))
+      .orderBy(col("sp"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    // lcp is NULL only at the first SA position (no predecessor): a run
+    // containing it has NO crossing above — min() would skip the NULL
+    // and return a same-doc lcp, so the null must PROPAGATE, not drop.
+    val pc = rl
+      .withColumn("hasnull",
+        max(when(col("lcp").isNull, 1).otherwise(0)).over(wPre))
+      .withColumn("prevcross", when(col("hasnull") === 1,
+        lit(null).cast("long")).otherwise(min(col("lcp")).over(wPre)))
+      .withColumn("sufmin", min(col("lcp")).over(wFol))
+    // Run-exit LCP: the adjacent lcp at (run end + 1) crosses into the
+    // next doc's territory; NULL when the run closes the corpus.
+    val outl = rl.groupBy(col("doc_id"), col("rid"))
+      .agg(max(col("sp")).as("bsp"))
+      .join(al.select((col("sp") - 1).as("bsp"), col("lcp").as("out_lcp")),
+        Seq("bsp"), "left")
+      .select(col("doc_id"), col("rid"), col("out_lcp"))
+    pc.join(outl, Seq("doc_id", "rid"))
+      .withColumn("nextcross", when(col("out_lcp").isNull,
+          lit(null).cast("long"))
+        .otherwise(least(col("out_lcp"),
+          coalesce(col("sufmin"), col("out_lcp")))))
+      .select(col("doc_id"), col("p"),
+        greatest(coalesce(col("prevcross"), lit(0L)),
+          coalesce(col("nextcross"), lit(0L))).as("mc"))
+  }
+
+  /** SUFFIX ARRAY AS A DURABLE INDEX — the production deployment shape
+    * of exact-substring dedup (Lee et al. 2022 build the suffix array
+    * ON DISK once and query it repeatedly): the corpus-wide SA + LCP
+    * build pays once into the KeyedStore (the ANN-index /
+    * quality-model artifact pattern, round-13 verdict item #3 family),
+    * and every downstream consumer — duplication statistics, span
+    * discovery, audits — serves from the stored `(sp, doc_id, p, lcp)`
+    * relation with NO suffix ranking, NO descent, and no corpus text:
+    * [[crossDocMax]]'s per-(doc, run) windows over a region-pruned
+    * store scan are the whole serve cost.
+    *
+    * The store is fingerprint-guarded like the model registry: a meta
+    * row at `sp = −1` carries an O(1)-verifiable corpus fingerprint
+    * (count/chars/id-sum aggregate), so a regenerated corpus at the
+    * same path invalidates the artifact instead of silently serving
+    * stale suffix structure. Rebuild = drop + create (copy-on-write at
+    * the region level inside the store).
+    */
+  def suffixIndexBuild(docs: DataFrame, name: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = docsFingerprint(docs)
+    val rel = buildSuffixIndex(docs, 0, 1L << 22)
+      .map(suffixLcpRelation)
+      .getOrElse(spark.range(0).select(col("id").as("sp"),
+        col("id").as("doc_id"), col("id").as("p"), col("id").as("lcp")))
+    val rows = rel.unionByName(
+      spark.range(1).select(lit(-1L).as("sp"), lit(fp).as("doc_id"),
+        lit(0L).as("p"), lit(0L).cast("long").as("lcp")))
+    if (KeyedStore.exists(spark, name)) KeyedStore.drop(spark, name)
+    KeyedStore.create(spark, name, rows, "sp", 65536)
+    // Accounting from the READ-BACK (the stored artifact is the thing
+    // being certified, not the build pipeline): row/doc counts, total
+    // adjacent LCP mass, and an order-sensitive modular checksum of the
+    // (sp, p, doc) permutation — all BIGINT-exact and oracle-mirrored.
+    KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
+      .agg(count(lit(1)).as("n_suffixes"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        coalesce(sum(coalesce(col("lcp"), lit(0L))), lit(0L)).as("sum_lcp"),
+        coalesce(sum((col("sp") * 31 + col("p") * 7 + col("doc_id"))
+          % 1000003L), lit(0L)).as("checksum"))
+  }
+
+  /** Serve duplication statistics from the FROZEN suffix index:
+    * train-once/serve-frozen resolution (store hit with matching
+    * fingerprint → serve; miss/stale → build-and-persist first), then
+    * one region-pruned scan + [[crossDocMax]] + a per-doc max. Output
+    * is row-identical to [[suffixDedupStats]] — the oracle is the SAME
+    * SQL — but the serve path never ranks a suffix. */
+  def suffixIndexServe(docs: DataFrame, name: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = docsFingerprint(docs)
+    val stale =
+      if (!KeyedStore.exists(spark, name)) true
+      else {
+        val meta = KeyedStore.scan(spark, name, "sp", -1L, -1L).collect()
+        meta.isEmpty || meta.head.getAs[Long]("doc_id") != fp
+      }
+    if (stale) suffixIndexBuild(docs, name).collect()
+    val rel = KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
+    val mx = crossDocMax(rel)
+      .groupBy(col("doc_id")).agg(max(col("mc")).as("mx"))
+    docs.select(col("doc_id"),
+        size(TextFns.toks).cast("long").as("n_tokens"))
+      .join(mx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("mx"), lit(0L)).as("max_dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** O(1)-verifiable corpus fingerprint for artifact staleness (the
+    * model-registry guard): count/char-mass/id-sum in one aggregate —
+    * catches any fixture regeneration without hashing text. */
+  private def docsFingerprint(docs: DataFrame): Long =
+    docs.agg((count(lit(1)) * 1000003L + sum(length(col("text"))) * 31L +
+      sum(col("doc_id"))).as("fp")).head().getLong(0)
+
+  private def suffixStoreName(dir: String): String =
+    "graft_suffix_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  def qSuffixIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    suffixIndexBuild(documents(spark, dir), suffixStoreName(dir))
+
+  def qSuffixIndexServe(spark: SparkSession, dir: String): DataFrame =
+    suffixIndexServe(documents(spark, dir), suffixStoreName(dir))
 
   /** WINNOWING-GATED exact-span removal — [[qSubstrApplyExact]]'s
     * semantics at the cost structure the 100 TB path needs (the plan

@@ -14,6 +14,39 @@ object PipelineOracles {
   /** The four ANN oracle queries, as vals so q_ann_recall can compose
     * them as subqueries (the recall twin stays in sync by construction).
     */
+  // Mirrors DedupOps.suffixDedupStats — but STRUCTURALLY INDEPENDENT:
+  // the oracle materializes every suffix token list and sorts it
+  // (affordable at oracle scale; DuckDB list comparison is
+  // lexicographic, shorter-prefix-first — exactly the Spark side's
+  // −1-padded rank order), takes adjacent doc-crossing pairs, and
+  // computes each LCP by direct first-mismatch scan. nullif: DuckDB
+  // list_position returns 0 (not NULL) when no mismatch exists (one
+  // suffix is a prefix of the other) — the clamp case. Shared by
+  // q_suffix_dedup and the stored-index serve row (output-identical).
+  private val SUFFIX_STATS_SQL =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS MATERIALIZED (
+      |  SELECT doc_id, i AS p, w[i:len(w)] AS suf
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+      |o AS MATERIALIZED (
+      |  SELECT doc_id, p, suf, row_number() OVER (ORDER BY suf, doc_id, p) AS sp
+      |  FROM s),
+      |pr AS (
+      |  SELECT a.suf AS s1, b.suf AS s2, a.doc_id AS d1, b.doc_id AS d2
+      |  FROM o a JOIN o b ON b.sp = a.sp + 1 AND a.doc_id <> b.doc_id),
+      |lc AS MATERIALIZED (
+      |  SELECT d1, d2,
+      |         coalesce(nullif(list_position(list_transform(
+      |             generate_series(1, least(len(s1), len(s2))),
+      |             i -> s1[i] <> s2[i]), true), 0) - 1,
+      |           least(len(s1), len(s2))) AS lcp
+      |  FROM pr),
+      |cred AS (SELECT d1 AS doc_id, lcp FROM lc UNION ALL SELECT d2, lcp FROM lc),
+      |mx AS (SELECT doc_id, max(lcp) AS mx FROM cred GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(mx.mx, 0) AS BIGINT) AS max_dup_tokens
+      |FROM t LEFT JOIN mx USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   private val ANN_BF =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1552,15 +1585,22 @@ object PipelineOracles {
     // WITHIN-doc repetition removal (DedupOps.selfRepApply).
     "q_selfrep_apply" -> selfRepSql(16),
 
-    // Mirrors DedupOps.suffixDedupStats — but STRUCTURALLY INDEPENDENT:
-    // the oracle materializes every suffix token list and sorts it
-    // (affordable at oracle scale; DuckDB list comparison is
-    // lexicographic, shorter-prefix-first — exactly the Spark side's
-    // −1-padded rank order), takes adjacent doc-crossing pairs, and
-    // computes each LCP by direct first-mismatch scan. nullif: DuckDB
-    // list_position returns 0 (not NULL) when no mismatch exists (one
-    // suffix is a prefix of the other) — the clamp case.
-    "q_suffix_dedup" ->
+    "q_suffix_dedup" -> SUFFIX_STATS_SQL,
+
+    // The stored-index serve row is OUTPUT-identical to the stats row
+    // by design (SA + adjacent LCPs determine the per-doc max exactly;
+    // SuffixIndexSpec pins equality against suffixDedupStats) — the
+    // oracle is the same SQL.
+    "q_suffix_index_serve" -> SUFFIX_STATS_SQL,
+
+    // Mirrors DedupOps.suffixIndexBuild's read-back accounting over the
+    // STORED (sp, doc_id, p, lcp) relation: DuckDB rebuilds the SA by
+    // direct suffix sort (1-based row_number → sp − 1 matches the
+    // Spark side's 0-based bucket-start positions), computes every
+    // adjacent-pair LCP (same-doc pairs included — unlike the stats
+    // oracle's doc-crossing filter), and mirrors the order-sensitive
+    // modular checksum of the (sp, p, doc) permutation.
+    "q_suffix_index_build" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS MATERIALIZED (
         |  SELECT doc_id, i AS p, w[i:len(w)] AS suf
@@ -1568,21 +1608,17 @@ object PipelineOracles {
         |o AS MATERIALIZED (
         |  SELECT doc_id, p, suf, row_number() OVER (ORDER BY suf, doc_id, p) AS sp
         |  FROM s),
-        |pr AS (
-        |  SELECT a.suf AS s1, b.suf AS s2, a.doc_id AS d1, b.doc_id AS d2
-        |  FROM o a JOIN o b ON b.sp = a.sp + 1 AND a.doc_id <> b.doc_id),
-        |lc AS MATERIALIZED (
-        |  SELECT d1, d2,
-        |         coalesce(nullif(list_position(list_transform(
-        |             generate_series(1, least(len(s1), len(s2))),
-        |             i -> s1[i] <> s2[i]), true), 0) - 1,
-        |           least(len(s1), len(s2))) AS lcp
-        |  FROM pr),
-        |cred AS (SELECT d1 AS doc_id, lcp FROM lc UNION ALL SELECT d2, lcp FROM lc),
-        |mx AS (SELECT doc_id, max(lcp) AS mx FROM cred GROUP BY 1)
-        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
-        |       CAST(coalesce(mx.mx, 0) AS BIGINT) AS max_dup_tokens
-        |FROM t LEFT JOIN mx USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+        |lc AS (
+        |  SELECT coalesce(nullif(list_position(list_transform(
+        |             generate_series(1, least(len(a.suf), len(b.suf))),
+        |             i -> a.suf[i] <> b.suf[i]), true), 0) - 1,
+        |           least(len(a.suf), len(b.suf))) AS lcp
+        |  FROM o a JOIN o b ON b.sp = a.sp + 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_suffixes,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(coalesce((SELECT sum(lcp) FROM lc), 0) AS BIGINT) AS sum_lcp,
+        |       CAST(coalesce(sum(((sp - 1) * 31 + p * 7 + doc_id) % 1000003), 0) AS BIGINT) AS checksum
+        |FROM o""".stripMargin,
 
     // SUFFIX-ARRAY exact-span removal (DedupOps.suffixDedupApply):
     // discover at any length, remove every occurrence of a cross-doc

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The durable suffix index (DedupOps.suffixIndexBuild/Serve): the
+  * stored (sp, doc_id, p, lcp) artifact must reproduce
+  * suffixDedupStats exactly when served, resolve frozen-vs-stale via
+  * the corpus fingerprint, and carry an order-faithful SA permutation.
+  */
+class SuffixIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b c d e f g h i j"),
+    (2L, "z z2 c d e f g h z3"),
+    (3L, "m n o p q"),
+    (4L, "a b c d e f g h i j"),
+    (7L, "solo words only here"))
+
+  test("serve from a fresh build equals suffixDedupStats row-for-row") {
+    val docs = corpus.toDF("doc_id", "text")
+    val name = "graft_sfx_spec_a"
+    try {
+      val served = ops.DedupOps.suffixIndexServe(docs, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stats = ops.DedupOps.suffixDedupStats(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(served.toSeq == stats.toSeq)
+      // second serve is a pure store read (store exists, fingerprint
+      // matches) and returns the same rows
+      val again = ops.DedupOps.suffixIndexServe(docs, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(again.toSeq == stats.toSeq)
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("build accounting: suffix count, doc count, and LCP mass match a driver recompute") {
+    val docs = corpus.toDF("doc_id", "text")
+    val name = "graft_sfx_spec_b"
+    try {
+      val acc = ops.DedupOps.suffixIndexBuild(docs, name).head()
+      // driver-side SA: sort all suffixes (token-list lexicographic,
+      // prefix-first), adjacent LCPs over ALL pairs
+      implicit val seqOrd: Ordering[Seq[String]] =
+        math.Ordering.Implicits.seqOrdering
+      val sufs = corpus.flatMap { case (d, t) =>
+        val w = t.split(" ")
+        w.indices.map(i => (w.drop(i).toSeq, d, i + 1))
+      }.sorted
+      def lcp(a: Seq[String], b: Seq[String]): Long =
+        a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      val sumLcp = sufs.sliding(2).collect {
+        case Seq(x, y) => lcp(x._1, y._1)
+      }.sum
+      assert(acc.getLong(0) == sufs.length.toLong)
+      assert(acc.getLong(1) == corpus.length.toLong)
+      assert(acc.getLong(2) == sumLcp)
+      val ck = sufs.zipWithIndex.map { case ((_, d, p), sp) =>
+        (sp.toLong * 31 + p * 7 + d) % 1000003L
+      }.sum
+      assert(acc.getLong(3) == ck)
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("fingerprint staleness: a regenerated corpus at the same name rebuilds") {
+    val name = "graft_sfx_spec_c"
+    try {
+      val a = Seq((1L, "x y z x y z"), (2L, "x y z q")).toDF("doc_id", "text")
+      ops.DedupOps.suffixIndexBuild(a, name).collect()
+      // different corpus, same artifact name -> serve must detect the
+      // stale fingerprint and rebuild, not serve corpus A's structure
+      val b = Seq((1L, "p q r"), (5L, "p q r s t")).toDF("doc_id", "text")
+      val served = ops.DedupOps.suffixIndexServe(b, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stats = ops.DedupOps.suffixDedupStats(b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(served.toSeq == stats.toSeq)
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("fixture slice: served stats equal computed stats") {
+    val docs = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 5 === 0)
+    val name = "graft_sfx_spec_d"
+    try {
+      val served = ops.DedupOps.suffixIndexServe(docs, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stats = ops.DedupOps.suffixDedupStats(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(served.toSeq == stats.toSeq && served.nonEmpty)
+      assert(served.exists(_._3 >= 5), "slice should contain dups")
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+}
