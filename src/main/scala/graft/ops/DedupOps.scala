@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.GraftCache.GraftCachedOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1303,12 +1303,13 @@ object DedupOps {
     */
   def suffixDedupApply(docs: DataFrame, minTok: Int = 5, rounds: Int = 0,
                        deskewAbove: Long = 1L << 22): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"),
-      length(col("text")).as("n_chars"))
     val idxOpt = buildSuffixIndex(docs, rounds, deskewAbove)
-    if (idxOpt.isEmpty)
+    if (idxOpt.isEmpty) {
+      val base = docs.select(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars"))
       return spliceRemoval(base,
         base.select(col("doc_id"), lit(1L).as("s"), lit(0L).as("e")).limit(0))
+    }
     val idx = idxOpt.get
     // ALL adjacent SA pairs this time (the stats row keeps only doc-
     // crossing ones): the min-chains below need same-doc links too.
@@ -1318,10 +1319,22 @@ object DedupOps {
       // reference (the lineage-clone rule)
       .localCheckpoint()
     val mc = crossDocMax(rl).filter(col("mc") >= minTok)
-    // Token span → char interval via one per-doc prefix sum of token
-    // lengths (tokens plus their internal separators are removed;
-    // boundary separators survive — deterministic and oracle-mirrored).
-    val toksC = idx.toks
+    suffixSpliceTail(docs, idx.toks, mc)
+  }
+
+  /** Token spans → removal: the char-interval splice tail shared by
+    * the inline [[suffixDedupApply]] and the stored-index
+    * [[suffixDedupApplyServed]] paths. Token span [p, p+mc−1] maps to
+    * char interval [start(p), end(p+mc−1)] via one per-doc prefix sum
+    * of token lengths (tokens plus their internal separators are
+    * removed; boundary separators survive — deterministic and
+    * oracle-mirrored), then the shared [[spliceRemoval]] merges
+    * islands and splices survivors. */
+  private def suffixSpliceTail(docs: DataFrame, toks: DataFrame,
+                               mc: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("n_chars"))
+    val toksC = toks
       .withColumn("c_s", lit(1L) + coalesce(
         sum(length(col("tok")) + 1).over(
           Window.partitionBy(col("doc_id")).orderBy(col("p"))
@@ -1339,16 +1352,45 @@ object DedupOps {
     spliceRemoval(base, dw)
   }
 
-  def qSuffixApply(spark: SparkSession, dir: String): DataFrame =
-    suffixDedupApply(documents(spark, dir))
+  /** Exact-span removal SERVED from the durable suffix index (round-14
+    * verdict item #1): the spans [[suffixDedupApply]] splices are
+    * derivable from the stored linked `(sp, doc_id, p, lcp, prev_sp,
+    * prev_doc)` relation alone — [[crossDocMax]] over one region-
+    * pruned store scan, the same shared tail as the stats serve — so a
+    * WARM artifact turns every removal invocation from a full
+    * O(corpus log corpus) suffix ranking into a serve-class scan +
+    * splice. Store miss/stale → build-and-persist first (the
+    * [[suffixIndexServe]] resolution). Output is row-identical to the
+    * inline path by construction (same relation, same tail; pinned by
+    * SuffixApplySpec and the shared oracle SQL). */
+  def suffixDedupApplyServed(docs: DataFrame, name: String,
+                             minTok: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    resolveSuffixStore(docs, name)
+    val rel = KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
+    val mc = crossDocMax(rel).filter(col("mc") >= minTok)
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextFns.toks).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    suffixSpliceTail(docs, toks, mc)
+  }
 
-  /** The SA + adjacent-LCP relation `(sp, doc_id, p, lcp)` — the
-    * suffix structure both the removal tail and the durable index
-    * serve from. `lcp` = LCP of the suffix at `sp` with the suffix at
-    * `sp − 1` (clamped to both remaining lengths; NULL at the first SA
-    * position, which has no predecessor). Keyed by the LATER suffix's
-    * SA position: (d2, p2) is unique per adjacent pair, so the join
-    * back onto the SA recovers `sp`. */
+  def qSuffixApply(spark: SparkSession, dir: String): DataFrame =
+    suffixDedupApplyServed(documents(spark, dir), suffixStoreName(dir))
+
+  /** The LINKED SA + adjacent-LCP relation `(sp, doc_id, p, lcp,
+    * prev_sp, prev_doc)` — the suffix structure both the removal tail
+    * and the durable index serve from. `lcp` = LCP of the suffix at
+    * `sp` with its SA PREDECESSOR (clamped to both remaining lengths;
+    * NULL at the first SA position, which has no predecessor);
+    * `prev_sp`/`prev_doc` name that predecessor EXPLICITLY, so every
+    * consumer ([[crossDocMax]]) reads adjacency from the link columns,
+    * never from key arithmetic — the property that lets the durable
+    * index keep SPARSE keys and absorb incremental appends by
+    * rewriting only the regions whose links changed. Keyed by the
+    * LATER suffix's SA position: (d2, p2) is unique per adjacent pair,
+    * so the join back onto the SA recovers `sp` (and d1 IS the
+    * predecessor's doc — the link column rides the same join). */
   private def suffixLcpRelation(idx: SuffixIndex): DataFrame = {
     val pairs = idx.sa
       .select(col("doc_id").as("d1"), col("p").as("p1"), col("sp"))
@@ -1358,28 +1400,36 @@ object DedupOps {
     val al = clampLcp(lcpDescent(pairs, idx), idx.nTok)
       .join(idx.sa.select(col("doc_id").as("d2"), col("p").as("p2"),
         col("sp")), Seq("d2", "p2"))
-      .select(col("sp"), col("lcp"))
+      .select(col("sp"), col("lcp"), col("d1").as("prev_doc"))
     idx.sa.join(al, Seq("sp"), "left")
-      .select(col("sp"), col("doc_id"), col("p"), col("lcp"))
+      .select(col("sp"), col("doc_id"), col("p"), col("lcp"),
+        when(col("prev_doc").isNotNull, col("sp") - 1).as("prev_sp"),
+        col("prev_doc"))
   }
 
   /** Per-SUFFIX max cross-document LCP `(doc_id, p, mc)` from the SA +
     * adjacent-LCP relation — the run/min-chain construction shared by
     * [[suffixDedupApply]] (which splices spans ≥ threshold) and the
     * stored-index serve path (which aggregates the per-doc max):
-    * consecutive same-doc SA entries form RUNS (gaps-and-islands on
-    * `sp`), prevCross(i) = min adjacent lcp over [run start .. i] (the
-    * run start's lcp crosses into the previous doc), nextCross(i) =
-    * min over (i .. run end + 1] (the run-exit lcp crosses into the
-    * next doc), mc = max of the two (NULL side = corpus boundary).
-    * Windows partition by (doc, run) — never global. */
+    * consecutive same-doc SA entries form RUNS (read from the
+    * `prev_sp`/`prev_doc` LINK columns, so sparse post-append key
+    * spaces work identically to dense ones), prevCross(i) = min
+    * adjacent lcp over [run start .. i] (the run start's lcp crosses
+    * into the previous doc), nextCross(i) = min over (i .. run end +
+    * 1] (the run-exit lcp crosses into the next doc), mc = max of the
+    * two (NULL side = corpus boundary). Windows partition by (doc,
+    * run) — never global. */
   private[graft] def crossDocMax(saLcp: DataFrame): DataFrame = {
-    val al = saLcp.filter(col("lcp").isNotNull)
-      .select(col("sp"), col("lcp"))
-    // Runs: gaps-and-islands over each doc's SA positions.
+    // Runs: consecutive-in-SA same-doc entries, detected from the LINK
+    // columns (gap-tolerant — sparse keys after incremental appends):
+    // a row STARTS a run iff its SA predecessor is absent or another
+    // doc's, and rid = running count of run starts within the doc. No
+    // key arithmetic anywhere — dense and sparse stores read the same.
     val rl = saLcp.withColumn("rid",
-      col("sp") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("sp"))))
+      sum(when(col("prev_doc").isNull ||
+          col("prev_doc") =!= col("doc_id"), 1L).otherwise(0L)).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("sp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wPre = Window.partitionBy(col("doc_id"), col("rid"))
       .orderBy(col("sp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1395,12 +1445,13 @@ object DedupOps {
       .withColumn("prevcross", when(col("hasnull") === 1,
         lit(null).cast("long")).otherwise(min(col("lcp")).over(wPre)))
       .withColumn("sufmin", min(col("lcp")).over(wFol))
-    // Run-exit LCP: the adjacent lcp at (run end + 1) crosses into the
-    // next doc's territory; NULL when the run closes the corpus.
+    // Run-exit LCP: the SA SUCCESSOR of the run end (the unique row
+    // whose prev_sp links back to it) crosses into the next doc's
+    // territory; NULL when the run closes the corpus.
     val outl = rl.groupBy(col("doc_id"), col("rid"))
       .agg(max(col("sp")).as("bsp"))
-      .join(al.select((col("sp") - 1).as("bsp"), col("lcp").as("out_lcp")),
-        Seq("bsp"), "left")
+      .join(saLcp.select(col("prev_sp").as("bsp"),
+        col("lcp").as("out_lcp")), Seq("bsp"), "left")
       .select(col("doc_id"), col("rid"), col("out_lcp"))
     pc.join(outl, Seq("doc_id", "rid"))
       .withColumn("nextcross", when(col("out_lcp").isNull,
@@ -1418,40 +1469,71 @@ object DedupOps {
     * build pays once into the KeyedStore (the ANN-index /
     * quality-model artifact pattern, round-13 verdict item #3 family),
     * and every downstream consumer — duplication statistics, span
-    * discovery, audits — serves from the stored `(sp, doc_id, p, lcp)`
-    * relation with NO suffix ranking, NO descent, and no corpus text:
-    * [[crossDocMax]]'s per-(doc, run) windows over a region-pruned
-    * store scan are the whole serve cost.
+    * discovery/removal, audits — serves from the stored LINKED
+    * `(sp, doc_id, p, lcp, prev_sp, prev_doc)` relation with NO suffix
+    * ranking, NO descent, and no corpus text: [[crossDocMax]]'s
+    * per-(doc, run) windows over a region-pruned store scan are the
+    * whole serve cost. Keys are GAPPED ([[SuffixKeyGap]]) and adjacency
+    * lives in the link columns, so [[suffixIndexAppend]] can insert a
+    * delta batch between existing rows rewriting only covering regions.
     *
     * The store is fingerprint-guarded like the model registry: a meta
     * row at `sp = −1` carries an O(1)-verifiable corpus fingerprint
-    * (count/chars/id-sum aggregate), so a regenerated corpus at the
-    * same path invalidates the artifact instead of silently serving
-    * stale suffix structure. Rebuild = drop + create (copy-on-write at
-    * the region level inside the store).
+    * (count/chars/id-sum/content-digest aggregate), so a regenerated
+    * corpus at the same path invalidates the artifact instead of
+    * silently serving stale suffix structure. Rebuild = drop + create
+    * (copy-on-write at the region level inside the store).
     */
-  def suffixIndexBuild(docs: DataFrame, name: String): DataFrame = {
+  /** Key-space spread of the stored suffix index: dense SA position
+    * `i` persists at key `(i+1) · SuffixKeyGap`, leaving 2^20 − 1 free
+    * integer keys between any two adjacent suffixes (and below the
+    * first). Incremental appends insert into those gaps — the key
+    * space absorbs ~a million insertions at any single point before a
+    * full rebuild is forced — while [[crossDocMax]] reads adjacency
+    * from the link columns, never from key density. */
+  private[graft] val SuffixKeyGap = 1L << 20
+
+  def suffixIndexBuild(docs: DataFrame, name: String,
+                       targetRows: Long = 65536): DataFrame = {
     val spark = docs.sparkSession
     val fp = docsFingerprint(docs)
+    // Materialize ONCE: KeyedStore.create runs rows.count() and the
+    // parquet write as two separate actions — un-checkpointed, the full
+    // SA build + LCP descent chain would execute twice per build
+    // (round-14 ADVICE; suffixDedupApply checkpoints the same relation
+    // for the same reason).
     val rel = buildSuffixIndex(docs, 0, 1L << 22)
-      .map(suffixLcpRelation)
+      .map(idx => suffixLcpRelation(idx).localCheckpoint())
       .getOrElse(spark.range(0).select(col("id").as("sp"),
-        col("id").as("doc_id"), col("id").as("p"), col("id").as("lcp")))
-    val rows = rel.unionByName(
+        col("id").as("doc_id"), col("id").as("p"), col("id").as("lcp"),
+        col("id").as("prev_sp"), col("id").as("prev_doc")))
+    val stored = rel.select(
+      ((col("sp") + 1) * SuffixKeyGap).as("sp"), col("doc_id"), col("p"),
+      col("lcp"), ((col("prev_sp") + 1) * SuffixKeyGap).as("prev_sp"),
+      col("prev_doc"))
+    val rows = stored.unionByName(
       spark.range(1).select(lit(-1L).as("sp"), lit(fp).as("doc_id"),
-        lit(0L).as("p"), lit(0L).cast("long").as("lcp")))
+        lit(0L).as("p"), lit(0L).cast("long").as("lcp"),
+        lit(null).cast("long").as("prev_sp"),
+        lit(null).cast("long").as("prev_doc")))
     if (KeyedStore.exists(spark, name)) KeyedStore.drop(spark, name)
-    KeyedStore.create(spark, name, rows, "sp", 65536)
+    KeyedStore.create(spark, name, rows, "sp", targetRows)
     // Accounting from the READ-BACK (the stored artifact is the thing
     // being certified, not the build pipeline): row/doc counts, total
-    // adjacent LCP mass, and an order-sensitive modular checksum of the
-    // (sp, p, doc) permutation — all BIGINT-exact and oracle-mirrored.
+    // adjacent LCP mass, an order-sensitive modular checksum of the
+    // (sp, p, doc) permutation, and a LINK checksum over the
+    // (prev_sp, prev_doc) pointers — all BIGINT-exact and
+    // oracle-mirrored (DuckDB rebuilds the SA by direct suffix sort
+    // and reproduces both checksums, gapped keys included).
     KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
       .agg(count(lit(1)).as("n_suffixes"),
         countDistinct(col("doc_id")).as("n_docs"),
         coalesce(sum(coalesce(col("lcp"), lit(0L))), lit(0L)).as("sum_lcp"),
         coalesce(sum((col("sp") * 31 + col("p") * 7 + col("doc_id"))
-          % 1000003L), lit(0L)).as("checksum"))
+          % 1000003L), lit(0L)).as("checksum"),
+        coalesce(sum((coalesce(col("prev_sp"), lit(-1L)) * 13 +
+          coalesce(col("prev_doc"), lit(-1L))) % 1000003L), lit(0L))
+          .as("link_checksum"))
   }
 
   /** Serve duplication statistics from the FROZEN suffix index:
@@ -1460,7 +1542,12 @@ object DedupOps {
     * one region-pruned scan + [[crossDocMax]] + a per-doc max. Output
     * is row-identical to [[suffixDedupStats]] — the oracle is the SAME
     * SQL — but the serve path never ranks a suffix. */
-  def suffixIndexServe(docs: DataFrame, name: String): DataFrame = {
+  /** Train-once/serve-frozen resolution shared by every stored-suffix
+    * consumer: store hit with matching corpus fingerprint → serve the
+    * artifact; miss/stale (including any prior-generation schema, which
+    * [[SuffixStoreVersion]] folds into the fingerprint) →
+    * build-and-persist first. */
+  private def resolveSuffixStore(docs: DataFrame, name: String): Unit = {
     val spark = docs.sparkSession
     val fp = docsFingerprint(docs)
     val stale =
@@ -1470,6 +1557,11 @@ object DedupOps {
         meta.isEmpty || meta.head.getAs[Long]("doc_id") != fp
       }
     if (stale) suffixIndexBuild(docs, name).collect()
+  }
+
+  def suffixIndexServe(docs: DataFrame, name: String): DataFrame = {
+    val spark = docs.sparkSession
+    resolveSuffixStore(docs, name)
     val rel = KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
     val mx = crossDocMax(rel)
       .groupBy(col("doc_id")).agg(max(col("mc")).as("mx"))
@@ -1481,12 +1573,301 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- incremental maintenance of the durable suffix index ----
+
+  /** Lexicographic compare of the suffix of token array `a` starting
+    * at 1-based `pa` against the suffix of `b` at `pb`: −1/0/+1, a
+    * fully-matched shorter suffix sorting FIRST — the SA build's
+    * missing-token-rank −1 convention ([[buildSuffixIndex]]'s doubling
+    * joins) and the DuckDB oracle's list ordering. One codegen'd
+    * projection per row, O(suffix length): zip the two slices
+    * null-safe, find the first disagreement, compare there (CaseWhen
+    * evaluates branches lazily, so element_at never sees position 0).
+    */
+  private def cmpSuffix(a: Column, pa: Column, b: Column,
+                        pb: Column): Column = {
+    val s1 = slice(a, pa.cast("int"),
+      greatest(size(a) - pa.cast("int") + 1, lit(0)))
+    val s2 = slice(b, pb.cast("int"),
+      greatest(size(b) - pb.cast("int") + 1, lit(0)))
+    val d = array_position(
+      zip_with(s1, s2, (x, y) => x.eqNullSafe(y)), lit(false)).cast("int")
+    // get() is 0-based and null on out-of-bounds — the zip pads the
+    // shorter slice with nulls, and ANSI element_at would throw there
+    when(d === 0, lit(0))
+      .when(get(s1, d - 1).isNull, lit(-1))
+      .when(get(s2, d - 1).isNull, lit(1))
+      .when(get(s1, d - 1) < get(s2, d - 1), lit(-1))
+      .otherwise(lit(1))
+  }
+
+  /** LCP of the same two suffixes — naturally clamped to both
+    * remaining lengths (the null-padded zip stops agreeing at the
+    * shorter slice's end). */
+  private def lcpSuffix(a: Column, pa: Column, b: Column,
+                        pb: Column): Column = {
+    val s1 = slice(a, pa.cast("int"),
+      greatest(size(a) - pa.cast("int") + 1, lit(0)))
+    val s2 = slice(b, pb.cast("int"),
+      greatest(size(b) - pb.cast("int") + 1, lit(0)))
+    val d = array_position(
+      zip_with(s1, s2, (x, y) => x.eqNullSafe(y)), lit(false))
+    when(d === 0, least(size(s1), size(s2)).cast("long"))
+      .otherwise((d - 1).cast("long"))
+  }
+
+  /** INCREMENTAL suffix-index maintenance (round-14 verdict item #3):
+    * merge an APPEND-ONLY delta doc batch (doc_ids disjoint from the
+    * stored base corpus — updating a stored doc requires a rebuild)
+    * into the durable index WITHOUT re-ranking the corpus. The store
+    * must currently hold exactly `base`'s structure; on success its
+    * meta fingerprint advances to fp(base ∪ delta), making the
+    * operation crash-safe (a half-applied append leaves a fingerprint
+    * matching neither state, and every serve path then rebuilds).
+    *
+    * Algorithm — delta-proportional COMPUTE, covering-region WRITES:
+    *  1. Build the DELTA's own suffix structure ([[buildSuffixIndex]]
+    *     over just the batch — O(|delta| log |delta|)); its adjacent
+    *     LCPs are pure pair properties that stay valid wherever two
+    *     delta suffixes remain adjacent after the merge.
+    *  2. Route each delta suffix to its resident region by comparing
+    *     against the driver-side region-boundary suffixes (the region
+    *     minimum rows — |delta suffixes| × (regions − 1) codegen'd
+    *     compares; a store with very many regions would nest this same
+    *     descent into a boundary B-tree, one more level of exactly the
+    *     same step).
+    *  3. BINARY-SEARCH each suffix's insertion ordinal WITHIN its
+    *     region: ceil(log2 region rows) ≤ 17 rounds (region size is
+    *     capped, so the round count is CORPUS-SIZE-INDEPENDENT), each
+    *     round one equi-join of the probe batch against the ranked
+    *     region rows plus one O(L) suffix compare against the probed
+    *     row's text. Rounds checkpoint with stats reset (the
+    *     iterative-loop discipline).
+    *  4. Suffixes sharing an insertion point form a CONTIGUOUS
+    *     delta-SA range (insertion position is monotone in suffix
+    *     order), so within-group adjacent LCPs come straight from the
+    *     delta structure; only the two SEAMS per group (predecessor →
+    *     first, last → successor) need fresh O(L) text compares, and
+    *     only the successor row's link/lcp columns change among
+    *     existing rows.
+    *  5. New keys spread evenly into the (pred, succ) key gap — the
+    *     gapped key space absorbs ~[[SuffixKeyGap]] insertions at any
+    *     single point; an exhausted gap falls back to a full rebuild
+    *     (logged by the store fingerprint advancing via the rebuild
+    *     path instead).
+    *  6. One [[KeyedStore.upsert]] lands inserted rows + successor
+    *     updates + the meta row, rewriting ONLY covering regions.
+    *
+    * Scale honesty: reads and compute are delta-proportional, but a
+    * delta whose suffixes scatter across the whole key space (any
+    * multi-doc batch does) touches ~min(|delta suffixes|, regions)
+    * regions, so the WRITE side approaches a full-table rewrite once
+    * |delta suffixes| ≫ region count. The append path wins for small
+    * batches (the streaming/micro-batch shape); bulk fractions should
+    * rebuild — the measured crossover is recorded in ROUND15_NOTES.
+    */
+  def suffixIndexAppend(base: DataFrame, delta: DataFrame,
+                        name: String): Unit = {
+    val spark = base.sparkSession
+    val fpFull = docsFingerprint(base.unionByName(delta))
+    val metaRow = spark.range(1).select(lit(-1L).as("sp"),
+      lit(fpFull).as("doc_id"), lit(0L).as("p"),
+      lit(0L).cast("long").as("lcp"), lit(null).cast("long").as("prev_sp"),
+      lit(null).cast("long").as("prev_doc"))
+    val dIdxOpt = buildSuffixIndex(delta, 0, 1L << 22)
+    if (dIdxOpt.isEmpty) {
+      KeyedStore.upsert(spark, name, "sp",
+        metaRow.withColumn("op", lit("U")))
+      return
+    }
+    val dRel = suffixLcpRelation(dIdxOpt.get).localCheckpoint()
+    val docsArr = base.unionByName(delta)
+      .select(col("doc_id"), TextFns.toks.as("arr")).graftCached
+    val rm = KeyedStore.readRegions(spark, name)
+    val regs = rm.regions
+    def keyOf(v: Any): Long = v.asInstanceOf[Number].longValue()
+    // Region-boundary suffixes (each region's minimum DATA row; region
+    // 0's is not needed — everything below boundary 1 routes there).
+    val bounds: IndexedSeq[(Int, Long, Long, Long)] = // (ridx, sp, doc, p)
+      if (regs.size <= 1) IndexedSeq.empty
+      else {
+        val keys = (1 until regs.size).map(i => keyOf(regs(i).min))
+        val byKey = KeyedStore
+          .scanMulti(spark, name, "sp", keys.map(k => (k: Any, k: Any)))
+          .select(col("sp"), col("doc_id"), col("p")).collect()
+          .map(r => r.getLong(0) -> r).toMap
+        keys.zipWithIndex.map { case (k, i0) =>
+          val r = byKey.getOrElse(k, throw new IllegalStateException(
+            s"suffixIndexAppend: region boundary key $k missing from $name"))
+          (i0 + 1, k, r.getLong(1), r.getLong(2))
+        }.toIndexedSeq
+      }
+    val probes0 = dRel.select(col("sp").as("sid"), col("doc_id").as("did"),
+        col("p").as("dp"), col("lcp").as("dlcp"))
+      .join(docsArr.select(col("doc_id").as("did"), col("arr").as("darr")),
+        Seq("did"))
+    val ridxed =
+      if (bounds.isEmpty) probes0.withColumn("ridx", lit(0))
+      else {
+        val bdf = spark.createDataFrame(bounds.map(b => (b._3, b._4)))
+          .toDF("bdoc", "bp")
+          .join(docsArr.select(col("doc_id").as("bdoc"),
+            col("arr").as("barr")), Seq("bdoc"))
+        val cnts = probes0.crossJoin(broadcast(bdf))
+          .select(col("sid"), when(cmpSuffix(col("darr"), col("dp"),
+            col("barr"), col("bp")) >= 0, 1).otherwise(0).as("le"))
+          .groupBy(col("sid")).agg(sum(col("le")).as("nb"))
+        probes0.join(cnts, Seq("sid"), "left")
+          .withColumn("ridx", coalesce(col("nb"), lit(0L)).cast("int"))
+          .drop("nb")
+      }
+    val touched = ridxed.select(col("ridx")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val mins = regs.map(r => keyOf(r.min))
+    val regRows = KeyedStore.scanMulti(spark, name, "sp",
+        touched.toSeq.map(i =>
+          (math.max(0L, keyOf(regs(i).min)): Any, keyOf(regs(i).max): Any)))
+      .filter(col("sp") >= 0L)
+      .withColumn("ridx", graft.functions.RangeFunctions
+        .longBoundaryBucket(col("sp"), mins))
+    val ranked = regRows.withColumn("ord",
+        row_number().over(Window.partitionBy(col("ridx")).orderBy(col("sp"))))
+      .select(col("ridx"), col("ord"), col("sp"), col("doc_id"), col("p"))
+      .localCheckpoint()
+    val cnts = ranked.groupBy(col("ridx")).agg(count(lit(1)).as("cnt"))
+    val maxCnt = cnts.agg(coalesce(max(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    var probes = ridxed.join(cnts, Seq("ridx"), "left")
+      .withColumn("lo", lit(0L))
+      .withColumn("hi", coalesce(col("cnt"), lit(0L)))
+      .drop("cnt")
+    var rounds = 0
+    while ((1L << rounds) <= maxCnt) rounds += 1
+    val oldSide = ranked.select(col("ridx").as("jridx"),
+      col("ord").as("jord"), col("doc_id").as("odoc"), col("p").as("op"))
+    for (_ <- 0 until rounds) {
+      // invariant: insertion ordinal ∈ [lo, hi]; the probed row is the
+      // (mid+1)-th smallest in the region; ≤-compare keeps equal
+      // suffixes BEFORE the incoming delta suffix (a consistent total
+      // order — any tie order yields the same served statistics).
+      val withMid = probes.withColumn("mid",
+        ((col("lo") + col("hi")) / lit(2)).cast("long"))
+      val joined = withMid
+        .join(oldSide, col("ridx") === col("jridx") &&
+          col("mid") + 1 === col("jord"), "left")
+        .join(docsArr.select(col("doc_id").as("odoc"),
+          col("arr").as("oarr")), Seq("odoc"), "left")
+        .withColumn("le", col("odoc").isNotNull &&
+          cmpSuffix(col("darr"), col("dp"), col("oarr"), col("op")) >= 0)
+      // Checkpoint WITHOUT inherited stats each round — the
+      // iterative-loop discipline (GraftCheckpointBridge scaladoc).
+      probes = org.apache.spark.sql.GraftCheckpointBridge
+        .localCheckpointResetStats(joined.select(
+          col("sid"), col("did"), col("dp"), col("dlcp"), col("ridx"),
+          col("darr"),
+          when(col("lo") < col("hi") && col("le"), col("mid") + 1)
+            .otherwise(col("lo")).as("lo"),
+          when(col("lo") < col("hi") && !col("le"), col("mid"))
+            .otherwise(col("hi")).as("hi")))
+    }
+    // Global predecessor/successor per insertion point: in-region rows
+    // at ordinals ins / ins+1; a region-final insertion's successor is
+    // the NEXT region's boundary row (driver-side). ins == 0 with no
+    // predecessor can only happen in region 0 (routing guarantees
+    // every other region's minimum row sorts ≤ the probe).
+    val pred = ranked.select(col("ridx"), col("ord").as("ins"),
+      col("sp").as("psp"), col("doc_id").as("pdoc"), col("p").as("pp"))
+    val succIn = ranked.select(col("ridx"), (col("ord") - 1).as("ins"),
+      col("sp").as("ssp0"), col("doc_id").as("sdoc0"), col("p").as("spp0"))
+    val nextDf = spark.createDataFrame(
+        bounds.map(b => (b._1 - 1, b._2, b._3, b._4)))
+      .toDF("ridx", "bnsp", "bndoc", "bnp")
+    val wIns = Window.partitionBy(col("ridx"), col("ins"))
+    val wOrd = wIns.orderBy(col("sid"))
+    val grouped = probes.select(col("sid"), col("did"), col("dp"),
+        col("dlcp"), col("ridx"), col("darr"), col("lo").as("ins"))
+      .join(pred, Seq("ridx", "ins"), "left")
+      .join(succIn, Seq("ridx", "ins"), "left")
+      .join(broadcast(nextDf), Seq("ridx"), "left")
+      .withColumn("ssp", coalesce(col("ssp0"), col("bnsp")))
+      .withColumn("sdoc", coalesce(col("sdoc0"), col("bndoc")))
+      .withColumn("spp", coalesce(col("spp0"), col("bnp")))
+      .withColumn("m", count(lit(1)).over(wIns))
+      .withColumn("j", row_number().over(wOrd) - 1)
+      .withColumn("kp", coalesce(col("psp"), lit(0L)))
+      .withColumn("g", when(col("ssp").isNotNull, col("ssp") - col("kp"))
+        .otherwise((col("m") + 1) * lit(SuffixKeyGap)))
+      // new keys spread evenly into the gap: strictly increasing and
+      // strictly inside (kp, ks) whenever g > m — BIGINT-exact div
+      .withColumn("nsp", col("kp") + expr("(g * (j + 1)) div (m + 1)"))
+      .withColumn("prev_sp", when(col("j") === 0, col("psp"))
+        .otherwise(col("kp") + expr("(g * j) div (m + 1)")))
+      .withColumn("prev_doc", when(col("j") === 0, col("pdoc"))
+        .otherwise(lag(col("did"), 1).over(wOrd)))
+      .join(docsArr.select(col("doc_id").as("pdoc"), col("arr").as("parr")),
+        Seq("pdoc"), "left")
+      // feeds the gap guard + inserted rows + successor updates, and
+      // upsert itself runs its input more than once — materialize ONCE
+      .localCheckpoint()
+    if (grouped.filter(col("g") <= col("m")).limit(1).count() > 0) {
+      // key gap exhausted at some insertion point (> ~2^20 inserts at
+      // one spot since the last build) — rebuild is the honest move
+      suffixIndexBuild(base.unionByName(delta), name).collect()
+      return
+    }
+    val inserted = grouped.select(
+      col("nsp").as("sp"), col("did").as("doc_id"), col("dp").as("p"),
+      when(col("j") === 0,
+        when(col("pdoc").isNotNull,
+          lcpSuffix(col("parr"), col("pp"), col("darr"), col("dp")))
+          .otherwise(lit(null).cast("long")))
+        .otherwise(col("dlcp")).as("lcp"),
+      col("prev_sp"), col("prev_doc"))
+    val succUpd = grouped
+      .filter(col("j") === col("m") - 1 && col("ssp").isNotNull)
+      .join(docsArr.select(col("doc_id").as("sdoc"), col("arr").as("sarr")),
+        Seq("sdoc"))
+      .select(col("ssp").as("sp"), col("sdoc").as("doc_id"),
+        col("spp").as("p"),
+        lcpSuffix(col("darr"), col("dp"), col("sarr"), col("spp")).as("lcp"),
+        col("nsp").as("prev_sp"), col("did").as("prev_doc"))
+    // The returned full-table read is deliberately discarded (the
+    // store's read-isolation contract); reads go through scan. All
+    // changes are replace-semantics rows ("U" — inserts and the
+    // successor/meta updates alike).
+    KeyedStore.upsert(spark, name, "sp",
+      inserted.unionByName(succUpd).unionByName(metaRow)
+        .withColumn("op", lit("U")))
+    ()
+  }
+
+  /** Schema/layout generation of the stored suffix index, folded into
+    * [[docsFingerprint]]: bumping it invalidates every persisted suffix
+    * store (serve paths see "stale" and rebuild), so a layout change
+    * never has to reason about reading a prior round's artifact. */
+  private val SuffixStoreVersion = 2L
+
   /** O(1)-verifiable corpus fingerprint for artifact staleness (the
-    * model-registry guard): count/char-mass/id-sum in one aggregate —
-    * catches any fixture regeneration without hashing text. */
+    * model-registry guard), ONE driver-side aggregate: count, char
+    * mass, id sum, AND a content digest — sum of xxhash64(doc_id,
+    * text) — so a regeneration that preserves doc count/ids/char mass
+    * but edits or swaps text still invalidates the artifact (round-14
+    * ADVICE: the moment-only form served stale structure under
+    * same-length content edits). Every sum is coalesced so an EMPTY
+    * corpus yields a defined fingerprint instead of an NPE, keeping
+    * the empty-relation build path reachable. Each digest term is
+    * reduced mod 1000003 BEFORE summing so the aggregate stays inside
+    * long range under ANSI arithmetic at any corpus size (10^6 per row
+    * × 10^12 rows < 2^63) — plenty of entropy for a staleness guard.
+    * The value never reaches any query output (the meta row is
+    * excluded from every serve scan), so it needs no oracle twin. */
   private def docsFingerprint(docs: DataFrame): Long =
-    docs.agg((count(lit(1)) * 1000003L + sum(length(col("text"))) * 31L +
-      sum(col("doc_id"))).as("fp")).head().getLong(0)
+    docs.agg((coalesce(sum(pmod(xxhash64(col("doc_id"), col("text")),
+        lit(1000003L))), lit(0L)) * 7L +
+      count(lit(1)) * 1000003L +
+      coalesce(sum(length(col("text"))), lit(0L)) * 31L +
+      coalesce(sum(col("doc_id")), lit(0L)) +
+      lit(SuffixStoreVersion) * 998244353L).as("fp")).head().getLong(0)
 
   private def suffixStoreName(dir: String): String =
     "graft_suffix_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1496,6 +1877,36 @@ object DedupOps {
 
   def qSuffixIndexServe(spark: SparkSession, dir: String): DataFrame =
     suffixIndexServe(documents(spark, dir), suffixStoreName(dir))
+
+  /** Incremental lifecycle over the fixture: ~97.5% of `documents` as
+    * the stored base, doc_id % 41 as the append batch. Three-way
+    * fingerprint resolution keeps the row idempotent AND serve-class
+    * when warm: store already at fp(base ∪ delta) → pure serve; store
+    * at fp(base) → append the delta (the exercised path after a build
+    * round); anything else → build base, then append. All three paths
+    * produce the identical full-corpus statistics ([[suffixIndexServe]]
+    * output — the oracle is the SAME stats SQL), so the row is
+    * deterministic regardless of which path ran. */
+  def qSuffixIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val delta = docs.filter(col("doc_id") % 41 === 0)
+    val base = docs.filter(col("doc_id") % 41 =!= 0)
+    val name = suffixStoreName(dir) + "_incr"
+    val fpFull = docsFingerprint(docs)
+    val fpBase = docsFingerprint(base)
+    val metaFp: Option[Long] =
+      if (!KeyedStore.exists(spark, name)) None
+      else KeyedStore.scan(spark, name, "sp", -1L, -1L).collect()
+        .headOption.map(_.getAs[Long]("doc_id"))
+    metaFp match {
+      case Some(f) if f == fpFull => () // warm: delta already merged
+      case Some(f) if f == fpBase => suffixIndexAppend(base, delta, name)
+      case _ =>
+        suffixIndexBuild(base, name).collect()
+        suffixIndexAppend(base, delta, name)
+    }
+    suffixIndexServe(docs, name)
+  }
 
   /** WINNOWING-GATED exact-span removal — [[qSubstrApplyExact]]'s
     * semantics at the cost structure the 100 TB path needs (the plan

@@ -1593,13 +1593,23 @@ object PipelineOracles {
     // oracle is the same SQL.
     "q_suffix_index_serve" -> SUFFIX_STATS_SQL,
 
+    // The incremental row (build base → append the % 41 delta → serve
+    // the union) must serve the IDENTICAL full-corpus statistics as a
+    // from-scratch build — merging preserves the SA order and every
+    // adjacent LCP (SuffixIncrementalSpec pins the stored structure
+    // row-for-row against a rebuild) — so the oracle is again the
+    // full-corpus stats SQL.
+    "q_suffix_index_incremental" -> SUFFIX_STATS_SQL,
+
     // Mirrors DedupOps.suffixIndexBuild's read-back accounting over the
-    // STORED (sp, doc_id, p, lcp) relation: DuckDB rebuilds the SA by
-    // direct suffix sort (1-based row_number → sp − 1 matches the
-    // Spark side's 0-based bucket-start positions), computes every
-    // adjacent-pair LCP (same-doc pairs included — unlike the stats
-    // oracle's doc-crossing filter), and mirrors the order-sensitive
-    // modular checksum of the (sp, p, doc) permutation.
+    // STORED linked (sp, doc_id, p, lcp, prev_sp, prev_doc) relation:
+    // DuckDB rebuilds the SA by direct suffix sort (1-based row_number
+    // × 2^20 matches the Spark side's GAPPED bucket-start keys —
+    // stored key = (0-based position + 1) · SuffixKeyGap), computes
+    // every adjacent-pair LCP via lag (same-doc pairs included —
+    // unlike the stats oracle's doc-crossing filter), and mirrors both
+    // order-sensitive modular checksums: the (sp, p, doc) permutation
+    // and the (prev_sp, prev_doc) link pointers.
     "q_suffix_index_build" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS MATERIALIZED (
@@ -1608,17 +1618,26 @@ object PipelineOracles {
         |o AS MATERIALIZED (
         |  SELECT doc_id, p, suf, row_number() OVER (ORDER BY suf, doc_id, p) AS sp
         |  FROM s),
-        |lc AS (
-        |  SELECT coalesce(nullif(list_position(list_transform(
-        |             generate_series(1, least(len(a.suf), len(b.suf))),
-        |             i -> a.suf[i] <> b.suf[i]), true), 0) - 1,
-        |           least(len(a.suf), len(b.suf))) AS lcp
-        |  FROM o a JOIN o b ON b.sp = a.sp + 1)
+        |o2 AS MATERIALIZED (
+        |  SELECT doc_id, p, sp, suf,
+        |         lag(doc_id) OVER w AS pdoc,
+        |         lag(sp) OVER w AS psp,
+        |         lag(suf) OVER w AS psuf
+        |  FROM o WINDOW w AS (ORDER BY sp)),
+        |o3 AS (
+        |  SELECT doc_id, p, sp * 1048576 AS sk, psp * 1048576 AS psk, pdoc,
+        |         CASE WHEN psuf IS NULL THEN NULL ELSE
+        |           coalesce(nullif(list_position(list_transform(
+        |             generate_series(1, least(len(suf), len(psuf))),
+        |             i -> suf[i] <> psuf[i]), true), 0) - 1,
+        |           least(len(suf), len(psuf))) END AS lcp
+        |  FROM o2)
         |SELECT CAST(count(*) AS BIGINT) AS n_suffixes,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |       CAST(coalesce((SELECT sum(lcp) FROM lc), 0) AS BIGINT) AS sum_lcp,
-        |       CAST(coalesce(sum(((sp - 1) * 31 + p * 7 + doc_id) % 1000003), 0) AS BIGINT) AS checksum
-        |FROM o""".stripMargin,
+        |       CAST(coalesce(sum(lcp), 0) AS BIGINT) AS sum_lcp,
+        |       CAST(coalesce(sum((sk * 31 + p * 7 + doc_id) % 1000003), 0) AS BIGINT) AS checksum,
+        |       CAST(coalesce(sum((coalesce(psk, -1) * 13 + coalesce(pdoc, -1)) % 1000003), 0) AS BIGINT) AS link_checksum
+        |FROM o3""".stripMargin,
 
     // SUFFIX-ARRAY exact-span removal (DedupOps.suffixDedupApply):
     // discover at any length, remove every occurrence of a cross-doc

@@ -1,5 +1,7 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.execution.LogicalRDD
+
 /** `localCheckpoint` that does NOT inherit the pre-checkpoint plan's
   * ESTIMATED statistics.
   *
@@ -18,14 +20,18 @@ package org.apache.spark.sql
   * JoinSelection/AQE-reoptimize and the job effectively hangs — pure
   * planning cost, no data involved.
   *
-  * The fix: materialize the checkpoint, then rebuild the DataFrame over
-  * the SAME checkpointed `InternalRow` RDD through
-  * `internalCreateDataFrame` (accessible from this package), whose
-  * `LogicalRDD` carries NO origin stats — the leaf reports the default
-  * size, and AQE's runtime statistics drive join strategy choices from
-  * there (every consumer of these loops sits behind exchanges AQE
-  * re-optimizes). Rows, schema, and partitioning are untouched — this
-  * changes planner METADATA only.
+  * The fix: localCheckpoint as usual — `fromDataset` derives the leaf's
+  * `outputPartitioning`/`outputOrdering` from the executed plan — then
+  * rebuild that SAME leaf (same checkpointed RDD, same output
+  * attributes, same partitioning and ordering) with `originStats =
+  * None`: the leaf reports the default size and AQE's runtime
+  * statistics drive join strategy choices from there (every consumer of
+  * these loops sits behind exchanges AQE re-optimizes). Unlike the
+  * earlier `internalCreateDataFrame` form (round-14 ADVICE: it rebuilt
+  * the leaf with `UnknownPartitioning`, re-shuffling the checkpointed
+  * side of each round's co-partitioned join), partitioning metadata —
+  * which IS load-bearing for exchange planning — survives; only the
+  * estimated stats are dropped.
   */
 object GraftCheckpointBridge {
   /** `eager = false` mirrors `localCheckpoint(false)` — the checkpoint
@@ -36,6 +42,13 @@ object GraftCheckpointBridge {
   def localCheckpointResetStats(df: Dataset[Row],
                                 eager: Boolean = true): DataFrame = {
     val c = df.localCheckpoint(eager).asInstanceOf[classic.Dataset[Row]]
-    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
+    val leaf = c.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l
+    }.getOrElse(throw new IllegalStateException(
+      "localCheckpoint did not produce a LogicalRDD leaf"))
+    val clean = LogicalRDD(leaf.output, leaf.rdd, leaf.outputPartitioning,
+      leaf.outputOrdering, leaf.isStreaming, leaf.stream)(
+      c.sparkSession, None, None)
+    classic.Dataset.ofRows(c.sparkSession, clean)
   }
 }

@@ -106,6 +106,51 @@ class SuffixApplySpec extends AnyFunSuite {
     assert(gotDsk == gotWin)
   }
 
+  test("store-served apply equals the inline path: cold build, warm " +
+       "serve, and staleness rebuild") {
+    import spark.implicits._
+    val name = "graft_sfx_apply_spec_a"
+    try {
+      val docs = Seq(
+        (1L, "a b c d e f g h i j"),
+        (2L, "z z2 c d e f g h z3"),
+        (3L, "m n o p q"),
+        (4L, "a b c d e f g h i j")
+      ).toDF("doc_id", "text")
+      val inline = byDoc(ops.DedupOps.suffixDedupApply(docs, minTok = 5))
+      // cold: no store → build-and-persist, then splice from the store
+      val cold = byDoc(ops.DedupOps.suffixDedupApplyServed(docs, name,
+        minTok = 5))
+      assert(cold == inline)
+      // warm: fingerprint matches → pure store read, identical rows
+      val warm = byDoc(ops.DedupOps.suffixDedupApplyServed(docs, name,
+        minTok = 5))
+      assert(warm == inline)
+      // stale: a different corpus under the same name must rebuild,
+      // never splice corpus A's spans into corpus B's text
+      val docs2 = Seq(
+        (1L, "q w e r t y u i o p"),
+        (2L, "a a q w e r t y b b")
+      ).toDF("doc_id", "text")
+      val served2 = byDoc(ops.DedupOps.suffixDedupApplyServed(docs2, name,
+        minTok = 5))
+      assert(served2 == byDoc(ops.DedupOps.suffixDedupApply(docs2,
+        minTok = 5)))
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("store-served apply equals the inline path on the fixture slice") {
+    val name = "graft_sfx_apply_spec_b"
+    try {
+      val slice = graft.Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 5 === 0)
+      val served = byDoc(ops.DedupOps.suffixDedupApplyServed(slice, name,
+        minTok = 5))
+      val inline = byDoc(ops.DedupOps.suffixDedupApply(slice, minTok = 5))
+      assert(served == inline && served.values.exists(_._2 > 0))
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
   test("agreement with the fixed-window exact apply when a span clears " +
        "both thresholds") {
     import spark.implicits._

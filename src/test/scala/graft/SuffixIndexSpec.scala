@@ -57,10 +57,56 @@ class SuffixIndexSpec extends AnyFunSuite {
       assert(acc.getLong(0) == sufs.length.toLong)
       assert(acc.getLong(1) == corpus.length.toLong)
       assert(acc.getLong(2) == sumLcp)
+      // stored keys are GAPPED: dense position i persists at (i+1)·2^20
+      val G = 1L << 20
       val ck = sufs.zipWithIndex.map { case ((_, d, p), sp) =>
-        (sp.toLong * 31 + p * 7 + d) % 1000003L
+        ((sp.toLong + 1) * G * 31 + p * 7 + d) % 1000003L
       }.sum
       assert(acc.getLong(3) == ck)
+      // link checksum over the (prev_sp, prev_doc) pointers
+      val lck = sufs.zipWithIndex.map { case (_, sp) =>
+        val (psk, pd) =
+          if (sp == 0) (-1L, -1L)
+          else (sp.toLong * G, sufs(sp - 1)._2)
+        (psk * 13 + pd) % 1000003L
+      }.sum
+      assert(acc.getLong(4) == lck)
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("fingerprint staleness: a content-only mutation (counts, ids, and " +
+       "char mass all preserved) still rebuilds") {
+    import spark.implicits._
+    val name = "graft_sfx_spec_e"
+    try {
+      // b swaps the TEXTS of docs 2 and 3 (equal char lengths), so doc
+      // count, id sum, and total char mass — the round-14 moment-only
+      // fingerprint — are identical; only content moved. The digest
+      // term must trip staleness, or doc 2 serves doc 3's structure.
+      val a = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "p q r s"))
+        .toDF("doc_id", "text")
+      ops.DedupOps.suffixIndexBuild(a, name).collect()
+      val b = Seq((1L, "a b c d"), (2L, "p q r s"), (3L, "a b x y"))
+        .toDF("doc_id", "text")
+      val served = ops.DedupOps.suffixIndexServe(b, name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stats = ops.DedupOps.suffixDedupStats(b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(served.toSeq == stats.toSeq)
+      assert(stats.find(_._1 == 2L).get._3 == 0L &&
+        stats.find(_._1 == 3L).get._3 == 2L)
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("empty corpus: build yields a defined fingerprint and an empty " +
+       "index; serve returns zero rows") {
+    import spark.implicits._
+    val name = "graft_sfx_spec_f"
+    try {
+      val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val acc = ops.DedupOps.suffixIndexBuild(none, name).head()
+      assert(acc.getLong(0) == 0L && acc.getLong(3) == 0L)
+      assert(ops.DedupOps.suffixIndexServe(none, name).count() == 0L)
     } finally ops.KeyedStore.drop(spark, name)
   }
 
