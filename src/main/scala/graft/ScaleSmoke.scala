@@ -534,9 +534,50 @@ object ScaleSmoke {
     // adjacent-LCP min-chains + splice) and cross-modal retrieval
     // (towers + broadcast bounded query slice × image corpus).
     if (wanted("suffix_apply")) {
-      time("suffix_apply_1x", base)(d => ops.DedupOps.qSuffixApply(spark, d))
+      // INLINE removal path (q_suffix_apply now serves from the durable
+      // store, whose warm/cold state would make the 1×/10× ratio
+      // meaningless — the inline build+splice is the state-free probe)
+      time("suffix_apply_1x", base)(d =>
+        ops.DedupOps.suffixDedupApply(Tables.documents(spark, d)))
       time(s"suffix_apply_${factor}x", scaled)(d =>
-        ops.DedupOps.qSuffixApply(spark, d))
+        ops.DedupOps.suffixDedupApply(Tables.documents(spark, d)))
+    }
+    // Round-15 rows: the durable suffix-index lifecycle. Build is the
+    // priced artifact (expect ≈ factor × a little extra from the extra
+    // doubling round); serve is a region-pruned scan + per-(doc,run)
+    // windows — data-proportional, NO suffix ranking, so its ratio
+    // should track corpus size and nothing more. Append is probed at
+    // several delta fractions against the rebuild price: compute is
+    // delta-proportional but the covering-region WRITE approaches a
+    // table rewrite once delta suffixes ≫ regions, so the crossover
+    // fraction (record in ROUND15_NOTES) is the honest
+    // append-vs-rebuild decision rule.
+    if (wanted("suffix_index")) {
+      Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
+        val name = s"graft_scale_sfxidx_$tag"
+        if (ops.KeyedStore.exists(spark, name)) ops.KeyedStore.drop(spark, name)
+        time(s"sfx_index_build_$tag", dir)(d =>
+          ops.DedupOps.suffixIndexBuild(Tables.documents(spark, d), name))
+        time(s"sfx_index_serve_$tag", dir)(d =>
+          ops.DedupOps.suffixIndexServe(Tables.documents(spark, d), name))
+        ops.KeyedStore.drop(spark, name)
+      }
+      Seq(1000L -> "0.1pct", 100L -> "1pct", 20L -> "5pct").foreach {
+        case (m, tag) =>
+          val name = s"graft_scale_sfxapp_$tag"
+          val docs = Tables.documents(spark, base)
+          val delta = docs.filter(col("doc_id") % lit(m) === 0L)
+          val baseD = docs.filter(col("doc_id") % lit(m) =!= 0L)
+          if (ops.KeyedStore.exists(spark, name))
+            ops.KeyedStore.drop(spark, name)
+          ops.DedupOps.suffixIndexBuild(baseD, name).collect()
+          GraftCache.releaseAllStorage(spark)
+          val t0 = System.nanoTime()
+          ops.DedupOps.suffixIndexAppend(baseD, delta, name)
+          println(f"SCALE sfx_append_$tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          GraftCache.releaseAllStorage(spark)
+          ops.KeyedStore.drop(spark, name)
+      }
     }
     if (wanted("crossmodal")) {
       time("crossmodal_1x", base)(d =>

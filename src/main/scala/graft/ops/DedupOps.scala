@@ -1542,22 +1542,25 @@ object DedupOps {
     * one region-pruned scan + [[crossDocMax]] + a per-doc max. Output
     * is row-identical to [[suffixDedupStats]] — the oracle is the SAME
     * SQL — but the serve path never ranks a suffix. */
+  /** True iff the store exists and its meta fingerprint matches `docs`
+    * exactly — the "serve without touching anything" probe. */
+  def suffixStoreFresh(docs: DataFrame, name: String): Boolean = {
+    val spark = docs.sparkSession
+    KeyedStore.exists(spark, name) && {
+      val meta = KeyedStore.scan(spark, name, "sp", -1L, -1L).collect()
+      meta.nonEmpty &&
+        meta.head.getAs[Long]("doc_id") == docsFingerprint(docs)
+    }
+  }
+
   /** Train-once/serve-frozen resolution shared by every stored-suffix
     * consumer: store hit with matching corpus fingerprint → serve the
     * artifact; miss/stale (including any prior-generation schema, which
     * [[SuffixStoreVersion]] folds into the fingerprint) →
     * build-and-persist first. */
-  private def resolveSuffixStore(docs: DataFrame, name: String): Unit = {
-    val spark = docs.sparkSession
-    val fp = docsFingerprint(docs)
-    val stale =
-      if (!KeyedStore.exists(spark, name)) true
-      else {
-        val meta = KeyedStore.scan(spark, name, "sp", -1L, -1L).collect()
-        meta.isEmpty || meta.head.getAs[Long]("doc_id") != fp
-      }
-    if (stale) suffixIndexBuild(docs, name).collect()
-  }
+  private def resolveSuffixStore(docs: DataFrame, name: String): Unit =
+    if (!suffixStoreFresh(docs, name))
+      suffixIndexBuild(docs, name).collect()
 
   def suffixIndexServe(docs: DataFrame, name: String): DataFrame = {
     val spark = docs.sparkSession
@@ -1839,6 +1842,35 @@ object DedupOps {
       inserted.unionByName(succUpd).unionByName(metaRow)
         .withColumn("op", lit("U")))
     ()
+  }
+
+  /** Fenced per-batch append for STREAMING maintenance
+    * ([[graft.streaming.DocStream.qStreamSuffixIndex]]): the store's
+    * meta fingerprint IS the exactly-once fence. `pre` is the corpus
+    * the store should hold BEFORE this batch (the offline base plus
+    * every previously committed batch — deterministic under a
+    * checkpointed file stream, where replays re-present identical
+    * batches in identical order). Store at fp(pre ∪ batch) → the batch
+    * already committed and this call is an at-least-once REPLAY:
+    * content no-op, nothing written. Store at fp(pre) → the normal
+    * [[suffixIndexAppend]]. Anything else (a crash tore the append
+    * between its upsert and nothing — or the store predates this
+    * stream) → rebuild from pre ∪ batch: self-healing, torn structure
+    * is never served. */
+  def suffixIndexStreamAppend(pre: DataFrame, batch: DataFrame,
+                              name: String): Unit = {
+    val spark = pre.sparkSession
+    val fpPost = docsFingerprint(pre.unionByName(batch))
+    val fpPre = docsFingerprint(pre)
+    val metaFp: Option[Long] =
+      if (!KeyedStore.exists(spark, name)) None
+      else KeyedStore.scan(spark, name, "sp", -1L, -1L).collect()
+        .headOption.map(_.getAs[Long]("doc_id"))
+    metaFp match {
+      case Some(f) if f == fpPost => () // replayed batch: content no-op
+      case Some(f) if f == fpPre => suffixIndexAppend(pre, batch, name)
+      case _ => suffixIndexBuild(pre.unionByName(batch), name).collect()
+    }
   }
 
   /** Schema/layout generation of the stored suffix index, folded into

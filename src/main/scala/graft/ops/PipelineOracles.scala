@@ -1601,6 +1601,11 @@ object PipelineOracles {
     // full-corpus stats SQL.
     "q_suffix_index_incremental" -> SUFFIX_STATS_SQL,
 
+    // The streaming maintenance twin drains the same % 41 delta as
+    // micro-batches through the fingerprint-fenced append and serves
+    // the same full-corpus statistics.
+    "q_stream_suffix_index" -> SUFFIX_STATS_SQL,
+
     // Mirrors DedupOps.suffixIndexBuild's read-back accounting over the
     // STORED linked (sp, doc_id, p, lcp, prev_sp, prev_doc) relation:
     // DuckDB rebuilds the SA by direct suffix sort (1-based row_number

@@ -28,6 +28,83 @@ object DocStream {
     * to the batch classifier's aggregate, which is what the oracle
     * computes (StreamingSpec pins stream-vs-batch equality too).
     */
+  /** STREAMING maintenance of the durable suffix index — the online
+    * leg of the Lee-et-al deployment shape (round-14 verdict stretch
+    * item): an offline build persists the base corpus's linked SA+LCP
+    * structure, then each arriving document micro-batch merges through
+    * [[graft.ops.DedupOps.suffixIndexAppend]] — delta-proportional
+    * compute, covering-region writes, exactly the small-batch regime
+    * where append beats rebuild (ROUND15_NOTES crossover table) — and
+    * the index stays continuously serveable.
+    *
+    * Exactly-once audit: suffix appends are NOT pure functions of the
+    * batch (key assignment depends on store state), so unlike the ANN
+    * posting sinks a replay is not automatically a content no-op. The
+    * fence is the store's meta fingerprint
+    * ([[graft.ops.DedupOps.suffixIndexStreamAppend]]): a replayed
+    * batch finds the store already at its post-state fingerprint and
+    * writes nothing; a torn append (crash between upsert and
+    * checkpoint) matches neither pre- nor post-state and rebuilds —
+    * torn structure is never served. SuffixStreamSpec exercises both
+    * through an injected crash + checkpoint restart.
+    *
+    * The row resolves warm-first like the batch incremental twin: a
+    * store already holding the full corpus serves directly; otherwise
+    * base build → 2-batch drain → serve. Output = full-corpus
+    * duplication statistics, row-identical to q_suffix_dedup (the
+    * oracle is the SAME stats SQL).
+    */
+  def qStreamSuffixIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DedupOps, KeyedStore}
+    val name = "graft_stream_suffix_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val docs = graft.Tables.documents(spark, dir)
+    val narrow = docs.select(col("doc_id"), col("text"))
+    val delta = narrow.filter(col("doc_id") % 41 === 0)
+    val base = narrow.filter(col("doc_id") % 41 =!= 0)
+    // warm probe only — whether the stream machinery needs to run at
+    // all; serve at the end re-resolves the fingerprint itself
+    if (!DedupOps.suffixStoreFresh(docs, name)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sfx")
+      val srcDir = tmp.resolve("src").toString
+      delta.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        if (KeyedStore.exists(spark, name)) KeyedStore.drop(spark, name)
+        DedupOps.suffixIndexBuild(base, name).collect()
+        // the corpus committed so far — advanced after each batch; on a
+        // crash-restart the var resets and replayed batches fall on the
+        // fingerprint fence instead
+        var seen = base
+        val stream = spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = stream.writeStream
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val b = batch.toDF().select(col("doc_id"), col("text"))
+                .localCheckpoint()
+              DedupOps.suffixIndexStreamAppend(seen, b, name)
+              seen = seen.unionByName(b)
+            }
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_suffix_index: stream did not drain within 180 s — " +
+              "refusing to serve a partially appended index")
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        EventStream.deleteRecursively(tmp)
+      }
+    }
+    DedupOps.suffixIndexServe(docs, name)
+  }
+
   def qStreamQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_stream_qgate_store"
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_qgate")
