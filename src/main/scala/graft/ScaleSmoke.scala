@@ -556,16 +556,18 @@ object ScaleSmoke {
       Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
         val name = s"graft_scale_sfxidx_$tag"
         if (ops.KeyedStore.exists(spark, name)) ops.KeyedStore.drop(spark, name)
-        time(s"sfx_index_build_$tag", dir)(d =>
+        time(s"suffix_index_build_$tag", dir)(d =>
           ops.DedupOps.suffixIndexBuild(Tables.documents(spark, d), name))
-        time(s"sfx_index_serve_$tag", dir)(d =>
+        time(s"suffix_index_serve_$tag", dir)(d =>
           ops.DedupOps.suffixIndexServe(Tables.documents(spark, d), name))
         ops.KeyedStore.drop(spark, name)
       }
-      Seq(1000L -> "0.1pct", 100L -> "1pct", 20L -> "5pct").foreach {
-        case (m, tag) =>
+      Seq((1000L, "01pct", base), (100L, "1pct", base),
+          (20L, "5pct", base), (1000L, s"01pct_${factor}x", scaled),
+          (10000L, s"fixeddocs_${factor}x", scaled)).foreach {
+        case (m, tag, pdir) =>
           val name = s"graft_scale_sfxapp_$tag"
-          val docs = Tables.documents(spark, base)
+          val docs = Tables.documents(spark, pdir)
           val delta = docs.filter(col("doc_id") % lit(m) === 0L)
           val baseD = docs.filter(col("doc_id") % lit(m) =!= 0L)
           if (ops.KeyedStore.exists(spark, name))
@@ -574,7 +576,7 @@ object ScaleSmoke {
           GraftCache.releaseAllStorage(spark)
           val t0 = System.nanoTime()
           ops.DedupOps.suffixIndexAppend(baseD, delta, name)
-          println(f"SCALE sfx_append_$tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          println(f"SCALE suffix_index_append_$tag%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
           GraftCache.releaseAllStorage(spark)
           ops.KeyedStore.drop(spark, name)
       }

@@ -1661,13 +1661,21 @@ object DedupOps {
     *  6. One [[KeyedStore.upsert]] lands inserted rows + successor
     *     updates + the meta row, rewriting ONLY covering regions.
     *
-    * Scale honesty: reads and compute are delta-proportional, but a
-    * delta whose suffixes scatter across the whole key space (any
-    * multi-doc batch does) touches ~min(|delta suffixes|, regions)
-    * regions, so the WRITE side approaches a full-table rewrite once
-    * |delta suffixes| ≫ region count. The append path wins for small
-    * batches (the streaming/micro-batch shape); bulk fractions should
-    * rebuild — the measured crossover is recorded in ROUND15_NOTES.
+    * Scale honesty (measured, ROUND15_NOTES §4): compute is
+    * delta-proportional as above, but two corpus-linear terms remain.
+    * (1) The compare-side token arrays (`docsArr`) tokenize the full
+    * corpus ONCE per invocation — one column-pruned read, no shuffle,
+    * no ranking; the 100-TB refinement is to persist per-doc token
+    * arrays as a doc-keyed sub-store at build time (Lee et al. keep
+    * the text adjacent to the SA for exactly this) so mid-row compares
+    * become region-pruned point lookups. (2) A delta whose suffixes
+    * scatter across the key space (any multi-doc batch) touches
+    * ~min(|delta suffixes|, regions) regions, so the WRITE side
+    * approaches a full-table rewrite once |delta suffixes| ≫ region
+    * count — delta-proportional again at production region budgets
+    * (2^20-row regions). Net: append wins ~2× at every measured point
+    * and is built for the small-batch streaming regime; bulk fractions
+    * should rebuild.
     */
   def suffixIndexAppend(base: DataFrame, delta: DataFrame,
                         name: String): Unit = {
