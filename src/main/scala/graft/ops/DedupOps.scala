@@ -1881,6 +1881,226 @@ object DedupOps {
     }
   }
 
+  /** Prefix-compare of the suffix of token array `a` at 1-based `pa`
+    * against a QUERY token array `q`: 0 iff the suffix has `q` as a
+    * prefix (the suffix may continue arbitrarily); −1/+1 otherwise by
+    * the first disagreeing token, with a suffix SHORTER than `q` that
+    * matches to its own end sorting BEFORE `q` (the SA's shorter-first
+    * convention). Monotone w.r.t. suffix order, so {cmp < 0} and
+    * {cmp ≤ 0} are both SA-order prefixes — the two binary-searchable
+    * boundaries of the match range. */
+  private def cmpPrefixQ(a: Column, pa: Column, q: Column): Column = {
+    val s = slice(a, pa.cast("int"),
+      least(size(a) - pa.cast("int") + 1, size(q)))
+    val d = array_position(
+      zip_with(s, q, (x, y) => x.eqNullSafe(y)), lit(false)).cast("int")
+    when(d === 0, lit(0))
+      .when(get(s, d - 1).isNull, lit(-1))
+      .when(get(s, d - 1) < get(q, d - 1), lit(-1))
+      .otherwise(lit(1))
+  }
+
+  /** SUFFIX-ARRAY RANGE SEARCH off the durable index — the serving
+    * primitive the SA exists for in Lee et al.'s deployment (and the
+    * memorization-audit question: "how often does this exact token
+    * span occur in the training corpus, and in how many documents?").
+    * For each query token sequence, binary-search the TWO boundaries
+    * of its match range ({suffix < q} and {suffix < q or q-prefixed}
+    * are both SA-order prefixes), difference the global ranks for the
+    * occurrence count, then ONE region-pruned multi-range scan of just
+    * the matched SA intervals for the distinct-document count. No
+    * suffix ranking, no corpus-wide work on the serve path: routing is
+    * |queries| × region-boundary compares, the per-region search is
+    * ≤ ceil(log2 region rows) rounds (corpus-size-independent), and
+    * the match scan reads only matched rows. Unlike the append (which
+    * compares against a delta-proportional slice of the corpus and
+    * caches one corpus tokenize pass), the compare side here reads
+    * ONLY the probed documents: each round's ≤ 2|queries| distinct doc
+    * ids are collected driver-side and fetched with an `isin` filter —
+    * row-group-prunable against doc_id-ordered parquet — so a query
+    * batch never tokenizes the corpus. Batches past 4096 queries fall
+    * back to the cached corpus pass (an `isin` that size is a plan
+    * bomb, and at that batch size the linear pass amortizes anyway).
+    *
+    * `queries` must carry (`query_id` long, `q_tokens` array<string>,
+    * non-empty). Output: (query_id, n_occurrences, n_docs), ordered.
+    */
+  def suffixIndexSearch(docs: DataFrame, name: String,
+                        queries: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    resolveSuffixStore(docs, name)
+    lazy val docsArrAll = docs.select(col("doc_id"), TextFns.toks.as("arr"))
+      .graftCached
+    val pointLookups = queries.limit(4097).count() <= 4096
+    def arrsFor(ids: => Seq[Long]): DataFrame =
+      if (!pointLookups) docsArrAll
+      else {
+        val want = ids
+        if (want.isEmpty)
+          docs.filter(lit(false))
+            .select(col("doc_id"), TextFns.toks.as("arr"))
+        else docs.filter(col("doc_id").isin(want: _*))
+          .select(col("doc_id"), TextFns.toks.as("arr"))
+      }
+    val rm = KeyedStore.readRegions(spark, name)
+    val regs = rm.regions
+    def keyOf(v: Any): Long = v.asInstanceOf[Number].longValue()
+    val bounds: IndexedSeq[(Int, Long, Long, Long)] =
+      if (regs.size <= 1) IndexedSeq.empty
+      else {
+        val keys = (1 until regs.size).map(i => keyOf(regs(i).min))
+        val byKey = KeyedStore
+          .scanMulti(spark, name, "sp", keys.map(k => (k: Any, k: Any)))
+          .select(col("sp"), col("doc_id"), col("p")).collect()
+          .map(r => r.getLong(0) -> r).toMap
+        keys.zipWithIndex.map { case (k, i0) =>
+          val r = byKey.getOrElse(k, throw new IllegalStateException(
+            s"suffixIndexSearch: region boundary key $k missing from $name"))
+          (i0 + 1, k, r.getLong(1), r.getLong(2))
+        }.toIndexedSeq
+      }
+    // Two probes per query: side 0 searches the STRICT boundary
+    // (rank of the first possible match), side 1 the ≤ boundary (rank
+    // one past the last match). One shared loop.
+    val probes0 = queries.select(col("query_id").as("qid"),
+        col("q_tokens").as("qarr"))
+      .crossJoin(spark.range(2).select(col("id").cast("int").as("side")))
+    def leCmp(cmp: Column, side: Column): Column =
+      when(side === 0, cmp < 0).otherwise(cmp <= 0)
+    val ridxed =
+      if (bounds.isEmpty) probes0.withColumn("ridx", lit(0))
+      else {
+        val bdf = spark.createDataFrame(bounds.map(b => (b._3, b._4)))
+          .toDF("bdoc", "bp")
+          .join(arrsFor(bounds.map(_._3).distinct)
+            .select(col("doc_id").as("bdoc"), col("arr").as("barr")),
+            Seq("bdoc"))
+        val cnts = probes0.crossJoin(broadcast(bdf))
+          .select(col("qid"), col("side"),
+            when(leCmp(cmpPrefixQ(col("barr"), col("bp"), col("qarr")),
+              col("side")), 1).otherwise(0).as("le"))
+          .groupBy(col("qid"), col("side")).agg(sum(col("le")).as("nb"))
+        probes0.join(cnts, Seq("qid", "side"), "left")
+          .withColumn("ridx", coalesce(col("nb"), lit(0L)).cast("int"))
+          .drop("nb")
+      }
+    val touched = ridxed.select(col("ridx")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val mins = regs.map(r => keyOf(r.min))
+    val regRows = KeyedStore.scanMulti(spark, name, "sp",
+        touched.toSeq.map(i =>
+          (math.max(0L, keyOf(regs(i).min)): Any, keyOf(regs(i).max): Any)))
+      .filter(col("sp") >= 0L)
+      .withColumn("ridx", graft.functions.RangeFunctions
+        .longBoundaryBucket(col("sp"), mins))
+    val ranked = regRows.withColumn("ord",
+        row_number().over(Window.partitionBy(col("ridx")).orderBy(col("sp"))))
+      .select(col("ridx"), col("ord"), col("sp"), col("doc_id"), col("p"))
+      .localCheckpoint()
+    val cnts = ranked.groupBy(col("ridx")).agg(count(lit(1)).as("cnt"))
+    val maxCnt = cnts.agg(coalesce(max(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    var probes = ridxed.join(cnts, Seq("ridx"), "left")
+      .withColumn("lo", lit(0L))
+      .withColumn("hi", coalesce(col("cnt"), lit(0L)))
+      .drop("cnt")
+    var rounds = 0
+    while ((1L << rounds) <= maxCnt) rounds += 1
+    val oldSide = ranked.select(col("ridx").as("jridx"),
+      col("ord").as("jord"), col("doc_id").as("odoc"), col("p").as("op"))
+    for (_ <- 0 until rounds) {
+      val withMid = probes.withColumn("mid",
+        ((col("lo") + col("hi")) / lit(2)).cast("long"))
+      val j0 = withMid
+        .join(oldSide, col("ridx") === col("jridx") &&
+          col("mid") + 1 === col("jord"), "left")
+      // this round's probed docs only — collected in point-lookup mode,
+      // never in corpus-pass mode (the by-name arg keeps it lazy)
+      val joined = j0
+        .join(arrsFor(j0.filter(col("odoc").isNotNull)
+            .select(col("odoc")).distinct()
+            .collect().map(_.getLong(0)).toSeq)
+          .select(col("doc_id").as("odoc"), col("arr").as("oarr")),
+          Seq("odoc"), "left")
+        .withColumn("le", col("odoc").isNotNull &&
+          leCmp(cmpPrefixQ(col("oarr"), col("op"), col("qarr")),
+            col("side")))
+      probes = org.apache.spark.sql.GraftCheckpointBridge
+        .localCheckpointResetStats(joined.select(
+          col("qid"), col("side"), col("qarr"), col("ridx"),
+          when(col("lo") < col("hi") && col("le"), col("mid") + 1)
+            .otherwise(col("lo")).as("lo"),
+          when(col("lo") < col("hi") && !col("le"), col("mid"))
+            .otherwise(col("hi")).as("hi")))
+    }
+    // Global ranks: driver-side cumulative data-row counts per region
+    // (sidecar counts; region 0 excludes the meta row), so rank =
+    // cumBase(region) + in-region ordinal.
+    val dataRows = regs.zipWithIndex.map { case (r, i) =>
+      r.rows - (if (i == 0) 1L else 0L) }
+    val cumBase = dataRows.scanLeft(0L)(_ + _)
+    val cumCol = element_at(
+      array(cumBase.dropRight(1).map(lit(_)): _*), col("ridx") + 1)
+    val fin = probes.withColumn("grank", cumCol + col("lo"))
+      .select(col("qid"), col("side"), col("ridx"),
+        col("lo").as("ins"), col("grank"))
+      .localCheckpoint() // feeds rank diff + both key lookups
+    val loS = fin.filter(col("side") === 0)
+    val hiS = fin.filter(col("side") === 1)
+    val occ = loS.select(col("qid"), col("grank").as("rlo"))
+      .join(hiS.select(col("qid"), col("grank").as("rhi")), Seq("qid"))
+      .withColumn("n_occurrences", col("rhi") - col("rlo"))
+    // Match-range KEYS (only queries with matches): first match = the
+    // row AFTER the strict boundary (in-region succ, next-region
+    // boundary when region-final); last match = the row AT the ≤
+    // boundary's ordinal (in-region pred — matches exist ⇒ ins ≥ 1 in
+    // the searched region).
+    val succIn = ranked.select(col("ridx"), (col("ord") - 1).as("ins"),
+      col("sp").as("ssp"))
+    val nextDf = spark.createDataFrame(
+        bounds.map(b => (b._1 - 1, b._2))).toDF("ridx", "bnsp")
+    val loKeys = loS.join(succIn, Seq("ridx", "ins"), "left")
+      .join(broadcast(nextDf), Seq("ridx"), "left")
+      .select(col("qid"), coalesce(col("ssp"), col("bnsp")).as("lo_key"))
+    val predIn = ranked.select(col("ridx"), col("ord").as("ins"),
+      col("sp").as("psp"))
+    val hiKeys = hiS.join(predIn, Seq("ridx", "ins"), "left")
+      .select(col("qid"), col("psp").as("hi_key"))
+    val ranges = occ.filter(col("n_occurrences") > 0)
+      .join(loKeys, Seq("qid")).join(hiKeys, Seq("qid"))
+      .select(col("qid"), col("lo_key"), col("hi_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nd =
+      if (ranges.isEmpty)
+        spark.range(0).select(col("id").as("qid"), col("id").as("n_docs"))
+      else {
+        val rangeDf = spark.createDataFrame(ranges.toIndexedSeq)
+          .toDF("qid", "lo_key", "hi_key")
+        KeyedStore.scanMulti(spark, name, "sp",
+            ranges.toSeq.map(t => (t._2: Any, t._3: Any)))
+          .select(col("sp"), col("doc_id"))
+          .join(broadcast(rangeDf),
+            col("sp") >= col("lo_key") && col("sp") <= col("hi_key"))
+          .groupBy(col("qid"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+      }
+    occ.join(nd, Seq("qid"), "left")
+      .select(col("qid").as("query_id"), col("n_occurrences"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Fixture queries: the first 5 tokens of every doc_id % 97 == 0
+    * document with ≥ 5 tokens — deterministic, oracle-reproducible. */
+  def qSuffixSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val queries = docs
+      .filter(col("doc_id") % 97 === 0 && size(TextFns.toks) >= 5)
+      .select(col("doc_id").as("query_id"),
+        slice(TextFns.toks, 1, 5).as("q_tokens"))
+    suffixIndexSearch(docs, suffixStoreName(dir), queries)
+  }
+
   /** Schema/layout generation of the stored suffix index, folded into
     * [[docsFingerprint]]: bumping it invalidates every persisted suffix
     * store (serve paths see "stale" and rebuild), so a layout change

@@ -1606,6 +1606,30 @@ object PipelineOracles {
     // the same full-corpus statistics.
     "q_stream_suffix_index" -> SUFFIX_STATS_SQL,
 
+    // SA range search (DedupOps.suffixIndexSearch): for each query —
+    // the first 5 tokens of every doc_id % 97 document — count the
+    // suffixes it prefixes and the distinct documents containing it.
+    // The oracle is the direct quadratic join (every suffix × every
+    // query, prefix-slice equality); the engine answers from two
+    // binary-searched SA boundaries + one range scan of the matched
+    // interval.
+    "q_suffix_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |q AS (SELECT doc_id AS qid, w[1:5] AS qtok FROM t
+        |      WHERE doc_id % 97 = 0 AND len(w) >= 5),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, i AS p, w[i:len(w)] AS suf
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |m AS (SELECT q.qid, s.doc_id
+        |      FROM q JOIN s ON len(s.suf) >= 5 AND s.suf[1:5] = q.qtok)
+        |SELECT q.qid AS query_id,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_occurrences,
+        |       CAST(coalesce(c.nd, 0) AS BIGINT) AS n_docs
+        |FROM q LEFT JOIN (
+        |  SELECT qid, count(*) AS n, count(DISTINCT doc_id) AS nd
+        |  FROM m GROUP BY qid) c USING (qid)
+        |ORDER BY query_id""".stripMargin,
+
     // Mirrors DedupOps.suffixIndexBuild's read-back accounting over the
     // STORED linked (sp, doc_id, p, lcp, prev_sp, prev_doc) relation:
     // DuckDB rebuilds the SA by direct suffix sort (1-based row_number

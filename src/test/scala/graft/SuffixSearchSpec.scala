@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SA range search off the durable index (DedupOps.suffixIndexSearch):
+  * occurrence and distinct-document counts for query token sequences,
+  * pinned against a driver-side brute force on constructed corpora
+  * (multi-region, cross-region match ranges, zero-match and
+  * everything-matches extremes) and against the quadratic recount on a
+  * fixture slice.
+  */
+class SuffixSearchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def got(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def brute(corpus: Seq[(Long, String)],
+                    queries: Seq[(Long, Seq[String])]) =
+    queries.sortBy(_._1).map { case (qid, q) =>
+      val hits = corpus.flatMap { case (d, t) =>
+        val w = t.split(" ", -1).toSeq
+        w.indices.collect {
+          case i if w.drop(i).take(q.length) == q && w.length - i >= q.length
+            => d
+        }
+      }
+      (qid, hits.size.toLong, hits.distinct.size.toLong)
+    }
+
+  test("constructed multi-region corpus: counts match brute force, " +
+       "including cross-region ranges and both extremes") {
+    val name = "graft_sfx_search_spec_a"
+    try {
+      val corpus = Seq(
+        (1L, "a b c d e f"),
+        (2L, "a b c x y"),
+        (3L, "x a b c d q"),
+        (4L, "m n o p"),
+        (5L, "a b c d e f"))
+      // tiny regions force the "a b c" match range across region
+      // boundaries
+      ops.DedupOps.suffixIndexBuild(corpus.toDF("doc_id", "text"), name,
+        targetRows = 4).collect()
+      val queries = Seq(
+        (10L, Seq("a", "b", "c")),       // 4 occurrences, 4 docs
+        (11L, Seq("a", "b", "c", "d")),  // 3 occurrences, 3 docs
+        (12L, Seq("zz")),                // zero matches
+        (13L, Seq("m", "n", "o", "p")),  // exactly one whole doc
+        (14L, Seq("c")))                 // single-token, many matches
+      val res = got(ops.DedupOps.suffixIndexSearch(
+        corpus.toDF("doc_id", "text"), name,
+        queries.toDF("query_id", "q_tokens")))
+      assert(res == brute(corpus, queries))
+      // sanity on the hand-counted rows
+      assert(res.find(_._1 == 10L).get == ((10L, 4L, 4L)))
+      assert(res.find(_._1 == 12L).get == ((12L, 0L, 0L)))
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("search works unchanged after an incremental append (sparse keys)") {
+    val name = "graft_sfx_search_spec_b"
+    try {
+      val base = Seq((1L, "a b c d"), (2L, "p q r s"))
+      val delta = Seq((9L, "x a b c"), (10L, "q r s t"))
+      val full = base ++ delta
+      ops.DedupOps.suffixIndexBuild(base.toDF("doc_id", "text"), name,
+        targetRows = 4).collect()
+      ops.DedupOps.suffixIndexAppend(base.toDF("doc_id", "text"),
+        delta.toDF("doc_id", "text"), name)
+      val queries = Seq((20L, Seq("a", "b", "c")), (21L, Seq("q", "r", "s")),
+        (22L, Seq("t")))
+      val res = got(ops.DedupOps.suffixIndexSearch(
+        full.toDF("doc_id", "text"), name,
+        queries.toDF("query_id", "q_tokens")))
+      assert(res == brute(full, queries))
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+
+  test("fixture slice: engine counts equal the quadratic recount") {
+    val name = "graft_sfx_search_spec_c"
+    try {
+      val docs = graft.Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 3 === 0)
+      val queries = docs
+        .filter(col("doc_id") % 12 === 0 && size(ops.TextFns.toks) >= 4)
+        .select(col("doc_id").as("query_id"),
+          slice(ops.TextFns.toks, 1, 4).as("q_tokens"))
+      val res = got(ops.DedupOps.suffixIndexSearch(docs, name, queries))
+      val corpus = docs.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val qs = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+      assert(res == brute(corpus, qs) && res.nonEmpty)
+      // every query matches at least its own source document
+      assert(res.forall(_._2 >= 1))
+    } finally ops.KeyedStore.drop(spark, name)
+  }
+}
