@@ -1996,7 +1996,7 @@ object DedupOps {
     val ranked = regRows.withColumn("ord",
         row_number().over(Window.partitionBy(col("ridx")).orderBy(col("sp"))))
       .select(col("ridx"), col("ord"), col("sp"), col("doc_id"), col("p"))
-      .localCheckpoint()
+      .graftCached // every round + the pred/succ lookups re-read it
     val cnts = ranked.groupBy(col("ridx")).agg(count(lit(1)).as("cnt"))
     val maxCnt = cnts.agg(coalesce(max(col("cnt")), lit(0L)))
       .head().getLong(0)
@@ -2004,19 +2004,35 @@ object DedupOps {
       .withColumn("lo", lit(0L))
       .withColumn("hi", coalesce(col("cnt"), lit(0L)))
       .drop("cnt")
-    var rounds = 0
-    while ((1L << rounds) <= maxCnt) rounds += 1
+    // K-ARY search, not binary: serving latency here is bounded by
+    // per-round JOB overhead (each round is a collect + two small
+    // joins), not by compare work, so probing K−1 evenly spaced
+    // ordinals per round cuts rounds from log2 to logK of the region
+    // cap (17 → 5 at 65536 rows) for a ~(K−1)×log-factor more of the
+    // trivially cheap compares. Probe points are CEILING-spaced so the
+    // range provably shrinks to ceil(width/K) per round and reaches 0.
+    val K = 16
+    var rounds = 1
+    var span = 1L
+    while (span < maxCnt) { span *= K; rounds += 1 }
     val oldSide = ranked.select(col("ridx").as("jridx"),
       col("ord").as("jord"), col("doc_id").as("odoc"), col("p").as("op"))
     for (_ <- 0 until rounds) {
-      val withMid = probes.withColumn("mid",
-        ((col("lo") + col("hi")) / lit(2)).cast("long"))
-      val j0 = withMid
+      // points m = lo + ceil(width·i/K), i = 1..K−1, each testing the
+      // m-th smallest in-region row: row ≤ boundary ⇒ ins ≥ m, else
+      // ins ≤ m−1
+      val pts = probes.filter(col("lo") < col("hi"))
+        .crossJoin(spark.range(1, K).select(col("id").as("ki")))
+        .withColumn("mid", col("lo") +
+          (((col("hi") - col("lo")) * col("ki") + lit(K - 1)) / lit(K))
+            .cast("long"))
+        .filter(col("mid") > col("lo") && col("mid") <= col("hi"))
+      val j0 = pts
         .join(oldSide, col("ridx") === col("jridx") &&
-          col("mid") + 1 === col("jord"), "left")
+          col("mid") === col("jord"), "left")
       // this round's probed docs only — collected in point-lookup mode,
       // never in corpus-pass mode (the by-name arg keeps it lazy)
-      val joined = j0
+      val upd = j0
         .join(arrsFor(j0.filter(col("odoc").isNotNull)
             .select(col("odoc")).distinct()
             .collect().map(_.getLong(0)).toSeq)
@@ -2025,13 +2041,17 @@ object DedupOps {
         .withColumn("le", col("odoc").isNotNull &&
           leCmp(cmpPrefixQ(col("oarr"), col("op"), col("qarr")),
             col("side")))
+        .groupBy(col("qid"), col("side"))
+        .agg(max(when(col("le"), col("mid"))).as("mxle"),
+          min(when(!col("le"), col("mid"))).as("mnnle"))
       probes = org.apache.spark.sql.GraftCheckpointBridge
-        .localCheckpointResetStats(joined.select(
-          col("qid"), col("side"), col("qarr"), col("ridx"),
-          when(col("lo") < col("hi") && col("le"), col("mid") + 1)
-            .otherwise(col("lo")).as("lo"),
-          when(col("lo") < col("hi") && !col("le"), col("mid"))
-            .otherwise(col("hi")).as("hi")))
+        .localCheckpointResetStats(
+          probes.join(upd, Seq("qid", "side"), "left").select(
+            col("qid"), col("side"), col("qarr"), col("ridx"),
+            greatest(col("lo"), coalesce(col("mxle"), col("lo")))
+              .as("lo"),
+            least(col("hi"), coalesce(col("mnnle") - 1, col("hi")))
+              .as("hi")))
     }
     // Global ranks: driver-side cumulative data-row counts per region
     // (sidecar counts; region 0 excludes the meta row), so rank =
