@@ -560,6 +560,19 @@ object ScaleSmoke {
           ops.DedupOps.suffixIndexBuild(Tables.documents(spark, d), name))
         time(s"suffix_index_serve_$tag", dir)(d =>
           ops.DedupOps.suffixIndexServe(Tables.documents(spark, d), name))
+        // FIXED 32-query batch at both scales (doc_id < 10^6 = the c=0
+        // copy, so the scaled corpus serves the SAME queries): the
+        // serving claim is corpus-size independence — region-capped
+        // k-ary rounds + probed-doc-only reads — so this ratio should
+        // stay ~flat while the corpus grows 10×.
+        time(s"suffix_index_search_$tag", dir) { d =>
+          val docs = Tables.documents(spark, d)
+          val qs = docs.filter(col("doc_id") % 389 === 0 &&
+              col("doc_id") < 1000000L && size(ops.TextFns.toks) >= 5)
+            .select(col("doc_id").as("query_id"),
+              slice(ops.TextFns.toks, 1, 5).as("q_tokens"))
+          ops.DedupOps.suffixIndexSearch(docs, name, qs)
+        }
         ops.KeyedStore.drop(spark, name)
       }
       Seq((1000L, "01pct", base), (100L, "1pct", base),

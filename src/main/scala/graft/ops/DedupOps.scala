@@ -1425,11 +1425,22 @@ object DedupOps {
     // a row STARTS a run iff its SA predecessor is absent or another
     // doc's, and rid = running count of run starts within the doc. No
     // key arithmetic anywhere — dense and sparse stores read the same.
+    // Materialized ONCE: the run-tagged relation feeds the two window
+    // chains AND the run-exit join below — un-materialized, the input
+    // scan clones per reference and the rid window recomputes with it
+    // (plan-audit round 15: the served apply showed 9 store scans).
+    // localCheckpoint, NOT graftCached: the serving callers scan
+    // KeyedStore tables that other queries in the same session DROP
+    // AND RE-CREATE, and a cached plan over the old file listing would
+    // substitute into the re-created table's reads (canonical-plan
+    // cache matching is path-based) — a checkpoint's LogicalRDD leaf
+    // can never be substituted.
     val rl = saLcp.withColumn("rid",
       sum(when(col("prev_doc").isNull ||
           col("prev_doc") =!= col("doc_id"), 1L).otherwise(0L)).over(
         Window.partitionBy(col("doc_id")).orderBy(col("sp"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
     val wPre = Window.partitionBy(col("doc_id"), col("rid"))
       .orderBy(col("sp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1450,7 +1461,7 @@ object DedupOps {
     // territory; NULL when the run closes the corpus.
     val outl = rl.groupBy(col("doc_id"), col("rid"))
       .agg(max(col("sp")).as("bsp"))
-      .join(saLcp.select(col("prev_sp").as("bsp"),
+      .join(rl.select(col("prev_sp").as("bsp"),
         col("lcp").as("out_lcp")), Seq("bsp"), "left")
       .select(col("doc_id"), col("rid"), col("out_lcp"))
     pc.join(outl, Seq("doc_id", "rid"))
@@ -1993,10 +2004,14 @@ object DedupOps {
       .filter(col("sp") >= 0L)
       .withColumn("ridx", graft.functions.RangeFunctions
         .longBoundaryBucket(col("sp"), mins))
+    // every round + the boundary-key lookups re-read it; checkpoint,
+    // not cache — see crossDocMax's substitution note (the underlying
+    // store table can be dropped/re-created by sibling queries in the
+    // same session)
     val ranked = regRows.withColumn("ord",
         row_number().over(Window.partitionBy(col("ridx")).orderBy(col("sp"))))
       .select(col("ridx"), col("ord"), col("sp"), col("doc_id"), col("p"))
-      .graftCached // every round + the pred/succ lookups re-read it
+      .localCheckpoint()
     val cnts = ranked.groupBy(col("ridx")).agg(count(lit(1)).as("cnt"))
     val maxCnt = cnts.agg(coalesce(max(col("cnt")), lit(0L)))
       .head().getLong(0)
