@@ -124,7 +124,8 @@ object ExplainDump {
       "q_crossmodal_retrieval" -> "Cross-modal serving: both stub towers + literal integer alignment heads fold into codegen'd projections; bounded query slice broadcast against the image corpus, per-query top-5 window",
       "q_suffix_index_serve" -> "Durable-suffix-index serve: region-pruned store scan -> per-(doc,run) window min-chains -> per-doc max; no suffix ranking, no descent, no corpus text",
       "q_suffix_index_incremental" -> "Incremental suffix-index lifecycle, WARM resolution: the final plan is the serve shape (the append's binary-search rounds checkpoint per round and only run when the store is at base state; merge mechanics in suffixIndexAppend's scaladoc)",
-      "q_suffix_search" -> "SA range search: final plan = rank-difference join of the two checkpointed binary-search boundaries + one region-pruned multi-range scan of the matched intervals for distinct docs; no ranking, no corpus-wide work")
+      "q_suffix_search" -> "SA range search: final plan = rank-difference join of the two checkpointed binary-search boundaries + one region-pruned multi-range scan of the matched intervals for distinct docs; no ranking (in-region ordinals are STORED since round 16), no corpus-wide work",
+      "q_suffix_index_delete" -> "GDPR delete off the durable index, WARM resolution: the final plan is the serve shape over the patched store (the delete itself is one linear find pass + run-grouped seam patches + covering-region COW; mechanics in suffixIndexDelete's scaladoc)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.ExplainDump` on sf0.001 (plan shapes are\n")

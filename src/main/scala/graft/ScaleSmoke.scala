@@ -555,7 +555,7 @@ object ScaleSmoke {
     if (wanted("suffix_index")) {
       Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
         val name = s"graft_scale_sfxidx_$tag"
-        if (ops.KeyedStore.exists(spark, name)) ops.KeyedStore.drop(spark, name)
+        ops.DedupOps.suffixIndexDrop(spark, name)
         time(s"suffix_index_build_$tag", dir)(d =>
           ops.DedupOps.suffixIndexBuild(Tables.documents(spark, d), name))
         time(s"suffix_index_serve_$tag", dir)(d =>
@@ -573,7 +573,7 @@ object ScaleSmoke {
               slice(ops.TextFns.toks, 1, 5).as("q_tokens"))
           ops.DedupOps.suffixIndexSearch(docs, name, qs)
         }
-        ops.KeyedStore.drop(spark, name)
+        ops.DedupOps.suffixIndexDrop(spark, name)
       }
       Seq((1000L, "01pct", base), (100L, "1pct", base),
           (20L, "5pct", base), (1000L, s"01pct_${factor}x", scaled),
@@ -583,15 +583,33 @@ object ScaleSmoke {
           val docs = Tables.documents(spark, pdir)
           val delta = docs.filter(col("doc_id") % lit(m) === 0L)
           val baseD = docs.filter(col("doc_id") % lit(m) =!= 0L)
-          if (ops.KeyedStore.exists(spark, name))
-            ops.KeyedStore.drop(spark, name)
+          ops.DedupOps.suffixIndexDrop(spark, name)
           ops.DedupOps.suffixIndexBuild(baseD, name).collect()
           GraftCache.releaseAllStorage(spark)
           val t0 = System.nanoTime()
           ops.DedupOps.suffixIndexAppend(baseD, delta, name)
           println(f"SCALE suffix_index_append_$tag%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
           GraftCache.releaseAllStorage(spark)
-          ops.KeyedStore.drop(spark, name)
+          ops.DedupOps.suffixIndexDrop(spark, name)
+      }
+      // DELETE probe (round-16): a FIXED doomed doc set (the c=0 copy's
+      // % 10000 ids, same docs at both scales) against a full-corpus
+      // store. Find is one linear (sp, doc_id) pass — expected to track
+      // corpus size; patch is run-proportional; writes are covering-
+      // region COW with the same scatter profile as the append.
+      Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
+        val name = s"graft_scale_sfxdel_$tag"
+        val docs = Tables.documents(spark, dir)
+        val doomed = docs.filter(col("doc_id") % 10000 === 0L &&
+          col("doc_id") < 1000000L).select(col("doc_id"))
+        ops.DedupOps.suffixIndexDrop(spark, name)
+        ops.DedupOps.suffixIndexBuild(docs, name).collect()
+        GraftCache.releaseAllStorage(spark)
+        val t0 = System.nanoTime()
+        ops.DedupOps.suffixIndexDelete(docs, doomed, name)
+        println(f"SCALE suffix_index_delete_$tag%-13s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        GraftCache.releaseAllStorage(spark)
+        ops.DedupOps.suffixIndexDrop(spark, name)
       }
     }
     if (wanted("crossmodal")) {

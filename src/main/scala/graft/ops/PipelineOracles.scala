@@ -23,9 +23,12 @@ object PipelineOracles {
   // list_position returns 0 (not NULL) when no mismatch exists (one
   // suffix is a prefix of the other) — the clamp case. Shared by
   // q_suffix_dedup and the stored-index serve row (output-identical).
-  private val SUFFIX_STATS_SQL =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |s AS MATERIALIZED (
+  // Parameterized corpus filter so the DELETE row (q_suffix_index_delete)
+  // reuses the identical construction over the post-delete corpus.
+  private def suffixStatsSql(where: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents$where),""".stripMargin + "\n" +
+    """s AS MATERIALIZED (
       |  SELECT doc_id, i AS p, w[i:len(w)] AS suf
       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
       |o AS MATERIALIZED (
@@ -46,6 +49,8 @@ object PipelineOracles {
       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
       |       CAST(coalesce(mx.mx, 0) AS BIGINT) AS max_dup_tokens
       |FROM t LEFT JOIN mx USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  private val SUFFIX_STATS_SQL = suffixStatsSql("")
 
   private val ANN_BF =
     """WITH e AS (
@@ -1595,11 +1600,24 @@ object PipelineOracles {
 
     // The incremental row (build base → append the % 41 delta → serve
     // the union) must serve the IDENTICAL full-corpus statistics as a
-    // from-scratch build — merging preserves the SA order and every
-    // adjacent LCP (SuffixIncrementalSpec pins the stored structure
-    // row-for-row against a rebuild) — so the oracle is again the
-    // full-corpus stats SQL.
+    // from-scratch build: merging preserves the SA order and every
+    // adjacent LCP up to tie ORDER among equal suffixes (the append
+    // places delta rows after resident ties, a fresh build orders ties
+    // by (doc_id, p) — served statistics are provably tie-invariant,
+    // and SuffixIncrementalSpec's referee validates the stored
+    // structure's tie-order-independent invariants rather than
+    // row-for-row equality; the build-row checksums are defined only
+    // for freshly built stores). The oracle is again the full-corpus
+    // stats SQL.
     "q_suffix_index_incremental" -> SUFFIX_STATS_SQL,
+
+    // GDPR delete off the durable index (build full corpus → delete
+    // every % 53 doc, patching the O(runs) seam links/LCPs → serve the
+    // remaining corpus FROM the patched artifact): the stored
+    // structure must serve exactly what a fresh build over the
+    // filtered corpus serves, so the oracle is the same stats
+    // construction with the doomed docs filtered out.
+    "q_suffix_index_delete" -> suffixStatsSql(" WHERE doc_id % 53 <> 0"),
 
     // The streaming maintenance twin drains the same % 41 delta as
     // micro-batches through the fingerprint-fenced append and serves

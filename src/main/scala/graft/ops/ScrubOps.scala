@@ -138,7 +138,9 @@ object ScrubOps {
                     vstoreDir: String, vstoreKey: String,
                     annName: String,
                     doomedIds: DataFrame,
-                    doomedEmbs: DataFrame): Unit = {
+                    doomedEmbs: DataFrame,
+                    suffixName: Option[String] = None,
+                    suffixDocs: Option[DataFrame] = None): Unit = {
     // Keyed leg. The returned full-table read is discarded (the store's
     // read-isolation contract); reads go through scan/get.
     KeyedStore.mergeInto(spark, keyedName, keyedKey, doomedIds,
@@ -153,6 +155,15 @@ object ScrubOps {
       vstoreKey)
     // ANN leg.
     AnnIndexOps.deleteBatch(spark, annName, doomedEmbs)
+    // Suffix-index leg (round-15 verdict item #4): the doomed docs'
+    // (sp, doc_id, p) rows leave the durable suffix index and its
+    // token sub-store, seam links/LCPs patched
+    // ([[DedupOps.suffixIndexDelete]]). `suffixDocs` is the corpus the
+    // index currently holds; replay-idempotent like every other leg
+    // (the post-delete fingerprint makes a re-delete a content no-op).
+    suffixName.foreach { sn =>
+      DedupOps.suffixIndexDelete(suffixDocs.get, doomedIds, sn)
+    }
     ()
   }
 
@@ -202,10 +213,12 @@ object ScrubOps {
     }
   }
 
-  /** Driver row: build the three stores over documents/embeddings,
-    * forget `id % 10 == 3`, and report exact row counts per (leg,
-    * phase) — including the pre-forget version read AFTER the forget,
-    * pinning that time travel still serves it (the vacuum-is-erasure
+  /** Driver row: build the four stores over documents/embeddings
+    * (keyed rows, versioned rows, ANN postings, and — since round 16 —
+    * the durable suffix index over a 1/7 sub-corpus), forget
+    * `id % 10 == 3`, and report exact row counts per (leg, phase) —
+    * including the pre-forget version read AFTER the forget, pinning
+    * that time travel still serves it (the vacuum-is-erasure
     * contract). All counts are closed-form over the base tables, so the
     * oracle recomputes them without any store. REPLAY idempotence is
     * pinned in ScrubForgetSpec (a second full cascade there changes no
@@ -231,6 +244,15 @@ object ScrubOps {
       VersionedStore.init(spark, vdir, docsRows, "doc_id")
       AnnIndexOps.buildIndex(spark, annName, embs,
         targetRowsPerRegion = 2048)
+      // Suffix leg over a 1/7 sub-corpus: the SA build's fixed cost
+      // (the doubling loop's per-round driver trips) dominates at any
+      // fixture size, so the leg exercises the full delete lifecycle
+      // without multiplying the row's data cost; the doomed ids hit it
+      // at doc_id ≡ 63 (mod 70) — a real, oracle-countable bite.
+      val sfxName = "graft_forget_sfx_" + sfx
+      val sfxDocs = documents(spark, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.ops.DedupOps.suffixIndexBuild(sfxDocs, sfxName).collect()
       val doomedIds = docsRows.filter(col("doc_id") % 10 === 3)
         .select(col("doc_id"))
       val doomedEmbs = embs.filter(col("vec_id") % 10 === 3)
@@ -246,19 +268,23 @@ object ScrubOps {
       def postings() = KeyedStore.scan(spark, annName, "row_key", "c", "cz")
       def head() = VersionedStore.asOf(spark, vdir,
         VersionedStore.currentVersion(vdir))
+      def sfxRows() = KeyedStore.scan(spark, sfxName, "sp",
+        0L, Long.MaxValue)
       def phase(rows: DataFrame*): DataFrame =
         rows.reduce(_.unionByName(_)).localCheckpoint()
       val before = phase(
         cnt("keyed", "before", keyed()),
-        cnt("ann", "postings_before", postings()))
+        cnt("ann", "postings_before", postings()),
+        cnt("suffix", "before", sfxRows()))
       forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id", annName,
-        doomedIds, doomedEmbs)
+        doomedIds, doomedEmbs, Some(sfxName), Some(sfxDocs))
       val after = phase(
         cnt("keyed", "after", keyed()),
         cnt("ann", "postings_after", postings()),
         cnt("vstore", "head_after", head()),
         cnt("vstore", "pre_forget_version",
-          VersionedStore.asOf(spark, vdir, 1)))
+          VersionedStore.asOf(spark, vdir, 1)),
+        cnt("suffix", "after", sfxRows()))
       before.unionByName(after)
         .orderBy(col("leg"), col("phase"))
     } finally graft.streaming.EventStream.deleteRecursively(

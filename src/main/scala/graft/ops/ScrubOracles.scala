@@ -72,7 +72,13 @@ object ScrubOracles {
         |       WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
         |me AS (SELECT CAST(count(*) AS BIGINT) AS me FROM embeddings
         |       WHERE vec_id % 10 <> 3
-        |         AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0)
+        |         AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |sb AS (SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0)
+        |         AS BIGINT) AS sb
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |sa AS (SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0)
+        |         AS BIGINT) AS sa
+        |       FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 <> 3)
         |SELECT * FROM (
         |  SELECT 'keyed' AS leg, 'before' AS phase, n AS n_rows FROM n
         |  UNION ALL SELECT 'keyed', 'after', m FROM m
@@ -80,6 +86,8 @@ object ScrubOracles {
         |  UNION ALL SELECT 'vstore', 'head_after', m FROM m
         |  UNION ALL SELECT 'ann', 'postings_before', 2 * ne FROM ne
         |  UNION ALL SELECT 'ann', 'postings_after', 2 * me FROM me
+        |  UNION ALL SELECT 'suffix', 'before', sb FROM sb
+        |  UNION ALL SELECT 'suffix', 'after', sa FROM sa
         |) ORDER BY leg, phase""".stripMargin,
   )
 }

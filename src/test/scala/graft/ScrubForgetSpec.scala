@@ -20,16 +20,41 @@ class ScrubForgetSpec extends AnyFunSuite {
     val keyedName = "graft_forget_spec_docs"
     val annName = "graft_forget_spec_ann"
     val vdir = java.nio.file.Files.createTempDirectory("graft_forget_spec").toString
+    val sfxName = "graft_forget_spec_sfx"
     try {
       KeyedStore.create(spark, keyedName, docsRows, "doc_id", 128)
       VersionedStore.init(spark, vdir, docsRows, "doc_id")
       AnnIndexOps.buildIndex(spark, annName, embs)
+      // Suffix leg over a sub-corpus (the qForgetCascade shape): the
+      // doomed set must actually intersect it.
+      val sfxDocs = Tables.documents(spark, Sf)
+        .filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
+      ops.DedupOps.suffixIndexBuild(sfxDocs, sfxName).collect()
       val doomedIds = docsRows.filter(col("doc_id") % 10 === 3).select("doc_id")
       val doomed = doomedIds.collect().map(_.getLong(0)).toSet
       assert(doomed.nonEmpty)
+      val sfxDoomed = sfxDocs.join(doomedIds, Seq("doc_id"), "left_semi")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sfxDoomed.nonEmpty, "fixture must hit the suffix sub-corpus")
 
       ScrubOps.forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id",
-        annName, doomedIds, embs.filter(col("vec_id") % 10 === 3))
+        annName, doomedIds, embs.filter(col("vec_id") % 10 === 3),
+        Some(sfxName), Some(sfxDocs))
+
+      // Suffix leg: the doomed docs' rows left the index AND the token
+      // sub-store; the patched structure serves the surviving
+      // sub-corpus exactly.
+      val sfxIds = KeyedStore.scan(spark, sfxName, "sp", 0L, Long.MaxValue)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(sfxIds.intersect(doomed).isEmpty, "doomed suffix rows served")
+      val sfxRemaining = sfxDocs.join(doomedIds, Seq("doc_id"), "left_anti")
+      assert(ops.DedupOps.suffixIndexServe(sfxRemaining, sfxName)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq ==
+        ops.DedupOps.suffixDedupStats(sfxRemaining)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq, "patched suffix index diverges from a fresh recompute")
+      val sfxDigests = SuffixTestUtil.fileDigests(spark, sfxName)
 
       // Keyed GET misses (probe two forgotten keys + one survivor).
       val probes = doomed.take(2).toSeq :+
@@ -48,11 +73,14 @@ class ScrubForgetSpec extends AnyFunSuite {
       // the sf0.1 driver row pays for one cascade, not two): re-running
       // the whole cascade changes nothing on any leg.
       ScrubOps.forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id",
-        annName, doomedIds, embs.filter(col("vec_id") % 10 === 3))
+        annName, doomedIds, embs.filter(col("vec_id") % 10 === 3),
+        Some(sfxName), Some(sfxDocs))
       val keyedN = KeyedStore.scan(spark, keyedName, "doc_id",
         0L, Long.MaxValue).count()
       assert(keyedN == docsRows.count() - doomed.size,
         "re-forget changed the keyed store")
+      assert(SuffixTestUtil.fileDigests(spark, sfxName) == sfxDigests,
+        "re-forget rewrote the suffix index")
       val postingsN = KeyedStore.scan(spark, annName, "row_key", "c", "cz").count()
       val liveEmb = embs.filter(
         expr("aggregate(embedding, cast(0 as double), " +
@@ -78,7 +106,10 @@ class ScrubForgetSpec extends AnyFunSuite {
         VersionedStore.asOf(spark, vdir, 1).collect()
       }
       assert(VersionedStore.asOf(spark, vdir, headV).count() == headIds.size)
-    } finally graft.streaming.EventStream.deleteRecursively(
-      java.nio.file.Paths.get(vdir))
+    } finally {
+      ops.DedupOps.suffixIndexDrop(spark, sfxName)
+      graft.streaming.EventStream.deleteRecursively(
+        java.nio.file.Paths.get(vdir))
+    }
   }
 }

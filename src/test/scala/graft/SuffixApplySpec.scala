@@ -136,7 +136,7 @@ class SuffixApplySpec extends AnyFunSuite {
         minTok = 5))
       assert(served2 == byDoc(ops.DedupOps.suffixDedupApply(docs2,
         minTok = 5)))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("store-served apply equals the inline path on the fixture slice") {
@@ -148,7 +148,7 @@ class SuffixApplySpec extends AnyFunSuite {
         minTok = 5))
       val inline = byDoc(ops.DedupOps.suffixDedupApply(slice, minTok = 5))
       assert(served == inline && served.values.exists(_._2 > 0))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("agreement with the fixed-window exact apply when a span clears " +

@@ -17,60 +17,6 @@ class SuffixIncrementalSpec extends AnyFunSuite {
   private def stats3(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 
-  /** Driver referee over the STORED relation: every invariant a valid
-    * linked suffix index must satisfy, independent of tie order among
-    * equal suffixes (append places delta after base on ties; a fresh
-    * build orders by doc_id — both are valid SA orders).
-    */
-  private def assertValidIndex(name: String,
-                               corpus: Seq[(Long, String)]): Unit = {
-    val toks = corpus.map { case (d, t) => d -> t.split(" ", -1) }.toMap
-    val rows = ops.KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
-      .orderBy(col("sp")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3),
-        if (r.isNullAt(4)) -1L else r.getLong(4),
-        if (r.isNullAt(5)) -1L else r.getLong(5)))
-    // completeness: exactly one row per (doc, 1-based token position)
-    val want = corpus.flatMap { case (d, t) =>
-      t.split(" ", -1).indices.map(i => (d, i + 1L)) }.toSet
-    assert(rows.map(r => (r._2, r._3)).toSet == want)
-    assert(rows.length == want.size)
-    def suf(d: Long, p: Long): Seq[String] = toks(d).drop(p.toInt - 1).toSeq
-    def lcp(a: Seq[String], b: Seq[String]): Long =
-      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
-    implicit val ord: Ordering[Seq[String]] =
-      math.Ordering.Implicits.seqOrdering
-    rows.zipWithIndex.foreach { case ((sp, d, p, l, psp, pd), i) =>
-      if (i == 0) {
-        assert(l == -1L && psp == -1L && pd == -1L,
-          s"first row $sp must have null lcp/prev")
-      } else {
-        val (osp, od, op, _, _, _) = rows(i - 1)
-        assert(psp == osp && pd == od,
-          s"row $sp links to ($psp,$pd), expected ($osp,$od)")
-        assert(ord.lteq(suf(od, op), suf(d, p)),
-          s"SA order violated between $osp and $sp")
-        assert(l == lcp(suf(od, op), suf(d, p)),
-          s"row $sp lcp=$l, referee=${lcp(suf(od, op), suf(d, p))}")
-      }
-    }
-  }
-
-  private def fileDigests(name: String): Map[String, Long] = {
-    val loc = java.nio.file.Paths.get(
-      ops.KeyedStore.location(spark, name).toUri.getPath)
-    val out = scala.collection.mutable.Map.empty[String, Long]
-    java.nio.file.Files.walk(loc).forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        out(loc.relativize(p).toString) =
-          java.util.Arrays.hashCode(bytes).toLong
-      }
-    }
-    out.toMap
-  }
-
   test("append equals rebuild: ties, before-first, after-last, and " +
        "mid-gap insertions on a multi-region store") {
     val name = "graft_sfx_incr_spec_a"
@@ -92,7 +38,7 @@ class SuffixIncrementalSpec extends AnyFunSuite {
         targetRows = 6).collect()
       ops.DedupOps.suffixIndexAppend(base.toDF("doc_id", "text"),
         delta.toDF("doc_id", "text"), name)
-      assertValidIndex(name, full)
+      SuffixTestUtil.assertValidIndex(spark, name, full)
       val served = stats3(ops.DedupOps.suffixIndexServe(
         full.toDF("doc_id", "text"), name))
       val stats = stats3(ops.DedupOps.suffixDedupStats(
@@ -100,10 +46,10 @@ class SuffixIncrementalSpec extends AnyFunSuite {
       assert(served == stats)
       // the serve above must NOT have rebuilt (fingerprint advanced to
       // the full corpus during append)
-      val digests = fileDigests(name)
+      val digests = SuffixTestUtil.fileDigests(spark, name)
       stats3(ops.DedupOps.suffixIndexServe(full.toDF("doc_id", "text"), name))
-      assert(fileDigests(name) == digests, "warm serve must not rewrite")
-    } finally ops.KeyedStore.drop(spark, name)
+      assert(SuffixTestUtil.fileDigests(spark, name) == digests, "warm serve must not rewrite")
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("untouched regions stay byte-identical on the append path") {
@@ -120,10 +66,10 @@ class SuffixIncrementalSpec extends AnyFunSuite {
       val full = base ++ delta
       ops.DedupOps.suffixIndexBuild(base.toDF("doc_id", "text"), name,
         targetRows = 4).collect()
-      val before = fileDigests(name)
+      val before = SuffixTestUtil.fileDigests(spark, name)
       ops.DedupOps.suffixIndexAppend(base.toDF("doc_id", "text"),
         delta.toDF("doc_id", "text"), name)
-      val after = fileDigests(name)
+      val after = SuffixTestUtil.fileDigests(spark, name)
       val unchanged = before.keySet.intersect(after.keySet)
         .filter(k => before(k) == after(k))
       val regionOf = (k: String) => k.split("/").find(_.startsWith("kr="))
@@ -139,11 +85,11 @@ class SuffixIncrementalSpec extends AnyFunSuite {
       assert(fullyUntouched.nonEmpty,
         s"no region untouched: regions=$allRegions unchanged=$unchangedRegions")
       assert(fullyUntouched.size < allRegions.size, "nothing was written")
-      assertValidIndex(name, full)
+      SuffixTestUtil.assertValidIndex(spark, name, full)
       assert(stats3(ops.DedupOps.suffixIndexServe(
           full.toDF("doc_id", "text"), name)) ==
         stats3(ops.DedupOps.suffixDedupStats(full.toDF("doc_id", "text"))))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("append into an empty base equals a fresh build's keys exactly") {
@@ -155,13 +101,13 @@ class SuffixIncrementalSpec extends AnyFunSuite {
         .collect()
       ops.DedupOps.suffixIndexAppend(none.toDF("doc_id", "text"),
         delta.toDF("doc_id", "text"), name)
-      assertValidIndex(name, delta)
+      SuffixTestUtil.assertValidIndex(spark, name, delta)
       // empty-base append degenerates to pristine-build key assignment
       val keys = ops.KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
         .orderBy(col("sp")).collect().map(_.getLong(0)).toSeq
       val G = ops.DedupOps.SuffixKeyGap
       assert(keys == (1 to keys.size).map(_ * G))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("fixture: the incremental split serves the same stats as a " +
@@ -178,6 +124,6 @@ class SuffixIncrementalSpec extends AnyFunSuite {
       val stats = stats3(ops.DedupOps.suffixDedupStats(docs))
       assert(served == stats && served.nonEmpty)
       assert(served.exists(_._3 >= 5), "slice should contain dups")
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 }

@@ -33,7 +33,7 @@ class SuffixIndexSpec extends AnyFunSuite {
       val again = ops.DedupOps.suffixIndexServe(docs, name)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(again.toSeq == stats.toSeq)
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("build accounting: suffix count, doc count, and LCP mass match a driver recompute") {
@@ -71,7 +71,7 @@ class SuffixIndexSpec extends AnyFunSuite {
         (psk * 13 + pd) % 1000003L
       }.sum
       assert(acc.getLong(4) == lck)
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("fingerprint staleness: a content-only mutation (counts, ids, and " +
@@ -95,7 +95,7 @@ class SuffixIndexSpec extends AnyFunSuite {
       assert(served.toSeq == stats.toSeq)
       assert(stats.find(_._1 == 2L).get._3 == 0L &&
         stats.find(_._1 == 3L).get._3 == 2L)
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("empty corpus: build yields a defined fingerprint and an empty " +
@@ -107,7 +107,7 @@ class SuffixIndexSpec extends AnyFunSuite {
       val acc = ops.DedupOps.suffixIndexBuild(none, name).head()
       assert(acc.getLong(0) == 0L && acc.getLong(3) == 0L)
       assert(ops.DedupOps.suffixIndexServe(none, name).count() == 0L)
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("fingerprint staleness: a regenerated corpus at the same name rebuilds") {
@@ -123,7 +123,7 @@ class SuffixIndexSpec extends AnyFunSuite {
       val stats = ops.DedupOps.suffixDedupStats(b)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(served.toSeq == stats.toSeq)
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("fixture slice: served stats equal computed stats") {
@@ -137,6 +137,6 @@ class SuffixIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(served.toSeq == stats.toSeq && served.nonEmpty)
       assert(served.exists(_._3 >= 5), "slice should contain dups")
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 }

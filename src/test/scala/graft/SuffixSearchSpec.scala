@@ -57,7 +57,7 @@ class SuffixSearchSpec extends AnyFunSuite {
       // sanity on the hand-counted rows
       assert(res.find(_._1 == 10L).get == ((10L, 4L, 4L)))
       assert(res.find(_._1 == 12L).get == ((12L, 0L, 0L)))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("search works unchanged after an incremental append (sparse keys)") {
@@ -76,7 +76,7 @@ class SuffixSearchSpec extends AnyFunSuite {
         full.toDF("doc_id", "text"), name,
         queries.toDF("query_id", "q_tokens")))
       assert(res == brute(full, queries))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("fixture slice: engine counts equal the quadratic recount") {
@@ -96,6 +96,50 @@ class SuffixSearchSpec extends AnyFunSuite {
       assert(res == brute(corpus, qs) && res.nonEmpty)
       // every query matches at least its own source document
       assert(res.forall(_._2 >= 1))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
+  }
+
+  test("warm search executes NO window/ranking over store rows — the " +
+       "stored in-region ordinals serve instead (plan pin)") {
+    val name = "graft_sfx_search_spec_d"
+    try {
+      val corpus = Seq(
+        (1L, "a b c d e f"), (2L, "a b c x y"),
+        (3L, "x a b c d q"), (4L, "m n o p"), (5L, "a b c d e f"))
+      ops.DedupOps.suffixIndexBuild(corpus.toDF("doc_id", "text"), name,
+        targetRows = 4).collect()
+      val queries = Seq((10L, Seq("a", "b", "c")), (11L, Seq("c")))
+      val plans = new scala.collection.mutable.ArrayBuffer[String]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val res = got(ops.DedupOps.suffixIndexSearch(
+          corpus.toDF("doc_id", "text"), name,
+          queries.toDF("query_id", "q_tokens")))
+        assert(res == brute(corpus, queries))
+        // drain the async listener bus (private[spark] — reflection)
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods.find(m =>
+            m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } finally spark.listenerManager.unregister(listener)
+      val snap = plans.synchronized(plans.toList)
+      // capture must have seen the search's actions, and none of them
+      // may contain a Window exec — the ranking stage the stored
+      // ordinals replaced (round-15 verdict item #5)
+      assert(snap.size >= 3, s"listener captured only ${snap.size} plans")
+      val windowed = snap.filter(_.contains("Window"))
+      assert(windowed.isEmpty,
+        s"search ran a window stage:\n${windowed.headOption.getOrElse("")}")
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 }

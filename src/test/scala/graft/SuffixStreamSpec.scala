@@ -56,13 +56,14 @@ class SuffixStreamSpec extends AnyFunSuite {
         Seq((-1L, 424242L, 0L, 0L)).toDF("sp", "doc_id", "p", "lcp")
           .withColumn("prev_sp", lit(null).cast("long"))
           .withColumn("prev_doc", lit(null).cast("long"))
+          .withColumn("ord", lit(null).cast("long"))
           .withColumn("op", lit("U")))
       val b3 = Seq((52L, "c d e z")).toDF("doc_id", "text")
       val full13 = full12.unionByName(b3)
       ops.DedupOps.suffixIndexStreamAppend(full12, b3, name)
       assert(stats3(ops.DedupOps.suffixIndexServe(full13, name)) ==
         stats3(ops.DedupOps.suffixDedupStats(full13)))
-    } finally ops.KeyedStore.drop(spark, name)
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
   test("injected crash after a committed append, checkpoint restart — " +
@@ -116,8 +117,42 @@ class SuffixStreamSpec extends AnyFunSuite {
       assert(stats3(ops.DedupOps.suffixIndexServe(docs, name)) ==
         stats3(ops.DedupOps.suffixDedupStats(docs)))
     } finally {
-      ops.KeyedStore.drop(spark, name)
+      ops.DedupOps.suffixIndexDrop(spark, name)
       graft.streaming.EventStream.deleteRecursively(tmp)
     }
+  }
+
+  test("a surviving in-progress marker (sp = -2) forces a rebuild even " +
+       "when the fingerprint looks committed — the torn-commit fence") {
+    val name = "graft_sfx_stream_spec_c"
+    try {
+      val base = Seq((1L, "a b c d e"), (2L, "c d e f g"))
+        .toDF("doc_id", "text")
+      val b1 = Seq((50L, "a b c x y")).toDF("doc_id", "text")
+      val full = base.unionByName(b1)
+      ops.DedupOps.suffixIndexBuild(base, name).collect()
+      ops.DedupOps.suffixIndexStreamAppend(base, b1, name)
+      // Simulate the crash window the marker exists for: the data +
+      // meta upsert committed (fingerprint reads fp(post)) but the
+      // protocol never reached the marker clear — KeyedStore's
+      // multi-region commit is not atomic, so some data region may be
+      // missing even though region 0 landed. A replay MUST NOT no-op
+      // on the fingerprint alone; it must rebuild.
+      ops.KeyedStore.upsert(spark, name, "sp",
+        Seq((-2L, 0L, 0L, 0L)).toDF("sp", "doc_id", "p", "lcp")
+          .withColumn("prev_sp", lit(null).cast("long"))
+          .withColumn("prev_doc", lit(null).cast("long"))
+          .withColumn("ord", lit(null).cast("long"))
+          .withColumn("op", lit("U")))
+      val digests = fileDigests(name)
+      ops.DedupOps.suffixIndexStreamAppend(base, b1, name)
+      assert(fileDigests(name) != digests,
+        "marker state was served instead of rebuilt")
+      // the rebuild cleared the marker and serves correct stats
+      assert(ops.KeyedStore.scan(spark, name, "sp", -2L, -2L)
+        .collect().isEmpty, "rebuild must clear the marker")
+      assert(stats3(ops.DedupOps.suffixIndexServe(full, name)) ==
+        stats3(ops.DedupOps.suffixDedupStats(full)))
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 }
