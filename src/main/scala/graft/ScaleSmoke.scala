@@ -612,6 +612,69 @@ object ScaleSmoke {
         ops.DedupOps.suffixIndexDrop(spark, name)
       }
     }
+    if (wanted("suffix_fine")) {
+      // FIXED-doc append at PRODUCTION-SHAPED region budgets (round-16):
+      // with 65536-row regions a ~12-doc delta's 2.4k suffixes touch
+      // every sandbox region, so the covering set IS the table and the
+      // fixed-doc ratio tracks corpus size. At targetRows = 600 the
+      // region count outruns the delta at both scales (≈4k regions at
+      // 1×, ≈40k at 10×), the covering set is ~min(delta, regions)
+      // regions at BOTH — so THIS ratio is the design's actual
+      // delta-proportionality claim, measured.
+      Seq(("fine_1x", base, 10000L), (s"fine_${factor}x", scaled, 10000L))
+        .foreach { case (tag, pdir, m) =>
+          val name = s"graft_scale_sfxapp_$tag"
+          val docs = Tables.documents(spark, pdir)
+          val delta = docs.filter(col("doc_id") % lit(m) === 0L &&
+            col("doc_id") < 1000000L)
+          val baseD = docs.join(delta.select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          ops.DedupOps.suffixIndexDrop(spark, name)
+          ops.DedupOps.suffixIndexBuild(baseD, name, targetRows = 600)
+            .collect()
+          GraftCache.releaseAllStorage(spark)
+          val t0 = System.nanoTime()
+          ops.DedupOps.suffixIndexAppend(baseD, delta, name)
+          println(f"SCALE suffix_index_append_$tag%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          GraftCache.releaseAllStorage(spark)
+          ops.DedupOps.suffixIndexDrop(spark, name)
+      }
+    }
+    // Round-16 stretch (verdict item #7): the nested two-level boundary
+    // descent vs the flat crossJoin on a DELIBERATELY fine-regioned
+    // store (~4k regions at sf0.1, targetRows = 600) — the many-region
+    // routing cliff. Same store, same probes; the fanout sys-prop
+    // forces flat mode for the comparison leg.
+    if (wanted("suffix_routing")) {
+      val name = "graft_scale_sfxroute"
+      val docs = Tables.documents(spark, base)
+      val delta = docs.filter(col("doc_id") % 400 === 0L)
+      val baseD = docs.filter(col("doc_id") % 400 =!= 0L)
+      // derived straight from parquet — NOT checkpointed (the per-leg
+      // releaseAllStorage would drop the blocks between legs)
+      val qs = docs.filter(col("doc_id") % 389 === 0 &&
+          size(ops.TextFns.toks) >= 5)
+        .select(col("doc_id").as("query_id"),
+          slice(ops.TextFns.toks, 1, 5).as("q_tokens"))
+      Seq("nested" -> "1024", "flat" -> "1000000000").foreach {
+        case (tag, fan) =>
+          ops.DedupOps.suffixIndexDrop(spark, name)
+          ops.DedupOps.suffixIndexBuild(baseD, name, targetRows = 600)
+            .collect()
+          GraftCache.releaseAllStorage(spark)
+          sys.props("graft.sfx.route.fanout") = fan
+          var t0 = System.nanoTime()
+          ops.DedupOps.suffixIndexSearch(baseD, name, qs).count()
+          println(f"SCALE suffix_route_search_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          GraftCache.releaseAllStorage(spark)
+          t0 = System.nanoTime()
+          ops.DedupOps.suffixIndexAppend(baseD, delta, name)
+          println(f"SCALE suffix_route_append_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          GraftCache.releaseAllStorage(spark)
+      }
+      sys.props.remove("graft.sfx.route.fanout")
+      ops.DedupOps.suffixIndexDrop(spark, name)
+    }
     if (wanted("crossmodal")) {
       time("crossmodal_1x", base)(d =>
         ops.MultimodalOps.qCrossmodalRetrieval(spark, d))

@@ -1578,19 +1578,49 @@ object DedupOps {
     * (created/advanced/scrubbed in lockstep by build/append/delete). */
   private[graft] def toksStoreName(name: String): String = name + "_toks"
 
-  /** In-progress sentinel key (round-15 ADVICE): a maintenance op
-    * stamps a row here BEFORE its first store mutation and clears it
-    * AFTER the last one. KeyedStore mutations commit per-partition
-    * (dynamic partition overwrite is not atomic across regions), so a
-    * hard crash can land the data regions without the region-0 meta
+  /** In-progress sentinel FILE (round-15 ADVICE): a maintenance op
+    * stamps it BEFORE its first store mutation and clears it AFTER the
+    * last one. KeyedStore mutations commit per-partition (dynamic
+    * partition overwrite is not atomic across regions), so a hard
+    * crash can land the data regions without the region-0 meta
     * advance — the fingerprint alone would then still read fp(pre) and
     * a stream replay would re-append the same batch into a half-merged
     * store. The marker closes that window: any crash inside the
     * protocol leaves the sentinel behind, [[suffixStoreFresh]] refuses
-    * to serve, and every resolve path rebuilds. */
-  private val SfxMarkerKey = -2L
+    * to serve, and every resolve path rebuilds (a rebuild drops the
+    * store directory, marker included). A FILE rather than a meta row
+    * because stamping must be cheap enough for per-micro-batch use:
+    * the write is an atomic tmp+rename ([[KeyedStore.atomicWriteBytes]]
+    * — the Hadoop in-progress-marker idiom), where a sentinel ROW
+    * would cost two region-0 copy-on-write rewrites per append. */
+  private def sfxMarkerPath(spark: SparkSession,
+                            name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      KeyedStore.location(spark, name).toUri.getPath, "_sfx_inprogress")
 
-  /** A meta-shaped row (marker or fingerprint) in the stored schema. */
+  /** Region transform for [[KeyedStore.upsert]] on the suffix store:
+    * refresh the stored in-region ordinal over each TOUCHED region's
+    * post-merge content (meta rows carry sp < 0, sort first, and keep
+    * ord NULL). It runs inside the write path — over rows the region
+    * copy-on-write already holds — so maintenance change sets stay
+    * DELTA-sized: an early round-16 shape that shipped every touched
+    * region's rows through the change set instead measured a
+    * corpus-sized extra shuffle per append (ROUND16_NOTES §5).
+    * Untouched regions never see it; a recompute over a region with no
+    * structural change reproduces contiguous ordinals (re-based at 1,
+    * which readers normalize away). */
+  private def sfxOrdTransform(merged: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("kr")).orderBy(col("sp"))
+    val wReg = Window.partitionBy(col("kr"))
+    merged
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__nm", count(when(col("sp") < 0, 1)).over(wReg))
+      .withColumn("ord", when(col("sp") < 0, lit(null).cast("long"))
+        .otherwise((col("__rn") - col("__nm")).cast("long")))
+      .drop("__rn", "__nm")
+  }
+
+  /** A meta-shaped row (the fingerprint) in the stored schema. */
   private def sfxMetaLike(spark: SparkSession, sp: Long, fp: Long): DataFrame =
     spark.range(1).select(lit(sp).as("sp"), lit(fp).as("doc_id"),
       lit(0L).as("p"), lit(0L).cast("long").as("lcp"),
@@ -1598,15 +1628,12 @@ object DedupOps {
       lit(null).cast("long").as("prev_doc"),
       lit(null).cast("long").as("ord"))
 
-  private def stampSfxMarker(spark: SparkSession, name: String): Unit = {
-    KeyedStore.upsert(spark, name, "sp",
-      sfxMetaLike(spark, SfxMarkerKey, 0L).withColumn("op", lit("U")))
-    ()
-  }
+  private def stampSfxMarker(spark: SparkSession, name: String): Unit =
+    KeyedStore.atomicWriteBytes(sfxMarkerPath(spark, name),
+      Array[Byte]('1'))
 
   private def clearSfxMarker(spark: SparkSession, name: String): Unit = {
-    KeyedStore.upsert(spark, name, "sp",
-      sfxMetaLike(spark, SfxMarkerKey, 0L).withColumn("op", lit("D")))
+    java.nio.file.Files.deleteIfExists(sfxMarkerPath(spark, name))
     ()
   }
 
@@ -1616,11 +1643,10 @@ object DedupOps {
                            name: String): Option[(Long, Boolean)] =
     if (!KeyedStore.exists(spark, name)) None
     else {
-      val meta = KeyedStore.scan(spark, name, "sp", SfxMarkerKey, -1L)
-        .select(col("sp"), col("doc_id")).collect()
-      val fp = meta.find(_.getLong(0) == -1L).map(_.getLong(1))
-      val torn = meta.exists(_.getLong(0) == SfxMarkerKey)
-      fp.map(f => (f, torn))
+      val meta = KeyedStore.scan(spark, name, "sp", -1L, -1L)
+        .select(col("doc_id")).collect()
+      val torn = java.nio.file.Files.exists(sfxMarkerPath(spark, name))
+      meta.headOption.map(r => (r.getLong(0), torn))
     }
 
   /** True iff the store exists with its token sub-store, carries NO
@@ -1651,10 +1677,13 @@ object DedupOps {
     val rel = KeyedStore.scan(spark, name, "sp", 0L, Long.MaxValue)
     val mx = crossDocMax(rel)
       .groupBy(col("doc_id")).agg(max(col("mc")).as("mx"))
-    // n_tokens from the token sub-store (fresh ⇒ it holds exactly the
-    // corpus docs): the serve path reads NO corpus text at all.
-    KeyedStore.scan(spark, toksStoreName(name), "doc_id", 0L, Long.MaxValue)
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"))
+    // n_tokens tokenizes `docs` directly: the freshness fingerprint
+    // already read the corpus text this invocation, so this adds one
+    // cheap columnar pass — reading the sub-store's array column back
+    // instead measured SLOWER (nested-parquet decode) for zero saved
+    // IO (probe note, ROUND16_NOTES).
+    docs.select(col("doc_id"),
+        size(TextFns.toks).cast("long").as("n_tokens"))
       .join(mx, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("mx"), lit(0L)).as("max_dup_tokens"))
@@ -1709,20 +1738,17 @@ object DedupOps {
     * the sidecar entries holding at least one data row (a delete can
     * empty a region: its sidecar entry survives with rows = 0 and
     * stale bounds, so routing and rank arithmetic must skip it; region
-    * 0 always carries the meta row, subtracted here). `bounds` is the
-    * minimum DATA row (sp, doc_id, p, ord) of every data region index
-    * ≥ 1, fetched in ONE multi-point scan — the routing / successor
-    * table. Region counts are control plane by design (bounded at
-    * sandbox scale; the nested-descent refinement for ~10^7-region
-    * stores is documented at [[suffixIndexAppend]] step 2). Callers
-    * read this OUTSIDE marker windows (maintenance stamps the marker
-    * only after its read phase), so region 0 holds exactly one meta
-    * row. */
+    * 0 always carries the meta row, subtracted here). This is sidecar
+    * metadata only — O(regions) driver longs, the store's own control
+    * plane; the boundary ROWS (each region's minimum data row) are
+    * fetched separately and lazily by [[sfxBoundRows]], bounded by
+    * what the caller actually touches. Callers read this OUTSIDE
+    * marker windows (maintenance stamps the marker only after its read
+    * phase), so region 0 holds exactly one meta row. */
   private final case class SfxRegions(
       ranges: IndexedSeq[(Long, Long)],
       mins: IndexedSeq[Long],
-      dataRows: IndexedSeq[Long],
-      bounds: IndexedSeq[(Int, Long, Long, Long, Long)])
+      dataRows: IndexedSeq[Long])
 
   private def sfxDataRegions(spark: SparkSession, name: String): SfxRegions = {
     val rm = KeyedStore.readRegions(spark, name)
@@ -1738,22 +1764,140 @@ object DedupOps {
     val dregs =
       if (dregs0.nonEmpty) dregs0
       else IndexedSeq((0L, Long.MaxValue, 0L))
-    val bounds =
-      if (dregs.size <= 1) IndexedSeq.empty[(Int, Long, Long, Long, Long)]
-      else {
-        val keys = (1 until dregs.size).map(i => dregs(i)._1)
-        val byKey = KeyedStore
-          .scanMulti(spark, name, "sp", keys.map(k => (k: Any, k: Any)))
-          .select(col("sp"), col("doc_id"), col("p"), col("ord")).collect()
-          .map(r => r.getLong(0) -> r).toMap
-        keys.zipWithIndex.map { case (k, i0) =>
-          val r = byKey.getOrElse(k, throw new IllegalStateException(
-            s"suffix store $name: region boundary key $k missing"))
-          (i0 + 1, k, r.getLong(1), r.getLong(2), r.getLong(3))
-        }.toIndexedSeq
-      }
     SfxRegions(dregs.map(t => (math.max(0L, t._1), t._2)),
-      dregs.map(_._1), dregs.map(_._3), bounds)
+      dregs.map(_._1), dregs.map(_._3))
+  }
+
+  /** Minimum DATA row `(sp, doc_id, p, ord)` of each requested data
+    * region index ≥ 1 (region 0 has no routing boundary), fetched in
+    * ONE pass over exactly those keys — the lazy half of the control
+    * plane, so the driver never holds more boundary rows than a call
+    * actually touches. Point-range scanMulti while the key list is
+    * plan-safe; a staged getBatch semi-join past that (each point
+    * range is a plan literal — hundreds are fine, thousands are the
+    * plan bomb its scaladoc warns about). */
+  private def sfxBoundRows(spark: SparkSession, name: String,
+      sr: SfxRegions, idxs: Seq[Int]): Map[Int, (Long, Long, Long, Long)] = {
+    val want = idxs.filter(i => i >= 1 && i < sr.mins.size).distinct
+    if (want.isEmpty) Map.empty
+    else {
+      val fetched =
+        if (want.size <= 256)
+          KeyedStore.scanMulti(spark, name, "sp",
+            want.map(i => (sr.mins(i): Any, sr.mins(i): Any)))
+        else KeyedStore.getBatch(spark, name, "sp",
+          spark.createDataFrame(want.map(i => Tuple1(sr.mins(i))))
+            .toDF("sp"))
+      val byKey = fetched
+        .select(col("sp"), col("doc_id"), col("p"), col("ord")).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      want.map { i =>
+        val k = sr.mins(i)
+        val r = byKey.getOrElse(k, throw new IllegalStateException(
+          s"suffix store $name: region boundary key $k missing"))
+        i -> ((k, r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toMap
+    }
+  }
+
+  /** Coalesce sorted data-region indices into maximal CONTIGUOUS key
+    * ranges: a delta that scatters across R regions scans with
+    * O(contiguous runs) range predicates instead of O(R) — regions are
+    * key-sorted, so adjacent indices merge into one [min, max] span
+    * (any emptied sidecar regions inside a span hold no rows and scan
+    * for free). */
+  private def sfxTouchedRanges(sr: SfxRegions,
+      touched: Seq[Int]): Seq[(Any, Any)] =
+    touched.foldLeft(Vector.empty[(Int, Int)]) { (acc, i) =>
+      acc.lastOption match {
+        case Some((lo, hi)) if hi + 1 == i => acc.init :+ ((lo, i))
+        case _ => acc :+ ((i, i))
+      }
+    }.map { case (lo, hi) => (sr.ranges(lo)._1: Any, sr.ranges(hi)._2: Any) }
+
+  /** Boundary blocks switch to the NESTED two-level descent past this
+    * many routing boundaries: level 1 routes against every F-th
+    * boundary (F ≈ √boundaries), level 2 equi-joins each probe to just
+    * its block's members — |probes| × (B/F + F) compares instead of
+    * |probes| × B, with boundary-row fetches bounded by the touched
+    * blocks instead of every region. Overridable for tests via the
+    * `graft.sfx.route.fanout` system property. */
+  private[graft] def sfxRouteFanout: Int =
+    sys.props.get("graft.sfx.route.fanout").map(_.toInt).getOrElse(1024)
+
+  /** Route probe rows to their data-region index: ridx = count of
+    * routing boundaries whose minimum suffix is ≤ the probe, computed
+    * with the caller's comparator. `probes` must carry a unique key
+    * `rkey` plus whatever columns `leOf(barr, bp)` references; the
+    * result is `probes` + an int `ridx` column. Flat broadcast
+    * crossJoin up to [[sfxRouteFanout]] boundaries; the block descent
+    * past that (the round-15 "What's missing #4" cliff: at ~10^7
+    * regions a flat crossJoin is |delta| × 10^7 compares and the
+    * boundary collect a driver bomb — nesting makes both ~√regions).
+    */
+  private def sfxRoute(spark: SparkSession, name: String, sr: SfxRegions,
+      probes: DataFrame, rkey: Seq[String],
+      leOf: (Column, Column) => Column): DataFrame = {
+    val nB = sr.mins.size - 1
+    def arrsOf(ids: Seq[Long]): DataFrame =
+      if (ids.size <= 1024) toksFor(spark, name, ids)
+      else toksForDf(spark, name,
+        spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id"))
+    def countLe(in: DataFrame, bdf: DataFrame, out: String): DataFrame = {
+      val cnts = in.crossJoin(broadcast(bdf))
+        .select(rkey.map(col) :+
+          when(leOf(col("barr"), col("bp")), 1).otherwise(0).as("le"): _*)
+        .groupBy(rkey.map(col): _*).agg(sum(col("le")).as("nb"))
+      in.join(cnts, rkey, "left")
+        .withColumn(out, coalesce(col("nb"), lit(0L)).cast("int"))
+        .drop("nb")
+    }
+    def bdfOf(idxs: Seq[Int], withIdx: Boolean): DataFrame = {
+      val bm = sfxBoundRows(spark, name, sr, idxs)
+      val rows = idxs.flatMap(i => bm.get(i).map(b => (i, b._2, b._3)))
+      val base = spark.createDataFrame(rows).toDF("bidx", "bdoc", "bp")
+        .join(arrsOf(rows.map(_._2).distinct)
+          .select(col("doc_id").as("bdoc"), col("arr").as("barr")),
+          Seq("bdoc"))
+      if (withIdx) base else base.drop("bidx")
+    }
+    if (nB <= 0) probes.withColumn("ridx", lit(0))
+    else if (nB <= sfxRouteFanout) {
+      countLe(probes, bdfOf((1 to nB), withIdx = false), "ridx")
+    } else {
+      // block b covers region indices [b·F, (b+1)·F); its entry
+      // boundary is region b·F (block 0 needs none)
+      val F = math.max(2, math.ceil(math.sqrt(nB.toDouble)).toInt)
+      val lvl1 = (1 to nB / F).map(_ * F)
+      val blocked = countLe(probes, bdfOf(lvl1, withIdx = false), "blk")
+        .localCheckpoint()
+      val touchedBlk = blocked.select(col("blk")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val members = touchedBlk.flatMap { b =>
+        val lo = b * F + 1
+        val hi = math.min((b + 1) * F - 1, nB)
+        (lo to hi).map(i => (b, i))
+      }
+      if (members.isEmpty)
+        blocked.withColumn("ridx", col("blk") * F).drop("blk")
+      else {
+        val bm = sfxBoundRows(spark, name, sr, members.map(_._2))
+        val rows = members.flatMap { case (b, i) =>
+          bm.get(i).map(x => (b, x._2, x._3)) }
+        val mdf = spark.createDataFrame(rows).toDF("blk", "bdoc", "bp")
+          .join(arrsOf(rows.map(_._2).distinct)
+            .select(col("doc_id").as("bdoc"), col("arr").as("barr")),
+            Seq("bdoc"))
+        val cnts = blocked.join(broadcast(mdf), Seq("blk"))
+          .select(rkey.map(col) :+
+            when(leOf(col("barr"), col("bp")), 1).otherwise(0).as("le"): _*)
+          .groupBy(rkey.map(col): _*).agg(sum(col("le")).as("nb"))
+        blocked.join(cnts, rkey, "left")
+          .withColumn("ridx",
+            (col("blk") * F + coalesce(col("nb"), lit(0L))).cast("int"))
+          .drop("blk", "nb")
+      }
+    }
   }
 
   /** Pre-tokenized resident token arrays by doc id from the token
@@ -1790,11 +1934,14 @@ object DedupOps {
     *     LCPs are pure pair properties that stay valid wherever two
     *     delta suffixes remain adjacent after the merge.
     *  2. Route each delta suffix to its resident region by comparing
-    *     against the driver-side region-boundary suffixes (the region
-    *     minimum rows — |delta suffixes| × (regions − 1) codegen'd
-    *     compares; a store with very many regions would nest this same
-    *     descent into a boundary B-tree, one more level of exactly the
-    *     same step).
+    *     against the region-boundary suffixes ([[sfxRoute]]): a flat
+    *     broadcast compare against every boundary up to
+    *     [[sfxRouteFanout]] regions, and past that the NESTED
+    *     two-level block descent (built round 16 — the former
+    *     "boundary B-tree" refinement): |delta| × ~2√regions compares
+    *     with boundary-row fetches bounded by the touched blocks,
+    *     closing the many-region routing cliff on both the compare
+    *     and the driver-collect side.
     *  3. BINARY-SEARCH each suffix's insertion ordinal WITHIN its
     *     region: ceil(log2 region rows) ≤ 17 rounds (region size is
     *     capped, so the round count is CORPUS-SIZE-INDEPENDENT), each
@@ -1814,11 +1961,11 @@ object DedupOps {
     *     single point; an exhausted gap falls back to a full rebuild
     *     (logged by the store fingerprint advancing via the rebuild
     *     path instead).
-    *  6. One [[KeyedStore.upsert]] lands the covering-region rewrite
-    *     set (surviving rows with refreshed in-region ordinals +
-    *     inserted rows) + out-of-region successor updates + the meta
-    *     row — rewriting ONLY covering regions — inside the
-    *     marker-fenced protocol (see the write-side comment).
+    *  6. One [[KeyedStore.upsert]] lands the DELTA-sized change set
+    *     (inserted rows + successor updates + the meta row), rewriting
+    *     ONLY covering regions, with [[sfxOrdTransform]] refreshing
+    *     the stored in-region ordinals inside the write path — all
+    *     inside the marker-fenced protocol (write-side comment).
     *
     * Scale honesty (re-measured ROUND16_NOTES; ROUND15_NOTES §4 for the
     * prior shape): compute is delta-proportional as above, and since
@@ -1862,34 +2009,36 @@ object DedupOps {
         col("p").as("dp"), col("lcp").as("dlcp"))
       .join(deltaArr.select(col("doc_id").as("did"), col("arr").as("darr")),
         Seq("did"))
-    val ridxed =
-      if (sr.bounds.isEmpty) probes0.withColumn("ridx", lit(0))
-      else {
-        val bdf = spark.createDataFrame(sr.bounds.map(b => (b._3, b._4)))
-          .toDF("bdoc", "bp")
-          .join(toksFor(spark, name, sr.bounds.map(_._3).distinct)
-            .select(col("doc_id").as("bdoc"), col("arr").as("barr")),
-            Seq("bdoc"))
-        val cnts = probes0.crossJoin(broadcast(bdf))
-          .select(col("sid"), when(cmpSuffix(col("darr"), col("dp"),
-            col("barr"), col("bp")) >= 0, 1).otherwise(0).as("le"))
-          .groupBy(col("sid")).agg(sum(col("le")).as("nb"))
-        probes0.join(cnts, Seq("sid"), "left")
-          .withColumn("ridx", coalesce(col("nb"), lit(0L)).cast("int"))
-          .drop("nb")
-      }
+    val ridxed = sfxRoute(spark, name, sr, probes0, Seq("sid"),
+      (barr, bp) => cmpSuffix(col("darr"), col("dp"), barr, bp) >= 0)
     val touched = ridxed.select(col("ridx")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // Boundary rows of the touched regions' successors, fetched lazily
+    // (bounded by |touched|, never by region count): the successor
+    // table for region-final insertions and the stored ordinals of
+    // out-of-region successor updates.
+    val nextBm = sfxBoundRows(spark, name, sr, touched.map(_ + 1).toSeq)
     // Full payload of the covering regions, read ONCE: it feeds the
     // in-region search (via the STORED ordinals — no row_number
     // ranking stage, round-15 verdict item #5), the pred/succ joins,
     // and the covering-region rewrite set below.
     val regFull = KeyedStore.scanMulti(spark, name, "sp",
-        touched.toSeq.map(i => (sr.ranges(i)._1: Any, sr.ranges(i)._2: Any)))
+        sfxTouchedRanges(sr, touched.toSeq))
       .filter(col("sp") >= 0L)
       .withColumn("ridx", graft.functions.RangeFunctions
         .longBoundaryBucket(col("sp"), sr.mins))
       .localCheckpoint()
+    // Compare-side arrays for everything the in-region search and the
+    // seam recomputes can probe: the covering regions' distinct
+    // documents, fetched from the token sub-store ONCE and
+    // cache-scoped. (r15 cached a full-corpus TOKENIZE per invocation;
+    // per-round sub-store gets re-read the covering regions every
+    // round — one pre-tokenized, region-pruned pass is the right shape
+    // at both scales, and it is delta-proportional exactly when
+    // regions outnumber the delta, i.e. at production region budgets.)
+    val coverArrs = toksForDf(spark, name,
+        regFull.select(col("doc_id")).distinct())
+      .graftCached
     // In-region ordinal = ord − min(ord in region) + 1: bases differ
     // across write generations (build = global rank, rewrites restart
     // at 1, splits inherit a slice) but each region is contiguous.
@@ -1916,17 +2065,11 @@ object DedupOps {
       // order — any tie order yields the same served statistics).
       val withMid = probes.withColumn("mid",
         ((col("lo") + col("hi")) / lit(2)).cast("long"))
-      // Materialize the probe→row join (delta-sized) so the round's
-      // compare side fetches ONLY the probed documents' token arrays —
-      // a region-pruned sub-store batch get, not a corpus pass.
-      val j0 = withMid
+      val joined = withMid
         .join(oldSide, col("ridx") === col("jridx") &&
           col("mid") + 1 === col("jord"), "left")
-        .localCheckpoint()
-      val oarrs = toksForDf(spark, name,
-          j0.filter(col("odoc").isNotNull).select(col("odoc")).distinct())
-        .select(col("doc_id").as("odoc"), col("arr").as("oarr"))
-      val joined = j0.join(oarrs, Seq("odoc"), "left")
+        .join(coverArrs.select(col("doc_id").as("odoc"),
+          col("arr").as("oarr")), Seq("odoc"), "left")
         .withColumn("le", col("odoc").isNotNull &&
           cmpSuffix(col("darr"), col("dp"), col("oarr"), col("op")) >= 0)
       // Checkpoint WITHOUT inherited stats each round — the
@@ -1949,8 +2092,8 @@ object DedupOps {
       col("sp").as("psp"), col("doc_id").as("pdoc"), col("p").as("pp"))
     val succIn = ranked.select(col("ridx"), (col("ord") - 1).as("ins"),
       col("sp").as("ssp0"), col("doc_id").as("sdoc0"), col("p").as("spp0"))
-    val nextDf = spark.createDataFrame(
-        sr.bounds.map(b => (b._1 - 1, b._2, b._3, b._4)))
+    val nextDf = spark.createDataFrame(touched.toIndexedSeq
+        .flatMap(i => nextBm.get(i + 1).map(b => (i, b._1, b._2, b._3))))
       .toDF("ridx", "bnsp", "bndoc", "bnp")
     val wIns = Window.partitionBy(col("ridx"), col("ins"))
     val wOrd = wIns.orderBy(col("sid"))
@@ -1983,10 +2126,10 @@ object DedupOps {
       suffixIndexBuild(base.unionByName(delta), name).collect()
       ()
     } else {
-    // Seam LCP compare sides: the predecessor/successor documents'
-    // arrays, bounded by insertion-point count — sub-store lookups.
-    val parrs = toksForDf(spark, name,
-        grouped.filter(col("pdoc").isNotNull).select(col("pdoc")).distinct())
+    // Seam LCP compare sides: predecessors are covering-region rows
+    // (coverArrs); successors may also be the NEXT region's boundary
+    // row, whose few docs are point-fetched and unioned in.
+    val parrs = coverArrs
       .select(col("doc_id").as("pdoc"), col("arr").as("parr"))
     val inserted = grouped.join(parrs, Seq("pdoc"), "left").select(
       col("nsp").as("sp"), col("did").as("doc_id"), col("dp").as("p"),
@@ -1996,9 +2139,10 @@ object DedupOps {
           .otherwise(lit(null).cast("long")))
         .otherwise(col("dlcp")).as("lcp"),
       col("prev_sp"), col("prev_doc"))
-    val sarrs = toksForDf(spark, name,
-        grouped.filter(col("j") === col("m") - 1 && col("ssp").isNotNull)
-          .select(col("sdoc")).distinct())
+    val sarrs = coverArrs
+      .unionByName(toksFor(spark, name,
+        nextBm.values.map(_._2).toSeq.distinct))
+      .dropDuplicates("doc_id")
       .select(col("doc_id").as("sdoc"), col("arr").as("sarr"))
     val succUpd = grouped
       .filter(col("j") === col("m") - 1 && col("ssp").isNotNull)
@@ -2007,50 +2151,26 @@ object DedupOps {
         col("spp").as("p"),
         lcpSuffix(col("darr"), col("dp"), col("sarr"), col("spp")).as("lcp"),
         col("nsp").as("prev_sp"), col("did").as("prev_doc"))
-    // Covering-region REWRITE set with refreshed in-region ordinals:
-    // the upsert rewrites these regions anyway (region COW), so
-    // carrying every surviving row with its post-insert row_number
-    // costs shuffle, not extra parquet — and keeps the stored `ord`
-    // column current for the next warm search/append.
-    val patched = regFull.drop("ridx")
-      .join(succUpd.select(col("sp"), col("lcp").as("n_lcp"),
-          col("prev_sp").as("n_psp"), col("prev_doc").as("n_pdoc"),
-          lit(1).as("n_hit")), Seq("sp"), "left")
-      .select(col("sp"), col("doc_id"), col("p"),
-        when(col("n_hit").isNotNull, col("n_lcp"))
-          .otherwise(col("lcp")).as("lcp"),
-        when(col("n_hit").isNotNull, col("n_psp"))
-          .otherwise(col("prev_sp")).as("prev_sp"),
-        when(col("n_hit").isNotNull, col("n_pdoc"))
-          .otherwise(col("prev_doc")).as("prev_doc"))
-    val rewrite = patched.unionByName(inserted)
-      .withColumn("ridx", graft.functions.RangeFunctions
-        .longBoundaryBucket(col("sp"), sr.mins))
-      .withColumn("ord", row_number().over(
-        Window.partitionBy(col("ridx")).orderBy(col("sp"))).cast("long"))
-      .drop("ridx")
-    // A region-final insertion's successor lives in the NEXT region —
-    // not rewritten, so its single-row update keeps its stored ordinal
-    // (no inserts landed there; it stays that region's minimum row).
-    val boundOrd = spark.createDataFrame(sr.bounds.map(b => (b._2, b._5)))
-      .toDF("sp", "b_ord")
-    val outSucc = succUpd
-      .join(regFull.select(col("sp")), Seq("sp"), "left_anti")
-      .join(broadcast(boundOrd), Seq("sp"))
-      .withColumnRenamed("b_ord", "ord")
-    // Materialize the change set BEFORE any store mutation, then run
-    // the fenced protocol: marker → token sub-store append → data +
-    // meta upsert → marker clear. A crash anywhere inside leaves the
-    // sp = −2 sentinel behind and every resolve path rebuilds — the
+    // Materialize the DELTA-sized change set (inserted rows + seam
+    // successor updates + the meta advance — `ord` is null here; the
+    // write-path [[sfxOrdTransform]] refreshes it over every touched
+    // region's merged content) BEFORE any store mutation, then run the
+    // fenced protocol: marker → token sub-store append → data + meta
+    // upsert → marker clear. A crash anywhere inside leaves the
+    // sentinel file behind and every resolve path rebuilds — the
     // per-partition commit of the data upsert can never be half-served
     // (round-15 ADVICE). The returned full-table reads are discarded
     // (the store's read-isolation contract); reads go through scan.
-    val changes = rewrite.unionByName(outSucc).unionByName(metaRow)
+    val changes = inserted
+      .unionByName(succUpd)
+      .withColumn("ord", lit(null).cast("long"))
+      .unionByName(metaRow)
       .withColumn("op", lit("U")).localCheckpoint()
     stampSfxMarker(spark, name)
     KeyedStore.upsert(spark, toksStoreName(name), "doc_id",
       deltaArr.withColumn("op", lit("U")))
-    KeyedStore.upsert(spark, name, "sp", changes)
+    KeyedStore.upsert(spark, name, "sp", changes,
+      regionTransform = Some(sfxOrdTransform))
     clearSfxMarker(spark, name)
     ()
     }
@@ -2174,7 +2294,7 @@ object DedupOps {
         .longBoundaryBucket(col("sp"), sr.mins).as("ridx"))
       .distinct().collect().map(_.getInt(0)).sorted
     val regFull = KeyedStore.scanMulti(spark, name, "sp",
-        covIdx.toSeq.map(i => (sr.ranges(i)._1: Any, sr.ranges(i)._2: Any)))
+        sfxTouchedRanges(sr, covIdx.toSeq))
       .filter(col("sp") >= 0L).localCheckpoint()
     // A region-final run's successor is the NEXT data region's minimum
     // row; if that region's boundary row were doomed the run would
@@ -2182,9 +2302,9 @@ object DedupOps {
     // out-of-region successor candidates are boundary rows of
     // non-covering regions that FOLLOW a covering one.
     val covSet = covIdx.toSet
-    val succBoundKeys = sr.bounds
-      .filter(b => !covSet.contains(b._1) && covSet.contains(b._1 - 1))
-      .map(_._2)
+    val succBoundKeys = sfxBoundRows(spark, name, sr,
+        covIdx.map(_ + 1).filterNot(covSet).toSeq)
+      .values.map(_._1).toSeq
     val candAll =
       if (succBoundKeys.isEmpty) regFull
       else regFull.unionByName(KeyedStore.scanMulti(spark, name, "sp",
@@ -2205,42 +2325,19 @@ object DedupOps {
       .select(col("doc_id").as("pdoc2"), col("arr").as("parr"))
     val sArrs = toksForDf(spark, name, succs.select(col("doc_id")).distinct())
       .select(col("doc_id").as("sdoc2"), col("arr").as("sarr"))
+    // Seam-successor U rows: full payload with the relinked prev and
+    // recomputed LCP (`ord` null — the write-path transform refreshes
+    // every touched region's ordinals over the merged content).
     val patches = succs
       .join(predRows, Seq("head_psp"), "left")
       .join(pArrs, Seq("pdoc2"), "left")
       .join(sArrs, col("doc_id") === col("sdoc2"), "left")
-      .select(col("sp"),
+      .select(col("sp"), col("doc_id"), col("p"),
         when(col("head_psp").isNotNull,
           lcpSuffix(col("parr"), col("pp2"), col("sarr"), col("p")))
-          .otherwise(lit(null).cast("long")).as("n_lcp"),
-        col("head_psp").as("n_psp"), col("head_pdoc").as("n_pdoc"))
-      .localCheckpoint()
-    // Covering-region rewrite: survivors with seam patches applied and
-    // in-region ordinals recomputed (the regions rewrite anyway).
-    val surv = regFull.join(doomed1, Seq("doc_id"), "left_anti")
-      .join(patches.withColumn("n_hit", lit(1)), Seq("sp"), "left")
-      .select(col("sp"), col("doc_id"), col("p"),
-        when(col("n_hit").isNotNull, col("n_lcp"))
-          .otherwise(col("lcp")).as("lcp"),
-        when(col("n_hit").isNotNull, col("n_psp"))
-          .otherwise(col("prev_sp")).as("prev_sp"),
-        when(col("n_hit").isNotNull, col("n_pdoc"))
-          .otherwise(col("prev_doc")).as("prev_doc"))
-      .withColumn("ridx", graft.functions.RangeFunctions
-        .longBoundaryBucket(col("sp"), sr.mins))
-      .withColumn("ord", row_number().over(
-        Window.partitionBy(col("ridx")).orderBy(col("sp"))).cast("long"))
-      .drop("ridx")
-      .withColumn("op", lit("U"))
-    // Out-of-region successors: single-row updates keeping their
-    // stored ordinal (their region saw no inserts or deletes).
-    val outSucc = patches
-      .join(regFull.select(col("sp")), Seq("sp"), "left_anti")
-      .join(candAll.select(col("sp"), col("doc_id"), col("p"),
-        col("ord")), Seq("sp"))
-      .select(col("sp"), col("doc_id"), col("p"),
-        col("n_lcp").as("lcp"), col("n_psp").as("prev_sp"),
-        col("n_pdoc").as("prev_doc"), col("ord"))
+          .otherwise(lit(null).cast("long")).as("lcp"),
+        col("head_psp").as("prev_sp"), col("head_pdoc").as("prev_doc"))
+      .withColumn("ord", lit(null).cast("long"))
       .withColumn("op", lit("U"))
     val dels = doomedRows.select(col("sp"), col("doc_id"), col("p"))
       .withColumn("lcp", lit(null).cast("long"))
@@ -2248,18 +2345,20 @@ object DedupOps {
       .withColumn("prev_doc", lit(null).cast("long"))
       .withColumn("ord", lit(null).cast("long"))
       .withColumn("op", lit("D"))
-    // Materialize the change set BEFORE any mutation (survivor arrays
-    // are read above; the doomed docs' sub-store rows can then leave),
-    // then the fenced protocol — marker → sub-store delete → data +
-    // meta upsert → marker clear. Returned full-table reads discarded
-    // (read-isolation contract).
-    val changes = surv.unionByName(outSucc).unionByName(dels)
-      .unionByName(metaRow).localCheckpoint()
+    // Materialize the doomed-proportional change set BEFORE any
+    // mutation (survivor arrays are read above; the doomed docs'
+    // sub-store rows can then leave), then the fenced protocol —
+    // marker → sub-store delete → data + meta upsert (ordinals
+    // refreshed in the write path) → marker clear. Returned full-table
+    // reads discarded (read-isolation contract).
+    val changes = patches.unionByName(dels)
+      .unionByName(metaRow.withColumn("op", lit("U"))).localCheckpoint()
     stampSfxMarker(spark, name)
     KeyedStore.upsert(spark, toksStoreName(name), "doc_id",
       doomed1.withColumn("arr", lit(null).cast("array<string>"))
         .withColumn("op", lit("D")))
-    KeyedStore.upsert(spark, name, "sp", changes)
+    KeyedStore.upsert(spark, name, "sp", changes,
+      regionTransform = Some(sfxOrdTransform))
     clearSfxMarker(spark, name)
     ()
     }
@@ -2342,6 +2441,10 @@ object DedupOps {
     val spark = docs.sparkSession
     resolveSuffixStore(docs, name)
     val sr = sfxDataRegions(spark, name)
+    // Per-round compare-side fetch mode: driver-collected point
+    // lookups while a round's probed-id set (≤ 2|queries|) stays
+    // plan-safe; past that the ids stay data and getBatch semi-joins.
+    val pointLookups = queries.limit(513).count() <= 512
     // Two probes per query: side 0 searches the STRICT boundary
     // (rank of the first possible match), side 1 the ≤ boundary (rank
     // one past the last match). One shared loop.
@@ -2350,35 +2453,15 @@ object DedupOps {
       .crossJoin(spark.range(2).select(col("id").cast("int").as("side")))
     def leCmp(cmp: Column, side: Column): Column =
       when(side === 0, cmp < 0).otherwise(cmp <= 0)
-    val ridxed =
-      if (sr.bounds.isEmpty) probes0.withColumn("ridx", lit(0))
-      else {
-        // Routing boundary docs' arrays from the token sub-store:
-        // bloom-guarded point lookups while the id list is plan-safe,
-        // the staged getBatch semi-join past that (region-count-many
-        // ids — the nested-descent refinement applies here too).
-        val bIds = sr.bounds.map(_._3).distinct
-        val bArrs =
-          if (bIds.size <= 1024) toksFor(spark, name, bIds)
-          else toksForDf(spark, name,
-            spark.createDataFrame(bIds.map(Tuple1(_))).toDF("doc_id"))
-        val bdf = spark.createDataFrame(sr.bounds.map(b => (b._3, b._4)))
-          .toDF("bdoc", "bp")
-          .join(bArrs.select(col("doc_id").as("bdoc"), col("arr").as("barr")),
-            Seq("bdoc"))
-        val cnts = probes0.crossJoin(broadcast(bdf))
-          .select(col("qid"), col("side"),
-            when(leCmp(cmpPrefixQ(col("barr"), col("bp"), col("qarr")),
-              col("side")), 1).otherwise(0).as("le"))
-          .groupBy(col("qid"), col("side")).agg(sum(col("le")).as("nb"))
-        probes0.join(cnts, Seq("qid", "side"), "left")
-          .withColumn("ridx", coalesce(col("nb"), lit(0L)).cast("int"))
-          .drop("nb")
-      }
+    val ridxed = sfxRoute(spark, name, sr, probes0, Seq("qid", "side"),
+      (barr, bp) => leCmp(cmpPrefixQ(barr, bp, col("qarr")), col("side")))
     val touched = ridxed.select(col("ridx")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // successor-boundary rows for the touched regions only (lazy —
+    // bounded by |touched|, never region count)
+    val nextBm = sfxBoundRows(spark, name, sr, touched.map(_ + 1).toSeq)
     val regRows = KeyedStore.scanMulti(spark, name, "sp",
-        touched.toSeq.map(i => (sr.ranges(i)._1: Any, sr.ranges(i)._2: Any)))
+        sfxTouchedRanges(sr, touched.toSeq))
       .filter(col("sp") >= 0L)
       .withColumn("ridx", graft.functions.RangeFunctions
         .longBoundaryBucket(col("sp"), sr.mins))
@@ -2430,17 +2513,22 @@ object DedupOps {
         .filter(col("mid") > col("lo") && col("mid") <= col("hi"))
       // Materialized probe→row join (query-batch-sized), so this
       // round's compare side fetches ONLY the probed documents' token
-      // arrays — a region-pruned sub-store batch get at ANY batch size
-      // (the former > 4096-query fallback tokenized the corpus; the
-      // sub-store removed that mode entirely).
+      // arrays from the sub-store — bloom-guarded point lookups for
+      // driver-size id sets, the staged getBatch semi-join past that
+      // (no driver literals, no plan bombs — the former > 4096-query
+      // corpus-tokenize fallback is gone entirely).
       val j0 = pts
         .join(oldSide, col("ridx") === col("jridx") &&
           col("mid") === col("jord"), "left")
         .localCheckpoint()
+      val roundIds = j0.filter(col("odoc").isNotNull)
+        .select(col("odoc")).distinct()
+      val oarrs =
+        if (pointLookups)
+          toksFor(spark, name, roundIds.collect().map(_.getLong(0)).toSeq)
+        else toksForDf(spark, name, roundIds)
       val upd = j0
-        .join(toksForDf(spark, name,
-            j0.filter(col("odoc").isNotNull).select(col("odoc")).distinct())
-          .select(col("doc_id").as("odoc"), col("arr").as("oarr")),
+        .join(oarrs.select(col("doc_id").as("odoc"), col("arr").as("oarr")),
           Seq("odoc"), "left")
         .withColumn("le", col("odoc").isNotNull &&
           leCmp(cmpPrefixQ(col("oarr"), col("op"), col("qarr")),
@@ -2479,8 +2567,9 @@ object DedupOps {
     // the searched region).
     val succIn = ranked.select(col("ridx"), (col("ord") - 1).as("ins"),
       col("sp").as("ssp"))
-    val nextDf = spark.createDataFrame(
-        sr.bounds.map(b => (b._1 - 1, b._2))).toDF("ridx", "bnsp")
+    val nextDf = spark.createDataFrame(touched.toIndexedSeq
+        .flatMap(i => nextBm.get(i + 1).map(b => (i, b._1))))
+      .toDF("ridx", "bnsp")
     val loKeys = loS.join(succIn, Seq("ridx", "ins"), "left")
       .join(broadcast(nextDf), Seq("ridx"), "left")
       .select(col("qid"), coalesce(col("ssp"), col("bnsp")).as("lo_key"))

@@ -1321,9 +1321,20 @@ object KeyedStore {
     * FAILED_READ_FILE, never silent corruption; the read-isolation
     * contract in the class scaladoc). Streaming sinks discard it;
     * KeyedStoreSoakSpec's concurrent soak pins the distinction.
+    *
+    * `regionTransform` (optional) rewrites each TOUCHED region's
+    * post-merge content before it lands — for DERIVED per-region
+    * columns that every region rewrite must refresh (the suffix
+    * store's in-region ordinal). It sees the merged rows WITH the `kr`
+    * column (which it must preserve) and runs inside the write path,
+    * over rows the writer already holds — keeping the caller's change
+    * set delta-sized instead of forcing a full touched-region change
+    * set through an extra shuffle.
     */
   def upsert(spark: SparkSession, name: String, key: String,
-             changes: DataFrame): DataFrame = {
+             changes: DataFrame,
+             regionTransform: Option[DataFrame => DataFrame] = None)
+      : DataFrame = {
     require(!changes.columns.contains("kr"),
       "KeyedStore payloads must not contain a column named 'kr'")
     // Coverage region per change row — codegen'd binary search; only the
@@ -1342,7 +1353,8 @@ object KeyedStore {
         val baseTouched = spark.table(name)
           .filter(col("kr").isin(touchedKr: _*))
         val merged = SourceSinkOps.mergeUpsert(baseTouched, changesK, key)
-        writeTouched(spark, name, key, rm, touchedKr, merged, target)
+        val out = regionTransform.map(f => f(merged)).getOrElse(merged)
+        writeTouched(spark, name, key, rm, touchedKr, out, target)
     }
     maybeSplit(spark, name, key)
     spark.table(name).drop("kr")

@@ -142,4 +142,41 @@ class SuffixSearchSpec extends AnyFunSuite {
         s"search ran a window stage:\n${windowed.headOption.getOrElse("")}")
     } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
+
+  test("NESTED two-level boundary routing (fanout forced low) gives " +
+       "identical search results and a valid appended store") {
+    val name = "graft_sfx_search_spec_e"
+    val prop = "graft.sfx.route.fanout"
+    val saved = sys.props.get(prop)
+    try {
+      // 17 docs × ~6 tokens at targetRows = 4 → ~25 regions, far above
+      // the forced fanout of 4 → the block descent actually runs
+      sys.props(prop) = "4"
+      val base = (1 to 15).map(i =>
+        (i.toLong, s"w${i}a w${i}b w${i}c shared${i % 3} tail$i"))
+      val extra = Seq((40L, "w3a w3b w3c shared0 zz"),
+        (41L, "shared1 shared2 q r"))
+      val full = base ++ extra
+      ops.DedupOps.suffixIndexBuild(base.toDF("doc_id", "text"), name,
+        targetRows = 4).collect()
+      // append routes through the nested descent
+      ops.DedupOps.suffixIndexAppend(base.toDF("doc_id", "text"),
+        extra.toDF("doc_id", "text"), name)
+      SuffixTestUtil.assertValidIndex(spark, name, full)
+      // search routes through the nested descent; brute-force pinned
+      val queries = Seq((100L, Seq("w3a", "w3b")), (101L, Seq("shared0")),
+        (102L, Seq("zz")), (103L, Seq("nope")))
+      val res = got(ops.DedupOps.suffixIndexSearch(
+        full.toDF("doc_id", "text"), name,
+        queries.toDF("query_id", "q_tokens")))
+      assert(res == brute(full, queries))
+      assert(res.find(_._1 == 101L).get._2 >= 6L) // shared0 is common
+    } finally {
+      saved match {
+        case Some(v) => sys.props(prop) = v
+        case None => sys.props.remove(prop)
+      }
+      ops.DedupOps.suffixIndexDrop(spark, name)
+    }
+  }
 }

@@ -122,7 +122,7 @@ class SuffixStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("a surviving in-progress marker (sp = -2) forces a rebuild even " +
+  test("a surviving in-progress marker file forces a rebuild even " +
        "when the fingerprint looks committed — the torn-commit fence") {
     val name = "graft_sfx_stream_spec_c"
     try {
@@ -138,19 +138,17 @@ class SuffixStreamSpec extends AnyFunSuite {
       // multi-region commit is not atomic, so some data region may be
       // missing even though region 0 landed. A replay MUST NOT no-op
       // on the fingerprint alone; it must rebuild.
-      ops.KeyedStore.upsert(spark, name, "sp",
-        Seq((-2L, 0L, 0L, 0L)).toDF("sp", "doc_id", "p", "lcp")
-          .withColumn("prev_sp", lit(null).cast("long"))
-          .withColumn("prev_doc", lit(null).cast("long"))
-          .withColumn("ord", lit(null).cast("long"))
-          .withColumn("op", lit("U")))
+      val marker = java.nio.file.Paths.get(
+        ops.KeyedStore.location(spark, name).toUri.getPath,
+        "_sfx_inprogress")
+      ops.KeyedStore.atomicWriteBytes(marker, Array[Byte]('1'))
       val digests = fileDigests(name)
       ops.DedupOps.suffixIndexStreamAppend(base, b1, name)
       assert(fileDigests(name) != digests,
         "marker state was served instead of rebuilt")
       // the rebuild cleared the marker and serves correct stats
-      assert(ops.KeyedStore.scan(spark, name, "sp", -2L, -2L)
-        .collect().isEmpty, "rebuild must clear the marker")
+      assert(!java.nio.file.Files.exists(marker),
+        "rebuild must clear the marker")
       assert(stats3(ops.DedupOps.suffixIndexServe(full, name)) ==
         stats3(ops.DedupOps.suffixDedupStats(full)))
     } finally ops.DedupOps.suffixIndexDrop(spark, name)
