@@ -215,7 +215,7 @@ object ScrubOps {
 
   /** Driver row: build the four stores over documents/embeddings
     * (keyed rows, versioned rows, ANN postings, and — since round 16 —
-    * the durable suffix index over a 1/7 sub-corpus), forget
+    * the durable suffix index over a 1/21 sub-corpus), forget
     * `id % 10 == 3`, and report exact row counts per (leg, phase) —
     * including the pre-forget version read AFTER the forget, pinning
     * that time travel still serves it (the vacuum-is-erasure
@@ -244,13 +244,15 @@ object ScrubOps {
       VersionedStore.init(spark, vdir, docsRows, "doc_id")
       AnnIndexOps.buildIndex(spark, annName, embs,
         targetRowsPerRegion = 2048)
-      // Suffix leg over a 1/7 sub-corpus: the SA build's fixed cost
-      // (the doubling loop's per-round driver trips) dominates at any
-      // fixture size, so the leg exercises the full delete lifecycle
-      // without multiplying the row's data cost; the doomed ids hit it
-      // at doc_id ≡ 63 (mod 70) — a real, oracle-countable bite.
+      // Suffix leg over a 1/21 sub-corpus: a delete row REBUILDS its
+      // store every run by construction (the previous run's delete
+      // left it at fp(remaining), stale for the full sub-corpus), so
+      // the sub-corpus is sized to exercise the full lifecycle at the
+      // smallest honest data cost; the doomed ids hit it at
+      // doc_id ≡ 63 (mod 210) — a real, oracle-countable bite at
+      // every fixture SF (3 docs at sf0.01, 24 at sf0.1).
       val sfxName = "graft_forget_sfx_" + sfx
-      val sfxDocs = documents(spark, dir).filter(col("doc_id") % 7 === 0)
+      val sfxDocs = documents(spark, dir).filter(col("doc_id") % 21 === 0)
         .select(col("doc_id"), col("text"))
       graft.ops.DedupOps.suffixIndexBuild(sfxDocs, sfxName).collect()
       val doomedIds = docsRows.filter(col("doc_id") % 10 === 3)

@@ -75,10 +75,10 @@ object ScrubOracles {
         |         AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
         |sb AS (SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0)
         |         AS BIGINT) AS sb
-        |       FROM documents WHERE doc_id % 7 = 0),
+        |       FROM documents WHERE doc_id % 21 = 0),
         |sa AS (SELECT CAST(coalesce(sum(len(string_split(text, ' '))), 0)
         |         AS BIGINT) AS sa
-        |       FROM documents WHERE doc_id % 7 = 0 AND doc_id % 10 <> 3)
+        |       FROM documents WHERE doc_id % 21 = 0 AND doc_id % 10 <> 3)
         |SELECT * FROM (
         |  SELECT 'keyed' AS leg, 'before' AS phase, n AS n_rows FROM n
         |  UNION ALL SELECT 'keyed', 'after', m FROM m

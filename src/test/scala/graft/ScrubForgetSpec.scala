@@ -28,7 +28,7 @@ class ScrubForgetSpec extends AnyFunSuite {
       // Suffix leg over a sub-corpus (the qForgetCascade shape): the
       // doomed set must actually intersect it.
       val sfxDocs = Tables.documents(spark, Sf)
-        .filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 21 === 0).select(col("doc_id"), col("text"))
       ops.DedupOps.suffixIndexBuild(sfxDocs, sfxName).collect()
       val doomedIds = docsRows.filter(col("doc_id") % 10 === 3).select("doc_id")
       val doomed = doomedIds.collect().map(_.getLong(0)).toSet
