@@ -183,13 +183,16 @@ object Graft {
   /** Exact-adjacency positional phrase search. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
     ops.TextOps.phraseSearch(docs, phrase)
-  /** Cross-store GDPR forget: keyed store + versioned store + ANN index.
-    * Soft on the versioned leg until [[ops.VersionedStore.vacuum]]. */
+  /** Cross-store GDPR forget: keyed store + versioned store + ANN index
+    * + optionally a durable suffix index (`suffix` pairs the store name
+    * with the corpus it currently holds). Soft on the versioned leg
+    * until [[ops.VersionedStore.vacuum]]. */
   def forgetCascade(spark: SparkSession, keyedName: String, keyedKey: String,
                     vstoreDir: String, vstoreKey: String, annName: String,
-                    doomedIds: DataFrame, doomedEmbs: DataFrame): Unit =
+                    doomedIds: DataFrame, doomedEmbs: DataFrame,
+                    suffix: Option[(String, DataFrame)] = None): Unit =
     ops.ScrubOps.forgetCascade(spark, keyedName, keyedKey, vstoreDir,
-      vstoreKey, annName, doomedIds, doomedEmbs)
+      vstoreKey, annName, doomedIds, doomedEmbs, suffix)
   /** All-vectors kNN edge relation via multiprobe sign-LSH. */
   def knnGraph(embs: DataFrame, planes: Int = 8, hamming: Int = 3,
                k: Int = 5): DataFrame =

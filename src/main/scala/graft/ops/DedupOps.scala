@@ -1542,6 +1542,19 @@ object DedupOps {
     // sentinel doc_id = −1 row keeps the store non-empty for an empty
     // corpus; real ids are non-negative, so lookups never see it.
     val toksName = toksStoreName(name)
+    // Rebuild-over-existing fence (round-16 ADVICE): the sub-stores are
+    // recreated for the NEW corpus before the old main store drops, so
+    // a crash in between would leave the OLD index reading as fresh
+    // (old fp matches, sub-stores exist) paired with ANOTHER corpus's
+    // token arrays — on a shrinking rebuild warm search/append would
+    // read NULL arrays for missing docs and silently mis-serve. Stamp
+    // the in-progress marker in the OLD store's directory before the
+    // first sub-store mutation: every crash window inside the rebuild
+    // then reads torn → rebuild. No explicit clear is needed — the main
+    // store's own drop-and-recreate wipes the directory (marker
+    // included), and a crash inside that create leaves no catalog
+    // table, which every resolve path also treats as rebuild.
+    if (KeyedStore.exists(spark, name)) stampSfxMarker(spark, name)
     if (KeyedStore.exists(spark, toksName)) KeyedStore.drop(spark, toksName)
     KeyedStore.create(spark, toksName,
       docs.select(col("doc_id"), TextFns.toks.as("arr")).unionByName(
@@ -2373,6 +2386,20 @@ object DedupOps {
     if (KeyedStore.exists(spark, tn)) KeyedStore.drop(spark, tn)
   }
 
+  /** CLONE the suffix index and its sub-stores to a new name by file
+    * copy ([[KeyedStore.cloneStore]] — no Spark job, no SA build). The
+    * clone is a fully independent, fresh-serving index of the same
+    * corpus: mutations on either side never touch the other
+    * (copy-on-write regions share no files after the copy). This is
+    * how a fixture exercises a destructive lifecycle (delete) per run
+    * against a store that was BUILT once — clone cost is artifact
+    * bytes, the production analog of restoring a snapshot. */
+  def suffixIndexClone(spark: SparkSession, src: String, dst: String): Unit = {
+    suffixIndexDrop(spark, dst)
+    KeyedStore.cloneStore(spark, src, dst)
+    KeyedStore.cloneStore(spark, toksStoreName(src), toksStoreName(dst))
+  }
+
   /** Fixture row: the GDPR-delete lifecycle on a dedicated store —
     * resolve the FULL-corpus index, delete every doc_id % 53 == 0
     * document (seam-patching the survivors), then serve duplication
@@ -2427,11 +2454,15 @@ object DedupOps {
     * in-region ordinals are the STORED `ord` column (no row_number
     * stage — round-15 verdict item #5), and the match scan reads only
     * matched rows. The compare side reads ONLY the probed documents at
-    * ANY batch size: each round's ≤ 2|queries| distinct doc ids fetch
-    * their pre-tokenized arrays from the token sub-store via
-    * [[KeyedStore.getBatch]]'s region-pruned semi-join (no driver
-    * literals, no plan bombs) — a query batch never tokenizes the
-    * corpus, and the former > 4096-query corpus-pass fallback is gone.
+    * ANY batch size: each round's ≤ 2(K−1)|queries| distinct doc ids
+    * (K−1 probe points per boundary search, two boundaries per query)
+    * fetch their pre-tokenized arrays from the token sub-store —
+    * bloom-guarded point lookups while the round's id set stays ≤ 1024
+    * (the same plan-size ceiling as [[sfxRoute]]'s arrsOf), the
+    * region-pruned [[KeyedStore.getBatch]] semi-join past that (no
+    * driver literals, no plan bombs) — a query batch never tokenizes
+    * the corpus, and the former > 4096-query corpus-pass fallback is
+    * gone.
     *
     * `queries` must carry (`query_id` long, `q_tokens` array<string>,
     * non-empty). Output: (query_id, n_occurrences, n_docs), ordered.
@@ -2523,10 +2554,17 @@ object DedupOps {
         .localCheckpoint()
       val roundIds = j0.filter(col("odoc").isNotNull)
         .select(col("odoc")).distinct()
+      // Point-lookup mode still bounds the per-round IN-list like
+      // sfxRoute.arrsOf: a K-ary round probes up to 2(K−1)|queries|
+      // distinct docs (~30|queries| at K = 16), which at the 512-query
+      // threshold is ~15k driver literals — past 1024 ids the id set
+      // stays data and getBatch semi-joins (round-16 ADVICE).
       val oarrs =
-        if (pointLookups)
-          toksFor(spark, name, roundIds.collect().map(_.getLong(0)).toSeq)
-        else toksForDf(spark, name, roundIds)
+        if (pointLookups) {
+          val ids = roundIds.collect().map(_.getLong(0)).toSeq
+          if (ids.size <= 1024) toksFor(spark, name, ids)
+          else toksForDf(spark, name, roundIds)
+        } else toksForDf(spark, name, roundIds)
       val upd = j0
         .join(oarrs.select(col("doc_id").as("odoc"), col("arr").as("oarr")),
           Seq("odoc"), "left")

@@ -1721,6 +1721,54 @@ object KeyedStore {
   def drop(spark: SparkSession, name: String): Unit =
     dropWithLocation(spark, name)
 
+  /** Register-by-copy CLONE of a store: copy the source table's data
+    * directory (region parquet, sidecar, blooms — the store IS its
+    * directory) into the destination's warehouse location and register
+    * a catalog table over it. Pure file copy, never a Spark job:
+    * cloning a built artifact costs IO proportional to its bytes, not
+    * the computation that produced it — the content-addressed
+    * fixture-store pattern (build once under a fingerprint-checked
+    * name, clone per consumer; ScrubOps.qForgetCascade). Lock files
+    * and in-progress sentinels are NOT copied: a clone of a quiescent
+    * store is quiescent. The destination is dropped first and is fully
+    * independent afterwards (copy-on-write regions never share files).
+    * Source must be quiescent (no concurrent writer) — same
+    * single-maintainer assumption as [[rebalance]].
+    */
+  def cloneStore(spark: SparkSession, src: String, dst: String): Unit =
+    withStructuralLock(spark, dst) {
+      require(exists(spark, src), s"cloneStore: source $src does not exist")
+      dropWithLocation(spark, dst)
+      val from = location(spark, src)
+      val to = location(spark, dst)
+      def skip(n: String): Boolean =
+        n.endsWith(".graft-lock") || n == "_sfx_inprogress"
+      def copyRec(f: Path, t: Path): Unit =
+        if (Files.isDirectory(f)) {
+          Files.createDirectories(t)
+          scala.util.Using.resource(Files.list(f)) { s =>
+            s.iterator().asScala.foreach(c =>
+              copyRec(c, t.resolve(c.getFileName.toString)))
+          }
+        } else if (!skip(f.getFileName.toString)) {
+          Files.copy(f, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      copyRec(from, to)
+      // Same physical layout as a created store, registered as a table
+      // over the copied location; partition metadata recovered from the
+      // kr= directories (the catalog needs it for the per-region
+      // PartitionFilters every read path relies on).
+      val dataCols = spark.table(src).schema.fields
+        .filterNot(_.name == "kr")
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE $dst ($dataCols, kr INT) USING parquet " +
+        s"PARTITIONED BY (kr) LOCATION '${to.toUri}'")
+      spark.sql(s"ALTER TABLE $dst RECOVER PARTITIONS")
+      invalidateDirCache(spark, dst)
+    }
+
   /** Does the catalog table exist? (foreachBatch sinks create on first
     * batch.) */
   def exists(spark: SparkSession, name: String): Boolean =

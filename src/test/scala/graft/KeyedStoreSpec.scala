@@ -1147,6 +1147,37 @@ class KeyedStoreSpec extends AnyFunSuite {
       || p2.contains("LocalTableScan"), p2.take(2000))
   }
 
+  test("cloneStore: file-copy clone serves identically through every " +
+       "read path and is fully independent of its source") {
+    import spark.implicits._
+    val name = "graft_keyed_spec_clone_src"
+    val cname = "graft_keyed_spec_clone_dst"
+    try {
+      KeyedStore.create(spark, name, mkRows(200), "k",
+        targetRowsPerRegion = 32)
+      KeyedStore.cloneStore(spark, name, cname)
+      def all(n: String) =
+        KeyedStore.scan(spark, n, "k", 0L, Long.MaxValue)
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(all(cname) == all(name))
+      // point GET goes through the copied sidecar + blooms
+      assert(KeyedStore.get(spark, cname, "k", Seq(7L, 123L))
+        .collect().map(_.getString(1)).sorted.toSeq == Seq("v123", "v7"))
+      // independence: a clone-side upsert leaves the source untouched
+      val srcDig = digests(name)
+      KeyedStore.upsert(spark, cname, "k",
+        Seq((5L, "NEW", "U")).toDF("k", "v", "op"))
+      assert(digests(name) == srcDig, "clone upsert touched the source")
+      assert(KeyedStore.get(spark, cname, "k", Seq(5L))
+        .head().getString(1) == "NEW")
+      assert(KeyedStore.get(spark, name, "k", Seq(5L))
+        .head().getString(1) == "v5")
+    } finally {
+      KeyedStore.drop(spark, name)
+      KeyedStore.drop(spark, cname)
+    }
+  }
+
   test("create is idempotent across JVMs (stale location, fresh metastore)") {
     val name = "graft_keyed_spec_idem"
     // Simulate the next JVM: fresh metastore (no catalog entry for the

@@ -39,7 +39,7 @@ class ScrubForgetSpec extends AnyFunSuite {
 
       ScrubOps.forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id",
         annName, doomedIds, embs.filter(col("vec_id") % 10 === 3),
-        Some(sfxName), Some(sfxDocs))
+        Some((sfxName, sfxDocs)))
 
       // Suffix leg: the doomed docs' rows left the index AND the token
       // sub-store; the patched structure serves the surviving
@@ -74,7 +74,7 @@ class ScrubForgetSpec extends AnyFunSuite {
       // the whole cascade changes nothing on any leg.
       ScrubOps.forgetCascade(spark, keyedName, "doc_id", vdir, "doc_id",
         annName, doomedIds, embs.filter(col("vec_id") % 10 === 3),
-        Some(sfxName), Some(sfxDocs))
+        Some((sfxName, sfxDocs)))
       val keyedN = KeyedStore.scan(spark, keyedName, "doc_id",
         0L, Long.MaxValue).count()
       assert(keyedN == docsRows.count() - doomed.size,

@@ -126,6 +126,50 @@ class SuffixIndexSpec extends AnyFunSuite {
     } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
+  test("suffixIndexClone: the clone serves fresh with no rebuild, a " +
+       "delete on it leaves the source byte-identical, and the torn " +
+       "rebuild-over-existing state reads as stale") {
+    val docs = corpus.toDF("doc_id", "text")
+    val src = "graft_sfx_spec_clone_src"
+    val dst = "graft_sfx_spec_clone_dst"
+    try {
+      ops.DedupOps.suffixIndexBuild(docs, src).collect()
+      ops.DedupOps.suffixIndexClone(spark, src, dst)
+      // the clone carries the corpus fingerprint: fresh, no rebuild
+      assert(ops.DedupOps.suffixStoreFresh(docs, dst))
+      val srcDig = SuffixTestUtil.fileDigests(spark, src)
+      // destructive lifecycle runs on the clone ONLY
+      ops.DedupOps.suffixIndexDelete(docs, Seq(1L, 4L).toDF("doc_id"), dst)
+      val remaining = corpus.filterNot(d => Set(1L, 4L)(d._1))
+      SuffixTestUtil.assertValidIndex(spark, dst, remaining)
+      assert(SuffixTestUtil.fileDigests(spark, src) == srcDig,
+        "delete on the clone touched the source store")
+      val served = ops.DedupOps.suffixIndexServe(docs, src)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val stats = ops.DedupOps.suffixDedupStats(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(served.toSeq == stats.toSeq, "source no longer serves")
+      // Torn REBUILD-over-existing (round-16 ADVICE): a crash between
+      // the sub-store recreate and the main-store drop leaves the old
+      // main store paired with another corpus's arrays — the stamped
+      // in-progress marker must make that state read stale, never
+      // fresh. Simulate the crash remnant directly.
+      java.nio.file.Files.write(
+        ops.KeyedStore.location(spark, src).resolve("_sfx_inprogress"),
+        Array[Byte]('1'))
+      assert(!ops.DedupOps.suffixStoreFresh(docs, src),
+        "torn rebuild state served as fresh")
+      // every serve path self-heals by rebuilding
+      val healed = ops.DedupOps.suffixIndexServe(docs, src)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(healed.toSeq == stats.toSeq)
+      assert(ops.DedupOps.suffixStoreFresh(docs, src))
+    } finally {
+      ops.DedupOps.suffixIndexDrop(spark, src)
+      ops.DedupOps.suffixIndexDrop(spark, dst)
+    }
+  }
+
   test("fixture slice: served stats equal computed stats") {
     val docs = graft.Tables.documents(spark, Sf)
       .filter(col("doc_id") % 5 === 0)
