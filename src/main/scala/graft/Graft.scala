@@ -308,15 +308,28 @@ object Graft {
                      merge: (DataFrame, DataFrame) => DataFrame): DataFrame =
     ops.KeyedStore.mergeInto(spark, name, key, batch, merge)
   /** Normalizer merge: coalesce adjacent under-target regions, drop
-    * fully-emptied runs; returns regions eliminated. */
+    * fully-emptied runs; returns regions eliminated. NOTE: a durable
+    * SUFFIX index must be normalized via [[suffixStoreMergeSmallRegions]]
+    * instead — its stored per-region ordinals need the refreshing
+    * transform (readers detect a raw merge and heal by rebuild). */
   def keyedMergeSmallRegions(spark: SparkSession, name: String,
                              key: String): Int =
     ops.KeyedStore.mergeSmallRegions(spark, name, key)
-  /** Re-derive balanced regions from current data (major compaction). */
+  /** Re-derive balanced regions from current data (major compaction).
+    * Suffix stores: use [[suffixStoreRebalance]] (see merge note). */
   def keyedRebalance(spark: SparkSession, name: String, key: String,
                      targetRowsPerRegion: Long =
                        ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
     ops.KeyedStore.rebalance(spark, name, key, targetRowsPerRegion)
+  /** Suffix-store-aware normalizer merge (index + sub-stores, ordinal
+    * transform applied). */
+  def suffixStoreMergeSmallRegions(spark: SparkSession, name: String): Int =
+    ops.DedupOps.suffixStoreMergeSmallRegions(spark, name)
+  /** Suffix-store-aware rebalance (index + sub-stores). */
+  def suffixStoreRebalance(spark: SparkSession, name: String,
+                           targetRowsPerRegion: Long =
+                             ops.KeyedStore.DefaultTargetRowsPerRegion): Unit =
+    ops.DedupOps.suffixStoreRebalance(spark, name, targetRowsPerRegion)
   /** TTL retention sweep — delete rows with `tsCol` < cutoff, rewriting
     * only the regions that hold one ([[ops.KeyedStore.expire]]). */
   def keyedExpire(spark: SparkSession, name: String, key: String,

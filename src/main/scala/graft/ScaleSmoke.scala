@@ -592,11 +592,13 @@ object ScaleSmoke {
           GraftCache.releaseAllStorage(spark)
           ops.DedupOps.suffixIndexDrop(spark, name)
       }
-      // DELETE probe (round-16): a FIXED doomed doc set (the c=0 copy's
-      // % 10000 ids, same docs at both scales) against a full-corpus
-      // store. Find is one linear (sp, doc_id) pass — expected to track
-      // corpus size; patch is run-proportional; writes are covering-
-      // region COW with the same scatter profile as the append.
+      // DELETE probe (round-16; round-17 rewired FIND): a FIXED doomed
+      // doc set (the c=0 copy's % 10000 ids, same docs at both scales)
+      // against a full-corpus store. FIND is now a reverse-sub-store
+      // point lookup + covering-region getBatch — but at the DEFAULT
+      // region budget the sandbox store is a handful of regions, so
+      // covering ≈ all and this ratio still partly tracks corpus size;
+      // the suffix_finedel probe below is the pruning claim proper.
       Seq("1x" -> base, s"${factor}x" -> scaled).foreach { case (tag, dir) =>
         val name = s"graft_scale_sfxdel_$tag"
         val docs = Tables.documents(spark, dir)
@@ -636,6 +638,31 @@ object ScaleSmoke {
           val t0 = System.nanoTime()
           ops.DedupOps.suffixIndexAppend(baseD, delta, name)
           println(f"SCALE suffix_index_append_$tag%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          GraftCache.releaseAllStorage(spark)
+          ops.DedupOps.suffixIndexDrop(spark, name)
+      }
+    }
+    if (wanted("suffix_finedel")) {
+      // FIXED-doc DELETE at production-shaped region budgets (round-17,
+      // verdict item #2 follow-through): with ~4k regions at 1× and
+      // ~40k at 10×, the ~100 doomed docs' ~2.4k suffixes cover a
+      // bounded region set at BOTH scales, so the reverse-sub-store
+      // FIND + covering-region patch should hold the 1×→10× ratio
+      // ~flat — the former linear FIND tracked corpus size
+      // (7.6 → 12.1 s, ROUND16_NOTES §5).
+      Seq(("fine_1x", base), (s"fine_${factor}x", scaled)).foreach {
+        case (tag, pdir) =>
+          val name = s"graft_scale_sfxdel_$tag"
+          val docs = Tables.documents(spark, pdir)
+          val doomed = docs.filter(col("doc_id") % 10000 === 0L &&
+            col("doc_id") < 1000000L).select(col("doc_id"))
+          ops.DedupOps.suffixIndexDrop(spark, name)
+          ops.DedupOps.suffixIndexBuild(docs, name, targetRows = 600)
+            .collect()
+          GraftCache.releaseAllStorage(spark)
+          val t0 = System.nanoTime()
+          ops.DedupOps.suffixIndexDelete(docs, doomed, name)
+          println(f"SCALE suffix_index_delete_$tag%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
           GraftCache.releaseAllStorage(spark)
           ops.DedupOps.suffixIndexDrop(spark, name)
       }

@@ -159,7 +159,10 @@ object KeyedStore {
       }.toSeq.sorted
 
     /** Coverage region id of a key COLUMN — the codegen'd binary search
-      * over the boundary list, then index → kr through an array literal.
+      * over the boundary list, then index → kr through ONE typed
+      * array literal (a single plan node at any region count; the
+      * former per-region `lit` list was one expression node per
+      * region — the plan-bomb class at fine region budgets).
       */
     def krCol(c: Column): Column = {
       val idx = typ match {
@@ -168,7 +171,7 @@ object KeyedStore {
         case _ => graft.functions.RangeFunctions.stringBoundaryBucket(
           c.cast(StringType), mins.map(_.toString))
       }
-      element_at(array(regions.map(r => lit(r.kr)): _*), idx + 1)
+      element_at(typedlit(regions.map(_.kr)), idx + 1)
     }
 
     /** Raw-Expression twin of the bucket search in [[krCol]], for plan
@@ -1179,7 +1182,9 @@ object KeyedStore {
     }
 
   private def createLocked(spark: SparkSession, name: String, rows: DataFrame,
-                           key: String, targetRowsPerRegion: Long): Unit = {
+                           key: String, targetRowsPerRegion: Long,
+                           regionTransform: Option[DataFrame => DataFrame] =
+                             None): Unit = {
     require(!rows.columns.contains("kr"),
       "KeyedStore payloads must not contain a column named 'kr'")
     val typ = keyTyp(rows, key)
@@ -1187,8 +1192,15 @@ object KeyedStore {
     val n = rows.count()
     val nRegions = math.max(1L,
       (n + targetRowsPerRegion - 1) / targetRowsPerRegion).toInt
-    rows.repartitionByRange(nRegions, col(key))
+    val withKr0 = rows.repartitionByRange(nRegions, col(key))
       .withColumn("kr", spark_partition_id())
+    // With a transform ([[rebalance]] on stores carrying DERIVED
+    // per-region columns), pin the kr assignment first: the transform
+    // shuffles (per-kr window), and spark_partition_id must not be
+    // re-evaluated on the far side of that exchange.
+    val withKr = regionTransform
+      .map(t => t(withKr0.localCheckpoint())).getOrElse(withKr0)
+    withKr
       .sortWithinPartitions(col("kr"), col(key))
       .write.mode("overwrite").format("parquet").partitionBy("kr")
       .saveAsTable(name)
@@ -1598,8 +1610,9 @@ object KeyedStore {
     * total and later inserts still route. Returns the number of regions
     * eliminated (0 = nothing to do). Serialized by the table lock.
     */
-  def mergeSmallRegions(spark: SparkSession, name: String,
-                        key: String): Int = withStructuralLock(spark, name) {
+  def mergeSmallRegions(spark: SparkSession, name: String, key: String,
+                        regionTransform: Option[DataFrame => DataFrame] =
+                          None): Int = withStructuralLock(spark, name) {
     val (rm, target) = readRegionsWithTarget(spark, name)
     // Greedy run-coalescing over the min-key-ordered directory, same rule
     // as the versioned store's bin-packing compaction.
@@ -1617,12 +1630,14 @@ object KeyedStore {
     if (run.nonEmpty) bins += run
     val mergeBins = bins.filter(_.size >= 2).toSeq
     if (mergeBins.isEmpty) 0
-    else mergeRuns(spark, name, key, rm, target, mergeBins)
+    else mergeRuns(spark, name, key, rm, target, mergeBins, regionTransform)
   }
 
   private def mergeRuns(spark: SparkSession, name: String, key: String,
                         rm: RegionMap, target: Long,
-                        mergeBins: Seq[Vector[Region]]): Int = {
+                        mergeBins: Seq[Vector[Region]],
+                        regionTransform: Option[DataFrame => DataFrame] =
+                          None): Int = {
     var nextKr = rm.regions.map(_.kr).max + 1
     // old kr -> new kr for every non-empty bin (all-empty bins simply
     // vanish: partitions dropped, entries removed).
@@ -1636,9 +1651,15 @@ object KeyedStore {
       val cols = spark.table(name).columns.toIndexedSeq
       val mapCol = map(mapping.flatMap { case (o, n) =>
         Seq(lit(o), lit(n)) }.toSeq: _*)
-      val out = spark.table(name)
+      // `regionTransform` (same contract as upsert's): refresh DERIVED
+      // per-region columns over each merged region's combined content —
+      // without it a suffix store's per-region ordinal invariant breaks
+      // silently when two write generations merge (readers detect and
+      // heal, but the transform is the correct path; round-16 ADVICE).
+      val remapped = spark.table(name)
         .filter(col("kr").isin(mapping.keys.toSeq: _*))
         .withColumn("kr", element_at(mapCol, col("kr")))
+      val out = regionTransform.map(_(remapped)).getOrElse(remapped)
         .repartitionByRange(math.max(1, mapping.values.toSet.size),
                             col("kr"), col(key))
         .sortWithinPartitions(col("kr"), col(key))
@@ -1814,9 +1835,12 @@ object KeyedStore {
   }
 
   def rebalance(spark: SparkSession, name: String, key: String,
-                targetRowsPerRegion: Long = DefaultTargetRowsPerRegion): Unit =
+                targetRowsPerRegion: Long = DefaultTargetRowsPerRegion,
+                regionTransform: Option[DataFrame => DataFrame] =
+                  None): Unit =
     withStructuralLock(spark, name) {
       val current = spark.table(name).drop("kr").localCheckpoint()
-      createLocked(spark, name, current, key, targetRowsPerRegion)
+      createLocked(spark, name, current, key, targetRowsPerRegion,
+        regionTransform)
     }
 }

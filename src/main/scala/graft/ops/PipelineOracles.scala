@@ -1619,6 +1619,12 @@ object PipelineOracles {
     // construction with the doomed docs filtered out.
     "q_suffix_index_delete" -> suffixStatsSql(" WHERE doc_id % 53 <> 0"),
 
+    // The MAINTENANCE row composes delete + the suffix-aware normalizer
+    // merge (region coalescing with the ordinal transform) before
+    // serving: the generation-mixed, merged region layout must still
+    // serve exactly the filtered corpus's statistics.
+    "q_suffix_index_maintain" -> suffixStatsSql(" WHERE doc_id % 53 <> 0"),
+
     // The streaming maintenance twin drains the same % 41 delta as
     // micro-batches through the fingerprint-fenced append and serves
     // the same full-corpus statistics.

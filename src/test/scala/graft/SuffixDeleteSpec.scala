@@ -111,6 +111,61 @@ class SuffixDeleteSpec extends AnyFunSuite {
     } finally ops.DedupOps.suffixIndexDrop(spark, name)
   }
 
+  test("bulk delete (most of the corpus): referee-valid, and the patch " +
+       "runs NO global window over the doomed mass (plan pin)") {
+    val name = "graft_sfx_del_spec_e"
+    try {
+      // 24 docs, heavy overlap → long doomed runs; delete 16 of 24
+      // including the corpus-first doc and whole adjacent spans.
+      val corpus = (1 to 24).map { i =>
+        (i.toLong, s"w${i % 5}a w${i % 5}b w${i % 7}c mid$i w${i % 3}d")
+      }
+      val doomed = (1L to 16L).toSeq
+      val remaining = corpus.filterNot(d => doomed.contains(d._1))
+      ops.DedupOps.suffixIndexBuild(corpus.toDF("doc_id", "text"), name,
+        targetRows = 8).collect()
+      val plans = new scala.collection.mutable.ArrayBuffer[String]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        del(corpus, doomed, name)
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods.find(m =>
+            m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } finally spark.listenerManager.unregister(listener)
+      SuffixTestUtil.assertValidIndex(spark, name, remaining)
+      // Skew pin (round-16 verdict item #3): run detection must never
+      // funnel the doomed mass through ONE sort partition. The doomed
+      // relation's order column is `sp`, so a regression reappears as a
+      // GLOBAL window ordered by sp — windowspecdefinition whose FIRST
+      // argument is already an ordering on sp (a partitioned window
+      // lists its partition columns first). The tiny base-case window
+      // inside exclusiveOffsets orders by `key`, not sp, and sees
+      // ≤ n/256² rows — intentionally not matched here.
+      val snap = plans.synchronized(plans.toList)
+      assert(snap.nonEmpty, "listener captured no plans")
+      val globalSpWin = "windowspecdefinition\\(sp#\\d+L? ASC".r
+      val bad = snap.filter(p => globalSpWin.findFirstIn(p).nonEmpty)
+      assert(bad.isEmpty,
+        "delete ran a global window over the doomed rows:\n" +
+          bad.headOption.getOrElse("").take(2000))
+      val served = stats3(ops.DedupOps.suffixIndexServe(
+        remaining.toDF("doc_id", "text"), name))
+      assert(served == stats3(ops.DedupOps.suffixDedupStats(
+        remaining.toDF("doc_id", "text"))))
+    } finally ops.DedupOps.suffixIndexDrop(spark, name)
+  }
+
   test("fixture slice: delete a modular id set, serve equals computed " +
        "stats over the survivors") {
     val name = "graft_sfx_del_spec_d"
