@@ -2334,8 +2334,35 @@ object DedupOps {
     val doomed1 = doomedIds.select(col("doc_id")).distinct()
       .localCheckpoint()
     val remaining = docs.join(doomed1, Seq("doc_id"), "left_anti")
-    val fpPost = docsFingerprint(remaining)
-    val fpPre = docsFingerprint(docs)
+    // Both fingerprints (pre = full corpus, post = survivors) from ONE
+    // corpus pass: a broadcast membership mark + conditional sums —
+    // bit-identical to two [[docsFingerprint]] calls (same SQL terms,
+    // no overflow by the same in-range argument), at half the read.
+    val fpRow = docs
+      .join(broadcast(doomed1.withColumn("__dm", lit(1))),
+        Seq("doc_id"), "left")
+      .agg(
+        coalesce(sum(pmod(xxhash64(col("doc_id"), col("text")),
+          lit(1000003L))), lit(0L)).as("h"),
+        count(lit(1)).as("c"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("l"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("i"),
+        coalesce(sum(when(col("__dm").isNull,
+          pmod(xxhash64(col("doc_id"), col("text")), lit(1000003L)))),
+          lit(0L)).as("hr"),
+        coalesce(sum(when(col("__dm").isNull, lit(1L))), lit(0L)).as("cr"),
+        coalesce(sum(when(col("__dm").isNull, length(col("text")))),
+          lit(0L)).as("lr"),
+        coalesce(sum(when(col("__dm").isNull, col("doc_id"))), lit(0L))
+          .as("ir"))
+      .head()
+    def fpOf(h: Long, c: Long, l: Long, i: Long): Long =
+      h * 7L + c * 1000003L + l * 31L + i +
+        SuffixStoreVersion * 998244353L
+    val fpPre = fpOf(fpRow.getLong(0), fpRow.getLong(1),
+      fpRow.getLong(2), fpRow.getLong(3))
+    val fpPost = fpOf(fpRow.getLong(4), fpRow.getLong(5),
+      fpRow.getLong(6), fpRow.getLong(7))
     val subsOk = sfxSubsOk(spark, name)
     sfxMetaState(spark, name) match {
       case Some((f, false)) if f == fpPost && subsOk =>
@@ -2365,61 +2392,112 @@ object DedupOps {
       .select(col("sp"), col("doc_id"), col("p"), col("prev_sp"),
         col("prev_doc"))
       .localCheckpoint()
-    if (doomedRows.limit(1).count() == 0) {
+    val doomedCnt = doomedRows.count()
+    if (doomedCnt == 0) {
       // ids absent from the stored corpus: fingerprint advance only
       // (one region-0 partition commit — no torn window, no marker)
       KeyedStore.upsert(spark, name, "sp", metaRow)
       ()
     } else {
+    // CONTROL-PLANE fast path for GDPR-sized doomed sets: a real
+    // patch-delete's latency is JOB-COUNT-bound (routing, runs, seam
+    // fetches are each trivially small but each cost a scheduler
+    // round), so when the doomed rows fit the driver cap (default
+    // 2^16 rows ≈ a few MB of (sp, links)) they collect ONCE and run
+    // detection, covering-region resolution, and the predecessor key
+    // list become pure Scala — zero shuffles, zero extra jobs. Past
+    // the cap everything stays distributed (the skew-immune prefix-sum
+    // path below); the cap is a latency trade, not a correctness one.
+    val drCap = sys.props.get("graft.sfx.delete.driverRuns")
+      .map(_.toLong).getOrElse(1L << 16)
+    val doomedArr: Option[Array[(Long, Option[Long], Option[Long])]] =
+      if (doomedCnt > drCap) None
+      else Some(doomedRows.select(col("sp"), col("prev_sp"),
+          col("prev_doc")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) Option.empty[Long] else Some(r.getLong(1)),
+          if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+        .sortBy(_._1))
     // Runs: doomed rows consecutive in STORE order (next.prev_sp ==
-    // prev.sp — link-read, never key arithmetic). SKEW-IMMUNE
-    // (round-16 verdict item #3 — the former shape was one global
-    // Window.orderBy(sp), a single-partition sort of the doomed mass
-    // that a "delete 40% of the corpus" request would have funneled
-    // billions of rows through): a run HEAD is a doomed row whose
-    // store predecessor is NOT doomed — a hash self-join against the
-    // doomed key set, no ordering involved (prev_sp is the immediate
-    // store predecessor, so a doomed prev_sp IS the previous doomed
-    // row in sp order; no row sorts between them) — and run ids are
-    // the running count of heads in sp order, computed with the same
-    // range-partitioned two-phase prefix sum as
-    // [[EventOps.peakConcurrency]]: pid-local window (parallel) plus
-    // the hierarchical exclusive carry-in, no single-partition stage
-    // at ANY doomed-set size.
-    val isDoomedSp = doomedRows.select(col("sp").as("prev_sp"),
-      lit(1L).as("__isd"))
-    val parts = doomedRows
-      .join(isDoomedSp, Seq("prev_sp"), "left")
-      .withColumn("st", when(col("prev_sp").isNull ||
-          col("__isd").isNull, 1L).otherwise(0L))
-      .drop("__isd")
-      .repartitionByRange(AnalyticsOps.rankParallelism(doomedRows),
-        col("sp"))
-      .sortWithinPartitions(col("sp"))
-      .withColumn("pid", expr("monotonically_increasing_id() div 8589934592"))
-      .localCheckpoint()
-    val wp = Window.partitionBy(col("pid")).orderBy(col("sp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = TextOps.exclusiveOffsets(
-        parts.groupBy(col("pid")).agg(sum(col("st")).as("tot"))
-          .select(col("pid").as("key"), col("tot")), 256, 2,
-        reuseInput = false)
-      .select(col("key").as("pid"), col("offset"))
-    val runs = parts
-      .withColumn("pfx", sum(col("st")).over(wp))
-      .join(offs, Seq("pid"))
-      .withColumn("runid", col("offset") + col("pfx"))
-      .groupBy(col("runid")).agg(
-        max(col("sp")).as("tail_sp"),
-        min_by(col("prev_sp"), col("sp")).as("head_psp"),
-        min_by(col("prev_doc"), col("sp")).as("head_pdoc"))
-      .localCheckpoint()
+    // prev.sp — link-read, never key arithmetic), reduced to one
+    // (tail_sp, head_psp, head_pdoc) row per run: only each run's
+    // surviving successor is patched. Driver fold when the doomed set
+    // collected (a row continues the current run iff its prev link IS
+    // the previous doomed sp — prev_sp is the immediate store
+    // predecessor, so no store row sorts between them); else the
+    // SKEW-IMMUNE distributed detection (round-16 verdict item #3 —
+    // the former shape was one global Window.orderBy(sp), a
+    // single-partition sort of the doomed mass that a "delete 40% of
+    // the corpus" request would have funneled billions of rows
+    // through): run HEADS from a hash self-join against the doomed
+    // key set (no ordering involved), run ids from the running count
+    // of heads in sp order via the same range-partitioned two-phase
+    // prefix sum as [[EventOps.peakConcurrency]] — pid-local window
+    // (parallel) plus the hierarchical exclusive carry-in, no
+    // single-partition stage at ANY doomed-set size.
+    val driverRuns: Option[Seq[(Long, Option[Long], Option[Long])]] =
+      doomedArr.map { rows =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Option[Long], Option[Long])]
+        rows.foreach { case (sp, psp, pdoc) =>
+          if (buf.nonEmpty && psp.contains(buf.last._1))
+            buf(buf.length - 1) = (sp, buf.last._2, buf.last._3)
+          else buf += ((sp, psp, pdoc))
+        }
+        buf.toSeq
+      }
+    val runs: DataFrame = driverRuns match {
+      case Some(rs) =>
+        broadcast(spark.createDataFrame(rs)
+          .toDF("tail_sp", "head_psp", "head_pdoc"))
+      case None =>
+        val isDoomedSp = doomedRows.select(col("sp").as("prev_sp"),
+          lit(1L).as("__isd"))
+        val parts = doomedRows
+          .join(isDoomedSp, Seq("prev_sp"), "left")
+          .withColumn("st", when(col("prev_sp").isNull ||
+              col("__isd").isNull, 1L).otherwise(0L))
+          .drop("__isd")
+          .repartitionByRange(AnalyticsOps.rankParallelism(doomedRows),
+            col("sp"))
+          .sortWithinPartitions(col("sp"))
+          .withColumn("pid",
+            expr("monotonically_increasing_id() div 8589934592"))
+          .localCheckpoint()
+        val wp = Window.partitionBy(col("pid")).orderBy(col("sp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = TextOps.exclusiveOffsets(
+            parts.groupBy(col("pid")).agg(sum(col("st")).as("tot"))
+              .select(col("pid").as("key"), col("tot")), 256, 2,
+            reuseInput = false)
+          .select(col("key").as("pid"), col("offset"))
+        parts
+          .withColumn("pfx", sum(col("st")).over(wp))
+          .join(offs, Seq("pid"))
+          .withColumn("runid", col("offset") + col("pfx"))
+          .groupBy(col("runid")).agg(
+            max(col("sp")).as("tail_sp"),
+            min_by(col("prev_sp"), col("sp")).as("head_psp"),
+            min_by(col("prev_doc"), col("sp")).as("head_pdoc"))
+          .localCheckpoint()
+    }
     // Covering regions (full payload, read once): they hold every
     // doomed row and every in-region successor, and they are the
-    // regions the upsert rewrites.
-    val covIdx = doomedRows.select(graft.functions.RangeFunctions
-        .longBoundaryBucket(col("sp"), sr.mins).as("ridx"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    // regions the upsert rewrites. Driver mirror of longBoundaryBucket
+    // when the rows are already collected; one tiny job otherwise.
+    val covIdx = doomedArr match {
+      case Some(rows) =>
+        val mins = sr.mins.toArray
+        rows.map { case (sp, _, _) =>
+          var i = java.util.Arrays.binarySearch(mins, sp)
+          if (i < 0) i = -i - 2
+          if (i < 0) 0 else i
+        }.distinct.sorted
+      case None =>
+        doomedRows.select(graft.functions.RangeFunctions
+            .longBoundaryBucket(col("sp"), sr.mins).as("ridx"))
+          .distinct().collect().map(_.getInt(0)).sorted
+    }
     val regFull = KeyedStore.scanMulti(spark, name, "sp",
         sfxTouchedRanges(sr, covIdx.toSeq))
       .filter(col("sp") >= 0L).localCheckpoint()
@@ -2441,12 +2519,23 @@ object DedupOps {
         col("head_pdoc")), Seq("prev_sp"))
       .localCheckpoint()
     // New seam LCP = one compare against the run head's predecessor
-    // row — both survivors, both arrays from the token sub-store.
-    val predRows = KeyedStore.getBatch(spark, name, "sp",
-        succs.filter(col("head_psp").isNotNull)
-          .select(col("head_psp").as("sp")).distinct())
-      .select(col("sp").as("head_psp"), col("doc_id").as("pdoc2"),
-        col("p").as("pp2"))
+    // row — both survivors, both arrays from the token sub-store. The
+    // predecessor KEYS are the run heads' links: driver-known in fast
+    //-path mode (bloom-guarded point GET while the list is plan-safe),
+    // a getBatch semi-join off `succs` otherwise.
+    val headKeys = driverRuns.map(_.flatMap(_._2).distinct)
+    val predRows = (headKeys match {
+      case Some(ks) if ks.isEmpty =>
+        spark.range(0).select(col("id").as("sp"), col("id").as("doc_id"),
+          col("id").as("p"))
+      case Some(ks) if ks.size <= 1024 =>
+        KeyedStore.get(spark, name, "sp", ks)
+      case _ =>
+        KeyedStore.getBatch(spark, name, "sp",
+          succs.filter(col("head_psp").isNotNull)
+            .select(col("head_psp").as("sp")).distinct())
+    }).select(col("sp").as("head_psp"), col("doc_id").as("pdoc2"),
+      col("p").as("pp2"))
     val pArrs = toksForDf(spark, name,
         predRows.select(col("pdoc2")).distinct())
       .select(col("doc_id").as("pdoc2"), col("arr").as("parr"))

@@ -114,6 +114,11 @@ class SuffixDeleteSpec extends AnyFunSuite {
   test("bulk delete (most of the corpus): referee-valid, and the patch " +
        "runs NO global window over the doomed mass (plan pin)") {
     val name = "graft_sfx_del_spec_e"
+    // force the DISTRIBUTED run-detection path (the driver fast path
+    // would swallow this corpus; production crosses over at 2^16 rows)
+    val prop = "graft.sfx.delete.driverRuns"
+    val saved = sys.props.get(prop)
+    sys.props(prop) = "0"
     try {
       // 24 docs, heavy overlap → long doomed runs; delete 16 of 24
       // including the corpus-first doc and whole adjacent spans.
@@ -163,7 +168,13 @@ class SuffixDeleteSpec extends AnyFunSuite {
         remaining.toDF("doc_id", "text"), name))
       assert(served == stats3(ops.DedupOps.suffixDedupStats(
         remaining.toDF("doc_id", "text"))))
-    } finally ops.DedupOps.suffixIndexDrop(spark, name)
+    } finally {
+      saved match {
+        case Some(v) => sys.props(prop) = v
+        case None => sys.props.remove(prop)
+      }
+      ops.DedupOps.suffixIndexDrop(spark, name)
+    }
   }
 
   test("fixture slice: delete a modular id set, serve equals computed " +
