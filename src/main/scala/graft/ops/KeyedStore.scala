@@ -1763,7 +1763,10 @@ object KeyedStore {
       val from = location(spark, src)
       val to = location(spark, dst)
       def skip(n: String): Boolean =
-        n.endsWith(".graft-lock") || n == "_sfx_inprogress"
+        n.endsWith(".graft-lock") || n == "_sfx_inprogress" ||
+          n == "_graft_cache_fp" // a clone is a WORKING copy, usually
+          // mutated next — carrying the source's content-address stamp
+          // would leave a fresh-looking fingerprint on changed content
       def copyRec(f: Path, t: Path): Unit =
         if (Files.isDirectory(f)) {
           Files.createDirectories(t)
@@ -1794,6 +1797,51 @@ object KeyedStore {
     * batch.) */
   def exists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
+
+  // ------- content-addressed artifact caching (train-once/serve) -------
+
+  /** Content fingerprint of a relation: xxhash64 over every column,
+    * term-reduced mod 1000003 (commutative sum — row order independent),
+    * mixed with the row count. The freshness key of the content-
+    * addressed artifact caches ([[cacheFresh]]); callers fold build
+    * parameters and a schema-generation stamp in on top. One columnar
+    * aggregate pass over the input — the probe costs O(input), the
+    * build it guards costs far more.
+    */
+  def contentFingerprint(df: DataFrame): Long =
+    df.agg((coalesce(sum(pmod(xxhash64(df.columns.map(col): _*),
+        lit(1000003L))), lit(0L)) * 31L + count(lit(1))).as("fp"))
+      .head().getLong(0)
+
+  private def cacheFpPath(spark: SparkSession, name: String): Path =
+    location(spark, name).resolve("_graft_cache_fp")
+
+  /** True iff store `name` exists and carries a fingerprint stamp equal
+    * to `fp`. The stamp is written strictly AFTER the build completes
+    * ([[stampCacheFp]]), so a torn build can never read fresh. */
+  def cacheFresh(spark: SparkSession, name: String, fp: Long): Boolean =
+    exists(spark, name) && {
+      val p = cacheFpPath(spark, name)
+      Files.exists(p) &&
+        new String(Files.readAllBytes(p), "UTF-8") == fp.toString
+    }
+
+  /** Stamp `name`'s content-address fingerprint (atomic publish). */
+  def stampCacheFp(spark: SparkSession, name: String, fp: Long): Unit =
+    atomicWriteBytes(cacheFpPath(spark, name), fp.toString.getBytes("UTF-8"))
+
+  /** Train-once resolution for a content-addressed artifact store:
+    * build (and stamp) only when `name` is absent, torn, or stamped for
+    * different content. `build` must (re)create the table `name`; the
+    * create's own drop-first wipes any stale stamp, so every crash
+    * window inside the build reads stale → rebuild.
+    */
+  def ensureCached(spark: SparkSession, name: String, fp: Long)
+                  (build: => Unit): Unit =
+    if (!cacheFresh(spark, name, fp)) {
+      build
+      stampCacheFp(spark, name, fp)
+    }
 
   /** Maintenance: re-derive balanced regions from the current table —
     * the major-compaction / region-split pass that absorbs growth after

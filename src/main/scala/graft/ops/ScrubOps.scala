@@ -215,15 +215,6 @@ object ScrubOps {
     }
   }
 
-  /** Generic content fingerprint for a fixture relation (xxhash64 over
-    * every column, term-reduced mod 1000003 like
-    * `DedupOps.docsFingerprint`, plus the count): the cache-freshness
-    * key for [[qForgetCascade]]'s content-addressed fixture stores. */
-  private def dfFingerprint(df: DataFrame): Long =
-    df.agg((coalesce(sum(pmod(xxhash64(df.columns.map(col): _*),
-        lit(1000003L))), lit(0L)) * 31L + count(lit(1))).as("fp"))
-      .head().getLong(0)
-
   private def readFpFile(p: java.nio.file.Path): Option[String] =
     if (!java.nio.file.Files.exists(p)) None
     else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
@@ -274,28 +265,21 @@ object ScrubOps {
     val embs = embeddings(spark, dir)
     val vdir = java.nio.file.Files.createTempDirectory("graft_forget").toString
     try {
-      def cachedKeyed(cacheName: String, fp: Long)(build: => Unit): Unit = {
-        val fpPath = KeyedStore.location(spark, cacheName)
-          .resolve("_graft_cache_fp")
-        if (!(KeyedStore.exists(spark, cacheName) &&
-            readFpFile(fpPath).contains(fp.toString))) {
-          build
-          KeyedStore.atomicWriteBytes(fpPath, fp.toString.getBytes("UTF-8"))
-        }
-      }
-      val fpDocs = dfFingerprint(docsRows)
-      val fpEmbs = dfFingerprint(embs)
+      val fpDocs = KeyedStore.contentFingerprint(docsRows)
+      val fpEmbs = KeyedStore.contentFingerprint(embs)
       // 1024 rows/region: the cascade's doomed set (every 10th id)
       // covers EVERY region whatever their size, so finer regions only
       // multiply per-region commit machinery — at real scale the id set
       // is sparse and fine regions pay off; here they were pure fixture
       // tax (region-count sweep in ROUND13_NOTES).
-      cachedKeyed("graft_forget_keyedcache_" + sfx, fpDocs)(
+      KeyedStore.ensureCached(spark, "graft_forget_keyedcache_" + sfx,
+        fpDocs)(
         KeyedStore.create(spark, "graft_forget_keyedcache_" + sfx,
           docsRows, "doc_id", 1024))
       KeyedStore.cloneStore(spark, "graft_forget_keyedcache_" + sfx,
         keyedName)
-      cachedKeyed("graft_forget_anncache_" + sfx, fpEmbs)(
+      KeyedStore.ensureCached(spark, "graft_forget_anncache_" + sfx,
+        fpEmbs)(
         AnnIndexOps.buildIndex(spark, "graft_forget_anncache_" + sfx,
           embs, targetRowsPerRegion = 2048))
       KeyedStore.cloneStore(spark, "graft_forget_anncache_" + sfx, annName)

@@ -43,8 +43,12 @@ object VectorStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     KeyedStore.drop(spark, name) // defensive: stale prior run
     try {
-      AnnIndexOps.buildIndex(spark, name,
-        embs.filter(col("vec_id") % 10 =!= 0))
+      // The OFFLINE base build is the frozen victim, not the measured
+      // streaming capability — resolve it from the shared content-
+      // addressed cache and clone (the same base index as the batch
+      // incremental/rebalance rows; AnnIndexOps.resolveCloned's note).
+      KeyedStore.cloneStore(spark,
+        AnnIndexOps.b90Cache(spark, dir, embs), name)
       val stream = spark.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = stream.writeStream
@@ -99,8 +103,10 @@ object VectorStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     KeyedStore.drop(spark, name) // defensive: stale prior run
     try {
-      AnnIndexOps.buildPqIndex(spark, name,
-        embs.filter(col("vec_id") % 10 =!= 0))
+      // Offline base build resolved from the shared PQ cache + clone
+      // (see qStreamAnnIndex's note).
+      KeyedStore.cloneStore(spark,
+        AnnIndexOps.pqB90Cache(spark, dir, embs), name)
       val stream = spark.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = stream.writeStream
