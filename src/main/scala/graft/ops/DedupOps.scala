@@ -1122,7 +1122,14 @@ object DedupOps {
       val span = 1 << k
       val sizes = active.groupBy(col("r")).agg(count(lit(1)).as("gn"))
         .filter(col("gn") >= 2).select(col("r"))
-      frozen += active.join(sizes, Seq("r"), "left_anti").localCheckpoint()
+      // LAZY checkpoint (round-17): the leaf's plan is truncated at
+      // definition (so later rounds/descent still union O(1)-deep
+      // leaves) but its blocks materialize inside the round's own
+      // checkpoint job — the anti-join re-reads the PREVIOUS round's
+      // cached blocks either way, and the eager form paid one extra
+      // job barrier per round for the same bytes.
+      frozen += active.join(sizes, Seq("r"), "left_anti")
+        .localCheckpoint(eager = false)
       val act = active.join(sizes, Seq("r"))
       val lookup = fullTable(act)
         .select(col("doc_id"), (col("p") - span).as("p"), col("r").as("r2"))
@@ -1149,7 +1156,10 @@ object DedupOps {
       if (sys.env.contains("GRAFT_SUFFIX_DEBUG"))
         println(f"SUFFIXDBG round=$k deskew=$deskew " +
           f"ckpt=${(System.nanoTime() - t0dbg) / 1e9}%.1f s " +
-          s"statsDigits=${active.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length}")
+          s"statsDigits=${active.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length} " +
+          s"active=${active.count()} " +
+          s"groupsBefore=${sizes.count()} " +
+          s"groupsAfter=${active.select(col("r")).distinct().count()}")
       tables += fullTable(active)
     }
     // SA positions: bucket-start rank + ordinal within the (fully-equal)
@@ -1507,17 +1517,28 @@ object DedupOps {
   def suffixIndexBuild(docs: DataFrame, name: String,
                        targetRows: Long = 65536): DataFrame = {
     val spark = docs.sparkSession
+    val dbg = sys.env.contains("GRAFT_SUFFIX_DEBUG")
+    var tDbg = System.nanoTime()
+    def lap(phase: String): Unit = if (dbg) {
+      println(f"SUFFIXDBG build phase=$phase " +
+        f"${(System.nanoTime() - tDbg) / 1e9}%.1f s")
+      tDbg = System.nanoTime()
+    }
     val fp = docsFingerprint(docs)
+    lap("fingerprint")
     // Materialize ONCE: KeyedStore.create runs rows.count() and the
     // parquet write as two separate actions — un-checkpointed, the full
     // SA build + LCP descent chain would execute twice per build
     // (round-14 ADVICE; suffixDedupApply checkpoints the same relation
     // for the same reason).
-    val rel = buildSuffixIndex(docs, 0, 1L << 22)
+    val idxOpt = buildSuffixIndex(docs, 0, 1L << 22)
+    lap("sa-rounds")
+    val rel = idxOpt
       .map(idx => suffixLcpRelation(idx).localCheckpoint())
       .getOrElse(spark.range(0).select(col("id").as("sp"),
         col("id").as("doc_id"), col("id").as("p"), col("id").as("lcp"),
         col("id").as("prev_sp"), col("id").as("prev_doc")))
+    lap("lcp-descent")
     // `ord` persists the in-region search ordinal (round-15 verdict
     // item #5): at build it is the dense global SA rank, which is
     // contiguous-ascending WITHIN any region however create splits the
@@ -1536,44 +1557,58 @@ object DedupOps {
     // keep the text adjacent to the SA): every maintenance/serving
     // compare against resident suffixes reads pre-tokenized arrays by
     // region-pruned doc_id lookup instead of re-tokenizing the corpus
-    // per invocation. Created BEFORE the fingerprinted main store so a
-    // torn build can never leave a fresh-looking index without its
-    // compare side ([[suffixStoreFresh]] also checks existence). The
+    // per invocation ([[suffixStoreFresh]] checks its existence). The
     // sentinel doc_id = −1 row keeps the store non-empty for an empty
     // corpus; real ids are non-negative, so lookups never see it.
     val toksName = toksStoreName(name)
-    // Rebuild-over-existing fence (round-16 ADVICE): the sub-stores are
-    // recreated for the NEW corpus before the old main store drops, so
-    // a crash in between would leave the OLD index reading as fresh
-    // (old fp matches, sub-stores exist) paired with ANOTHER corpus's
-    // token arrays — on a shrinking rebuild warm search/append would
-    // read NULL arrays for missing docs and silently mis-serve. Stamp
-    // the in-progress marker in the OLD store's directory before the
-    // first sub-store mutation: every crash window inside the rebuild
-    // then reads torn → rebuild. No explicit clear is needed — the main
-    // store's own drop-and-recreate wipes the directory (marker
-    // included), and a crash inside that create leaves no catalog
-    // table, which every resolve path also treats as rebuild.
+    // Rebuild-over-existing fence (round-16 ADVICE): a crash window in
+    // which the OLD index still reads fresh (old fp, sub-stores exist)
+    // while ANY store already reflects the NEW corpus would silently
+    // mis-serve — on a shrinking rebuild warm search/append would read
+    // NULL token arrays for missing docs. Stamp the in-progress marker
+    // in the OLD store's directory before the first store mutation:
+    // every crash window inside the rebuild then reads torn → rebuild.
+    // No explicit clear is needed — the main store's own
+    // drop-and-recreate wipes the directory (marker included), and a
+    // crash inside that create leaves no catalog table, which every
+    // resolve path also treats as rebuild.
     if (KeyedStore.exists(spark, name)) stampSfxMarker(spark, name)
-    if (KeyedStore.exists(spark, toksName)) KeyedStore.drop(spark, toksName)
-    KeyedStore.create(spark, toksName,
-      docs.select(col("doc_id"), TextFns.toks.as("arr")).unionByName(
-        spark.range(1).select(lit(-1L).as("doc_id"),
-          array().cast("array<string>").as("arr"))),
-      "doc_id", targetRows)
     // Doc→sp REVERSE sub-store (round-16 verdict item #2): one array
     // row per document, so a later delete FINDs its rows by key
     // lookup. Same sentinel convention as the token sub-store.
     val docspName = docspStoreName(name)
+    // Drop all three stores BEFORE any create starts, then run the
+    // three independent creates CONCURRENTLY (guide-§2.6 overlap: each
+    // create is several sequential driver actions over already-
+    // materialized inputs — rel is checkpointed, toks re-reads the
+    // corpus — so overlapping them hides each other's fixed commit
+    // cost; round-17 optimization). Crash audit unchanged from the
+    // sequential order: every interleaving leaves a missing store, a
+    // missing sub-store, or the stamped marker — all of which
+    // [[suffixStoreFresh]] reads as stale → rebuild.
+    if (KeyedStore.exists(spark, toksName)) KeyedStore.drop(spark, toksName)
     if (KeyedStore.exists(spark, docspName)) KeyedStore.drop(spark, docspName)
-    KeyedStore.create(spark, docspName,
-      stored.groupBy(col("doc_id"))
-        .agg(collect_list(col("sp")).as("sps"))
-        .unionByName(spark.range(1).select(lit(-1L).as("doc_id"),
-          array().cast("array<bigint>").as("sps"))),
-      "doc_id", targetRows)
     if (KeyedStore.exists(spark, name)) KeyedStore.drop(spark, name)
-    KeyedStore.create(spark, name, rows, "sp", targetRows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val creates: Seq[() => Unit] = Seq(
+        () => KeyedStore.create(spark, toksName,
+          docs.select(col("doc_id"), TextFns.toks.as("arr")).unionByName(
+            spark.range(1).select(lit(-1L).as("doc_id"),
+              array().cast("array<string>").as("arr"))),
+          "doc_id", targetRows),
+        () => KeyedStore.create(spark, docspName,
+          stored.groupBy(col("doc_id"))
+            .agg(collect_list(col("sp")).as("sps"))
+            .unionByName(spark.range(1).select(lit(-1L).as("doc_id"),
+              array().cast("array<bigint>").as("sps"))),
+          "doc_id", targetRows),
+        () => KeyedStore.create(spark, name, rows, "sp", targetRows))
+      creates.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t()
+      })).foreach(_.get())
+    } finally pool.shutdown()
+    lap("creates")
     // Accounting from the READ-BACK (the stored artifact is the thing
     // being certified, not the build pipeline): row/doc counts, total
     // adjacent LCP mass, an order-sensitive modular checksum of the

@@ -1843,6 +1843,24 @@ object KeyedStore {
       stampCacheFp(spark, name, fp)
     }
 
+  /** [[ensureCached]] specialization for a plain [[create]]: resolve
+    * `name` as a content-addressed copy of `rows` (key column and
+    * region target folded into the address), creating only on miss or
+    * stale. For FIXTURE/SERVING stores whose construction is not the
+    * capability under measurement — the row's operator (a read, a
+    * merge against a clone) stays fully priced while the victim store
+    * resolves at fingerprint-probe cost, the way a production store
+    * outlives the queries served from it.
+    */
+  def ensureCreated(spark: SparkSession, name: String, rows: DataFrame,
+                    key: String, targetRowsPerRegion: Long): Unit = {
+    val fp = contentFingerprint(rows) * 31L +
+      scala.util.hashing.MurmurHash3
+        .stringHash(s"$key:$targetRowsPerRegion").toLong
+    ensureCached(spark, name, fp)(
+      create(spark, name, rows, key, targetRowsPerRegion))
+  }
+
   /** Maintenance: re-derive balanced regions from the current table —
     * the major-compaction / region-split pass that absorbs growth after
     * many upserts (fixed boundaries make hot boundary regions grow).

@@ -256,7 +256,10 @@ object SourceSinkOps {
     */
   def qKeyedLookup(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_events_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name,
+    // Read-only serving row: the store resolves content-addressed
+    // (create only on miss/stale — the suffix/ANN warm-serve
+    // discipline; q_populate stays the cold create anchor).
+    KeyedStore.ensureCreated(spark, name,
       events(spark, dir)
         .withColumn("row_key", md5(col("event_id").cast("string")))
         .select(col("row_key"), col("event_id"), col("event_type"), col("value")),
@@ -278,7 +281,7 @@ object SourceSinkOps {
     */
   def qKeyedRange(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_range_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name,
+    KeyedStore.ensureCreated(spark, name, // read-only row (qKeyedLookup's note)
       orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       "o_orderkey", targetRowsPerRegion = 2048)
@@ -320,27 +323,42 @@ object SourceSinkOps {
     val i = "graft_keyed_seci_" + dirSafe
     val ev = events(spark, dir).select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("value_c"))
-    KeyedStore.create(spark, p, ev, "event_id", targetRowsPerRegion = 2048)
-    KeyedStore.create(spark, i,
+    // MUTATING row (the dual write rewrites both stores): primary and
+    // index resolve from content-addressed caches, cloned per run
+    // (qKeyedTtl's note) — the dual write + indexed serve stay fully
+    // priced, the victim construction doesn't repeat.
+    KeyedStore.ensureCreated(spark, p + "cache", ev, "event_id",
+      targetRowsPerRegion = 2048)
+    KeyedStore.cloneStore(spark, p + "cache", p)
+    KeyedStore.ensureCreated(spark, i + "cache",
       ev.select(format_string("%s#%012d", col("event_type"), col("event_id"))
           .as("ikey"),
         col("event_id").as("ref_id")),
       "ikey", targetRowsPerRegion = 2048)
+    KeyedStore.cloneStore(spark, i + "cache", i)
     val mv = ev.filter(col("event_type") =!= "purchase")
       .agg(min(col("event_id"))).collect().head.getLong(0)
     val oldType = ev.filter(col("event_id") === mv)
       .select(col("event_type")).collect().head.getString(0)
-    // Dual write: primary U, then index delete(old)/insert(new). The
-    // returned full-table reads are discarded (read-isolation contract).
+    // Dual write: primary U, then ONE index commit carrying the
+    // delete(old) + insert(new) PAIR — both keys ride a single change
+    // set, so the index maintenance is one region copy-on-write pass.
+    // (Two separate commits doubled the fixed commit machinery and
+    // left a wider window in which NEITHER index key existed; the
+    // paired commit exposes old-or-new, never neither.) The returned
+    // full-table reads are discarded (read-isolation contract).
     KeyedStore.upsert(spark, p, "event_id",
       ev.filter(col("event_id") === mv)
         .select(col("event_id"), lit("U").as("op"),
                 lit("purchase").as("event_type"), col("value_c")))
     KeyedStore.mergeInto(spark, i, "ikey",
-      Seq(f"$oldType%s#$mv%012d").toDF("ikey"),
-      (base, d) => base.join(d, Seq("ikey"), "left_anti"))
-    KeyedStore.upsert(spark, i, "ikey",
-      Seq((f"purchase#$mv%012d", "I", mv)).toDF("ikey", "op", "ref_id"))
+      Seq((f"$oldType%s#$mv%012d", mv, "D"),
+          (f"purchase#$mv%012d", mv, "I")).toDF("ikey", "ref_id", "op"),
+      (base, b) => base
+        .join(b.filter(col("op") === "D").select(col("ikey")),
+          Seq("ikey"), "left_anti")
+        .unionByName(b.filter(col("op") === "I")
+          .select(col("ikey"), col("ref_id"))))
     // Serve: index prefix range scan -> ids -> primary batch get.
     val ids = KeyedStore.scan(spark, i, "ikey", "purchase#", "purchase#z")
       .select(col("ref_id").as("event_id"))
@@ -363,8 +381,14 @@ object SourceSinkOps {
     val ev = events(spark, dir).select(col("event_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"),
       round(col("value") * 100).cast("long").as("value_c"))
-    KeyedStore.create(spark, name, ev, "event_id",
+    // MUTATING row (the sweep deletes): victim store resolves from a
+    // content-addressed cache and is CLONED per run, so the expire
+    // runs against a full store each time at snapshot-restore cost
+    // (the forget-cascade discipline).
+    val cache = "graft_keyed_ttlcache_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    KeyedStore.ensureCreated(spark, cache, ev, "event_id",
       targetRowsPerRegion = 2048)
+    KeyedStore.cloneStore(spark, cache, name)
     val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect().head
     val cutoff = (mm.getLong(0) + mm.getLong(1)) / 2
     val nExpired = KeyedStore.expire(spark, name, "event_id", "ts_us", cutoff)
@@ -388,7 +412,7 @@ object SourceSinkOps {
     */
   def qKeyedBloom(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_bloom_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name,
+    KeyedStore.ensureCreated(spark, name, // read-only row (qKeyedLookup's note)
       orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       "o_orderkey", targetRowsPerRegion = 2048)
@@ -416,7 +440,7 @@ object SourceSinkOps {
     // 1024-row regions keep the store multi-region even at sf0.001, so
     // the injected kr prune is visible in PLANS.md at every fixture SF
     // (with a single region the rule correctly declines to inject).
-    KeyedStore.create(spark, name,
+    KeyedStore.ensureCreated(spark, name, // read-only row (qKeyedLookup's note)
       orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       "o_orderkey", targetRowsPerRegion = 1024)
@@ -446,7 +470,7 @@ object SourceSinkOps {
     */
   def qSqlKeyedJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_join_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name,
+    KeyedStore.ensureCreated(spark, name, // read-only row (qKeyedLookup's note)
       orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       "o_orderkey", targetRowsPerRegion = 1024)
@@ -474,7 +498,7 @@ object SourceSinkOps {
     */
   def qKeyedMultiget(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_keyed_mget_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name,
+    KeyedStore.ensureCreated(spark, name, // read-only row (qKeyedLookup's note)
       orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       "o_orderkey", targetRowsPerRegion = 2048)
@@ -1072,7 +1096,11 @@ object SourceSinkOps {
                   lit("I").as("op"), lit("N").as("o_orderstatus"),
                   col("o_totalprice")))
     val name = "graft_keyed_orders_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    KeyedStore.create(spark, name, base, "o_orderkey", targetRowsPerRegion = 2048)
+    // MUTATING row (the merge rewrites regions): victim store resolves
+    // from a content-addressed cache, cloned per run (qKeyedTtl's note).
+    KeyedStore.ensureCreated(spark, name + "cache", base, "o_orderkey",
+      targetRowsPerRegion = 2048)
+    KeyedStore.cloneStore(spark, name + "cache", name)
     KeyedStore.upsert(spark, name, "o_orderkey",
         changes.select(col("o_orderkey"), col("op"),
                        col("o_orderstatus"), col("o_totalprice")))
