@@ -2157,10 +2157,13 @@ object DedupOps {
     // adopts the same ceiling-spaced probing: rounds drop from log2 to
     // log16 of the region cap (17 → 5 at 65536-row regions) for
     // (K−1)× more compares against the already-cached covering-region
-    // arrays. Invariant: insertion ordinal (rows sorting ≤ the delta
-    // suffix — the ≥ compare keeps resident ties FIRST, a consistent
-    // total order) ∈ [lo, hi]; probing the m-th smallest in-region row
-    // refines lo ≥ m on ≤, hi ≤ m−1 otherwise.
+    // arrays. K = 64 was probed in round 17 and measured ~1.4 s SLOWER
+    // on the search twin (same-session A/B at sf0.1): past 16 the
+    // wider per-round probe join outgrows the saved round barriers, so
+    // 16 stays. Invariant: insertion ordinal (rows
+    // sorting ≤ the delta suffix — the ≥ compare keeps resident ties
+    // FIRST, a consistent total order) ∈ [lo, hi]; probing the m-th
+    // smallest in-region row refines lo ≥ m on ≤, hi ≤ m−1 otherwise.
     val K = 16
     var rounds = 1
     var span = 1L
@@ -2858,7 +2861,11 @@ object DedupOps {
     // joins), not by compare work, so probing K−1 evenly spaced
     // ordinals per round cuts rounds from log2 to logK of the region
     // cap (17 → 5 at 65536 rows) for a ~(K−1)×log-factor more of the
-    // trivially cheap compares. Probe points are CEILING-spaced so the
+    // trivially cheap compares. K = 64 was probed in round 17 and
+    // measured SLOWER (9.4 vs 8.0 s same-session on the 124-query
+    // audit batch): the 4×-wider per-round probe join costs more than
+    // the two saved round barriers, so 16 stays the sweet spot.
+    // Probe points are CEILING-spaced so the
     // range provably shrinks to ceil(width/K) per round and reaches 0.
     val K = 16
     var rounds = 1

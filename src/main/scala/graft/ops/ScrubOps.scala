@@ -250,9 +250,11 @@ object ScrubOps {
     if (!java.nio.file.Files.exists(p)) None
     else Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
 
-  /** Recursive file copy (skips `_graft_cache_fp`). */
-  private def copyDir(from: java.nio.file.Path,
-                      to: java.nio.file.Path): Unit = {
+  /** Recursive file copy (skips `_graft_cache_fp`) — shared by the
+    * path-based (VersionedStore) fixture caches here and in
+    * [[SourceSinkOps.twoSnapshotStore]]. */
+  private[ops] def copyDir(from: java.nio.file.Path,
+                           to: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.isDirectory(from)) {
       Files.createDirectories(to)

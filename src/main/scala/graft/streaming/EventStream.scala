@@ -471,7 +471,13 @@ object EventStream {
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
               col("event_type"),
               expr("cast(round(value * 100) as bigint)").as("value_c"))
-    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // TWO micro-batches (round-13 item #7 discipline: each versioned
+    // commit costs ~1 s of fixed machinery, so batches beyond the
+    // cross-batch-merge minimum were fixture tax). Two batches still
+    // exercise resolve-against-snapshot across batch boundaries;
+    // arbitrary-order commutativity and crash replay are pinned in
+    // StreamingSpec, and q_stream_upsert still drains four.
+    ev.repartition(2).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -588,8 +594,8 @@ object EventStream {
     * that latest-wins upsert ([[qStreamUpsert]]) doesn't: the store holds
     * PARTIAL aggregates that combine across batches, the streaming face
     * of the same partial/final split Spark applies within a batch. The
-    * fixture drains 4 source files one per trigger, so the additive merge
-    * genuinely runs across micro-batches in arbitrary order; the oracle
+    * fixture drains 2 source files one per trigger, so the additive merge
+    * genuinely runs across micro-batches; the oracle
     * is the plain batch GROUP BY count top-20 — equality proves the
     * incremental sums equal the one-shot aggregate.
     */
@@ -598,7 +604,11 @@ object EventStream {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
     val srcDir = tmp.resolve("src").toString
     val ev = graft.Tables.events(spark, dir).select(col("event_id"), col("user_id"))
-    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // TWO micro-batches (see qStreamVersioned's note): the additive
+    // merge still genuinely combines partial aggregates ACROSS batches
+    // — replay fencing and arbitrary-order equality are pinned in
+    // StreamingSpec, and q_stream_upsert remains the 4-batch anchor.
+    ev.repartition(2).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
