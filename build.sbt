@@ -11,6 +11,29 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The 396-test wall runs sequentially in ONE forked JVM at local[4] —
+// ~24 min on a 32-core box that sits mostly idle (round-17 verdict #1:
+// the driver's test budget cut the run mid-suite). Suites are
+// independent (each JVM gets its own temp warehouse from TestSpark),
+// so fork N JVMs and round-robin the name-sorted suites across them:
+// same tests, same invariants, ~N× less wall. Heavy families (the 8
+// Suffix* suites, PropertySpec, VersionedStoreSpec) are alphabetically
+// clustered, which round-robin spreads evenly.
+val testForkGroups = 6
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / javaOptions).value.toVector
+  tests.zipWithIndex.groupBy(_._2 % testForkGroups).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"group$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+// Allow the forked groups to actually run concurrently (sbt's default
+// tag limits would serialize them).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testForkGroups),
+  Tags.limitAll(testForkGroups + 2))
 // Forked run output goes straight to stdout, NOT through sbt's logger:
 // the driver parses Bench's single JSON line, and the `[info] ` prefix
 // broke that in round 1 (BENCH_r01.json recorded parsed=null).

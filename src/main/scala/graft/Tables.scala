@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   * row group across executors; nothing here is driver-side.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every query path reads its fixture input through here: apply the
+    // engine's byte-based AQE coalescing profile (see Graft.tuneExecution)
+    // exactly once per session-conf view. Runtime-settable confs, same
+    // defensive pattern as the nanosAsLong set in [[events]].
+    Graft.tuneExecution(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

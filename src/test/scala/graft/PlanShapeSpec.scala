@@ -158,6 +158,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("AQE splits the skewed join partition (declarative twin of salting)") {
     // Thresholds sized to the sf0.001 fixture (hot partition a few KB compressed);
     // the decision logic is identical to 256 MB defaults at cluster scale.
+    // Apply the engine's one-time execution profile FIRST so the
+    // fixture-sized advisory override below wins (tuneExecution is
+    // once-per-session and never fights explicit settings).
+    graft.Graft.tuneExecution(spark)
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
