@@ -1659,7 +1659,14 @@ object DedupOps {
         () => KeyedStore.create(spark, name, rows, "sp", targetRows))
       creates.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = t()
-      })).foreach(_.get())
+      })).foldLeft(Option.empty[Throwable]) { (first, f) =>
+        // Await EVERY create before propagating (round-17 ADVICE #1):
+        // unwinding on the first failure would race the caller's
+        // cleanup against the still-running sibling creates. First
+        // failure wins as the cause.
+        try { f.get(); first }
+        catch { case t: Throwable => first.orElse(Some(t)) }
+      }.foreach(throw _)
     } finally pool.shutdown()
     lap("creates")
     // Accounting from the READ-BACK (the stored artifact is the thing

@@ -195,7 +195,15 @@ object ScrubOps {
               f"${(System.nanoTime() - t0) / 1e9}%.1f s")
           }
         })
-      }.foreach(_.get())
+      }.foldLeft(Option.empty[Throwable]) { (first, f) =>
+        // Await EVERY leg before propagating (round-17 ADVICE #1): a
+        // sequential .get() chain unwinds on the first failure while
+        // later legs are still mutating the stores the caller's cleanup
+        // (drops, vdir delete) is about to touch. Keep the FIRST
+        // failure as the cause; later ones are usually its shadows.
+        try { f.get(); first }
+        catch { case t: Throwable => first.orElse(Some(t)) }
+      }.foreach(throw _)
     } finally pool.shutdown()
     ()
   }
